@@ -1,38 +1,535 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship fct_orders build (normalize → money
+rollup → refunds) at sf0.001.
+
+``queries()`` — one callable per operator from SURVEY.md §2.
+``oracle_sql()`` — DuckDB ANSI-SQL twin for each SQL-expressible
+query. All money math runs in exact DECIMAL in BOTH engines and is
+cast to DOUBLE only at the output boundary, so value hashes match
+bit-for-bit regardless of partitioning. Timestamps cross the boundary
+as epoch-microsecond BIGINTs (Spark µs vs DuckDB ns parity).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from py_etl_pipeline_woocommerce_spark.catalog import load_table
+from py_etl_pipeline_woocommerce_spark.operators import dedup, events, sessionize, similarity, textstats
+from py_etl_pipeline_woocommerce_spark.operators.enrich import enrich_items_with_categories
+from py_etl_pipeline_woocommerce_spark.operators.incremental import (
+    assign_backfill_windows,
+    filter_since,
+)
+from py_etl_pipeline_woocommerce_spark.operators.normalize import normalize_items, normalize_orders
+from py_etl_pipeline_woocommerce_spark.operators.refunds import apply_refunds_items
+from py_etl_pipeline_woocommerce_spark.operators.upsert import upsert_df
+from py_etl_pipeline_woocommerce_spark.plans import analytics, relational, woo_model
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: refund-aware fct_orders at sf0.001."""
+    return woo_model.fct_orders(spark, "/root/testdata/sf0.001")
+
+
+# --------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _q_upsert(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    batch = (
+        orders.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.lit("refreshed").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+    )
+    return upsert_df(existing, batch, ["order_id"])
+
+
+def _q_incremental(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return normalize_orders(filter_since(orders, "o_orderdate", "1996-01-01T00:00:00"))
+
+
+def _q_backfill(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    tagged = assign_backfill_windows(orders, "o_orderdate", "1992-01-01T00:00:00", 30)
+    return tagged.groupBy("backfill_window").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("first_date"),
+        F.max(F.date_format("o_orderdate", "yyyy-MM-dd")).alias("last_date"),
+    )
+
+
+def _q_enrich(spark, sf_dir):
+    items = normalize_items(load_table(spark, sf_dir, "lineitem"))
+    return enrich_items_with_categories(items, load_table(spark, sf_dir, "part"))
+
+
+def _q_items(spark, sf_dir):
+    return apply_refunds_items(_q_enrich(spark, sf_dir))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # --- core ETL (reference parity) ---
+        "normalize_orders": lambda s, d: normalize_orders(load_table(s, d, "orders")),
+        "normalize_items": lambda s, d: normalize_items(load_table(s, d, "lineitem")),
+        "parse_event_props": lambda s, d: events.parse_event_props(_events(s, d)),
+        "enrich_categories": _q_enrich,
+        "apply_refunds_orders": lambda s, d: woo_model.fct_orders(s, d),
+        "apply_refunds_items": _q_items,
+        "upsert": _q_upsert,
+        "incremental_watermark": _q_incremental,
+        "backfill_windows": _q_backfill,
+        # --- dashboard analytics ---
+        "date_bounds": analytics.date_bounds,
+        "kpis": analytics.kpis,
+        "revenue_timeseries": analytics.revenue_timeseries,
+        "top_products": analytics.top_products,
+        "category_mix": analytics.category_mix,
+        "geo_rollup": analytics.geo_rollup,
+        # --- relational breadth ---
+        "pricing_summary": relational.pricing_summary,
+        "regional_revenue": relational.regional_revenue,
+        "top_orders_per_customer": relational.top_orders_per_customer,
+        "sales_rollup": relational.sales_rollup,
+        "order_priority_count": relational.order_priority_count,
+        # --- training-data ops ---
+        "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "embedding_cosine_dup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d)),
+        "ann_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
+        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
+        "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(_docs(s, d)),
+        "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
+        "sessionize": lambda s, d: sessionize.sessionize(_events(s, d)),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------
+# oracle_sql(): DuckDB twins (exact decimal money, µs-integer time)
+# --------------------------------------------------------------------
+
+_DEC0 = "CAST(0 AS DECIMAL(18,2))"
+_DISC = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+_GROSS = f"({_DISC}) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
+_TAXAMT = f"({_DISC}) * CAST(l_tax AS DECIMAL(4,2))"
+_NETLINE = f"CASE WHEN l_returnflag <> 'R' THEN {_DISC} ELSE {_DEC0} END"
+_REFLINE = f"CASE WHEN l_returnflag = 'R' THEN {_DISC} ELSE {_DEC0} END"
+
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+_TOKS = f"string_split({_NORM}, ' ')"
+_MARKERS = "('the','a','of','and','le','la','les','et','der','die','das','und','el','los','las','y')"
+
+_NORM_ORDERS_SQL = """
+SELECT o_orderkey AS order_id, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       o_orderstatus AS status, o_custkey AS customer_id,
+       o_orderpriority AS order_priority,
+       o_totalprice AS gross_total, o_totalprice AS net_total,
+       CAST(0 AS DOUBLE) AS refund_total
+FROM orders
+"""
+
+_ITEMS_BASE = f"""
+SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS supplier_id,
+       CAST(l_linenumber AS INT) AS line_number, CAST(l_quantity AS BIGINT) AS quantity,
+       l_extendedprice AS price, l_discount AS discount, l_tax AS tax,
+       CAST({_DISC} AS DOUBLE) AS total, l_returnflag AS return_flag
+FROM lineitem
+"""
+
+_FCT_ORDERS_SQL = f"""
+WITH agg AS (
+  SELECT l_orderkey AS order_id,
+         CAST(SUM({_GROSS}) AS DOUBLE) AS gross_total,
+         CAST(SUM({_TAXAMT}) AS DOUBLE) AS total_tax,
+         CAST(SUM({_DISC}) AS DOUBLE) AS net_total,
+         CAST(SUM({_REFLINE}) AS DOUBLE) AS refund_total,
+         COUNT(*) AS n_items
+  FROM lineitem GROUP BY 1)
+SELECT o_orderkey AS order_id, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       o_orderstatus AS status, o_custkey AS customer_id,
+       o_orderpriority AS order_priority,
+       gross_total, total_tax, net_total, refund_total,
+       net_total - refund_total AS net_after_refunds, n_items
+FROM orders JOIN agg ON o_orderkey = agg.order_id
+"""
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
+)
+
+_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM t)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE len(list_distinct(a.sh || b.sh)) > 0
+  AND len(list_intersect(a.sh, b.sh)) / len(list_distinct(a.sh || b.sh)) >= 0.5
+"""
+
+_MINHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+sig AS (SELECT doc_id, sh,
+          list_transform(range(0, 16), i ->
+            list_aggregate(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)), 'min')) AS sg
+        FROM sf),
+bands AS (SELECT doc_id, b.range AS band,
+                 md5(array_to_string(list_slice(sg, b.range*4 + 1, b.range*4 + 4), '|')) AS band_hash
+          FROM sig CROSS JOIN range(0, 4) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
+         FROM bands a JOIN bands x
+           ON a.band = x.band AND a.band_hash = x.band_hash AND a.doc_id < x.doc_id)
+SELECT c.doc_a, c.doc_b,
+       len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+FROM cand c JOIN sf sa ON sa.doc_id = c.doc_a JOIN sf sb ON sb.doc_id = c.doc_b
+WHERE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(sa.sh || sb.sh)) >= 0.5
+"""
+
+_SIMHASH_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+bits AS (SELECT doc_id,
+  list_transform(range(1, 33), j ->
+    CASE WHEN COALESCE(list_sum(list_transform(toks, tk ->
+      CASE WHEN substr(md5(tk), j, 1) IN ('8','9','a','b','c','d','e','f')
+           THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END) AS sb
+  FROM t),
+bands AS (SELECT doc_id, sb, b.range AS band,
+                 array_to_string(list_slice(sb, b.range*8 + 1, b.range*8 + 8), '') AS band_key
+          FROM bits CROSS JOIN range(0, 4) b),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
+         FROM bands a JOIN bands x
+           ON a.band = x.band AND a.band_key = x.band_key AND a.doc_id < x.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST(list_sum(list_transform(range(1, 33),
+            j -> CASE WHEN ba.sb[j] <> bb.sb[j] THEN 1 ELSE 0 END)) AS INT) AS hamming
+FROM cand c JOIN bits ba ON ba.doc_id = c.doc_a JOIN bits bb ON bb.doc_id = c.doc_b
+WHERE list_sum(list_transform(range(1, 33),
+      j -> CASE WHEN ba.sb[j] <> bb.sb[j] THEN 1 ELSE 0 END)) <= 3
+"""
+
+_COS = (
+    "list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))))"
+)
+
+_QUALITY_SQL = f"""
+WITH n AS (SELECT doc_id, text, {_NORM} AS norm FROM documents),
+t AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks,
+             CASE WHEN length(norm) = 0 THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tok
+      FROM n)
+SELECT doc_id,
+  CAST(n_tok AS BIGINT) AS n_tokens,
+  CASE WHEN n_tok > 0 THEN len(list_distinct(toks)) / n_tok ELSE 0.0 END AS distinct_ratio,
+  CASE WHEN n_tok > 0 THEN len(list_filter(toks, tk -> tk IN {_MARKERS})) / n_tok ELSE 0.0 END AS stop_ratio,
+  CASE WHEN length(text) > 0
+       THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text) ELSE 0.0 END AS alpha_ratio,
+  CASE WHEN n_tok > 0 THEN (length(norm) - (n_tok - 1)) / n_tok ELSE 0.0 END AS mean_token_len,
+  CASE WHEN n_tok > 0 THEN
+    least(n_tok / 100.0, 1.0) * 0.25
+    + (len(list_distinct(toks)) / n_tok) * 0.25
+    + (len(list_filter(toks, tk -> tk IN {_MARKERS})) / n_tok) * 0.25
+    + (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / length(text)) * 0.25
+  ELSE 0.0 END AS quality
+FROM t
+"""
+
+_LANG_SQL = f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang,
+        len(list_filter(toks, tk -> tk IN ('the','a','of','and'))) AS h_en,
+        len(list_filter(toks, tk -> tk IN ('le','la','les','et'))) AS h_fr,
+        len(list_filter(toks, tk -> tk IN ('der','die','das','und'))) AS h_de,
+        len(list_filter(toks, tk -> tk IN ('el','los','las','y'))) AS h_es
+      FROM t)
+SELECT doc_id, lang AS lang_declared,
+  CASE WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'unknown'
+       WHEN h_en = greatest(h_en, h_fr, h_de, h_es) THEN 'en'
+       WHEN h_fr = greatest(h_en, h_fr, h_de, h_es) THEN 'fr'
+       WHEN h_de = greatest(h_en, h_fr, h_de, h_es) THEN 'de'
+       ELSE 'es' END AS lang_pred
+FROM h
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "normalize_orders": _NORM_ORDERS_SQL,
+        "normalize_items": _ITEMS_BASE,
+        "parse_event_props": """
+SELECT event_id, user_id, event_type,
+       epoch_us(ts) AS ts_us, value,
+       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS prop_k
+FROM events
+""",
+        "enrich_categories": f"""
+SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS supplier_id,
+       CAST(l_linenumber AS INT) AS line_number, CAST(l_quantity AS BIGINT) AS quantity,
+       l_extendedprice AS price, l_discount AS discount, l_tax AS tax,
+       CAST({_DISC} AS DOUBLE) AS total, l_returnflag AS return_flag,
+       p_type AS category_snapshot, p_brand AS brand
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+""",
+        "apply_refunds_orders": _FCT_ORDERS_SQL,
+        "apply_refunds_items": f"""
+SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS supplier_id,
+       CAST(l_linenumber AS INT) AS line_number, CAST(l_quantity AS BIGINT) AS quantity,
+       l_extendedprice AS price, l_discount AS discount, l_tax AS tax,
+       CAST({_DISC} AS DOUBLE) AS total, l_returnflag AS return_flag,
+       p_type AS category_snapshot, p_brand AS brand,
+       CAST(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END AS BIGINT) AS refunded_quantity,
+       CASE WHEN l_returnflag = 'R' THEN CAST({_DISC} AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS refunded_total
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+""",
+        "upsert": """
+WITH existing AS (
+  SELECT o_orderkey AS order_id, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+         o_orderstatus AS status, o_totalprice AS total FROM orders),
+batch AS (
+  SELECT o_orderkey AS order_id, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+         'refreshed' AS status, o_totalprice AS total
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+SELECT * FROM existing WHERE order_id NOT IN (SELECT order_id FROM batch)
+UNION ALL
+SELECT * FROM batch
+""",
+        "incremental_watermark": """
+SELECT o_orderkey AS order_id, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       o_orderstatus AS status, o_custkey AS customer_id,
+       o_orderpriority AS order_priority,
+       o_totalprice AS gross_total, o_totalprice AS net_total,
+       CAST(0 AS DOUBLE) AS refund_total
+FROM orders WHERE o_orderdate > TIMESTAMP '1996-01-01 00:00:00'
+""",
+        "backfill_windows": """
+SELECT CAST(floor((epoch(o_orderdate) - epoch(TIMESTAMP '1992-01-01 00:00:00')) / 2592000) AS BIGINT)
+         AS backfill_window,
+       COUNT(*) AS n_orders,
+       MIN(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS first_date,
+       MAX(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS last_date
+FROM orders GROUP BY 1
+""",
+        "date_bounds": """
+SELECT MIN(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS min_d, MAX(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS max_d
+FROM orders
+""",
+        "kpis": f"""
+WITH l AS (SELECT l_orderkey, {_DISC} AS net, l_returnflag FROM lineitem)
+SELECT COUNT(DISTINCT l_orderkey) AS orders_cnt,
+       CAST(SUM(net) AS DOUBLE) AS net_before_refunds,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END) AS DOUBLE) AS refunds,
+       CAST(SUM(net) - SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END) AS DOUBLE) AS net_after_refunds,
+       CAST(SUM(net) AS DOUBLE) / COUNT(DISTINCT l_orderkey) AS aov
+FROM l
+""",
+        "revenue_timeseries": f"""
+SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, CAST(SUM({_NETLINE}) AS DOUBLE) AS net
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+        "top_products": f"""
+WITH agg AS (
+  SELECT p_name AS name, SUM({_NETLINE}) AS _rev,
+         CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_sold
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+SELECT name, CAST(_rev AS DOUBLE) AS revenue, qty_sold
+FROM agg ORDER BY _rev DESC, name LIMIT 15
+""",
+        "category_mix": f"""
+WITH agg AS (
+  SELECT p_type AS category, SUM({_NETLINE}) AS _rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+SELECT category, CAST(_rev AS DOUBLE) AS revenue
+FROM agg ORDER BY _rev DESC, category LIMIT 15
+""",
+        "geo_rollup": f"""
+WITH per_order AS (
+  SELECT l_orderkey AS o_orderkey, SUM({_NETLINE}) AS _order_net
+  FROM lineitem GROUP BY 1),
+g AS (SELECT r_name AS region, n_name AS country, _order_net
+      FROM per_order JOIN orders USING (o_orderkey)
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey),
+agg AS (SELECT region, country, COUNT(*) AS orders, SUM(_order_net) AS _net
+        FROM g GROUP BY 1, 2)
+SELECT region, country, orders, CAST(_net AS DOUBLE) AS net
+FROM agg ORDER BY _net DESC, region, country LIMIT 20
+""",
+        "pricing_summary": f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS _sum_base,
+         SUM({_DISC}) AS _sum_disc,
+         SUM({_GROSS}) AS _sum_charge,
+         COUNT(*) AS count_order
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, sum_qty,
+       CAST(_sum_base AS DOUBLE) AS sum_base_price,
+       CAST(_sum_disc AS DOUBLE) AS sum_disc_price,
+       CAST(_sum_charge AS DOUBLE) AS sum_charge,
+       CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+       CAST(_sum_base AS DOUBLE) / count_order AS avg_price,
+       count_order
+FROM agg
+""",
+        "regional_revenue": f"""
+SELECT r_name AS region, n_name AS nation, CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+GROUP BY 1, 2
+""",
+        "top_orders_per_customer": """
+SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+       o_totalprice AS total_price, order_rank
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS order_rank
+      FROM orders)
+WHERE order_rank <= 3
+""",
+        "sales_rollup": f"""
+WITH g AS (
+  SELECT r_name, n_name, {_DISC} AS net_line
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey)
+SELECT CASE WHEN GROUPING(r_name) = 1 THEN 'ALL' ELSE r_name END AS region,
+       CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS nation,
+       CAST(SUM(net_line) AS DOUBLE) AS net
+FROM g GROUP BY ROLLUP (r_name, n_name)
+""",
+        "order_priority_count": """
+SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1
+""",
+        "dedup_exact": f"""
+SELECT md5({_NORM}) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+        "dedup_ngram_jaccard": _JACCARD_SQL,
+        "dedup_minhash": _MINHASH_SQL,
+        "dedup_simhash": _SIMHASH_SQL,
+        "embedding_cosine_dup": f"""
+WITH a AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings),
+b AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings)
+SELECT vec_a, vec_b
+FROM a JOIN b ON vec_a < vec_b
+WHERE {_COS} >= 0.3
+""",
+        "ann_topk": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos
+  FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id, knn_rank
+FROM (SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS knn_rank
+      FROM scored)
+WHERE knn_rank <= 5
+""",
+        # ann_lsh_topk: intentionally NO oracle — bucket membership
+        # depends on sign(dot) where dot can sit at float boundary;
+        # rows-only check records it as approximate.
+        "lang_id": _LANG_SQL,
+        "quality_score": _QUALITY_SQL,
+        "token_count": f"""
+WITH n AS (SELECT doc_id, text, {_NORM} AS norm FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN length(norm) = 0 THEN 0
+                 ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM n
+""",
+        "doc_fingerprint": f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint,
+       CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket
+FROM documents
+""",
+        "event_window_agg": """
+SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        "sessionize": """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+tagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM tagged)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY 1, 2
+""",
+    }

@@ -1,0 +1,65 @@
+"""Testdata catalog: load the driver's star schema and register views.
+
+Tables (TPC-H-ish + events/documents/embeddings) live as one parquet
+file per table under ``/root/testdata/sf{SF}/``. At 100 TB each
+"file" would be a partitioned parquet/iceberg dataset; everything here
+goes through ``spark.read.parquet`` so the path can be a directory of
+thousands of files without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at ANY scale factor
+#: (region=5 rows, nation=25 always; part/supplier grow with SF but
+#: stay dim-sized relative to the facts).
+BROADCAST_DIMS = ("region", "nation", "part", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Timestamp literals in filters and date_format() must be
+    # timezone-stable regardless of how the host session was built.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS), which Spark has no
+        # native type for — read as BIGINT nanoseconds. Session-level
+        # runtime conf so externally-built sessions (the driver's)
+        # work too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register each table as a temp view (for the SQL surface)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

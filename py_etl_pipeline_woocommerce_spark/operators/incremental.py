@@ -1,0 +1,52 @@
+"""Incremental-load primitives: watermark filter/advance + backfill
+windows.
+
+Re-expresses the reference's watermark state machine
+(``/root/reference/src/etl/utils/state.py`` get/set ``since_iso``;
+``src/run.py:140-150`` advances to max(order_date)+1min) and windowed
+backfill (``src/run.py:106-130``: march a cursor in N-day windows).
+
+Spark-first: the watermark predicate is a plain filter that Catalyst
+pushes into the parquet/iceberg scan — at 100 TB with date-partitioned
+data this becomes partition pruning, reading only new partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def filter_since(df: DataFrame, ts_col: str, watermark_iso: str) -> DataFrame:
+    """Rows strictly after the watermark (run.py's ``after=since_iso``)."""
+    return df.filter(F.col(ts_col) > F.lit(watermark_iso).cast("timestamp"))
+
+
+def next_watermark(df: DataFrame, ts_col: str) -> str | None:
+    """max(ts) + 1 minute, ISO string — matches run.py:146
+    (``p.parse(max_dt).add(minutes=1)``). Single tiny agg -> driver."""
+    row = df.agg(F.max(ts_col).alias("m")).collect()[0]
+    if row["m"] is None:
+        return None
+    return (
+        df.sparkSession.createDataFrame([(row["m"],)], f"{ts_col} timestamp")
+        .select(
+            F.date_format(
+                F.col(ts_col) + F.expr("INTERVAL 1 MINUTE"), "yyyy-MM-dd'T'HH:mm:ss"
+            ).alias("iso")
+        )
+        .collect()[0]["iso"]
+    )
+
+
+def assign_backfill_windows(
+    df: DataFrame, ts_col: str, start_iso: str, window_days: int = 30
+) -> DataFrame:
+    """Tag each row with its backfill window index (run.py:113-129
+    marches ``cursor += window_days``); lets one job plan all windows
+    instead of a driver loop of sequential fetches."""
+    start = F.lit(start_iso).cast("timestamp")
+    # NTZ-safe epoch seconds: NTZ -> TIMESTAMP uses the UTC session tz.
+    secs = F.col(ts_col).cast("timestamp").cast("long")
+    idx = F.floor((secs - start.cast("long")) / (window_days * 86400))
+    return df.withColumn("backfill_window", idx.cast("bigint"))

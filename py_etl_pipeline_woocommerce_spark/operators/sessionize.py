@@ -1,0 +1,44 @@
+"""Gap-based sessionization of the ``events`` stream table.
+
+Batch form: per-user window with lag(ts) → gap > threshold starts a
+new session; session id is the running count of session starts.
+(The streaming twin uses ``session_window`` — see
+``streaming/events.py``.)
+
+Scale: one hash shuffle on user_id, then partition-local sorts —
+the canonical Spark sessionization; skewed power-users are split by
+AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import dec_money
+
+GAP_MINUTES = 30
+
+
+def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """One row per (user, session): ordinal, bounds, size, value sum.
+
+    Ordering within user is (ts, event_id) — a total order, so session
+    assignment is deterministic.
+    """
+    # Integer-microsecond arithmetic: ``ts`` arrives as epoch-ns longs
+    # (see session.py nanosAsLong), floor-divided to µs so gap
+    # comparison and session bounds are exact integer ops.
+    e = events.withColumn("ts_us", F.expr("ts div 1000"))
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag("ts_us").over(order)
+    new_sess = (prev.isNull() | ((F.col("ts_us") - prev) > gap_us)).cast("int")
+    sess_id = F.sum(new_sess).over(order.rowsBetween(Window.unboundedPreceding, 0))
+    tagged = e.withColumn("session_seq", sess_id)
+    return tagged.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+        F.sum(dec_money("value")).cast("double").alias("total_value"),
+    )

@@ -1,0 +1,156 @@
+"""Similarity search over the ``embeddings`` table
+(``embedding: array<float>``, 64-dim).
+
+- brute-force cosine top-k (the exactness baseline)
+- all-pairs cosine near-dup above a threshold
+- random-hyperplane LSH-bucketed ANN (the scale path: candidates come
+  from an equi-join on bucket signature, not a cross join)
+
+Dot products use ``zip_with`` + ``aggregate`` higher-order functions —
+JVM-side sequential folds, deterministic, no UDFs. Elements are cast
+float→double first (exact) so results are engine-portable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a small query set.
+
+    Queries (vec_id < n_queries) are broadcast against the full
+    corpus — at 100 TB this is the standard "small query batch x huge
+    corpus" scan: one pass, no shuffle except the final per-query
+    top-k (tiny). Ties broken by neighbor id; output is integer-only
+    (ranks), immune to last-ulp float divergence.
+    """
+    q = embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "knn_rank")
+    )
+
+
+def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """All pairs with cosine ≥ threshold (integer-only output).
+
+    This is the O(n²) exactness baseline used to validate the LSH
+    path; at 100 TB use ``ann_lsh_topk``-style bucketing instead.
+    """
+    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b).filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.withColumn("cos", cosine_expr(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+
+
+def _hyperplane(plane: int, dim: int = 64):
+    """Deterministic pseudo-random hyperplane weights from md5 nibbles:
+    weight(plane, d) = nibble(md5(plane || '_' || d)) - 7.5."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{plane}_"), d.cast("string"))), 1, 1),
+            16,
+            10,
+        ).cast("double")
+        - 7.5,
+    )
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets.
+
+    Signature = sign bits of dot(v, hyperplane_p) for p < n_planes;
+    candidates are corpus vectors sharing the query's bucket
+    (equi-join on the signature string — at scale this prunes the
+    corpus scan to ~corpus/2^n_planes per query). Exact cosine ranks
+    the candidates. Approximate by construction: queries whose true
+    neighbors land in other buckets return fewer/other ids (recall
+    tunable via n_planes/multi-probe).
+    """
+    # Plane signature unrolled over a static plane list (stays codegen'd).
+    def signature_col():
+        parts = []
+        for p in range(n_planes):
+            dot_p = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    _hyperplane(p, dim),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            parts.append((dot_p > 0).cast("int").cast("string"))
+        return F.concat(*parts)
+
+    emb = embeddings.withColumn("bucket", signature_col())
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        "bucket",
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "knn_rank")
+    )

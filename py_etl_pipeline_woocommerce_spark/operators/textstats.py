@@ -1,0 +1,103 @@
+"""Text analysis over the ``documents`` table: token counting,
+quality scoring, language ID, fingerprinting.
+
+All pure column expressions (higher-order functions on token arrays)
+— zero Python in the loop, so at 100 TB each op is a single codegen'd
+scan with map-side-combinable aggregates. Each has an exact ANSI-SQL
+twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_hex, norm_text, token_count_expr, tokens_expr
+
+#: Marker words per language for the heuristic classifier. Honest
+#: n-gram/stopword language ID needs per-language marker vocabularies;
+#: the classifier is the deterministic argmax over marker hit counts.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "fr": ("le", "la", "les", "et"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "los", "las", "y"),
+}
+
+
+def token_count(documents: DataFrame) -> DataFrame:
+    """doc_id, n_tokens (whitespace tokens of normalized text),
+    n_chars (raw length)."""
+    return documents.select(
+        "doc_id",
+        token_count_expr("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Per-doc quality features + composite score in [0, ~1].
+
+    Features mirror standard LLM-corpus quality filters: length,
+    mean token length, stopword ratio, distinct-token (repetition)
+    ratio, alpha-character ratio. The composite is a fixed-weight
+    blend — integer-count ratios in double, fully deterministic.
+    """
+    toks = tokens_expr("text")
+    n_tok = token_count_expr("text")
+    n_chars = F.length("text").cast("bigint")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin([w for ws in LANG_MARKERS.values() for w in ws]))
+    )
+    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
+    stop_ratio = stop / n_tok
+    alpha_ratio = alpha_chars / n_chars
+    mean_tok_len = (F.length(norm_text("text")) - (n_tok - 1)) / n_tok
+    nonempty = n_tok > 0
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.25
+        + distinct_ratio * 0.25
+        + stop_ratio * 0.25
+        + alpha_ratio * 0.25
+    )
+    return documents.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.when(nonempty, distinct_ratio).otherwise(0.0).alias("distinct_ratio"),
+        F.when(nonempty, stop_ratio).otherwise(0.0).alias("stop_ratio"),
+        F.when(n_chars > 0, alpha_ratio).otherwise(0.0).alias("alpha_ratio"),
+        F.when(nonempty, mean_tok_len).otherwise(0.0).alias("mean_token_len"),
+        F.when(nonempty, score).otherwise(0.0).alias("quality"),
+    )
+
+
+def lang_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID: argmax of marker-word hit counts with a
+    deterministic tie-break (language order en > fr > de > es, then
+    'unknown' when no marker hits at all)."""
+    toks = tokens_expr("text")
+
+    def marker_hits(words: tuple[str, ...]):
+        return F.size(F.filter(toks, lambda t: t.isin(list(words))))
+
+    hits = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.lit("unknown")
+    # reversed so earlier languages win ties via later .when overriding
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
+    return documents.select(
+        "doc_id", F.col("lang").alias("lang_declared"), pred.alias("lang_pred")
+    )
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of the normal form + length bucket —
+    the join key for exact dedup and incremental dedup at scale."""
+    return documents.select(
+        "doc_id",
+        md5_hex(norm_text("text")).alias("fingerprint"),
+        (F.floor(F.length("text") / 100)).cast("bigint").alias("len_bucket"),
+    )

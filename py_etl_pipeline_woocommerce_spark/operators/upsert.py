@@ -1,0 +1,44 @@
+"""Upsert (delete+insert) semantics, Spark-first.
+
+Re-expresses ``/root/reference/src/etl/load/duckdb_client.py:55-75``:
+``DELETE FROM fct WHERE order_id IN (batch keys)`` then ``INSERT`` —
+i.e. the incoming batch fully replaces any existing rows sharing its
+keys.
+
+Two strategies:
+
+- ``upsert_df``: pure-DataFrame anti-join ∪ batch. The batch is
+  usually tiny relative to the table, so the anti-join broadcasts the
+  batch keys — one table scan, no table-wide shuffle.
+- ``upsert_partitioned_parquet``: dynamic partition overwrite —
+  at 100 TB the table is date-partitioned and the batch only rewrites
+  partitions it touches (the Spark-native equivalent of the
+  reference's keyed DELETE at warehouse scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def upsert_df(existing: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:
+    """Rows of ``existing`` whose key is NOT in ``batch``, plus all of
+    ``batch`` (exact delete+insert semantics, duckdb_client.py:61-66).
+    """
+    batch_keys = batch.select(*keys).distinct()
+    kept = existing.join(F.broadcast(batch_keys), keys, "left_anti")
+    return kept.unionByName(batch)
+
+
+def upsert_partitioned_parquet(
+    spark, batch: DataFrame, path: str, partition_col: str
+) -> None:
+    """Replace only the partitions present in the batch (needs
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``)."""
+    (
+        batch.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )

@@ -1,0 +1,159 @@
+"""Dashboard analytics — the six queries served by the reference's
+Streamlit app (``/root/reference/src/dashboard/app.py``), re-expressed
+as Spark plans over the star schema.
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame whose
+column names match the ``oracle_sql()`` twin exactly (driver hashes
+sort columns by name).
+
+Determinism: money aggregates run in exact decimal end-to-end and the
+ordering keys for every LIMIT are (exact-decimal metric, name) so the
+selected top-N set is unambiguous.
+
+Scale notes: the single fact⋈fact shuffle is lineitem⋈orders on
+order key; dims are broadcast. Aggregations are map-side combined;
+date filters push to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import disc_price
+from ..operators.refunds import REFUND_FLAG
+
+# Net revenue of a line, zero for refunded lines — the lineitem-grain
+# equivalent of app.py's `total - COALESCE(refunded_total, 0)`.
+def _net_line():
+    return F.when(F.col("l_returnflag") != REFUND_FLAG, disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+
+
+def date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max order date (app.py:10-22 ``fetch_date_bounds``)."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.date_format("o_orderdate", "yyyy-MM-dd")
+    return orders.agg(F.min(d).alias("min_d"), F.max(d).alias("max_d"))
+
+
+def kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline KPIs (app.py:24-45 ``load_kpis``): order count, net
+    before refunds, refund total, net after refunds, AOV.
+
+    Computed at line grain (sums are associative, so Σ_orders Σ_lines
+    = Σ_lines) — one scan, no join. AOV is exact-net / order-count in
+    double (deterministic given exact inputs).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    agg = lineitem.agg(
+        F.countDistinct("l_orderkey").alias("orders_cnt"),
+        F.sum(disc_price()).alias("_net"),
+        F.sum(
+            F.when(F.col("l_returnflag") == REFUND_FLAG, disc_price()).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).alias("_ref"),
+    )
+    return agg.select(
+        F.col("orders_cnt"),
+        F.col("_net").cast("double").alias("net_before_refunds"),
+        F.col("_ref").cast("double").alias("refunds"),
+        (F.col("_net") - F.col("_ref")).cast("double").alias("net_after_refunds"),
+        (F.col("_net").cast("double") / F.col("orders_cnt")).alias("aov"),
+    )
+
+
+def revenue_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue per order date (app.py:47-62 ``load_timeseries``)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("d")
+        .agg(F.sum(_net_line()).cast("double").alias("net"))
+    )
+
+
+def top_products(spark: SparkSession, sf_dir: str, limit: int = 15) -> DataFrame:
+    """Top products by refund-net revenue (app.py:64-81
+    ``load_top_products``): name, revenue, qty_sold.
+
+    part is broadcast; the LIMIT is globally deterministic via
+    (revenue DESC, name ASC) on the exact decimal metric.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_name").alias("name")
+    )
+    not_ref = F.col("l_returnflag") != REFUND_FLAG
+    agg = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("name")
+        .agg(
+            F.sum(_net_line()).alias("_rev"),
+            F.sum(
+                F.when(not_ref, F.col("l_quantity")).otherwise(F.lit(0.0))
+            ).cast("bigint").alias("qty_sold"),
+        )
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("name"))
+        .limit(limit)
+        .select("name", F.col("_rev").cast("double").alias("revenue"), "qty_sold")
+    )
+
+
+def category_mix(spark: SparkSession, sf_dir: str, limit: int = 15) -> DataFrame:
+    """Revenue by product category (app.py:83-99 ``load_category_mix``)
+    — category := p_type (the snapshot string of ``operators.enrich``)."""
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey"), F.col("p_type").alias("category")
+    )
+    agg = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("category")
+        .agg(F.sum(_net_line()).alias("_rev"))
+    )
+    return (
+        agg.orderBy(F.col("_rev").desc(), F.col("category"))
+        .limit(limit)
+        .select("category", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+def geo_rollup(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
+    """Orders + net by geography (app.py:101-119 ``load_geo``) —
+    country/city become nation/region in the star schema.
+
+    customer/nation/region are broadcast; the only shuffle is the
+    lineitem->order-key aggregation.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    per_order = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.sum(_net_line()).alias("_order_net")
+    )
+    geo = per_order.join(orders, "o_orderkey")
+    geo = (
+        geo.join(F.broadcast(customer), geo.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    agg = geo.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("country")
+    ).agg(F.count(F.lit(1)).alias("orders"), F.sum("_order_net").alias("_net"))
+    return (
+        agg.orderBy(F.col("_net").desc(), F.col("region"), F.col("country"))
+        .limit(limit)
+        .select("region", "country", "orders", F.col("_net").cast("double").alias("net"))
+    )

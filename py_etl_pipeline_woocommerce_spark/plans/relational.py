@@ -1,0 +1,146 @@
+"""Relational breadth: grouped aggregation, multi-way joins, window
+functions, rollups, semi-joins — the general-OLAP surface a warehouse
+engine needs beyond the reference's six dashboard queries.
+
+All money math is exact decimal (see ``functions.money``); every
+ordered LIMIT / window has a total ordering so results are
+deterministic at any parallelism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.money import disc_price, gross_price
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    One scan, map-side partial agg, 4-group shuffle; the shipdate
+    filter pushes down to parquet. Averages are exact-sum / count in
+    double.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity")
+    base = F.col("l_extendedprice").cast("decimal(18,2)")
+    agg = (
+        lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("bigint").alias("sum_qty"),
+            F.sum(base).alias("_sum_base"),
+            F.sum(disc_price()).alias("_sum_disc"),
+            F.sum(gross_price()).alias("_sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    cnt = F.col("count_order")
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        F.col("_sum_base").cast("double").alias("sum_base_price"),
+        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
+        F.col("_sum_charge").cast("double").alias("sum_charge"),
+        (F.col("sum_qty").cast("double") / cnt).alias("avg_qty"),
+        (F.col("_sum_base").cast("double") / cnt).alias("avg_price"),
+        "count_order",
+    )
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5-style: 1995 net revenue by region/nation of the customer.
+
+    lineitem⋈orders is the one big shuffle (AQE may turn it
+    shuffle-hash); customer/nation/region broadcast. The orderdate
+    range filter prunes at the orders scan before the join.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+def top_orders_per_customer(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k orders per customer by total price — window row_number.
+
+    Partition-local sort after one hash shuffle on the customer key;
+    ties broken by order key so the window is a total order.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("order_rank", F.row_number().over(w))
+        .filter(F.col("order_rank") <= k)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("total_price"),
+            "order_rank",
+        )
+    )
+
+
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP region -> nation on net revenue (grouping-set agg).
+
+    NULL grouping slots are materialized as 'ALL' via GROUPING() so
+    the output is NULL-free and hash-stable.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+    )
+    agg = joined.rollup("r_name", "n_name").agg(
+        F.sum(disc_price()).cast("double").alias("net"),
+        F.grouping("r_name").alias("_gr"),
+        F.grouping("n_name").alias("_gn"),
+    )
+    return agg.select(
+        F.when(F.col("_gr") == 1, F.lit("ALL")).otherwise(F.col("r_name")).alias("region"),
+        F.when(F.col("_gn") == 1, F.lit("ALL")).otherwise(F.col("n_name")).alias("nation"),
+        "net",
+    )
+
+
+def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-style semi-join: count orders per priority that have at
+    least one refunded line (EXISTS -> left_semi, no row explosion)."""
+    orders = load_table(spark, sf_dir, "orders")
+    refunded = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    return (
+        orders.join(refunded, "o_orderkey", "left_semi")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

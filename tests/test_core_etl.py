@@ -1,0 +1,125 @@
+"""Core ETL operators: normalize / enrich / refunds / upsert /
+incremental — unit semantics on tiny literal frames + sf0.001 shape
+checks (mirrors the reference's transform behavior, see SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.catalog import load_table
+from py_etl_pipeline_woocommerce_spark.operators.enrich import enrich_items_with_categories
+from py_etl_pipeline_woocommerce_spark.operators.incremental import (
+    assign_backfill_windows,
+    filter_since,
+    next_watermark,
+)
+from py_etl_pipeline_woocommerce_spark.operators.normalize import (
+    normalize_items,
+    normalize_orders,
+)
+from py_etl_pipeline_woocommerce_spark.operators.refunds import (
+    apply_refunds_orders,
+    refund_aggregates,
+)
+from py_etl_pipeline_woocommerce_spark.operators.upsert import upsert_df
+from py_etl_pipeline_woocommerce_spark.plans.woo_model import fct_orders
+
+
+def test_normalize_orders_shape(spark, sf_dir):
+    out = normalize_orders(load_table(spark, sf_dir, "orders"))
+    assert out.columns == [
+        "order_id", "order_date", "status", "customer_id",
+        "order_priority", "gross_total", "net_total", "refund_total",
+    ]
+    row = out.orderBy("order_id").first()
+    assert isinstance(row["order_date"], str) and len(row["order_date"]) == 10
+
+
+def test_normalize_items_total_is_discounted_price(spark):
+    li = spark.createDataFrame(
+        [(1, 10, 100, 1, 2.0, 1000.00, 0.10, 0.05, "N", "O")],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string",
+    )
+    row = normalize_items(li).first()
+    assert row["total"] == 900.0  # 1000 * (1 - 0.10), exact decimal
+    assert row["quantity"] == 2
+
+
+def test_enrich_matches_part_type(spark, sf_dir):
+    items = normalize_items(load_table(spark, sf_dir, "lineitem"))
+    part = load_table(spark, sf_dir, "part")
+    out = enrich_items_with_categories(items, part)
+    # every product that exists in part got its type string
+    missing = out.join(
+        part.select(F.col("p_partkey").alias("product_id")), "product_id", "left_semi"
+    ).filter(F.col("category_snapshot").isNull())
+    assert missing.count() == 0
+
+
+def test_refund_aggregates_only_r_lines(spark):
+    li = spark.createDataFrame(
+        [
+            (1, 1.0, 100.0, 0.0, "R"),
+            (1, 2.0, 50.0, 0.0, "N"),
+            (2, 1.0, 10.0, 0.5, "R"),
+        ],
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_returnflag string",
+    )
+    got = {r["order_id"]: r for r in refund_aggregates(li).collect()}
+    assert got[1]["refund_total"] == 100.0 and got[1]["refunded_quantity"] == 1
+    assert got[2]["refund_total"] == 5.0  # 10 * (1 - 0.5)
+
+
+def test_apply_refunds_orders_coalesces_missing(spark):
+    base = spark.createDataFrame(
+        [(1, 100.0), (2, 40.0)], "order_id long, net_total double"
+    )
+    refunds = spark.createDataFrame([(1, 25.0)], "order_id long, refund_total double")
+    got = {r["order_id"]: r for r in apply_refunds_orders(base, refunds).collect()}
+    assert got[1]["net_after_refunds"] == 75.0
+    assert got[2]["refund_total"] == 0.0 and got[2]["net_after_refunds"] == 40.0
+
+
+def test_fct_orders_net_identity(spark, sf_dir):
+    fct = fct_orders(spark, sf_dir)
+    bad = fct.filter(
+        F.abs(F.col("net_total") - F.col("refund_total") - F.col("net_after_refunds"))
+        > 1e-9
+    )
+    assert bad.count() == 0
+    assert fct.count() > 0
+
+
+def test_upsert_delete_then_insert(spark):
+    existing = spark.createDataFrame(
+        [(1, "old"), (2, "old"), (3, "old")], "order_id long, status string"
+    )
+    batch = spark.createDataFrame([(2, "new"), (4, "new")], "order_id long, status string")
+    got = {r["order_id"]: r["status"] for r in upsert_df(existing, batch, ["order_id"]).collect()}
+    assert got == {1: "old", 2: "new", 3: "old", 4: "new"}
+
+
+def test_watermark_filter_and_advance(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-06-01 12:30:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    kept = filter_since(df, "ts", "2024-03-01T00:00:00")
+    assert kept.count() == 1
+    assert next_watermark(df, "ts") == "2024-06-01T12:31:00"
+
+
+def test_backfill_window_assignment(spark):
+    df = spark.createDataFrame(
+        [("1992-01-15 00:00:00",), ("1992-02-20 00:00:00",)], "ts string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"))
+    got = [
+        r["backfill_window"]
+        for r in assign_backfill_windows(df, "ts", "1992-01-01T00:00:00", 30)
+        .orderBy("ts")
+        .collect()
+    ]
+    assert got == [0, 1]

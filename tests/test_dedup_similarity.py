@@ -1,0 +1,114 @@
+"""Dedup family + similarity search: synthetic known-answer cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+    ann_lsh_topk,
+    ann_topk,
+    cosine_dup_pairs,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+
+def test_dedup_exact_collapses_normal_forms(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "en", "Hello,   World!"),
+            (2, "en", "hello world"),
+            (3, "en", "different text entirely"),
+        ],
+    )
+    got = {r["keep_id"]: r["n_copies"] for r in dedup_exact(docs).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "en", BASE),
+            (2, "en", BASE + " extra"),
+            (3, "en", "completely unrelated words about spark engines and parquet"),
+        ],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dup_without_cross_join(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "en", BASE),
+            (2, "en", BASE + " extra"),
+            (3, "en", "completely unrelated words about spark engines and parquet"),
+            (4, "fr", "le chat noir dort sur le tapis rouge du salon principal"),
+        ],
+    )
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs, 0.5).collect()}
+    assert (1, 2) in pairs
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "en", BASE),
+            (2, "en", BASE),
+            (3, "en", "completely unrelated words about spark engines and parquet"),
+        ],
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs).collect()}
+    assert got.get((1, 2)) == 0
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_ann_topk_orders_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (10, [1.0, 0.1, 0.0, 0.0]),   # closest to 0
+        (11, [0.7, 0.7, 0.0, 0.0]),   # second
+        (12, [0.0, 1.0, 0.0, 0.0]),   # orthogonal-ish
+        (13, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    out = ann_topk(_emb(spark, rows), n_queries=1, k=3).orderBy("knn_rank").collect()
+    assert [r["neighbor_id"] for r in out] == [10, 11, 12]
+
+
+def test_cosine_dup_pairs_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.01]),
+        (3, [0.0, 1.0]),
+    ]
+    pairs = {(r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs(_emb(spark, rows), 0.95).collect()}
+    assert pairs == {(1, 2)}
+
+
+def test_ann_lsh_topk_returns_bucket_neighbors(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ann_lsh_topk(emb, n_queries=4, k=3)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert all(r["knn_rank"] <= 3 for r in rows)

@@ -1,0 +1,37 @@
+"""Driver-contract smoke: entry() runs, queries()/oracle_sql() line up,
+and a sample of oracled queries hash-match DuckDB at sf0.001 (the same
+compare the driver runs at sf0.01)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+from tools.selfcheck import compare, duck_con
+
+SAMPLE = ["kpis", "pricing_summary", "geo_rollup", "dedup_exact", "sessionize"]
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.count() > 0
+
+
+def test_oracle_keys_subset_of_queries():
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    assert set(oracles).issubset(set(qs))
+    # everything except explicitly-approximate ops has an oracle
+    assert set(qs) - set(oracles) == {"ann_lsh_topk"}
+
+
+@pytest.mark.parametrize("name", SAMPLE)
+def test_sample_queries_match_oracle(spark, sf_dir, name):
+    con = duck_con(sf_dir)
+    sdf = entrymod.queries()[name](spark, sf_dir).toPandas()
+    ddf = con.execute(entrymod.oracle_sql()[name]).df()
+    assert compare(name, sdf, ddf) == "OK"

@@ -1,0 +1,103 @@
+"""Text analysis + event operators: known-answer unit cases."""
+
+from __future__ import annotations
+
+from py_etl_pipeline_woocommerce_spark.operators.events import (
+    event_window_agg,
+    parse_event_props,
+)
+from py_etl_pipeline_woocommerce_spark.operators.sessionize import sessionize
+from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_token_count_normalizes_punctuation(spark):
+    docs = _docs(spark, [(1, "en", "Hello,   World! Foo."), (2, "en", "")])
+    got = {r["doc_id"]: (r["n_tokens"], r["n_chars"]) for r in token_count(docs).collect()}
+    assert got[1] == (3, 20)
+    assert got[2] == (0, 0)
+
+
+def test_quality_score_ranges(spark):
+    docs = _docs(
+        spark,
+        [(1, "en", "the cat sat on the mat and the dog ran"), (2, "en", "a a a a a a")],
+    )
+    got = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert 0.0 < got[1]["quality"] <= 1.0
+    # repetitive doc has lower distinct ratio
+    assert got[2]["distinct_ratio"] < got[1]["distinct_ratio"]
+
+
+def test_lang_id_marker_argmax(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "en", "the cat and the dog"),
+            (2, "fr", "le chat et la souris"),
+            (3, "de", "der hund und die katze"),
+            (4, "zz", "xyzzy plugh"),
+        ],
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "unknown"}
+
+
+def test_doc_fingerprint_stable_across_formatting(spark):
+    docs = _docs(spark, [(1, "en", "Hello, World!"), (2, "en", "hello   world")])
+    fps = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert fps[1] == fps[2]
+
+
+def _events(spark, rows):
+    # ts is epoch-ns BIGINT exactly like the nanosAsLong parquet read
+    return spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double, props string"
+    )
+
+
+NS = 1_000_000_000
+
+
+def test_parse_event_props_extracts_k(spark):
+    ev = _events(spark, [(1, 5 * NS, 7, "click", 1.5, '{"k": 42}')])
+    row = parse_event_props(ev).first()
+    assert row["prop_k"] == 42 and row["ts_us"] == 5_000_000
+
+
+def test_event_window_agg_hour_buckets(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 10 * NS, 1, "click", 1.0, "{}"),
+            (2, 3599 * NS, 1, "click", 2.0, "{}"),
+            (3, 3601 * NS, 1, "click", 4.0, "{}"),
+        ],
+    )
+    got = {r["window_start_us"]: (r["n_events"], r["total_value"]) for r in event_window_agg(ev).collect()}
+    assert got == {0: (2, 3.0), 3_600_000_000: (1, 4.0)}
+
+
+def test_sessionize_gap_splits(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 0 * NS, 1, "a", 1.0, "{}"),
+            (2, 60 * NS, 1, "a", 2.0, "{}"),          # same session (1 min)
+            (3, 60 * NS + 31 * 60 * NS, 1, "a", 3.0, "{}"),  # 31 min gap -> new
+            (4, 0 * NS, 2, "a", 5.0, "{}"),           # other user
+        ],
+    )
+    got = {
+        (r["user_id"], r["session_seq"]): (r["n_events"], r["total_value"])
+        for r in sessionize(ev).collect()
+    }
+    assert got == {(1, 1): (2, 3.0), (1, 2): (1, 3.0), (2, 1): (1, 5.0)}

@@ -1,0 +1,107 @@
+"""Pre-flight for the driver's t2 gate: run every queries() entry on
+Spark AND its oracle_sql() twin on DuckDB, compare row count, column
+set, and order-insensitive values.
+
+Usage: python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from py_etl_pipeline_woocommerce_spark.catalog import TABLES, table_path
+from py_etl_pipeline_woocommerce_spark.session import get_spark
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype) in ("int32", "int64", "uint32", "Int64", "Int32"):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype) in ("float32",):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_df, duck_df) -> str:
+    s, d = canon(spark_df), canon(duck_df)
+    if list(s.columns) != list(d.columns):
+        return f"COLUMN MISMATCH spark={list(s.columns)} duck={list(d.columns)}"
+    if len(s) != len(d):
+        return f"ROWCOUNT MISMATCH spark={len(s)} duck={len(d)}"
+    try:
+        pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
+        return "OK"
+    except AssertionError as e:
+        msg = str(e).splitlines()
+        # find first differing cell for diagnostics
+        for c in s.columns:
+            if not s[c].equals(d[c]):
+                neq = s[c] != d[c]
+                i = neq.idxmax()
+                return (
+                    f"VALUE MISMATCH col={c} row={i} "
+                    f"spark={s[c][i]!r} duck={d[c][i]!r} :: {msg[0] if msg else ''}"
+                )
+        return f"VALUE MISMATCH {msg[0] if msg else ''}"
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("selfcheck")
+    con = duck_con(sf_dir)
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"[FAIL] {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"[rows] {name}: {len(sdf)} rows (no oracle) {time.time()-t0:.1f}s")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"[FAIL] {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
+            failures += 1
+            continue
+        verdict = compare(name, sdf, ddf)
+        status = "ok  " if verdict == "OK" else "FAIL"
+        if verdict != "OK":
+            failures += 1
+        print(f"[{status}] {name}: {len(sdf)} rows {time.time()-t0:.1f}s {verdict if verdict != 'OK' else ''}")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
