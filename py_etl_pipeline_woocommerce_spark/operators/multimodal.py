@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a ``modality`` tag
+(schema ``sources/schemas.py:MEDIA_SCHEMA``). The decode step needs
+media libs not present in this container, so it is STUBBED behind
+``decode_media`` (raises ``NotImplementedError``) with a deterministic
+fake (``fake_decode``) used by tests — the Spark-side plumbing
+(schemas, Arrow batching via ``mapInPandas``, partition sizing) is
+real and tested.
+
+Scale notes: payloads are the widest column by far, so every
+metadata-only operation selects away ``payload`` first (column
+pruning reaches the parquet scan). ``mapInPandas`` streams Arrow
+batches — constant memory per task regardless of partition size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sources.schemas import MEDIA_FEATURES_SCHEMA
+
+FEATURE_DIM = 8
+
+
+def decode_media(payload: bytes, mime_type: str):
+    """Real decoder hook (PIL / torchaudio / pyav). Not available in
+    this container — replace in a deps-enabled deployment."""
+    raise NotImplementedError(
+        "media decode requires image/audio libs not installed here; "
+        "use fake_decode for deterministic tests"
+    )
+
+
+def fake_decode(payload: bytes, mime_type: str) -> list[float]:
+    """Deterministic stand-in: FEATURE_DIM floats derived from the
+    payload hash. Same shape/dtype contract as a real embedding."""
+    h = hashlib.sha256(payload or b"").digest()
+    return [b / 255.0 for b in h[:FEATURE_DIM]]
+
+
+def media_metadata(media: DataFrame) -> DataFrame:
+    """Metadata-only projection — never touches ``payload`` bytes
+    except for length, so the scan prunes the heavy column when the
+    source stores byte-length as metadata (iceberg/delta stats)."""
+    return media.select(
+        "media_id",
+        "modality",
+        "mime_type",
+        F.length("payload").alias("n_bytes"),
+        "width",
+        "height",
+        "duration_ms",
+    )
+
+
+def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
+    """payload → fixed-dim feature vector via Arrow-batched mapInPandas.
+
+    One Python worker per partition, Arrow transfer both ways; the
+    decoder runs per-row inside the batch loop (vectorize further in
+    a real deployment with batched GPU decode).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                decoder(p if p is not None else b"", m)
+                for p, m in zip(pdf["payload"], pdf["mime_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": pdf["payload"].map(
+                        lambda b: len(b) if b is not None else 0
+                    ),
+                    "content_hash": pdf["payload"].map(
+                        lambda b: hashlib.md5(b or b"").hexdigest()
+                    ),
+                    "feature": feats,
+                }
+            )
+
+    cols = media.select("media_id", "modality", "mime_type", "payload")
+    return cols.mapInPandas(batches, schema=MEDIA_FEATURES_SCHEMA)
+
+
+def dedup_media_exact(media: DataFrame) -> DataFrame:
+    """Exact media dedup on content hash — JVM-side md5 over binary,
+    no Python in the loop; same shape as ``dedup.dedup_exact``."""
+    return (
+        media.withColumn("content_hash", F.md5(F.col("payload")))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("keep_media_id"),
+        )
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: explode a frame-timestamp grid
+    from duration metadata (decode of each frame is the stubbed
+    step). Pure JVM ``sequence``+``explode`` — the expensive decode
+    fan-out is expressed as rows so Spark parallelizes it."""
+    return (
+        media.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )

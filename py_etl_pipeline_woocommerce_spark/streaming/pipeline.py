@@ -1,0 +1,117 @@
+"""Structured Streaming twin of the reference's incremental flow.
+
+The reference polls the WooCommerce REST API since a stored watermark
+and upserts each batch (``run.py:140-150`` + ``duckdb_client.py``).
+Spark-first, that's a stream: ``readStream`` over an append-only
+source, event-time watermark instead of a stored ``since_iso``, a
+windowed aggregation with late-data tolerance, and ``foreachBatch``
+doing the delete+insert upsert per micro-batch.
+
+All transforms are plain DataFrame ops shared with the batch path
+(``operators/events.py``), so batch and streaming stay semantically
+identical — one definition, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.money import dec_money
+from ..sources.schemas import EVENTS_SCHEMA
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """File-source stream over an events directory (parquet drops).
+
+    Declared schema (no inference pass); ``maxFilesPerTrigger`` bounds
+    micro-batch size so a backlog replay cannot OOM an executor.
+    """
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """epoch-ns BIGINT → TIMESTAMP event-time column for watermarking."""
+    return events.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def windowed_event_agg(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window count+sum per event_type with late-data bound.
+
+    The watermark is the streaming analogue of the reference's
+    ``LOOKBACK_MINUTES`` re-read window (``time.py``): rows later than
+    it are dropped, state for closed windows is evicted — bounded
+    state at any scale.
+    """
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec_money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+class ForeachBatchUpserter:
+    """``foreachBatch`` sink with delete+insert upsert semantics.
+
+    Mirrors the reference loader: each micro-batch replaces any
+    existing rows sharing its keys (``duckdb_client.py:55-75``). The
+    in-memory dict of key→row stands in for the warehouse table in
+    tests; at scale the same callable body runs MERGE against an
+    Iceberg/Delta table — only the 3 lines in ``_merge`` change.
+    """
+
+    def __init__(self, keys: list[str]):
+        self.keys = keys
+        self.rows: dict[tuple, dict] = {}
+        self.batches_seen = 0
+
+    def _merge(self, batch_df: DataFrame) -> None:
+        for row in batch_df.collect():  # micro-batch: already aggregated, small
+            d = row.asDict()
+            self.rows[tuple(d[k] for k in self.keys)] = d
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        self.batches_seen += 1
+        self._merge(batch_df)
+
+
+def run_stream_to_upsert(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> tuple:
+    """Wire source → windowed agg → foreachBatch upsert; returns
+    (query, upserter). Caller awaits/stops the query."""
+    agg = windowed_event_agg(
+        read_event_stream(spark, source_path), window, watermark
+    )
+    upserter = ForeachBatchUpserter(["window_start", "event_type"])
+    query = (
+        agg.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(upserter)
+        .start()
+    )
+    return query, upserter

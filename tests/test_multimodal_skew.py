@@ -1,0 +1,105 @@
+"""Multimodal binary-column plumbing (Arrow-batched mapInPandas with a
+stubbed decoder) and skew-mitigation helpers (salted join / two-phase
+agg equivalence).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+    FEATURE_DIM,
+    decode_media,
+    dedup_media_exact,
+    extract_features,
+    fake_decode,
+    frame_sample_plan,
+    media_metadata,
+)
+from py_etl_pipeline_woocommerce_spark.operators.skew import (
+    SALT_COL,
+    salted_join,
+    salted_sum,
+)
+from py_etl_pipeline_woocommerce_spark.sources.schemas import MEDIA_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", "image/png", b"\x89PNG-fake-1", 64, 64, None),
+        (2, "image", "image/png", b"\x89PNG-fake-1", 64, 64, None),  # dup payload
+        (3, "audio", "audio/wav", b"RIFF-fake", None, None, 2_000),
+        (4, "video", "video/mp4", b"mp4-fake", 640, 480, 3_500),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        decode_media(b"x", "image/png")
+
+
+def test_fake_decode_deterministic_shape():
+    a = fake_decode(b"payload", "image/png")
+    assert a == fake_decode(b"payload", "image/png")
+    assert len(a) == FEATURE_DIM
+    assert all(0.0 <= v <= 1.0 for v in a)
+
+
+def test_media_metadata_prunes_payload(media):
+    out = media_metadata(media)
+    assert "payload" not in out.columns
+    row = {r["media_id"]: r for r in out.collect()}
+    assert row[1]["n_bytes"] == len(b"\x89PNG-fake-1")
+    assert row[3]["duration_ms"] == 2_000
+
+
+def test_extract_features_arrow_batched(media):
+    out = extract_features(media).collect()
+    assert len(out) == 4
+    by_id = {r["media_id"]: r for r in out}
+    # identical payloads → identical hash + feature
+    assert by_id[1]["content_hash"] == by_id[2]["content_hash"]
+    assert by_id[1]["feature"] == by_id[2]["feature"]
+    assert len(by_id[3]["feature"]) == FEATURE_DIM
+    assert by_id[4]["n_bytes"] == len(b"mp4-fake")
+
+
+def test_dedup_media_exact(media):
+    out = {r["keep_media_id"]: r["n_copies"] for r in dedup_media_exact(media).collect()}
+    assert out[1] == 2  # media 1 and 2 share payload
+    assert out[3] == 1
+
+
+def test_frame_sample_plan(media):
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    # only the video row (duration 3500ms) → frames at 0,1000,2000,3000
+    assert {r["media_id"] for r in frames} == {4}
+    assert sorted(r["frame_ts_ms"] for r in frames) == [0, 1000, 2000, 3000]
+
+
+# ------------------------------------------------------------- skew
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(k, v) for k in ("hot", "cold") for v in range(50 if k == "hot" else 2)],
+        "k string, v int",
+    )
+    dim = spark.createDataFrame([("hot", "H"), ("cold", "C")], "k string, label string")
+    plain = fact.join(dim, ["k"]).select("k", "v", "label")
+    salted = salted_join(fact, dim, ["k"], n_salts=4).select("k", "v", "label")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    assert SALT_COL not in salted.columns
+
+
+def test_salted_sum_matches_plain_sum(spark):
+    df = spark.createDataFrame(
+        [("hot", float(i)) for i in range(100)] + [("cold", 1.0)],
+        "k string, v double",
+    )
+    plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
+    salted = {r["k"]: r["sum_v"] for r in salted_sum(df, ["k"], "v", n_salts=8).collect()}
+    assert salted == pytest.approx(plain)

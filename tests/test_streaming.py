@@ -1,0 +1,144 @@
+"""Structured Streaming pipeline: watermarked windowed agg over a
+file-source event stream, foreachBatch delete+insert upsert — the
+streaming twin of the reference's incremental poll loop (run.py:140).
+Memory-bounded via watermark; verified against the batch operator on
+the same data.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.operators.events import event_window_agg
+from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+    run_stream_to_upsert,
+    windowed_event_agg,
+)
+
+HOUR_NS = 3_600_000_000_000
+
+
+def _write_events(path, rows):
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.int64()),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(tbl, path)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    yield str(src), str(ckpt)
+    shutil.rmtree(tmp_path, ignore_errors=True)
+
+
+def test_stream_matches_batch_agg(spark, stream_dirs):
+    src, ckpt = stream_dirs
+    base = 1_600_000_000_000_000_000  # epoch-ns, hour-aligned? not necessarily
+    rows = [
+        (1, base, 10, "click", 1.5),
+        (2, base + 60 * 1_000_000_000, 11, "click", 2.5),
+        (3, base + HOUR_NS, 12, "view", 4.0),
+        (4, base + HOUR_NS + 10, 13, "click", 8.0),
+    ]
+    _write_events(f"{src}/part-0.parquet", rows)
+
+    query, upserter = run_stream_to_upsert(spark, src, ckpt)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    # batch twin over the same file
+    batch = event_window_agg(spark.read.parquet(src))
+    expected = {
+        (r["window_start_us"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    got = {
+        (int(k[0].timestamp() * 1_000_000), k[1]): (
+            v["n_events"],
+            v["total_value"],
+        )
+        for k, v in upserter.rows.items()
+    }
+    assert got == expected
+    assert upserter.batches_seen >= 1
+
+
+def test_stream_upsert_overwrites_on_new_data(spark, stream_dirs):
+    """A second file landing in the same window must replace the
+    window's row (delete+insert), not duplicate it."""
+    src, ckpt = stream_dirs
+    base = 1_600_000_000_000_000_000
+    _write_events(f"{src}/part-0.parquet", [(1, base, 10, "click", 1.0)])
+
+    query, upserter = run_stream_to_upsert(spark, src, ckpt)
+    try:
+        query.processAllAvailable()
+        assert len(upserter.rows) == 1
+        first = next(iter(upserter.rows.values()))
+        assert first["n_events"] == 1
+
+        _write_events(
+            f"{src}/part-1.parquet", [(2, base + 1000, 11, "click", 2.0)]
+        )
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    assert len(upserter.rows) == 1  # same (window, type) key
+    updated = next(iter(upserter.rows.values()))
+    assert updated["n_events"] == 2
+    assert updated["total_value"] == pytest.approx(3.0)
+
+
+def test_watermark_drops_too_late_rows(spark, stream_dirs):
+    """Rows older than watermark behind the max seen event time are
+    dropped — bounded state, the scale guarantee."""
+    src, ckpt = stream_dirs
+    base = 1_600_000_000_000_000_000
+    # first batch advances event-time clock far ahead
+    _write_events(f"{src}/part-0.parquet", [(1, base + 10 * HOUR_NS, 1, "click", 1.0)])
+
+    agg = windowed_event_agg(
+        spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).option("maxFilesPerTrigger", "1").parquet(src),
+        watermark="2 hours",
+    )
+    query = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wm_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        # late row: 10h behind max event time, > 2h watermark
+        _write_events(f"{src}/part-1.parquet", [(2, base, 1, "late", 1.0)])
+        query.processAllAvailable()
+        types = {
+            r["event_type"]
+            for r in spark.sql("select event_type from wm_test").collect()
+        }
+    finally:
+        query.stop()
+    assert "click" in types
+    assert "late" not in types
