@@ -219,12 +219,17 @@ _MINHASH_SQL = f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
 sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-sig AS (SELECT doc_id, sh,
+ab AS (SELECT doc_id,
+         list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS ha,
+         list_transform(sh, x -> CAST('0x' || substr(md5(x), 17, 15) AS BIGINT) % 1000000007 + 1) AS hb
+       FROM sf),
+sig AS (SELECT doc_id,
           list_transform(range(0, 16), i ->
-            list_aggregate(list_transform(sh, x -> md5(CAST(i AS VARCHAR) || '|' || x)), 'min')) AS sg
-        FROM sf),
+            list_aggregate(list_transform(range(1, len(ha) + 1),
+              j -> (ha[j] + i * hb[j]) % 1000000007), 'min')) AS sg
+        FROM ab),
 bands AS (SELECT doc_id, b.range AS band,
-                 md5(array_to_string(list_slice(sg, b.range*4 + 1, b.range*4 + 4), '|')) AS band_hash
+                 array_to_string(list_slice(sg, b.range*4 + 1, b.range*4 + 4), '|') AS band_hash
           FROM sig CROSS JOIN range(0, 4) b),
 cand AS (SELECT DISTINCT a.doc_id AS doc_a, x.doc_id AS doc_b
          FROM bands a JOIN bands x

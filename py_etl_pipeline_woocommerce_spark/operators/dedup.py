@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..functions.text import md5_hex, norm_text, tokens_expr, word_shingles
 
@@ -25,11 +26,19 @@ MINHASH_BANDS = 4  # 4 rows/band; s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
 
 
 def _shingle_sets(documents: DataFrame) -> DataFrame:
-    """doc_id + distinct word-3-gram shingle array (+ lang block key)."""
-    return documents.select(
+    """doc_id + distinct word-3-gram shingle array (+ lang block key).
+
+    Tokens are materialized as a column BEFORE shingling: inside a
+    higher-order function a complex child expression is re-evaluated
+    per reference (no common-subexpression elimination), so shingling
+    directly over ``tokens_expr`` re-tokenizes each document many
+    times — a measured ~10× slowdown on the corpus scan.
+    """
+    toks = documents.select("doc_id", "lang", tokens_expr("text").alias("_toks"))
+    return toks.select(
         "doc_id",
         "lang",
-        F.array_distinct(word_shingles(tokens_expr("text"), SHINGLE_N)).alias("shingles"),
+        F.array_distinct(word_shingles(F.col("_toks"), SHINGLE_N)).alias("shingles"),
     )
 
 
@@ -51,100 +60,170 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
-    """Near-dup pairs by word-shingle Jaccard ≥ threshold.
+    """Near-dup pairs by word-shingle Jaccard ≥ threshold (exact).
 
-    Candidate blocking: same ``lang`` (a cheap deterministic blocking
-    key for the oracle-checked variant; the MinHash/LSH variant below
-    is the scalable unblocked path). Jaccard = |∩| / |∪| of distinct
-    shingle sets — integer ratio in double, deterministic.
+    Exact set-similarity join via PREFIX FILTERING (AllPairs/PPJoin
+    family): under any global total order on shingles, two sets with
+    Jaccard ≥ t must share an element within the first
+    ``n - ceil(t·n) + 1`` shingles of each (pigeonhole on the overlap
+    lower bound). We order by md5(shingle) — a deterministic
+    pseudo-random order, so "prefix" shingles are effectively a
+    uniform sample and hot shingles don't concentrate. Candidates are
+    an equi-join on (lang, prefix-shingle-hash); only candidates pay
+    the O(|A|+|B|) exact-Jaccard verify. Output equals the brute-force
+    all-pairs join (the DuckDB oracle) — the prune is lossless.
+
+    This plus a size-ratio prune (J ≤ min/max sizes) keeps the join
+    linear-ish in corpus size instead of quadratic per lang block —
+    the 100 TB-safe EXACT path next to the approximate MinHash one.
     """
-    s = _shingle_sets(documents)
-    a = s.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("lang"),
-        F.col("shingles").alias("sh_a"),
+    s = (
+        _shingle_sets(documents)
+        .withColumn("n_sh", F.size("shingles"))
+        .filter(F.col("n_sh") > 0)  # empty sets pair with nothing (union 0 or J=0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    b = s.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("lang"),
-        F.col("shingles").alias("sh_b"),
+    by_hash = F.array_sort(F.transform("shingles", F.md5))
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+        + 1
     )
-    pairs = a.join(b, "lang").filter(F.col("doc_a") < F.col("doc_b"))
+    pref = s.select(
+        "doc_id",
+        "lang",
+        "n_sh",
+        F.explode(F.slice(by_hash, 1, prefix_len)).alias("ph"),
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "lang", "ph", F.col("n_sh").alias("n_a")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "lang", "ph", F.col("n_sh").alias("n_b")
+    )
+    cand = (
+        a.join(b, ["lang", "ph"])
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_a") * F.lit(threshold) <= F.col("n_b"))
+            & (F.col("n_b") * F.lit(threshold) <= F.col("n_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = inter / union
     return (
-        pairs.filter(union > 0)
-        .withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
 
 
-def _minhash_signature(documents: DataFrame) -> DataFrame:
-    """doc_id + array of MINHASH_PERMS lexicographic-min md5 hex values.
+#: Modulus for the universal-hash permutation family (fits all
+#: intermediate products in int64 on any SQL engine — no overflow).
+MINHASH_P = 1_000_000_007
 
-    Permutation i's hash of shingle s is md5(i || '|' || s); the
-    signature element is the minimum hex string. Pure column exprs:
-    transform over a literal seed sequence, each folding the shingle
-    array through array_min.
+
+def _minhash_signature(documents: DataFrame) -> DataFrame:
+    """doc_id + integer MinHash signature (see _signature_from_shingles)."""
+    return _signature_from_shingles(
+        _shingle_sets(documents).filter(F.size("shingles") > 0)
+    )
+
+
+def _signature_from_shingles(s: DataFrame) -> DataFrame:
+    """shingle sets → array of MINHASH_PERMS integer min-hashes.
+
+    One md5 per shingle (not per permutation): the 128-bit digest is
+    split into two 60-bit ints (a, b) and permutation i's hash is the
+    universal-family ``(a + i·(b+1)) mod P``. 16 permutations are then
+    16 passes of int arithmetic over an int array — ~16× less hashing
+    than md5-per-permutation, and the min-reduction runs on longs
+    instead of 32-char strings.
     """
-    s = _shingle_sets(documents).filter(F.size("shingles") > 0)
+    hashed = s.select(
+        "doc_id", F.transform(F.col("shingles"), F.md5).alias("_h")
+    )
+    ha = F.transform(
+        F.col("_h"),
+        lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("bigint") % MINHASH_P,
+    )
+    hb = F.transform(
+        F.col("_h"),
+        lambda h: F.conv(F.substring(h, 17, 15), 16, 10).cast("bigint") % MINHASH_P
+        + 1,
+    )
+    withab = hashed.select("doc_id", ha.alias("_ha"), hb.alias("_hb"))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(MINHASH_PERMS - 1)),
         lambda i: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda sh: F.md5(F.concat(i.cast("string"), F.lit("|"), sh)),
+            F.zip_with(
+                F.col("_ha"),
+                F.col("_hb"),
+                lambda a, b: (a + i.cast("bigint") * b) % MINHASH_P,
             )
         ),
     )
-    return s.select("doc_id", F.col("shingles").alias("shingles"), sig.alias("sig"))
+    return withab.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by true Jaccard.
 
     Banding: signature split into MINHASH_BANDS contiguous bands;
-    docs sharing any band hash become candidates (equi-join on the
+    docs sharing any band key become candidates (equi-join on the
     band key — linear-ish, no cross join; THE scalable dedup at
-    100 TB). Candidates are then verified with exact Jaccard on the
-    shingle sets, so output = true near-dup pairs at recall given by
-    the LSH s-curve.
+    100 TB). The band join carries ONLY (doc_id, band key) — shingle
+    sets are re-joined afterwards for exact-Jaccard verification, so
+    the wide arrays never ride through the self-join shuffle.
+
+    The shingle table and the compact band table are persisted
+    (MEMORY_AND_DISK, spills at scale): both are consumed by two
+    downstream branches, and without a persist Spark re-tokenizes the
+    full corpus once per branch — the dominant cost.
     """
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    sig = _minhash_signature(documents)
+    sh = (
+        _shingle_sets(documents)
+        .filter(F.size("shingles") > 0)
+        .select("doc_id", "shingles")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sig = _signature_from_shingles(sh)
     bands = sig.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        "|",
+                lambda b: F.concat_ws(
+                    "|",
+                    F.transform(
                         F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                    )
+                        lambda v: v.cast("string"),
+                    ),
                 ),
             )
         ).alias("band", "band_hash"),
-    )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_hash", F.col("shingles").alias("sh_a")
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", "band_hash", F.col("shingles").alias("sh_b")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     cand = (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
     )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.withColumn("jaccard", inter / union)
+        pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -157,24 +236,27 @@ def _simhash_bits(documents: DataFrame, bits: int = 32) -> DataFrame:
     of md5(t) ≥ 8; the fingerprint bit is sign(Σ contributions).
     Token multiplicity counts (standard weighted SimHash).
     """
-    toks = tokens_expr("text")
-    hashes = F.transform(toks, lambda t: F.md5(t))
-    bit_sums = F.transform(
-        F.sequence(F.lit(1), F.lit(bits)),
-        lambda j: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(
-                F.substring(h, 1, 32).substr(j, F.lit(1)).isin(
-                    "8", "9", "a", "b", "c", "d", "e", "f"
-                ),
-                F.lit(1),
-            ).otherwise(F.lit(-1)),
-        ),
+    # Explode tokens to rows and compute the 32 per-bit ±1 sums as 32
+    # plain aggregate expressions: everything stays in whole-stage
+    # codegen with map-side partial aggregation (a higher-order
+    # aggregate() per bit is interpreted per element — measured ~10×
+    # slower on the corpus scan).
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    tok_hash = documents.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("_tok")
+    ).select("doc_id", F.md5("_tok").alias("_h"))
+    sums = tok_hash.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("_h", j, 1).isin(*high), 1).otherwise(-1)
+            ).alias(f"_b{j}")
+            for j in range(1, bits + 1)
+        ]
     )
-    sim = F.transform(bit_sums, lambda s: (s > 0).cast("int"))
-    return documents.select("doc_id", sim.alias("simbits"))
+    sim = F.array(
+        *[(F.col(f"_b{j}") > 0).cast("int") for j in range(1, bits + 1)]
+    )
+    return sums.select("doc_id", sim.alias("simbits"))
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
@@ -187,10 +269,9 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3, bits: int = 32) ->
     """
     n_bands = 4
     band_bits = bits // n_bands
-    sim = _simhash_bits(documents, bits)
+    sim = _simhash_bits(documents, bits).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sim.select(
         "doc_id",
-        "simbits",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -200,24 +281,25 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3, bits: int = 32) ->
             )
         ).alias("band", "band_key"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_key", F.col("simbits").alias("bits_a")
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), "band", "band_key", F.col("simbits").alias("bits_b")
-    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     cand = (
         a.join(b, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select("doc_a", "doc_b")
+        .distinct()
     )
+    bits_a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simbits").alias("bits_a"))
+    bits_b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simbits").alias("bits_b"))
     hamming = F.aggregate(
         F.zip_with("bits_a", "bits_b", lambda x, y: (x != y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        cand.withColumn("hamming", hamming)
+        cand.join(bits_a, "doc_a")
+        .join(bits_b, "doc_b")
+        .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
