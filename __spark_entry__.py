@@ -22,7 +22,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 
 from py_etl_pipeline_woocommerce_spark.catalog import load_table
-from py_etl_pipeline_woocommerce_spark.operators import dedup, events, sessionize, similarity, textstats
+from py_etl_pipeline_woocommerce_spark.operators import (
+    dedup,
+    events,
+    sessionize,
+    similarity,
+    temporal,
+    textstats,
+)
 from py_etl_pipeline_woocommerce_spark.operators.enrich import enrich_items_with_categories
 from py_etl_pipeline_woocommerce_spark.operators.incremental import (
     assign_backfill_windows,
@@ -128,6 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_per_customer": relational.top_orders_per_customer,
         "sales_rollup": relational.sales_rollup,
         "order_priority_count": relational.order_priority_count,
+        "shipping_priority": relational.shipping_priority,
+        "discount_revenue": relational.discount_revenue,
+        "customer_order_distribution": relational.customer_order_distribution,
+        "top_supplier": relational.top_supplier,
         # --- training-data ops ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -142,6 +153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(_docs(s, d)),
         "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
         "sessionize": lambda s, d: sessionize.sessionize(_events(s, d)),
+        # temporal / time-series operators
+        "asof_join": lambda s, d: temporal.asof_join(_events(s, d)),
+        "range_join_window": lambda s, d: temporal.range_join_window(_events(s, d)),
+        "multires_rollup": lambda s, d: temporal.multires_rollup(_events(s, d)),
+        "value_percentiles": lambda s, d: temporal.value_percentiles(_events(s, d)),
+        "daily_active_users": lambda s, d: temporal.daily_active_users(_events(s, d)),
     }
 
 
@@ -470,6 +487,50 @@ WHERE EXISTS (SELECT 1 FROM lineitem
               WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
 GROUP BY 1
 """,
+        "shipping_priority": f"""
+SELECT l_orderkey AS order_id,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY 1, 2
+ORDER BY revenue DESC, order_id
+LIMIT 10
+""",
+        "discount_revenue": """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN CAST('0.05' AS DECIMAL(4,2))
+                                           AND CAST('0.07' AS DECIMAL(4,2))
+  AND l_quantity < 24
+""",
+        "customer_order_distribution": """
+WITH per_customer AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY 1)
+SELECT n_orders, COUNT(*) AS n_customers
+FROM per_customer GROUP BY 1
+""",
+        "top_supplier": f"""
+WITH rev AS (
+  SELECT l_suppkey, SUM({_DISC}) AS rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1)
+SELECT l_suppkey AS supplier_id, s_name,
+       CAST(rev_dec AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+""",
         "dedup_exact": f"""
 SELECT md5({_NORM}) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
@@ -536,5 +597,69 @@ SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM sess GROUP BY 1, 2
+""",
+        "asof_join": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+           FROM events WHERE event_type IN ('purchase', 'click')),
+tagged AS (
+  SELECT user_id, t_us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+         event_id
+  FROM e),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS asof_event_id,
+         last_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS)
+           OVER w AS asof_t_us
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, kind, event_id
+               ROWS UNBOUNDED PRECEDING))
+SELECT event_id, user_id, t_us, asof_event_id, asof_t_us,
+       t_us - asof_t_us AS gap_us
+FROM carried WHERE kind = 1
+""",
+        "range_join_window": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us, value
+           FROM events)
+SELECT p.event_id, p.user_id, p.t_us,
+       COUNT(v.event_id) AS n_in_window,
+       CAST(COALESCE(SUM(CAST(v.value AS DECIMAL(18,2))), 0) AS DOUBLE)
+         AS value_in_window
+FROM e p
+LEFT JOIN e v
+  ON v.user_id = p.user_id AND v.event_type = 'view'
+ AND v.t_us >= p.t_us - 3600000000 AND v.t_us <= p.t_us
+WHERE p.event_type = 'purchase'
+GROUP BY 1, 2, 3
+""",
+        "multires_rollup": """
+WITH e AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+                  (epoch_us(ts) // 3600000000) * 3600000000 AS hour_us,
+                  value
+           FROM events)
+SELECT CASE WHEN GROUPING(hour_us) = 1 THEN 'day' ELSE 'hour' END AS grain,
+       event_type, day_us,
+       COALESCE(hour_us, day_us) AS bucket_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM e
+GROUP BY ROLLUP (event_type, day_us, hour_us)
+HAVING GROUPING(day_us) = 0
+""",
+        "value_percentiles": """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY 1
+""",
+        "daily_active_users": """
+SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1
 """,
     }

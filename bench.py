@@ -31,6 +31,9 @@ HEADLINE = [
     "ann_topk",
     "event_window_agg",
     "sessionize",
+    "asof_join",
+    "range_join_window",
+    "multires_rollup",
 ]
 
 

@@ -1,0 +1,207 @@
+"""Temporal operators over the event stream: as-of join, windowed
+range join, multi-resolution rollup, percentiles, daily actives.
+
+These are the time-series operators a warehouse bolts next to the
+reference's dashboard timeseries (``dashboard/app.py:47-62``) once the
+data outgrows one node. Event time is exact integer µs everywhere
+(epoch-ns BIGINT → µs floor-div) — no float time, no tz ambiguity.
+
+Scale notes: every operator here is one hash shuffle (on user or on
+the grouping key) + window/agg; nothing is quadratic. The as-of join
+is the union-tag algorithm (no per-row subquery); the range join
+buckets time so candidates come from an equi-join, never a full
+inequality join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import dec_money
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+
+def _ts_us(events: DataFrame) -> DataFrame:
+    return events.select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("t_us"), "value"
+    )
+
+
+def asof_join(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+) -> DataFrame:
+    """Each ``left_type`` event joined to the user's most recent
+    ``right_type`` event at-or-before it (classic as-of join).
+
+    Union-tag algorithm: tag both sides, sort per user by
+    (time, kind, id) with the right side first at equal times, and
+    carry the last non-null right id/time forward with a running
+    window — ONE shuffle on user_id, no inequality join, no per-row
+    lookup. Ties (same user, same µs) resolve to the max right
+    event_id; the ordering is total, so output is deterministic at
+    any parallelism.
+    """
+    e = _ts_us(events)
+    right = e.filter(F.col("event_type") == right_type).select(
+        "user_id", "t_us", F.lit(0).alias("kind"), "event_id"
+    )
+    left = e.filter(F.col("event_type") == left_type).select(
+        "user_id", "t_us", F.lit(1).alias("kind"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_us", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_right = F.col("kind") == 0
+    tagged = right.unionByName(left).select(
+        "*",
+        F.last(F.when(is_right, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("asof_event_id"),
+        F.last(F.when(is_right, F.col("t_us")), ignorenulls=True)
+        .over(w)
+        .alias("asof_t_us"),
+    )
+    return tagged.filter(F.col("kind") == 1).select(
+        "event_id",
+        "user_id",
+        "t_us",
+        "asof_event_id",
+        "asof_t_us",
+        (F.col("t_us") - F.col("asof_t_us")).alias("gap_us"),
+    )
+
+
+def range_join_window(
+    events: DataFrame,
+    anchor_type: str = "purchase",
+    probe_type: str = "view",
+    window_us: int = HOUR_US,
+) -> DataFrame:
+    """Per ``anchor_type`` event: count/sum of ``probe_type`` events of
+    the same user in the inclusive window ``[t - window_us, t]``.
+
+    A naive inequality join is O(n·m); instead both sides are bucketed
+    to ``window_us`` grains and probes join to the anchor's bucket and
+    the one before (any in-window probe lands in one of the two) — an
+    equi-join on (user, bucket) followed by the exact range filter.
+    Anchors with no probes are kept via a left join against the
+    aggregated counts (count 0, sum 0.0).
+    """
+    e = _ts_us(events)
+    anchors = e.filter(F.col("event_type") == anchor_type).select(
+        "event_id", "user_id", "t_us"
+    )
+    probes = e.filter(F.col("event_type") == probe_type).select(
+        F.col("user_id").alias("p_user"),
+        F.col("t_us").alias("p_t_us"),
+        (F.col("t_us") / F.lit(window_us)).cast("bigint").alias("p_bucket"),
+        "value",
+    )
+    cand = anchors.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.explode(
+            F.array(
+                (F.col("t_us") / F.lit(window_us)).cast("bigint"),
+                (F.col("t_us") / F.lit(window_us)).cast("bigint") - 1,
+            )
+        ).alias("bucket"),
+    )
+    hits = (
+        cand.join(
+            probes,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("bucket") == F.col("p_bucket")),
+        )
+        .filter(
+            (F.col("p_t_us") >= F.col("t_us") - F.lit(window_us))
+            & (F.col("p_t_us") <= F.col("t_us"))
+        )
+        .groupBy("event_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_probe"),
+            F.sum(dec_money("value")).alias("_sum_dec"),
+        )
+    )
+    return anchors.join(hits, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.coalesce(F.col("n_probe"), F.lit(0)).alias("n_in_window"),
+        F.coalesce(F.col("_sum_dec").cast("double"), F.lit(0.0)).alias(
+            "value_in_window"
+        ),
+    )
+
+
+def multires_rollup(events: DataFrame) -> DataFrame:
+    """Hypertable-style continuous aggregate: hour AND day grains per
+    event_type in ONE scan via ROLLUP(event_type, day, hour), keeping
+    only the two fully-grouped-by-day levels.
+
+    At 100 TB this is the materialized-rollup pattern: a single
+    map-side-combined shuffle produces every resolution, instead of
+    one scan per grain.
+    """
+    e = _ts_us(events)
+    bucketed = e.select(
+        "event_type",
+        ((F.col("t_us") / DAY_US).cast("bigint") * DAY_US).alias("day_us"),
+        ((F.col("t_us") / HOUR_US).cast("bigint") * HOUR_US).alias("hour_us"),
+        "value",
+    )
+    agg = bucketed.rollup("event_type", "day_us", "hour_us").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec_money("value")).cast("double").alias("total_value"),
+        F.grouping("day_us").alias("_gd"),
+        F.grouping("hour_us").alias("_gh"),
+    )
+    # rollup levels: (et,day,hour) _gh=0 | (et,day) _gh=1 | (et), ()
+    # have _gd=1 — keep the two day-resolved levels only.
+    return agg.filter(F.col("_gd") == 0).select(
+        F.when(F.col("_gh") == 1, F.lit("day")).otherwise(F.lit("hour")).alias("grain"),
+        "event_type",
+        "day_us",
+        F.coalesce(F.col("hour_us"), F.col("day_us")).alias("bucket_us"),
+        "n_events",
+        "total_value",
+    )
+
+
+def value_percentiles(events: DataFrame) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of event value per event_type
+    (sort-based exact percentile — the small-group path; sketch-based
+    approx_percentile is the >per-group-memory alternative)."""
+    e = _ts_us(events)
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    agg = e.groupBy("event_type").agg(pct.alias("_p"))
+    return agg.select(
+        "event_type",
+        F.round(F.col("_p")[0], 6).alias("p50"),
+        F.round(F.col("_p")[1], 6).alias("p90"),
+        F.round(F.col("_p")[2], 6).alias("p99"),
+    )
+
+
+def daily_active_users(events: DataFrame) -> DataFrame:
+    """Per UTC day: exact distinct users, event count, value total.
+
+    Exact count-distinct is a two-level agg (partial distinct
+    map-side); at extreme cardinality swap for approx_count_distinct
+    — kept exact here so the SQL oracle matches bit-for-bit.
+    """
+    e = _ts_us(events)
+    day = ((F.col("t_us") / DAY_US).cast("bigint") * DAY_US).alias("day_us")
+    return e.groupBy(day).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec_money("value")).cast("double").alias("total_value"),
+    )

@@ -144,3 +144,106 @@ def order_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str, limit: int = 10) -> DataFrame:
+    """Q3-style shipping priority: top unshipped-revenue orders for one
+    market segment as of a cutoff date.
+
+    customer is broadcast after the segment filter; the orderdate /
+    shipdate range predicates push down to both fact scans before the
+    lineitem⋈orders shuffle. LIMIT has a total order (revenue desc,
+    order id) so the top-N is unique.
+    """
+    cutoff = F.lit("1995-03-15").cast("timestamp")
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > cutoff
+    )
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("order_id"))
+        .limit(limit)
+    )
+
+
+def discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6-style forecast: revenue delta from discounts in a band.
+
+    Scan-only query — every predicate (shipdate range, discount band,
+    quantity cap) reaches the parquet reader as a pushed filter; the
+    whole plan is scan → filter → partial agg → single-row result.
+    Discount compares in DECIMAL so 0.05/0.07 are exact band edges.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(4,2)")
+    lo = F.lit("0.05").cast("decimal(4,2)")
+    hi = F.lit("0.07").cast("decimal(4,2)")
+    filtered = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+        & d.between(lo, hi)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * d)
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-style: histogram of orders-per-customer including the
+    zero-order tail (left join, count of non-null keys)."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_customer = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_customer.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-style: supplier(s) achieving the maximum shipped revenue in
+    a quarter — revenue per supplier, then an equality filter against
+    the global max via a window (exact DECIMAL compare, so ties are
+    exact and the result is deterministic)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    rev = lineitem.groupBy("l_suppkey").agg(
+        F.sum(disc_price()).alias("_rev_dec")
+    )
+    w = Window.partitionBy()
+    best = rev.withColumn("_max", F.max("_rev_dec").over(w)).filter(
+        F.col("_rev_dec") == F.col("_max")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(
+        F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey
+    ).select(
+        F.col("s_suppkey").alias("supplier_id"),
+        "s_name",
+        F.col("_rev_dec").cast("double").alias("total_revenue"),
+    )
