@@ -1,0 +1,51 @@
+"""Watermark state for incremental ingestion.
+
+Mirrors ``/root/reference/src/etl/utils/state.py`` (a JSON file with
+``since_iso``) and ``utils/time.py`` (default lookback). The file
+lives on shared storage in a real deployment; the advance rule —
+max ingested order date + 1 minute — matches ``flow.py``'s
+``t_advance_watermark``. The 1-minute overlap plus idempotent
+delete+insert upserts make re-reads harmless (at-least-once extract,
+exactly-once warehouse state).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timedelta, timezone
+
+DEFAULT_LOOKBACK_DAYS = 30
+
+
+class WatermarkStore:
+    def __init__(self, path: str, lookback_days: int = DEFAULT_LOOKBACK_DAYS):
+        self.path = path
+        self.lookback_days = lookback_days
+
+    def get_since(self, now: datetime | None = None) -> str:
+        """Stored watermark, or now - lookback on first run
+        (state.py:9-16)."""
+        if os.path.exists(self.path):
+            with open(self.path, encoding="utf-8") as f:
+                stored = json.load(f).get("since_iso")
+            if stored:
+                return stored
+        now = now or datetime.now(timezone.utc)
+        return (now - timedelta(days=self.lookback_days)).strftime(
+            "%Y-%m-%dT%H:%M:%S"
+        )
+
+    def set_since(self, iso_ts: str) -> None:
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        with open(self.path, "w", encoding="utf-8") as f:
+            json.dump({"since_iso": iso_ts}, f)
+
+    @staticmethod
+    def advance_from(max_order_date: str | None) -> str | None:
+        """Next watermark = max order_date + 1 minute
+        (flow.py t_advance_watermark)."""
+        if not max_order_date:
+            return None
+        dt = datetime.fromisoformat(max_order_date)
+        return (dt + timedelta(minutes=1)).strftime("%Y-%m-%dT%H:%M:%S")

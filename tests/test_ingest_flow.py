@@ -1,0 +1,206 @@
+"""Extract layer + incremental flow against a fake WooCommerce API:
+paged fetch fan-out, from_json normalization, category enrichment,
+refund application, delete+insert upsert, watermark advance —
+the reference's incremental_flow semantics end-to-end.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.plans.woo_flow import (
+    backfill_windows,
+    incremental_run,
+)
+from py_etl_pipeline_woocommerce_spark.sources import rest
+from py_etl_pipeline_woocommerce_spark.sources.state import WatermarkStore
+
+
+def _order(oid, created, total, tax, items, status="completed", country="GR"):
+    return {
+        "id": oid,
+        "status": status,
+        "currency": "EUR",
+        "customer_id": 100 + oid,
+        "date_created_gmt": created,
+        "total": str(total),
+        "total_tax": str(tax),
+        "discount_total": "0.00",
+        "billing": {"country": country, "city": "Athens"},
+        "line_items": [
+            {
+                "id": i,
+                "product_id": pid,
+                "variation_id": 0,
+                "sku": f"SKU-{pid}",
+                "name": f"Product {pid}",
+                "quantity": qty,
+                "price": str(price),
+                "total": str(round(qty * price, 2)),
+                "subtotal": str(round(qty * price, 2)),
+                "tax_class": "",
+            }
+            for i, (pid, qty, price) in enumerate(items)
+        ],
+    }
+
+
+ORDERS = [
+    _order(1, "2024-01-01T10:00:00", 30.0, 3.0, [(11, 2, 10.0), (12, 1, 10.0)]),
+    _order(2, "2024-01-02T11:00:00", 50.0, 5.0, [(11, 5, 10.0)]),
+    _order(3, "2024-01-03T12:00:00", 20.0, 2.0, [(13, 1, 20.0)]),
+]
+PRODUCTS = {
+    11: {"id": 11, "categories": [{"name": "Shoes"}, {"name": "Sale"}]},
+    12: {"id": 12, "categories": [{"name": "Hats"}]},
+    13: {"id": 13, "categories": []},
+}
+REFUNDS = {
+    2: [
+        {
+            "amount": "10.00",
+            "line_items": [
+                {"product_id": 11, "variation_id": 0, "quantity": 1, "total": "-10.00"}
+            ],
+        }
+    ]
+}
+
+
+def make_fake_transport(orders, products, refunds, per_page_cap=2):
+    """Fake of the Woo REST surface. A NESTED function so cloudpickle
+    ships it by value to executors (test modules aren't importable on
+    Spark workers)."""
+
+    def transport(path, params):
+        if path == "orders":
+            since = params.get("after", "")
+            rows = sorted(
+                (o for o in orders if o["date_created_gmt"] > since),
+                key=lambda o: o["date_created_gmt"],
+            )
+            per = min(int(params.get("per_page", 100)), per_page_cap)
+            page = int(params.get("page", 1))
+            total_pages = max(1, -(-len(rows) // per))
+            return json.dumps(rows[(page - 1) * per : page * per]), total_pages
+        if path == "products":
+            ids = [int(x) for x in params["include"].split(",")]
+            return (
+                json.dumps([products[i] for i in ids if i in products]),
+                1,
+            )
+        if path.startswith("orders/") and path.endswith("/refunds"):
+            oid = int(path.split("/")[1])
+            return json.dumps(refunds.get(oid, [])), 1
+        raise AssertionError(f"unexpected path {path}")
+
+    transport.orders = orders
+    return transport
+
+
+@pytest.fixture()
+def transport():
+    return make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS)
+
+
+def test_fetch_paged_fans_out_all_pages(spark, transport):
+    raw = rest.fetch_orders_since(spark, transport, "2023-01-01T00:00:00")
+    rows = raw.collect()
+    assert len(rows) == 3  # per_page_cap=2 -> 2 pages
+    assert {json.loads(r["raw"])["id"] for r in rows} == {1, 2, 3}
+    assert {r["page"] for r in rows} == {1, 2}
+
+
+def test_orders_and_items_frames(spark, transport):
+    parsed = rest.parse_orders(
+        rest.fetch_orders_since(spark, transport, "2023-01-01T00:00:00")
+    )
+    orders = {r["order_id"]: r for r in rest.orders_frame(parsed).collect()}
+    assert orders[1]["net_total"] == pytest.approx(27.0)  # 30 - 3 tax
+    assert orders[1]["billing_country"] == "GR"
+    assert orders[1]["order_date"] == "2024-01-01 10:00:00"
+    items = rest.items_frame(parsed).collect()
+    assert len(items) == 4
+    i11 = [r for r in items if r["order_id"] == 1 and r["product_id"] == 11][0]
+    assert i11["quantity"] == 2 and i11["total"] == pytest.approx(20.0)
+
+
+def test_category_snapshot_join(spark, transport):
+    ids = spark.createDataFrame([(11,), (12,), (13,), (99,)], "product_id long")
+    cats = {
+        r["product_id"]: r["category_snapshot"]
+        for r in rest.fetch_products_by_ids(spark, transport, ids).collect()
+    }
+    assert cats[11] == "Shoes | Sale"
+    assert cats[12] == "Hats"
+    assert cats[13] is None  # empty categories -> null (enrich.py cat_str)
+    assert 99 not in cats
+
+
+def test_refund_aggregation(spark, transport):
+    ids = spark.createDataFrame([(1,), (2,), (3,)], "order_id long")
+    refunds = rest.fetch_refunds_for_orders(spark, transport, ids)
+    order_tot = {
+        r["order_id"]: r["refund_total"]
+        for r in rest.order_refund_totals(refunds).collect()
+    }
+    assert order_tot == {2: pytest.approx(10.0)}
+    item_tot = rest.item_refund_totals(refunds).collect()
+    assert len(item_tot) == 1
+    assert item_tot[0]["refunded_quantity"] == 1
+    assert item_tot[0]["refunded_total"] == pytest.approx(-10.0)
+
+
+def test_incremental_run_upserts_and_advances_watermark(spark, transport, tmp_path):
+    state = WatermarkStore(str(tmp_path / "state.json"))
+    state.set_since("2023-12-31T00:00:00")
+    wh = str(tmp_path / "wh")
+
+    stats = incremental_run(spark, transport, state, wh)
+    assert stats["orders"] == 3 and stats["items"] == 4
+    fct = spark.read.parquet(f"{wh}/fct_orders")
+    by_id = {r["order_id"]: r for r in fct.collect()}
+    assert by_id[2]["refund_total"] == pytest.approx(10.0)
+    assert by_id[2]["net_after_refunds"] == pytest.approx(45.0 - 10.0)
+    assert by_id[1]["refund_total"] == 0.0
+    # watermark advanced to max order date + 1 min
+    assert state.get_since() == "2024-01-03T12:01:00"
+
+    # second run: one new order (and order 2 restated with higher total)
+    transport.orders.append(
+        _order(4, "2024-01-04T09:00:00", 40.0, 4.0, [(12, 2, 18.0)])
+    )
+    stats2 = incremental_run(spark, transport, state, wh)
+    assert stats2["orders"] == 1  # only the new order is after the watermark
+    fct2 = spark.read.parquet(f"{wh}/fct_orders")
+    assert fct2.count() == 4  # upsert, not append
+    items2 = spark.read.parquet(f"{wh}/fct_order_items")
+    cat = {
+        (r["order_id"], r["product_id"]): r["category_snapshot"]
+        for r in items2.collect()
+    }
+    assert cat[(4, 12)] == "Hats"
+    assert state.get_since() == "2024-01-04T09:01:00"
+
+
+def test_incremental_run_idempotent_on_rerun(spark, transport, tmp_path):
+    state = WatermarkStore(str(tmp_path / "state.json"))
+    state.set_since("2023-12-31T00:00:00")
+    wh = str(tmp_path / "wh")
+    incremental_run(spark, transport, state, wh)
+    # force the watermark back and re-ingest the same window
+    state.set_since("2023-12-31T00:00:00")
+    incremental_run(spark, transport, state, wh)
+    assert spark.read.parquet(f"{wh}/fct_orders").count() == len(transport.orders)
+
+
+def test_backfill_windows_cover_range():
+    w = backfill_windows("2024-01-01T00:00:00", "2024-01-25T00:00:00", 10)
+    assert w == [
+        ("2024-01-01T00:00:00", "2024-01-11T00:00:00"),
+        ("2024-01-11T00:00:00", "2024-01-21T00:00:00"),
+        ("2024-01-21T00:00:00", "2024-01-25T00:00:00"),
+    ]
