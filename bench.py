@@ -48,9 +48,17 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in HEADLINE:
+        # Warmup pass amortizes one-time codegen/JIT of the query's
+        # expression tree (a fixed driver cost, irrelevant at scale);
+        # the cache is cleared so persisted intermediates from the
+        # warmup don't flatter the timed pass — it measures the full
+        # recompute with warm JIT.
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        spark.catalog.clearCache()
         t0 = time.time()
         qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

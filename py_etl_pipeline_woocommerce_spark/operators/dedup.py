@@ -25,6 +25,21 @@ MINHASH_PERMS = 16
 MINHASH_BANDS = 4  # 4 rows/band; s-curve threshold ≈ (1/4)^(1/4) ≈ 0.71
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure ≥ cluster-width partitions before CPU-heavy per-doc work.
+
+    A small corpus often arrives as one parquet split; everything
+    downstream (and anything persisted from it) would then run
+    single-threaded. The repartition shuffle moves only raw text —
+    negligible vs the hashing it unlocks. At 100 TB inputs already
+    have thousands of splits and this is a no-op.
+    """
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def _shingle_sets(documents: DataFrame) -> DataFrame:
     """doc_id + distinct word-3-gram shingle array (+ lang block key).
 
@@ -34,7 +49,9 @@ def _shingle_sets(documents: DataFrame) -> DataFrame:
     directly over ``tokens_expr`` re-tokenizes each document many
     times — a measured ~10× slowdown on the corpus scan.
     """
-    toks = documents.select("doc_id", "lang", tokens_expr("text").alias("_toks"))
+    toks = _spread(documents).select(
+        "doc_id", "lang", tokens_expr("text").alias("_toks")
+    )
     return toks.select(
         "doc_id",
         "lang",
@@ -242,7 +259,7 @@ def _simhash_bits(documents: DataFrame, bits: int = 32) -> DataFrame:
     # aggregate() per bit is interpreted per element — measured ~10×
     # slower on the corpus scan).
     high = ("8", "9", "a", "b", "c", "d", "e", "f")
-    tok_hash = documents.select(
+    tok_hash = _spread(documents).select(
         "doc_id", F.explode(tokens_expr("text")).alias("_tok")
     ).select("doc_id", F.md5("_tok").alias("_h"))
     sums = tok_hash.groupBy("doc_id").agg(
