@@ -1,0 +1,102 @@
+"""Scale guards on physical plans: these tests pin the *plan shape*
+that makes each query viable at 100 TB — dimension joins must
+broadcast, scan predicates must push down to parquet, and nothing may
+degenerate into a cartesian product (except the two documented O(n²)
+exactness baselines).
+
+A regression here usually doesn't change results, only turns a
+map-side join into a 100 TB shuffle — exactly the kind of bug
+correctness tests can't see.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+#: Documented O(n²) exactness baselines (docstrings in similarity.py):
+#: a broadcast nested-loop is their intended shape.
+CROSS_JOIN_BASELINES = {"ann_topk", "embedding_cosine_dup"}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {
+        name: plan_of(fn(spark, sf_dir))
+        for name, fn in entrymod.queries().items()
+    }
+
+
+def test_no_cartesian_products_anywhere(plans):
+    bad = [
+        name
+        for name, plan in plans.items()
+        if "CartesianProduct" in plan
+        or (
+            "BroadcastNestedLoopJoin" in plan
+            and name not in CROSS_JOIN_BASELINES
+        )
+    ]
+    assert not bad, f"unbounded joins in: {bad}"
+
+
+def test_dim_joins_broadcast(plans):
+    # category enrichment: part is a broadcast dim (SURVEY §4)
+    assert "BroadcastHashJoin" in plans["enrich_categories"]
+    # geo rollup: customer->nation->region chain broadcasts
+    assert plans["geo_rollup"].count("BroadcastHashJoin") >= 2
+    # Q5-style: all three dims broadcast; the only exchange-heavy join
+    # is lineitem⋈orders
+    assert plans["regional_revenue"].count("BroadcastHashJoin") >= 3
+
+
+def test_filters_push_down_to_parquet(plans):
+    p = plans["discount_revenue"]
+    assert "PushedFilters" in p
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1][:400]
+    p = plans["incremental_watermark"]
+    assert "o_orderdate" in p.split("PushedFilters", 1)[1][:200]
+    # Q1: shipdate predicate reaches the scan
+    p = plans["pricing_summary"]
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1][:200]
+
+
+def test_column_pruning_reaches_scan(plans):
+    # top_orders_per_customer needs 3 of 6 order columns; the scan
+    # must not read the rest
+    p = plans["top_orders_per_customer"]
+    scan_schema = p.split("ReadSchema", 1)[1][:300]
+    assert "o_orderpriority" not in scan_schema
+    assert "o_orderstatus" not in scan_schema
+
+
+def test_hot_paths_whole_stage_codegen(spark, sf_dir):
+    # An AdaptiveSparkPlan(isFinalPlan=false) hides codegen ids, so
+    # inspect these plans with AQE off: formatted mode then tags
+    # codegen'd operators with "[codegen id : N]". A decimal-sum or
+    # UDF regression would drop the scan/agg out of codegen.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        qs = entrymod.queries()
+        for name in ("pricing_summary", "kpis", "revenue_timeseries"):
+            assert "[codegen id :" in plan_of(qs[name](spark, sf_dir)), name
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_upsert_antijoin_broadcasts_batch_keys(plans):
+    # delete+insert upsert: the batch key set must broadcast, never
+    # shuffle the full table
+    p = plans["upsert"]
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
