@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "discount_revenue": relational.discount_revenue,
         "customer_order_distribution": relational.customer_order_distribution,
         "top_supplier": relational.top_supplier,
+        "returnflag_totals": relational.returnflag_totals,
         # --- training-data ops ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -151,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
         "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(_docs(s, d)),
+        "pii_scrub": lambda s, d: textstats.pii_scrub(_docs(s, d)),
         "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
         "sessionize": lambda s, d: sessionize.sessionize(_events(s, d)),
         # temporal / time-series operators
@@ -531,6 +533,10 @@ SELECT l_suppkey AS supplier_id, s_name,
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
 """,
+        "returnflag_totals": f"""
+SELECT l_returnflag AS return_flag, CAST(SUM({_DISC}) AS DOUBLE) AS net
+FROM lineitem GROUP BY 1
+""",
         "dedup_exact": f"""
 SELECT md5({_NORM}) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
@@ -575,6 +581,25 @@ FROM n
 SELECT doc_id, md5({_NORM}) AS fingerprint,
        CAST(floor(length(text) / 100) AS BIGINT) AS len_bucket
 FROM documents
+""",
+        "pii_scrub": r"""
+WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+s1 AS (SELECT doc_id, t0,
+         regexp_replace(t0, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}',
+                        '<EMAIL>', 'g') AS t1 FROM s0),
+s2 AS (SELECT *, regexp_replace(t1,
+         '\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b',
+         '<CARD>', 'g') AS t2 FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')
+         AS text_scrubbed,
+       len(regexp_extract_all(t0,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
+       len(regexp_extract_all(t1,
+         '\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b')) AS n_card,
+       len(regexp_extract_all(t2,
+         '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phone
+FROM s2
 """,
         "event_window_agg": """
 SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,

@@ -101,3 +101,33 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         md5_hex(norm_text("text")).alias("fingerprint"),
         (F.floor(F.length("text") / 100)).cast("bigint").alias("len_bucket"),
     )
+
+
+#: PII patterns scrubbed from training text. Deliberately simple,
+#: deterministic regexes (email, 16-digit card runs, international-ish
+#: phone) — portable to any regex engine for oracle parity. ORDER
+#: MATTERS: cards must scrub before phones (a card digit-run also
+#: matches the looser phone pattern).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("card", r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b", "<CARD>"),
+    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """Redact PII spans from document text (training-data hygiene).
+
+    Output: doc_id, scrubbed text, and per-pattern match counts (the
+    audit trail a removal pipeline needs). Each count is taken on the
+    text with all EARLIER patterns already scrubbed, so it reflects
+    exactly the spans that pattern replaced. Chained
+    ``regexp_replace``/``regexp_count`` stays a single codegen'd scan
+    — no Python, no shuffle.
+    """
+    stage = F.col("text")
+    counts = []
+    for name, pattern, token in PII_PATTERNS:
+        counts.append(F.regexp_count(stage, F.lit(pattern)).alias(f"n_{name}"))
+        stage = F.regexp_replace(stage, pattern, token)
+    return documents.select("doc_id", stage.alias("text_scrubbed"), *counts)

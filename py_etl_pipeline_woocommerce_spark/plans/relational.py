@@ -247,3 +247,24 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         F.col("_rev_dec").cast("double").alias("total_revenue"),
     )
+
+
+def returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue by return flag — deliberately a 3-key aggregation,
+    the worst-case skew shape (every row maps to one of 3 reducers).
+
+    Uses the two-phase salted aggregation from ``operators.skew``:
+    partial sums over (key, salt) spread each hot key across 32
+    reducers, the final reduce handles 3×32 tiny rows. Identical
+    result to a plain groupBy (exact decimal), proven by the oracle.
+    """
+    from ..operators.skew import salted_sum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", disc_price().alias("net_line")
+    )
+    out = salted_sum(li, ["l_returnflag"], "net_line", n_salts=32)
+    return out.select(
+        F.col("l_returnflag").alias("return_flag"),
+        F.col("sum_net_line").cast("double").alias("net"),
+    )

@@ -101,3 +101,24 @@ def test_sessionize_gap_splits(spark):
         for r in sessionize(ev).collect()
     }
     assert got == {(1, 1): (2, 3.0), (1, 2): (1, 3.0), (2, 1): (1, 5.0)}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@corp.example.com or call +30 210 1234567 ok", "en", "s", 0),
+            (2, "card 4111 1111 1111 1111 expires soon", "en", "s", 0),
+            (3, "nothing sensitive here", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert "<EMAIL>" in out[1]["text_scrubbed"]
+    assert "<PHONE>" in out[1]["text_scrubbed"]
+    assert "jo.doe" not in out[1]["text_scrubbed"]
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 1
+    assert "<CARD>" in out[2]["text_scrubbed"] and out[2]["n_card"] == 1
+    assert out[3]["text_scrubbed"] == "nothing sensitive here"
+    assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_card"] == 0
