@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d)),
         "ann_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
         "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
         "token_count": lambda s, d: textstats.token_count(_docs(s, d)),

@@ -1,0 +1,114 @@
+"""Custom stateful streaming operator: cross-batch sessionization.
+
+The batch sessionizer (``operators/sessionize.py``) is a window
+function; in a stream the gap rule must hold ACROSS micro-batches, so
+per-user session state (seq, start, last-seen, aggregates) lives in
+Spark's state store via ``applyInPandasWithState`` — the engine's
+custom-stateful-operator surface. A session closes when a later event
+of the same user arrives more than ``gap`` after the last one; closed
+sessions are emitted, the open one stays in state.
+
+State is bounded: one fixed-width row per active user, evicted by the
+state timeout (idle users close their session after the gap wall-time
+elapses even with no further events).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_MINUTES = 30
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("closed", T.BooleanType()),
+    ]
+)
+
+#: (session_seq, start_us, last_us, n_events, total_value)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_seq", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def _sessionize_user(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.hasTimedOut:
+        seq, start, last, n, tot = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [[user_id, seq, n, start, last, tot, True]],
+            columns=SESSION_SCHEMA.fieldNames(),
+        )
+        return
+
+    if state.exists:
+        seq, start, last, n, tot = state.get
+    else:
+        seq, start, last, n, tot = 0, None, None, 0, 0.0
+
+    out_rows = []
+    events = pd.concat(list(pdfs))
+    events = events.sort_values("t_us")
+    for t_us, value in zip(events["t_us"], events["value"]):
+        t_us = int(t_us)
+        if last is not None and t_us - last > gap_us:
+            out_rows.append([user_id, seq, n, start, last, tot, True])
+            seq, start, n, tot = seq + 1, t_us, 0, 0.0
+        if start is None:
+            start = t_us
+        last = t_us
+        n += 1
+        tot += float(value) if value == value else 0.0  # NaN-safe
+
+    state.update((seq, start, last, n, tot))
+    # idle eviction: close the open session if no event arrives for a
+    # gap's worth of processing time
+    state.setTimeoutDuration(gap_us // 1000)
+    out_rows.append([user_id, seq, n, start, last, tot, False])
+    yield pd.DataFrame(out_rows, columns=SESSION_SCHEMA.fieldNames())
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = GAP_MINUTES
+) -> DataFrame:
+    """events (ts epoch-ns BIGINT) → per-user session rows; ``closed``
+    marks finished sessions, open sessions re-emit on every update."""
+    gap_us = gap_minutes * 60_000_000
+    prepared = events.select(
+        "user_id", F.expr("ts div 1000").alias("t_us"), "value"
+    )
+
+    def fn(key, pdfs, state):
+        return _sessionize_user(key, pdfs, state, gap_us)
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -112,3 +112,36 @@ def test_ann_lsh_topk_returns_bucket_neighbors(spark, sf_dir):
     rows = out.collect()
     assert len(rows) > 0
     assert all(r["knn_rank"] <= 3 for r in rows)
+
+
+def test_ann_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_topk,
+        assign_to_centroids,
+        ivf_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk(emb, n_queries=8, k=5).collect()
+    }
+    approx_rows = ann_ivf_topk(emb, n_queries=8, k=5, n_probe=4).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    # shape: at most k per query, ranks contiguous from 1
+    by_q = {}
+    for r in approx_rows:
+        by_q.setdefault(r["query_id"], []).append(r["knn_rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    # probing 4/16 lists must still find a decent share of true nns
+    assert len(approx & exact) / len(exact) >= 0.5
+
+    # every vector lands in exactly one inverted list
+    cents = ivf_centroids(emb, n_centroids=16)
+    assert cents.count() == 16
+    inv = assign_to_centroids(emb, cents)
+    assert inv.count() == emb.count()
+    assert inv.select("vec_id").distinct().count() == emb.count()

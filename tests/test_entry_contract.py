@@ -26,7 +26,7 @@ def test_oracle_keys_subset_of_queries():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles).issubset(set(qs))
     # everything except explicitly-approximate ops has an oracle
-    assert set(qs) - set(oracles) == {"ann_lsh_topk"}
+    assert set(qs) - set(oracles) == {"ann_lsh_topk", "ann_ivf_topk"}
 
 
 @pytest.mark.parametrize("name", SAMPLE)

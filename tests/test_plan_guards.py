@@ -18,9 +18,10 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-#: Documented O(n²) exactness baselines (docstrings in similarity.py):
-#: a broadcast nested-loop is their intended shape.
-CROSS_JOIN_BASELINES = {"ann_topk", "embedding_cosine_dup"}
+#: Documented bounded cross joins (docstrings in similarity.py): the
+#: O(n²) exactness baselines, plus IVF's corpus × k-centroids
+#: broadcast scoring (k is a small constant — bounded fan-out).
+CROSS_JOIN_BASELINES = {"ann_topk", "embedding_cosine_dup", "ann_ivf_topk"}
 
 
 def plan_of(df) -> str:

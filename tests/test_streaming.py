@@ -142,3 +142,75 @@ def test_watermark_drops_too_late_rows(spark, stream_dirs):
         query.stop()
     assert "click" in types
     assert "late" not in types
+
+
+def test_stateful_sessionize_stream_across_batches(spark, stream_dirs):
+    """Session state must survive micro-batch boundaries: a continuation
+    within the gap extends the session; a later event past the gap
+    closes it and starts session_seq+1."""
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000  # epoch ns
+    MIN_NS = 60 * 1_000_000_000
+    # batch 1: two events 5 min apart (one session)
+    _write_events(
+        f"{src}/b0.parquet",
+        [(1, base, 7, "click", 1.0), (2, base + 5 * MIN_NS, 7, "view", 2.0)],
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    query = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    # NOTE: processAllAvailable() never returns under
+    # ProcessingTimeTimeout (the timeout timer keeps the engine busy),
+    # so poll the memory sink with a deadline instead.
+    def wait_rows(pred, deadline_s=90):
+        import time
+
+        t0 = time.time()
+        while time.time() - t0 < deadline_s:
+            rows = spark.sql("select * from sess_test").collect()
+            if pred(rows):
+                return rows
+            time.sleep(1)
+        raise AssertionError(
+            f"sink never satisfied predicate; last rows: {rows}"
+        )
+
+    try:
+        wait_rows(lambda rows: len(rows) >= 1)
+        # batch 2: continuation (10 min later) then a >30min gap event
+        _write_events(
+            f"{src}/b1.parquet",
+            [
+                (3, base + 15 * MIN_NS, 7, "click", 4.0),
+                (4, base + 80 * MIN_NS, 7, "purchase", 8.0),
+            ],
+        )
+        rows = wait_rows(lambda rows: any(r["closed"] for r in rows))
+    finally:
+        query.stop()
+
+    closed = [r for r in rows if r["closed"]]
+    assert len(closed) == 1
+    c = closed[0]
+    # first session: events 1,2 from batch1 + 3 from batch2 (state carried)
+    assert c["session_seq"] == 0 and c["n_events"] == 3
+    assert c["start_us"] == base // 1000
+    assert c["end_us"] == (base + 15 * MIN_NS) // 1000
+    assert c["total_value"] == pytest.approx(7.0)
+    # open second session emitted as update
+    open_last = [
+        r for r in rows if not r["closed"] and r["session_seq"] == 1
+    ]
+    assert open_last and open_last[-1]["n_events"] == 1
