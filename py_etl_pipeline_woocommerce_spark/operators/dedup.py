@@ -40,7 +40,7 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _shingle_sets(documents: DataFrame) -> DataFrame:
+def _shingle_sets(documents: DataFrame, nonempty: bool = False) -> DataFrame:
     """doc_id + distinct word-3-gram shingle array (+ lang block key).
 
     Tokens are materialized as a column BEFORE shingling: inside a
@@ -48,8 +48,18 @@ def _shingle_sets(documents: DataFrame) -> DataFrame:
     per reference (no common-subexpression elimination), so shingling
     directly over ``tokens_expr`` re-tokenizes each document many
     times — a measured ~10× slowdown on the corpus scan.
+
+    ``nonempty=True`` drops docs that would yield zero shingles via a
+    CHEAP pre-filter on the token count (< n tokens ⟺ no n-grams).
+    Do NOT filter ``size(shingles) > 0`` after the fact: predicate
+    pushdown inlines the whole tokenize+shingle tree into a Filter
+    below the repartition Exchange, so it runs twice (size + isnull)
+    on the un-spread input — measured 20× slower at sf0.1.
     """
-    toks = _spread(documents).select(
+    base = _spread(documents)
+    if nonempty:
+        base = base.filter(F.size(tokens_expr("text")) >= SHINGLE_N)
+    toks = base.select(
         "doc_id", "lang", tokens_expr("text").alias("_toks")
     )
     return toks.select(
@@ -95,9 +105,8 @@ def ngram_jaccard_pairs(
     the 100 TB-safe EXACT path next to the approximate MinHash one.
     """
     s = (
-        _shingle_sets(documents)
+        _shingle_sets(documents, nonempty=True)  # empty sets pair with nothing
         .withColumn("n_sh", F.size("shingles"))
-        .filter(F.col("n_sh") > 0)  # empty sets pair with nothing (union 0 or J=0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     by_hash = F.array_sort(F.transform("shingles", F.md5))
@@ -147,9 +156,7 @@ MINHASH_P = 1_000_000_007
 
 def _minhash_signature(documents: DataFrame) -> DataFrame:
     """doc_id + integer MinHash signature (see _signature_from_shingles)."""
-    return _signature_from_shingles(
-        _shingle_sets(documents).filter(F.size("shingles") > 0)
-    )
+    return _signature_from_shingles(_shingle_sets(documents, nonempty=True))
 
 
 def _signature_from_shingles(s: DataFrame) -> DataFrame:
@@ -205,8 +212,7 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     """
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     sh = (
-        _shingle_sets(documents)
-        .filter(F.size("shingles") > 0)
+        _shingle_sets(documents, nonempty=True)
         .select("doc_id", "shingles")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
