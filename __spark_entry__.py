@@ -140,6 +140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_distribution": relational.customer_order_distribution,
         "top_supplier": relational.top_supplier,
         "returnflag_totals": relational.returnflag_totals,
+        "volume_shipping": relational.volume_shipping,
+        "market_share": relational.market_share,
+        "promo_revenue": relational.promo_revenue,
+        "large_volume_orders": relational.large_volume_orders,
+        "supplier_part_breadth": relational.supplier_part_breadth,
+        "important_parts": relational.important_parts,
+        "idle_customers": relational.idle_customers,
+        "min_cost_supplier": relational.min_cost_supplier,
         # --- training-data ops ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -537,6 +545,110 @@ WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
         "returnflag_totals": f"""
 SELECT l_returnflag AS return_flag, CAST(SUM({_DISC}) AS DOUBLE) AS net
 FROM lineitem GROUP BY 1
+""",
+        "volume_shipping": f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+""",
+        "market_share": f"""
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         sn.n_name AS supp_nation, {_DISC} AS d
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE r_name = 'ASIA'),
+agg AS (
+  SELECT order_year,
+         CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN d ELSE {_DEC0} END)
+              AS DOUBLE) AS nation_revenue,
+         CAST(SUM(d) AS DOUBLE) AS total_revenue
+  FROM j GROUP BY 1)
+SELECT order_year, nation_revenue, total_revenue,
+       nation_revenue / total_revenue AS share
+FROM agg
+""",
+        "promo_revenue": f"""
+WITH l AS (
+  SELECT l_partkey, {_DISC} AS d FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1995-04-01'),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN d ELSE {_DEC0} END)
+              AS DOUBLE) AS promo_rev,
+         CAST(SUM(d) AS DOUBLE) AS total_rev
+  FROM l JOIN part ON l_partkey = p_partkey)
+SELECT promo_rev, total_rev,
+       100.0 * promo_rev / total_rev AS promo_pct
+FROM agg
+""",
+        "large_volume_orders": """
+WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem GROUP BY 1
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+SELECT c_name AS customer_name, o_custkey AS customer_id,
+       o_orderkey AS order_id,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       o_totalprice AS total_price, CAST(qty AS BIGINT) AS total_qty
+FROM big JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+        "supplier_part_breadth": """
+SELECT p_brand AS brand, p_type AS part_type,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9'
+GROUP BY 1, 2
+""",
+        "important_parts": f"""
+WITH per_part AS (
+  SELECT l_partkey, SUM({_DISC}) AS rev FROM lineitem GROUP BY 1),
+tot AS (SELECT SUM(rev) AS total FROM per_part)
+SELECT l_partkey AS part_id, CAST(rev AS DOUBLE) AS part_revenue
+FROM per_part, tot WHERE rev * 2000 > total
+""",
+        "idle_customers": """
+WITH pos AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n
+  FROM customer WHERE CAST(c_acctbal AS DECIMAL(18,2)) > 0),
+rich AS (
+  SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+  FROM customer, pos WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s),
+idle AS (
+  SELECT * FROM rich
+  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                          WHERE o_orderdate >= TIMESTAMP '1998-01-01'))
+SELECT CAST(c_nationkey AS INT) AS nation_id, COUNT(*) AS n_customers,
+       CAST(SUM(bal) AS DOUBLE) AS total_acctbal
+FROM idle GROUP BY 1
+""",
+        "min_cost_supplier": """
+WITH small AS (
+  SELECT l_partkey, l_suppkey, p_name,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_size <= 10),
+best AS (
+  SELECT *, MIN(price) OVER (PARTITION BY l_partkey) AS mn FROM small)
+SELECT DISTINCT l_partkey AS part_id, p_name AS part_name,
+       l_suppkey AS supplier_id, s_name AS supplier_name,
+       CAST(price AS DOUBLE) AS best_price
+FROM best JOIN supplier ON l_suppkey = s_suppkey
+WHERE price = mn
 """,
         "dedup_exact": f"""
 SELECT md5({_NORM}) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.money import disc_price, gross_price
+from ..functions.money import dec_money, disc_price, gross_price
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +246,253 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("supplier_id"),
         "s_name",
         F.col("_rev_dec").cast("double").alias("total_revenue"),
+    )
+
+
+def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-style volume shipping: revenue between two trading nations
+    by ship year, both directions.
+
+    lineitem⋈orders is the single fact-fact shuffle; supplier,
+    customer and both nation copies broadcast. The nation-pair filter
+    is applied right after the broadcast joins so the big shuffle
+    carries only matching rows.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    joined = (
+        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
+        .filter(pair)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-style market share: NATION_3 suppliers' share of ASIA-region
+    customer revenue per order year.
+
+    Numerator and denominator are exact DECIMAL sums; the share is a
+    single IEEE division of the two doubles at the output boundary —
+    deterministic under any partitioning.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_nation = nation.select(
+        F.col("n_nationkey").alias("_cn_key"), F.col("n_regionkey").alias("_cn_region")
+    )
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cn_key"))
+        .join(F.broadcast(region), F.col("_cn_region") == region.r_regionkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_sn_key"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_3", disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.sum(target).cast("double").alias("nation_revenue"),
+        F.sum(disc_price()).cast("double").alias("total_revenue"),
+    )
+    return agg.withColumn(
+        "share", F.col("nation_revenue") / F.col("total_revenue")
+    )
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-style promo revenue percentage for one ship-quarter.
+
+    part broadcast; shipdate range pushes to the lineitem scan. The
+    percent is one double division of two exact decimal sums.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(
+        F.lit(0).cast("decimal(18,2)")
+    )
+    agg = joined.agg(
+        F.sum(promo).cast("double").alias("promo_rev"),
+        F.sum(disc_price()).cast("double").alias("total_rev"),
+    )
+    return agg.withColumn(
+        "promo_pct", F.lit(100.0) * F.col("promo_rev") / F.col("total_rev")
+    )
+
+
+def large_volume_orders(spark: SparkSession, sf_dir: str, min_qty: int = 300) -> DataFrame:
+    """Q18-style large-volume orders: orders whose total line quantity
+    exceeds ``min_qty``, with customer attribution.
+
+    The HAVING prunes before the orders/customer joins, so only the
+    tiny qualifying set rides the joins (orders join keyed, customer
+    broadcast). Total order: totalprice desc, order id.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("_qty"))
+        .filter(F.col("_qty") > min_qty)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(customer), F.col("o_custkey") == customer.c_custkey
+    )
+    return joined.select(
+        F.col("c_name").alias("customer_name"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.col("o_totalprice").alias("total_price"),
+        F.col("_qty").cast("bigint").alias("total_qty"),
+    )
+
+
+def supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-style: distinct suppliers shipping each (brand, type) combo,
+    excluding one brand.
+
+    part broadcast onto lineitem, then a two-column distinct count —
+    Spark plans it as partial distinct + final agg (expand + two-stage
+    shuffle), no driver-side work.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#9"
+    ).select("p_partkey", "p_brand", "p_type")
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("part_type"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def important_parts(spark: SparkSession, sf_dir: str, fraction_denom: int = 2000) -> DataFrame:
+    """Q11-style important stock: parts whose revenue exceeds
+    1/``fraction_denom`` of total revenue.
+
+    The global total is a 1-row aggregate broadcast into the compare;
+    the threshold compare is ``part_rev * denom > total`` — an exact
+    integer-by-decimal multiply, so no floating-point epsilon at the
+    cut line (ties resolve identically on any engine).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(disc_price()).alias("_rev")
+    )
+    total = per_part.agg(F.sum("_rev").alias("_total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_rev") * fraction_denom > F.col("_total"))
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            F.col("_rev").cast("double").alias("part_revenue"),
+        )
+    )
+
+
+def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-style: well-funded customers with no orders since 1998
+    ("lapsed"), by nation.
+
+    "Well-funded" = acctbal above the mean positive acctbal; the mean
+    compare is ``acctbal * n > sum`` (exact decimal × count), so the
+    threshold is engine-exact. No-recent-orders is a left anti join —
+    the scalable EXISTS-negation (no row explosion, AQE-broadcastable);
+    the date filter pushes to the orders scan so the anti-join build
+    side only carries recent keys.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    pos = customer.filter(bal > 0).agg(
+        F.sum(bal).alias("_sum"), F.count(F.lit(1)).alias("_n")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    rich = customer.join(F.broadcast(pos)).filter(bal * F.col("_n") > F.col("_sum"))
+    idle = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
+    return idle.groupBy(F.col("c_nationkey").cast("int").alias("nation_id")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(bal).cast("double").alias("total_acctbal"),
+    )
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str, max_size: int = 10) -> DataFrame:
+    """Q2-style min-cost supplier: for each small part, the supplier(s)
+    that shipped it at the lowest extended price.
+
+    The per-part minimum is a window over the (already part-filtered)
+    lineitem — one shuffle on partkey; the equality filter keeps exact
+    DECIMAL ties like the reference's correlated subquery. part and
+    supplier broadcast.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size") <= max_size
+    ).select("p_partkey", "p_name", "p_size")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", dec_money("l_extendedprice").alias("_price")
+    )
+    small = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    best = small.withColumn("_min", F.min("_price").over(w)).filter(
+        F.col("_price") == F.col("_min")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            F.col("p_name").alias("part_name"),
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("_price").cast("double").alias("best_price"),
+        )
+        .distinct()
     )
 
 
