@@ -148,6 +148,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_parts": relational.important_parts,
         "idle_customers": relational.idle_customers,
         "min_cost_supplier": relational.min_cost_supplier,
+        "product_profit": relational.product_profit,
+        "returned_item_report": relational.returned_item_report,
+        "linestatus_priority": relational.linestatus_priority,
+        "small_qty_revenue": relational.small_qty_revenue,
+        "disjunctive_revenue": relational.disjunctive_revenue,
+        "dominant_suppliers": relational.dominant_suppliers,
         # --- training-data ops ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -649,6 +655,80 @@ SELECT DISTINCT l_partkey AS part_id, p_name AS part_name,
        CAST(price AS DOUBLE) AS best_price
 FROM best JOIN supplier ON l_suppkey = s_suppkey
 WHERE price = mn
+""",
+        "product_profit": f"""
+SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(SUM({_DISC} - CAST(p_retailprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(9,0))
+                          * CAST(0.6 AS DECIMAL(2,1))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2
+""",
+        "returned_item_report": f"""
+WITH agg AS (
+  SELECT c_custkey AS customer_id, c_name AS customer_name,
+         n_name AS nation, c_acctbal AS acctbal, SUM({_DISC}) AS _rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-04-01'
+  GROUP BY 1, 2, 3, 4)
+SELECT customer_id, customer_name, nation, acctbal,
+       CAST(_rev AS DOUBLE) AS revenue
+FROM agg ORDER BY _rev DESC, customer_id LIMIT 20
+""",
+        "linestatus_priority": """
+SELECT l_linestatus AS line_status,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_priority_lines,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS low_priority_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+""",
+        "small_qty_revenue": """
+WITH l AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#1'),
+w AS (
+  SELECT qty, price,
+         SUM(qty) OVER (PARTITION BY l_partkey) AS sum_q,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n
+  FROM l)
+SELECT CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly
+FROM w WHERE qty * 5 * n < sum_q
+""",
+        "disjunctive_revenue": f"""
+SELECT CAST(SUM({_DISC}) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""",
+        "dominant_suppliers": """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+  FROM lineitem GROUP BY 1, 2),
+w AS (
+  SELECT *, SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty,
+         COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
+  FROM pair)
+SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
+       s_name AS supplier_name, supp_qty, part_qty
+FROM w JOIN supplier ON l_suppkey = s_suppkey
+WHERE supp_qty * n_supp > part_qty * 2
 """,
         "dedup_exact": f"""
 SELECT md5({_NORM}) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies

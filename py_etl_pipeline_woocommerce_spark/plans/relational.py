@@ -515,3 +515,190 @@ def returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("return_flag"),
         F.col("sum_net_line").cast("double").alias("net"),
     )
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-style product profit by supplier nation and year.
+
+    The testdata has no partsupp, so unit cost is modeled as
+    0.6 × p_retailprice (exact decimal — the cost basis is a constant
+    factor, which preserves Q9's join/agg shape). part and supplier
+    broadcast; lineitem⋈orders is the one fact-fact shuffle.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_retailprice").cast("decimal(12,2)").alias("_retail")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("supp_nation")
+    )
+    cost = (
+        F.col("_retail")
+        * F.col("l_quantity").cast("decimal(9,0)")
+        * F.lit("0.6").cast("decimal(2,1)")
+    )
+    joined = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        joined.groupBy(
+            "supp_nation", F.year("o_orderdate").cast("int").alias("order_year")
+        )
+        .agg(F.sum(disc_price() - cost).cast("double").alias("profit"))
+    )
+
+
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-style: top 20 customers by revenue lost to returns in one
+    quarter, with nation attribution.
+
+    Return-flag and date filters push to the two scans, so the
+    lineitem⋈orders shuffle carries only returned lines of one
+    quarter; customer and nation broadcast. Total order: revenue
+    desc, customer id.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+    )
+    agg = joined.groupBy(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("n_name").alias("nation"),
+        F.col("c_acctbal").alias("acctbal"),
+    ).agg(F.sum(disc_price()).alias("_rev"))
+    return (
+        agg.orderBy(F.col("_rev").desc(), "customer_id")
+        .limit(20)
+        .withColumn("revenue", F.col("_rev").cast("double"))
+        .drop("_rev")
+    )
+
+
+def linestatus_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-style priority matrix by line status (testdata has no
+    shipmode column; linestatus plays its role).
+
+    One fact-fact join, then a 2-group agg with conditional counts —
+    the high/low split happens map-side inside the partial agg, so
+    only 2 rows ever shuffle.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    joined = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return joined.groupBy(F.col("l_linestatus").alias("line_status")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_lines"),
+        F.sum(F.when(high, 0).otherwise(1)).alias("low_priority_lines"),
+    )
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str, brand: str = "Brand#1") -> DataFrame:
+    """Q17-style: yearly-averaged revenue from small-quantity orders of
+    one brand's parts.
+
+    The per-part mean is a window over the brand-filtered lineitem
+    (part broadcast prunes before the shuffle). The "qty < 0.2×avg"
+    compare is integerized to ``5·qty·n < sum`` — exact, so both
+    engines cut the same rows. Output is one row; /7.0 happens in
+    double at the boundary.
+    """
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == brand
+    ).select("p_partkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("_qty"),
+        dec_money("l_extendedprice").alias("_price"),
+    )
+    small = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    flagged = small.withColumn("_sum_q", F.sum("_qty").over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(w)
+    )
+    kept = flagged.filter(
+        F.col("_qty") * 5 * F.col("_n") < F.col("_sum_q")
+    )
+    return kept.agg(
+        (F.sum("_price").cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-style revenue under an OR of (brand, size, quantity) triples.
+
+    The disjunction references both part and lineitem columns, so it
+    evaluates after the broadcast join; per-branch part predicates
+    could be pushed as a brand IN-list — Catalyst derives that
+    automatically from the OR (constraint propagation).
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & qty.between(20, 30))
+    )
+    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    return joined.filter(cond).agg(
+        F.sum(disc_price()).cast("double").alias("revenue")
+    )
+
+
+def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-flavored: suppliers whose shipped quantity of a part is more
+    than twice the part's mean per-supplier share (the testdata has no
+    partsupp/availqty, so "dominant share of shipped volume" replaces
+    "excess stock"). Mean-relative, so the cut stays meaningful at any
+    scale factor.
+
+    Pre-aggregating to (part, supplier) before the per-part window
+    shrinks the window input from N rows to distinct pairs; the
+    ``supp·n > 2·total`` compare is integer-exact. supplier broadcast
+    at the end, onto the small qualifying set.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("_qty")
+    )
+    pair = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("_qty").alias("supp_qty")
+    )
+    w = Window.partitionBy("l_partkey")
+    flagged = pair.withColumn("part_qty", F.sum("supp_qty").over(w)).withColumn(
+        "_n_supp", F.count(F.lit(1)).over(w)
+    )
+    dominant = flagged.filter(
+        F.col("supp_qty") * F.col("_n_supp") > F.col("part_qty") * 2
+    ).drop("_n_supp")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return dominant.join(
+        F.broadcast(supplier), dominant.l_suppkey == supplier.s_suppkey
+    ).select(
+        F.col("l_partkey").alias("part_id"),
+        F.col("l_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+        "supp_qty",
+        "part_qty",
+    )
