@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from py_etl_pipeline_woocommerce_spark.catalog import load_table
 from py_etl_pipeline_woocommerce_spark.operators import (
+    corpus,
     dedup,
     events,
     sessionize,
@@ -168,6 +169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
         "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(_docs(s, d)),
         "pii_scrub": lambda s, d: textstats.pii_scrub(_docs(s, d)),
+        "tfidf_top_terms": lambda s, d: corpus.tfidf_top_terms(_docs(s, d)),
+        "ngram_freq": lambda s, d: corpus.ngram_freq(_docs(s, d)),
+        "stratified_sample": lambda s, d: corpus.stratified_sample(_docs(s, d)),
+        "corpus_stats": lambda s, d: corpus.corpus_stats(_docs(s, d)),
+        "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
         "sessionize": lambda s, d: sessionize.sessionize(_events(s, d)),
         # temporal / time-series operators
@@ -793,6 +799,70 @@ SELECT doc_id,
        len(regexp_extract_all(t2,
          '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phone
 FROM s2
+""",
+        "tfidf_top_terms": f"""
+WITH toks AS (
+  SELECT doc_id, t.term FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+       UNNEST(tk) AS t(term)
+  WHERE t.term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         CAST(tf * n_docs AS DOUBLE) / df AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, score, term_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS term_rank
+      FROM scored)
+WHERE term_rank <= 5
+""",
+        "ngram_freq": f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT lang,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS grams
+      FROM t),
+g AS (SELECT lang, u.ngram FROM s, UNNEST(grams) AS u(ngram)),
+c AS (SELECT lang, ngram, COUNT(*) AS freq FROM g GROUP BY 1, 2)
+SELECT lang, ngram, freq, freq_rank
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                   ORDER BY freq DESC, ngram) AS freq_rank
+      FROM c)
+WHERE freq_rank <= 20
+""",
+        "stratified_sample": """
+WITH b AS (
+  SELECT doc_id, lang, source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100 AS bucket
+  FROM documents)
+SELECT doc_id, lang, source, bucket
+FROM b WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+""",
+        "corpus_stats": f"""
+WITH t AS (
+  SELECT lang, source, text, {_NORM} AS norm FROM documents)
+SELECT lang, source, COUNT(*) AS n_docs,
+       SUM(CAST(CASE WHEN length(norm) = 0 THEN 0
+                     ELSE len(string_split(norm, ' ')) END AS BIGINT)) AS total_tokens,
+       SUM(CAST(length(text) AS BIGINT)) AS total_chars,
+       MAX(CAST(length(text) AS BIGINT)) AS max_chars,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM t GROUP BY 1, 2
+""",
+        "label_centroids": """
+WITH e AS (
+  SELECT label, CAST(i.range AS INT) AS dim,
+         CAST(floor(CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE)
+                    * 1000000000.0) AS BIGINT) AS v
+  FROM embeddings CROSS JOIN range(0, 64) i)
+SELECT label, dim,
+       CAST(SUM(v) AS DOUBLE)
+         / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS centroid,
+       COUNT(*) AS n_vecs
+FROM e GROUP BY 1, 2
 """,
         "event_window_agg": """
 SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,

@@ -1,0 +1,131 @@
+"""Corpus-level analytics over the ``documents`` table: TF-IDF term
+extraction, n-gram frequency, deterministic stratified sampling, and
+per-stratum corpus statistics.
+
+These are the ops a training-data pipeline runs corpus-wide, so each
+is a pure column-expression pipeline (explode → partial-agg → shuffle
+on a high-cardinality key) that scales linearly: no driver-side state,
+no collect, no Python in the loop.
+
+Cross-engine determinism notes:
+- TF-IDF uses a log-free rarity weight ``tf · N / df`` (one IEEE
+  double division). ``ln``/``log`` are correctly-rounded on neither
+  engine and would break value-hash parity in the last ulp.
+- Sampling is hash-mod (md5 of the doc id), the standard reproducible
+  sampler: membership is a pure function of the row, so it needs no
+  count, no sort, no RNG state, and re-runs identically on any
+  cluster layout — unlike ``df.sample`` whose output depends on
+  partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count_expr, tokens_expr, word_shingles
+
+
+def _hash_bucket(col, buckets: int = 100):
+    """Deterministic [0, buckets) bucket from md5 of a column's string
+    form — portable: DuckDB computes the identical value via
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % buckets``."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10)
+    return (h.cast("bigint") % buckets).alias("bucket")
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` highest-TF-IDF terms per document.
+
+    explode → (doc, term) partial counts → term document-frequency →
+    broadcast 1-row corpus size → per-doc top-k window. The big
+    shuffles key on ``term`` and ``doc_id`` (both high-cardinality, no
+    skew); df is re-derived from tf (already one row per doc×term) so
+    the corpus is scanned once.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score", "term_rank")
+    )
+
+
+def ngram_freq(documents: DataFrame, n: int = 2, topk: int = 20) -> DataFrame:
+    """Top-``topk`` word ``n``-grams per language by frequency.
+
+    One explode + two-key agg; the per-language top-k is a window over
+    the (tiny) aggregated counts, not the raw corpus. Ties break on
+    the n-gram string so the cut is total-ordered.
+    """
+    grams = documents.select(
+        "lang", F.explode(word_shingles(tokens_expr("text"), n)).alias("ngram")
+    )
+    counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("ngram"))
+    return (
+        counts.withColumn("freq_rank", F.row_number().over(w))
+        .filter(F.col("freq_rank") <= topk)
+    )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_pct: int = 20,
+) -> DataFrame:
+    """Reproducible stratified sample: keep ``rates[lang]`` percent of
+    each language stratum (``default_pct`` for unlisted strata).
+
+    Pure map-side filter — membership depends only on
+    ``md5(doc_id)``, so the sample is identical at any scale, cluster
+    size, or re-run, and composable (a 50% sample contains the 25%
+    sample of the same key).
+    """
+    rates = {"en": 50} if rates is None else rates
+    rate = F.lit(default_pct)
+    for lang, pct in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    bucket = _hash_bucket(F.col("doc_id"))
+    return (
+        documents.withColumn("bucket", bucket)
+        .withColumn("_rate", rate)
+        .filter(F.col("bucket") < F.col("_rate"))
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+def corpus_stats(documents: DataFrame) -> DataFrame:
+    """Per (lang, source) corpus statistics: doc count, token and char
+    totals, mean document length.
+
+    Map-side-combinable aggregates over one scan; (lang × source) is a
+    small group space, but the partial agg means the shuffle carries
+    only group rows regardless of corpus size.
+    """
+    return (
+        documents.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_expr("text")).alias("total_tokens"),
+            F.sum(F.length("text").cast("bigint")).alias("total_chars"),
+            F.max(F.length("text").cast("bigint")).alias("max_chars"),
+        )
+        .withColumn(
+            "avg_chars", F.col("total_chars").cast("double") / F.col("n_docs")
+        )
+    )

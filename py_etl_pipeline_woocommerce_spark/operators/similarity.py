@@ -279,3 +279,42 @@ def ann_ivf_topk(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "knn_rank")
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid of the embedding vectors, one output row per
+    (label, dimension).
+
+    posexplode turns the N×64 corpus into rows keyed by (label, dim) —
+    a high-cardinality, perfectly balanced shuffle key. Components are
+    quantized to a 1e-9 grid via ``floor(v · 1e9)`` before summing:
+    double summation order varies with partitioning, but the bigint
+    grid sum is exact and associative, so the centroid is
+    bit-identical on any cluster layout (and to the DuckDB oracle —
+    double→decimal rounding differs between engines, floor does not).
+    The float→double widening is exact; the single double division at
+    the boundary is IEEE-deterministic.
+
+    Emitting the exploded (label, dim, value) form instead of
+    re-assembled arrays keeps the op one shuffle; downstream consumers
+    that want vectors group back with ``collect_list(struct(dim, v))``
+    + ``array_sort``.
+    """
+    e = embeddings.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "_v"),
+    )
+    grid = F.floor(F.col("_v") * F.lit(1e9)).cast("bigint")
+    return (
+        e.groupBy("label", F.col("dim").cast("int").alias("dim"))
+        .agg(F.sum(grid).alias("_s"), F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "label",
+            "dim",
+            (
+                F.col("_s").cast("double")
+                / (F.col("n_vecs").cast("double") * F.lit(1e9))
+            ).alias("centroid"),
+            "n_vecs",
+        )
+    )

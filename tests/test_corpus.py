@@ -1,0 +1,90 @@
+"""Unit tests for operators/corpus.py and label_centroids: literal
+hand-computed expectations plus the invariants that matter at scale
+(sample composability, centroid exactness under repartitioning)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from py_etl_pipeline_woocommerce_spark.catalog import load_table
+from py_etl_pipeline_woocommerce_spark.operators import corpus
+from py_etl_pipeline_woocommerce_spark.operators.similarity import label_centroids
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat", "en", "s1"),
+            (2, "the dog sat", "en", "s1"),
+            (3, "le chat noir", "fr", "s2"),
+            (4, "", "en", "s2"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+
+
+def test_tfidf_rare_term_outranks_common(spark, docs):
+    out = corpus.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: "the" has tf=2 but df=2 -> score 2*4/2=4; "cat" tf=1 df=1 -> 4;
+    # "mat"/"on"/"sat" score 4 or 2 ... top-2 is deterministic by (score desc, term)
+    top1 = sorted(by_doc[1], key=lambda r: r.term_rank)
+    assert [r.term for r in top1] == ["cat", "mat"]
+    assert all(r.score == 4.0 for r in top1)
+    # empty doc contributes no terms
+    assert 4 not in by_doc
+
+
+def test_ngram_freq_counts(spark, docs):
+    out = {
+        (r.lang, r.ngram): r.freq
+        for r in corpus.ngram_freq(docs, n=2, topk=50).collect()
+    }
+    assert out[("en", "the cat")] == 1
+    assert out[("en", "sat on")] == 1
+    assert out[("fr", "le chat")] == 1
+    # "the dog" and "dog sat" each once; "cat sat" once
+    assert out[("en", "cat sat")] == 1
+
+
+def test_stratified_sample_composable_and_deterministic(spark, sf_dir):
+    documents = load_table(spark, sf_dir, "documents")
+    half = corpus.stratified_sample(documents, rates={"en": 50}, default_pct=20)
+    quarter = corpus.stratified_sample(documents, rates={"en": 25}, default_pct=10)
+    half_ids = {r.doc_id for r in half.collect()}
+    quarter_ids = {r.doc_id for r in quarter.collect()}
+    # nested rates -> nested samples (hash-mod composability)
+    assert quarter_ids <= half_ids
+    # re-run identical
+    assert {r.doc_id for r in half.collect()} == half_ids
+
+
+def test_corpus_stats_totals(spark, docs):
+    out = {(r.lang, r.source): r for r in corpus.corpus_stats(docs).collect()}
+    en_s1 = out[("en", "s1")]
+    assert en_s1.n_docs == 2
+    assert en_s1.total_tokens == 6 + 3
+    assert en_s1.total_chars == len("the cat sat on the mat") + len("the dog sat")
+    assert en_s1.avg_chars == en_s1.total_chars / 2
+    assert out[("en", "s2")].total_tokens == 0
+
+
+def test_label_centroids_exact_and_partition_invariant(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0], 7), (1, [3.0, 4.0], 7), (2, [10.0, 20.0], 8)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {(r.label, r.dim): r for r in label_centroids(emb).collect()}
+    assert out[(7, 0)].centroid == 2.0 and out[(7, 1)].centroid == 3.0
+    assert out[(8, 0)].centroid == 10.0
+    assert out[(7, 0)].n_vecs == 2
+    # identical under a different partitioning (exact grid sums)
+    re = {
+        (r.label, r.dim): r.centroid
+        for r in label_centroids(emb.repartition(7)).collect()
+    }
+    assert re == {k: v.centroid for k, v in out.items()}

@@ -27,7 +27,7 @@ CROSS_JOIN_BASELINES = {"ann_topk", "embedding_cosine_dup", "ann_ivf_topk"}
 #: mean acctbal). The build side is exactly one row by construction,
 #: so the "nested loop" is a constant-time compare per probe row —
 #: the scalable alternative to an all-data-to-one-partition window.
-SCALAR_BROADCAST = {"important_parts", "idle_customers"}
+SCALAR_BROADCAST = {"important_parts", "idle_customers", "tfidf_top_terms"}
 
 
 def plan_of(df) -> str:
