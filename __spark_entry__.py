@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
         "embedding_cosine_dup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d)),
         "ann_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
@@ -175,6 +176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": lambda s, d: corpus.corpus_stats(_docs(s, d)),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
+        "hopping_window_agg": lambda s, d: events.hopping_window_agg(_events(s, d)),
         "sessionize": lambda s, d: sessionize.sessionize(_events(s, d)),
         # temporal / time-series operators
         "asof_join": lambda s, d: temporal.asof_join(_events(s, d)),
@@ -743,6 +745,30 @@ FROM documents GROUP BY 1
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
+        "dedup_clusters": f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_SQL})),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+""",
+        "hopping_window_agg": """
+WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
+x AS (SELECT event_type, value, ts_us,
+             (ts_us - ts_us % 1800000000) - k.range * 1800000000 AS window_start_us
+      FROM e CROSS JOIN range(0, 2) k)
+SELECT window_start_us, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM x WHERE ts_us < window_start_us + 3600000000
+GROUP BY 1, 2
+""",
         "embedding_cosine_dup": f"""
 WITH a AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings),
 b AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings)

@@ -14,7 +14,7 @@ in the loop).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -326,3 +326,66 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3, bits: int = 32) ->
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def dedup_clusters(
+    documents: DataFrame, pairs: DataFrame | None = None, max_iter: int = 20
+) -> DataFrame:
+    """Resolve near-dup pairs into connected components: every doc gets
+    a ``cluster_id`` = the smallest doc_id reachable through the
+    near-dup graph (singletons cluster with themselves). The keep-one
+    policy of a dedup pipeline is then ``keep doc_id == cluster_id``.
+
+    Iterative min-label propagation: each round every vertex adopts
+    the minimum label among itself and its neighbors, converging in
+    O(component diameter) rounds — near-dup components are tight
+    (diameter a few hops), so this terminates in a handful of
+    distributed joins. Each round localCheckpoints the label frame:
+    without it the lineage (and the codegen'd plan) doubles per round,
+    which is what actually kills iterative DataFrame jobs at scale.
+    Convergence is detected with a distributed count of changed
+    labels — no driver-side data beyond that scalar.
+
+    At 100 TB the same loop holds (labels and edges shuffle on doc
+    ids, both high-cardinality); for adversarial graphs with long
+    chains, swap the propagation step for the large-star/small-star
+    rounds of Kiveris et al. "Connected Components in MapReduce" —
+    same join shape, logarithmic rounds.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents)
+    edges = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    edges = edges.persist()
+    labels = documents.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.doc_id)
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("_nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    w = Window.partitionBy("cluster_id")
+    return labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))

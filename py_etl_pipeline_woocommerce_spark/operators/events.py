@@ -53,3 +53,38 @@ def event_window_agg(events: DataFrame) -> DataFrame:
             F.sum(dec_money("value")).cast("double").alias("total_value"),
         )
     )
+
+
+def hopping_window_agg(
+    events: DataFrame,
+    window_us: int = 3_600_000_000,
+    hop_us: int = 1_800_000_000,
+) -> DataFrame:
+    """Hopping (sliding) windows: 1-hour windows advancing every 30
+    minutes — each event lands in ``window/hop`` overlapping windows.
+
+    The window membership explode is a ``sequence`` of the k window
+    starts covering the event (pure integer arithmetic — identical in
+    any engine), then the same map-side-combined agg as the tumbling
+    case. Fan-out is the fixed window/hop ratio (2 here), so the
+    shuffled volume is 2× the input regardless of scale — the
+    standard streaming-SQL hopping-window plan.
+    """
+    n = window_us // hop_us
+    ts_us = F.expr("ts div 1000")
+    anchor = ts_us - (ts_us % hop_us)
+    starts = F.sequence(
+        F.lit(0).cast("bigint"), F.lit(int(n - 1)).cast("bigint")
+    )
+    exploded = events.select(
+        "event_type",
+        F.col("value"),
+        F.explode(
+            F.transform(starts, lambda k: anchor - k * F.lit(int(hop_us)))
+        ).alias("window_start_us"),
+        ts_us.alias("_ts_us"),
+    ).filter(F.col("_ts_us") < F.col("window_start_us") + F.lit(int(window_us)))
+    return exploded.groupBy("window_start_us", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec_money("value")).cast("double").alias("total_value"),
+    )

@@ -88,3 +88,40 @@ def test_label_centroids_exact_and_partition_invariant(spark):
         for r in label_centroids(emb.repartition(7)).collect()
     }
     assert re == {k: v.centroid for k, v in out.items()}
+
+
+def test_dedup_clusters_chain_converges(spark):
+    """A 4-doc chain a-b-c-d must collapse to one cluster even though
+    a and d are never a pair (transitivity through propagation)."""
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "en", "s") for i in range(1, 7)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r.doc_id: r for r in dedup_clusters(docs, pairs=pairs).collect()}
+    assert all(out[i].cluster_id == 1 for i in (1, 2, 3, 4))
+    assert all(out[i].cluster_size == 4 for i in (1, 2, 3, 4))
+    # singletons cluster with themselves
+    assert out[5].cluster_id == 5 and out[5].cluster_size == 1
+    assert out[6].cluster_id == 6
+
+
+def test_hopping_window_membership(spark):
+    """Each event lands in exactly window/hop windows; counts line up."""
+    from py_etl_pipeline_woocommerce_spark.operators.events import hopping_window_agg
+
+    hour = 3_600_000_000_000  # ns
+    events = spark.createDataFrame(
+        [(1, 0 * hour + 10, "u1", "click", 1.0, "{}"),
+         (2, 0 * hour + 20, "u2", "click", 2.0, "{}")],
+        "event_id bigint, ts bigint, user_id string, event_type string, value double, props string",
+    )
+    rows = hopping_window_agg(events).collect()
+    # both events at ~t=0 -> windows starting at 0 and -30min
+    starts = sorted(r.window_start_us for r in rows)
+    assert starts == [-1_800_000_000, 0]
+    assert all(r.n_events == 2 and r.total_value == 3.0 for r in rows)
