@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_products": analytics.top_products,
         "category_mix": analytics.category_mix,
         "geo_rollup": analytics.geo_rollup,
+        "cohort_retention": analytics.cohort_retention,
         # --- relational breadth ---
         "pricing_summary": relational.pricing_summary,
         "regional_revenue": relational.regional_revenue,
@@ -177,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
         "hopping_window_agg": lambda s, d: events.hopping_window_agg(_events(s, d)),
+        "funnel_steps": lambda s, d: events.funnel_steps(_events(s, d)),
         "sessionize": lambda s, d: sessionize.sessionize(_events(s, d)),
         # temporal / time-series operators
         "asof_join": lambda s, d: temporal.asof_join(_events(s, d)),
@@ -452,6 +454,31 @@ agg AS (SELECT region, country, COUNT(*) AS orders, SUM(_order_net) AS _net
         FROM g GROUP BY 1, 2)
 SELECT region, country, orders, CAST(_net AS DOUBLE) AS net
 FROM agg ORDER BY _net DESC, region, country LIMIT 20
+""",
+        "cohort_retention": """
+WITH f AS (SELECT o_custkey, MIN(o_orderdate) AS fd FROM orders GROUP BY 1)
+SELECT strftime(fd, '%Y-%m') AS cohort_month,
+       CAST((year(o_orderdate) * 12 + month(o_orderdate))
+            - (year(fd) * 12 + month(fd)) AS INT) AS month_idx,
+       COUNT(DISTINCT o.o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders o JOIN f USING (o_custkey)
+GROUP BY 1, 2
+""",
+        "funnel_steps": """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+v AS (SELECT user_id, MIN(t) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(t) AS t_click
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND t >= t_view GROUP BY 1),
+p AS (SELECT e.user_id, MIN(t) AS t_purchase
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND t >= t_click GROUP BY 1)
+SELECT 1 AS stage_order, 'view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT 2, 'click', COUNT(*) FROM c
+UNION ALL
+SELECT 3, 'purchase', COUNT(*) FROM p
 """,
         "pricing_summary": f"""
 WITH agg AS (

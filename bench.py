@@ -29,6 +29,11 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash",
     "ann_topk",
+    "product_profit",
+    "tfidf_top_terms",
+    "label_centroids",
+    "stratified_sample",
+    "hopping_window_agg",
     "event_window_agg",
     "sessionize",
     "asof_join",

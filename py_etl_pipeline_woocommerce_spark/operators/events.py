@@ -88,3 +88,49 @@ def hopping_window_agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec_money("value")).cast("double").alias("total_value"),
     )
+
+
+def funnel_steps(events: DataFrame) -> DataFrame:
+    """Ordered funnel view → click → purchase: per stage, the number
+    of users who completed it in sequence (a later stage only counts
+    events at/after the user's earliest qualifying previous stage).
+
+    Three per-user aggregations chained by join — each stage frame is
+    one row per surviving user, strictly shrinking, so the joins get
+    cheaper down the funnel and AQE broadcasts the later stages. No
+    window over the whole event stream: the per-user min is a
+    map-side-combinable agg, robust to power-user skew.
+    """
+    e = events.select("user_id", "event_type", F.expr("ts div 1000").alias("t"))
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_view"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("t") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("t") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+
+    return (
+        stage(views, "view", 1)
+        .unionByName(stage(clicks, "click", 2))
+        .unionByName(stage(purchases, "purchase", 3))
+    )

@@ -157,3 +157,32 @@ def geo_rollup(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
         .limit(limit)
         .select("region", "country", "orders", F.col("_net").cast("double").alias("net"))
     )
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly acquisition-cohort retention: customers grouped by the
+    month of their first order; for each (cohort, months-since) cell,
+    how many of them ordered and how many orders they placed.
+
+    The cohort frame is an aggregate of orders (one shuffle on
+    custkey); joined back it is far smaller than orders, so AQE
+    broadcasts it and the cell aggregation is the only other shuffle.
+    Month index is integer year*12+month arithmetic — no interval
+    semantics to disagree over between engines.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    first = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("_fd"))
+    month_num = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    joined = orders.join(first, "o_custkey")
+    return (
+        joined.groupBy(
+            F.date_format("_fd", "yyyy-MM").alias("cohort_month"),
+            (month_num(F.col("o_orderdate")) - month_num(F.col("_fd")))
+            .cast("int")
+            .alias("month_idx"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -115,3 +115,19 @@ def run_stream_to_upsert(
         .start()
     )
     return query, upserter
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps one row per key and evicts
+    key state once the watermark passes — bounded memory on an
+    unbounded stream, the streaming twin of ``dedup_exact``. Re-sent
+    events (at-least-once sources always re-send) collapse as long as
+    the duplicate arrives within the watermark window.
+    """
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )

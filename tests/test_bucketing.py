@@ -1,0 +1,68 @@
+"""Bucketed co-located joins: the write-once-shuffle-never layout.
+
+The assertion that matters is on the PLAN: joining two tables
+bucketed+sorted on the join key must contain NO Exchange (shuffle)
+and NO Sort above the scans — that's the 100 TB win bucketing buys.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.catalog import load_table
+from py_etl_pipeline_woocommerce_spark.sources.bucketing import drop_table, write_bucketed
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    write_bucketed(li, "li_bucketed", ["l_orderkey"], n_buckets=8)
+    write_bucketed(
+        ords.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "ord_bucketed",
+        ["l_orderkey"],
+        n_buckets=8,
+    )
+    yield "li_bucketed", "ord_bucketed"
+    drop_table(spark, "li_bucketed")
+    drop_table(spark, "ord_bucketed")
+    shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_bucketed_join_is_shuffle_free(spark, bucketed_tables):
+    li_t, ord_t = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(li_t).join(spark.table(ord_t), "l_orderkey")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # values still correct
+        n = joined.count()
+        assert n == spark.table(li_t).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_is_shuffle_free(spark, bucketed_tables):
+    li_t, _ = bucketed_tables
+    agg = spark.table(li_t).groupBy("l_orderkey").agg(F.sum("l_quantity"))
+    assert "Exchange" not in _plan(agg)

@@ -214,3 +214,38 @@ def test_stateful_sessionize_stream_across_batches(spark, stream_dirs):
         r for r in rows if not r["closed"] and r["session_seq"] == 1
     ]
     assert open_last and open_last[-1]["n_events"] == 1
+
+
+def test_streaming_dedup_across_batches(spark, stream_dirs):
+    """Duplicate event_ids re-sent in a later micro-batch are dropped
+    while the key is inside the watermark horizon."""
+    from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+        read_event_stream,
+        streaming_dedup,
+    )
+
+    src, ckpt = stream_dirs
+    _write_events(f"{src}/b1.parquet", [
+        (1, 1 * HOUR_NS, 10, "click", 1.0),
+        (2, 1 * HOUR_NS + 10, 11, "view", 2.0),
+    ])
+    _write_events(f"{src}/b2.parquet", [
+        (2, 1 * HOUR_NS + 10, 11, "view", 2.0),   # duplicate
+        (3, 2 * HOUR_NS, 12, "purchase", 3.0),
+    ])
+    deduped = streaming_dedup(read_event_stream(spark, src, max_files_per_trigger=1))
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ids = sorted(
+            r.event_id for r in spark.sql("SELECT event_id FROM dedup_sink").collect()
+        )
+        assert ids == [1, 2, 3]
+    finally:
+        q.stop()
