@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_qty_revenue": relational.small_qty_revenue,
         "disjunctive_revenue": relational.disjunctive_revenue,
         "dominant_suppliers": relational.dominant_suppliers,
+        "supplier_quartiles": relational.supplier_quartiles,
+        "segment_share": relational.segment_share,
         # --- training-data ops ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -690,6 +692,32 @@ SELECT DISTINCT l_partkey AS part_id, p_name AS part_name,
        CAST(price AS DOUBLE) AS best_price
 FROM best JOIN supplier ON l_suppkey = s_suppkey
 WHERE price = mn
+""",
+        "supplier_quartiles": """
+WITH tiled AS (
+  SELECT s_nationkey, CAST(s_acctbal AS DECIMAL(18,2)) AS bal,
+         NTILE(4) OVER (PARTITION BY s_nationkey
+                        ORDER BY CAST(s_acctbal AS DECIMAL(18,2)), s_suppkey)
+           AS quartile
+  FROM supplier)
+SELECT CAST(s_nationkey AS INT) AS nation_id, quartile,
+       COUNT(*) AS n_suppliers,
+       CAST(MIN(bal) AS DOUBLE) AS min_bal,
+       CAST(MAX(bal) AS DOUBLE) AS max_bal,
+       CAST(SUM(bal) AS DOUBLE) AS total_bal
+FROM tiled GROUP BY 1, 2
+""",
+        "segment_share": f"""
+WITH agg AS (
+  SELECT c_mktsegment AS segment, SUM({_DISC}) AS _rev
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1)
+SELECT segment, CAST(_rev AS DOUBLE) AS revenue,
+       CAST(_rev AS DOUBLE)
+         / CAST(SUM(_rev) OVER () AS DOUBLE) AS share
+FROM agg
 """,
         "product_profit": f"""
 SELECT n_name AS supp_nation, CAST(year(o_orderdate) AS INT) AS order_year,

@@ -702,3 +702,58 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_qty",
         "part_qty",
     )
+
+
+def supplier_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance quartiles per nation (NTILE window) with
+    per-quartile balance aggregates.
+
+    Quartile assignment orders by (acctbal, suppkey) — a total order,
+    so NTILE boundaries are identical on any engine/parallelism. One
+    shuffle on nationkey for the window, the quartile agg reuses the
+    same partitioning.
+    """
+    supplier = load_table(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal").cast("decimal(18,2)")
+    w = Window.partitionBy("s_nationkey").orderBy(bal, F.col("s_suppkey"))
+    tiled = supplier.withColumn("quartile", F.ntile(4).over(w))
+    return (
+        tiled.groupBy(
+            F.col("s_nationkey").cast("int").alias("nation_id"), "quartile"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.min(bal).cast("double").alias("min_bal"),
+            F.max(bal).cast("double").alias("max_bal"),
+            F.sum(bal).cast("double").alias("total_bal"),
+        )
+    )
+
+
+def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue share per market segment — ratio-to-report: each
+    segment's net revenue over the all-segments total.
+
+    The total comes from a window over the (≤5-row) aggregated frame,
+    not the fact table, so the unpartitioned window is a no-op at any
+    scale. Share is one double division of two exact decimal sums.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = lineitem.join(
+        orders, lineitem.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.sum(disc_price()).alias("_rev")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "segment",
+        F.col("_rev").cast("double").alias("revenue"),
+        (F.col("_rev").cast("double") / F.sum("_rev").over(w).cast("double")).alias(
+            "share"
+        ),
+    )

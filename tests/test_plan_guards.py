@@ -107,3 +107,37 @@ def test_upsert_antijoin_broadcasts_batch_keys(plans):
     # shuffle the full table
     p = plans["upsert"]
     assert "BroadcastHashJoin" in p and "LeftAnti" in p
+
+
+def test_new_tpch_filters_push_down(plans):
+    # Q10: returnflag + orderdate range both reach their scans
+    p = plans["returned_item_report"]
+    after = p.split("PushedFilters", 1)[1][:400]
+    assert "l_returnflag" in after or "o_orderdate" in after
+    assert p.count("PushedFilters") >= 2
+    # Q14: shipdate quarter range reaches the lineitem scan
+    p = plans["promo_revenue"]
+    assert "l_shipdate" in p.split("PushedFilters", 1)[1][:400]
+    # Q22 variant: recent-orders date filter reaches the orders scan
+    p = plans["idle_customers"]
+    assert "o_orderdate" in p
+    # Q2 variant: part size filter reaches the part scan
+    p = plans["min_cost_supplier"]
+    assert "p_size" in p.split("PushedFilters", 1)[1][:600] or "p_size" in p
+
+
+def test_new_tpch_dims_broadcast(plans):
+    # Q7: supplier, customer, both nation copies broadcast — only
+    # lineitem⋈orders may shuffle
+    assert plans["volume_shipping"].count("BroadcastHashJoin") >= 4
+    # Q9: part, supplier, nation broadcast
+    assert plans["product_profit"].count("BroadcastHashJoin") >= 3
+    # Q8: five broadcast dims around the one fact-fact join
+    assert plans["market_share"].count("BroadcastHashJoin") >= 4
+
+
+def test_funnel_and_cohort_shapes(plans):
+    # funnel stages aggregate before joining — no window over raw events
+    assert "Window" not in plans["funnel_steps"]
+    # cohort join is keyed (hash or broadcast after AQE), never nested-loop
+    assert "BroadcastNestedLoopJoin" not in plans["cohort_retention"]
