@@ -158,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dominant_suppliers": relational.dominant_suppliers,
         "supplier_quartiles": relational.supplier_quartiles,
         "segment_share": relational.segment_share,
+        "revenue_pivot": relational.revenue_pivot,
+        "customer_year_cohorts": relational.customer_year_cohorts,
         # --- training-data ops ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -188,6 +190,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multires_rollup": lambda s, d: temporal.multires_rollup(_events(s, d)),
         "value_percentiles": lambda s, d: temporal.value_percentiles(_events(s, d)),
         "daily_active_users": lambda s, d: temporal.daily_active_users(_events(s, d)),
+        "fill_missing_days": lambda s, d: temporal.fill_missing_days(_events(s, d)),
+        "rolling_active_users": lambda s, d: temporal.rolling_active_users(_events(s, d)),
+        "daily_active_users_approx": lambda s, d: temporal.daily_active_users_approx(
+            _events(s, d)
+        ),
+        "value_percentiles_approx": lambda s, d: temporal.value_percentiles_approx(
+            _events(s, d)
+        ),
     }
 
 
@@ -1023,6 +1033,56 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.9), 6) AS p90,
        ROUND(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY 1
+""",
+        "revenue_pivot": f"""
+SELECT l_linestatus AS line_status,
+       CAST(SUM(CASE WHEN l_returnflag = 'A' THEN {_DISC} END) AS DOUBLE) AS net_A,
+       CAST(SUM(CASE WHEN l_returnflag = 'N' THEN {_DISC} END) AS DOUBLE) AS net_N,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN {_DISC} END) AS DOUBLE) AS net_R
+FROM lineitem GROUP BY 1
+""",
+        "customer_year_cohorts": """
+WITH y95 AS (SELECT DISTINCT o_custkey AS customer_id FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+               AND o_orderdate < TIMESTAMP '1996-01-01'),
+y96 AS (SELECT DISTINCT o_custkey AS customer_id FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01')
+SELECT 'both_years' AS cohort, customer_id
+FROM (SELECT customer_id FROM y95 INTERSECT SELECT customer_id FROM y96)
+UNION ALL
+SELECT 'only_1995', customer_id
+FROM (SELECT customer_id FROM y95 EXCEPT SELECT customer_id FROM y96)
+""",
+        "fill_missing_days": """
+WITH daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS val
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM bounds),
+types AS (SELECT DISTINCT event_type FROM daily)
+SELECT spine.day_idx * 86400000000 AS day_us, types.event_type,
+       COALESCE(n_events, 0) AS n_events,
+       COALESCE(CAST(val AS DOUBLE), 0.0) AS total_value
+FROM spine CROSS JOIN types
+LEFT JOIN daily ON daily.day_idx = spine.day_idx
+                AND daily.event_type = types.event_type
+""",
+        "rolling_active_users": """
+WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+  FROM events),
+contrib AS (
+  SELECT day_idx + k.range AS target_day, user_id
+  FROM du CROSS JOIN range(0, 7) k),
+observed AS (SELECT DISTINCT day_idx AS target_day FROM du)
+SELECT target_day * 86400000000 AS day_us,
+       COUNT(DISTINCT user_id) AS active_users
+FROM contrib
+WHERE target_day IN (SELECT target_day FROM observed)
+GROUP BY 1
 """,
         "daily_active_users": """
 SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,

@@ -205,3 +205,123 @@ def daily_active_users(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(dec_money("value")).cast("double").alias("total_value"),
     )
+
+
+def fill_missing_days(events: DataFrame) -> DataFrame:
+    """Zero-filled daily event counts per type: a day spine spanning
+    the observed [min, max] day range, cross-joined with the observed
+    event types, left-joined to the daily aggregates.
+
+    The spine explodes from a 1-row min/max aggregate and the type
+    list is a distinct over the same daily agg — both tiny regardless
+    of input scale, so the spine×types frame (days × types rows) is
+    broadcast into the left join against the daily aggregate. Gap
+    filling never touches raw events twice.
+    """
+    e = _ts_us(events)
+    daily = e.groupBy(
+        (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec_money("value")).alias("_val"),
+    )
+    bounds = daily.agg(
+        F.min("day_idx").alias("_lo"), F.max("day_idx").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day_idx")
+    )
+    types = daily.select("event_type").distinct()
+    grid = spine.crossJoin(types)
+    return (
+        grid.join(daily, ["day_idx", "event_type"], "left")
+        .select(
+            (F.col("day_idx") * DAY_US).alias("day_us"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("_val").cast("double"), F.lit(0.0)).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Exact rolling ``window_days``-day distinct users for every day
+    with events.
+
+    The scalable exact plan: dedup to (day, user), explode each pair
+    into the ``window_days`` target days it contributes to (bounded
+    linear fan-out — never a per-day rescan of history), then
+    count-distinct per target day. A semi-join against observed days
+    drops phantom trailing days. At 100 TB the fan-out factor is the
+    window length, independent of cardinality; for 90-day windows
+    switch the count-distinct to an HLL sketch union
+    (``approx_count_distinct``) — same frame, sublinear state.
+    """
+    e = _ts_us(events)
+    du = (
+        e.select(
+            (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"), "user_id"
+        )
+        .distinct()
+    )
+    contrib = du.select(
+        F.explode(
+            F.sequence(F.col("day_idx"), F.col("day_idx") + (window_days - 1))
+        ).alias("target_day"),
+        "user_id",
+    )
+    observed = du.select(F.col("day_idx").alias("target_day")).distinct()
+    return (
+        contrib.join(observed, "target_day", "left_semi")
+        .groupBy("target_day")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+        .select(
+            (F.col("target_day") * DAY_US).alias("day_us"), "active_users"
+        )
+    )
+
+
+def daily_active_users_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """HyperLogLog++ daily distinct users — the 100 TB path for
+    distinct counting: fixed-size sketch per group, map-side
+    combinable, no exact-distinct expand+reshuffle.
+
+    No SQL oracle: sketch estimates are algorithm-specific. The unit
+    test bounds relative error against the exact count instead.
+    """
+    e = _ts_us(events)
+    return e.groupBy(
+        ((F.col("t_us") / DAY_US).cast("bigint") * DAY_US).alias("day_us")
+    ).agg(
+        F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def value_percentiles_approx(
+    events: DataFrame, accuracy: int = 10_000
+) -> DataFrame:
+    """Greenwald-Khanna approximate p50/p90/p99 per event type — the
+    sketch twin of ``value_percentiles``: mergeable per-partition
+    summaries instead of a full sort, the only viable quantile plan
+    when a group no longer fits in one task.
+
+    No SQL oracle (sketch-specific); the unit test bounds the error
+    against the exact interpolated percentiles.
+    """
+    probs = [0.5, 0.9, 0.99]
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", probs, accuracy).alias("_p")
+        )
+        .select(
+            "event_type",
+            F.col("_p")[0].alias("p50"),
+            F.col("_p")[1].alias("p90"),
+            F.col("_p")[2].alias("p99"),
+        )
+    )

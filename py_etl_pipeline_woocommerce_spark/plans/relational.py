@@ -757,3 +757,50 @@ def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share"
         ),
     )
+
+
+def revenue_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net revenue pivoted to one column per return flag, rows by line
+    status.
+
+    The pivot values are declared explicitly (A/N/R) so Spark skips
+    the extra distinct-values pass and plans a single conditional
+    aggregation — identical shape to the hand-written CASE sums in
+    the oracle, one scan + 2-row shuffle.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy(F.col("l_linestatus").alias("line_status"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(disc_price()).cast("double"))
+        .withColumnsRenamed({"A": "net_A", "N": "net_N", "R": "net_R"})
+    )
+
+
+def customer_year_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation breadth: customers ordering in BOTH 1995 and 1996
+    (INTERSECT) vs only in 1995 (EXCEPT), tagged by cohort.
+
+    Both set ops hash-shuffle the deduped key sets (Spark plans them
+    as distinct + semi/anti join) — at scale that's one shuffle per
+    side on an already-aggregated frame, not on orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+            )
+            .select(F.col("o_custkey").alias("customer_id"))
+            .distinct()
+        )
+    y95, y96 = year_keys(1995), year_keys(1996)
+    both = y95.intersect(y96).select(
+        F.lit("both_years").alias("cohort"), "customer_id"
+    )
+    only95 = y95.exceptAll(y96).select(
+        F.lit("only_1995").alias("cohort"), "customer_id"
+    )
+    return both.unionByName(only95)

@@ -26,7 +26,14 @@ def test_oracle_keys_subset_of_queries():
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     assert set(oracles).issubset(set(qs))
     # everything except explicitly-approximate ops has an oracle
-    assert set(qs) - set(oracles) == {"ann_lsh_topk", "ann_ivf_topk"}
+    assert set(qs) - set(oracles) == {
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        # sketch estimates are algorithm-specific; their tests bound
+        # rank/relative error against the exact twins instead
+        "daily_active_users_approx",
+        "value_percentiles_approx",
+    }
 
 
 @pytest.mark.parametrize("name", SAMPLE)

@@ -27,7 +27,14 @@ CROSS_JOIN_BASELINES = {"ann_topk", "embedding_cosine_dup", "ann_ivf_topk"}
 #: mean acctbal). The build side is exactly one row by construction,
 #: so the "nested loop" is a constant-time compare per probe row —
 #: the scalable alternative to an all-data-to-one-partition window.
-SCALAR_BROADCAST = {"important_parts", "idle_customers", "tfidf_top_terms"}
+SCALAR_BROADCAST = {
+    "important_parts",
+    "idle_customers",
+    "tfidf_top_terms",
+    # day-spine × event-type grid: both sides are aggregates (≤ days,
+    # ≤ types rows) regardless of input scale
+    "fill_missing_days",
+}
 
 
 def plan_of(df) -> str:
