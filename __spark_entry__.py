@@ -160,6 +160,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_share": relational.segment_share,
         "revenue_pivot": relational.revenue_pivot,
         "customer_year_cohorts": relational.customer_year_cohorts,
+        "sales_cube": relational.sales_cube,
+        "fuzzy_part_names": relational.fuzzy_part_names,
         # --- training-data ops ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
@@ -183,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
         "hopping_window_agg": lambda s, d: events.hopping_window_agg(_events(s, d)),
         "funnel_steps": lambda s, d: events.funnel_steps(_events(s, d)),
+        "event_props_typed": lambda s, d: events.event_props_typed(_events(s, d)),
         "sessionize": lambda s, d: sessionize.sessionize(_events(s, d)),
         # temporal / time-series operators
         "asof_join": lambda s, d: temporal.asof_join(_events(s, d)),
@@ -1033,6 +1036,30 @@ SELECT event_type,
        ROUND(quantile_cont(value, 0.9), 6) AS p90,
        ROUND(quantile_cont(value, 0.99), 6) AS p99
 FROM events GROUP BY 1
+""",
+        "sales_cube": """
+SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+        "fuzzy_part_names": """
+WITH names AS (
+  SELECT DISTINCT p_name AS name,
+         string_split(p_name, ' ')[-1] AS block
+  FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS edit_dist
+FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 3
+""",
+        "event_props_typed": """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+FROM events
 """,
         "revenue_pivot": f"""
 SELECT l_linestatus AS line_status,

@@ -134,3 +134,23 @@ def funnel_steps(events: DataFrame) -> DataFrame:
         .unionByName(stage(clicks, "click", 2))
         .unionByName(stage(purchases, "purchase", 3))
     )
+
+
+def event_props_typed(events: DataFrame) -> DataFrame:
+    """Schema-on-read JSON normalization via ``from_json`` — the
+    structured twin of ``parse_event_props``'s regexp extraction.
+
+    ``from_json`` with a declared schema stays JVM-side (Jackson
+    inside codegen), null-safe on malformed payloads, and prunes
+    unreferenced fields at parse time at scale.
+    """
+    parsed = events.select(
+        "event_id",
+        "event_type",
+        F.from_json("props", "k INT").alias("_p"),
+    )
+    return parsed.select(
+        "event_id",
+        "event_type",
+        F.col("_p.k").cast("int").alias("prop_k"),
+    )

@@ -1,0 +1,36 @@
+"""Table maintenance: small-file compaction.
+
+Streaming upserts and incremental loads (the reference's poll loop
+writes one batch at a time) accrete small files; at cluster scale the
+file count — not the byte count — becomes the scan bottleneck (task
+per file, footer reads, driver listing). Compaction rewrites a
+directory to a bounded file count.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Rewrite ``src_dir`` parquet into ``dest_dir`` with file count
+    sized by row count. Returns the file count written.
+
+    Row count comes from parquet footers (a metadata read, no scan).
+    ``coalesce`` would avoid a shuffle but caps parallelism at the
+    output file count and inherits input skew; ``repartition``'s
+    round-robin exchange buys evenly-sized output files — the right
+    trade for a maintenance job that runs off the hot path.
+    """
+    df = spark.read.parquet(src_dir)
+    n_rows = df.count()
+    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(dest_dir)
+    return n_files

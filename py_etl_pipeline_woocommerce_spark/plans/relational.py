@@ -804,3 +804,58 @@ def customer_year_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("only_1995").alias("cohort"), "customer_id"
     )
     return both.unionByName(only95)
+
+
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): every grouping-set combination in
+    one pass, NULL slots materialized as 'ALL'.
+
+    Spark plans CUBE as a single Expand + aggregation — 4 grouping
+    sets cost one scan, not four. Counts and exact-decimal totals per
+    cell.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec_money("o_totalprice")).cast("double").alias("total_price"),
+        F.grouping("o_orderstatus").alias("_gs"),
+        F.grouping("o_orderpriority").alias("_gp"),
+    )
+    return agg.select(
+        F.when(F.col("_gs") == 1, F.lit("ALL"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(F.col("_gp") == 1, F.lit("ALL"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority"),
+        "n_orders",
+        "total_price",
+    )
+
+
+def fuzzy_part_names(spark: SparkSession, sf_dir: str, max_dist: int = 3) -> DataFrame:
+    """Fuzzy string-match join: distinct part names within edit
+    distance ``max_dist``, blocked on the trailing token.
+
+    The blocking join is the scale story: candidates come from an
+    equi-join on a cheap blocking key (last word — for messier data,
+    phonetic codes or length buckets), so Levenshtein — O(len²) per
+    pair — only runs on block-mates, never the full cross product.
+    Distinct-names first: the compare space is name-cardinality, not
+    row-cardinality.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("block", F.element_at(F.split(F.col("name"), " "), -1))
+    )
+    a = names.select(F.col("name").alias("name_a"), "block")
+    b = names.select(F.col("name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("name_a", "name_b", "edit_dist")
+    )

@@ -66,3 +66,21 @@ def test_bucketed_groupby_is_shuffle_free(spark, bucketed_tables):
     li_t, _ = bucketed_tables
     agg = spark.table(li_t).groupBy("l_orderkey").agg(F.sum("l_quantity"))
     assert "Exchange" not in _plan(agg)
+
+
+def test_compact_parquet_bounds_file_count(spark, sf_dir, tmp_path):
+    import glob
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import compact_parquet
+
+    src = str(tmp_path / "small_files")
+    dest = str(tmp_path / "compacted")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.repartition(20).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 20
+
+    n_files = compact_parquet(spark, src, dest, target_rows_per_file=1000)
+    written = glob.glob(f"{dest}/part-*.parquet")
+    assert len(written) == n_files < 20
+    assert spark.read.parquet(dest).count() == orders.count()
