@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_freq": lambda s, d: corpus.ngram_freq(_docs(s, d)),
         "stratified_sample": lambda s, d: corpus.stratified_sample(_docs(s, d)),
         "corpus_stats": lambda s, d: corpus.corpus_stats(_docs(s, d)),
+        "corpus_pipeline": lambda s, d: corpus.corpus_pipeline(_docs(s, d)),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
         "hopping_window_agg": lambda s, d: events.hopping_window_agg(_events(s, d)),
@@ -945,6 +946,19 @@ SELECT lang, source, COUNT(*) AS n_docs,
        MAX(CAST(length(text) AS BIGINT)) AS max_chars,
        CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM t GROUP BY 1, 2
+""",
+        "corpus_pipeline": f"""
+WITH keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})),
+q AS ({_QUALITY_SQL}),
+d AS (SELECT doc_id, lang, source FROM documents)
+SELECT d.doc_id, lang, source, q.n_tokens, q.quality,
+       CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         % 100 AS bucket
+FROM d JOIN keep USING (doc_id) JOIN q USING (doc_id)
+WHERE q.quality >= 0.5
+  AND CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        % 100 < 50
 """,
         "label_centroids": """
 WITH e AS (

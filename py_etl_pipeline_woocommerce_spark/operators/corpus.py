@@ -129,3 +129,37 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
             "avg_chars", F.col("total_chars").cast("double") / F.col("n_docs")
         )
     )
+
+
+def corpus_pipeline(
+    documents: DataFrame, quality_min: float = 0.5, sample_pct: int = 50
+) -> DataFrame:
+    """End-to-end training-corpus preparation in ONE composed plan:
+    exact dedup (keep first) → quality gate → deterministic sample.
+
+    The three stages compose as DataFrame transforms, so Catalyst
+    optimizes across them — the hash/normalize work is shared, filters
+    reorder, and nothing materializes between stages. Shuffle budget:
+    one groupBy on content hash (dedup) + one keyed semi-join back;
+    quality features and the hash-mod sample are map-side. The
+    quality threshold compares a value both engines derive from the
+    same integer-count ratios, so the cut is engine-exact.
+    """
+    from ..functions.text import md5_hex, norm_text
+    from .textstats import quality_score
+
+    hashed = documents.select(
+        "doc_id", md5_hex(norm_text("text")).alias("content_hash")
+    )
+    keepers = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
+    kept = documents.join(
+        keepers.select("doc_id"), "doc_id", "left_semi"
+    )
+    q = quality_score(kept).filter(F.col("quality") >= quality_min)
+    bucket = _hash_bucket(F.col("doc_id"))
+    return (
+        kept.select("doc_id", "lang", "source")
+        .join(q.select("doc_id", "n_tokens", "quality"), "doc_id")
+        .withColumn("bucket", bucket)
+        .filter(F.col("bucket") < sample_pct)
+    )
