@@ -111,6 +111,28 @@ def _q_items(spark, sf_dir):
     return apply_refunds_items(_q_enrich(spark, sf_dir))
 
 
+def _q_re_enrich(spark, sf_dir):
+    """Simulate stale items (odd product ids lose their snapshot), then
+    re-enrich from a refreshed dim whose types are 'NEW_'-prefixed —
+    proving only the missing rows take the fresh value."""
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.enrich import (
+        re_enrich_missing_categories,
+    )
+
+    stale = _q_enrich(spark, sf_dir).withColumn(
+        "category_snapshot",
+        F.when(F.col("product_id") % 2 == 1, F.lit(None)).otherwise(
+            F.col("category_snapshot")
+        ),
+    )
+    fresh_part = load_table(spark, sf_dir, "part").withColumn(
+        "p_type", F.concat(F.lit("NEW_"), F.col("p_type"))
+    )
+    return re_enrich_missing_categories(stale, fresh_part)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- core ETL (reference parity) ---
@@ -118,6 +140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_items": lambda s, d: normalize_items(load_table(s, d, "lineitem")),
         "parse_event_props": lambda s, d: events.parse_event_props(_events(s, d)),
         "enrich_categories": _q_enrich,
+        "re_enrich_categories": _q_re_enrich,
         "apply_refunds_orders": lambda s, d: woo_model.fct_orders(s, d),
         "apply_refunds_items": _q_items,
         "upsert": _q_upsert,
@@ -383,6 +406,16 @@ SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS supplier_id
        l_extendedprice AS price, l_discount AS discount, l_tax AS tax,
        CAST({_DISC} AS DOUBLE) AS total, l_returnflag AS return_flag,
        p_type AS category_snapshot, p_brand AS brand
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+""",
+        "re_enrich_categories": f"""
+SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS supplier_id,
+       CAST(l_linenumber AS INT) AS line_number, CAST(l_quantity AS BIGINT) AS quantity,
+       l_extendedprice AS price, l_discount AS discount, l_tax AS tax,
+       CAST({_DISC} AS DOUBLE) AS total, l_returnflag AS return_flag,
+       CASE WHEN l_partkey % 2 = 1 THEN 'NEW_' || p_type ELSE p_type END
+         AS category_snapshot,
+       p_brand AS brand
 FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 """,
         "apply_refunds_orders": _FCT_ORDERS_SQL,

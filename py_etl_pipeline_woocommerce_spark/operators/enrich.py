@@ -26,3 +26,37 @@ def enrich_items_with_categories(items: DataFrame, part: DataFrame) -> DataFrame
         F.col("p_brand").alias("brand"),
     )
     return items.join(F.broadcast(cats), "product_id", "left")
+
+
+def re_enrich_missing_categories(
+    items: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Targeted re-enrichment: fill ``category_snapshot`` ONLY where it
+    is NULL/blank, preserving existing snapshots.
+
+    Re-expresses ``/root/reference/src/tools/re_enrich_categories.py``
+    (SELECT DISTINCT missing ids → fetch → UPDATE via join).
+    Spark-first: the UPDATE-via-join becomes a broadcast left join +
+    ``coalesce`` — the fact table streams through once, only rows with
+    a missing snapshot take the new value. The distinct-missing-ids
+    probe the reference does first is unnecessary here: the join is
+    against the (broadcast) dim anyway, and Catalyst prunes the dim
+    columns to the one needed.
+    """
+    fresh = part.select(
+        F.col("p_partkey").alias("product_id"),
+        F.col("p_type").alias("_fresh_category"),
+    )
+    missing = F.col("category_snapshot").isNull() | (
+        F.trim(F.col("category_snapshot")) == ""
+    )
+    return (
+        items.join(F.broadcast(fresh), "product_id", "left")
+        .withColumn(
+            "category_snapshot",
+            F.when(missing, F.col("_fresh_category")).otherwise(
+                F.col("category_snapshot")
+            ),
+        )
+        .drop("_fresh_category")
+    )

@@ -34,3 +34,23 @@ def compact_parquet(
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(dest_dir)
     return n_files
+
+
+def ensure_columns(df, columns: dict[str, str]):
+    """Schema migration: add missing columns as typed NULLs, leave
+    existing columns untouched.
+
+    Re-expresses ``/root/reference/src/tools/migrate_duckdb.py``
+    (``ALTER TABLE ADD COLUMN`` if absent). Spark tables are
+    schema-on-read, so "migration" is a projection: downstream code
+    reads old and new data through one schema. Pair with parquet
+    ``mergeSchema`` when mixed-vintage files live in one directory.
+    """
+    from pyspark.sql import functions as F
+
+    out = df
+    existing = set(df.columns)
+    for col, dtype in columns.items():
+        if col not in existing:
+            out = out.withColumn(col, F.lit(None).cast(dtype))
+    return out

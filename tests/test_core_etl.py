@@ -123,3 +123,56 @@ def test_backfill_window_assignment(spark):
         .collect()
     ]
     assert got == [0, 1]
+
+
+def test_re_enrich_fills_only_missing(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.enrich import (
+        re_enrich_missing_categories,
+    )
+
+    items = spark.createDataFrame(
+        [(1, "KEEP ME", 1.0), (2, None, 2.0), (3, "  ", 3.0), (4, None, 4.0)],
+        "product_id bigint, category_snapshot string, total double",
+    )
+    part = spark.createDataFrame(
+        [(1, "T1", "B"), (2, "T2", "B"), (3, "T3", "B")],
+        "p_partkey bigint, p_type string, p_brand string",
+    )
+    out = {r.product_id: r.category_snapshot
+           for r in re_enrich_missing_categories(items, part).collect()}
+    assert out[1] == "KEEP ME"          # existing value preserved
+    assert out[2] == "T2" and out[3] == "T3"  # NULL and blank filled
+    assert out[4] is None               # missing in dim stays NULL
+
+
+def test_ensure_columns_adds_typed_nulls(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import ensure_columns
+
+    df = spark.createDataFrame([(1, 2.0)], "order_id bigint, net_total double")
+    out = ensure_columns(
+        df, {"refund_total": "double", "net_total": "string"}
+    )
+    # missing column added with declared type; existing column untouched
+    assert dict(out.dtypes)["refund_total"] == "double"
+    assert dict(out.dtypes)["net_total"] == "double"
+    row = out.collect()[0]
+    assert row.refund_total is None and row.net_total == 2.0
+
+
+def test_notify_env_gated_and_swallows_errors(monkeypatch):
+    from py_etl_pipeline_woocommerce_spark.sources.notify import notify
+
+    sent = []
+    monkeypatch.delenv("NOTIFY_TO", raising=False)
+    assert notify("msg", transport=lambda s, b, t: sent.append((s, b, t))) is False
+    assert sent == []
+
+    monkeypatch.setenv("NOTIFY_TO", "ops@example.com")
+    assert notify("disk full", level="error",
+                  transport=lambda s, b, t: sent.append((s, b, t))) is True
+    assert sent == [("[ETL ERROR] py_etl_pipeline_woocommerce_spark", "disk full", "ops@example.com")]
+
+    def boom(s, b, t):
+        raise RuntimeError("smtp down")
+    # a failing transport must not raise
+    assert notify("msg", transport=boom) is True
