@@ -134,8 +134,54 @@ def _q_re_enrich(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's per-round CORRECTNESS budget may stop
+    # partway through this dict (round 1 stopped after 50 entries), so the
+    # entries that have not yet earned a driver-verified row run FIRST.
+    # Round-1 verified entries follow.
     return {
-        # --- core ETL (reference parity) ---
+        # --- temporal / time-series (unverified in r1) ---
+        "asof_join": lambda s, d: temporal.asof_join(_events(s, d)),
+        "range_join_window": lambda s, d: temporal.range_join_window(_events(s, d)),
+        "multires_rollup": lambda s, d: temporal.multires_rollup(_events(s, d)),
+        "value_percentiles": lambda s, d: temporal.value_percentiles(_events(s, d)),
+        "daily_active_users": lambda s, d: temporal.daily_active_users(_events(s, d)),
+        "fill_missing_days": lambda s, d: temporal.fill_missing_days(_events(s, d)),
+        "rolling_active_users": lambda s, d: temporal.rolling_active_users(_events(s, d)),
+        "daily_active_users_approx": lambda s, d: temporal.daily_active_users_approx(
+            _events(s, d)
+        ),
+        "value_percentiles_approx": lambda s, d: temporal.value_percentiles_approx(
+            _events(s, d)
+        ),
+        # --- events / sessions (unverified in r1) ---
+        "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
+        "hopping_window_agg": lambda s, d: events.hopping_window_agg(_events(s, d)),
+        "funnel_steps": lambda s, d: events.funnel_steps(_events(s, d)),
+        "event_props_typed": lambda s, d: events.event_props_typed(_events(s, d)),
+        "sessionize": lambda s, d: sessionize.sessionize(_events(s, d)),
+        # --- text / corpus ops (unverified in r1) ---
+        "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
+        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
+        "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(_docs(s, d)),
+        "pii_scrub": lambda s, d: textstats.pii_scrub(_docs(s, d)),
+        "tfidf_top_terms": lambda s, d: corpus.tfidf_top_terms(_docs(s, d)),
+        "ngram_freq": lambda s, d: corpus.ngram_freq(_docs(s, d)),
+        "stratified_sample": lambda s, d: corpus.stratified_sample(_docs(s, d)),
+        "corpus_stats": lambda s, d: corpus.corpus_stats(_docs(s, d)),
+        "corpus_pipeline": lambda s, d: corpus.corpus_pipeline(_docs(s, d)),
+        # --- dedup / similarity (unverified in r1) ---
+        "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
+        "embedding_cosine_dup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d)),
+        "ann_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
+        "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
+        # --- r1 hash-fails, now fixed oracle-side (BIGINT casts) ---
+        "linestatus_priority": relational.linestatus_priority,
+        "dominant_suppliers": relational.dominant_suppliers,
+        # --- core ETL (reference parity; r1 driver-pass) ---
         "normalize_orders": lambda s, d: normalize_orders(load_table(s, d, "orders")),
         "normalize_items": lambda s, d: normalize_items(load_table(s, d, "lineitem")),
         "parse_event_props": lambda s, d: events.parse_event_props(_events(s, d)),
@@ -146,7 +192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upsert": _q_upsert,
         "incremental_watermark": _q_incremental,
         "backfill_windows": _q_backfill,
-        # --- dashboard analytics ---
+        # --- dashboard analytics (r1 driver-pass) ---
         "date_bounds": analytics.date_bounds,
         "kpis": analytics.kpis,
         "revenue_timeseries": analytics.revenue_timeseries,
@@ -154,7 +200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "category_mix": analytics.category_mix,
         "geo_rollup": analytics.geo_rollup,
         "cohort_retention": analytics.cohort_retention,
-        # --- relational breadth ---
+        # --- relational breadth (r1 driver-pass) ---
         "pricing_summary": relational.pricing_summary,
         "regional_revenue": relational.regional_revenue,
         "top_orders_per_customer": relational.top_orders_per_customer,
@@ -175,56 +221,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": relational.min_cost_supplier,
         "product_profit": relational.product_profit,
         "returned_item_report": relational.returned_item_report,
-        "linestatus_priority": relational.linestatus_priority,
         "small_qty_revenue": relational.small_qty_revenue,
         "disjunctive_revenue": relational.disjunctive_revenue,
-        "dominant_suppliers": relational.dominant_suppliers,
         "supplier_quartiles": relational.supplier_quartiles,
         "segment_share": relational.segment_share,
         "revenue_pivot": relational.revenue_pivot,
         "customer_year_cohorts": relational.customer_year_cohorts,
         "sales_cube": relational.sales_cube,
         "fuzzy_part_names": relational.fuzzy_part_names,
-        # --- training-data ops ---
+        # --- training-data ops (r1 driver-pass) ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
-        "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
-        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
-        "embedding_cosine_dup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d)),
-        "ann_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
-        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
-        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
-        "lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
-        "quality_score": lambda s, d: textstats.quality_score(_docs(s, d)),
-        "token_count": lambda s, d: textstats.token_count(_docs(s, d)),
-        "doc_fingerprint": lambda s, d: textstats.doc_fingerprint(_docs(s, d)),
-        "pii_scrub": lambda s, d: textstats.pii_scrub(_docs(s, d)),
-        "tfidf_top_terms": lambda s, d: corpus.tfidf_top_terms(_docs(s, d)),
-        "ngram_freq": lambda s, d: corpus.ngram_freq(_docs(s, d)),
-        "stratified_sample": lambda s, d: corpus.stratified_sample(_docs(s, d)),
-        "corpus_stats": lambda s, d: corpus.corpus_stats(_docs(s, d)),
-        "corpus_pipeline": lambda s, d: corpus.corpus_pipeline(_docs(s, d)),
-        "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
-        "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
-        "hopping_window_agg": lambda s, d: events.hopping_window_agg(_events(s, d)),
-        "funnel_steps": lambda s, d: events.funnel_steps(_events(s, d)),
-        "event_props_typed": lambda s, d: events.event_props_typed(_events(s, d)),
-        "sessionize": lambda s, d: sessionize.sessionize(_events(s, d)),
-        # temporal / time-series operators
-        "asof_join": lambda s, d: temporal.asof_join(_events(s, d)),
-        "range_join_window": lambda s, d: temporal.range_join_window(_events(s, d)),
-        "multires_rollup": lambda s, d: temporal.multires_rollup(_events(s, d)),
-        "value_percentiles": lambda s, d: temporal.value_percentiles(_events(s, d)),
-        "daily_active_users": lambda s, d: temporal.daily_active_users(_events(s, d)),
-        "fill_missing_days": lambda s, d: temporal.fill_missing_days(_events(s, d)),
-        "rolling_active_users": lambda s, d: temporal.rolling_active_users(_events(s, d)),
-        "daily_active_users_approx": lambda s, d: temporal.daily_active_users_approx(
-            _events(s, d)
-        ),
-        "value_percentiles_approx": lambda s, d: temporal.value_percentiles_approx(
-            _events(s, d)
-        ),
     }
 
 
@@ -796,10 +804,10 @@ FROM agg ORDER BY _rev DESC, customer_id LIMIT 20
 """,
         "linestatus_priority": """
 SELECT l_linestatus AS line_status,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_priority_lines,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 0 ELSE 1 END) AS low_priority_lines
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_priority_lines
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY 1
 """,
@@ -836,7 +844,9 @@ w AS (
          COUNT(*) OVER (PARTITION BY l_partkey) AS n_supp
   FROM pair)
 SELECT l_partkey AS part_id, l_suppkey AS supplier_id,
-       s_name AS supplier_name, supp_qty, part_qty
+       s_name AS supplier_name,
+       CAST(supp_qty AS BIGINT) AS supp_qty,
+       CAST(part_qty AS BIGINT) AS part_qty
 FROM w JOIN supplier ON l_suppkey = s_suppkey
 WHERE supp_qty * n_supp > part_qty * 2
 """,

@@ -39,6 +39,18 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _prepped(embeddings: DataFrame, id_alias: str, vec_alias: str, nrm_alias: str):
+    """Project (id, vector-as-double, norm): the float→double cast and
+    the L2 norm are computed ONCE PER VECTOR here, never per pair —
+    inside a pairwise join Catalyst does not CSE higher-order-function
+    subtrees, so an un-hoisted norm would re-fold 64 elements per
+    candidate pair instead of per row."""
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    return embeddings.select(
+        F.col("vec_id").alias(id_alias), e.alias(vec_alias)
+    ).withColumn(nrm_alias, _norm(F.col(vec_alias)))
+
+
 def ann_topk(
     embeddings: DataFrame, n_queries: int = 8, k: int = 5
 ) -> DataFrame:
@@ -47,19 +59,22 @@ def ann_topk(
     Queries (vec_id < n_queries) are broadcast against the full
     corpus — at 100 TB this is the standard "small query batch x huge
     corpus" scan: one pass, no shuffle except the final per-query
-    top-k (tiny). Ties broken by neighbor id; output is integer-only
-    (ranks), immune to last-ulp float divergence.
+    top-k (tiny). Per-vector norms are hoisted out of the pair loop
+    (see ``_prepped``), so each candidate costs one 64-element dot.
+    Ties broken by neighbor id; output is integer-only (ranks), immune
+    to last-ulp float divergence.
     """
-    q = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    q = _prepped(
+        embeddings.filter(F.col("vec_id") < n_queries), "query_id", "q_emb", "q_nrm"
     )
-    c = embeddings.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_emb")
-    )
+    c = _prepped(embeddings, "neighbor_id", "c_emb", "c_nrm")
     scored = (
         c.join(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -69,11 +84,14 @@ def ann_topk(
     )
 
 
-def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
-    """All pairs with cosine ≥ threshold (integer-only output).
+def cosine_dup_pairs_bruteforce(
+    embeddings: DataFrame, threshold: float = 0.3
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold via an unkeyed self-join.
 
-    This is the O(n²) exactness baseline used to validate the LSH
-    path; at 100 TB use ``ann_lsh_topk``-style bucketing instead.
+    Test-only oracle twin for ``cosine_dup_pairs``: same output, but
+    the plan is an unbounded nested-loop join — fine for asserting
+    equality on small fixtures, never the plan to ship.
     """
     a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
@@ -82,6 +100,61 @@ def cosine_dup_pairs(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame
         pairs.withColumn("cos", cosine_expr(F.col("ea"), F.col("eb")))
         .filter(F.col("cos") >= threshold)
         .select("vec_a", "vec_b")
+    )
+
+
+def cosine_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.3, n_blocks: int = 8
+) -> DataFrame:
+    """Exact all-pairs cosine join, block-grid partitioned.
+
+    Exact sub-quadratic cosine retrieval at a threshold this close to
+    the random-pair regime does not exist for dense high-dim vectors
+    (concentration of measure: deterministic margin-LSH replicates
+    every vector to every bucket once sqrt(2-2τ) exceeds the typical
+    |dot(v, plane)|, and probabilistic LSH at τ=0.3 admits ~all pairs
+    as candidates). The honest scale design is therefore a *balanced
+    distributed* brute force — the triangle/block-grid self-join used
+    by exact similarity-join systems:
+
+    - each vector lands in block ``g = vec_id mod B``;
+    - the upper-triangle grid of block cells (i, j), i ≤ j, becomes
+      the join key: the left side replicates each row to cells
+      (g, j≥g), the right side to cells (i≤g, g);
+    - an equi-join on (ba, bb) yields every unordered pair exactly
+      once (diagonal cells deduped by id order), in B(B+1)/2
+      uniformly sized tasks of (n/B)² comparisons.
+
+    The plan is a ShuffledHashJoin/SortMergeJoin on the cell key — no
+    CartesianProduct, no BroadcastNestedLoopJoin — so one straggler
+    executor never owns the whole O(n²); pick B ~ sqrt(2·cores) per
+    cluster. Per-vector norms and the float→double cast are hoisted
+    out of the pair loop (``_prepped``), leaving one dot per pair.
+    O(n²) work remains information-theoretically required; for
+    recall-tunable sub-quadratic retrieval use ``ann_lsh_topk`` /
+    ``ann_ivf_topk``.
+    """
+    B = n_blocks
+    left = _prepped(embeddings, "ida", "ea", "na").withColumn(
+        "ba", F.pmod(F.col("ida"), F.lit(B))
+    )
+    right = _prepped(embeddings, "idb", "eb", "nb").withColumn(
+        "bb", F.pmod(F.col("idb"), F.lit(B))
+    )
+    left_x = left.withColumn("bb", F.explode(F.sequence(F.col("ba"), F.lit(B - 1))))
+    right_x = right.withColumn("ba", F.explode(F.sequence(F.lit(0), F.col("bb"))))
+    cand = left_x.join(right_x, ["ba", "bb"]).filter(
+        (F.col("ba") < F.col("bb")) | (F.col("ida") < F.col("idb"))
+    )
+    return (
+        cand.withColumn(
+            "cos", _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+        )
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.least("ida", "idb").alias("vec_a"),
+            F.greatest("ida", "idb").alias("vec_b"),
+        )
     )
 
 
@@ -116,37 +189,32 @@ def ann_lsh_topk(
     neighbors land in other buckets return fewer/other ids (recall
     tunable via n_planes/multi-probe).
     """
-    # Plane signature unrolled over a static plane list (stays codegen'd).
-    def signature_col():
+    # Plane signature unrolled over a static plane list (stays codegen'd);
+    # computed on the already-double vector column so the cast happens once.
+    def signature_col(vec: str):
         parts = []
         for p in range(n_planes):
             dot_p = F.aggregate(
-                F.zip_with(
-                    F.col("embedding"),
-                    _hyperplane(p, dim),
-                    lambda x, y: x.cast("double") * y,
-                ),
+                F.zip_with(F.col(vec), _hyperplane(p, dim), lambda x, y: x * y),
                 F.lit(0.0),
                 lambda acc, v: acc + v,
             )
             parts.append((dot_p > 0).cast("int").cast("string"))
         return F.concat(*parts)
 
-    emb = embeddings.withColumn("bucket", signature_col())
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        "bucket",
-    )
-    c = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        "bucket",
+    q = _prepped(
+        embeddings.filter(F.col("vec_id") < n_queries), "query_id", "q_emb", "q_nrm"
+    ).withColumn("bucket", signature_col("q_emb"))
+    c = _prepped(embeddings, "neighbor_id", "c_emb", "c_nrm").withColumn(
+        "bucket", signature_col("c_emb")
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+        .withColumn(
+            "cos",
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -242,17 +310,18 @@ def ann_ivf_topk(
     rows-only oracle, validated against ``ann_topk`` recall in tests.
     """
     cents = ivf_centroids(embeddings, n_centroids)
-    inverted = assign_to_centroids(embeddings, cents)
+    inverted = assign_to_centroids(embeddings, cents).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("c_emb"),
+        "centroid_id",
+    )
+    inverted = inverted.withColumn("c_nrm", _norm(F.col("c_emb")))
 
-    queries = embeddings.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    queries = _prepped(
+        embeddings.filter(F.col("vec_id") < n_queries), "query_id", "q_emb", "q_nrm"
     )
     l2q = F.aggregate(
-        F.zip_with(
-            "q_emb",
-            F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
+        F.zip_with("q_emb", F.col("centroid"), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -262,19 +331,17 @@ def ann_ivf_topk(
         .withColumn("_d", l2q)
         .withColumn("_rn", F.row_number().over(wq))
         .filter(F.col("_rn") <= n_probe)
-        .select("query_id", "q_emb", "centroid_id")
+        .select("query_id", "q_emb", "q_nrm", "centroid_id")
     )
-    cand = probes.join(
-        inverted.select(
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("embedding").alias("c_emb"),
-            "centroid_id",
-        ),
-        "centroid_id",
-    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    cand = probes.join(inverted, "centroid_id").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        cand.withColumn("cos", cosine_expr(F.col("q_emb"), F.col("c_emb")))
+        cand.withColumn(
+            "cos",
+            _dot(F.col("q_emb"), F.col("c_emb")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
         .withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "knn_rank")

@@ -104,6 +104,21 @@ def test_cosine_dup_pairs_threshold(spark):
     assert pairs == {(1, 2)}
 
 
+def test_cosine_dup_blocked_matches_bruteforce(spark, sf_dir):
+    # the block-grid plan must be lossless vs the unkeyed self-join
+    # at the driver threshold on real testdata
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        cosine_dup_pairs_bruteforce,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    blocked = {(r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs(emb).collect()}
+    brute = {(r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs_bruteforce(emb).collect()}
+    assert blocked == brute
+    assert len(blocked) > 0
+
+
 def test_ann_lsh_topk_returns_bucket_neighbors(spark, sf_dir):
     from py_etl_pipeline_woocommerce_spark.catalog import load_table
 

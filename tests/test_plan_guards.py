@@ -18,10 +18,12 @@ import pytest
 
 import __spark_entry__ as entrymod
 
-#: Documented bounded cross joins (docstrings in similarity.py): the
-#: O(n²) exactness baselines, plus IVF's corpus × k-centroids
-#: broadcast scoring (k is a small constant — bounded fan-out).
-CROSS_JOIN_BASELINES = {"ann_topk", "embedding_cosine_dup", "ann_ivf_topk"}
+#: Documented bounded cross joins (docstrings in similarity.py):
+#: ann_topk's small-query-batch × corpus scan, plus IVF's corpus ×
+#: k-centroids broadcast scoring (k is a small constant — bounded
+#: fan-out). embedding_cosine_dup is NOT here anymore: its plan is a
+#: keyed block-grid join (see test_cosine_dup_plan_is_keyed).
+CROSS_JOIN_BASELINES = {"ann_topk", "ann_ivf_topk"}
 
 #: Joins against a broadcast 1-row global aggregate (total revenue,
 #: mean acctbal). The build side is exactly one row by construction,
@@ -141,6 +143,14 @@ def test_new_tpch_dims_broadcast(plans):
     assert plans["product_profit"].count("BroadcastHashJoin") >= 3
     # Q8: five broadcast dims around the one fact-fact join
     assert plans["market_share"].count("BroadcastHashJoin") >= 4
+
+
+def test_cosine_dup_plan_is_keyed(plans):
+    # the exact cosine self-join must run as a block-grid equi-join,
+    # never a cartesian/nested-loop (VERDICT r1 item 3)
+    p = plans["embedding_cosine_dup"]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
 
 
 def test_funnel_and_cohort_shapes(plans):
