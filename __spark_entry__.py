@@ -139,6 +139,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # entries that have not yet earned a driver-verified row run FIRST.
     # Round-1 verified entries follow.
     return {
+        # --- date-bounded dashboard variants (new in r2): the
+        # reference dashboard passes (d1, d2) into every query;
+        # these pin that behavior against the oracle ---
+        "kpis_bounded": lambda s, d: analytics.kpis(
+            s, d, d1="1995-01-01", d2="1996-12-31"
+        ),
+        "revenue_timeseries_bounded": lambda s, d: analytics.revenue_timeseries(
+            s, d, d1="1995-01-01", d2="1996-12-31"
+        ),
+        "top_products_bounded": lambda s, d: analytics.top_products(
+            s, d, d1="1995-01-01", d2="1996-12-31"
+        ),
+        "category_mix_bounded": lambda s, d: analytics.category_mix(
+            s, d, d1="1995-01-01", d2="1996-12-31"
+        ),
+        "geo_rollup_bounded": lambda s, d: analytics.geo_rollup(
+            s, d, d1="1995-01-01", d2="1996-12-31"
+        ),
         # --- temporal / time-series (unverified in r1) ---
         "asof_join": lambda s, d: temporal.asof_join(_events(s, d)),
         "range_join_window": lambda s, d: temporal.range_join_window(_events(s, d)),
@@ -398,8 +416,66 @@ FROM h
 """
 
 
+_BOUNDS = (
+    "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+    "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "kpis_bounded": f"""
+WITH k AS (SELECT o_orderkey FROM orders WHERE {_BOUNDS}),
+l AS (SELECT l_orderkey, {_DISC} AS net, l_returnflag
+      FROM lineitem JOIN k ON l_orderkey = o_orderkey)
+SELECT COUNT(DISTINCT l_orderkey) AS orders_cnt,
+       CAST(SUM(net) AS DOUBLE) AS net_before_refunds,
+       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END) AS DOUBLE) AS refunds,
+       CAST(SUM(net) - SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END) AS DOUBLE) AS net_after_refunds,
+       CAST(SUM(net) AS DOUBLE) / COUNT(DISTINCT l_orderkey) AS aov
+FROM l
+""",
+        "revenue_timeseries_bounded": f"""
+SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, CAST(SUM({_NETLINE}) AS DOUBLE) AS net
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE {_BOUNDS}
+GROUP BY 1
+""",
+        "top_products_bounded": f"""
+WITH k AS (SELECT o_orderkey FROM orders WHERE {_BOUNDS}),
+agg AS (
+  SELECT p_name AS name, SUM({_NETLINE}) AS _rev,
+         CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_sold
+  FROM lineitem
+  JOIN k ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey GROUP BY 1)
+SELECT name, CAST(_rev AS DOUBLE) AS revenue, qty_sold
+FROM agg ORDER BY _rev DESC, name LIMIT 15
+""",
+        "category_mix_bounded": f"""
+WITH k AS (SELECT o_orderkey FROM orders WHERE {_BOUNDS}),
+agg AS (
+  SELECT p_type AS category, SUM({_NETLINE}) AS _rev
+  FROM lineitem
+  JOIN k ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey GROUP BY 1)
+SELECT category, CAST(_rev AS DOUBLE) AS revenue
+FROM agg ORDER BY _rev DESC, category LIMIT 15
+""",
+        "geo_rollup_bounded": f"""
+WITH per_order AS (
+  SELECT l_orderkey AS o_orderkey, SUM({_NETLINE}) AS _order_net
+  FROM lineitem GROUP BY 1),
+g AS (SELECT r_name AS region, n_name AS country, _order_net
+      FROM per_order JOIN (SELECT * FROM orders WHERE {_BOUNDS}) USING (o_orderkey)
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey),
+agg AS (SELECT region, country, COUNT(*) AS orders, SUM(_order_net) AS _net
+        FROM g GROUP BY 1, 2)
+SELECT region, country, orders, CAST(_net AS DOUBLE) AS net
+FROM agg ORDER BY _net DESC, region, country LIMIT 20
+""",
         "normalize_orders": _NORM_ORDERS_SQL,
         "normalize_items": _ITEMS_BASE,
         "parse_event_props": """

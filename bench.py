@@ -28,7 +28,10 @@ HEADLINE = [
     "top_orders_per_customer",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_clusters",
+    "embedding_cosine_dup",
     "ann_topk",
+    "quality_score",
     "product_profit",
     "tfidf_top_terms",
     "label_centroids",

@@ -358,9 +358,17 @@ def dedup_clusters(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
     edges = edges.persist()
-    labels = documents.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint(eager=True)
+    # Only vertices that touch a near-dup edge can ever change label;
+    # the (overwhelming) singleton majority keeps cluster_id = doc_id.
+    # Running the loop on the active set alone shrinks every per-round
+    # join from |corpus| to |graph| rows — at 100 TB the near-dup
+    # graph is orders of magnitude smaller than the corpus.
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -387,5 +395,107 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    full = (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
     w = Window.partitionBy("cluster_id")
-    return labels.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    return full.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+def dedup_clusters_star(
+    documents: DataFrame, pairs: DataFrame | None = None, max_iter: int = 12
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    rounds (Kiveris et al., "Connected Components in MapReduce and
+    Beyond") — same output contract as ``dedup_clusters``.
+
+    Min-label propagation converges in O(component diameter) rounds,
+    which is fine for the tight clusters near-dup graphs produce but
+    degenerates on adversarial long chains. The star rounds instead
+    rewire the graph toward its component minima:
+
+    - large-star (per node u): attach every strictly larger neighbor
+      to ``m(u) = min(Γ(u) ∪ {u})``;
+    - small-star (per node u): attach u and its smaller neighbors
+      to ``m(u)``.
+
+    Each round is one groupBy(min) + one equi-join on node id — the
+    same shuffle shape as propagation — but convergence is
+    O(log diameter) rounds, so a 10⁶-long chain resolves in ~20
+    rounds instead of 10⁶. Every emitted edge (x, y) satisfies
+    y < x, so the canonical edge set is directly comparable across
+    rounds; convergence is a 2-scalar aggregate (count + hash sum),
+    no driver-side data. Per-round ``localCheckpoint`` truncates
+    lineage exactly as in ``dedup_clusters``.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(documents)
+    # canonical (hi, lo): hi > lo
+    E = (
+        pairs.select(
+            F.greatest("doc_a", "doc_b").alias("hi"),
+            F.least("doc_a", "doc_b").alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(e: DataFrame) -> tuple[int, int]:
+        # bit_xor: order-insensitive and overflow-free under ANSI mode
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("hi", "lo")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    sig = signature(E)
+    for _ in range(max_iter):
+        adj = E.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).union(
+            E.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        )
+        m = (
+            adj.groupBy("src")
+            .agg(F.min("dst").alias("_mn"))
+            .select("src", F.least("_mn", F.col("src")).alias("m"))
+        )
+        # large-star: strictly larger neighbors -> m(src)
+        large = (
+            adj.filter(F.col("dst") > F.col("src"))
+            .join(m, "src")
+            .select(F.col("dst").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+        )
+        # small-star over the large-star output
+        adj2 = large.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).union(
+            large.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+        )
+        smaller = adj2.filter(F.col("dst") < F.col("src"))
+        m2 = smaller.groupBy("src").agg(F.min("dst").alias("mn"))
+        part1 = (
+            smaller.join(m2, "src")
+            .filter(F.col("dst") != F.col("mn"))
+            .select(F.col("dst").alias("hi"), F.col("mn").alias("lo"))
+        )
+        part2 = m2.select(F.col("src").alias("hi"), F.col("mn").alias("lo"))
+        E = part1.union(part2).distinct().localCheckpoint(eager=True)
+        new_sig = signature(E)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    labels = E.groupBy(F.col("hi").alias("doc_id")).agg(
+        F.min("lo").alias("cluster_id")
+    )
+    full = (
+        documents.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return full.withColumn("cluster_size", F.count(F.lit(1)).over(w))

@@ -177,9 +177,17 @@ def multires_rollup(events: DataFrame) -> DataFrame:
 
 
 def value_percentiles(events: DataFrame) -> DataFrame:
-    """Exact interpolated p50/p90/p99 of event value per event_type
-    (sort-based exact percentile — the small-group path; sketch-based
-    approx_percentile is the >per-group-memory alternative)."""
+    """Exact interpolated p50/p90/p99 of event value per event_type.
+
+    ORACLE-PARITY PATH ONLY: ``F.percentile`` buffers every group
+    value in one aggregation buffer, so with a handful of event types
+    at 100 TB a single group holds ~billions of doubles — per-group
+    memory death. It exists to hash-match DuckDB's ``quantile_cont``
+    bit-for-bit at verification scale. The production default at
+    scale is ``value_percentiles_approx`` (Greenwald-Khanna sketch,
+    bounded memory per group, mergeable map-side); pick the exact
+    variant only when group sizes are known-small.
+    """
     e = _ts_us(events)
     pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
     agg = e.groupBy("event_type").agg(pct.alias("_p"))

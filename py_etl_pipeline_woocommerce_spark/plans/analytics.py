@@ -17,6 +17,8 @@ date filters push to the parquet scan.
 
 from __future__ import annotations
 
+from datetime import date, timedelta
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -32,6 +34,28 @@ def _net_line():
     )
 
 
+def _bound_orders(orders: DataFrame, d1: str | None, d2: str | None) -> DataFrame:
+    """Inclusive date-range filter on ``o_orderdate`` — the dashboard's
+    ``WHERE CAST(order_date AS DATE) BETWEEN d1 AND d2`` sidebar filter
+    (app.py:24-119 passes the pair into every query).
+
+    Expressed as raw timestamp comparisons (``>= d1`` / ``< d2+1day``,
+    the end date materialized in Python) so the predicate pushes down
+    to the parquet scan as-is — a ``to_date()`` wrapper would compute
+    per row and read every row group.
+    """
+    if d1 is not None:
+        orders = orders.filter(
+            F.col("o_orderdate") >= F.lit(f"{d1} 00:00:00").cast("timestamp")
+        )
+    if d2 is not None:
+        nxt = (date.fromisoformat(d2) + timedelta(days=1)).isoformat()
+        orders = orders.filter(
+            F.col("o_orderdate") < F.lit(f"{nxt} 00:00:00").cast("timestamp")
+        )
+    return orders
+
+
 def date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min/max order date (app.py:10-22 ``fetch_date_bounds``)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -39,15 +63,28 @@ def date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.agg(F.min(d).alias("min_d"), F.max(d).alias("max_d"))
 
 
-def kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kpis(
+    spark: SparkSession,
+    sf_dir: str,
+    d1: str | None = None,
+    d2: str | None = None,
+) -> DataFrame:
     """Headline KPIs (app.py:24-45 ``load_kpis``): order count, net
     before refunds, refund total, net after refunds, AOV.
 
     Computed at line grain (sums are associative, so Σ_orders Σ_lines
-    = Σ_lines) — one scan, no join. AOV is exact-net / order-count in
-    double (deterministic given exact inputs).
+    = Σ_lines) — unbounded it is one scan, no join. With a date range
+    the line scan is restricted to in-range orders via a key join
+    against the date-filtered (scan-pushed) orders projection; AQE
+    broadcasts the key set when the window is narrow. AOV is exact-net
+    / order-count in double (deterministic given exact inputs).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
+    if d1 is not None or d2 is not None:
+        keys = _bound_orders(
+            load_table(spark, sf_dir, "orders"), d1, d2
+        ).select(F.col("o_orderkey").alias("l_orderkey"))
+        lineitem = lineitem.join(keys, "l_orderkey", "left_semi")
     agg = lineitem.agg(
         F.countDistinct("l_orderkey").alias("orders_cnt"),
         F.sum(disc_price()).alias("_net"),
@@ -66,9 +103,15 @@ def kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def revenue_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Net revenue per order date (app.py:47-62 ``load_timeseries``)."""
-    orders = load_table(spark, sf_dir, "orders").select(
+def revenue_timeseries(
+    spark: SparkSession,
+    sf_dir: str,
+    d1: str | None = None,
+    d2: str | None = None,
+) -> DataFrame:
+    """Net revenue per order date (app.py:47-62 ``load_timeseries``),
+    optionally bounded to ``[d1, d2]`` like the dashboard's sidebar."""
+    orders = _bound_orders(load_table(spark, sf_dir, "orders"), d1, d2).select(
         "o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("d")
     )
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -79,14 +122,27 @@ def revenue_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def top_products(spark: SparkSession, sf_dir: str, limit: int = 15) -> DataFrame:
+def top_products(
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int = 15,
+    d1: str | None = None,
+    d2: str | None = None,
+) -> DataFrame:
     """Top products by refund-net revenue (app.py:64-81
     ``load_top_products``): name, revenue, qty_sold.
 
-    part is broadcast; the LIMIT is globally deterministic via
-    (revenue DESC, name ASC) on the exact decimal metric.
+    part is broadcast; an optional order-date window restricts lines
+    via a semi-join on date-filtered order keys (scan-pushed). The
+    LIMIT is globally deterministic via (revenue DESC, name ASC) on
+    the exact decimal metric.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
+    if d1 is not None or d2 is not None:
+        keys = _bound_orders(
+            load_table(spark, sf_dir, "orders"), d1, d2
+        ).select(F.col("o_orderkey").alias("l_orderkey"))
+        lineitem = lineitem.join(keys, "l_orderkey", "left_semi")
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_name").alias("name")
     )
@@ -108,10 +164,22 @@ def top_products(spark: SparkSession, sf_dir: str, limit: int = 15) -> DataFrame
     )
 
 
-def category_mix(spark: SparkSession, sf_dir: str, limit: int = 15) -> DataFrame:
+def category_mix(
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int = 15,
+    d1: str | None = None,
+    d2: str | None = None,
+) -> DataFrame:
     """Revenue by product category (app.py:83-99 ``load_category_mix``)
-    — category := p_type (the snapshot string of ``operators.enrich``)."""
+    — category := p_type (the snapshot string of ``operators.enrich``);
+    optional order-date window as in ``top_products``."""
     lineitem = load_table(spark, sf_dir, "lineitem")
+    if d1 is not None or d2 is not None:
+        keys = _bound_orders(
+            load_table(spark, sf_dir, "orders"), d1, d2
+        ).select(F.col("o_orderkey").alias("l_orderkey"))
+        lineitem = lineitem.join(keys, "l_orderkey", "left_semi")
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_type").alias("category")
     )
@@ -127,15 +195,24 @@ def category_mix(spark: SparkSession, sf_dir: str, limit: int = 15) -> DataFrame
     )
 
 
-def geo_rollup(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
+def geo_rollup(
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int = 20,
+    d1: str | None = None,
+    d2: str | None = None,
+) -> DataFrame:
     """Orders + net by geography (app.py:101-119 ``load_geo``) —
     country/city become nation/region in the star schema.
 
     customer/nation/region are broadcast; the only shuffle is the
-    lineitem->order-key aggregation.
+    lineitem->order-key aggregation. The optional date window filters
+    the orders scan directly (pushed predicate).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders = _bound_orders(load_table(spark, sf_dir, "orders"), d1, d2).select(
+        "o_orderkey", "o_custkey"
+    )
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")

@@ -18,9 +18,12 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.logging import get_logger
 from ..operators.upsert import upsert_df
 from ..sources import rest
 from ..sources.state import WatermarkStore
+
+log = get_logger(__name__)
 
 
 def build_facts(
@@ -98,11 +101,13 @@ def incremental_run(
     stats. Idempotent: re-running with an unmoved watermark rewrites
     the same keys (delete+insert), so retries are safe."""
     since = state.get_since()
+    log.info("incremental run since=%s", since)
     orders, items = build_facts(spark, transport, since)
     orders = orders.persist()
     items = items.persist()
     n_orders = orders.count()
     n_items = items.count()
+    log.info("extracted %d orders / %d items", n_orders, n_items)
     if n_orders:
         _upsert_table(
             spark, orders, os.path.join(warehouse_dir, "fct_orders"), ["order_id"]
@@ -117,6 +122,7 @@ def incremental_run(
         nxt = WatermarkStore.advance_from(max_date)
         if nxt:
             state.set_since(nxt)
+            log.info("watermark advanced to %s", nxt)
     orders.unpersist()
     items.unpersist()
     return {"since": since, "orders": n_orders, "items": n_items}

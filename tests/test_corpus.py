@@ -110,6 +110,38 @@ def test_dedup_clusters_chain_converges(spark):
     assert out[6].cluster_id == 6
 
 
+def test_dedup_clusters_star_matches_propagation(spark, sf_dir):
+    """The O(log d)-round star variant must produce exactly the
+    propagation labels — on an adversarial chain (worst case for
+    propagation, best case to validate transitivity) and on the real
+    near-dup graph of the testdata corpus."""
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    # chain 1-2-...-9 + two singletons: log-round convergence
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "en", "s") for i in range(1, 12)],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "doc_a bigint, doc_b bigint"
+    )
+    out = {r.doc_id: r for r in dedup_clusters_star(docs, pairs=pairs).collect()}
+    assert all(out[i].cluster_id == 1 for i in range(1, 10))
+    assert all(out[i].cluster_size == 9 for i in range(1, 10))
+    assert out[10].cluster_id == 10 and out[10].cluster_size == 1
+    assert out[11].cluster_id == 11
+
+    # real corpus: identical labels from both algorithms
+    corpus = load_table(spark, sf_dir, "documents")
+    prop = {(r.doc_id, r.cluster_id) for r in dedup_clusters(corpus).collect()}
+    star = {(r.doc_id, r.cluster_id) for r in dedup_clusters_star(corpus).collect()}
+    assert star == prop
+
+
 def test_hopping_window_membership(spark):
     """Each event lands in exactly window/hop windows; counts line up."""
     from py_etl_pipeline_woocommerce_spark.operators.events import hopping_window_agg

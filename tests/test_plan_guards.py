@@ -145,6 +145,23 @@ def test_new_tpch_dims_broadcast(plans):
     assert plans["market_share"].count("BroadcastHashJoin") >= 4
 
 
+def test_bounded_dashboard_filters_push_down(plans):
+    # the (d1, d2) sidebar window must reach the orders parquet scan,
+    # not evaluate post-scan (VERDICT r1 item 5)
+    for name in (
+        "kpis_bounded",
+        "revenue_timeseries_bounded",
+        "top_products_bounded",
+        "category_mix_bounded",
+        "geo_rollup_bounded",
+    ):
+        p = plans[name]
+        segs = p.split("PushedFilters")[1:]
+        assert segs, name
+        # the orders scan may not be the first scan in the plan text
+        assert any("o_orderdate" in s[:300] for s in segs), name
+
+
 def test_cosine_dup_plan_is_keyed(plans):
     # the exact cosine self-join must run as a block-grid equi-join,
     # never a cartesian/nested-loop (VERDICT r1 item 3)
