@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": lambda s, d: corpus.stratified_sample(_docs(s, d)),
         "corpus_stats": lambda s, d: corpus.corpus_stats(_docs(s, d)),
         "corpus_pipeline": lambda s, d: corpus.corpus_pipeline(_docs(s, d)),
+        # --- new in r2: decontamination + dedup application ---
+        "decontaminate": lambda s, d: corpus.decontaminate(_docs(s, d)),
+        "dedup_apply": lambda s, d: corpus.dedup_apply(_docs(s, d)),
         # --- dedup / similarity (unverified in r1) ---
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
@@ -929,6 +932,37 @@ WHERE supp_qty * n_supp > part_qty * 2
         "dedup_exact": f"""
 SELECT md5({_NORM}) AS content_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
 FROM documents GROUP BY 1
+""",
+        "decontaminate": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+bench AS (SELECT DISTINCT u.shingle FROM s, UNNEST(sh) AS u(shingle)
+          WHERE doc_id % 20 = 0 AND u.shingle <> ''),
+ds AS (SELECT DISTINCT doc_id, u.shingle FROM s, UNNEST(sh) AS u(shingle)
+       WHERE doc_id % 20 <> 0 AND u.shingle <> ''),
+hits AS (SELECT doc_id, COUNT(*) AS n_hits
+         FROM ds JOIN bench USING (shingle) GROUP BY 1)
+SELECT d.doc_id, COALESCE(n_hits, 0) AS n_hits,
+       COALESCE(n_hits, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+LEFT JOIN hits USING (doc_id)
+""",
+        "dedup_apply": f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_SQL})),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1),
+sized AS (SELECT doc_id, cluster_id,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+          FROM lab)
+SELECT s.doc_id, d.lang, d.source, s.cluster_size AS n_merged
+FROM sized s JOIN documents d ON s.doc_id = d.doc_id
+WHERE s.doc_id = s.cluster_id
 """,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash": _MINHASH_SQL,

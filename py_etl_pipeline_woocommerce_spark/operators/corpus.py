@@ -131,6 +131,81 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame | None = None,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per training doc, how many distinct
+    word ``n``-gram shingles it shares with an eval/benchmark set, and
+    whether it crosses the removal threshold.
+
+    The standard pre-training hygiene op (eval n-gram overlap scan):
+    benchmark shingles are DISTINCT'd and joined against exploded
+    corpus shingles on the shingle string — a broadcast hash join
+    whenever the benchmark is benchmark-sized (thousands of docs vs a
+    100 TB corpus), so the corpus is one scan with a map-side join +
+    one groupBy(doc_id) partial agg. No Python, no skew (shingle
+    strings are high-cardinality).
+
+    When ``benchmark`` is None, a deterministic held-out slice of the
+    corpus itself (doc_id % 20 == 0) plays the eval set — the driver
+    query needs a self-contained shape; held-out docs are excluded
+    from the scan side so they don't trivially flag themselves.
+    """
+    if benchmark is None:
+        benchmark = documents.filter(F.col("doc_id") % 20 == 0)
+        documents = documents.filter(F.col("doc_id") % 20 != 0)
+    bench_shingles = (
+        benchmark.select(
+            F.explode(word_shingles(tokens_expr("text"), n)).alias("shingle")
+        )
+        .filter(F.col("shingle") != "")
+        .distinct()
+    )
+    doc_shingles = (
+        documents.select(
+            "doc_id",
+            F.explode_outer(word_shingles(tokens_expr("text"), n)).alias("shingle"),
+        )
+        .filter(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
+        .distinct()
+    )
+    hits = doc_shingles.join(F.broadcast(bench_shingles), "shingle").groupBy(
+        "doc_id"
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def dedup_apply(documents: DataFrame) -> DataFrame:
+    """Materialize the near-dup removal decision: one surviving
+    representative per MinHash cluster (the minimum doc_id), all
+    singletons kept, with the cluster size as provenance.
+
+    This is the op a pipeline actually runs after near-dup detection —
+    ``dedup_clusters`` labels every doc; the keep-policy filter
+    ``doc_id == cluster_id`` is a map-side predicate over its output,
+    so applying dedup costs nothing beyond the clustering itself.
+    """
+    from .dedup import dedup_clusters
+
+    labels = dedup_clusters(documents)
+    return (
+        labels.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(documents.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", F.col("cluster_size").alias("n_merged"))
+    )
+
+
 def corpus_pipeline(
     documents: DataFrame, quality_min: float = 0.5, sample_pct: int = 50
 ) -> DataFrame:

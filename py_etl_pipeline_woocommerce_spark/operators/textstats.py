@@ -43,17 +43,44 @@ def quality_score(documents: DataFrame) -> DataFrame:
     ratio, alpha-character ratio. The composite is a fixed-weight
     blend — integer-count ratios in double, fully deterministic.
     """
-    toks = tokens_expr("text")
-    n_tok = token_count_expr("text")
-    n_chars = F.length("text").cast("bigint")
-    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
-    stop = F.size(
-        F.filter(toks, lambda t: t.isin([w for ws in LANG_MARKERS.values() for w in ws]))
+    # Stage the normalization/tokenization ONCE as real columns: the
+    # ratio expressions below each reference tokens/n_tok several
+    # times, and Catalyst does not CSE non-cheap duplicated subtrees
+    # (CollapseProject keeps staged projections separate instead of
+    # inlining them), so an un-staged version re-ran the regex
+    # pipeline + split up to ~6x per row.
+    staged = documents.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("_n_chars"),
+        F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).alias(
+            "_alpha_chars"
+        ),
+        norm_text("text").alias("_norm"),
+    ).select(
+        "doc_id",
+        "_n_chars",
+        "_alpha_chars",
+        "_norm",
+        F.split("_norm", " ").alias("_toks"),
     )
-    distinct_ratio = F.size(F.array_distinct(toks)) / n_tok
-    stop_ratio = stop / n_tok
-    alpha_ratio = alpha_chars / n_chars
-    mean_tok_len = (F.length(norm_text("text")) - (n_tok - 1)) / n_tok
+    markers = [w for ws in LANG_MARKERS.values() for w in ws]
+    counted = staged.select(
+        "doc_id",
+        "_n_chars",
+        "_alpha_chars",
+        "_norm",
+        F.when(F.length("_norm") == 0, F.lit(0))
+        .otherwise(F.size("_toks"))
+        .cast("bigint")
+        .alias("_n_tok"),
+        F.size(F.filter("_toks", lambda t: t.isin(markers))).alias("_stop"),
+        F.size(F.array_distinct("_toks")).alias("_n_distinct"),
+    )
+    n_tok = F.col("_n_tok")
+    distinct_ratio = F.col("_n_distinct") / n_tok
+    stop_ratio = F.col("_stop") / n_tok
+    alpha_ratio = F.col("_alpha_chars") / F.col("_n_chars")
+    mean_tok_len = (F.length("_norm") - (n_tok - 1)) / n_tok
     nonempty = n_tok > 0
     score = (
         F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.25
@@ -61,12 +88,12 @@ def quality_score(documents: DataFrame) -> DataFrame:
         + stop_ratio * 0.25
         + alpha_ratio * 0.25
     )
-    return documents.select(
+    return counted.select(
         "doc_id",
         n_tok.alias("n_tokens"),
         F.when(nonempty, distinct_ratio).otherwise(0.0).alias("distinct_ratio"),
         F.when(nonempty, stop_ratio).otherwise(0.0).alias("stop_ratio"),
-        F.when(n_chars > 0, alpha_ratio).otherwise(0.0).alias("alpha_ratio"),
+        F.when(F.col("_n_chars") > 0, alpha_ratio).otherwise(0.0).alias("alpha_ratio"),
         F.when(nonempty, mean_tok_len).otherwise(0.0).alias("mean_token_len"),
         F.when(nonempty, score).otherwise(0.0).alias("quality"),
     )
@@ -75,20 +102,35 @@ def quality_score(documents: DataFrame) -> DataFrame:
 def lang_id(documents: DataFrame) -> DataFrame:
     """Heuristic language ID: argmax of marker-word hit counts with a
     deterministic tie-break (language order en > fr > de > es, then
-    'unknown' when no marker hits at all)."""
-    toks = tokens_expr("text")
+    'unknown' when no marker hits at all).
 
-    def marker_hits(words: tuple[str, ...]):
-        return F.size(F.filter(toks, lambda t: t.isin(list(words))))
+    Tokenization and the four hit counts are staged as columns first —
+    the argmax when-chain references every count ~3x, and un-staged
+    that re-tokenized the document per reference (no CSE across
+    duplicated non-cheap subtrees).
+    """
+    def _is_marker(words: tuple[str, ...]):
+        wl = list(words)
+        return lambda t: t.isin(wl)
 
-    hits = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    staged = documents.select(
+        "doc_id", "lang", tokens_expr("text").alias("_toks")
+    ).select(
+        "doc_id",
+        "lang",
+        *[
+            F.size(F.filter("_toks", _is_marker(words))).alias(f"_h_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    hits = {lang: F.col(f"_h_{lang}") for lang in LANG_MARKERS}
     best = F.greatest(*hits.values())
     pred = F.lit("unknown")
     # reversed so earlier languages win ties via later .when overriding
     for lang in reversed(list(LANG_MARKERS)):
         pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
-    return documents.select(
+    return staged.select(
         "doc_id", F.col("lang").alias("lang_declared"), pred.alias("lang_pred")
     )
 

@@ -90,6 +90,47 @@ def test_label_centroids_exact_and_partition_invariant(spark):
     assert re == {k: v.centroid for k, v in out.items()}
 
 
+def test_decontaminate_flags_benchmark_overlap(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import decontaminate
+
+    schema = "doc_id bigint, text string, lang string, source string"
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon", "en", "s"),  # overlaps
+            (2, "totally different words here now", "en", "s"),  # clean
+            (3, "", "en", "s"),  # empty: no shingles, clean
+        ],
+        schema,
+    )
+    bench = spark.createDataFrame(
+        [(100, "intro alpha beta gamma outro", "en", "eval")], schema
+    )
+    out = {r.doc_id: r for r in decontaminate(train, benchmark=bench).collect()}
+    assert out[1].contaminated and out[1].n_hits >= 1
+    assert not out[2].contaminated and out[2].n_hits == 0
+    assert not out[3].contaminated
+
+
+def test_dedup_apply_keeps_one_per_cluster(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import dedup_apply
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, BASE, "en", "s"),
+            (2, BASE + " extra", "en", "s"),
+            (3, "completely unrelated words about spark engines and parquet", "en", "s"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in dedup_apply(docs).collect()}
+    assert set(out) == {1, 3}  # 2 merged into 1
+    assert out[1].n_merged == 2
+    assert out[3].n_merged == 1
+
+
 def test_dedup_clusters_chain_converges(spark):
     """A 4-doc chain a-b-c-d must collapse to one cluster even though
     a and d are never a pair (transitivity through propagation)."""

@@ -119,6 +119,20 @@ def test_cosine_dup_blocked_matches_bruteforce(spark, sf_dir):
     assert len(blocked) > 0
 
 
+def test_cosine_kernels_agree(spark, sf_dir):
+    # BLAS matmul vs sequential-fold SQL kernel: same pair set on real
+    # data (guards the ulp-at-threshold risk noted in the docstring)
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pd_pairs = {(r["vec_a"], r["vec_b"]) for r in cosine_dup_pairs(emb).collect()}
+    sql_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in cosine_dup_pairs(emb, kernel="sql").collect()
+    }
+    assert pd_pairs == sql_pairs
+
+
 def test_ann_lsh_topk_returns_bucket_neighbors(spark, sf_dir):
     from py_etl_pipeline_woocommerce_spark.catalog import load_table
 
