@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r2: decontamination + dedup application ---
         "decontaminate": lambda s, d: corpus.decontaminate(_docs(s, d)),
         "dedup_apply": lambda s, d: corpus.dedup_apply(_docs(s, d)),
+        "late_suppliers": relational.late_suppliers,
+        "knn_classify": lambda s, d: similarity.knn_classify(_emb(s, d)),
         # --- dedup / similarity (unverified in r1) ---
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
@@ -963,6 +965,44 @@ sized AS (SELECT doc_id, cluster_id,
 SELECT s.doc_id, d.lang, d.source, s.cluster_size AS n_merged
 FROM sized s JOIN documents d ON s.doc_id = d.doc_id
 WHERE s.doc_id = s.cluster_id
+""",
+        "late_suppliers": """
+WITH per_order AS (
+  SELECT l_orderkey, COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_fail
+  FROM lineitem GROUP BY 1),
+blamed AS (
+  SELECT l1.l_suppkey
+  FROM lineitem l1
+  JOIN per_order p ON l1.l_orderkey = p.l_orderkey
+  JOIN orders o ON l1.l_orderkey = o.o_orderkey
+  WHERE l1.l_returnflag = 'R' AND p.n_supp > 1 AND p.n_fail = 1
+    AND o.o_orderstatus = 'F')
+SELECT s_name AS supplier_name, COUNT(*) AS numwait
+FROM blamed JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1 ORDER BY numwait DESC, supplier_name LIMIT 20
+""",
+        "knn_classify": f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, {_COS} AS cos
+  FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+nn AS (SELECT query_id, neighbor_id
+       FROM (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS knn_rank
+             FROM scored)
+       WHERE knn_rank <= 5),
+votes AS (SELECT query_id, e.label, COUNT(*) AS n_votes
+          FROM nn JOIN embeddings e ON neighbor_id = e.vec_id GROUP BY 1, 2),
+best AS (SELECT query_id, label AS label_pred, n_votes,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS rn
+         FROM votes)
+SELECT b.query_id, t.label AS label_true, b.label_pred, b.n_votes
+FROM best b JOIN embeddings t ON b.query_id = t.vec_id
+WHERE rn = 1
 """,
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash": _MINHASH_SQL,

@@ -411,6 +411,42 @@ def ann_ivf_topk(
     )
 
 
+def knn_classify(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5
+) -> DataFrame:
+    """Majority-vote kNN label prediction for the query batch
+    (vec_id < n_queries), the standard embedding-quality probe for a
+    labeled corpus.
+
+    Composes ``ann_topk`` (broadcast query batch, one corpus scan)
+    with a label join and a per-query vote count; the argmax tie-break
+    is total-ordered (votes DESC, label ASC) so the prediction is
+    deterministic on any partitioning. All shuffles are on query_id —
+    k·n_queries rows, trivial at any corpus scale.
+    """
+    nn = ann_topk(embeddings, n_queries=n_queries, k=k)
+    labels = embeddings.select("vec_id", "label")
+    votes = (
+        nn.join(labels, nn.neighbor_id == labels.vec_id)
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    pred = (
+        votes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("query_id", F.col("label").alias("label_pred"), "n_votes")
+    )
+    truth = embeddings.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("label_true")
+    )
+    return pred.join(truth, "query_id").select(
+        "query_id", "label_true", "label_pred", "n_votes"
+    )
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid of the embedding vectors, one output row per
     (label, dimension).

@@ -859,3 +859,51 @@ def fuzzy_part_names(spark: SparkSession, sf_dir: str, max_dist: int = 3) -> Dat
         .filter(F.col("edit_dist") <= max_dist)
         .select("name_a", "name_b", "edit_dist")
     )
+
+
+def late_suppliers(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFrame:
+    """TPC-H Q21-shape "sole blame" query: suppliers who were the only
+    supplier with a returned ('R') line on a finalized multi-supplier
+    order, ranked by how many such lines they own. (The testdata
+    lineitem carries no commitdate/receiptdate, so the return flag
+    plays Q21's late-delivery role.)
+
+    Spark-first shape: Q21's correlated EXISTS + NOT EXISTS would cost
+    two extra lineitem self-joins; instead ONE per-order aggregate
+    (distinct suppliers, distinct failing suppliers) carries both
+    predicates — blamed lines join it on orderkey (n_supp > 1,
+    n_fail = 1 ⇒ the failing supplier is this line's). One lineitem
+    shuffle on orderkey, orders filter pushed to its scan, supplier
+    dim broadcast.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_name").alias("supplier_name")
+    )
+    per_order = lineitem.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail"),
+    )
+    blamed = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_fail") == 1)),
+            "l_orderkey",
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = blamed.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
+    return (
+        agg.join(F.broadcast(supplier), agg.l_suppkey == supplier.s_suppkey)
+        .orderBy(F.col("numwait").desc(), F.col("supplier_name"))
+        .limit(limit)
+        .select("supplier_name", "numwait")
+    )

@@ -1,0 +1,82 @@
+"""File-format sources: CSV and JSON-lines readers with mandatory
+explicit schemas and loud failure on malformed rows.
+
+The reference ingests REST JSON into a DuckDB warehouse; an engine
+meant to replace it must also mount the flat files a data platform
+actually exchanges (exports, vendor drops, landing zones). Two rules
+make these safe at 100 TB:
+
+- **No inferSchema, ever.** Schema inference scans the data twice and
+  silently retypes on drift; every reader here requires a
+  ``StructType`` up front (the canonical ones live in ``schemas.py``).
+- **FAILFAST by default.** A malformed row is a pipeline bug, not a
+  row to quietly null out. ``PERMISSIVE`` + ``_corrupt_record`` is
+  available explicitly for quarantine flows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    header: bool = True,
+    delimiter: str = ",",
+    mode: str = "FAILFAST",
+    **options: str,
+) -> DataFrame:
+    """Typed CSV scan. Splittable (parallel by byte range) as long as
+    rows don't embed newlines — for quoted multiline fields pass
+    ``multiLine=true`` knowing it serializes each file to one task."""
+    return (
+        spark.read.schema(schema)
+        .options(header=header, sep=delimiter, mode=mode, **options)
+        .csv(path)
+    )
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    mode: str = "FAILFAST",
+    **options: str,
+) -> DataFrame:
+    """Typed JSON-lines scan (one object per line — the splittable
+    layout; whole-file JSON documents need ``multiLine`` and lose
+    intra-file parallelism)."""
+    return spark.read.schema(schema).options(mode=mode, **options).json(path)
+
+
+def read_jsonl_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE JSON-lines scan split into (good, quarantined) —
+    the landing-zone pattern when upstream can't be trusted to be
+    well-formed: good rows flow on, corrupt raw lines are preserved
+    for triage instead of killing the job or vanishing.
+    """
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
+    )
+    raw = (
+        spark.read.schema(with_corrupt)
+        .options(mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL)
+        .json(path)
+        # Spark disallows filtering raw file scans on the corrupt
+        # column alone (SPARK-21610); caching the parsed frame is the
+        # documented unblock — and both branches reuse the one scan.
+        .cache()
+    )
+    good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
+    return good, bad

@@ -1,0 +1,78 @@
+"""CSV / JSON-lines sources: typed reads, loud failure, quarantine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from py_etl_pipeline_woocommerce_spark.sources.files import (
+    read_csv,
+    read_jsonl,
+    read_jsonl_quarantine,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("order_id", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "orders.csv"
+    p.write_text("order_id,status,total\n1,paid,10.50\n2,refunded,0.00\n")
+    return str(p)
+
+
+@pytest.fixture()
+def jsonl_path(tmp_path):
+    p = tmp_path / "orders.jsonl"
+    p.write_text(
+        '{"order_id": 1, "status": "paid", "total": 10.5}\n'
+        '{"order_id": 2, "status": "refunded", "total": 0.0}\n'
+    )
+    return str(p)
+
+
+def test_read_csv_typed(spark, csv_path):
+    df = read_csv(spark, csv_path, SCHEMA)
+    assert df.schema == SCHEMA
+    rows = {r.order_id: r for r in df.collect()}
+    assert rows[1].total == 10.5 and rows[2].status == "refunded"
+
+
+def test_read_csv_failfast_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("order_id,status,total\n1,paid,10.50\nnot_a_number,x,y\n")
+    with pytest.raises(Exception):
+        read_csv(spark, str(p), SCHEMA).collect()
+
+
+def test_read_jsonl_typed(spark, jsonl_path):
+    df = read_jsonl(spark, jsonl_path, SCHEMA)
+    assert df.schema == SCHEMA
+    assert df.count() == 2
+
+
+def test_read_jsonl_failfast_on_malformed(spark, tmp_path):
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"order_id": 1, "status": "ok", "total": 1.0}\n{broken\n')
+    with pytest.raises(Exception):
+        read_jsonl(spark, str(p), SCHEMA).collect()
+
+
+def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"order_id": 1, "status": "ok", "total": 1.0}\n'
+        "{totally broken line\n"
+        '{"order_id": 2, "status": "ok", "total": 2.0}\n'
+    )
+    good, bad = read_jsonl_quarantine(spark, str(p), SCHEMA)
+    assert {r.order_id for r in good.collect()} == {1, 2}
+    bad_rows = bad.collect()
+    assert len(bad_rows) == 1
+    assert "broken" in bad_rows[0][0]
