@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # capped driver run converts those first) ---
         "decontaminate": lambda s, d: corpus.decontaminate(_docs(s, d)),
         "dedup_apply": lambda s, d: corpus.dedup_apply(_docs(s, d)),
+        "dedup_incremental": lambda s, d: dedup.dedup_incremental(_docs(s, d)),
         "late_suppliers": relational.late_suppliers,
         "knn_classify": lambda s, d: similarity.knn_classify(_emb(s, d)),
         "kpis_bounded": lambda s, d: analytics.kpis(
@@ -963,6 +964,17 @@ sized AS (SELECT doc_id, cluster_id,
 SELECT s.doc_id, d.lang, d.source, s.cluster_size AS n_merged
 FROM sized s JOIN documents d ON s.doc_id = d.doc_id
 WHERE s.doc_id = s.cluster_id
+""",
+        "dedup_incremental": f"""
+WITH known AS (
+  SELECT DISTINCT md5({_NORM}) AS content_hash
+  FROM documents WHERE doc_id % 2 = 0),
+batch AS (
+  SELECT doc_id, md5({_NORM}) AS content_hash
+  FROM documents WHERE doc_id % 2 = 1)
+SELECT b.doc_id, b.content_hash,
+       k.content_hash IS NOT NULL AS is_known_dup
+FROM batch b LEFT JOIN known k ON b.content_hash = k.content_hash
 """,
         "late_suppliers": """
 WITH per_order AS (

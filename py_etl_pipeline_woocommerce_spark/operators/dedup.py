@@ -84,6 +84,45 @@ def dedup_exact(documents: DataFrame) -> DataFrame:
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame, existing: DataFrame | None = None
+) -> DataFrame:
+    """Incremental exact dedup: annotate a NEW batch of documents with
+    whether their content already exists in the ingested corpus — the
+    shape a daily training-data drop actually runs (dedup against
+    everything seen so far, not within one batch).
+
+    The corpus side reduces to distinct 32-char fingerprints (at
+    petabyte scale that's the stored dedup index, not a rescan); the
+    new batch left-semi-ish joins it on the hash. One hash-shuffle
+    (or broadcast when the daily batch index fits), map-side partial
+    distinct on the corpus side.
+
+    When ``existing`` is None, a deterministic self-contained split
+    makes the driver query: even doc_ids play the ingested corpus,
+    odd doc_ids the incoming batch.
+    """
+    if existing is None:
+        existing = new_docs.filter(F.col("doc_id") % 2 == 0)
+        new_docs = new_docs.filter(F.col("doc_id") % 2 == 1)
+    known = (
+        existing.select(md5_hex(norm_text("text")).alias("content_hash"))
+        .distinct()
+        .withColumn("_known", F.lit(True))
+    )
+    hashed = new_docs.select(
+        "doc_id", md5_hex(norm_text("text")).alias("content_hash")
+    )
+    return (
+        hashed.join(known, "content_hash", "left")
+        .select(
+            "doc_id",
+            "content_hash",
+            F.coalesce("_known", F.lit(False)).alias("is_known_dup"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame, threshold: float = 0.5
 ) -> DataFrame:

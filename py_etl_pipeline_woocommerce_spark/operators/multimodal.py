@@ -104,6 +104,49 @@ def dedup_media_exact(media: DataFrame) -> DataFrame:
     )
 
 
+def fake_resize(payload: bytes, mime_type: str, width: int, height: int) -> bytes:
+    """Deterministic resize stand-in: output bytes derived from the
+    payload hash + target box, length proportional to the target area
+    (mimics a real thumbnail's size behavior for partition-sizing
+    tests). Same (bytes in → bytes out) contract as a PIL resizer."""
+    h = hashlib.sha256((payload or b"") + f"{width}x{height}".encode()).digest()
+    n = max(1, (width * height) // 64)
+    return (h * (n // len(h) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, resizer=fake_resize
+) -> DataFrame:
+    """Image resize via Arrow-batched ``mapInPandas`` (real resizer =
+    PIL ``Image.resize``; stubbed here — the container has no image
+    libs). Output keeps the MEDIA_SCHEMA shape with the new box and
+    payload, so resized corpora flow through every downstream media
+    op unchanged.
+
+    Scale note: resize SHRINKS rows (thumbnail ≪ original), so the
+    output partition count should follow the input's byte-based
+    splits; no repartition needed. Only image rows pay the Python
+    boundary; other modalities pass through untouched via the cheap
+    union of two disjoint filters.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            out["payload"] = [
+                resizer(p if p is not None else b"", m, width, height)
+                for p, m in zip(pdf["payload"], pdf["mime_type"])
+            ]
+            out["width"] = width
+            out["height"] = height
+            yield out
+
+    images = media.filter(F.col("modality") == "image")
+    others = media.filter(F.col("modality") != "image")
+    resized = images.mapInPandas(batches, schema=media.schema)
+    return resized.unionByName(others)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode a frame-timestamp grid
     from duration metadata (decode of each frame is the stubbed

@@ -37,6 +37,21 @@ def test_dedup_exact_collapses_normal_forms(spark):
     assert got == {1: 2, 3: 1}
 
 
+def test_dedup_incremental_flags_known_content(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import dedup_incremental
+
+    existing = _docs(spark, [(1, "en", "Hello,   World!"), (2, "en", "old news")])
+    batch = _docs(
+        spark,
+        [
+            (10, "en", "hello world"),  # normal-form dup of doc 1
+            (11, "en", "genuinely fresh content"),
+        ],
+    )
+    out = {r.doc_id: r.is_known_dup for r in dedup_incremental(batch, existing).collect()}
+    assert out == {10: True, 11: False}
+
+
 def test_ngram_jaccard_finds_near_dup(spark):
     docs = _docs(
         spark,

@@ -83,6 +83,25 @@ def test_frame_sample_plan(media):
 # ------------------------------------------------------------- skew
 
 
+def test_resize_images_reshapes_only_images(media):
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        fake_resize,
+        resize_images,
+    )
+
+    out = {r.media_id: r for r in resize_images(media, 8, 8).collect()}
+    assert len(out) == 4  # non-images pass through
+    expected = fake_resize(b"\x89PNG-fake-1", "image/png", 8, 8)
+    for mid in (1, 2):
+        assert out[mid].width == 8 and out[mid].height == 8
+        assert bytes(out[mid].payload) == expected
+    # deterministic: identical payloads resize identically
+    assert out[1].payload == out[2].payload
+    # audio/video untouched
+    assert out[3].payload == b"RIFF-fake"
+    assert out[4].width == 640
+
+
 def test_salted_join_matches_plain_join(spark):
     fact = spark.createDataFrame(
         [(k, v) for k in ("hot", "cold") for v in range(50 if k == "hot" else 2)],
