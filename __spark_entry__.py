@@ -1143,9 +1143,10 @@ FROM b WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
 WITH t AS (
   SELECT lang, source, text, {_NORM} AS norm FROM documents)
 SELECT lang, source, COUNT(*) AS n_docs,
-       SUM(CAST(CASE WHEN length(norm) = 0 THEN 0
-                     ELSE len(string_split(norm, ' ')) END AS BIGINT)) AS total_tokens,
-       SUM(CAST(length(text) AS BIGINT)) AS total_chars,
+       CAST(SUM(CAST(CASE WHEN length(norm) = 0 THEN 0
+                     ELSE len(string_split(norm, ' ')) END AS BIGINT)) AS BIGINT)
+         AS total_tokens,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
        MAX(CAST(length(text) AS BIGINT)) AS max_chars,
        CAST(SUM(CAST(length(text) AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
 FROM t GROUP BY 1, 2
