@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": lambda s, d: dedup.dedup_incremental(_docs(s, d)),
         "late_suppliers": relational.late_suppliers,
         "knn_classify": lambda s, d: similarity.knn_classify(_emb(s, d)),
+        "customer_ltv": relational.customer_ltv,
         "kpis_bounded": lambda s, d: analytics.kpis(
             s, d, d1="1995-01-01", d2="1996-12-31"
         ),
@@ -964,6 +965,15 @@ sized AS (SELECT doc_id, cluster_id,
 SELECT s.doc_id, d.lang, d.source, s.cluster_size AS n_merged
 FROM sized s JOIN documents d ON s.doc_id = d.doc_id
 WHERE s.doc_id = s.cluster_id
+""",
+        "customer_ltv": """
+SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ltv
+FROM orders
 """,
         "dedup_incremental": f"""
 WITH known AS (

@@ -907,3 +907,27 @@ def late_suppliers(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFra
         .limit(limit)
         .select("supplier_name", "numwait")
     )
+
+
+def customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running customer lifetime value: cumulative order total per
+    customer in (order_date, order_id) order — the window-frame
+    (ROWS UNBOUNDED PRECEDING) shape dashboards use for LTV curves.
+
+    One shuffle partitioned by customer (high-cardinality, no skew);
+    the frame ordering is total (date, then key), so the running sum
+    is deterministic at any parallelism. Money accumulates in exact
+    decimal and casts to double at the boundary.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.sum(dec_money("o_totalprice")).over(w).cast("double").alias("ltv"),
+    )
