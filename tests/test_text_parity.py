@@ -1,0 +1,90 @@
+"""Cross-engine parity of the text normal form on adversarial inputs.
+
+Every text operator's oracle comparison rides on ``norm_text`` (Spark
+regexp_replace) computing the exact same string as the oracle's
+``_NORM`` DuckDB expression. Regex dialect drift (anchors, unicode
+classes, replacement semantics) would silently skew every dedup/
+textstat oracle, so this pins the pair on strings chosen to provoke
+dialect differences.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.functions.text import (
+    md5_hex,
+    norm_text,
+    token_count_expr,
+)
+
+#: must match __spark_entry__._NORM (the oracle-side normal form)
+NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(s), '[^a-z0-9 ]', ' ', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+CASES = [
+    "",
+    " ",
+    "   leading and trailing   ",
+    "UPPER lower MiXeD",
+    "punct!@#$%^&*()_+-=[]{};':\",./<>?`~",
+    "tabs\tand\nnewlines\r\nhere",
+    "unicode: café naïve Ω ß 中文 🙂",
+    "digits 123 mixed a1b2c3",
+    "many     internal      spaces",
+    "a",
+    "already normal text",
+    "dash-joined and under_scored words",
+    "quotes 'single' \"double\"",
+    "backslash \\ and slash /",
+    "100% of $5.00 (fifty)",
+]
+
+
+@pytest.fixture(scope="module")
+def pairs(spark):
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(CASES)], "i int, s string")
+    got = (
+        df.select(
+            "i",
+            norm_text("s").alias("norm"),
+            md5_hex(norm_text("s")).alias("h"),
+            token_count_expr("s").alias("n"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i INT, s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(CASES)))
+    want = con.execute(
+        f"""
+        SELECT i, {NORM_SQL} AS norm, md5({NORM_SQL}) AS h,
+               CASE WHEN length({NORM_SQL}) = 0 THEN 0
+                    ELSE len(string_split({NORM_SQL}, ' ')) END AS n
+        FROM t ORDER BY i
+        """
+    ).fetchall()
+    return got, want
+
+
+def test_normal_form_matches_duckdb(pairs):
+    got, want = pairs
+    for g, w in zip(got, want):
+        assert g["norm"] == w[1], f"case {g['i']}: {g['norm']!r} != {w[1]!r}"
+
+
+def test_fingerprint_hash_matches_duckdb(pairs):
+    got, want = pairs
+    for g, w in zip(got, want):
+        assert g["h"] == w[2], f"case {g['i']}"
+
+
+def test_token_count_matches_duckdb(pairs):
+    got, want = pairs
+    for g, w in zip(got, want):
+        assert g["n"] == w[3], f"case {g['i']}: {g['n']} != {w[3]}"
