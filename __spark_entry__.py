@@ -26,6 +26,7 @@ from py_etl_pipeline_woocommerce_spark.operators import (
     corpus,
     dedup,
     events,
+    packing,
     sessionize,
     similarity,
     temporal,
@@ -203,6 +204,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "geo_rollup_bounded": lambda s, d: analytics.geo_rollup(
             s, d, d1="1995-01-01", d2="1996-12-31"
+        ),
+        "repetition_stats": lambda s, d: textstats.repetition_stats(_docs(s, d)),
+        "mix_weights": lambda s, d: corpus.mix_weights(_docs(s, d)),
+        "pack_sequences": lambda s, d: packing.pack_sequences(_docs(s, d)),
+        "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(
+            _emb(s, d)
         ),
         # --- core ETL (reference parity; r1 driver-pass) ---
         "normalize_orders": lambda s, d: normalize_orders(load_table(s, d, "orders")),
@@ -480,6 +487,93 @@ agg AS (SELECT region, country, COUNT(*) AS orders, SUM(_order_net) AS _net
         FROM g GROUP BY 1, 2)
 SELECT region, country, orders, CAST(_net AS DOUBLE) AS net
 FROM agg ORDER BY _net DESC, region, country LIMIT 20
+""",
+        "repetition_stats": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uc AS (SELECT doc_id, g, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS g FROM t) WHERE g <> ''
+       GROUP BY 1, 2),
+uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_uni
+        FROM uc GROUP BY 1),
+bc AS (SELECT doc_id, g, COUNT(*) AS c
+       FROM (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(toks) - 1),
+                                          i -> toks[i] || ' ' || toks[i + 1])) AS g
+             FROM t)
+       GROUP BY 1, 2),
+bi AS (SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bi FROM bc GROUP BY 1),
+tc AS (SELECT doc_id, g, COUNT(*) AS c
+       FROM (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(toks) - 2),
+                                          i -> toks[i] || ' ' || toks[i + 1]
+                                               || ' ' || toks[i + 2])) AS g
+             FROM t)
+       GROUP BY 1, 2),
+tri AS (SELECT doc_id, SUM(c) AS n_tri, COUNT(*) AS distinct_tri FROM tc GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(CAST(top_uni AS DOUBLE) / n_tokens, 0.0::DOUBLE) AS top_unigram_frac,
+       COALESCE(CAST(top_bi AS DOUBLE) / n_bi, 0.0::DOUBLE) AS top_bigram_frac,
+       COALESCE(CAST(n_tri - distinct_tri AS DOUBLE) / n_tri, 0.0::DOUBLE)
+         AS dup_trigram_frac
+FROM documents d
+LEFT JOIN uni ON d.doc_id = uni.doc_id
+LEFT JOIN bi ON d.doc_id = bi.doc_id
+LEFT JOIN tri ON d.doc_id = tri.doc_id
+""",
+        "mix_weights": f"""
+WITH nt AS (SELECT lang, CASE WHEN length({_NORM}) = 0 THEN 0
+                              ELSE len({_TOKS}) END AS n
+            FROM documents),
+pl AS (SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS lang_tokens
+       FROM nt GROUP BY 1),
+tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
+               COUNT(*) AS n_langs
+        FROM pl)
+SELECT lang, n_docs, lang_tokens,
+       CAST(lang_tokens AS DOUBLE) / total_tokens AS actual_share,
+       1.0::DOUBLE / n_langs AS target_share,
+       (1.0::DOUBLE / n_langs)
+         / (CAST(lang_tokens AS DOUBLE) / total_tokens) AS mix_weight
+FROM pl CROSS JOIN tot
+""",
+        "pack_sequences": f"""
+WITH n AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 8 AS bucket,
+                  CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                            ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+           FROM documents),
+c AS (SELECT *, CAST(SUM(n_tokens)
+                     OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+      FROM n WHERE n_tokens > 0)
+SELECT doc_id, bucket, n_tokens,
+       cum_end - n_tokens AS stream_start,
+       CAST(floor((cum_end - n_tokens) / 512) AS BIGINT) AS start_pack,
+       CAST(floor((cum_end - 1) / 512) AS BIGINT) AS end_pack,
+       (cum_end - n_tokens) % 512 AS pack_offset,
+       CAST(floor((cum_end - 1) / 512) AS BIGINT)
+         - CAST(floor((cum_end - n_tokens) / 512) AS BIGINT) + 1 AS n_packs_spanned
+FROM c
+""",
+        "quantize_embeddings": """
+WITH d AS (SELECT vec_id, CAST(i.range AS INT) AS dim,
+                  CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE) AS v
+           FROM embeddings CROSS JOIN range(0, 64) i),
+st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM d GROUP BY 1),
+sc AS (SELECT dim, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0::DOUBLE
+                   ELSE 1.0::DOUBLE END AS scale
+       FROM st),
+q AS (SELECT vec_id, v, mn, scale,
+             floor((v - mn) / scale + 0.5::DOUBLE) AS code
+      FROM d JOIN sc USING (dim))
+SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dims,
+       CAST(MIN(code) AS BIGINT) AS min_code,
+       CAST(MAX(code) AS BIGINT) AS max_code,
+       MAX(abs(v - (mn + code * scale))) AS max_abs_err
+FROM q GROUP BY 1
 """,
         "normalize_orders": _NORM_ORDERS_SQL,
         "normalize_items": _ITEMS_BASE,

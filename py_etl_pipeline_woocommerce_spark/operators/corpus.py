@@ -238,3 +238,48 @@ def corpus_pipeline(
         .withColumn("bucket", bucket)
         .filter(F.col("bucket") < sample_pct)
     )
+
+
+def mix_weights(
+    documents: DataFrame, target: dict[str, float] | None = None
+) -> DataFrame:
+    """Data-mixing resampling weights per language stratum.
+
+    Training pipelines rarely sample the corpus as-is — they reweight
+    strata toward a target mix (e.g. uniform over languages, or a
+    hand-tuned domain recipe). ``mix_weight`` is the per-stratum
+    sampling multiplier: ``target_share / actual_token_share``; feed
+    it to ``stratified_sample``-style hash-mod rates to materialize
+    the mix.
+
+    ``target`` maps lang → desired token share; unlisted languages
+    (and the ``None`` default) get a uniform ``1 / n_langs`` target.
+
+    Scale shape: one scan with a map-side-combinable (lang) aggregate
+    (group space = number of languages), a 1-row corpus total
+    broadcast back — no second scan, no skew, no Python.
+    """
+    per_lang = documents.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_expr("text")).alias("lang_tokens"),
+    )
+    totals = per_lang.agg(
+        F.sum("lang_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    uniform = F.lit(1.0) / F.col("n_langs")
+    tgt = uniform
+    for lang, share in sorted((target or {}).items()):
+        tgt = F.when(F.col("lang") == lang, F.lit(float(share))).otherwise(tgt)
+    actual = F.col("lang_tokens").cast("double") / F.col("total_tokens")
+    return (
+        per_lang.join(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            actual.alias("actual_share"),
+            tgt.alias("target_share"),
+            (tgt / actual).alias("mix_weight"),
+        )
+    )

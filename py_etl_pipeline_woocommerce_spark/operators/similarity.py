@@ -484,3 +484,66 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
             "n_vecs",
         )
     )
+
+
+def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
+    """Per-dimension min-max scalar quantization (the int8 embedding
+    compression an ANN serving/storage layer applies) + per-vector
+    reconstruction-error audit.
+
+    Pass 1 computes the per-dim (min, max) range — order-insensitive
+    aggregates, so exact under any partitioning — and folds it into
+    one broadcastable row of two 64-element arrays. Pass 2 is a pure
+    map: each vector is quantized element-wise against the broadcast
+    ranges with ``code = floor((x - mn)/scale + 0.5)`` (explicit
+    half-up via floor — ``round``'s half-even/away dialect differs
+    across engines) and audited as ``max |x - dequant(code)|``. Max is
+    order-insensitive, so the audit is bit-exact cross-engine; a mean
+    would depend on summation order.
+
+    Scale: pass 1 is a posexplode + 64-group partial agg (map-side
+    combinable); pass 2 is one scan with a k·dim broadcast. Nothing
+    is O(n²), nothing is Python.
+    """
+    levels = float((1 << bits) - 1)
+    e = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    ranges = (
+        e.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("dm"))
+        .select(
+            F.transform("dm", lambda s: s["mn"]).alias("mns"),
+            F.transform("dm", lambda s: s["mx"]).alias("mxs"),
+        )
+    )
+
+    def _mn(i):
+        return F.element_at(F.col("mns"), i + F.lit(1))
+
+    def _scale(i):
+        mn, mx = _mn(i), F.element_at(F.col("mxs"), i + F.lit(1))
+        return F.when(mx > mn, (mx - mn) / F.lit(levels)).otherwise(F.lit(1.0))
+
+    def _code(x, i):
+        return F.floor((x - _mn(i)) / _scale(i) + F.lit(0.5))
+
+    quantized = e.join(F.broadcast(ranges)).select(
+        "vec_id",
+        F.transform("emb", _code).alias("codes"),
+        F.transform(
+            "emb",
+            lambda x, i: F.abs(x - (_mn(i) + _code(x, i).cast("double") * _scale(i))),
+        ).alias("errs"),
+        F.size("emb").cast("bigint").alias("n_dims"),
+    )
+    return quantized.select(
+        "vec_id",
+        "n_dims",
+        F.array_min("codes").cast("bigint").alias("min_code"),
+        F.array_max("codes").cast("bigint").alias("max_code"),
+        F.array_max("errs").alias("max_abs_err"),
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_hex, norm_text, token_count_expr, tokens_expr
+from ..functions.text import md5_hex, norm_text, token_count_expr, tokens_expr, word_shingles
 
 #: Marker words per language for the heuristic classifier. Honest
 #: n-gram/stopword language ID needs per-language marker vocabularies;
@@ -142,6 +142,73 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         md5_hex(norm_text("text")).alias("fingerprint"),
         (F.floor(F.length("text") / 100)).cast("bigint").alias("len_bucket"),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters: per-doc duplicate-n-gram
+    signals used to drop template/spam pages from training corpora
+    (Rae et al. 2021 §A1.1 repetition heuristics — public paper).
+
+    Signals:
+    - ``top_unigram_frac`` — share of tokens taken by the most
+      frequent token,
+    - ``top_bigram_frac`` — share of bigram occurrences taken by the
+      most frequent bigram,
+    - ``dup_trigram_frac`` — fraction of trigram occurrences that are
+      repeats of an earlier trigram (1 − distinct/total).
+
+    Scale shape: ONE text scan. The three gram streams are emitted as
+    a single tagged explode (``(gram_size, gram)`` structs from
+    materialized token/shingle arrays — one pass over the column,
+    where three separate explodes would re-scan 100 TB of text three
+    times), then a two-level aggregate keyed on (doc_id, n, gram) —
+    high-cardinality, skew-free, map-side combinable. The shuffle
+    carries one row per *distinct* gram per doc, not per occurrence,
+    and the doc-grain signals fall out of ONE conditional aggregate,
+    no joins between gram sizes. (A per-row HOF formulation would be
+    O(len²) per doc and die on long docs.)
+    """
+    def _tag(arr, n):
+        return F.transform(
+            arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+        )
+
+    staged = documents.select("doc_id", tokens_expr("text").alias("_toks"))
+    grams = staged.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                _tag(F.filter("_toks", lambda t: t != ""), 1),
+                _tag(word_shingles(F.col("_toks"), 2), 2),
+                _tag(word_shingles(F.col("_toks"), 3), 3),
+            )
+        ).alias("t"),
+    ).select("doc_id", F.col("t.n").alias("n"), F.col("t.g").alias("g"))
+    counts = grams.groupBy("doc_id", "n", "g").agg(F.count(F.lit(1)).alias("c"))
+    n = F.col("n")
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(n == 1, F.col("c"))).alias("n_tokens"),
+        F.max(F.when(n == 1, F.col("c"))).alias("top_uni"),
+        F.sum(F.when(n == 2, F.col("c"))).alias("n_bi"),
+        F.max(F.when(n == 2, F.col("c"))).alias("top_bi"),
+        F.sum(F.when(n == 3, F.col("c"))).alias("n_tri"),
+        F.sum(F.when(n == 3, F.lit(1))).alias("distinct_tri"),
+    )
+    out = documents.select("doc_id").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_tokens"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.coalesce(
+            F.col("top_uni").cast("double") / F.col("n_tokens"), F.lit(0.0)
+        ).alias("top_unigram_frac"),
+        F.coalesce(
+            F.col("top_bi").cast("double") / F.col("n_bi"), F.lit(0.0)
+        ).alias("top_bigram_frac"),
+        F.coalesce(
+            (F.col("n_tri") - F.col("distinct_tri")).cast("double") / F.col("n_tri"),
+            F.lit(0.0),
+        ).alias("dup_trigram_frac"),
     )
 
 

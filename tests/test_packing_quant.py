@@ -1,0 +1,129 @@
+"""Unit tests for the r2 training-data additions: repetition stats,
+mix weights, sequence packing, embedding quantization — literal
+hand-computed expectations plus the invariants that matter at scale
+(per-bucket stream contiguity, partitioning-invariance)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.catalog import load_table
+from py_etl_pipeline_woocommerce_spark.operators.corpus import mix_weights
+from py_etl_pipeline_woocommerce_spark.operators.packing import pack_sequences
+from py_etl_pipeline_woocommerce_spark.operators.similarity import quantize_embeddings
+from py_etl_pipeline_woocommerce_spark.operators.textstats import repetition_stats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a a a b", "en", "s1"),
+            (2, "x y x y x y", "en", "s1"),
+            (3, "le chat noir", "fr", "s2"),
+            (4, "", "en", "s2"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+
+
+def test_repetition_stats_hand_computed(docs):
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    # doc 1: tokens a,a,a,b -> top unigram 3/4; bigrams "a a","a a","a b"
+    # -> top 2/3; trigrams "a a a","a a b" all distinct -> dup 0
+    r1 = out[1]
+    assert r1.n_tokens == 4
+    assert r1.top_unigram_frac == pytest.approx(0.75)
+    assert r1.top_bigram_frac == pytest.approx(2 / 3)
+    assert r1.dup_trigram_frac == 0.0
+    # doc 2: x y x y x y -> top unigram 3/6; bigrams xy,yx,xy,yx,xy ->
+    # 3/5; trigrams xyx,yxy,xyx,yxy -> 2 dups of 4
+    r2 = out[2]
+    assert r2.top_unigram_frac == pytest.approx(0.5)
+    assert r2.top_bigram_frac == pytest.approx(0.6)
+    assert r2.dup_trigram_frac == pytest.approx(0.5)
+    # empty doc keeps a row with zeroed signals
+    assert out[4].n_tokens == 0 and out[4].dup_trigram_frac == 0.0
+
+
+def test_mix_weights_uniform_default(docs):
+    out = {r.lang: r for r in mix_weights(docs).collect()}
+    # tokens: en = 4 + 6 + 0 = 10, fr = 3 -> shares 10/13, 3/13
+    assert out["en"].lang_tokens == 10 and out["fr"].lang_tokens == 3
+    assert out["en"].actual_share == pytest.approx(10 / 13)
+    assert out["en"].target_share == pytest.approx(0.5)
+    assert out["en"].mix_weight == pytest.approx(0.5 / (10 / 13))
+    assert out["fr"].mix_weight == pytest.approx(0.5 / (3 / 13))
+
+
+def test_mix_weights_explicit_target(docs):
+    out = {r.lang: r for r in mix_weights(docs, {"fr": 0.9}).collect()}
+    assert out["fr"].target_share == pytest.approx(0.9)
+    # unlisted lang falls back to uniform
+    assert out["en"].target_share == pytest.approx(0.5)
+
+
+def test_pack_sequences_hand_computed(spark):
+    # one bucket so the stream order is just doc_id order
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n), "en", "s") for i, n in [(1, 3), (2, 4), (3, 2), (4, 6)]],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = {r.doc_id: r for r in pack_sequences(docs, budget=5, buckets=1).collect()}
+    # cumulative ends: 3, 7, 9, 15 over budget 5
+    assert (out[1].stream_start, out[1].start_pack, out[1].end_pack) == (0, 0, 0)
+    assert (out[2].stream_start, out[2].start_pack, out[2].end_pack) == (3, 0, 1)
+    assert out[2].n_packs_spanned == 2 and out[2].pack_offset == 3
+    assert (out[3].stream_start, out[3].start_pack, out[3].end_pack) == (7, 1, 1)
+    assert (out[4].stream_start, out[4].start_pack, out[4].end_pack) == (9, 1, 2)
+
+
+def test_pack_sequences_streams_contiguous(spark, sf_dir):
+    """Within every bucket the token spans tile the stream exactly:
+    sorted by offset, each doc starts where the previous ended — and
+    the layout is invariant to input partitioning."""
+    documents = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(documents).orderBy("bucket", "stream_start").collect()
+    pos = {}
+    for r in out:
+        assert r.stream_start == pos.get(r.bucket, 0)
+        pos[r.bucket] = r.stream_start + r.n_tokens
+    again = pack_sequences(documents.repartition(7)).orderBy(
+        "bucket", "stream_start"
+    ).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_quantize_embeddings_hand_computed(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 10.0, 5.0], 0),
+            (1, [1.0, 20.0, 5.0], 0),
+            (2, [0.5, 15.0, 5.0], 1),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    # dim0 range [0,1]: codes 0,255,128(=floor(127.5+.5)); dim1 range
+    # [10,20]: codes 0,255,128; dim2 constant -> scale 1.0, code 0
+    assert (out[0].min_code, out[0].max_code) == (0, 0)  # vec 0 is the per-dim min
+    assert (out[1].min_code, out[1].max_code) == (0, 255)
+    assert (out[2].min_code, out[2].max_code) == (0, 128)
+    assert out[0].n_dims == 3
+    # reconstruction error bounded by half a step of the widest dim
+    for r in out.values():
+        assert r.max_abs_err <= 10.0 / 255 / 2 + 1e-12
+    # constant dim reconstructs exactly: code 0 * scale 1 + mn == mn
+    one_dim = spark.createDataFrame(
+        [(0, [3.5], 0), (1, [3.5], 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    for r in quantize_embeddings(one_dim).collect():
+        assert r.max_abs_err == 0.0 and r.max_code == 0
+
+
+def test_quantize_embeddings_partitioning_invariant(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, quantize_embeddings(emb).collect()))
+    b = sorted(map(tuple, quantize_embeddings(emb.repartition(13)).collect()))
+    assert a == b

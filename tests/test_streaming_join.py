@@ -1,0 +1,86 @@
+"""Stream-stream attribution join: watermarked interval join of two
+unbounded streams, verified against the batch twin on the same data.
+The time-range condition is what bounds join state — without it Spark
+rejects the query — so this also pins that the op stays runnable."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.sources.schemas import EVENTS_SCHEMA
+from py_etl_pipeline_woocommerce_spark.streaming.joins import attribution_join
+from py_etl_pipeline_woocommerce_spark.streaming.pipeline import read_event_stream
+
+MIN_NS = 60_000_000_000
+
+
+def _write_events(path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+            }
+        ),
+        path,
+    )
+
+
+def test_attribution_join_matches_batch(spark, tmp_path):
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = 1_600_000_000_000_000_000
+    rows = [
+        # user 10: view then click 5 min later -> match
+        (1, base, 10, "view", 0.0),
+        (2, base + 5 * MIN_NS, 10, "click", 2.5),
+        # user 11: click 90 min after view -> outside 1h lag, no match
+        (3, base, 11, "view", 0.0),
+        (4, base + 90 * MIN_NS, 11, "click", 9.9),
+        # user 12: click BEFORE view -> no match
+        (5, base + 10 * MIN_NS, 12, "view", 0.0),
+        (6, base, 12, "click", 1.0),
+        # user 10 again: second view also precedes the click -> match
+        (7, base + 2 * MIN_NS, 10, "view", 0.0),
+    ]
+    _write_events(f"{src}/part-0.parquet", rows)
+
+    stream = read_event_stream(spark, str(src))
+    views = stream.filter(F.col("event_type") == "view")
+    clicks = stream.filter(F.col("event_type") == "click")
+    out = attribution_join(views, clicks)
+    query = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_join")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+        got = {
+            (r.view_id, r.click_id): r.lag_us
+            for r in spark.sql("SELECT * FROM attr_join").collect()
+        }
+    finally:
+        query.stop()
+
+    # batch twin: same operator body on static frames
+    batch_events = spark.read.schema(EVENTS_SCHEMA).parquet(str(src))
+    expected = {
+        (r.view_id, r.click_id): r.lag_us
+        for r in attribution_join(
+            batch_events.filter(F.col("event_type") == "view"),
+            batch_events.filter(F.col("event_type") == "click"),
+        ).collect()
+    }
+    assert got == expected
+    assert got == {(1, 2): 5 * 60_000_000, (7, 2): 3 * 60_000_000}
