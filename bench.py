@@ -42,6 +42,9 @@ HEADLINE = [
     "asof_join",
     "range_join_window",
     "multires_rollup",
+    "repetition_stats",
+    "pack_sequences",
+    "quantize_embeddings",
 ]
 
 

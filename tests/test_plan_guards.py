@@ -36,6 +36,10 @@ SCALAR_BROADCAST = {
     # day-spine × event-type grid: both sides are aggregates (≤ days,
     # ≤ types rows) regardless of input scale
     "fill_missing_days",
+    # 1-row corpus totals / per-dim range arrays broadcast back over
+    # the scan — constant-size build side by construction
+    "mix_weights",
+    "quantize_embeddings",
 }
 
 
