@@ -211,6 +211,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": lambda s, d: similarity.quantize_embeddings(
             _emb(s, d)
         ),
+        "filter_pipeline": lambda s, d: textstats.filter_pipeline(_docs(s, d)),
+        "doc_rarity": lambda s, d: corpus.doc_rarity(_docs(s, d)),
+        "dedup_incremental_near": lambda s, d: dedup.dedup_incremental_near(
+            _docs(s, d)
+        ),
         # --- core ETL (reference parity; r1 driver-pass) ---
         "normalize_orders": lambda s, d: normalize_orders(load_table(s, d, "orders")),
         "normalize_items": lambda s, d: normalize_items(load_table(s, d, "lineitem")),
@@ -410,6 +415,40 @@ SELECT doc_id,
 FROM t
 """
 
+_REPETITION_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+uc AS (SELECT doc_id, g, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS g FROM t) WHERE g <> ''
+       GROUP BY 1, 2),
+uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_uni
+        FROM uc GROUP BY 1),
+bc AS (SELECT doc_id, g, COUNT(*) AS c
+       FROM (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(toks) - 1),
+                                          i -> toks[i] || ' ' || toks[i + 1])) AS g
+             FROM t)
+       GROUP BY 1, 2),
+bi AS (SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bi FROM bc GROUP BY 1),
+tc AS (SELECT doc_id, g, COUNT(*) AS c
+       FROM (SELECT doc_id,
+                    unnest(list_transform(generate_series(1, len(toks) - 2),
+                                          i -> toks[i] || ' ' || toks[i + 1]
+                                               || ' ' || toks[i + 2])) AS g
+             FROM t)
+       GROUP BY 1, 2),
+tri AS (SELECT doc_id, SUM(c) AS n_tri, COUNT(*) AS distinct_tri FROM tc GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0) AS n_tokens,
+       COALESCE(CAST(top_uni AS DOUBLE) / n_tokens, 0.0::DOUBLE) AS top_unigram_frac,
+       COALESCE(CAST(top_bi AS DOUBLE) / n_bi, 0.0::DOUBLE) AS top_bigram_frac,
+       COALESCE(CAST(n_tri - distinct_tri AS DOUBLE) / n_tri, 0.0::DOUBLE)
+         AS dup_trigram_frac
+FROM documents d
+LEFT JOIN uni ON d.doc_id = uni.doc_id
+LEFT JOIN bi ON d.doc_id = bi.doc_id
+LEFT JOIN tri ON d.doc_id = tri.doc_id
+"""
+
 _LANG_SQL = f"""
 WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
 h AS (SELECT doc_id, lang,
@@ -488,38 +527,74 @@ agg AS (SELECT region, country, COUNT(*) AS orders, SUM(_order_net) AS _net
 SELECT region, country, orders, CAST(_net AS DOUBLE) AS net
 FROM agg ORDER BY _net DESC, region, country LIMIT 20
 """,
-        "repetition_stats": f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-uc AS (SELECT doc_id, g, COUNT(*) AS c
-       FROM (SELECT doc_id, unnest(toks) AS g FROM t) WHERE g <> ''
-       GROUP BY 1, 2),
-uni AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_uni
-        FROM uc GROUP BY 1),
-bc AS (SELECT doc_id, g, COUNT(*) AS c
-       FROM (SELECT doc_id,
-                    unnest(list_transform(generate_series(1, len(toks) - 1),
-                                          i -> toks[i] || ' ' || toks[i + 1])) AS g
-             FROM t)
-       GROUP BY 1, 2),
-bi AS (SELECT doc_id, SUM(c) AS n_bi, MAX(c) AS top_bi FROM bc GROUP BY 1),
-tc AS (SELECT doc_id, g, COUNT(*) AS c
-       FROM (SELECT doc_id,
-                    unnest(list_transform(generate_series(1, len(toks) - 2),
-                                          i -> toks[i] || ' ' || toks[i + 1]
-                                               || ' ' || toks[i + 2])) AS g
-             FROM t)
-       GROUP BY 1, 2),
-tri AS (SELECT doc_id, SUM(c) AS n_tri, COUNT(*) AS distinct_tri FROM tc GROUP BY 1)
+        "repetition_stats": _REPETITION_SQL,
+        "filter_pipeline": f"""
+WITH q AS ({_QUALITY_SQL}),
+r AS ({_REPETITION_SQL}),
+j AS (SELECT q.doc_id, q.n_tokens, r.top_unigram_frac, r.dup_trigram_frac,
+             q.stop_ratio, q.quality,
+             CASE WHEN q.n_tokens < 20 THEN 'too_short'
+                  WHEN r.top_unigram_frac > 0.15 THEN 'repetitive_unigram'
+                  WHEN r.dup_trigram_frac > 0.05 THEN 'repetitive_trigram'
+                  WHEN q.stop_ratio < 0.02 THEN 'low_stopword'
+                  WHEN q.quality < 0.42 THEN 'low_quality'
+                  ELSE 'kept' END AS reason
+      FROM q JOIN r ON q.doc_id = r.doc_id)
+SELECT *, reason = 'kept' AS keep FROM j
+""",
+        "doc_rarity": f"""
+WITH occ AS (SELECT doc_id, g AS term
+             FROM (SELECT doc_id, unnest({_TOKS}) AS g FROM documents)
+             WHERE g <> ''),
+dfreq AS (SELECT term, COUNT(*) AS df
+          FROM (SELECT DISTINCT doc_id, term FROM occ) GROUP BY 1),
+per_doc AS (SELECT doc_id, COUNT(*) AS n_occ, CAST(SUM(df) AS BIGINT) AS df_sum
+            FROM occ JOIN dfreq USING (term) GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT d.doc_id,
-       COALESCE(n_tokens, 0) AS n_tokens,
-       COALESCE(CAST(top_uni AS DOUBLE) / n_tokens, 0.0::DOUBLE) AS top_unigram_frac,
-       COALESCE(CAST(top_bi AS DOUBLE) / n_bi, 0.0::DOUBLE) AS top_bigram_frac,
-       COALESCE(CAST(n_tri - distinct_tri AS DOUBLE) / n_tri, 0.0::DOUBLE)
-         AS dup_trigram_frac
-FROM documents d
-LEFT JOIN uni ON d.doc_id = uni.doc_id
-LEFT JOIN bi ON d.doc_id = bi.doc_id
-LEFT JOIN tri ON d.doc_id = tri.doc_id
+       COALESCE(n_occ, 0) AS n_occ,
+       COALESCE(df_sum, 0) AS df_sum,
+       COALESCE(CAST(df_sum AS DOUBLE) / (n_occ * n_docs), 0.0::DOUBLE)
+         AS commonness,
+       COALESCE(1.0::DOUBLE - CAST(df_sum AS DOUBLE) / (n_occ * n_docs),
+                0.0::DOUBLE) AS rarity
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id CROSS JOIN tot
+""",
+        "dedup_incremental_near": f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t),
+sf AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+ab AS (SELECT doc_id,
+         list_transform(sh, x -> CAST('0x' || substr(md5(x), 1, 15) AS BIGINT) % 1000000007) AS ha,
+         list_transform(sh, x -> CAST('0x' || substr(md5(x), 17, 15) AS BIGINT) % 1000000007 + 1) AS hb
+       FROM sf),
+sig AS (SELECT doc_id,
+          list_transform(range(0, 16), i ->
+            list_aggregate(list_transform(range(1, len(ha) + 1),
+              j -> (ha[j] + i * hb[j]) % 1000000007), 'min')) AS sg
+        FROM ab),
+bands AS (SELECT doc_id, b.range AS band,
+                 array_to_string(list_slice(sg, b.range*4 + 1, b.range*4 + 4), '|') AS band_hash
+          FROM sig CROSS JOIN range(0, 4) b),
+cand AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
+         FROM bands b JOIN bands c
+           ON b.band = c.band AND b.band_hash = c.band_hash
+         WHERE b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0),
+scored AS (SELECT cand.doc_id, cand.dup_of,
+                  len(list_intersect(sb.sh, sc.sh))
+                    / len(list_distinct(sb.sh || sc.sh)) AS jaccard
+           FROM cand
+           JOIN sf sb ON sb.doc_id = cand.doc_id
+           JOIN sf sc ON sc.doc_id = cand.dup_of
+           WHERE len(list_intersect(sb.sh, sc.sh))
+                   / len(list_distinct(sb.sh || sc.sh)) >= 0.5),
+best AS (SELECT doc_id, dup_of, jaccard,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY jaccard DESC, dup_of) AS rn
+         FROM scored)
+SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NOT NULL AS is_near_dup
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
 """,
         "mix_weights": f"""
 WITH nt AS (SELECT lang, CASE WHEN length({_NORM}) = 0 THEN 0

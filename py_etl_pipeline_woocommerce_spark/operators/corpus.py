@@ -283,3 +283,51 @@ def mix_weights(
             (tgt / actual).alias("mix_weight"),
         )
     )
+
+
+def doc_rarity(documents: DataFrame) -> DataFrame:
+    """Corpus-frequency rarity score per document — the cheap LM-free
+    proxy for "is this doc full of boilerplate vocabulary or rare
+    content" used to balance sampling (high commonness ≈ template
+    text; high rarity ≈ unusual vocabulary worth upweighting).
+
+    ``commonness`` = Σ_occurrences df(term) / (n_occ · N): the mean
+    document-frequency share of the doc's token stream. The numerator
+    is an INTEGER sum (order-insensitive — engine-exact under any
+    partitioning); exactly one double division happens at the end,
+    then ``rarity = 1 − commonness``.
+
+    Scale shape: explode → distinct (doc, term) → df on term (all
+    high-cardinality partial-agg shuffles), one term-keyed join back
+    to occurrences, one doc-keyed agg, and a 1-row corpus-size
+    broadcast. Linear end to end.
+    """
+    occ = documents.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("term")
+    ).filter(F.col("term") != "")
+    df_ = (
+        occ.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    per_doc = (
+        occ.join(df_, "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_occ"), F.sum("df").alias("df_sum"))
+    )
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    commonness = F.col("df_sum").cast("double") / (
+        F.col("n_occ") * F.col("n_docs")
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            F.coalesce("n_occ", F.lit(0)).alias("n_occ"),
+            F.coalesce("df_sum", F.lit(0)).alias("df_sum"),
+            F.coalesce(commonness, F.lit(0.0)).alias("commonness"),
+            F.coalesce(F.lit(1.0) - commonness, F.lit(0.0)).alias("rarity"),
+        )
+    )

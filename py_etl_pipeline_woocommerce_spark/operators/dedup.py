@@ -538,3 +538,91 @@ def dedup_clusters_star(
     )
     w = Window.partitionBy("cluster_id")
     return full.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+
+
+def dedup_incremental_near(
+    new_docs: DataFrame, existing: DataFrame | None = None, threshold: float = 0.5
+) -> DataFrame:
+    """Incremental NEAR-dup: annotate a new batch with its best
+    near-duplicate in the already-ingested corpus — the daily-drop
+    twin of ``minhash_lsh_pairs`` (same signatures/banding, but a
+    batch×corpus band join instead of a corpus self-join).
+
+    At scale the corpus side is the stored LSH index (doc_id + band
+    keys — exactly the compact frame built here; in production it is
+    written once and re-read per drop, never re-tokenized). The band
+    join keys on (band, band_hash); the batch side is drop-sized, so
+    AQE broadcasts it and the corpus index streams through map-side.
+    Candidates then verify by exact Jaccard on the shingle sets, and
+    each batch doc keeps its best match (max Jaccard, ties to the
+    lower corpus doc_id).
+
+    When ``existing`` is None, a deterministic self-contained split
+    makes the driver query: doc_id % 10 == 0 plays the incoming
+    batch, the rest the ingested corpus.
+    """
+    if existing is None:
+        existing = new_docs.filter(F.col("doc_id") % 10 != 0)
+        new_docs = new_docs.filter(F.col("doc_id") % 10 == 0)
+
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+
+    def _bands(docs: DataFrame, id_alias: str):
+        sh = _shingle_sets(docs, nonempty=True).select("doc_id", "shingles")
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        sig = _signature_from_shingles(sh)
+        bands = sig.select(
+            F.col("doc_id").alias(id_alias),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+                    lambda b: F.concat_ws(
+                        "|",
+                        F.transform(
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ),
+                            lambda v: v.cast("string"),
+                        ),
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        )
+        return sh, bands
+
+    sh_c, bands_c = _bands(existing, "dup_of")
+    sh_b, bands_b = _bands(new_docs, "doc_id")
+    cand = (
+        bands_c.join(F.broadcast(bands_b), ["band", "band_hash"])
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    pairs = (
+        cand.join(sh_b.select(F.col("doc_id"), F.col("shingles").alias("sh_b")), "doc_id")
+        .join(
+            sh_c.select(F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_c")),
+            "dup_of",
+        )
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size(F.array_union("sh_b", "sh_c"))
+    scored = (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("dup_of"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "jaccard",
+            F.col("dup_of").isNotNull().alias("is_near_dup"),
+        )
+    )

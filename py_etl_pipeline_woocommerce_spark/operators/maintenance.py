@@ -54,3 +54,35 @@ def ensure_columns(df, columns: dict[str, str]):
         if col not in existing:
             out = out.withColumn(col, F.lit(None).cast(dtype))
     return out
+
+
+def export_shards(
+    df,
+    dest_dir: str,
+    partition_by: tuple[str, ...] = ("lang",),
+    max_records_per_file: int = 100_000,
+) -> dict[str, int]:
+    """Export a prepared corpus as size-bounded training shards:
+    hive-partitioned by stratum (so a loader can mount one language/
+    domain without listing the rest) with ``maxRecordsPerFile``
+    capping shard size — the writer splits output files at the cap,
+    so downstream dataloader workers get uniformly-sized units
+    regardless of stratum skew.
+
+    Returns per-partition-directory shard counts (from the filesystem,
+    not the plan — what was actually written).
+    """
+    import os
+
+    (
+        df.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(*partition_by)
+        .parquet(dest_dir)
+    )
+    shards: dict[str, int] = {}
+    for root, _dirs, files in os.walk(dest_dir):
+        n = sum(1 for f in files if f.endswith(".parquet"))
+        if n:
+            shards[os.path.relpath(root, dest_dir)] = n
+    return shards

@@ -240,3 +240,53 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         counts.append(F.regexp_count(stage, F.lit(pattern)).alias(f"n_{name}"))
         stage = F.regexp_replace(stage, pattern, token)
     return documents.select("doc_id", stage.alias("text_scrubbed"), *counts)
+
+
+def filter_pipeline(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    max_top_unigram: float = 0.15,
+    max_dup_trigram: float = 0.05,
+    min_stop_ratio: float = 0.02,
+    min_quality: float = 0.42,
+) -> DataFrame:
+    """Composed C4/Gopher-style cleaning gate: every doc gets a keep
+    verdict and the FIRST rule it failed (deterministic rule order —
+    the audit column a corpus-curation run reports).
+
+    Rules, in order: too_short → repetitive_unigram →
+    repetitive_trigram → low_stopword → low_quality. Thresholds
+    compare doubles both engines derive from identical integer-count
+    ratios, so the cut is engine-exact.
+
+    Scale shape: ``quality_score`` is a pure map over one scan;
+    ``repetition_stats`` is the one-scan tagged-gram aggregate; the
+    composition adds a single doc_id-keyed join of two doc-grain
+    frames — nothing new materializes, and Catalyst plans the whole
+    gate as one job.
+    """
+    q = quality_score(documents).select(
+        "doc_id", "n_tokens", "stop_ratio", "quality"
+    )
+    r = repetition_stats(documents).select(
+        "doc_id", "top_unigram_frac", "dup_trigram_frac"
+    )
+    j = q.join(r, "doc_id")
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("top_unigram_frac") > max_top_unigram, F.lit("repetitive_unigram"))
+        .when(F.col("dup_trigram_frac") > max_dup_trigram, F.lit("repetitive_trigram"))
+        .when(F.col("stop_ratio") < min_stop_ratio, F.lit("low_stopword"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit("kept"))
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        "top_unigram_frac",
+        "dup_trigram_frac",
+        "stop_ratio",
+        "quality",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )

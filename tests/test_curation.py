@@ -1,0 +1,106 @@
+"""Unit tests for the corpus-curation additions: the composed
+filter_pipeline gate (each rule provoked by a literal doc), corpus-
+frequency rarity (hand-computed), incremental near-dup (batch vs
+corpus), and sharded export (file-count caps verified on disk)."""
+
+from __future__ import annotations
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.operators.corpus import doc_rarity
+from py_etl_pipeline_woocommerce_spark.operators.dedup import dedup_incremental_near
+from py_etl_pipeline_woocommerce_spark.operators.maintenance import export_shards
+from py_etl_pipeline_woocommerce_spark.operators.textstats import filter_pipeline
+
+
+def _doc(i, text, lang="en", source="s"):
+    return (i, text, lang, source)
+
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string"
+
+
+def test_filter_pipeline_each_rule_fires(spark):
+    filler = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    phrase = "the quick brown fox jumps over one lazy sleeping dog"
+    docs = spark.createDataFrame(
+        [
+            _doc(1, "one two three"),  # 3 tokens
+            _doc(2, "the " + "x " * 9 + filler),  # x freq 9/21 > 0.15
+            _doc(3, phrase + " " + phrase),  # repeated phrase: dup trigrams
+            _doc(4, filler + " kilo lima mike november oscar papa quebec "
+                    "romeo sierra tango uniform"),  # no stopwords at all
+            _doc(5, "the a of and " + filler + " kilo lima mike november "
+                    "oscar papa quebec romeo sierra tango"),  # clean
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r.doc_id: r for r in filter_pipeline(docs).collect()}
+    assert out[1].reason == "too_short"
+    assert out[2].reason == "repetitive_unigram"
+    assert out[3].reason == "repetitive_trigram"
+    assert out[4].reason == "low_stopword"
+    assert out[5].reason == "kept" and out[5].keep
+    assert not any(out[i].keep for i in (1, 2, 3, 4))
+
+
+def test_doc_rarity_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [_doc(1, "a b"), _doc(2, "a c"), _doc(3, "a a b")], DOC_SCHEMA
+    )
+    out = {r.doc_id: r for r in doc_rarity(docs).collect()}
+    # df: a->3 docs, b->2, c->1; N=3
+    assert (out[1].n_occ, out[1].df_sum) == (2, 5)
+    assert out[1].commonness == pytest.approx(5 / 6)
+    assert out[1].rarity == pytest.approx(1 / 6)
+    assert (out[3].n_occ, out[3].df_sum) == (3, 8)
+    assert out[3].commonness == pytest.approx(8 / 9)
+    # rarest doc is the one with the only singleton term
+    assert out[2].rarity == max(r.rarity for r in out.values())
+
+
+def test_dedup_incremental_near_flags_batch_against_corpus(spark):
+    phrase = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark shuffles and parquet"
+    docs = spark.createDataFrame(
+        [
+            _doc(1, phrase),                      # corpus
+            _doc(2, other),                       # corpus
+            _doc(10, phrase),                     # batch: exact near-dup of 1
+            _doc(20, "nothing like the corpus at all in any shingle"),
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r.doc_id: r for r in dedup_incremental_near(docs).collect()}
+    assert set(out) == {10, 20}  # only the batch is annotated
+    assert out[10].is_near_dup and out[10].dup_of == 1
+    assert out[10].jaccard == pytest.approx(1.0)
+    assert not out[20].is_near_dup and out[20].dup_of is None
+
+
+def test_dedup_incremental_near_explicit_frames(spark):
+    corpus = spark.createDataFrame([_doc(7, "w x y z " * 5)], DOC_SCHEMA)
+    batch = spark.createDataFrame([_doc(3, "w x y z " * 5)], DOC_SCHEMA)
+    out = dedup_incremental_near(batch, corpus).collect()
+    assert len(out) == 1 and out[0].dup_of == 7
+
+
+def test_export_shards_caps_file_size(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [_doc(i, f"doc number {i}", "en" if i < 5 else "fr") for i in range(8)],
+        DOC_SCHEMA,
+    ).coalesce(1)
+    dest = str(tmp_path / "shards")
+    shards = export_shards(docs, dest, max_records_per_file=2)
+    assert shards.get("lang=en", 0) >= 3  # 5 rows at <=2/file
+    assert shards.get("lang=fr", 0) >= 2  # 3 rows
+    back = spark.read.parquet(dest)
+    assert back.count() == 8
+    assert set(back.columns) == {"doc_id", "text", "source", "lang"}
+    # every physical file respects the cap
+    import glob
+
+    for f in glob.glob(f"{dest}/lang=*/**/*.parquet", recursive=True):
+        assert pq.read_metadata(f).num_rows <= 2

@@ -40,6 +40,7 @@ SCALAR_BROADCAST = {
     # the scan — constant-size build side by construction
     "mix_weights",
     "quantize_embeddings",
+    "doc_rarity",
 }
 
 
