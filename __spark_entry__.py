@@ -148,12 +148,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "daily_active_users": lambda s, d: temporal.daily_active_users(_events(s, d)),
         "fill_missing_days": lambda s, d: temporal.fill_missing_days(_events(s, d)),
         "rolling_active_users": lambda s, d: temporal.rolling_active_users(_events(s, d)),
-        "daily_active_users_approx": lambda s, d: temporal.daily_active_users_approx(
-            _events(s, d)
-        ),
-        "value_percentiles_approx": lambda s, d: temporal.value_percentiles_approx(
-            _events(s, d)
-        ),
         # --- events / sessions (unverified in r1) ---
         "event_window_agg": lambda s, d: events.event_window_agg(_events(s, d)),
         "hopping_window_agg": lambda s, d: events.hopping_window_agg(_events(s, d)),
@@ -176,8 +170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
         "embedding_cosine_dup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d)),
         "ann_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
-        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
-        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
         "label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         # --- r1 hash-fails, now fixed oracle-side (BIGINT casts) ---
         "linestatus_priority": relational.linestatus_priority,
@@ -216,6 +208,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_near": lambda s, d: dedup.dedup_incremental_near(
             _docs(s, d)
         ),
+        # --- no-SQL-oracle sketch/ANN entries (rows-only driver check;
+        # ordered after the oracle-backed ones so a budget-capped run
+        # spends full checks first) ---
+        "daily_active_users_approx": lambda s, d: temporal.daily_active_users_approx(
+            _events(s, d)
+        ),
+        "value_percentiles_approx": lambda s, d: temporal.value_percentiles_approx(
+            _events(s, d)
+        ),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
         # --- core ETL (reference parity; r1 driver-pass) ---
         "normalize_orders": lambda s, d: normalize_orders(load_table(s, d, "orders")),
         "normalize_items": lambda s, d: normalize_items(load_table(s, d, "lineitem")),
