@@ -540,6 +540,34 @@ def dedup_clusters_star(
     return full.withColumn("cluster_size", F.count(F.lit(1)).over(w))
 
 
+def _band_frame(docs: DataFrame, id_alias: str):
+    """(shingle sets, banded signatures) for one side of an LSH join.
+
+    The shingle frame is persisted — both the band branch and the
+    exact-Jaccard verify branch consume it, and without the persist
+    Spark re-tokenizes the corpus once per branch."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    sh = _shingle_sets(docs, nonempty=True).select("doc_id", "shingles")
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signature_from_shingles(sh)
+    bands = sig.select(
+        F.col("doc_id").alias(id_alias),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+                lambda b: F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    return sh, bands
+
+
 def dedup_incremental_near(
     new_docs: DataFrame, existing: DataFrame | None = None, threshold: float = 0.5
 ) -> DataFrame:
@@ -565,33 +593,8 @@ def dedup_incremental_near(
         existing = new_docs.filter(F.col("doc_id") % 10 != 0)
         new_docs = new_docs.filter(F.col("doc_id") % 10 == 0)
 
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-
-    def _bands(docs: DataFrame, id_alias: str):
-        sh = _shingle_sets(docs, nonempty=True).select("doc_id", "shingles")
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        sig = _signature_from_shingles(sh)
-        bands = sig.select(
-            F.col("doc_id").alias(id_alias),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
-                    lambda b: F.concat_ws(
-                        "|",
-                        F.transform(
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ),
-                            lambda v: v.cast("string"),
-                        ),
-                    ),
-                )
-            ).alias("band", "band_hash"),
-        )
-        return sh, bands
-
-    sh_c, bands_c = _bands(existing, "dup_of")
-    sh_b, bands_b = _bands(new_docs, "doc_id")
+    sh_c, bands_c = _band_frame(existing, "dup_of")
+    sh_b, bands_b = _band_frame(new_docs, "doc_id")
     cand = (
         bands_c.join(F.broadcast(bands_b), ["band", "band_hash"])
         .select("doc_id", "dup_of")
@@ -609,6 +612,73 @@ def dedup_incremental_near(
     scored = (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("dup_of"))
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "jaccard",
+            F.col("dup_of").isNotNull().alias("is_near_dup"),
+        )
+    )
+
+
+def write_lsh_index(documents: DataFrame, prefix: str, n_buckets: int = 32) -> None:
+    """Materialize the corpus near-dup index ONCE: the banded MinHash
+    keys (``{prefix}_bands``, bucketed on ``band_hash``) and the
+    shingle sets for exact verification (``{prefix}_shingles``,
+    bucketed on ``doc_id``).
+
+    This is the production form of ``dedup_incremental_near``'s
+    corpus side: tokenize/hash the 100 TB corpus one time at ingest,
+    then every daily drop joins the stored index — never re-reading
+    corpus text. Bucketing on the join keys means an incoming batch
+    too large to broadcast sort-merge-joins the index with the
+    corpus side EXCHANGE-FREE (only the drop-sized batch shuffles).
+    """
+    from ..sources.bucketing import write_bucketed
+
+    sh, bands = _band_frame(documents, "doc_id")
+    write_bucketed(bands, f"{prefix}_bands", ["band_hash"], n_buckets=n_buckets)
+    write_bucketed(sh, f"{prefix}_shingles", ["doc_id"], n_buckets=n_buckets)
+    sh.unpersist()
+
+
+def dedup_against_index(
+    new_docs: DataFrame, prefix: str, threshold: float = 0.5
+) -> DataFrame:
+    """Annotate a new batch against a stored LSH index (see
+    ``write_lsh_index``) — same output contract as
+    ``dedup_incremental_near`` but the corpus side comes from the
+    bucketed tables, so the per-drop cost is O(batch), not O(corpus).
+    """
+    spark = new_docs.sparkSession
+    bands_c = spark.table(f"{prefix}_bands").withColumnRenamed("doc_id", "dup_of")
+    sh_c = spark.table(f"{prefix}_shingles")
+    sh_b, bands_b = _band_frame(new_docs, "doc_id")
+    cand = (
+        bands_c.join(bands_b, ["band", "band_hash"])
+        .select("doc_id", "dup_of")
+        .distinct()
+    )
+    pairs = cand.join(
+        sh_b.select("doc_id", F.col("shingles").alias("sh_b")), "doc_id"
+    ).join(
+        sh_c.select(F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_c")),
+        "dup_of",
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size(F.array_union("sh_b", "sh_c"))
+    scored = pairs.withColumn("jaccard", inter / union).filter(
+        F.col("jaccard") >= threshold
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("dup_of"))
     best = (

@@ -104,3 +104,57 @@ def test_export_shards_caps_file_size(spark, tmp_path):
 
     for f in glob.glob(f"{dest}/lang=*/**/*.parquet", recursive=True):
         assert pq.read_metadata(f).num_rows <= 2
+
+
+def test_dedup_against_stored_index(spark, sf_dir):
+    """The stored-LSH-index path must (a) reproduce the incremental
+    near-dup result and (b) join the corpus side with FEWER exchanges
+    than recomputing it — the write-once win the docstring claims."""
+    import contextlib
+    import io
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        _band_frame,
+        dedup_against_index,
+        dedup_incremental_near,
+        write_lsh_index,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import drop_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    write_lsh_index(corpus, "t_lsh", n_buckets=4)
+    try:
+        got = sorted(map(tuple, dedup_against_index(batch, "t_lsh").collect()))
+        want = sorted(map(tuple, dedup_incremental_near(docs).collect()))
+        assert got == want
+
+        def n_exchanges(df) -> int:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue().count("Exchange")
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            _, bands_b = _band_frame(batch, "doc_id")
+            stored = spark.table("t_lsh_bands").withColumnRenamed(
+                "doc_id", "dup_of"
+            )
+            _, recomputed = _band_frame(corpus, "dup_of")
+            join_keys = ["band", "band_hash"]
+            assert n_exchanges(stored.join(bands_b, join_keys)) < n_exchanges(
+                recomputed.join(bands_b, join_keys)
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        drop_table(spark, "t_lsh_bands")
+        drop_table(spark, "t_lsh_shingles")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
