@@ -208,6 +208,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_near": lambda s, d: dedup.dedup_incremental_near(
             _docs(s, d)
         ),
+        "ohlc_bars": lambda s, d: temporal.ohlc_bars(_events(s, d)),
+        "value_histogram": lambda s, d: temporal.value_histogram(_events(s, d)),
         # --- no-SQL-oracle sketch/ANN entries (rows-only driver check;
         # ordered after the oracle-backed ones so a budget-capped run
         # spends full checks first) ---
@@ -598,6 +600,36 @@ best AS (SELECT doc_id, dup_of, jaccard,
 SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NOT NULL AS is_near_dup
 FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+        "ohlc_bars": """
+WITH e AS (SELECT event_type,
+                  epoch_us(ts) - epoch_us(ts) % 86400000000 AS bar_start_us,
+                  epoch_us(ts) AS t_us, event_id, value
+           FROM events),
+r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar_start_us
+                                ORDER BY t_us, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bar_start_us
+                                ORDER BY t_us DESC, event_id DESC) AS rn_d
+      FROM e)
+SELECT event_type, bar_start_us,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open_value,
+       MAX(value) AS high_value,
+       MIN(value) AS low_value,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM r GROUP BY 1, 2
+""",
+        "value_histogram": """
+WITH e AS (SELECT event_type, value FROM events)
+SELECT event_type,
+       CAST(floor(value / 5.0::DOUBLE) AS BIGINT) AS bin,
+       COUNT(*) AS n_events,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value,
+       CAST(floor(value / 5.0::DOUBLE) AS BIGINT) * 5.0::DOUBLE AS bin_low
+FROM e GROUP BY 1, 2, 6
 """,
         "mix_weights": f"""
 WITH nt AS (SELECT lang, CASE WHEN length({_NORM}) = 0 THEN 0

@@ -333,3 +333,63 @@ def value_percentiles_approx(
             F.col("_p")[2].alias("p99"),
         )
     )
+
+
+def ohlc_bars(events: DataFrame, bar_us: int = DAY_US) -> DataFrame:
+    """OHLC bars per (event_type, bar): the continuous-aggregate shape
+    time-series stores bolt onto an event stream (open/close by total
+    event order, exact high/low, decimal-exact volume).
+
+    Open/close come from forward and reverse ``row_number`` over the
+    total order (t_us, event_id) — deterministic under ties at the
+    same microsecond — then everything reduces in ONE aggregate. The
+    window partition keys equal the groupBy keys, so Catalyst plans a
+    single exchange: shuffle once on (event_type, bar), sort in
+    partition, window + agg without a second shuffle.
+    """
+    e = _ts_us(events).withColumn(
+        "bar_start_us", F.col("t_us") - F.col("t_us") % F.lit(bar_us)
+    )
+    asc = Window.partitionBy("event_type", "bar_start_us").orderBy(
+        "t_us", "event_id"
+    )
+    desc = Window.partitionBy("event_type", "bar_start_us").orderBy(
+        F.col("t_us").desc(), F.col("event_id").desc()
+    )
+    ranked = e.select(
+        "event_type",
+        "bar_start_us",
+        "value",
+        F.row_number().over(asc).alias("_rn_a"),
+        F.row_number().over(desc).alias("_rn_d"),
+    )
+    return ranked.groupBy("event_type", "bar_start_us").agg(
+        F.max(F.when(F.col("_rn_a") == 1, F.col("value"))).alias("open_value"),
+        F.max("value").alias("high_value"),
+        F.min("value").alias("low_value"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col("value"))).alias("close_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec_money(F.col("value"))).cast("double").alias("total_value"),
+    )
+
+
+def value_histogram(events: DataFrame, bin_width: float = 5.0) -> DataFrame:
+    """Fixed-width value histogram per event type — the distribution
+    profile behind dashboards and outlier cuts, computed exactly.
+
+    A pure two-key aggregate: bin id is a map-side expression, the
+    shuffle carries only (type, bin) partials — group space is bins,
+    not rows, at any scale. Min/max per bin are order-insensitive, so
+    output is engine-exact despite double values.
+    """
+    e = _ts_us(events)
+    bin_id = F.floor(F.col("value") / F.lit(bin_width)).cast("bigint")
+    return (
+        e.groupBy("event_type", bin_id.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("bin_low", F.col("bin") * F.lit(bin_width))
+    )

@@ -182,3 +182,62 @@ def test_rolling_active_users_window(spark):
     # day 0: just user 1; day 3: users 1,2 (user1 counted once though
     # seen twice); day 20 outside any earlier window: just user 3
     assert out == {0: 1, 3: 2, 20: 1}
+
+
+def test_ohlc_bars_hand_computed(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import ohlc_bars
+
+    d = DAY_US
+    ev = _ev(
+        spark,
+        [
+            (1, 10, 1, "trade", 5.0),          # day 0: open
+            (2, 20, 1, "trade", 9.0),          # high
+            (3, 30, 1, "trade", 1.0),          # low
+            (4, 40, 1, "trade", 7.0),          # close
+            (5, d + 5, 1, "trade", 3.0),       # day 1: single event
+            (6, 25, 1, "view", 2.0),           # other type, day 0
+        ],
+    )
+    out = {
+        (r.event_type, r.bar_start_us): r for r in ohlc_bars(ev).collect()
+    }
+    b = out[("trade", 0)]
+    assert (b.open_value, b.high_value, b.low_value, b.close_value) == (
+        5.0, 9.0, 1.0, 7.0,
+    )
+    assert b.n_events == 4 and b.total_value == pytest.approx(22.0)
+    b1 = out[("trade", d)]
+    assert (b1.open_value, b1.close_value, b1.n_events) == (3.0, 3.0, 1)
+    assert out[("view", 0)].open_value == 2.0
+
+
+def test_ohlc_tie_at_same_microsecond_breaks_on_event_id(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import ohlc_bars
+
+    ev = _ev(
+        spark,
+        [(2, 100, 1, "t", 8.0), (1, 100, 1, "t", 3.0), (3, 100, 1, "t", 6.0)],
+    )
+    b = ohlc_bars(ev).collect()[0]
+    assert b.open_value == 3.0 and b.close_value == 6.0  # by event_id order
+
+
+def test_value_histogram_bins(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import value_histogram
+
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, "t", 0.0),
+            (2, 0, 1, "t", 4.99),
+            (3, 0, 1, "t", 5.0),
+            (4, 0, 1, "t", 12.5),
+            (5, 0, 1, "t", -0.1),  # negative lands in bin -1
+        ],
+    )
+    out = {r.bin: r for r in value_histogram(ev).collect()}
+    assert out[0].n_events == 2 and out[0].max_value == 4.99
+    assert out[1].n_events == 1 and out[1].bin_low == 5.0
+    assert out[2].n_events == 1
+    assert out[-1].n_events == 1 and out[-1].bin_low == -5.0
