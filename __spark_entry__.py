@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_near": lambda s, d: dedup.dedup_incremental_near(
             _docs(s, d)
         ),
+        "customer_order_gaps": relational.customer_order_gaps,
         "ohlc_bars": lambda s, d: temporal.ohlc_bars(_events(s, d)),
         "value_histogram": lambda s, d: temporal.value_histogram(_events(s, d)),
         # --- no-SQL-oracle sketch/ANN entries (rows-only driver check;
@@ -600,6 +601,23 @@ best AS (SELECT doc_id, dup_of, jaccard,
 SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NOT NULL AS is_near_dup
 FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+        "customer_order_gaps": """
+WITH g AS (
+  SELECT o_custkey AS customer_id,
+         date_diff('day',
+                   CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders),
+a AS (SELECT customer_id,
+             COUNT(*) + 1 AS n_orders,
+             CAST(SUM(gap_days) AS BIGINT) AS total_gap_days,
+             CAST(MIN(gap_days) AS INT) AS min_gap_days,
+             CAST(MAX(gap_days) AS INT) AS max_gap_days
+      FROM g WHERE gap_days IS NOT NULL GROUP BY 1)
+SELECT *, CAST(total_gap_days AS DOUBLE) / (n_orders - 1) AS avg_gap_days
+FROM a
 """,
         "ohlc_bars": """
 WITH e AS (SELECT event_type,

@@ -931,3 +931,37 @@ def customer_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
         F.sum(dec_money("o_totalprice")).over(w).cast("double").alias("ltv"),
     )
+
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap statistics per repeat customer — the purchase-
+    cadence profile behind churn/reorder dashboards (days between
+    consecutive orders via window lag, then integer-exact aggregates).
+
+    One shuffle on the customer key; the lag ordering
+    (o_orderdate, o_orderkey) is total, so same-day orders resolve
+    deterministically (gap 0). Gaps are integer day diffs — sums and
+    extremes are engine-exact; the mean is one double division.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.datediff(
+            F.col("o_orderdate"),
+            F.lag("o_orderdate").over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    return (
+        gaps.groupBy("customer_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).alias("n_orders"),
+            F.sum("gap_days").alias("total_gap_days"),
+            F.min("gap_days").alias("min_gap_days"),
+            F.max("gap_days").alias("max_gap_days"),
+        )
+        .withColumn(
+            "avg_gap_days",
+            F.col("total_gap_days").cast("double") / (F.col("n_orders") - 1),
+        )
+    )
