@@ -45,6 +45,12 @@ HEADLINE = [
     "repetition_stats",
     "pack_sequences",
     "quantize_embeddings",
+    "filter_pipeline",
+    "doc_rarity",
+    "dedup_incremental_near",
+    "ohlc_bars",
+    "value_histogram",
+    "customer_order_gaps",
 ]
 
 

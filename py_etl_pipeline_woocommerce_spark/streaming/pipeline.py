@@ -131,3 +131,47 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
         .withWatermark("event_time", watermark)
         .dropDuplicatesWithinWatermark(["event_id"])
     )
+
+
+def run_stream_dedup_against_index(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    index_prefix: str,
+    schema,
+    threshold: float = 0.5,
+) -> tuple:
+    """Streaming daily-drop near-dup: document drops land as files,
+    each micro-batch is annotated against the STORED bucketed LSH
+    index (``dedup.write_lsh_index``) inside ``foreachBatch``.
+
+    This is the full incremental-corpus shape at scale: the 100 TB
+    corpus was tokenized once at ingest; the stream only ever pays
+    O(drop) work per batch — band-hash its own docs and join the
+    index. ``foreachBatch`` is the right seam because the per-batch
+    body is an arbitrary *batch* plan (joins against warehouse
+    tables), which pure streaming operators can't express.
+
+    Returns (query, sink) where sink.rows maps doc_id → flag row.
+    """
+    from ..operators.dedup import dedup_against_index
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_path)
+    )
+    sink = ForeachBatchUpserter(["doc_id"])
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink.batches_seen += 1
+        flagged = dedup_against_index(batch_df, index_prefix, threshold)
+        sink._merge(flagged)
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(check_batch)
+        .start()
+    )
+    return query, sink

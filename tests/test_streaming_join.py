@@ -84,3 +84,63 @@ def test_attribution_join_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert got == {(1, 2): 5 * 60_000_000, (7, 2): 3 * 60_000_000}
+
+
+def test_streaming_drops_check_against_stored_index(spark, tmp_path):
+    """Two document drops stream in; each micro-batch is flagged
+    against the bucketed LSH index written once up front."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import write_lsh_index
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import drop_table
+    from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+        run_stream_dedup_against_index,
+    )
+
+    phrase = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, phrase, "en", "s"), (2, "unrelated corpus text entirely", "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    write_lsh_index(corpus, "t_stream_lsh", n_buckets=4)
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drop(path, rows):
+        pq_.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "source": pa.array(["s"] * len(rows), pa.string()),
+                }
+            ),
+            path,
+        )
+
+    _drop(f"{src}/drop-0.parquet", [(10, phrase), (11, "fresh novel content here")])
+    try:
+        query, sink = run_stream_dedup_against_index(
+            spark, str(src), ckpt, "t_stream_lsh", corpus.schema
+        )
+        try:
+            query.processAllAvailable()
+            assert sink.rows[(10,)]["is_near_dup"] and sink.rows[(10,)]["dup_of"] == 1
+            assert not sink.rows[(11,)]["is_near_dup"]
+
+            _drop(f"{src}/drop-1.parquet", [(12, phrase + " extra")])
+            query.processAllAvailable()
+            assert sink.rows[(12,)]["is_near_dup"]
+            assert sink.batches_seen >= 2
+        finally:
+            query.stop()
+    finally:
+        drop_table(spark, "t_stream_lsh_bands")
+        drop_table(spark, "t_stream_lsh_shingles")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
