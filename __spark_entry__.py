@@ -26,6 +26,7 @@ from py_etl_pipeline_woocommerce_spark.operators import (
     corpus,
     dedup,
     events,
+    multimodal,
     packing,
     sessionize,
     similarity,
@@ -211,6 +212,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_order_gaps": relational.customer_order_gaps,
         "ohlc_bars": lambda s, d: temporal.ohlc_bars(_events(s, d)),
         "value_histogram": lambda s, d: temporal.value_histogram(_events(s, d)),
+        "dedup_clusters_star": lambda s, d: dedup.dedup_clusters_star(_docs(s, d)),
+        "media_metadata": lambda s, d: multimodal.media_metadata(
+            multimodal.docs_as_media(_docs(s, d))
+        ),
+        "resize_images": lambda s, d: multimodal.media_metadata(
+            multimodal.resize_images(multimodal.docs_as_media(_docs(s, d)))
+        ),
+        "frame_sample": lambda s, d: multimodal.frame_sample_plan(
+            multimodal.docs_as_media(_docs(s, d))
+        ),
         # --- no-SQL-oracle sketch/ANN entries (rows-only driver check;
         # ordered after the oracle-backed ones so a budget-capped run
         # spends full checks first) ---
@@ -455,6 +466,37 @@ LEFT JOIN bi ON d.doc_id = bi.doc_id
 LEFT JOIN tri ON d.doc_id = tri.doc_id
 """
 
+_CLUSTERS_SQL = f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_SQL})),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION ALL SELECT doc_b, doc_a FROM pairs),
+reach(src, dst) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+SELECT doc_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+FROM lab
+"""
+
+_MEDIA_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+            ELSE 'video' END AS modality,
+       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+            ELSE 'video/mp4' END AS mime_type,
+       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST((doc_id % 8 + 1) * 16 AS INT) END AS width,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST((doc_id % 4 + 1) * 16 AS INT) END AS height,
+       CASE WHEN doc_id % 3 <> 0
+            THEN CAST((doc_id % 10 + 1) * 2000 AS BIGINT) END AS duration_ms
+FROM documents
+"""
+
 _LANG_SQL = f"""
 WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
 h AS (SELECT doc_id, lang,
@@ -601,6 +643,22 @@ best AS (SELECT doc_id, dup_of, jaccard,
 SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NOT NULL AS is_near_dup
 FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+        "media_metadata": f"""
+SELECT media_id, modality, mime_type, n_bytes, width, height, duration_ms
+FROM ({_MEDIA_SQL})
+""",
+        "resize_images": f"""
+SELECT media_id, modality, mime_type,
+       CASE WHEN modality = 'image' THEN 64 ELSE n_bytes END AS n_bytes,
+       CASE WHEN modality = 'image' THEN 64 ELSE width END AS width,
+       CASE WHEN modality = 'image' THEN 64 ELSE height END AS height,
+       duration_ms
+FROM ({_MEDIA_SQL})
+""",
+        "frame_sample": f"""
+SELECT media_id, unnest(range(0, duration_ms, 1000)) AS frame_ts_ms
+FROM ({_MEDIA_SQL}) WHERE modality = 'video'
 """,
         "customer_order_gaps": """
 WITH g AS (
@@ -1249,20 +1307,8 @@ WHERE rn = 1
         "dedup_ngram_jaccard": _JACCARD_SQL,
         "dedup_minhash": _MINHASH_SQL,
         "dedup_simhash": _SIMHASH_SQL,
-        "dedup_clusters": f"""
-WITH RECURSIVE
-pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_SQL})),
-edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
-          UNION ALL SELECT doc_b, doc_a FROM pairs),
-reach(src, dst) AS (
-  SELECT doc_id, doc_id FROM documents
-  UNION
-  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
-lab AS (SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
-SELECT doc_id, cluster_id,
-       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-FROM lab
-""",
+        "dedup_clusters": _CLUSTERS_SQL,
+        "dedup_clusters_star": _CLUSTERS_SQL,
         "hopping_window_agg": """
 WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
 x AS (SELECT event_type, value, ts_us,

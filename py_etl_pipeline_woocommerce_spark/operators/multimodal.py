@@ -165,3 +165,43 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def docs_as_media(documents: DataFrame) -> DataFrame:
+    """Deterministic MEDIA_SCHEMA frame derived from ``documents`` —
+    the sandbox has no real media files, so driver queries exercise
+    the multimodal plumbing over synthetic-but-stable payloads:
+    utf-8 text bytes as the binary column, modality cycling by
+    doc_id, box/duration metadata as pure doc_id expressions (every
+    value reproducible by the SQL oracle).
+    """
+    m = F.col("media_id") % 3
+    modality = (
+        F.when(m == 0, F.lit("image"))
+        .when(m == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    mime = (
+        F.when(m == 0, F.lit("image/png"))
+        .when(m == 1, F.lit("audio/wav"))
+        .otherwise(F.lit("video/mp4"))
+    )
+    base = documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    return base.select(
+        "media_id",
+        modality.alias("modality"),
+        mime.alias("mime_type"),
+        "payload",
+        F.when(m == 0, ((F.col("media_id") % 8 + 1) * 16).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("width"),
+        F.when(m == 0, ((F.col("media_id") % 4 + 1) * 16).cast("int"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("height"),
+        F.when(m != 0, ((F.col("media_id") % 10 + 1) * 2000).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("duration_ms"),
+    )
