@@ -135,6 +135,88 @@ def _q_re_enrich(spark, sf_dir):
     return re_enrich_missing_categories(stale, fresh_part)
 
 
+def _q_scd2(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import scd2_apply
+
+    part = load_table(spark, sf_dir, "part")
+    current = part.select(
+        "p_partkey",
+        "p_type",
+        "p_retailprice",
+        F.lit(0).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = part.filter(F.col("p_partkey") % 3 != 2).select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 2 == 1, F.concat(F.lit("NEW_"), F.col("p_type"))
+        )
+        .otherwise(F.col("p_type"))
+        .alias("p_type"),
+        "p_retailprice",
+    )
+    return scd2_apply(
+        current, updates, "p_partkey", ["p_type", "p_retailprice"], batch_version=1
+    )
+
+
+def _q_snapshot_diff(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("total_c"),
+    )
+    after = (
+        base.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "total_c",
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                (F.col("total_c").cast("decimal(18,2)") + 1)
+                .cast("decimal(18,2)")
+                .cast("string"),
+            ).otherwise(F.col("total_c")),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+                "o_orderkey", -F.col("o_orderkey")
+            )
+        )
+    )
+    return snapshot_diff(
+        base, after, "o_orderkey", ["o_orderstatus", "total_c"]
+    )
+
+
+def _q_dq(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import dq_summary
+
+    orders = load_table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 17 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    dirty = dirty.unionByName(dirty.filter(F.col("o_orderkey") % 19 == 0))
+    return dq_summary(
+        dirty, "o_orderkey", not_null=["o_custkey"], non_negative=["o_totalprice"]
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's per-round CORRECTNESS budget may stop
     # partway through this dict (round 1 stopped after 50 entries), so the
@@ -213,6 +295,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": lambda s, d: temporal.ohlc_bars(_events(s, d)),
         "value_histogram": lambda s, d: temporal.value_histogram(_events(s, d)),
         "dedup_clusters_star": lambda s, d: dedup.dedup_clusters_star(_docs(s, d)),
+        "scd2_apply": _q_scd2,
+        "snapshot_diff": _q_snapshot_diff,
+        "dq_summary": _q_dq,
         "media_metadata": lambda s, d: multimodal.media_metadata(
             multimodal.docs_as_media(_docs(s, d))
         ),
@@ -643,6 +728,81 @@ best AS (SELECT doc_id, dup_of, jaccard,
 SELECT d.doc_id, b.dup_of, b.jaccard, b.dup_of IS NOT NULL AS is_near_dup
 FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+""",
+        "scd2_apply": """
+WITH cur AS (SELECT p_partkey, p_type, p_retailprice FROM part),
+upd AS (SELECT p_partkey,
+               CASE WHEN p_partkey % 2 = 1 THEN 'NEW_' || p_type
+                    ELSE p_type END AS p_type,
+               p_retailprice
+        FROM part WHERE p_partkey % 3 <> 2),
+j AS (SELECT c.p_partkey AS ck, u.p_partkey AS uk,
+             c.p_type AS ct, c.p_retailprice AS cp,
+             u.p_type AS ut, u.p_retailprice AS up
+      FROM cur c FULL OUTER JOIN upd u ON c.p_partkey = u.p_partkey),
+t AS (SELECT *,
+             uk IS NOT NULL AND (ck IS NULL OR ct <> ut OR cp <> up) AS changed
+      FROM j)
+SELECT ck AS p_partkey, ct AS p_type, cp AS p_retailprice,
+       CAST(0 AS INT) AS valid_from, CAST(NULL AS INT) AS valid_to,
+       TRUE AS is_current
+FROM t WHERE ck IS NOT NULL AND NOT changed
+UNION ALL
+SELECT ck, ct, cp, CAST(0 AS INT), CAST(1 AS INT), FALSE
+FROM t WHERE ck IS NOT NULL AND changed
+UNION ALL
+SELECT uk, ut, up, CAST(1 AS INT), CAST(NULL AS INT), TRUE
+FROM t WHERE changed
+""",
+        "snapshot_diff": """
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS total_c
+  FROM orders),
+aft AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0
+              THEN CAST(CAST(total_c AS DECIMAL(18,2)) + 1 AS VARCHAR)
+              ELSE total_c END AS total_c
+  FROM base WHERE o_orderkey % 11 <> 0
+  UNION ALL
+  SELECT -o_orderkey, o_orderstatus, total_c
+  FROM base WHERE o_orderkey % 13 = 0),
+b AS (SELECT o_orderkey, md5(o_orderstatus || chr(31) || total_c) AS fp_before
+      FROM base),
+a AS (SELECT o_orderkey, md5(o_orderstatus || chr(31) || total_c) AS fp_after
+      FROM aft),
+jj AS (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+              fp_before, fp_after
+       FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN fp_before IS NULL THEN 'added'
+            WHEN fp_after IS NULL THEN 'removed'
+            ELSE 'changed' END AS change,
+       fp_before, fp_after
+FROM jj
+WHERE fp_before IS NULL OR fp_after IS NULL OR fp_before <> fp_after
+""",
+        "dq_summary": """
+WITH dirty0 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders),
+dirty AS (SELECT * FROM dirty0
+          UNION ALL SELECT * FROM dirty0 WHERE o_orderkey % 19 = 0),
+dup AS (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS dup_key_rows
+        FROM (SELECT o_orderkey, COUNT(*) AS n FROM dirty GROUP BY 1)
+        WHERE n > 1)
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS nulls_o_custkey,
+       CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS negative_o_totalprice,
+       dup_key_rows
+FROM dirty CROSS JOIN dup
+GROUP BY dup_key_rows
 """,
         "media_metadata": f"""
 SELECT media_id, modality, mime_type, n_bytes, width, height, duration_ms

@@ -1,0 +1,139 @@
+"""Warehouse-maintenance operators: SCD2 dimension history, snapshot
+diffing, and data-quality summaries.
+
+The reference refreshes its ``category_snapshot`` in place
+(``tools/re_enrich_categories.py``) — at warehouse scale the same
+need becomes slowly-changing-dimension history (keep every version
+with validity ranges), snapshot comparison (what changed between two
+loads), and load-gate quality checks. All three are single-pass
+DataFrame plans with exact integer/hash semantics, so each has an
+ANSI-SQL oracle twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    batch_version: int,
+) -> DataFrame:
+    """Apply an update batch to an SCD2 dimension table.
+
+    ``current`` rows carry (key, tracked..., valid_from, valid_to,
+    is_current) with open rows at ``valid_to = NULL``. For each key in
+    ``updates`` whose tracked values differ from the open row (or that
+    is brand new), the open row closes at ``batch_version`` and a new
+    open row appends; unchanged keys and already-closed history pass
+    through untouched.
+
+    Scale shape: ONE key-hash shuffle joining open rows to the update
+    batch (broadcast when the batch is drop-sized — the usual case);
+    closed history is a pass-through union that never shuffles.
+    Change detection compares a concat-hash of tracked columns —
+    one string md5 per row, engine-portable.
+    """
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in tracked]))
+    open_rows = current.filter(F.col("is_current"))
+    closed_rows = current.filter(~F.col("is_current"))
+    upd = updates.select(
+        F.col(key),
+        *[F.col(c).alias(f"_new_{c}") for c in tracked],
+    ).withColumn(
+        "_new_fp",
+        F.md5(
+            F.concat_ws("\x1f", *[F.col(f"_new_{c}").cast("string") for c in tracked])
+        ),
+    )
+    joined = open_rows.withColumn("_fp", fp).join(upd, key, "full_outer")
+    # rows whose key has an update with different tracked values
+    changed = F.col("_new_fp").isNotNull() & (
+        F.col("_fp").isNull() | (F.col("_fp") != F.col("_new_fp"))
+    )
+    # surviving open rows: no update, or update identical
+    keep_open = joined.filter(F.col("_fp").isNotNull() & ~changed).select(
+        key, *tracked, "valid_from", "valid_to", "is_current"
+    )
+    closed_now = joined.filter(F.col("_fp").isNotNull() & changed).select(
+        key,
+        *tracked,
+        "valid_from",
+        F.lit(batch_version).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened_now = joined.filter(changed).select(
+        key,
+        *[F.col(f"_new_{c}").alias(c) for c in tracked],
+        F.lit(batch_version).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return (
+        closed_rows.select(key, *tracked, "valid_from", "valid_to", "is_current")
+        .unionByName(keep_open)
+        .unionByName(closed_now)
+        .unionByName(opened_now)
+    )
+
+
+def snapshot_diff(
+    before: DataFrame, after: DataFrame, key: str, compare: list[str]
+) -> DataFrame:
+    """Row-level diff of two table versions: per key, ``added`` /
+    ``removed`` / ``changed`` (unchanged keys are omitted).
+
+    One full-outer key join; the value comparison is a concat-hash per
+    side so wide rows compare as one string equality. Output carries
+    the change kind plus both fingerprints for audit. Linear, one
+    shuffle, no skew (keys are unique per side).
+    """
+    def _fp(cols):
+        return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+
+    b = before.select(F.col(key), _fp(compare).alias("fp_before"))
+    a = after.select(F.col(key), _fp(compare).alias("fp_after"))
+    j = b.join(a, key, "full_outer")
+    kind = (
+        F.when(F.col("fp_before").isNull(), F.lit("added"))
+        .when(F.col("fp_after").isNull(), F.lit("removed"))
+        .when(F.col("fp_before") != F.col("fp_after"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", kind)
+        .filter(F.col("change").isNotNull())
+        .select(key, "change", "fp_before", "fp_after")
+    )
+
+
+def dq_summary(
+    df: DataFrame, key: str, not_null: list[str], non_negative: list[str]
+) -> DataFrame:
+    """Load-gate data-quality summary in ONE conditional aggregate:
+    row count, duplicate-key count, per-column null counts, per-column
+    negative counts — the checks a warehouse runs before publishing a
+    batch. All counters are integers (engine-exact); the whole check
+    is a single scan plus one tiny key-duplicate aggregate.
+    """
+    dup = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("_n") - 1), F.lit(0)).alias("dup_key_rows")
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in not_null:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"nulls_{c}")
+        )
+    for c in non_negative:
+        aggs.append(
+            F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(f"negative_{c}")
+        )
+    return df.agg(*aggs).join(F.broadcast(dup))

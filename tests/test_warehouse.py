@@ -1,0 +1,68 @@
+"""Warehouse-maintenance operators: SCD2 history, snapshot diff,
+data-quality summary — hand-computed literal cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+    dq_summary,
+    scd2_apply,
+    snapshot_diff,
+)
+
+
+def test_scd2_closes_changed_and_appends_new_version(spark):
+    current = spark.createDataFrame(
+        [
+            (1, "red", 0, None, True),
+            (2, "blue", 0, None, True),
+            (3, "green", 0, 1, False),   # already-closed history
+            (3, "lime", 1, None, True),
+        ],
+        "k bigint, color string, valid_from int, valid_to int, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "crimson"), (2, "blue"), (4, "new")], "k bigint, color string"
+    )
+    out = scd2_apply(current, updates, "k", ["color"], batch_version=2)
+    rows = {(r.k, r.color, r.valid_from, r.valid_to, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, "red", 0, 2, False),        # closed at v2
+        (1, "crimson", 2, None, True),  # new open version
+        (2, "blue", 0, None, True),     # unchanged passes through
+        (3, "green", 0, 1, False),      # closed history untouched
+        (3, "lime", 1, None, True),     # open, not in batch
+        (4, "new", 2, None, True),      # brand-new key
+    }
+    # exactly one open row per live key
+    opens = out.filter("is_current").groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in opens)
+
+
+def test_snapshot_diff_classifies_rows(spark):
+    before = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"
+    )
+    after = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (4, "d")], "k bigint, v string"
+    )
+    out = {r.k: r.change for r in snapshot_diff(before, after, "k", ["v"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # key 1 unchanged, omitted
+
+
+def test_dq_summary_counts_violations(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, 5.0),
+            (2, None, -1.0),
+            (2, 30, 2.0),     # duplicate key
+            (3, None, 0.0),
+        ],
+        "k bigint, c bigint, total double",
+    )
+    r = dq_summary(df, "k", not_null=["c"], non_negative=["total"]).collect()[0]
+    assert r.n_rows == 4
+    assert r.nulls_c == 2
+    assert r.negative_total == 1
+    assert r.dup_key_rows == 1
