@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample": lambda s, d: multimodal.frame_sample_plan(
             multimodal.docs_as_media(_docs(s, d))
         ),
+        "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
         # --- heaviest oracle-backed entries last within the
         # unverified block (a budget-capped driver run verifies the
         # maximum number of cheap entries first) ---
@@ -806,6 +807,17 @@ SELECT COUNT(*) AS n_rows,
        dup_key_rows
 FROM dirty CROSS JOIN dup
 GROUP BY dup_key_rows
+""",
+        "embedding_scores": """
+WITH s AS (
+  SELECT vec_id, label,
+         list_sum(list_transform(range(1, 65),
+           i -> CAST(embedding[i] AS DOUBLE)
+                * (CAST((i - 1) % 7 - 3 AS DOUBLE) / 7.0::DOUBLE))) AS margin
+  FROM embeddings)
+SELECT vec_id, label, margin,
+       CAST(ROW_NUMBER() OVER (ORDER BY margin DESC, vec_id) AS INT) AS score_rank
+FROM s ORDER BY margin DESC, vec_id LIMIT 20
 """,
         "media_metadata": f"""
 SELECT media_id, modality, mime_type, n_bytes, width, height, duration_ms

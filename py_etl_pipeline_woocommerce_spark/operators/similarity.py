@@ -547,3 +547,41 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
         F.array_max("codes").cast("bigint").alias("max_code"),
         F.array_max("errs").alias("max_abs_err"),
     )
+
+
+def score_embeddings(
+    embeddings: DataFrame, weights: list[float] | None = None, k: int = 20
+) -> DataFrame:
+    """Batch linear scoring — the offline-inference shape: every vector
+    gets a margin ``w·x`` against a broadcast weight vector (a trained
+    linear head / probe), and the top-``k`` by margin surface for
+    review. One scan, JVM-side fold per row, then a distributed
+    TakeOrdered for the global top-k (``orderBy().limit(k)`` — never a
+    single-partition global window over the corpus; the rank window
+    runs on the k survivors only).
+
+    Default weights are a deterministic expression of the dimension
+    index (``((i % 7) - 3) / 7`` — reproducible by the SQL oracle);
+    real deployments pass the trained head.
+    """
+    dim = 64
+    if weights is None:
+        weights = [((i % 7) - 3) / 7.0 for i in range(dim)]
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    e = embeddings.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    margin = F.aggregate(
+        F.zip_with(F.col("emb"), w_arr, lambda x, w: x * w),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    top = (
+        e.select("vec_id", "label", margin.alias("margin"))
+        .orderBy(F.col("margin").desc(), "vec_id")
+        .limit(k)
+    )
+    w_rank = Window.orderBy(F.col("margin").desc(), "vec_id")
+    return top.withColumn("score_rank", F.row_number().over(w_rank))

@@ -127,3 +127,24 @@ def test_quantize_embeddings_partitioning_invariant(spark, sf_dir):
     a = sorted(map(tuple, quantize_embeddings(emb).collect()))
     b = sorted(map(tuple, quantize_embeddings(emb.repartition(13)).collect()))
     assert a == b
+
+
+def test_score_embeddings_hand_computed(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        score_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 2.0], 0),
+            (1, [0.0, 1.0, 0.0], 1),
+            (2, [2.0, 2.0, 2.0], 0),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = score_embeddings(emb, weights=[1.0, -1.0, 0.5], k=2).collect()
+    # margins: v0 = 1 + 0 + 1 = 2; v1 = -1; v2 = 2 - 2 + 1 = 1
+    assert [(r.vec_id, r.margin, r.score_rank) for r in out] == [
+        (0, 2.0, 1),
+        (2, 1.0, 2),
+    ]

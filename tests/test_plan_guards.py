@@ -41,6 +41,8 @@ SCALAR_BROADCAST = {
     "mix_weights",
     "quantize_embeddings",
     "doc_rarity",
+    # two 1-row aggregates joined (global counters × dup counter)
+    "dq_summary",
 }
 
 
