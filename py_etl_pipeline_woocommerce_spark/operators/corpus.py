@@ -302,7 +302,9 @@ def doc_rarity(documents: DataFrame) -> DataFrame:
     to occurrences, one doc-keyed agg, and a 1-row corpus-size
     broadcast. Linear end to end.
     """
-    occ = documents.select(
+    from .dedup import _spread
+
+    occ = _spread(documents).select(
         "doc_id", F.explode(tokens_expr("text")).alias("term")
     ).filter(F.col("term") != "")
     df_ = (

@@ -174,7 +174,12 @@ def repetition_stats(documents: DataFrame) -> DataFrame:
             arr, lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
         )
 
-    staged = documents.select("doc_id", tokens_expr("text").alias("_toks"))
+    from .dedup import _spread
+
+    # A small corpus often arrives as ONE parquet split; the tokenize+
+    # shingle explode would then run single-threaded (measured: the
+    # whole 2.4s at sf0.1 was one core). No-op at real scale.
+    staged = _spread(documents).select("doc_id", tokens_expr("text").alias("_toks"))
     grams = staged.select(
         "doc_id",
         F.explode(
