@@ -148,3 +148,34 @@ def test_score_embeddings_hand_computed(spark):
         (0, 2.0, 1),
         (2, 1.0, 2),
     ]
+
+
+def test_pack_sequences_tiles_under_random_inputs(spark):
+    """Property: for random doc sets, every bucket stream tiles with
+    no gaps/overlaps and pack spans are consistent with the budget."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(["w"] * rng.randint(0, 40)), "en", "s")
+        for i in range(200)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    )
+    budget = 17
+    out = pack_sequences(docs, budget=budget, buckets=4).orderBy(
+        "bucket", "stream_start"
+    ).collect()
+    pos = {}
+    for r in out:
+        assert r.n_tokens > 0  # empty docs excluded
+        assert r.stream_start == pos.get(r.bucket, 0)  # no gap, no overlap
+        pos[r.bucket] = r.stream_start + r.n_tokens
+        assert r.start_pack == r.stream_start // budget
+        assert r.end_pack == (r.stream_start + r.n_tokens - 1) // budget
+        assert r.pack_offset == r.stream_start % budget
+        assert r.n_packs_spanned == r.end_pack - r.start_pack + 1
+    # all non-empty docs appear exactly once
+    n_nonempty = sum(1 for _, t, _, _ in rows if t)
+    assert len(out) == n_nonempty

@@ -66,3 +66,34 @@ def test_dq_summary_counts_violations(spark):
     assert r.nulls_c == 2
     assert r.negative_total == 1
     assert r.dup_key_rows == 1
+
+
+def test_scd2_reapplying_same_batch_is_idempotent(spark):
+    """Applying an identical update batch twice must not create new
+    versions — change detection is value-based, not arrival-based."""
+    current = spark.createDataFrame(
+        [(1, "red", 0, None, True), (2, "blue", 0, None, True)],
+        "k bigint, color string, valid_from int, valid_to int, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "crimson"), (3, "new")], "k bigint, color string"
+    )
+    once = scd2_apply(current, updates, "k", ["color"], batch_version=1)
+    twice = scd2_apply(once, updates, "k", ["color"], batch_version=2)
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_scd2_version_chain_has_no_overlap(spark):
+    """Three successive batches: each key's history is a disjoint
+    chain — closed rows end exactly where the next version starts."""
+    cur = spark.createDataFrame(
+        [(1, "a", 0, None, True)],
+        "k bigint, v string, valid_from int, valid_to int, is_current boolean",
+    )
+    for ver, val in [(1, "b"), (2, "c"), (3, "c")]:  # last batch unchanged
+        upd = spark.createDataFrame([(1, val)], "k bigint, v string")
+        cur = scd2_apply(cur, upd, "k", ["v"], batch_version=ver)
+    rows = sorted(
+        (r.valid_from, r.valid_to, r.v, r.is_current) for r in cur.collect()
+    )
+    assert rows == [(0, 1, "a", False), (1, 2, "b", False), (2, None, "c", True)]
