@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             multimodal.docs_as_media(_docs(s, d))
         ),
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
+        "chunk_documents": lambda s, d: packing.chunk_documents(_docs(s, d)),
         # --- heaviest oracle-backed entries last within the
         # unverified block (a budget-capped driver run verifies the
         # maximum number of cheap entries first) ---
@@ -807,6 +808,24 @@ SELECT COUNT(*) AS n_rows,
        dup_key_rows
 FROM dirty CROSS JOIN dup
 GROUP BY dup_key_rows
+""",
+        "chunk_documents": f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, toks,
+             CASE WHEN toks = [''] THEN 0 ELSE len(toks) END AS n
+      FROM t),
+g AS (SELECT doc_id, lang, toks,
+             unnest(range(0, CASE WHEN n <= 64 THEN 1
+                                  ELSE CAST(ceil((n - 64) / 48.0) AS BIGINT) + 1
+                             END)) AS chunk_id
+      FROM s WHERE n > 0)
+SELECT doc_id, lang, CAST(chunk_id AS INT) AS chunk_id,
+       chunk_id * 48 AS token_start,
+       CAST(len(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64))
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(toks, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                       ' ') AS chunk_text
+FROM g
 """,
         "embedding_scores": """
 WITH s AS (
@@ -1539,17 +1558,22 @@ s1 AS (SELECT doc_id, t0,
                         '<EMAIL>', 'g') AS t1 FROM s0),
 s2 AS (SELECT *, regexp_replace(t1,
          '\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b',
-         '<CARD>', 'g') AS t2 FROM s1)
+         '<CARD>', 'g') AS t2 FROM s1),
+s3 AS (SELECT *, regexp_replace(t2,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+         '<IP>', 'g') AS t3 FROM s2)
 SELECT doc_id,
-       regexp_replace(t2, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')
+       regexp_replace(t3, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')
          AS text_scrubbed,
        len(regexp_extract_all(t0,
          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
        len(regexp_extract_all(t1,
          '\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b')) AS n_card,
        len(regexp_extract_all(t2,
+         '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
+       len(regexp_extract_all(t3,
          '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phone
-FROM s2
+FROM s3
 """,
         "tfidf_top_terms": f"""
 WITH toks AS (

@@ -65,3 +65,51 @@ def pack_sequences(
         ((cum_end - F.col("n_tokens")) % budget).alias("pack_offset"),
         (end_pack - start_pack + 1).alias("n_packs_spanned"),
     )
+
+
+def chunk_documents(
+    documents: DataFrame, max_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """Split long documents into overlapping token-window chunks — the
+    segmentation step before embedding/indexing (RAG) or fixed-window
+    training. Chunk ``k`` covers tokens ``[k·stride, k·stride +
+    max_tokens)``; ``stride < max_tokens`` gives ``max_tokens -
+    stride`` tokens of overlap so no boundary context is lost.
+
+    Pure map-side: tokens materialize once per doc (HOF-CSE pitfall),
+    the chunk grid is a ``sequence`` + ``explode`` fan-out (bounded by
+    len/stride), and each chunk's text is a JVM-side slice+join. No
+    shuffle at all — the op scales with the scan.
+    """
+    from ..functions.text import tokens_expr
+
+    staged = documents.select(
+        "doc_id", "lang", tokens_expr("text").alias("_toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "_toks",
+        F.when(F.col("_toks") == F.array(F.lit("")), F.lit(0))
+        .otherwise(F.size("_toks"))
+        .alias("_n"),
+    )
+    n_chunks = F.when(
+        F.col("_n") <= max_tokens, F.lit(1)
+    ).otherwise(F.ceil((F.col("_n") - max_tokens) / F.lit(stride)) + 1)
+    chunked = staged.filter(F.col("_n") > 0).select(
+        "doc_id",
+        "lang",
+        "_toks",
+        "_n",
+        F.explode(F.sequence(F.lit(0), n_chunks.cast("int") - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    chunk_toks = F.slice(F.col("_toks"), start + 1, max_tokens)
+    return chunked.select(
+        "doc_id",
+        "lang",
+        "chunk_id",
+        start.cast("bigint").alias("token_start"),
+        F.size(chunk_toks).cast("bigint").alias("n_tokens"),
+        F.concat_ws(" ", chunk_toks).alias("chunk_text"),
+    )

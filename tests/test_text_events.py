@@ -122,3 +122,41 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "<CARD>" in out[2]["text_scrubbed"] and out[2]["n_card"] == 1
     assert out[3]["text_scrubbed"] == "nothing sensitive here"
     assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_card"] == 0
+
+
+def test_pii_scrub_redacts_ip_addresses(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [(1, "server at 10.0.0.1 and 192.168.1.200 up", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = pii_scrub(docs).collect()[0]
+    assert r["n_ip"] == 2
+    assert "<IP>" in r["text_scrubbed"] and "10.0.0.1" not in r["text_scrubbed"]
+
+
+def test_chunk_documents_overlapping_windows(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.packing import chunk_documents
+
+    toks = [f"t{i}" for i in range(10)]
+    docs = spark.createDataFrame(
+        [(1, " ".join(toks), "en", "s", 0), (2, "short doc", "en", "s", 0),
+         (3, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = chunk_documents(docs, max_tokens=4, stride=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    # ceil((10-4)/3)+1 = 3 chunks at starts 0, 3, 6
+    assert [(r.token_start, r.n_tokens) for r in c1] == [(0, 4), (3, 4), (6, 4)]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[1].chunk_text == "t3 t4 t5 t6"     # 1-token overlap
+    assert c1[2].chunk_text == "t6 t7 t8 t9"
+    # every token appears in some chunk
+    covered = {t for r in c1 for t in r.chunk_text.split()}
+    assert covered == set(toks)
+    assert [(r.chunk_id, r.chunk_text) for r in by_doc[2]] == [(0, "short doc")]
+    assert 3 not in by_doc  # empty doc yields no chunks
