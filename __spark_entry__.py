@@ -299,6 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
         "chunk_documents": lambda s, d: packing.chunk_documents(_docs(s, d)),
+        "vocab_drift": lambda s, d: corpus.vocab_drift(_docs(s, d)),
+        "ann_quantized_topk": lambda s, d: similarity.ann_quantized_topk(
+            _emb(s, d)
+        ),
         # --- heaviest oracle-backed entries last within the
         # unverified block (a budget-capped driver run verifies the
         # maximum number of cheap entries first) ---
@@ -808,6 +812,59 @@ SELECT COUNT(*) AS n_rows,
        dup_key_rows
 FROM dirty CROSS JOIN dup
 GROUP BY dup_key_rows
+""",
+        "vocab_drift": f"""
+WITH toks AS (
+  SELECT source, t.term
+  FROM (SELECT source, {_TOKS} AS tk FROM documents
+        WHERE source IN ('src0', 'src1')),
+       UNNEST(tk) AS t(term)
+  WHERE t.term <> ''),
+counts AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS total
+           FROM counts GROUP BY 1),
+shares AS (SELECT term, source, CAST(c AS DOUBLE) / total AS share, c
+           FROM counts JOIN totals USING (source)),
+a AS (SELECT term, share AS share_a, c AS count_a FROM shares
+      WHERE source = 'src0'),
+b AS (SELECT term, share AS share_b, c AS count_b FROM shares
+      WHERE source = 'src1'),
+j AS (SELECT COALESCE(a.term, b.term) AS term,
+             COALESCE(count_a, 0) AS count_a,
+             COALESCE(count_b, 0) AS count_b,
+             COALESCE(share_a, 0.0::DOUBLE) AS share_a,
+             COALESCE(share_b, 0.0::DOUBLE) AS share_b
+      FROM a FULL OUTER JOIN b ON a.term = b.term)
+SELECT *, abs(share_a - share_b) AS drift,
+       CAST(ROW_NUMBER() OVER (ORDER BY abs(share_a - share_b) DESC, term)
+            AS INT) AS drift_rank
+FROM j
+QUALIFY drift_rank <= 25
+""",
+        "ann_quantized_topk": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+d AS (SELECT vec_id, CAST(i.range AS INT) AS dim,
+             CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE) AS v
+      FROM e CROSS JOIN range(0, 64) i),
+st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM d GROUP BY 1),
+sc AS (SELECT dim, mn,
+              CASE WHEN mx > mn THEN (mx - mn) / 255.0::DOUBLE
+                   ELSE 1.0::DOUBLE END AS scale
+       FROM st),
+codes AS (SELECT vec_id, d.dim,
+                 CAST(floor((v - mn) / scale + 0.5::DOUBLE) AS BIGINT) AS code
+          FROM d JOIN sc USING (dim)),
+pair AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                CAST(SUM((q.code - c.code) * (q.code - c.code)) AS BIGINT)
+                  AS qdist
+         FROM codes q JOIN codes c ON q.dim = c.dim
+         WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+         GROUP BY 1, 2)
+SELECT query_id, neighbor_id, qdist,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY qdist, neighbor_id) AS INT) AS knn_rank
+FROM pair
+QUALIFY knn_rank <= 5
 """,
         "chunk_documents": f"""
 WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),

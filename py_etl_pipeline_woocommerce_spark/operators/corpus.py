@@ -333,3 +333,64 @@ def doc_rarity(documents: DataFrame) -> DataFrame:
             F.coalesce(F.lit(1.0) - commonness, F.lit(0.0)).alias("rarity"),
         )
     )
+
+
+def vocab_drift(
+    documents: DataFrame, source_a: str = "src0", source_b: str = "src1", k: int = 25
+) -> DataFrame:
+    """Vocabulary drift between two corpus slices: the top-``k`` terms
+    whose relative frequency shifted most between ``source_a`` and
+    ``source_b`` — the distribution check a training pipeline runs
+    when a new crawl/source lands (did the mix change under us?).
+
+    Per-term shares are integer counts over integer totals (one
+    double division each); the ranking key ``|share_a − share_b|`` is
+    a single subtraction of those — deterministic cross-engine. Scale
+    shape: one explode → (source, term) partial agg; totals are a
+    2-row broadcast; the top-k window runs over the aggregated vocab,
+    not the corpus.
+    """
+    toks = (
+        _spread_docs(documents)
+        .filter(F.col("source").isin([source_a, source_b]))
+        .select("source", F.explode(tokens_expr("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("source").agg(F.sum("c").alias("total"))
+    shares = (
+        counts.join(F.broadcast(totals), "source")
+        .select(
+            "term",
+            "source",
+            (F.col("c").cast("double") / F.col("total")).alias("share"),
+            "c",
+        )
+    )
+    a = shares.filter(F.col("source") == source_a).select(
+        "term", F.col("share").alias("share_a"), F.col("c").alias("count_a")
+    )
+    b = shares.filter(F.col("source") == source_b).select(
+        "term", F.col("share").alias("share_b"), F.col("c").alias("count_b")
+    )
+    j = a.join(b, "term", "full_outer").select(
+        "term",
+        F.coalesce("count_a", F.lit(0)).alias("count_a"),
+        F.coalesce("count_b", F.lit(0)).alias("count_b"),
+        F.coalesce("share_a", F.lit(0.0)).alias("share_a"),
+        F.coalesce("share_b", F.lit(0.0)).alias("share_b"),
+    )
+    drift = F.abs(F.col("share_a") - F.col("share_b"))
+    # distributed TakeOrdered for the global cut; the rank window only
+    # ever sees the k survivors (never a single-partition vocab sort)
+    top = j.withColumn("drift", drift).orderBy(
+        F.col("drift").desc(), F.col("term")
+    ).limit(k)
+    w = Window.orderBy(F.col("drift").desc(), F.col("term"))
+    return top.withColumn("drift_rank", F.row_number().over(w))
+
+
+def _spread_docs(documents: DataFrame) -> DataFrame:
+    from .dedup import _spread
+
+    return _spread(documents)

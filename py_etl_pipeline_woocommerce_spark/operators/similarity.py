@@ -585,3 +585,65 @@ def score_embeddings(
     )
     w_rank = Window.orderBy(F.col("margin").desc(), "vec_id")
     return top.withColumn("score_rank", F.row_number().over(w_rank))
+
+
+def ann_quantized_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 5, bits: int = 8
+) -> DataFrame:
+    """Top-k nearest neighbors in QUANTIZED space: squared L2 over the
+    int8 codes from ``quantize_embeddings``'s per-dim ranges — the
+    memory-bound rerank pattern ANN serving uses (scan compressed
+    codes, rerank few in float).
+
+    Distances are INTEGER sums of integer squares — engine-exact, no
+    float-ulp concerns even in the oracle. Plan shape matches
+    ``ann_topk``: one corpus scan against a broadcast query batch
+    (bounded fan-out), per-query top-k window on the scored rows.
+    """
+    levels = float((1 << bits) - 1)
+    e = embeddings.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    ranges = (
+        e.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("dm"))
+        .select(
+            F.transform("dm", lambda s: s["mn"]).alias("mns"),
+            F.transform("dm", lambda s: s["mx"]).alias("mxs"),
+        )
+    )
+
+    def _code(x, i):
+        mn = F.element_at(F.col("mns"), i + F.lit(1))
+        mx = F.element_at(F.col("mxs"), i + F.lit(1))
+        scale = F.when(mx > mn, (mx - mn) / F.lit(levels)).otherwise(F.lit(1.0))
+        return F.floor((x - mn) / scale + F.lit(0.5))
+
+    coded = e.join(F.broadcast(ranges)).select(
+        "vec_id", F.transform("emb", _code).alias("codes")
+    )
+    q = coded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
+    )
+    c = coded.select(F.col("vec_id").alias("neighbor_id"), "codes")
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("q_codes"), F.col("codes"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("qdist", dist)
+    )
+    w = Window.partitionBy("query_id").orderBy("qdist", "neighbor_id")
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "qdist", "knn_rank")
+    )

@@ -179,3 +179,45 @@ def test_pack_sequences_tiles_under_random_inputs(spark):
     # all non-empty docs appear exactly once
     n_nonempty = sum(1 for _, t, _, _ in rows if t)
     assert len(out) == n_nonempty
+
+
+def test_ann_quantized_matches_exact_on_coarse_data(spark):
+    """On well-separated vectors the quantized ranking equals the
+    exact-distance ranking, and distances are exact integers."""
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        ann_quantized_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0], 0),
+            (1, [1.0, 0.0], 0),
+            (2, [10.0, 0.0], 0),
+            (3, [11.0, 0.0], 0),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    out = ann_quantized_topk(emb, n_queries=1, k=3).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.knn_rank)] == [1, 2, 3]
+    # codes over range [0,11]: scale 11/255; dists are integer code gaps
+    assert all(isinstance(r.qdist, int) and r.qdist > 0 for r in out)
+
+
+def test_vocab_drift_flags_shifted_terms(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import vocab_drift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common alpha", "en", "src0"),
+            (2, "common common beta", "en", "src1"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    out = {r.term: r for r in vocab_drift(docs, "src0", "src1", k=10).collect()}
+    # 'common' has equal share both sides -> zero drift, ranked last
+    assert out["common"].drift == 0.0
+    # alpha only in src0 (share 1/3), beta only in src1
+    assert out["alpha"].share_a == pytest.approx(1 / 3)
+    assert out["alpha"].share_b == 0.0 and out["alpha"].count_b == 0
+    assert out["beta"].drift == pytest.approx(1 / 3)
+    assert {out["alpha"].drift_rank, out["beta"].drift_rank} == {1, 2}

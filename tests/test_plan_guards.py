@@ -23,7 +23,14 @@ import __spark_entry__ as entrymod
 #: k-centroids broadcast scoring (k is a small constant — bounded
 #: fan-out). embedding_cosine_dup is NOT here anymore: its plan is a
 #: keyed block-grid join (see test_cosine_dup_plan_is_keyed).
-CROSS_JOIN_BASELINES = {"ann_topk", "ann_ivf_topk", "knn_classify"}
+CROSS_JOIN_BASELINES = {
+    "ann_topk",
+    "ann_ivf_topk",
+    "knn_classify",
+    # quantized codes × broadcast 8-row query batch (bounded fan-out),
+    # plus the 1-row per-dim range broadcast
+    "ann_quantized_topk",
+}
 
 #: Joins against a broadcast 1-row global aggregate (total revenue,
 #: mean acctbal). The build side is exactly one row by construction,
