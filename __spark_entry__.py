@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_quantized_topk": lambda s, d: similarity.ann_quantized_topk(
             _emb(s, d)
         ),
+        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         # --- heaviest oracle-backed entries last within the
         # unverified block (a budget-capped driver run verifies the
         # maximum number of cheap entries first) ---
@@ -325,7 +326,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles_approx": lambda s, d: temporal.value_percentiles_approx(
             _events(s, d)
         ),
-        "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
         # --- core ETL (reference parity; r1 driver-pass) ---
         "normalize_orders": lambda s, d: normalize_orders(load_table(s, d, "orders")),
@@ -504,6 +504,22 @@ _COS = (
     " / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))"
     " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))))"
 )
+
+def _lsh_sig_sql(vec: str, n_planes: int = 8) -> str:
+    """Random-hyperplane LSH signature of a FLOAT[] column — the exact
+    SQL twin of ``similarity._hyperplane``/``signature_col``: weight
+    (p, d) = md5-nibble(p || '_' || d) − 7.5, bit = dot(v, w_p) > 0."""
+    bits = []
+    for p in range(n_planes):
+        dot = (
+            f"list_sum(list_transform(range(1, 65), i -> "
+            f"CAST({vec}[i] AS DOUBLE) * "
+            f"(CAST('0x' || substr(md5('{p}_' || CAST(i - 1 AS VARCHAR)), 1, 1) "
+            f"AS BIGINT) - 7.5)))"
+        )
+        bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
 
 _QUALITY_SQL = f"""
 WITH n AS (SELECT doc_id, text, {_NORM} AS norm FROM documents),
@@ -840,6 +856,21 @@ SELECT *, abs(share_a - share_b) AS drift,
             AS INT) AS drift_rank
 FROM j
 QUALIFY drift_rank <= 25
+""",
+        "ann_lsh_topk": f"""
+WITH sig AS (SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS bucket
+             FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig
+      WHERE vec_id < 8),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM sig),
+scored AS (SELECT query_id, neighbor_id, {_COS} AS cos
+           FROM c JOIN q USING (bucket)
+           WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INT)
+         AS knn_rank
+FROM scored QUALIFY knn_rank <= 5
 """,
         "ann_quantized_topk": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings),
