@@ -27,7 +27,6 @@ def test_oracle_keys_subset_of_queries():
     assert set(oracles).issubset(set(qs))
     # everything except explicitly-approximate ops has an oracle
     assert set(qs) - set(oracles) == {
-        "ann_lsh_topk",
         "ann_ivf_topk",
         # sketch estimates are algorithm-specific; their tests bound
         # rank/relative error against the exact twins instead
