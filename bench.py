@@ -51,6 +51,11 @@ HEADLINE = [
     "ohlc_bars",
     "value_histogram",
     "customer_order_gaps",
+    "chunk_documents",
+    "vocab_drift",
+    "ann_quantized_topk",
+    "scd2_apply",
+    "snapshot_diff",
 ]
 
 
