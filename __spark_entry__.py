@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
         "chunk_documents": lambda s, d: packing.chunk_documents(_docs(s, d)),
         "vocab_drift": lambda s, d: corpus.vocab_drift(_docs(s, d)),
+        "corpus_prep": lambda s, d: corpus.corpus_prep(_docs(s, d)),
         "ann_quantized_topk": lambda s, d: similarity.ann_quantized_topk(
             _emb(s, d)
         ),
@@ -607,6 +608,21 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+_FILTER_SQL = f"""
+WITH q AS ({_QUALITY_SQL}),
+r AS ({_REPETITION_SQL}),
+j AS (SELECT q.doc_id, q.n_tokens, r.top_unigram_frac, r.dup_trigram_frac,
+             q.stop_ratio, q.quality,
+             CASE WHEN q.n_tokens < 20 THEN 'too_short'
+                  WHEN r.top_unigram_frac > 0.15 THEN 'repetitive_unigram'
+                  WHEN r.dup_trigram_frac > 0.05 THEN 'repetitive_trigram'
+                  WHEN q.stop_ratio < 0.02 THEN 'low_stopword'
+                  WHEN q.quality < 0.42 THEN 'low_quality'
+                  ELSE 'kept' END AS reason
+      FROM q JOIN r ON q.doc_id = r.doc_id)
+SELECT *, reason = 'kept' AS keep FROM j
+"""
+
 _LANG_SQL = f"""
 WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
 h AS (SELECT doc_id, lang,
@@ -686,20 +702,7 @@ SELECT region, country, orders, CAST(_net AS DOUBLE) AS net
 FROM agg ORDER BY _net DESC, region, country LIMIT 20
 """,
         "repetition_stats": _REPETITION_SQL,
-        "filter_pipeline": f"""
-WITH q AS ({_QUALITY_SQL}),
-r AS ({_REPETITION_SQL}),
-j AS (SELECT q.doc_id, q.n_tokens, r.top_unigram_frac, r.dup_trigram_frac,
-             q.stop_ratio, q.quality,
-             CASE WHEN q.n_tokens < 20 THEN 'too_short'
-                  WHEN r.top_unigram_frac > 0.15 THEN 'repetitive_unigram'
-                  WHEN r.dup_trigram_frac > 0.05 THEN 'repetitive_trigram'
-                  WHEN q.stop_ratio < 0.02 THEN 'low_stopword'
-                  WHEN q.quality < 0.42 THEN 'low_quality'
-                  ELSE 'kept' END AS reason
-      FROM q JOIN r ON q.doc_id = r.doc_id)
-SELECT *, reason = 'kept' AS keep FROM j
-""",
+        "filter_pipeline": _FILTER_SQL,
         "doc_rarity": f"""
 WITH occ AS (SELECT doc_id, g AS term
              FROM (SELECT doc_id, unnest({_TOKS}) AS g FROM documents)
@@ -828,6 +831,34 @@ SELECT COUNT(*) AS n_rows,
        dup_key_rows
 FROM dirty CROSS JOIN dup
 GROUP BY dup_key_rows
+""",
+        "corpus_prep": f"""
+WITH fp AS ({_FILTER_SQL}),
+gate AS (SELECT doc_id FROM fp WHERE keep),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})),
+surv AS (
+  SELECT d.doc_id,
+         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 8 AS bucket,
+         CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                   ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+  FROM documents d
+  JOIN gate USING (doc_id) JOIN keep USING (doc_id)
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+             AS BIGINT) % 100 < 80),
+c AS (SELECT *, CAST(SUM(n_tokens)
+                     OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+      FROM surv WHERE n_tokens > 0)
+SELECT doc_id, bucket, n_tokens,
+       cum_end - n_tokens AS stream_start,
+       CAST(floor((cum_end - n_tokens) / 512) AS BIGINT) AS start_pack,
+       CAST(floor((cum_end - 1) / 512) AS BIGINT) AS end_pack,
+       (cum_end - n_tokens) % 512 AS pack_offset,
+       CAST(floor((cum_end - 1) / 512) AS BIGINT)
+         - CAST(floor((cum_end - n_tokens) / 512) AS BIGINT) + 1
+         AS n_packs_spanned
+FROM c
 """,
         "vocab_drift": f"""
 WITH toks AS (

@@ -394,3 +394,43 @@ def _spread_docs(documents: DataFrame) -> DataFrame:
     from .dedup import _spread
 
     return _spread(documents)
+
+
+def corpus_prep(
+    documents: DataFrame,
+    sample_pct: int = 80,
+    budget: int = 512,
+    buckets: int = 8,
+) -> DataFrame:
+    """The COMPLETE training-corpus preparation as one declarative
+    plan: quality/repetition gate → exact dedup (keep the minimum
+    doc_id per content, corpus-wide) → deterministic hash sample →
+    concat-chunk packing layout of the survivors.
+
+    Every stage is a DataFrame transform, so Catalyst plans the whole
+    prep as one job: the gate's conditional and the sample are
+    map-side filters, dedup adds one content-hash aggregate plus a
+    semi-join, and packing adds the per-bucket window — four pipeline
+    stages, three shuffles total, nothing materialized in between.
+    Each stage is engine-exact, so the composition is too (the DuckDB
+    oracle replays the identical cascade).
+    """
+    from .packing import pack_sequences
+    from .textstats import filter_pipeline
+    from ..functions.text import md5_hex, norm_text
+
+    gated = filter_pipeline(documents).filter(F.col("keep")).select("doc_id")
+    keepers = (
+        documents.select("doc_id", md5_hex(norm_text("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = (
+        documents.join(gated, "doc_id", "left_semi")
+        .join(keepers, "doc_id", "left_semi")
+        .withColumn("_b", _hash_bucket(F.col("doc_id")))
+        .filter(F.col("_b") < sample_pct)
+        .drop("_b")
+    )
+    return pack_sequences(survivors, budget=budget, buckets=buckets)

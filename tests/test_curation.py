@@ -158,3 +158,26 @@ def test_dedup_against_stored_index(spark, sf_dir):
         drop_table(spark, "t_lsh_bands")
         drop_table(spark, "t_lsh_shingles")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_corpus_prep_composes_all_gates(spark):
+    """Gate, dedup, sample, and packing compose: only clean, unique,
+    in-sample docs reach the packed layout."""
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import corpus_prep
+
+    clean = ("the a of and alpha bravo charlie delta echo foxtrot golf hotel "
+             "india juliet kilo lima mike november oscar papa quebec")
+    docs = spark.createDataFrame(
+        [
+            _doc(1, clean),            # kept
+            _doc(2, clean),            # exact dup of 1 -> dropped
+            _doc(3, "too short"),      # gate: too_short
+            _doc(4, clean + " extra"), # kept (distinct content)
+        ],
+        DOC_SCHEMA,
+    )
+    out = {r.doc_id: r for r in corpus_prep(docs, sample_pct=100).collect()}
+    assert set(out) == {1, 4}
+    # layout invariants hold on the survivors
+    for r in out.values():
+        assert r.n_packs_spanned == r.end_pack - r.start_pack + 1
