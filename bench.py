@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_quantized_topk",
     "scd2_apply",
     "snapshot_diff",
+    "corpus_prep",
 ]
 
 
