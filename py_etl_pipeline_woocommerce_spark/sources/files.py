@@ -80,3 +80,33 @@ def read_jsonl_quarantine(
     good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    **options: str,
+) -> DataFrame:
+    """ORC scan — the other columnar interchange format warehouses
+    exchange (Hive-lineage platforms export ORC where lakehouses use
+    parquet). Self-describing like parquet, so the schema argument is
+    an optional *contract check* rather than required typing: when
+    given, a drifted file fails loudly instead of silently widening.
+    Predicate pushdown and column pruning work exactly as for parquet
+    (pin them with ``.explain`` — ``PushedFilters``/``ReadSchema``).
+    """
+    df = spark.read.options(**options).orc(path)
+    if schema is not None:
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in schema.fields}
+        if got != want:
+            raise ValueError(
+                f"ORC schema drift at {path}: got {got}, expected {want}"
+            )
+    return df
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC writer (zlib default; columnar, splittable)."""
+    df.write.mode(mode).orc(path)

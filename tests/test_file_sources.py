@@ -76,3 +76,42 @@ def test_jsonl_quarantine_splits_good_and_bad(spark, tmp_path):
     bad_rows = bad.collect()
     assert len(bad_rows) == 1
     assert "broken" in bad_rows[0][0]
+
+
+def test_orc_round_trip_with_contract_check(spark, tmp_path, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.sources.files import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    dest = str(tmp_path / "docs_orc")
+    write_orc(docs, dest)
+    back = read_orc(spark, dest, schema=docs.schema)
+    assert back.count() == docs.count()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, docs.collect()))
+    # contract check fails loudly on drifted schema
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    drifted = T.StructType([T.StructField("doc_id", T.StringType())])
+    with _pytest.raises(ValueError, match="schema drift"):
+        read_orc(spark, dest, schema=drifted)
+
+
+def test_orc_scan_pushes_filters(spark, tmp_path, sf_dir):
+    import contextlib
+    import io
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.sources.files import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    dest = str(tmp_path / "docs_orc2")
+    write_orc(docs, dest)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        read_orc(spark, dest).filter("doc_id < 10").select("doc_id").explain(
+            "formatted"
+        )
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "doc_id" in plan.split("PushedFilters", 1)[1][:200]
