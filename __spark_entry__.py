@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_pipeline": lambda s, d: textstats.filter_pipeline(_docs(s, d)),
         "doc_rarity": lambda s, d: corpus.doc_rarity(_docs(s, d)),
         "customer_order_gaps": relational.customer_order_gaps,
+        "supplier_percentiles": relational.supplier_percentiles,
         "ohlc_bars": lambda s, d: temporal.ohlc_bars(_events(s, d)),
         "value_histogram": lambda s, d: temporal.value_histogram(_events(s, d)),
         "scd2_apply": _q_scd2,
@@ -972,6 +973,16 @@ FROM ({_MEDIA_SQL})
         "frame_sample": f"""
 SELECT media_id, unnest(range(0, duration_ms, 1000)) AS frame_ts_ms
 FROM ({_MEDIA_SQL}) WHERE modality = 'video'
+""",
+        "supplier_percentiles": f"""
+WITH rev AS (SELECT l_suppkey, SUM({_DISC}) AS rev FROM lineitem GROUP BY 1)
+SELECT n_name AS nation, s_suppkey AS supplier_id, s_name AS supplier_name,
+       CAST(rev AS DOUBLE) AS revenue,
+       percent_rank() OVER (PARTITION BY n_name ORDER BY rev) AS pct_rank,
+       cume_dist() OVER (PARTITION BY n_name ORDER BY rev) AS cume
+FROM rev
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
 """,
         "customer_order_gaps": """
 WITH g AS (

@@ -965,3 +965,38 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_gap_days").cast("double") / (F.col("n_orders") - 1),
         )
     )
+
+
+def supplier_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier revenue standing within its nation: percent_rank and
+    cume_dist over exact-decimal revenue — the remaining ANSI window
+    distribution functions (NTILE and ratio-to-report live in
+    ``supplier_quartiles`` / ``segment_share``).
+
+    Both functions are pure rank arithmetic over the ordering, and the
+    ordering key is the exact DECIMAL revenue — ties collapse to
+    identical ranks on any engine, so the doubles they emit are
+    bit-identical. The window runs over supplier-grain aggregates
+    (one row per supplier), never the fact table.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = lineitem.groupBy("l_suppkey").agg(
+        F.sum(disc_price()).alias("_rev_dec")
+    )
+    joined = (
+        rev.join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy("_rev_dec")
+    return joined.select(
+        F.col("n_name").alias("nation"),
+        F.col("s_suppkey").alias("supplier_id"),
+        F.col("s_name").alias("supplier_name"),
+        F.col("_rev_dec").cast("double").alias("revenue"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
