@@ -766,7 +766,9 @@ j AS (SELECT c.p_partkey AS ck, u.p_partkey AS uk,
              u.p_type AS ut, u.p_retailprice AS up
       FROM cur c FULL OUTER JOIN upd u ON c.p_partkey = u.p_partkey),
 t AS (SELECT *,
-             uk IS NOT NULL AND (ck IS NULL OR ct <> ut OR cp <> up) AS changed
+             uk IS NOT NULL AND (ck IS NULL
+                                 OR ct IS DISTINCT FROM ut
+                                 OR cp IS DISTINCT FROM up) AS changed
       FROM j)
 SELECT ck AS p_partkey, ct AS p_type, cp AS p_retailprice,
        CAST(0 AS INT) AS valid_from, CAST(NULL AS INT) AS valid_to,

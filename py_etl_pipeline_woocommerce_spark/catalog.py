@@ -45,11 +45,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timezone-stable regardless of how the host session was built.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark has no
-        # native type for — read as BIGINT nanoseconds. Session-level
-        # runtime conf so externally-built sessions (the driver's)
-        # work too.
+        # The events.ts physical type has varied across testdata
+        # generations: TIMESTAMP(NANOS) (no native Spark type — read
+        # as BIGINT nanoseconds via nanosAsLong) or TIMESTAMP(MICROS)
+        # (arrives as TIMESTAMP_NTZ). Downstream operators contract on
+        # BIGINT *nanoseconds*, so normalize either form here.
+        # Session-level runtime conf so externally-built sessions (the
+        # driver's) work too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type.startswith("timestamp"):
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                "ts",
+                F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000),
+            )
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

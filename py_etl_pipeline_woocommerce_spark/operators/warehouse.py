@@ -15,6 +15,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Sentinel substituted for NULL before fingerprint concatenation.
+# concat_ws silently DROPS null arguments, so without it the rows
+# (NULL, 'x') and ('x', NULL) hash identically and NULL<->value
+# transitions go undetected. \x00 cannot occur in cast(… as string)
+# output, so the sentinel never collides with real data.
+_NULL_SENTINEL = "\x00<NULL>"
+
+
+def _row_fingerprint(cols: list[str], prefix: str = "") -> "F.Column":
+    """md5 over tracked columns with NULL-sentinel substitution."""
+    return F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(
+                    F.col(prefix + c).cast("string"), F.lit(_NULL_SENTINEL)
+                )
+                for c in cols
+            ],
+        )
+    )
+
 
 def scd2_apply(
     current: DataFrame,
@@ -36,20 +58,16 @@ def scd2_apply(
     batch (broadcast when the batch is drop-sized — the usual case);
     closed history is a pass-through union that never shuffles.
     Change detection compares a concat-hash of tracked columns —
-    one string md5 per row, engine-portable.
+    one string md5 per row, engine-portable, NULL-safe via sentinel
+    substitution (a NULL column value is distinct from every string).
     """
-    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in tracked]))
+    fp = _row_fingerprint(tracked)
     open_rows = current.filter(F.col("is_current"))
     closed_rows = current.filter(~F.col("is_current"))
     upd = updates.select(
         F.col(key),
         *[F.col(c).alias(f"_new_{c}") for c in tracked],
-    ).withColumn(
-        "_new_fp",
-        F.md5(
-            F.concat_ws("\x1f", *[F.col(f"_new_{c}").cast("string") for c in tracked])
-        ),
-    )
+    ).withColumn("_new_fp", _row_fingerprint(tracked, prefix="_new_"))
     joined = open_rows.withColumn("_fp", fp).join(upd, key, "full_outer")
     # rows whose key has an update with different tracked values
     changed = F.col("_new_fp").isNotNull() & (
@@ -92,11 +110,8 @@ def snapshot_diff(
     the change kind plus both fingerprints for audit. Linear, one
     shuffle, no skew (keys are unique per side).
     """
-    def _fp(cols):
-        return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
-
-    b = before.select(F.col(key), _fp(compare).alias("fp_before"))
-    a = after.select(F.col(key), _fp(compare).alias("fp_after"))
+    b = before.select(F.col(key), _row_fingerprint(compare).alias("fp_before"))
+    a = after.select(F.col(key), _row_fingerprint(compare).alias("fp_after"))
     j = b.join(a, key, "full_outer")
     kind = (
         F.when(F.col("fp_before").isNull(), F.lit("added"))
