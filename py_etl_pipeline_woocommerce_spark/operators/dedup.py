@@ -569,7 +569,10 @@ def _band_frame(docs: DataFrame, id_alias: str):
 
 
 def dedup_incremental_near(
-    new_docs: DataFrame, existing: DataFrame | None = None, threshold: float = 0.5
+    new_docs: DataFrame,
+    existing: DataFrame | None = None,
+    threshold: float = 0.5,
+    persisted_frames: list | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: annotate a new batch with its best
     near-duplicate in the already-ingested corpus — the daily-drop
@@ -588,6 +591,12 @@ def dedup_incremental_near(
     When ``existing`` is None, a deterministic self-contained split
     makes the driver query: doc_id % 10 == 0 plays the incoming
     batch, the rest the ingested corpus.
+
+    Pass ``persisted_frames=[]`` to receive the internally persisted
+    shingle frames; unpersist them once the result has been
+    materialized (a repeated caller — e.g. a foreachBatch body —
+    otherwise accumulates one pinned frame per invocation until the
+    ContextCleaner happens to GC the reference).
     """
     if existing is None:
         existing = new_docs.filter(F.col("doc_id") % 10 != 0)
@@ -595,6 +604,8 @@ def dedup_incremental_near(
 
     sh_c, bands_c = _band_frame(existing, "dup_of")
     sh_b, bands_b = _band_frame(new_docs, "doc_id")
+    if persisted_frames is not None:
+        persisted_frames += [sh_c, sh_b]
     cand = (
         bands_c.join(F.broadcast(bands_b), ["band", "band_hash"])
         .select("doc_id", "dup_of")
@@ -653,17 +664,27 @@ def write_lsh_index(documents: DataFrame, prefix: str, n_buckets: int = 32) -> N
 
 
 def dedup_against_index(
-    new_docs: DataFrame, prefix: str, threshold: float = 0.5
+    new_docs: DataFrame,
+    prefix: str,
+    threshold: float = 0.5,
+    persisted_frames: list | None = None,
 ) -> DataFrame:
     """Annotate a new batch against a stored LSH index (see
     ``write_lsh_index``) — same output contract as
     ``dedup_incremental_near`` but the corpus side comes from the
     bucketed tables, so the per-drop cost is O(batch), not O(corpus).
+
+    Pass ``persisted_frames=[]`` and unpersist its contents after
+    materializing the result — essential for long-running streams
+    that call this per micro-batch (see
+    ``streaming.pipeline.run_stream_dedup_against_index``).
     """
     spark = new_docs.sparkSession
     bands_c = spark.table(f"{prefix}_bands").withColumnRenamed("doc_id", "dup_of")
     sh_c = spark.table(f"{prefix}_shingles")
     sh_b, bands_b = _band_frame(new_docs, "doc_id")
+    if persisted_frames is not None:
+        persisted_frames.append(sh_b)
     cand = (
         bands_c.join(bands_b, ["band", "band_hash"])
         .select("doc_id", "dup_of")

@@ -98,8 +98,11 @@ def read_orc(
     """
     df = spark.read.options(**options).orc(path)
     if schema is not None:
-        got = {f.name: f.dataType for f in df.schema.fields}
-        want = {f.name: f.dataType for f in schema.fields}
+        # Full positional contract: name, type, nullability, in
+        # declared order. A dict compare would let reordered columns
+        # or nullability drift slip through the "fails loudly" claim.
+        got = [(f.name, f.dataType, f.nullable) for f in df.schema.fields]
+        want = [(f.name, f.dataType, f.nullable) for f in schema.fields]
         if got != want:
             raise ValueError(
                 f"ORC schema drift at {path}: got {got}, expected {want}"

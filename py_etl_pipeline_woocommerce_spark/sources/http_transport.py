@@ -127,7 +127,22 @@ class WooHttpTransport:
         session = self._get_session()
         last_status, last_body = -1, ""
         for attempt in range(self.max_retries + 1):
-            resp = session.get(url, params=query, timeout=self.timeout)
+            try:
+                resp = session.get(url, params=query, timeout=self.timeout)
+            except Exception as exc:  # requests.RequestException and kin
+                # Connection resets / timeouts / chunked-encoding breaks
+                # are the MOST common transient failures in a long
+                # backfill — retry them with the same backoff as a 5xx
+                # instead of letting the first one kill the run.
+                if requests is None or not isinstance(
+                    exc, requests.RequestException
+                ):
+                    raise
+                last_status, last_body = -1, f"{type(exc).__name__}: {exc}"
+                if attempt == self.max_retries:
+                    break
+                self._sleep(self._delay(attempt, None))
+                continue
             status = int(resp.status_code)
             if status < 400:
                 pages = resp.headers.get("X-WP-TotalPages")

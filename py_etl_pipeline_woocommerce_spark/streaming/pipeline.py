@@ -165,8 +165,15 @@ def run_stream_dedup_against_index(
 
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:
         sink.batches_seen += 1
-        flagged = dedup_against_index(batch_df, index_prefix, threshold)
+        frames: list = []
+        flagged = dedup_against_index(
+            batch_df, index_prefix, threshold, persisted_frames=frames
+        )
         sink._merge(flagged)
+        # _merge collected the result; free the shingle frame now or a
+        # long-running stream pins one persisted frame per micro-batch.
+        for f in frames:
+            f.unpersist()
 
     query = (
         stream.writeStream.outputMode("append")

@@ -115,3 +115,19 @@ def test_orc_scan_pushes_filters(spark, tmp_path, sf_dir):
     plan = buf.getvalue()
     assert "PushedFilters" in plan
     assert "doc_id" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_orc_contract_rejects_reordered_columns(spark, tmp_path, sf_dir):
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.sources.files import read_orc, write_orc
+
+    docs = load_table(spark, sf_dir, "documents")
+    dest = str(tmp_path / "docs_orc_order")
+    write_orc(docs, dest)
+    # same {name: type} mapping, different declared order — must fail
+    reordered = T.StructType(list(reversed(docs.schema.fields)))
+    with _pytest.raises(ValueError, match="schema drift"):
+        read_orc(spark, dest, schema=reordered)

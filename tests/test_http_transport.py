@@ -143,3 +143,63 @@ def test_pickles_without_live_session():
     clone = pickle.loads(pickle.dumps(transport))
     assert clone._session is None  # rebuilt lazily on the executor
     assert clone.consumer_key == "ck_test"
+
+
+class FlakySession(FakeSession):
+    """Raises scripted exceptions before falling back to responses."""
+
+    def __init__(self, errors, script):
+        super().__init__(script)
+        self.errors = list(errors)
+
+    def get(self, url, params=None, timeout=None):
+        if self.errors:
+            self.calls.append((url, dict(params or {}), timeout))
+            raise self.errors.pop(0)
+        return super().get(url, params=params, timeout=timeout)
+
+
+def _flaky(errors, script, sleeps=None, **kw):
+    session = FlakySession(errors, script)
+    transport = WooHttpTransport(
+        "https://shop.example.com",
+        "ck_test",
+        "cs_test",
+        session_factory=lambda: session,
+        sleep=(sleeps.append if sleeps is not None else lambda s: None),
+        **kw,
+    )
+    return transport, session
+
+
+def test_transient_connection_errors_are_retried():
+    import requests as _requests
+
+    sleeps = []
+    transport, session = _flaky(
+        [_requests.ConnectionError("reset"), _requests.Timeout("slow")],
+        [FakeResponse(200, "[]", {"X-WP-TotalPages": "1"})],
+        sleeps=sleeps,
+        backoff_base=0.5,
+    )
+    body, pages = transport("orders", {})
+    assert (body, pages) == ("[]", 1)
+    assert len(session.calls) == 3      # 2 failures + 1 success
+    assert sleeps == [0.5, 1.0]         # exponential backoff applied
+
+
+def test_connection_errors_exhaust_into_woo_http_error():
+    import requests as _requests
+
+    transport, _ = _flaky(
+        [_requests.ConnectionError("reset")] * 4, [], max_retries=3
+    )
+    with pytest.raises(WooHttpError, match="ConnectionError"):
+        transport("orders", {})
+
+
+def test_non_requests_exceptions_propagate_immediately():
+    transport, session = _flaky([ValueError("logic bug")], [])
+    with pytest.raises(ValueError, match="logic bug"):
+        transport("orders", {})
+    assert len(session.calls) == 1      # no retry on non-transport errors

@@ -97,3 +97,37 @@ def test_scd2_version_chain_has_no_overlap(spark):
         (r.valid_from, r.valid_to, r.v, r.is_current) for r in cur.collect()
     )
     assert rows == [(0, 1, "a", False), (1, 2, "b", False), (2, None, "c", True)]
+
+
+def test_scd2_detects_null_value_transitions(spark):
+    # concat_ws drops NULLs, so without sentinel substitution the rows
+    # (NULL,'x') and ('x',NULL) fingerprint identically and these
+    # transitions would silently pass through as "unchanged".
+    current = spark.createDataFrame(
+        [
+            (1, None, "x", 0, None, True),   # (NULL,'x') -> ('x',NULL): changed
+            (2, "x", None, 0, None, True),   # value -> NULL: changed
+            (3, None, None, 0, None, True),  # stays all-NULL: unchanged
+        ],
+        "k bigint, a string, b string, valid_from int, valid_to int, is_current boolean",
+    )
+    updates = spark.createDataFrame(
+        [(1, "x", None), (2, "x", "y"), (3, None, None)],
+        "k bigint, a string, b string",
+    )
+    out = scd2_apply(current, updates, "k", ["a", "b"], batch_version=1)
+    rows = {(r.k, r.a, r.b, r.valid_from, r.valid_to, r.is_current) for r in out.collect()}
+    assert rows == {
+        (1, None, "x", 0, 1, False),
+        (1, "x", None, 1, None, True),
+        (2, "x", None, 0, 1, False),
+        (2, "x", "y", 1, None, True),
+        (3, None, None, 0, None, True),   # unchanged: no new version
+    }
+
+
+def test_snapshot_diff_sees_null_shifts(spark):
+    before = spark.createDataFrame([(1, None, "x"), (2, "a", "b")], "k bigint, u string, v string")
+    after = spark.createDataFrame([(1, "x", None), (2, "a", "b")], "k bigint, u string, v string")
+    out = {r.k: r.change for r in snapshot_diff(before, after, "k", ["u", "v"]).collect()}
+    assert out == {1: "changed"}  # key 2 unchanged; NULL shift detected
