@@ -12,10 +12,9 @@ warehouse write.
 from __future__ import annotations
 
 import os
-import shutil
 from datetime import datetime, timedelta
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.logging import get_logger
@@ -25,13 +24,65 @@ from ..sources.state import WatermarkStore
 
 log = get_logger(__name__)
 
+#: Warehouse partition column: facts are laid out by order month so an
+#: incremental drop only ever rewrites the handful of month partitions
+#: it touches (the 100 TB form of the reference's keyed DELETE).
+PARTITION_COL = "order_month"
+
+
+def stage_raw_orders(raw: DataFrame, warehouse_dir: str) -> None:
+    """Land the raw order JSON BEFORE any parsing — the Spark twin of
+    the reference's ``stg_orders_raw`` table (``load/ddl.sql:1-5``).
+
+    Append-only: every extract lands with its timestamp, so normalize
+    can be replayed (schema fixes, bug fixes) without refetching the
+    API, and bad batches can be audited. At scale this is the bronze
+    layer of a medallion lakehouse.
+    """
+    staged = raw.select(
+        F.get_json_object("raw", "$.id").cast("long").alias("order_id"),
+        F.col("raw").alias("json"),
+        F.current_timestamp().alias("extracted_at"),
+    )
+    staged.write.mode("append").parquet(
+        os.path.join(warehouse_dir, "stg_orders_raw")
+    )
+
+
+def replay_parsed_from_raw(spark: SparkSession, warehouse_dir: str) -> DataFrame:
+    """Re-parse the landed raw JSON with NO transport: latest landed
+    copy per order_id → the same parsed frame ``build_facts`` produces
+    in-flight. One key-hash shuffle (row_number per order)."""
+    raw = spark.read.parquet(os.path.join(warehouse_dir, "stg_orders_raw"))
+    w = Window.partitionBy("order_id").orderBy(F.col("extracted_at").desc())
+    latest = (
+        raw.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(F.col("json").alias("raw"))
+    )
+    return rest.parse_orders(latest)
+
 
 def build_facts(
-    spark: SparkSession, transport: rest.Transport, since_iso: str
+    spark: SparkSession,
+    transport: rest.Transport,
+    since_iso: str,
+    warehouse_dir: str | None = None,
+    persisted_frames: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Extract + transform since the watermark → (orders, items) with
-    categories and refunds applied (flow.py t_process_batch)."""
+    categories and refunds applied (flow.py t_process_batch).
+
+    When ``warehouse_dir`` is given, the raw order JSON lands in
+    ``stg_orders_raw`` first (cached so the paged API extract runs
+    exactly once for landing + parsing; the cached frame is appended
+    to ``persisted_frames`` for the caller to unpersist)."""
     raw = rest.fetch_orders_since(spark, transport, since_iso)
+    if warehouse_dir is not None:
+        raw = raw.persist()
+        if persisted_frames is not None:
+            persisted_frames.append(raw)
+        stage_raw_orders(raw, warehouse_dir)
     parsed = rest.parse_orders(raw)
     orders = rest.orders_frame(parsed)
     items = rest.items_frame(parsed)
@@ -76,20 +127,43 @@ def build_facts(
 def _upsert_table(
     spark: SparkSession, batch: DataFrame, path: str, keys: list[str]
 ) -> None:
-    """Delete+insert upsert into a parquet table dir (the local-mode
-    stand-in for MERGE INTO an Iceberg/Delta table; duckdb_client.py
-    semantics)."""
+    """Partition-local delete+insert upsert into a month-partitioned
+    parquet table (the local-mode stand-in for MERGE INTO an
+    Iceberg/Delta table; duckdb_client.py semantics).
+
+    ``batch`` must carry ``PARTITION_COL``. Cost is O(touched
+    partitions), never O(table): the touched months are a
+    driver-side handful of strings (a drop spans days, not decades),
+    so the existing-side scan is statically partition-PRUNED before
+    the batch anti-join; dynamic partition overwrite then rewrites
+    only those month directories. Untouched months are never read and
+    never written — the property the reference's keyed DELETE gets
+    from its index, expressed as lakehouse partition layout.
+    """
     if os.path.exists(path):
-        existing = spark.read.parquet(path)
-        merged = upsert_df(existing, batch, keys)
+        months = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
+        existing = spark.read.parquet(path).filter(
+            F.col(PARTITION_COL).isin(months)
+        )
+        # localCheckpoint breaks the file lineage so the dynamic
+        # overwrite below can rewrite the same partitions the merged
+        # plan read; only touched-partition rows materialize.
+        merged = upsert_df(existing, batch, keys).localCheckpoint(eager=True)
     else:
         merged = batch
-    # Two-step write: the merged plan reads from `path`, so it must
-    # materialize to a staging dir before `path` is overwritten.
-    tmp = f"{path}.__staging__"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+
+
+def _with_month(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        PARTITION_COL, F.substring(F.col("order_date"), 1, 7)
+    )
+
 
 def incremental_run(
     spark: SparkSession,
@@ -102,9 +176,19 @@ def incremental_run(
     the same keys (delete+insert), so retries are safe."""
     since = state.get_since()
     log.info("incremental run since=%s", since)
-    orders, items = build_facts(spark, transport, since)
-    orders = orders.persist()
-    items = items.persist()
+    cleanup: list = []
+    orders, items = build_facts(
+        spark, transport, since, warehouse_dir, persisted_frames=cleanup
+    )
+    orders = _with_month(orders).persist()
+    # items carry no date — stamp the order's month so both facts
+    # share the partition layout (batch-sized broadcast join).
+    items = (
+        items.join(
+            F.broadcast(orders.select("order_id", PARTITION_COL)), "order_id"
+        )
+        .persist()
+    )
     n_orders = orders.count()
     n_items = items.count()
     log.info("extracted %d orders / %d items", n_orders, n_items)
@@ -125,6 +209,8 @@ def incremental_run(
             log.info("watermark advanced to %s", nxt)
     orders.unpersist()
     items.unpersist()
+    for f in cleanup:
+        f.unpersist()
     return {"since": since, "orders": n_orders, "items": n_items}
 
 

@@ -204,3 +204,81 @@ def test_backfill_windows_cover_range():
         ("2024-01-11T00:00:00", "2024-01-21T00:00:00"),
         ("2024-01-21T00:00:00", "2024-01-25T00:00:00"),
     ]
+
+
+def _file_states(root):
+    import os
+
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                out[p] = os.stat(p).st_mtime_ns
+    return out
+
+
+def test_incremental_batch_rewrites_only_touched_partitions(spark, tmp_path):
+    import os
+
+    jan_feb = [
+        _order(1, "2024-01-10T10:00:00", 30.0, 3.0, [(11, 2, 10.0)]),
+        _order(2, "2024-02-05T11:00:00", 50.0, 5.0, [(11, 5, 10.0)]),
+    ]
+    transport = make_fake_transport(list(jan_feb), PRODUCTS, REFUNDS)
+    state = WatermarkStore(str(tmp_path / "state.json"))
+    state.set_since("2023-12-31T00:00:00")
+    wh = str(tmp_path / "wh")
+    incremental_run(spark, transport, state, wh)
+
+    fct = f"{wh}/fct_orders"
+    assert sorted(os.listdir(f"{fct}")) >= ["order_month=2024-01", "order_month=2024-02"]
+    jan_before = _file_states(f"{fct}/order_month=2024-01")
+    feb_before = _file_states(f"{fct}/order_month=2024-02")
+
+    # second drop: one NEW February order only
+    transport.orders.append(
+        _order(3, "2024-02-20T09:00:00", 20.0, 2.0, [(12, 1, 20.0)])
+    )
+    incremental_run(spark, transport, state, wh)
+
+    # January partition untouched byte-for-byte; February rewritten
+    assert _file_states(f"{fct}/order_month=2024-01") == jan_before
+    assert _file_states(f"{fct}/order_month=2024-02") != feb_before
+    # upsert semantics intact across the partitioned layout
+    rows = {r["order_id"] for r in spark.read.parquet(fct).collect()}
+    assert rows == {1, 2, 3}
+    items = spark.read.parquet(f"{wh}/fct_order_items")
+    assert {r["order_month"] for r in items.collect()} == {"2024-01", "2024-02"}
+
+
+def test_raw_landing_zone_supports_replay_without_refetch(spark, tmp_path):
+    from py_etl_pipeline_woocommerce_spark.plans.woo_flow import (
+        replay_parsed_from_raw,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.rest import orders_frame
+
+    inner = make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS)
+    calls = {"orders": 0}
+
+    def counting(path, params):
+        if path == "orders":
+            calls["orders"] += 1
+        return inner(path, params)
+
+    counting.orders = inner.orders
+
+    state = WatermarkStore(str(tmp_path / "state.json"))
+    state.set_since("2023-12-31T00:00:00")
+    wh = str(tmp_path / "wh")
+    incremental_run(spark, counting, state, wh)
+    fetches_after_run = calls["orders"]
+    assert fetches_after_run > 0
+
+    # replay normalize purely from the landed bronze table
+    replayed = orders_frame(replay_parsed_from_raw(spark, wh))
+    by_id = {r["order_id"]: r for r in replayed.collect()}
+    assert set(by_id) == {1, 2, 3}
+    assert by_id[1]["net_total"] == pytest.approx(27.0)
+    assert by_id[2]["currency"] == "EUR"
+    assert calls["orders"] == fetches_after_run  # NO refetch happened
