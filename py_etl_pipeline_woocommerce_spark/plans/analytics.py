@@ -43,7 +43,19 @@ def _bound_orders(orders: DataFrame, d1: str | None, d2: str | None) -> DataFram
     the end date materialized in Python) so the predicate pushes down
     to the parquet scan as-is — a ``to_date()`` wrapper would compute
     per row and read every row group.
+
+    At 100 TB the orders table is laid out partitioned by month
+    (``o_month=YYYY-MM`` directories); when that partition column is
+    present the same bounds ALSO become month-literal partition
+    filters, so the scan skips whole directories — row-group pushdown
+    only saves decode, partition pruning saves the listing and I/O
+    entirely (plan-guarded in test_plan_guards.py).
     """
+    if "o_month" in orders.columns:
+        if d1 is not None:
+            orders = orders.filter(F.col("o_month") >= d1[:7])
+        if d2 is not None:
+            orders = orders.filter(F.col("o_month") <= d2[:7])
     if d1 is not None:
         orders = orders.filter(
             F.col("o_orderdate") >= F.lit(f"{d1} 00:00:00").cast("timestamp")

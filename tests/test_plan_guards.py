@@ -189,3 +189,44 @@ def test_funnel_and_cohort_shapes(plans):
     assert "Window" not in plans["funnel_steps"]
     # cohort join is keyed (hash or broadcast after AQE), never nested-loop
     assert "BroadcastNestedLoopJoin" not in plans["cohort_retention"]
+
+
+def test_bounded_dashboard_prunes_date_partitions(spark, sf_dir, tmp_path):
+    # At 100 TB the win is PARTITION pruning, not a row filter: on a
+    # month-partitioned orders layout the (d1, d2) bounds must show up
+    # as partition filters (whole directories skipped), not only as
+    # row-group pushdown (VERDICT r2 item 4).
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.plans.analytics import _bound_orders
+
+    dest = str(tmp_path / "orders_by_month")
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_month", F.date_format("o_orderdate", "yyyy-MM"))
+        .write.partitionBy("o_month")
+        .parquet(dest)
+    )
+    part_orders = spark.read.parquet(dest)
+    bounded = _bound_orders(part_orders, "1995-01-01", "1996-12-31").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bounded.explain("formatted")
+    p = buf.getvalue()
+    seg = p.split("PartitionFilters", 1)
+    assert len(seg) == 2, p
+    assert "o_month" in seg[1][:300], p
+    # and the row-level bound still reaches the row groups too
+    assert "o_orderdate" in p.split("PushedFilters", 1)[1][:300], p
+    # and the pruned plan still returns the exact bounded count
+    n_bounded = bounded.collect()[0]["n"]
+    n_expected = (
+        part_orders.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        ).count()
+    )
+    assert n_bounded == n_expected
