@@ -335,6 +335,22 @@ def value_percentiles_approx(
     )
 
 
+def event_value_summary(events: DataFrame, exact: bool = False) -> DataFrame:
+    """Per-event-type value percentiles — the surface pipelines should
+    call. DEFAULTS TO THE SKETCH PATH (``value_percentiles_approx``):
+    mergeable fixed-size GK summaries, map-side combinable, safe with
+    a handful of event types over 100 TB. ``exact=True`` selects
+    ``value_percentiles`` (single-buffer exact interpolation) — use it
+    only for oracle verification or groups known to fit in one task.
+
+    Same output schema either way (event_type, p50, p90, p99), so
+    swapping precision never breaks a downstream pipeline.
+    """
+    if exact:
+        return value_percentiles(events)
+    return value_percentiles_approx(events)
+
+
 def ohlc_bars(events: DataFrame, bar_us: int = DAY_US) -> DataFrame:
     """OHLC bars per (event_type, bar): the continuous-aggregate shape
     time-series stores bolt onto an event stream (open/close by total

@@ -241,3 +241,28 @@ def test_value_histogram_bins(spark):
     assert out[1].n_events == 1 and out[1].bin_low == 5.0
     assert out[2].n_events == 1
     assert out[-1].n_events == 1 and out[-1].bin_low == -5.0
+
+
+def test_event_value_summary_defaults_to_mergeable_sketch(spark, sf_dir):
+    # The pipeline-facing surface must pick the sketch path by default,
+    # and the sketch plan must be a TWO-STAGE aggregate (partial
+    # map-side summaries merged at the reduce side) — the property
+    # that keeps per-group memory bounded at 100 TB.
+    import contextlib
+    import io
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        event_value_summary,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    df = event_value_summary(events)
+    assert df.columns == ["event_type", "p50", "p90", "p99"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "partial_percentile_approx" in p, p  # map-side partial sketch
+    # exact twin keeps the same schema for drop-in verification
+    assert event_value_summary(events, exact=True).columns == df.columns
