@@ -122,3 +122,40 @@ def test_salted_sum_matches_plain_sum(spark):
     plain = {r["k"]: r["s"] for r in df.groupBy("k").agg(F.sum("v").alias("s")).collect()}
     salted = {r["k"]: r["sum_v"] for r in salted_sum(df, ["k"], "v", n_salts=8).collect()}
     assert salted == pytest.approx(plain)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # The runtime half of the skew story: salted_join handles known
+    # hot keys; AQE must catch the UNKNOWN ones. With test-sized
+    # thresholds, a fact side with one dominant join key must come out
+    # as SortMergeJoin(skew=true) in the final adaptive plan — i.e.
+    # the hot partition was split at runtime, no salting required.
+    import pyspark.sql.functions as F
+
+    SKEW_CONFS = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in SKEW_CONFS}
+    try:
+        for k, v in SKEW_CONFS.items():
+            spark.conf.set(k, v)
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(1))
+            .otherwise(F.col("id"))
+            .alias("o_orderkey"),
+            F.concat(F.lit("x" * 100), F.col("id").cast("string")).alias("payload"),
+        )
+        dim = spark.range(200_000).select(
+            F.col("id").alias("o_orderkey"), (F.col("id") % 5).alias("flag")
+        )
+        joined = fact.join(dim, "o_orderkey")
+        assert len(joined.collect()) == 200_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
