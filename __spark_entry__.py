@@ -888,11 +888,35 @@ FROM j
 QUALIFY drift_rank <= 25
 """,
         "ann_lsh_topk": f"""
-WITH sig AS (SELECT vec_id, embedding, {_lsh_sig_sql("embedding")} AS bucket
-             FROM embeddings),
-q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM sig
-      WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ce, bucket FROM sig),
+WITH qd AS (  -- per (query, plane): signed dot against the md5 hyperplane
+  SELECT vec_id AS query_id, CAST(p.range AS INT) AS p,
+         list_sum(list_transform(range(1, 65), i ->
+           CAST(embedding[i] AS DOUBLE) *
+           (CAST('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_'
+                                    || CAST(i - 1 AS VARCHAR)), 1, 1)
+                 AS BIGINT) - 7.5))) AS dot
+  FROM embeddings CROSS JOIN range(0, 8) p
+  WHERE vec_id < 8),
+qb AS (SELECT *, CASE WHEN dot > 0 THEN '1' ELSE '0' END AS bit,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY abs(dot), p) AS mrank
+       FROM qd),
+base AS (SELECT query_id, string_agg(bit, '' ORDER BY p) AS bucket
+         FROM qb GROUP BY query_id),
+flipped AS (  -- Hamming-1 probes on the 3 most marginal planes
+  SELECT qb.query_id,
+         string_agg(CASE WHEN qb.p = f.p
+                         THEN CASE WHEN qb.bit = '1' THEN '0' ELSE '1' END
+                         ELSE qb.bit END, '' ORDER BY qb.p) AS bucket
+  FROM qb JOIN (SELECT query_id, p FROM qb WHERE mrank <= 3) f
+       USING (query_id)
+  GROUP BY qb.query_id, f.p),
+probes AS (SELECT * FROM base UNION ALL SELECT * FROM flipped),
+q AS (SELECT query_id, e.embedding AS qe, bucket
+      FROM probes JOIN embeddings e ON e.vec_id = probes.query_id),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+             {_lsh_sig_sql("embedding")} AS bucket
+      FROM embeddings),
 scored AS (SELECT query_id, neighbor_id, {_COS} AS cos
            FROM c JOIN q USING (bucket)
            WHERE neighbor_id <> query_id)

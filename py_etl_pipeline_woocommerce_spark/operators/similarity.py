@@ -241,33 +241,79 @@ def ann_lsh_topk(
     k: int = 5,
     n_planes: int = 8,
     dim: int = 64,
+    n_probe: int = 4,
 ) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets.
+    """Approximate top-k via random-hyperplane LSH with multi-probe.
 
     Signature = sign bits of dot(v, hyperplane_p) for p < n_planes;
-    candidates are corpus vectors sharing the query's bucket
-    (equi-join on the signature string — at scale this prunes the
-    corpus scan to ~corpus/2^n_planes per query). Exact cosine ranks
-    the candidates. Approximate by construction: queries whose true
-    neighbors land in other buckets return fewer/other ids (recall
-    tunable via n_planes/multi-probe).
+    candidates are corpus vectors sharing any of the query's
+    ``n_probe`` probe buckets: its own, plus Hamming-distance-1
+    variants flipping the (n_probe − 1) most MARGINAL planes — the
+    ones with the smallest |dot|, where the true neighbors most
+    likely fell just across the boundary. Exact cosine ranks the
+    candidates.
+
+    Scale shape: the corpus is scanned once for its single bucket
+    key; only the (tiny) query side explodes ×n_probe, so the
+    equi-join stays ~n_probe · corpus/2^n_planes per query. A corpus
+    vector has exactly ONE bucket, so a (query, neighbor) pair can
+    match at most one probe — no dedup stage needed.
     """
-    # Plane signature unrolled over a static plane list (stays codegen'd);
-    # computed on the already-double vector column so the cast happens once.
+
+    def dot_col(vec: str, p: int):
+        return F.aggregate(
+            F.zip_with(F.col(vec), _hyperplane(p, dim), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    # Corpus side: plain signature, unrolled over a static plane list
+    # (stays codegen'd); computed on the already-double vector column.
     def signature_col(vec: str):
         parts = []
         for p in range(n_planes):
-            dot_p = F.aggregate(
-                F.zip_with(F.col(vec), _hyperplane(p, dim), lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            parts.append((dot_p > 0).cast("int").cast("string"))
+            parts.append((dot_col(vec, p) > 0).cast("int").cast("string"))
         return F.concat(*parts)
 
-    q = _prepped(
+    # Query side: stage the per-plane dots as real columns FIRST (HOF
+    # children re-evaluate per reference — no CSE), then derive the
+    # base bucket + marginal flips from the columns.
+    q0 = _prepped(
         embeddings.filter(F.col("vec_id") < n_queries), "query_id", "q_emb", "q_nrm"
-    ).withColumn("bucket", signature_col("q_emb"))
+    ).select(
+        "*", *[dot_col("q_emb", p).alias(f"_dot{p}") for p in range(n_planes)]
+    )
+
+    def bit(p: int):
+        return (F.col(f"_dot{p}") > 0).cast("int")
+
+    base = F.concat(*[bit(p).cast("string") for p in range(n_planes)])
+    marginal = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.abs(F.col(f"_dot{p}")).alias("a"), F.lit(p).alias("p")
+                )
+                for p in range(n_planes)
+            ]
+        )
+    )
+    probes = [base]
+    for i in range(min(n_probe, n_planes + 1) - 1):
+        flip_p = F.element_at(marginal, i + 1)["p"]
+        probes.append(
+            F.concat(
+                *[
+                    F.when(F.lit(p) == flip_p, 1 - bit(p))
+                    .otherwise(bit(p))
+                    .cast("string")
+                    for p in range(n_planes)
+                ]
+            )
+        )
+    q = q0.withColumn("bucket", F.explode(F.array(*probes))).select(
+        "query_id", "q_emb", "q_nrm", "bucket"
+    )
     c = _prepped(embeddings, "neighbor_id", "c_emb", "c_nrm").withColumn(
         "bucket", signature_col("c_emb")
     )

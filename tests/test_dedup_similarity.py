@@ -158,6 +158,51 @@ def test_ann_lsh_topk_returns_bucket_neighbors(spark, sf_dir):
     assert all(r["knn_rank"] <= 3 for r in rows)
 
 
+def test_ann_lsh_multiprobe_recall_on_planted_neighbors(spark):
+    # LSH's recall contract only holds when true neighbors are
+    # actually close (the driver's synthetic embeddings are
+    # uniform-random: top-5 cos ≈ 0.3, signature Hamming ≈ 3.5/8 —
+    # NO pruning index can recover those). Plant real near-neighbors
+    # (cos ≈ 0.99) and require multi-probe to find ≥ 0.9 of them:
+    # flipping the most-marginal planes recovers the just-across-the-
+    # boundary cases single-bucket LSH loses.
+    import numpy as np
+
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import ann_topk
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((500, 64))
+    rows = []
+    vid = 100
+    for q in range(8):
+        rows.append((q, [float(x) for x in base[q]], 0))
+        for _ in range(5):  # 5 planted neighbors per query
+            jitter = base[q] + 0.07 * rng.standard_normal(64)
+            rows.append((vid, [float(x) for x in jitter], 0))
+            vid += 1
+    for i in range(200):  # background corpus
+        rows.append((vid + i, [float(x) for x in base[200 + i]], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_topk(emb, n_queries=8, k=5).collect()
+    }
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, n_queries=8, k=5, n_probe=4).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, n_queries=8, k=5, n_probe=1).collect()
+    }
+    recall = len(exact & probed) / len(exact)
+    assert recall >= 0.9, f"multi-probe recall {recall:.2f} < 0.9"
+    # multi-probe strictly dominates single-bucket
+    assert len(exact & probed) >= len(exact & single)
+
+
 def test_ann_ivf_topk_recall_vs_exact(spark, sf_dir):
     from py_etl_pipeline_woocommerce_spark.catalog import load_table
     from py_etl_pipeline_woocommerce_spark.operators.similarity import (
