@@ -23,7 +23,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count_expr, tokens_expr, word_shingles
+from ..functions.text import (
+    norm_text,
+    token_count_expr,
+    tokens_expr,
+    word_shingles,
+)
 
 
 def _hash_bucket(col, buckets: int = 100):
@@ -434,3 +439,112 @@ def corpus_prep(
         .drop("_b")
     )
     return pack_sequences(survivors, budget=budget, buckets=buckets)
+
+
+def unigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document bits-per-token under the corpus's own unigram MLE
+    — the LM-free stand-in for CCNet-style perplexity filtering:
+    boilerplate scores low (common vocabulary), gibberish and
+    OCR-noise score high (hapax-heavy). Downstream gates cut both
+    tails before training.
+
+    bits_per_token = Σ_t tf_doc(t) · (−log2(tf(t) / total)) / n_occ
+    over the doc's distinct terms. The inner sum runs over DISTINCT
+    (doc, term) pairs — one log per term, not per occurrence — and
+    the only float reduction is ≤ vocab-per-doc addends, rounded to
+    6 dp at the boundary (fp association noise ~1e-13, far below the
+    rounding grain — same determinism argument as the money policy).
+
+    Scale: explode → (doc, term) count agg → term-keyed tf agg →
+    one term join back → doc agg; a 1-row total broadcast. All
+    high-cardinality shuffles carry integer partial aggregates.
+    """
+    from .dedup import _spread
+
+    occ = (
+        _spread(documents)
+        .select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    doc_tf = occ.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    corpus_tf = doc_tf.groupBy("term").agg(F.sum("tf_doc").alias("tf"))
+    total = corpus_tf.agg(F.sum("tf").alias("total"))
+    per_doc = (
+        doc_tf.join(corpus_tf, "term")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf_doc").alias("n_occ"),
+            F.sum(
+                F.col("tf_doc")
+                * -F.log2(F.col("tf").cast("double") / F.col("total"))
+            ).alias("_bits"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_occ", F.lit(0)).alias("n_occ"),
+            F.coalesce(
+                F.round(F.col("_bits") / F.col("n_occ"), 6), F.lit(0.0)
+            ).alias("bits_per_token"),
+        )
+    )
+
+
+def tokenizer_stats(documents: DataFrame) -> DataFrame:
+    """Per-language tokenizer fertility report: how many tokens a
+    language yields per 100 normalized characters and the mean token
+    length — the numbers that size a token budget when mixing
+    languages (and flag a tokenizer that shreds one language into
+    char-level pieces).
+
+    One scan, one tiny lang-keyed agg; every sum is an INTEGER
+    (token counts, char counts), so results are engine-exact under
+    any partitioning. The two ratios divide at the output boundary.
+    """
+    per_doc = documents.select(
+        "lang",
+        token_count_expr("text").alias("n_tok"),
+        F.length(norm_text("text")).cast("bigint").alias("n_chars"),
+    )
+    # normalized text is space-joined, so a doc's token chars are
+    # n_chars − (n_tok − 1) separators (0 separators when empty)
+    seps = F.when(F.col("n_tok") > 0, F.col("n_tok") - 1).otherwise(F.lit(0))
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(seps).alias("_seps"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            F.when(
+                F.col("total_chars") > 0,
+                F.round(
+                    F.col("total_tokens") * 100.0 / F.col("total_chars"), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("tokens_per_100_chars"),
+            F.when(
+                F.col("total_tokens") > 0,
+                F.round(
+                    (F.col("total_chars") - F.col("_seps"))
+                    / F.col("total_tokens"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("mean_token_len"),
+        )
+    )

@@ -717,3 +717,71 @@ def dedup_against_index(
             F.col("dup_of").isNotNull().alias("is_near_dup"),
         )
     )
+
+
+def containment_pairs(
+    documents: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Directional near-dup pairs by shingle CONTAINMENT:
+    C(A→B) = |A∩B| / |A| ≥ threshold — "most of A appears inside B".
+
+    Catches the doc-inside-doc cases symmetric Jaccard misses: a
+    paragraph quoted whole inside a 100× larger page has tiny Jaccard
+    but containment ≈ 1. This is the quote/boilerplate-inclusion
+    detector of a training-corpus pipeline (and the shape of
+    prefix-containment joins in the AllPairs/PPJoin literature).
+
+    Exact via prefix filtering on the CONTAINED side only: if
+    |A∩B| ≥ t·|A|, A must share one of its first
+    |A| − ceil(t·|A|) + 1 shingles (md5 total order) with B — so
+    candidates are an equi-join of A-prefixes against the FULL
+    shingle index of B (containment puts no lower bound on |B|, so
+    the probe side prunes but the indexed side cannot). Only
+    candidates pay the exact |A∩B| verify; the prune is lossless.
+    Linear-ish: prefix(A) × postings(B) equi-join on (lang, shingle),
+    never all-pairs.
+    """
+    s = (
+        _shingle_sets(documents, nonempty=True)
+        .withColumn("n_sh", F.size("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    by_hash = F.array_sort(F.transform("shingles", F.md5))
+    prefix_len = (
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+        + 1
+    )
+    probe = s.select(
+        F.col("doc_id").alias("doc_a"),
+        "lang",
+        F.explode(F.slice(by_hash, 1, prefix_len)).alias("ph"),
+    )
+    index = s.select(
+        F.col("doc_id").alias("doc_b"),
+        "lang",
+        F.explode(by_hash).alias("ph"),
+    )
+    cand = (
+        probe.join(index, ["lang", "ph"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh_a = s.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    out = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn(
+            "containment",
+            F.size(F.array_intersect("sh_a", "sh_b")) / F.col("n_a"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+    return out

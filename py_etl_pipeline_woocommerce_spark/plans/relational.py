@@ -945,24 +945,40 @@ def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    gaps = orders.select(
-        F.col("o_custkey").alias("customer_id"),
-        F.datediff(
-            F.col("o_orderdate"),
-            F.lag("o_orderdate").over(w),
-        ).alias("gap_days"),
-    ).filter(F.col("gap_days").isNotNull())
+    # Filter on the lag BEFORE deriving the diff (a filter on the
+    # derived column re-evaluates datediff per predicate reference),
+    # and keep grouping on o_custkey so the aggregate REUSES the
+    # window's hash partitioning — renaming first inserts a second
+    # exchange (alias defeats outputPartitioning matching).
+    gaps = (
+        orders.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("_prev"),
+        )
+        .filter(F.col("_prev").isNotNull())
+        .select(
+            "o_custkey", F.datediff("o_orderdate", "_prev").alias("gap_days")
+        )
+    )
     return (
-        gaps.groupBy("customer_id")
+        gaps.groupBy("o_custkey")
         .agg(
             (F.count(F.lit(1)) + 1).alias("n_orders"),
             F.sum("gap_days").alias("total_gap_days"),
             F.min("gap_days").alias("min_gap_days"),
             F.max("gap_days").alias("max_gap_days"),
         )
-        .withColumn(
-            "avg_gap_days",
-            F.col("total_gap_days").cast("double") / (F.col("n_orders") - 1),
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            "n_orders",
+            "total_gap_days",
+            "min_gap_days",
+            "max_gap_days",
+            (
+                F.col("total_gap_days").cast("double")
+                / (F.col("n_orders") - 1)
+            ).alias("avg_gap_days"),
         )
     )
 
