@@ -242,6 +242,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": lambda s, d: dedup.dedup_clusters_star(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
+        # --- new in r3 (oracle-backed, never driver-verified) ---
+        "dedup_containment": lambda s, d: dedup.containment_pairs(_docs(s, d)),
+        "unigram_logprob": lambda s, d: corpus.unigram_logprob(_docs(s, d)),
+        "tokenizer_stats": lambda s, d: corpus.tokenizer_stats(_docs(s, d)),
         # --- no-SQL-oracle sketch/ANN entries (rows-only driver check;
         # after the oracle-backed ones so full checks are spent first) ---
         "daily_active_users_approx": lambda s, d: temporal.daily_active_users_approx(
@@ -886,6 +890,50 @@ SELECT *, abs(share_a - share_b) AS drift,
             AS INT) AS drift_rank
 FROM j
 QUALIFY drift_rank <= 25
+""",
+        "dedup_containment": f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM t),
+sf AS (SELECT doc_id, lang, sh FROM s WHERE len(sh) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       len(list_intersect(a.sh, b.sh)) / len(a.sh) AS containment
+FROM sf a JOIN sf b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.sh, b.sh)) / len(a.sh) >= 0.8
+""",
+        "unigram_logprob": f"""
+WITH occ AS (SELECT doc_id, t.term
+             FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+                  UNNEST(tk) AS t(term)
+             WHERE t.term <> ''),
+dt AS (SELECT doc_id, term, COUNT(*) AS tf_doc FROM occ GROUP BY 1, 2),
+ct AS (SELECT term, CAST(SUM(tf_doc) AS BIGINT) AS tf FROM dt GROUP BY 1),
+tot AS (SELECT CAST(SUM(tf) AS BIGINT) AS total FROM ct),
+pd AS (SELECT doc_id, CAST(SUM(tf_doc) AS BIGINT) AS n_occ,
+              SUM(tf_doc * -log2(CAST(tf AS DOUBLE) / total)) AS bits
+       FROM dt JOIN ct USING (term) CROSS JOIN tot
+       GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(n_occ, 0) AS n_occ,
+       COALESCE(round(bits / n_occ, 6), 0.0::DOUBLE) AS bits_per_token
+FROM documents d LEFT JOIN pd USING (doc_id)
+""",
+        "tokenizer_stats": f"""
+WITH pd AS (SELECT lang,
+                   CASE WHEN length({_NORM}) = 0 THEN 0
+                        ELSE len({_TOKS}) END AS n_tok,
+                   CAST(length({_NORM}) AS BIGINT) AS n_chars
+            FROM documents)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CASE WHEN SUM(n_chars) > 0
+            THEN round(SUM(n_tok) * 100.0 / SUM(n_chars), 6)
+            ELSE 0.0::DOUBLE END AS tokens_per_100_chars,
+       CASE WHEN SUM(n_tok) > 0
+            THEN round((SUM(n_chars)
+                        - SUM(CASE WHEN n_tok > 0 THEN n_tok - 1 ELSE 0 END))
+                       / SUM(n_tok), 6)
+            ELSE 0.0::DOUBLE END AS mean_token_len
+FROM pd GROUP BY lang
 """,
         "ann_lsh_topk": f"""
 WITH qd AS (  -- per (query, plane): signed dot against the md5 hyperplane

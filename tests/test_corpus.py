@@ -198,3 +198,46 @@ def test_hopping_window_membership(spark):
     starts = sorted(r.window_start_us for r in rows)
     assert starts == [-1_800_000_000, 0]
     assert all(r.n_events == 2 and r.total_value == 3.0 for r in rows)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    import math
+
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", "en", "s", 5),
+            (2, "a c", "en", "s", 3),
+            (3, "", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # corpus tf: a=3, b=1, c=1, total=5
+    out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    exp1 = (2 * -math.log2(3 / 5) + 1 * -math.log2(1 / 5)) / 3
+    exp2 = (1 * -math.log2(3 / 5) + 1 * -math.log2(1 / 5)) / 2
+    assert out[1]["bits_per_token"] == pytest.approx(round(exp1, 6))
+    assert out[2]["bits_per_token"] == pytest.approx(round(exp2, 6))
+    assert out[3]["n_occ"] == 0 and out[3]["bits_per_token"] == 0.0
+
+
+def test_tokenizer_stats_hand_computed(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import tokenizer_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb", "en", "s", 5),    # 2 tokens, 5 chars, 1 sep
+            (2, "ccc", "en", "s", 3),      # 1 token, 3 chars, 0 sep
+            (3, "", "fr", "s", 0),         # empty
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["lang"]: r for r in tokenizer_stats(docs).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 2 and en["total_tokens"] == 3 and en["total_chars"] == 8
+    assert en["tokens_per_100_chars"] == pytest.approx(round(3 * 100.0 / 8, 6))
+    # token chars = 8 - 1 separator = 7; mean len 7/3
+    assert en["mean_token_len"] == pytest.approx(round(7 / 3, 6))
+    fr = out["fr"]
+    assert fr["total_tokens"] == 0 and fr["tokens_per_100_chars"] == 0.0

@@ -234,3 +234,27 @@ def test_ann_ivf_topk_recall_vs_exact(spark, sf_dir):
     inv = assign_to_centroids(emb, cents)
     assert inv.count() == emb.count()
     assert inv.select("vec_id").distinct().count() == emb.count()
+
+
+def test_containment_pairs_finds_doc_inside_doc(spark):
+    import pytest
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog today"
+    big = quote + " " + " ".join(f"filler{i} padding{i} words{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, quote, "en", "s", len(quote)),
+            (2, big, "en", "s", len(big)),
+            (3, "completely different text about other topics entirely here", "en", "s", 50),
+            (4, quote, "fr", "s", len(quote)),  # other lang block: no pair
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["containment"] for r in containment_pairs(docs).collect()}
+    assert (1, 2) in out           # the quote is fully inside the big doc
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert (2, 1) not in out       # big doc is NOT mostly inside the quote
+    assert all(a != 3 and b != 3 for a, b in out)
+    assert all(a != 4 and b != 4 for a, b in out)  # lang-blocked
