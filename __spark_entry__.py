@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": lambda s, d: dedup.containment_pairs(_docs(s, d)),
         "unigram_logprob": lambda s, d: corpus.unigram_logprob(_docs(s, d)),
         "tokenizer_stats": lambda s, d: corpus.tokenizer_stats(_docs(s, d)),
+        "semdedup_apply": lambda s, d: similarity.semdedup_apply(_emb(s, d)),
         # --- no-SQL-oracle sketch/ANN entries (rows-only driver check;
         # after the oracle-backed ones so full checks are spent first) ---
         "daily_active_users_approx": lambda s, d: temporal.daily_active_users_approx(
@@ -890,6 +891,26 @@ SELECT *, abs(share_a - share_b) AS drift,
             AS INT) AS drift_rank
 FROM j
 QUALIFY drift_rank <= 25
+""",
+        "semdedup_apply": f"""
+WITH RECURSIVE
+cpairs AS (
+  SELECT vec_a, vec_b
+  FROM (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings) a
+  JOIN (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings) b
+    ON vec_a < vec_b
+  WHERE {_COS} >= 0.3),
+edges AS (SELECT vec_a AS u, vec_b AS v FROM cpairs
+          UNION ALL SELECT vec_b, vec_a FROM cpairs),
+reach(src, dst) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN edges e ON r.dst = e.u),
+lab AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1)
+SELECT vec_id, cluster_id,
+       COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       vec_id = cluster_id AS is_kept
+FROM lab
 """,
         "dedup_containment": f"""
 WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),

@@ -693,3 +693,33 @@ def ann_quantized_topk(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "qdist", "knn_rank")
     )
+
+
+def semdedup_apply(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding space: exact
+    cosine near-dup pairs → connected components → ONE representative
+    (min vec_id) kept per cluster. The embedding twin of the text-side
+    ``corpus.dedup_apply`` — catches paraphrases and re-encodings that
+    share no shingles (Abbas et al., "SemDeDup", arXiv:2303.09540,
+    keep-one-per-semantic-cluster policy).
+
+    Composition of two already-scale-shaped pieces: the block-grid
+    cosine join (``cosine_dup_pairs`` — keyed equi-join, never
+    all-pairs) and the active-set min-label propagation
+    (``dedup.dedup_clusters`` — per-round localCheckpoint, O(graph)
+    not O(corpus) per round). Output: every vector with its
+    cluster_id, cluster size, and the keep flag.
+    """
+    from .dedup import dedup_clusters
+
+    pairs = cosine_dup_pairs(embeddings, threshold).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    ids = embeddings.select(F.col("vec_id").alias("doc_id"))
+    clusters = dedup_clusters(ids, pairs=pairs)
+    return clusters.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
+    )

@@ -258,3 +258,27 @@ def test_containment_pairs_finds_doc_inside_doc(spark):
     assert (2, 1) not in out       # big doc is NOT mostly inside the quote
     assert all(a != 3 and b != 3 for a, b in out)
     assert all(a != 4 and b != 4 for a, b in out)  # lang-blocked
+
+
+def test_semdedup_apply_keeps_one_per_semantic_cluster(spark):
+    import pytest
+
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import semdedup_apply
+
+    # two tight clusters (1,2,3) and (10,11) plus isolated 20
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0]),
+        (3, [0.98, 0.0, 0.05]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 0.99, 0.05]),
+        (20, [0.0, 0.0, -1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup_apply(emb, threshold=0.9).collect()}
+    assert [out[i]["cluster_id"] for i in (1, 2, 3)] == [1, 1, 1]
+    assert [out[i]["cluster_id"] for i in (10, 11)] == [10, 10]
+    assert out[20]["cluster_id"] == 20 and out[20]["cluster_size"] == 1
+    kept = {v for v, r in out.items() if r["is_kept"]}
+    assert kept == {1, 10, 20}
+    assert out[2]["cluster_size"] == 3 and out[11]["cluster_size"] == 2

@@ -50,6 +50,8 @@ SCALAR_BROADCAST = {
     "doc_rarity",
     # two 1-row aggregates joined (global counters × dup counter)
     "dq_summary",
+    # 1-row corpus-total broadcast over the per-(doc,term) frame
+    "unigram_logprob",
 }
 
 
