@@ -247,8 +247,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob": lambda s, d: corpus.unigram_logprob(_docs(s, d)),
         "tokenizer_stats": lambda s, d: corpus.tokenizer_stats(_docs(s, d)),
         "semdedup_apply": lambda s, d: similarity.semdedup_apply(_emb(s, d)),
+        "session_window_agg": lambda s, d: events.session_window_agg(
+            _events(s, d)
+        ),
         # --- no-SQL-oracle sketch/ANN entries (rows-only driver check;
         # after the oracle-backed ones so full checks are spent first) ---
+        "dau_sketch_rollup": lambda s, d: temporal.dau_sketch_rollup(
+            _events(s, d)
+        ),
         "daily_active_users_approx": lambda s, d: temporal.daily_active_users_approx(
             _events(s, d)
         ),
@@ -891,6 +897,23 @@ SELECT *, abs(share_a - share_b) AS drift,
             AS INT) AS drift_rank
 FROM j
 QUALIFY drift_rank <= 25
+""",
+        "session_window_agg": """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, value FROM events),
+tagged AS (
+  SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+                   OR t_us - lag(t_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM tagged)
+SELECT user_id, MIN(t_us) AS start_us,
+       MAX(t_us) + 1800000000 AS end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM sess GROUP BY user_id, session_seq
 """,
         "semdedup_apply": f"""
 WITH RECURSIVE

@@ -154,3 +154,37 @@ def event_props_typed(events: DataFrame) -> DataFrame:
         "event_type",
         F.col("_p.k").cast("int").alias("prop_k"),
     )
+
+
+def session_window_agg(
+    events: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session aggregation via Spark's BUILT-IN
+    ``session_window`` (gap-based dynamic windows): same semantics as
+    the hand-rolled ``sessionize`` (lag/cumsum), but expressed as one
+    native grouped aggregate — the form that also runs unchanged under
+    Structured Streaming with watermark-driven state eviction.
+
+    One shuffle on (user, window); the session assembly happens inside
+    the aggregation operator (no window-function sort pass). Output is
+    one row per session: bounds, event count, decimal-exact value sum.
+    """
+    e = events.select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        "value",
+    )
+    return (
+        e.groupBy("user_id", F.session_window("event_time", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec_money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -266,3 +266,45 @@ def test_event_value_summary_defaults_to_mergeable_sketch(spark, sf_dir):
     assert "partial_percentile_approx" in p, p  # map-side partial sketch
     # exact twin keeps the same schema for drop-in verification
     assert event_value_summary(events, exact=True).columns == df.columns
+
+
+def test_dau_sketch_rollup_bounds_error_and_counts_cross_day_repeats(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        DAY_US,
+        _ts_us,
+        dau_sketch_rollup,
+    )
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    got = {r["window_start_us"]: r for r in dau_sketch_rollup(events).collect()}
+    # exact distinct users per 7-day window
+    e = _ts_us(events)
+    win = (F.col("t_us") / (7 * DAY_US)).cast("bigint")
+    exact = {
+        r["w"] * 7 * DAY_US: r["n"]
+        for r in e.groupBy(win.alias("w"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for w, r in got.items():
+        # HLL at default lgK=12 is well under 5% on these cardinalities
+        assert abs(r["distinct_users"] - exact[w]) <= max(2, 0.05 * exact[w])
+        # merged sketch must NOT double-count cross-day repeat users
+        assert r["distinct_users"] <= r["summed_daily"]
+
+
+def test_session_window_agg_matches_hand_rolled_sessionize(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.events import session_window_agg
+    from py_etl_pipeline_woocommerce_spark.operators.sessionize import sessionize
+
+    events = load_table(spark, sf_dir, "events")
+    built_in = session_window_agg(events)
+    hand = sessionize(events)
+    # same session set: (user, start, n_events) triples line up exactly
+    b = {(r["user_id"], r["start_us"], r["n_events"]) for r in built_in.collect()}
+    h = {(r["user_id"], r["start_us"], r["n_events"]) for r in hand.collect()}
+    assert b == h
