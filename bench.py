@@ -57,6 +57,11 @@ HEADLINE = [
     "scd2_apply",
     "snapshot_diff",
     "corpus_prep",
+    "dedup_containment",
+    "unigram_logprob",
+    "tokenizer_stats",
+    "session_window_agg",
+    "dau_sketch_rollup",
 ]
 
 

