@@ -182,3 +182,36 @@ def run_stream_dedup_against_index(
         .start()
     )
     return query, sink
+
+
+def streaming_session_agg(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based session aggregation on a STREAM via the built-in
+    ``session_window`` — the same grouped-aggregate plan as the batch
+    ``operators.events.session_window_agg``, plus a watermark so
+    session state for closed sessions is evicted (bounded memory on an
+    unbounded stream). One definition of "session", two execution
+    modes — the reason the built-in beats hand-rolled lag/cumsum for
+    anything that must also run continuously.
+    """
+    e = stream.select(
+        "user_id",
+        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        "value",
+    )
+    return (
+        e.withWatermark("event_time", watermark)
+        .groupBy("user_id", F.session_window("event_time", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec_money("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            F.unix_micros(F.col("w.end")).alias("end_us"),
+            "n_events",
+            "total_value",
+        )
+    )

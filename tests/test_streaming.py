@@ -249,3 +249,55 @@ def test_streaming_dedup_across_batches(spark, stream_dirs):
         assert ids == [1, 2, 3]
     finally:
         q.stop()
+
+
+def test_streaming_session_window_matches_batch(spark, stream_dirs):
+    from py_etl_pipeline_woocommerce_spark.operators.events import (
+        session_window_agg,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.schemas import EVENTS_SCHEMA
+    from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+        streaming_session_agg,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_600_000_000_000_000_000  # epoch ns
+    MIN_NS = 60 * 1_000_000_000
+    rows = [
+        # user 10: two sessions (40-minute gap splits at 30m)
+        (1, base, 10, "click", 1.0),
+        (2, base + 10 * MIN_NS, 10, "view", 2.0),
+        (3, base + 50 * MIN_NS, 10, "click", 4.0),
+        # user 11: one session
+        (4, base + 5 * MIN_NS, 11, "view", 8.0),
+    ]
+    _write_events(f"{src}/part-0.parquet", rows)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sessions = streaming_session_agg(stream)
+    query = (
+        sessions.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_sessions")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+    got = {
+        (r["user_id"], r["start_us"]): (r["end_us"], r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM stream_sessions").collect()
+    }
+    batch = {
+        (r["user_id"], r["start_us"]): (r["end_us"], r["n_events"], r["total_value"])
+        for r in session_window_agg(spark.read.parquet(src)).collect()
+    }
+    assert got == batch
+    assert len(got) == 3  # user 10 split into two sessions + user 11
