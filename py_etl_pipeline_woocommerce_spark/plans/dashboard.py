@@ -1,0 +1,57 @@
+"""Dashboard serving facade: the reference's Streamlit page assembly
+(``/root/reference/src/dashboard/app.py``) minus the UI widgets.
+
+``app.py`` builds one page from seven cached queries (date bounds,
+KPI header, revenue timeseries, top products, category mix, geo
+rollup, cohort retention), each parameterized by the sidebar's
+(d1, d2) date window. ``dashboard_payload`` is that assembly as an
+engine surface: ONE call returns every frame a dashboard page needs,
+lazily — a serving layer (Streamlit, a REST endpoint, a notebook)
+just collects the frames it renders. Defaulting the window from
+``date_bounds`` mirrors ``app.py``'s sidebar initialization.
+
+Scale note: each frame stays an independent Catalyst plan, so a
+server can materialize them concurrently; the shared (d1, d2)
+bounds push down (and partition-prune on month-partitioned layouts)
+identically in every frame via ``_bound_orders``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .analytics import (
+    category_mix,
+    cohort_retention,
+    date_bounds,
+    geo_rollup,
+    kpis,
+    revenue_timeseries,
+    top_products,
+)
+
+
+def dashboard_payload(
+    spark: SparkSession,
+    sf_dir: str,
+    d1: str | None = None,
+    d2: str | None = None,
+) -> dict[str, DataFrame]:
+    """Every frame of the dashboard page for one (d1, d2) window.
+
+    When either bound is missing, both default from the data's own
+    min/max order date (app.py ``fetch_date_bounds`` fallback).
+    """
+    if d1 is None or d2 is None:
+        row = date_bounds(spark, sf_dir).first()
+        d1 = d1 or row["min_d"]
+        d2 = d2 or row["max_d"]
+    return {
+        "date_bounds": date_bounds(spark, sf_dir),
+        "kpis": kpis(spark, sf_dir, d1, d2),
+        "revenue_timeseries": revenue_timeseries(spark, sf_dir, d1, d2),
+        "top_products": top_products(spark, sf_dir, d1=d1, d2=d2),
+        "category_mix": category_mix(spark, sf_dir, d1=d1, d2=d2),
+        "geo_rollup": geo_rollup(spark, sf_dir, d1=d1, d2=d2),
+        "cohort_retention": cohort_retention(spark, sf_dir),
+    }
