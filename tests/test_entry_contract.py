@@ -32,6 +32,7 @@ def test_oracle_keys_subset_of_queries():
         # rank/relative error against the exact twins instead
         "daily_active_users_approx",
         "value_percentiles_approx",
+        "dau_sketch_rollup",
     }
 
 
