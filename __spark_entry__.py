@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": lambda s, d: events.session_window_agg(
             _events(s, d)
         ),
+        "token_budget_sample": lambda s, d: corpus.token_budget_sample(
+            _docs(s, d)
+        ),
         # --- no-SQL-oracle sketch/ANN entries (rows-only driver check;
         # after the oracle-backed ones so full checks are spent first) ---
         "dau_sketch_rollup": lambda s, d: temporal.dau_sketch_rollup(
@@ -897,6 +900,18 @@ SELECT *, abs(share_a - share_b) AS drift,
             AS INT) AS drift_rank
 FROM j
 QUALIFY drift_rank <= 25
+""",
+        "token_budget_sample": f"""
+WITH q AS ({_QUALITY_SQL}),
+d AS (SELECT dd.doc_id, dd.lang, q.n_tokens, q.quality
+      FROM documents dd JOIN q USING (doc_id)),
+r AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+                                    ORDER BY quality DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM d)
+SELECT doc_id, lang, n_tokens, quality, cum_tokens,
+       cum_tokens - n_tokens < 20000 AS is_selected
+FROM r
 """,
         "session_window_agg": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, value FROM events),

@@ -548,3 +548,42 @@ def tokenizer_stats(documents: DataFrame) -> DataFrame:
             .alias("mean_token_len"),
         )
     )
+
+
+def token_budget_sample(
+    documents: DataFrame, budget_tokens: int = 20_000
+) -> DataFrame:
+    """Greedy quality-ranked corpus selection under a PER-LANGUAGE
+    token budget: take documents best-quality-first until each
+    language's budget fills — the "spend my 2T-token budget on the
+    best material" step between scoring and packing in a training-data
+    pipeline (deterministic twin of quality-weighted sampling).
+
+    A doc is selected iff the tokens ranked AHEAD of it are under
+    budget (the boundary doc may overflow — greedy fill). Total order
+    (quality DESC, doc_id) makes the selection reproducible across
+    engines and partitionings; the cumulative sum is an integer
+    window over one lang-keyed shuffle.
+    """
+    from .textstats import quality_score
+
+    q = quality_score(documents).select("doc_id", "n_tokens", "quality")
+    d = documents.select("doc_id", "lang").join(q, "doc_id")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "quality",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .withColumn(
+            "is_selected",
+            (F.col("cum_tokens") - F.col("n_tokens")) < F.lit(budget_tokens),
+        )
+    )

@@ -741,12 +741,16 @@ def containment_pairs(
     Linear-ish: prefix(A) × postings(B) equi-join on (lang, shingle),
     never all-pairs.
     """
+    # The md5 total order is staged INTO the persisted frame: both the
+    # probe and the index branch consume it, and recomputing
+    # array_sort(transform(md5)) per branch doubles the hashing cost
+    # of the corpus scan.
     s = (
         _shingle_sets(documents, nonempty=True)
         .withColumn("n_sh", F.size("shingles"))
+        .withColumn("by_hash", F.array_sort(F.transform("shingles", F.md5)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    by_hash = F.array_sort(F.transform("shingles", F.md5))
     prefix_len = (
         F.col("n_sh")
         - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
@@ -755,12 +759,12 @@ def containment_pairs(
     probe = s.select(
         F.col("doc_id").alias("doc_a"),
         "lang",
-        F.explode(F.slice(by_hash, 1, prefix_len)).alias("ph"),
+        F.explode(F.slice("by_hash", 1, prefix_len)).alias("ph"),
     )
     index = s.select(
         F.col("doc_id").alias("doc_b"),
         "lang",
-        F.explode(by_hash).alias("ph"),
+        F.explode("by_hash").alias("ph"),
     )
     cand = (
         probe.join(index, ["lang", "ph"])

@@ -241,3 +241,35 @@ def test_tokenizer_stats_hand_computed(spark):
     assert en["mean_token_len"] == pytest.approx(round(7 / 3, 6))
     fr = out["fr"]
     assert fr["total_tokens"] == 0 and fr["tokens_per_100_chars"] == 0.0
+
+
+def test_token_budget_sample_fills_greedily_per_lang(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        token_budget_sample,
+    )
+
+    mk = lambda n: " ".join(f"word{i} token{i} fine{i} text{i}" for i in range(n))
+    docs = spark.createDataFrame(
+        [
+            # en: high quality long, medium, low-quality repetitive
+            (1, mk(30), "en", "s", 0),     # ~120 tokens, varied
+            (2, mk(15), "en", "s", 0),     # ~60 tokens
+            (3, "spam spam spam spam spam spam spam spam", "en", "s", 0),
+            (4, mk(20), "fr", "s", 0),     # fr budget independent
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in token_budget_sample(docs, budget_tokens=150).collect()}
+    # per-lang cumulative sums restart: fr doc's cum equals its own count
+    assert out[4]["cum_tokens"] == out[4]["n_tokens"]
+    # selection = docs whose PRECEDING tokens are under budget
+    for r in out.values():
+        assert r["is_selected"] == (r["cum_tokens"] - r["n_tokens"] < 150)
+    # the repetitive doc ranks last among en docs
+    en = sorted(
+        (r for r in out.values() if r["lang"] == "en"),
+        key=lambda r: r["cum_tokens"],
+    )
+    assert en[-1]["doc_id"] == 3
+    # budget binds: not everything in en is selected
+    assert not all(r["is_selected"] for r in en)
