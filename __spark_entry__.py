@@ -217,6 +217,32 @@ def _q_dq(spark, sf_dir):
     )
 
 
+def _q_dq_rules(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import dq_check
+
+    orders = load_table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        F.when(F.col("o_orderkey") % 17 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return dq_check(
+        dirty,
+        {
+            "custkey_not_null": "o_custkey IS NOT NULL",
+            "totalprice_non_negative": "o_totalprice >= 0",
+            "status_valid": "o_orderstatus IN ('O', 'F', 'P')",
+        },
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's per-round CORRECTNESS budget stops after
     # ~50 entries (observed in rounds 1 and 2), so entries that have not yet
@@ -253,6 +279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": lambda s, d: corpus.token_budget_sample(
             _docs(s, d)
         ),
+        "dq_rules": _q_dq_rules,
         # --- no-SQL-oracle sketch/ANN entries (rows-only driver check;
         # after the oracle-backed ones so full checks are spent first) ---
         "dau_sketch_rollup": lambda s, d: temporal.dau_sketch_rollup(
@@ -900,6 +927,29 @@ SELECT *, abs(share_a - share_b) AS drift,
             AS INT) AS drift_rank
 FROM j
 QUALIFY drift_rank <= 25
+""",
+        "dq_rules": """
+WITH dirty AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+         CASE WHEN o_orderkey % 17 = 0 THEN -o_totalprice
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM orders),
+w AS (SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_custkey IS NOT NULL, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_totalprice >= 0, FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(SUM(CASE WHEN NOT COALESCE(o_orderstatus IN ('O','F','P'),
+                                             FALSE)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v2
+      FROM dirty)
+SELECT 'custkey_not_null' AS rule, v0 AS violations, n_rows, v0 = 0 AS ok FROM w
+UNION ALL
+SELECT 'totalprice_non_negative', v1, n_rows, v1 = 0 FROM w
+UNION ALL
+SELECT 'status_valid', v2, n_rows, v2 = 0 FROM w
 """,
         "token_budget_sample": f"""
 WITH q AS ({_QUALITY_SQL}),

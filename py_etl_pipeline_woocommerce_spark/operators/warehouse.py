@@ -152,3 +152,42 @@ def dq_summary(
             F.sum(F.when(F.col(c) < 0, 1).otherwise(0)).alias(f"negative_{c}")
         )
     return df.agg(*aggs).join(F.broadcast(dup))
+
+
+def dq_check(df: DataFrame, rules: dict[str, str]) -> DataFrame:
+    """Declarative rule-based data-quality gate: ``rules`` maps rule
+    name → SQL boolean expression that must HOLD for every row
+    (``"o_totalprice >= 0"``). Output is one row per rule with its
+    violation count against the total — the publish/abort signal of a
+    warehouse load, configurable without code changes (the
+    generalization of the fixed-column ``dq_summary``).
+
+    ONE conditional-aggregate scan evaluates every rule (a NULL
+    predicate result counts as a violation — unknown is not a pass);
+    the per-rule rows come from unpivoting the 1-row aggregate, so
+    rule count never multiplies scans. Linear, no shuffle beyond the
+    final 1-row partial-agg merge.
+    """
+    names = list(rules)
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, name in enumerate(names):
+        holds = F.coalesce(F.expr(rules[name]), F.lit(False))
+        aggs.append(
+            F.sum(F.when(~holds, 1).otherwise(0)).alias(f"_v{i}")
+        )
+    wide = df.agg(*aggs)
+    pairs = ", ".join(f"'{n}', _v{i}" for i, n in enumerate(names))
+    return (
+        wide.select(
+            F.col("_n").alias("n_rows"),
+            F.expr(
+                f"stack({len(names)}, {pairs}) AS (rule, violations)"
+            ),
+        )
+        .select(
+            "rule",
+            "violations",
+            "n_rows",
+            (F.col("violations") == 0).alias("ok"),
+        )
+    )

@@ -131,3 +131,24 @@ def test_snapshot_diff_sees_null_shifts(spark):
     after = spark.createDataFrame([(1, "x", None), (2, "a", "b")], "k bigint, u string, v string")
     out = {r.k: r.change for r in snapshot_diff(before, after, "k", ["u", "v"]).collect()}
     assert out == {1: "changed"}  # key 2 unchanged; NULL shift detected
+
+
+def test_dq_check_counts_rule_violations(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import dq_check
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, -1.0, None), (3, 0.0, "B"), (4, None, "A")],
+        "k long, v double, s string",
+    )
+    out = {r["rule"]: r for r in dq_check(
+        df,
+        {
+            "v_non_negative": "v >= 0",     # row 2 violates; row 4 NULL -> violates
+            "s_not_null": "s IS NOT NULL",  # row 2
+            "k_positive": "k > 0",          # clean
+        },
+    ).collect()}
+    assert out["v_non_negative"]["violations"] == 2  # NULL predicate is NOT a pass
+    assert out["s_not_null"]["violations"] == 1
+    assert out["k_positive"]["violations"] == 0 and out["k_positive"]["ok"]
+    assert all(r["n_rows"] == 4 for r in out.values())
