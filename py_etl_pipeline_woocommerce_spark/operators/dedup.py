@@ -402,10 +402,18 @@ def dedup_clusters(
     # Running the loop on the active set alone shrinks every per-round
     # join from |corpus| to |graph| rows — at 100 TB the near-dup
     # graph is orders of magnitude smaller than the corpus.
+    # Coalesce each materialized round to cluster width: under a
+    # default-conf session (the driver's) every round otherwise
+    # checkpoints ~shuffle.partitions near-empty partitions, and the
+    # per-task overhead — not the data — dominates iteration cost.
+    # The active set is graph-sized, so cluster width is the right
+    # parallelism at ANY scale; AQE handles the in-round shuffles.
+    par = documents.sparkSession.sparkContext.defaultParallelism
     labels = (
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .coalesce(par)
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
@@ -422,6 +430,7 @@ def dedup_clusters(
                     F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
             )
+            .coalesce(par)
             .localCheckpoint(eager=True)
         )
         changed = (
