@@ -483,6 +483,7 @@ def dedup_clusters_star(
     if pairs is None:
         pairs = minhash_lsh_pairs(documents)
     # canonical (hi, lo): hi > lo
+    par = documents.sparkSession.sparkContext.defaultParallelism
     E = (
         pairs.select(
             F.greatest("doc_a", "doc_b").alias("hi"),
@@ -490,6 +491,7 @@ def dedup_clusters_star(
         )
         .filter(F.col("hi") != F.col("lo"))
         .distinct()
+        .coalesce(par)
         .localCheckpoint(eager=True)
     )
 
@@ -530,7 +532,9 @@ def dedup_clusters_star(
             .select(F.col("dst").alias("hi"), F.col("mn").alias("lo"))
         )
         part2 = m2.select(F.col("src").alias("hi"), F.col("mn").alias("lo"))
-        E = part1.union(part2).distinct().localCheckpoint(eager=True)
+        # coalesce before checkpoint: see dedup_clusters (task overhead
+        # of near-empty default-conf partitions dominates otherwise)
+        E = part1.union(part2).distinct().coalesce(par).localCheckpoint(eager=True)
         new_sig = signature(E)
         if new_sig == sig:
             break
