@@ -955,9 +955,10 @@ SELECT 'status_valid', v2, n_rows, v2 = 0 FROM w
 WITH q AS ({_QUALITY_SQL}),
 d AS (SELECT dd.doc_id, dd.lang, q.n_tokens, q.quality
       FROM documents dd JOIN q USING (doc_id)),
-r AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
-                                    ORDER BY quality DESC, doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+r AS (SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang
+                                         ORDER BY quality DESC, doc_id
+                                         ROWS UNBOUNDED PRECEDING)
+                     AS BIGINT) AS cum_tokens
       FROM d)
 SELECT doc_id, lang, n_tokens, quality, cum_tokens,
        cum_tokens - n_tokens < 20000 AS is_selected

@@ -44,7 +44,41 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
+def _dtype_family(dtype) -> str:
+    kind = getattr(dtype, "kind", "O")
+    if kind in ("i", "u"):
+        return "int"
+    if kind == "f":
+        return "float"
+    if kind == "b":
+        return "bool"
+    if kind == "M":
+        return "datetime"
+    return "other"
+
+
+def dtype_gate(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
+    """Driver-fidelity pre-check: the driver hashes raw values, so an
+    oracle column landing as float64 where Spark returns int64 (DuckDB
+    HUGEINT from SUM(BIGINT)) fails the driver even though values match.
+    canon() coerces dtypes and masks this, so gate BEFORE coercion."""
+    for c in spark_df.columns:
+        if c not in duck_df.columns:
+            continue
+        sf, df_ = _dtype_family(spark_df[c].dtype), _dtype_family(duck_df[c].dtype)
+        if sf != df_ and {sf, df_} <= {"int", "float", "bool"}:
+            return (
+                f"DTYPE MISMATCH col={c} spark={spark_df[c].dtype} "
+                f"duck={duck_df[c].dtype} (driver hash would fail; "
+                f"CAST the oracle expression)"
+            )
+    return None
+
+
 def compare(name: str, spark_df, duck_df) -> str:
+    gate = dtype_gate(spark_df, duck_df)
+    if gate:
+        return gate
     s, d = canon(spark_df), canon(duck_df)
     if list(s.columns) != list(d.columns):
         return f"COLUMN MISMATCH spark={list(s.columns)} duck={list(d.columns)}"
