@@ -55,3 +55,58 @@ def dashboard_payload(
         "geo_rollup": geo_rollup(spark, sf_dir, d1=d1, d2=d2),
         "cohort_retention": cohort_retention(spark, sf_dir),
     }
+
+
+# One numeric column per frame that summarizes its values; None means
+# the frame is string-only and contributes row count alone.
+_DIGEST_COL = {
+    "date_bounds": None,
+    "kpis": "net_after_refunds",
+    "revenue_timeseries": "net",
+    "top_products": "revenue",
+    "category_mix": "revenue",
+    "geo_rollup": "net",
+    "cohort_retention": "n_orders",
+}
+
+
+def dashboard_digest(
+    spark: SparkSession,
+    sf_dir: str,
+    d1: str | None = None,
+    d2: str | None = None,
+) -> DataFrame:
+    """One-frame verification surface for ``dashboard_payload``: a row
+    per payload frame with its row count and a value digest
+    (sum of the frame's headline numeric column, accumulated in
+    DECIMAL(28,6) so the fold is exact and order-independent — a
+    straight double sum would be partitioning-dependent).
+
+    This exercises the full facade — default-bounds resolution
+    included — while returning a single DataFrame the correctness
+    harness can hash against a SQL oracle. Each frame digest is an
+    independent single-row aggregate; the union is 7 rows total, so
+    the extra plan cost over rendering the page is nil.
+    """
+    payload = dashboard_payload(spark, sf_dir, d1, d2)
+    from pyspark.sql import functions as F
+
+    parts = []
+    for name, frame in payload.items():
+        col = _DIGEST_COL[name]
+        if col is None:
+            digest = F.lit(0.0)
+        else:
+            digest = F.coalesce(
+                F.sum(F.col(col).cast("decimal(28,6)")),
+                F.lit(0).cast("decimal(38,6)"),
+            ).cast("double")
+        parts.append(
+            frame.agg(
+                F.count(F.lit(1)).alias("n_rows"), digest.alias("digest")
+            ).select(F.lit(name).alias("frame"), "n_rows", "digest")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
