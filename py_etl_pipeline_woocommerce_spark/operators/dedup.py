@@ -422,6 +422,10 @@ def dedup_clusters(
             .groupBy(F.col("u").alias("doc_id"))
             .agg(F.min("cluster_id").alias("_nbr_min"))
         )
+        # The changed flag rides along in the SAME join that computes
+        # the new label, so convergence detection costs a scan of the
+        # just-checkpointed active set — not a second shuffle join per
+        # round against the previous labels.
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -429,29 +433,20 @@ def dedup_clusters(
                 F.least(
                     F.col("cluster_id"), F.coalesce("_nbr_min", F.col("cluster_id"))
                 ).alias("cluster_id"),
+                (
+                    F.coalesce("_nbr_min", F.col("cluster_id"))
+                    < F.col("cluster_id")
+                ).alias("_changed"),
             )
             .coalesce(par)
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     edges.unpersist()
-    full = (
-        documents.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
-        )
-    )
-    w = Window.partitionBy("cluster_id")
-    return full.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    return _attach_cluster_sizes(documents, labels, root_in_labels=True)
 
 
 def dedup_clusters_star(
@@ -542,15 +537,59 @@ def dedup_clusters_star(
     labels = E.groupBy(F.col("hi").alias("doc_id")).agg(
         F.min("lo").alias("cluster_id")
     )
-    full = (
-        documents.select("doc_id")
-        .join(labels, "doc_id", "left")
-        .select(
-            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+    # At convergence E is a star graph, so `labels` holds every member
+    # EXCEPT each cluster's root (the root never appears as `hi`).
+    return _attach_cluster_sizes(documents, labels, root_in_labels=False)
+
+
+def _attach_cluster_sizes(
+    documents: DataFrame, labels: DataFrame, root_in_labels: bool
+) -> DataFrame:
+    """(doc_id, cluster_id, cluster_size) for the whole corpus, with
+    sizes computed on the GRAPH-sized label frame, not the corpus.
+
+    The previous shape — ``count().over(Window.partitionBy
+    ("cluster_id"))`` after the corpus join — shuffled and sorted the
+    ENTIRE corpus just to stamp a per-cluster count. Every vertex of a
+    non-singleton cluster necessarily touches an edge and is therefore
+    in ``labels``, so sizes aggregate from ``labels`` alone; singleton
+    docs never enter the join and take size 1 via coalesce. The corpus
+    then needs a single left join against a graph-sized frame, which
+    AQE turns into a broadcast at typical near-dup graph sizes —
+    corpus-side shuffle-free, the shape that matters at 100 TB.
+
+    ``root_in_labels``: min-label propagation emits the root labelled
+    with itself; star contraction's final edge set omits the root, so
+    its per-cluster counts are one short.
+    """
+    sizes = labels.groupBy("cluster_id").agg(
+        (F.count(F.lit(1)) + F.lit(0 if root_in_labels else 1)).alias(
+            "cluster_size"
         )
     )
-    w = Window.partitionBy("cluster_id")
-    return full.withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    labelled = labels.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    if not root_in_labels:
+        # re-insert each root as a member of its own cluster
+        labelled = labelled.unionByName(
+            sizes.select(
+                F.col("cluster_id").alias("doc_id"),
+                "cluster_id",
+                "cluster_size",
+            )
+        )
+    return (
+        documents.select("doc_id")
+        .join(labelled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            F.coalesce("cluster_size", F.lit(1).cast("long")).alias(
+                "cluster_size"
+            ),
+        )
+    )
 
 
 def _band_frame(docs: DataFrame, id_alias: str):
