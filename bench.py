@@ -65,6 +65,31 @@ HEADLINE = [
 ]
 
 
+def calibration(spark, passes: int = 3) -> float:
+    """Fixed-cost contention sentinel: a constant 2x10^8-row range sum
+    (pure whole-stage-codegen arithmetic, no IO, no data dependence).
+    Its wall-time depends only on how much CPU this box is actually
+    giving us, so a reading well above its BASELINE.md value marks the
+    whole bench run as contended — round 3's driver bench read 1.61x
+    baseline purely from box load and nearly failed the 2x gate on
+    noise. Median of `passes` samples, after one warm pass."""
+    q = lambda: (  # noqa: E731
+        spark.range(0, 200_000_000, 1, 32)
+        .selectExpr("sum(id * 3 + 7) AS s")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    q()
+    samples = []
+    for _ in range(passes):
+        t0 = time.time()
+        q()
+        samples.append(time.time() - t0)
+    samples.sort()
+    return round(samples[len(samples) // 2], 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -73,6 +98,8 @@ def main() -> None:
 
     # warm the JVM + parquet footers with one cheap pass
     qs["date_bounds"](spark, sf_dir).count()
+
+    calibration_sec = calibration(spark)
 
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     times: dict[str, float] = {}
@@ -105,6 +132,7 @@ def main() -> None:
                 "queries": times,
                 "sf": sf,
                 "passes": passes,
+                "calibration_sec": calibration_sec,
             }
         )
     )
