@@ -695,24 +695,113 @@ def ann_quantized_topk(
     )
 
 
-def semdedup_apply(embeddings: DataFrame, threshold: float = 0.3) -> DataFrame:
-    """SemDeDup-style semantic dedup over the embedding space: exact
-    cosine near-dup pairs → connected components → ONE representative
+def centroid_cell_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Within-centroid-cell cosine pairs — the candidate generation of
+    SemDeDup as actually deployed (Abbas et al., arXiv:2303.09540):
+    k-means-cluster the embedding space first, then compare ONLY
+    vectors sharing a coarse cell. Compute drops from n² to Σ|cell|²
+    (k balanced cells → n²/k), which is the difference between "cannot
+    finish" and "one keyed shuffle" at 100 TB of embeddings; the price
+    is missing pairs that straddle a cell boundary (SemDeDup accepts
+    this by construction — near-dups that matter sit well inside a
+    cell).
+
+    Mechanics: ``ivf_centroids`` (deterministic Lloyd) +
+    ``assign_to_centroids`` (broadcast, one corpus scan) stamp each
+    vector with its cell; inside a cell the same upper-triangle block
+    grid as ``cosine_dup_pairs`` keys the cogroup, so one oversized
+    cell still fans out into (|cell|/B)²-sized tasks instead of one
+    straggler. The shuffle carries each vector ~B times — never pair
+    rows — and each (cell, i, j) task scores as one BLAS matmul.
+    """
+    assigned = assign_to_centroids(
+        embeddings, ivf_centroids(embeddings, n_centroids)
+    )
+    B = n_blocks
+    left = assigned.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.pmod(F.col("vec_id"), F.lit(B)).alias("ba"),
+    ).withColumn("bb", F.explode(F.sequence(F.col("ba"), F.lit(B - 1))))
+    right = assigned.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.pmod(F.col("vec_id"), F.lit(B)).alias("bb"),
+    ).withColumn("ba", F.explode(F.sequence(F.lit(0), F.col("bb"))))
+
+    def score(key, ldf, rdf):
+        import numpy as np
+        import pandas as pd
+
+        if ldf.empty or rdf.empty:
+            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
+        A = np.vstack(ldf["ea"].to_numpy()).astype(np.float64)
+        Bm = np.vstack(rdf["eb"].to_numpy()).astype(np.float64)
+        A /= np.linalg.norm(A, axis=1, keepdims=True)
+        Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
+        C = A @ Bm.T
+        ia, ib = np.nonzero(C >= threshold)
+        ida = ldf["ida"].to_numpy()[ia]
+        idb = rdf["idb"].to_numpy()[ib]
+        if key[1] == key[2]:  # diagonal block cell: both orderings present
+            keep = ida < idb
+            ida, idb = ida[keep], idb[keep]
+        return pd.DataFrame(
+            {"vec_a": np.minimum(ida, idb), "vec_b": np.maximum(ida, idb)}
+        )
+
+    return (
+        left.groupBy("cell", "ba", "bb")
+        .cogroup(right.groupBy("cell", "ba", "bb"))
+        .applyInPandas(score, "vec_a long, vec_b long")
+    )
+
+
+def semdedup_apply(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    mode: str = "exact",
+    n_centroids: int = 16,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup over the embedding space: cosine
+    near-dup pairs → connected components → ONE representative
     (min vec_id) kept per cluster. The embedding twin of the text-side
     ``corpus.dedup_apply`` — catches paraphrases and re-encodings that
     share no shingles (Abbas et al., "SemDeDup", arXiv:2303.09540,
     keep-one-per-semantic-cluster policy).
 
-    Composition of two already-scale-shaped pieces: the block-grid
-    cosine join (``cosine_dup_pairs`` — keyed equi-join, never
-    all-pairs) and the active-set min-label propagation
-    (``dedup.dedup_clusters`` — per-round localCheckpoint, O(graph)
-    not O(corpus) per round). Output: every vector with its
+    Two candidate generators share the clustering tail:
+
+    - ``mode="exact"``: block-grid exact cosine join
+      (``cosine_dup_pairs``). Shuffle-efficient but O(n²) compute —
+      kept as the oracle-parity path and for corpora small enough to
+      brute-force.
+    - ``mode="centroid"``: ``centroid_cell_pairs`` — the deployed
+      SemDeDup construction; pairs only within coarse k-means cells,
+      Σ|cell|² compute. THIS is the default to reach for at scale:
+      at 100× embeddings the exact path flatly cannot finish, while
+      the cell path is one keyed shuffle whose widest task is
+      (max cell/B)².
+
+    Either way the pair graph feeds the active-set min-label
+    propagation (``dedup.dedup_clusters`` — per-round localCheckpoint,
+    O(graph) not O(corpus) per round). Output: every vector with its
     cluster_id, cluster size, and the keep flag.
     """
     from .dedup import dedup_clusters
 
-    pairs = cosine_dup_pairs(embeddings, threshold).select(
+    if mode == "centroid":
+        raw = centroid_cell_pairs(embeddings, threshold, n_centroids)
+    else:
+        raw = cosine_dup_pairs(embeddings, threshold)
+    pairs = raw.select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     ids = embeddings.select(F.col("vec_id").alias("doc_id"))

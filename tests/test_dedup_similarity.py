@@ -282,3 +282,39 @@ def test_semdedup_apply_keeps_one_per_semantic_cluster(spark):
     kept = {v for v, r in out.items() if r["is_kept"]}
     assert kept == {1, 10, 20}
     assert out[2]["cluster_size"] == 3 and out[11]["cluster_size"] == 2
+
+
+def test_semdedup_centroid_mode_parity_and_plan(spark, sf_dir):
+    """Centroid-cell candidate generation: (a) never invents a pair the
+    exact path lacks; (b) recovers the exact pair set at a threshold in
+    the true-near-dup regime (τ=0.5 on this data — nonempty); (c) the
+    pair join is keyed by the centroid cell, not a global grid."""
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        centroid_cell_pairs,
+        cosine_dup_pairs,
+        semdedup_apply,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact_05 = {tuple(r) for r in cosine_dup_pairs(emb, 0.5).collect()}
+    cell_05 = {tuple(r) for r in centroid_cell_pairs(emb, 0.5).collect()}
+    assert exact_05, "expected at least one true near-dup pair at τ=0.5"
+    assert cell_05 == exact_05
+
+    exact_03 = {tuple(r) for r in cosine_dup_pairs(emb, 0.3).collect()}
+    cell_03 = {tuple(r) for r in centroid_cell_pairs(emb, 0.3).collect()}
+    assert cell_03 <= exact_03  # subset: cells only ever drop pairs
+
+    plan = centroid_cell_pairs(emb, 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "cell" in plan
+
+    # the full centroid-mode operator keeps exactly one rep per cluster
+    out = semdedup_apply(emb, threshold=0.5, mode="centroid").collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, members in by_cluster.items():
+        assert sum(1 for m in members if m["is_kept"]) == 1
+        assert all(m["cluster_size"] == len(members) for m in members)
