@@ -29,32 +29,41 @@ def enrich_items_with_categories(items: DataFrame, part: DataFrame) -> DataFrame
 
 
 def re_enrich_missing_categories(
-    items: DataFrame, part: DataFrame
+    items: DataFrame, part: DataFrame, force_all: bool = False
 ) -> DataFrame:
-    """Targeted re-enrichment: fill ``category_snapshot`` ONLY where it
-    is NULL/blank, preserving existing snapshots.
+    """Targeted re-enrichment: fill ``category_snapshot`` where it is
+    NULL/blank, preserving existing snapshots — or, with
+    ``force_all=True``, overwrite EVERY row's snapshot from the fresh
+    dim (the ``--force-enrich-all`` branch of the reference runner,
+    ``/root/reference/src/run.py:54-66``: the UPDATE applies
+    unconditionally to every row whose product is in the fetched map,
+    including setting NULL when the product no longer resolves).
 
     Re-expresses ``/root/reference/src/tools/re_enrich_categories.py``
     (SELECT DISTINCT missing ids → fetch → UPDATE via join).
     Spark-first: the UPDATE-via-join becomes a broadcast left join +
-    ``coalesce`` — the fact table streams through once, only rows with
-    a missing snapshot take the new value. The distinct-missing-ids
-    probe the reference does first is unnecessary here: the join is
-    against the (broadcast) dim anyway, and Catalyst prunes the dim
-    columns to the one needed.
+    conditional — the fact table streams through once, only rows the
+    mode selects take the new value. The distinct-missing-ids probe
+    the reference does first is unnecessary here: the join is against
+    the (broadcast) dim anyway, and Catalyst prunes the dim columns
+    to the one needed. Rows with a NULL ``product_id`` never match the
+    reference's UPDATE join and are left untouched in both modes.
     """
     fresh = part.select(
         F.col("p_partkey").alias("product_id"),
         F.col("p_type").alias("_fresh_category"),
     )
-    missing = F.col("category_snapshot").isNull() | (
-        F.trim(F.col("category_snapshot")) == ""
-    )
+    if force_all:
+        take_fresh = F.col("product_id").isNotNull()
+    else:
+        take_fresh = F.col("category_snapshot").isNull() | (
+            F.trim(F.col("category_snapshot")) == ""
+        )
     return (
         items.join(F.broadcast(fresh), "product_id", "left")
         .withColumn(
             "category_snapshot",
-            F.when(missing, F.col("_fresh_category")).otherwise(
+            F.when(take_fresh, F.col("_fresh_category")).otherwise(
                 F.col("category_snapshot")
             ),
         )

@@ -214,6 +214,77 @@ def incremental_run(
     return {"since": since, "orders": n_orders, "items": n_items}
 
 
+def re_enrich_run(
+    spark: SparkSession,
+    transport: rest.Transport,
+    warehouse_dir: str,
+    force_all: bool = False,
+) -> dict:
+    """Re-enrich ``category_snapshot`` on the item fact in place — the
+    Spark twin of the reference runner's ``_re_enrich_categories``
+    (``run.py:52-97``): collect the product ids to refresh, fetch
+    them, UPDATE the fact via join.
+
+    Missing-only mode refreshes rows with a NULL/blank snapshot;
+    ``force_all`` refreshes every row (run.py:54-66). The UPDATE
+    becomes: fetch the (broadcast-sized) fresh snapshot map for only
+    the ids in scope, left-join it onto the touched partitions, and
+    dynamic-partition-overwrite those months. In missing-only mode
+    the rewrite is limited to months that actually contain a missing
+    snapshot — at 100 TB a targeted fix rewrites a handful of month
+    directories, not the table; force_all is the one legitimately
+    table-wide pass.
+    """
+    path = os.path.join(warehouse_dir, "fct_order_items")
+    if not os.path.exists(path):
+        log.info("re-enrich: no item fact at %s", path)
+        return {"re_enriched_months": 0}
+    items = spark.read.parquet(path)
+    missing = F.col("category_snapshot").isNull() | (
+        F.trim(F.col("category_snapshot")) == ""
+    )
+    id_scope = items.filter(F.col("product_id").isNotNull())
+    if not force_all:
+        id_scope = id_scope.filter(missing)
+    months = [
+        r[0] for r in id_scope.select(PARTITION_COL).distinct().collect()
+    ]
+    if not months:
+        log.info("re-enrich: nothing to do")
+        return {"re_enriched_months": 0}
+    fresh = rest.fetch_products_by_ids(
+        spark, transport, id_scope.select("product_id")
+    ).select("product_id", F.col("category_snapshot").alias("_fresh"))
+    scope = items.filter(F.col(PARTITION_COL).isin(months))
+    take_fresh = (
+        F.col("product_id").isNotNull() if force_all else missing
+    )
+    updated = (
+        scope.join(F.broadcast(fresh), "product_id", "left")
+        .withColumn(
+            "category_snapshot",
+            F.when(take_fresh, F.col("_fresh")).otherwise(
+                F.col("category_snapshot")
+            ),
+        )
+        .drop("_fresh")
+        .select(*items.columns)
+        .localCheckpoint(eager=True)  # break file lineage pre-overwrite
+    )
+    (
+        updated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PARTITION_COL)
+        .parquet(path)
+    )
+    log.info(
+        "re-enrich: rewrote %d month partition(s), force_all=%s",
+        len(months),
+        force_all,
+    )
+    return {"re_enriched_months": len(months)}
+
+
 def backfill_windows(
     start_iso: str, end_iso: str, window_days: int
 ) -> list[tuple[str, str]]:
