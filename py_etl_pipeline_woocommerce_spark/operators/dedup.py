@@ -772,7 +772,9 @@ def dedup_against_index(
 
 
 def containment_pairs(
-    documents: DataFrame, threshold: float = 0.8
+    documents: DataFrame,
+    threshold: float = 0.8,
+    persisted_frames: list | None = None,
 ) -> DataFrame:
     """Directional near-dup pairs by shingle CONTAINMENT:
     C(A→B) = |A∩B| / |A| ≥ threshold — "most of A appears inside B".
@@ -803,6 +805,11 @@ def containment_pairs(
         .withColumn("by_hash", F.array_sort(F.transform("shingles", F.md5)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Same escape hatch as dedup_incremental_near: repeated callers
+    # pass a list to unpersist after materializing the result —
+    # otherwise each invocation pins one corpus-sized frame.
+    if persisted_frames is not None:
+        persisted_frames.append(s)
     prefix_len = (
         F.col("n_sh")
         - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")

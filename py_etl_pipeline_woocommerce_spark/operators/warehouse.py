@@ -167,7 +167,13 @@ def dq_check(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     the per-rule rows come from unpivoting the 1-row aggregate, so
     rule count never multiplies scans. Linear, no shuffle beyond the
     final 1-row partial-agg merge.
+
+    Rule NAMES are interpolated into the ``stack()`` literal list, so
+    quotes are SQL-escaped; an empty rules dict is a caller bug
+    (``stack(0)`` is invalid SQL) and raises a clear ValueError.
     """
+    if not rules:
+        raise ValueError("dq_check requires at least one rule")
     names = list(rules)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, name in enumerate(names):
@@ -176,7 +182,10 @@ def dq_check(df: DataFrame, rules: dict[str, str]) -> DataFrame:
             F.sum(F.when(~holds, 1).otherwise(0)).alias(f"_v{i}")
         )
     wide = df.agg(*aggs)
-    pairs = ", ".join(f"'{n}', _v{i}" for i, n in enumerate(names))
+    pairs = ", ".join(
+        "'{}', _v{}".format(n.replace("'", "''"), i)
+        for i, n in enumerate(names)
+    )
     return (
         wide.select(
             F.col("_n").alias("n_rows"),

@@ -125,26 +125,50 @@ def build_facts(
 
 
 def _upsert_table(
-    spark: SparkSession, batch: DataFrame, path: str, keys: list[str]
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    keys: list[str],
+    assume_immutable_partition: bool = False,
 ) -> None:
     """Partition-local delete+insert upsert into a month-partitioned
     parquet table (the local-mode stand-in for MERGE INTO an
     Iceberg/Delta table; duckdb_client.py semantics).
 
     ``batch`` must carry ``PARTITION_COL``. Cost is O(touched
-    partitions), never O(table): the touched months are a
-    driver-side handful of strings (a drop spans days, not decades),
-    so the existing-side scan is statically partition-PRUNED before
-    the batch anti-join; dynamic partition overwrite then rewrites
-    only those month directories. Untouched months are never read and
-    never written — the property the reference's keyed DELETE gets
-    from its index, expressed as lakehouse partition layout.
+    partitions + one key-column probe), never O(full-width table):
+    the touched months are a driver-side handful of strings (a drop
+    spans days, not decades), so the existing-side scan is statically
+    partition-PRUNED before the batch anti-join; dynamic partition
+    overwrite then rewrites only those month directories.
+
+    MOVED KEYS: the reference deletes by order_id unconditionally
+    (duckdb_client.py:55), so a key whose order_date — and therefore
+    month partition — changed between drops loses its old row. Pruning
+    the existing side to the batch's months alone would leave that
+    stale row alive in the old partition. Before merging, untouched
+    partitions are probed for the batch's keys (a scan of ONLY the key
+    + partition columns, semi-joined against the broadcast batch key
+    set); any month holding a moved key joins the rewrite set, where
+    the upsert's anti-join deletes the stale row. Callers whose
+    partition value derives from an immutable-per-key field can pass
+    ``assume_immutable_partition=True`` to skip the probe entirely.
     """
     if os.path.exists(path):
         months = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
-        existing = spark.read.parquet(path).filter(
-            F.col(PARTITION_COL).isin(months)
-        )
+        table = spark.read.parquet(path)
+        if not assume_immutable_partition:
+            batch_keys = batch.select(*keys).distinct()
+            moved = (
+                table.filter(~F.col(PARTITION_COL).isin(months))
+                .select(*keys, PARTITION_COL)
+                .join(F.broadcast(batch_keys), keys, "left_semi")
+                .select(PARTITION_COL)
+                .distinct()
+                .collect()
+            )
+            months += [r[0] for r in moved]
+        existing = table.filter(F.col(PARTITION_COL).isin(months))
         # localCheckpoint breaks the file lineage so the dynamic
         # overwrite below can rewrite the same partitions the merged
         # plan read; only touched-partition rows materialize.

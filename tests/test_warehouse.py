@@ -152,3 +152,18 @@ def test_dq_check_counts_rule_violations(spark):
     assert out["s_not_null"]["violations"] == 1
     assert out["k_positive"]["violations"] == 0 and out["k_positive"]["ok"]
     assert all(r["n_rows"] == 4 for r in out.values())
+
+
+def test_dq_check_escapes_quoted_rule_names_and_rejects_empty(spark):
+    import pytest
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import dq_check
+
+    df = spark.createDataFrame([(1,), (-2,)], "v long")
+    out = {
+        r["rule"]: r["violations"]
+        for r in dq_check(df, {"v isn't negative": "v >= 0"}).collect()
+    }
+    assert out == {"v isn't negative": 1}
+    with pytest.raises(ValueError):
+        dq_check(df, {})
