@@ -263,10 +263,17 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     into the ``window_days`` target days it contributes to (bounded
     linear fan-out — never a per-day rescan of history), then
     count-distinct per target day. A semi-join against observed days
-    drops phantom trailing days. At 100 TB the fan-out factor is the
-    window length, independent of cardinality; for 90-day windows
-    switch the count-distinct to an HLL sketch union
-    (``approx_count_distinct``) — same frame, sublinear state.
+    drops phantom trailing days. The fan-out factor is the window
+    length: events multiply ×``window_days`` before the distinct, so
+    the exact plan is priced for dashboards and short windows.
+
+    AT SCALE PREFER THE SKETCH ROLLUP: ``dau_sketch_rollup`` keeps one
+    KB-sized Datasketches HLL per day and unions sketches across any
+    window — no ×window fan-out, no exact-distinct expand+reshuffle,
+    reaggregatable to coarser windows for free. This mirrors how
+    ``event_value_summary`` fronts GK sketches over exact percentiles:
+    exact variant for verification and small windows, mergeable
+    sketch as the 100 TB default.
     """
     e = _ts_us(events)
     du = (
