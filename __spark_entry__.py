@@ -254,6 +254,7 @@ _R4_FRONT = [
     "token_budget_sample",
     "event_value_summary",
     "dashboard_payload",
+    "dsir_weights",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -316,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), exact=True
         ),
         "dashboard_payload": dashboard.dashboard_digest,
+        "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         # --- never driver-verified (r3 front block): oracle-backed first,
         # cheapest first, heaviest last ---
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
@@ -2226,6 +2228,37 @@ SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
 FROM events GROUP BY 1
 """,
     }
+    out["dsir_weights"] = f"""
+WITH occ AS (
+  SELECT doc_id, source,
+         CAST('0x' || substr(md5(t.term), 1, 8) AS BIGINT) % 1024 AS bucket
+  FROM (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+       UNNEST(tk) AS t(term)
+  WHERE t.term <> ''),
+db AS (SELECT doc_id, bucket, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+bs AS (SELECT bucket, COUNT(*) AS raw_n,
+              COUNT(CASE WHEN source = 'src0' THEN 1 END) AS tgt_n
+       FROM occ GROUP BY 1),
+tot AS (SELECT CAST(SUM(raw_n) AS BIGINT) AS raw_tot,
+               CAST(SUM(tgt_n) AS BIGINT) AS tgt_tot FROM bs),
+ratio AS (SELECT bucket,
+                 ln((tgt_n + 1.0) / (tgt_tot + 1024.0))
+                 - ln((raw_n + 1.0) / (raw_tot + 1024.0)) AS log_ratio
+          FROM bs CROSS JOIN tot),
+pd AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_occ,
+              SUM(tf * log_ratio) AS lw
+       FROM db JOIN ratio USING (bucket) GROUP BY 1),
+sc AS (SELECT d.doc_id, d.lang, COALESCE(n_occ, 0) AS n_occ,
+              COALESCE(round(lw, 6), 0.0::DOUBLE) AS log_weight
+       FROM documents d LEFT JOIN pd USING (doc_id)),
+rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY log_weight DESC, doc_id) AS _rk,
+              COUNT(*) OVER (PARTITION BY lang) AS _n
+       FROM sc)
+SELECT doc_id, lang, n_occ, log_weight,
+       _rk <= CEIL(0.25 * _n) AS is_selected
+FROM rk
+"""
     # Derived round-4 facade oracles: the exact path of the percentile
     # facade IS value_percentiles; the dashboard digest wraps each
     # frame oracle (default bounds = data min/max, so the unbounded

@@ -587,3 +587,104 @@ def token_budget_sample(
             (F.col("cum_tokens") - F.col("n_tokens")) < F.lit(budget_tokens),
         )
     )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    keep_frac: float = 0.25,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169): score every document by how target-like its
+    hashed-n-gram feature distribution is, then keep the top
+    ``keep_frac`` per language.
+
+    Features are md5-hashed unigram buckets (engine-portable hash —
+    the same trick as the LSH hyperplanes). With add-α smoothing over
+    ``n_buckets``:
+
+        log w(doc) = Σ_t  log p_target[h(t)] − log p_raw[h(t)]
+
+    where p_target counts token occurrences from ``target_source``
+    docs and p_raw from the whole corpus. Selection ranks the ROUNDED
+    weight (6 dp, ties by doc_id) inside each language, so ranking is
+    identical across engines and partitionings.
+
+    Scale shape: one token explode → (doc, bucket) integer partial
+    agg; bucket statistics are a ``n_buckets``-row frame (two
+    conditional counts in ONE pass — no second corpus scan for the
+    target), broadcast back onto the doc-bucket counts. The only
+    windows partition by language. Nothing driver-side; the feature
+    table is KB-sized at any corpus size — that fixed-size summary is
+    the reason DSIR scales where pairwise selection cannot.
+    """
+    occ = (
+        _spread_docs(documents)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(tokens_expr("text")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ),
+        )
+    )
+    doc_b = occ.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    b_stats = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.count(F.when(F.col("source") == target_source, 1)).alias("tgt_n"),
+    )
+    totals = b_stats.agg(
+        F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    ratio = (
+        b_stats.join(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("tgt_n") + alpha) / (F.col("tgt_tot") + alpha * n_buckets))
+                - F.log((F.col("raw_n") + alpha) / (F.col("raw_tot") + alpha * n_buckets))
+            ).alias("log_ratio"),
+        )
+    )
+    per_doc = (
+        doc_b.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_occ"),
+            F.sum(F.col("tf") * F.col("log_ratio")).alias("_lw"),
+        )
+    )
+    scored = (
+        documents.select("doc_id", "lang")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_occ", F.lit(0)).alias("n_occ"),
+            F.coalesce(F.round("_lw", 6), F.lit(0.0)).alias("log_weight"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("log_weight").desc(), F.col("doc_id")
+    )
+    n_lang = Window.partitionBy("lang")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n_lang))
+        .withColumn(
+            "is_selected",
+            F.col("_rk") <= F.ceil(F.lit(keep_frac) * F.col("_n")),
+        )
+        .drop("_rk", "_n")
+    )

@@ -273,3 +273,37 @@ def test_token_budget_sample_fills_greedily_per_lang(spark):
     assert en[-1]["doc_id"] == 3
     # budget binds: not everything in en is selected
     assert not all(r["is_selected"] for r in en)
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import dsir_weights
+
+    rows = [
+        # target domain: cooking vocabulary
+        (1, "recipe flour sugar butter oven bake recipe", "en", "tgt", 40),
+        (2, "bake oven sugar flour recipe butter cake", "en", "tgt", 40),
+        # target-like doc from another source -> should score high
+        (3, "cake recipe oven butter sugar flour", "en", "web", 36),
+        # off-domain docs -> should score low
+        (4, "stock market futures bond yield equity", "en", "web", 38),
+        (5, "goalkeeper penalty referee offside stadium", "en", "web", 42),
+        (6, "", "en", "web", 0),  # empty doc: zero weight, still a row
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(
+            docs, target_source="tgt", n_buckets=64, keep_frac=0.5
+        ).collect()
+    }
+    assert len(out) == 6
+    # the target-like doc outranks both off-domain docs
+    assert out[3]["log_weight"] > out[4]["log_weight"]
+    assert out[3]["log_weight"] > out[5]["log_weight"]
+    # empty doc contributes no features
+    assert out[6]["n_occ"] == 0 and out[6]["log_weight"] == 0.0
+    # keep_frac=0.5 of 6 docs (one lang) -> exactly 3 selected
+    assert sum(1 for r in out.values() if r["is_selected"]) == 3
+    assert out[3]["is_selected"]
