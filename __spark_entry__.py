@@ -255,6 +255,7 @@ _R4_FRONT = [
     "event_value_summary",
     "dashboard_payload",
     "dsir_weights",
+    "repeated_spans",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -318,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "dashboard_payload": dashboard.dashboard_digest,
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
+        "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         # --- never driver-verified (r3 front block): oracle-backed first,
         # cheapest first, heaviest last ---
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
@@ -2228,6 +2230,27 @@ SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
 FROM events GROUP BY 1
 """,
     }
+    out["repeated_spans"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, CAST(r.i AS BIGINT) - 1 AS pos,
+             md5(array_to_string(toks[r.i:r.i + 4], ' ')) AS gh
+      FROM tk, UNNEST(generate_series(1, len(toks) - 4)) AS r(i)),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+p AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+runs AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 1
+                     THEN 1 ELSE 0 END AS brk
+         FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+rid AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS run_id
+        FROM runs)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
+       CAST(MAX(pos) + 4 AS BIGINT) AS end_tok,
+       CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens
+FROM rid GROUP BY doc_id, run_id
+"""
     out["dsir_weights"] = f"""
 WITH occ AS (
   SELECT doc_id, source,

@@ -848,3 +848,72 @@ def containment_pairs(
         .select("doc_a", "doc_b", "containment")
     )
     return out
+
+
+def repeated_spans(
+    documents: DataFrame, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Exact repeated-substring span detection: maximal token spans
+    whose every ``k``-gram occurs at least ``min_count`` times across
+    the corpus — the ExactSubstr construction of Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499), which removes verbatim boilerplate/license/
+    template runs that document-level MinHash can never see.
+
+    Suffix arrays are the single-machine tool; the distributed
+    equivalent is a k-gram position index: a span repeats iff each of
+    its overlapping k-grams repeats, so (1) explode every k-gram START
+    position, (2) keep grams whose corpus count ≥ ``min_count``
+    (grouped on md5 of the gram — fixed 32-char shuffle keys instead
+    of raw text), (3) merge each doc's surviving consecutive start
+    positions into maximal runs (a run of starts [i..j] covers tokens
+    [i, j+k-1]). Per-doc windows only — no global sort; the gram
+    count agg is the one corpus-wide shuffle, integer partial aggs
+    both sides.
+
+    Output: (doc_id, start_tok, end_tok, span_tokens) with 0-based
+    inclusive token offsets; downstream policy (cut spans, drop docs,
+    keep first occurrence) composes on top. Note min_count counts ALL
+    occurrences, so a phrase repeated twice in ONE document also
+    qualifies — matching ExactSubstr.
+    """
+    toks = (
+        _spread(documents)
+        .select("doc_id", tokens_expr("text").alias("tk"))
+        .filter(F.size("tk") >= k)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("tk") - k),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("tk"), i + 1, F.lit(k)))
+                ),
+            )
+        ).alias("pos", "gh"),
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = hits.withColumn(
+        "_brk",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > 1),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_run",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return runs.groupBy("doc_id", "_run").agg(
+        F.min("pos").cast("long").alias("start_tok"),
+        (F.max("pos") + (k - 1)).cast("long").alias("end_tok"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
+    ).select("doc_id", "start_tok", "end_tok", "span_tokens")

@@ -318,3 +318,31 @@ def test_semdedup_centroid_mode_parity_and_plan(spark, sf_dir):
     for cid, members in by_cluster.items():
         assert sum(1 for m in members if m["is_kept"]) == 1
         assert all(m["cluster_size"] == len(members) for m in members)
+
+
+def test_repeated_spans_finds_maximal_shared_runs(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import repeated_spans
+
+    boiler = "all rights reserved contact us for details"  # 7 tokens
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon", "en", "web", 0),
+        (2, f"unrelated opening words here {boiler} closing text now", "en", "web", 0),
+        (3, "totally unique content with no repeats at all whatsoever", "en", "web", 0),
+        # doc 4 repeats a phrase within ITSELF (ExactSubstr counts it)
+        (4, "zig zag one two three four five end zig zag one two three four five", "en", "web", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spans = {}
+    for r in repeated_spans(docs, k=5).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["end_tok"], r["span_tokens"])
+        )
+    # the shared boilerplate is one MAXIMAL span per doc, 7 tokens long
+    assert spans[1] == [(3, 9, 7)]
+    assert spans[2] == [(4, 10, 7)]
+    assert 3 not in spans
+    # within-doc repetition: both occurrences of the 7-token phrase
+    assert len(spans[4]) == 2
+    assert all(s[2] == 7 for s in spans[4])
