@@ -52,6 +52,8 @@ SCALAR_BROADCAST = {
     "dq_summary",
     # 1-row corpus-total broadcast over the per-(doc,term) frame
     "unigram_logprob",
+    # 1-row (raw_tot, tgt_tot) broadcast over the n_buckets-row stats
+    "dsir_weights",
 }
 
 
