@@ -62,6 +62,8 @@ HEADLINE = [
     "tokenizer_stats",
     "session_window_agg",
     "dau_sketch_rollup",
+    "dsir_weights",
+    "repeated_spans",
 ]
 
 
