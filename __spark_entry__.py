@@ -256,6 +256,7 @@ _R4_FRONT = [
     "dashboard_payload",
     "dsir_weights",
     "repeated_spans",
+    "strip_repeated_spans",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -320,6 +321,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dashboard_payload": dashboard.dashboard_digest,
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
+        "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
+            _docs(s, d)
+        ),
         # --- never driver-verified (r3 front block): oracle-backed first,
         # cheapest first, heaviest last ---
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
@@ -2250,6 +2254,41 @@ SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
        CAST(MAX(pos) + 4 AS BIGINT) AS end_tok,
        CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens
 FROM rid GROUP BY doc_id, run_id
+"""
+    out["strip_repeated_spans"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, CAST(r.i AS BIGINT) - 1 AS pos,
+             md5(array_to_string(toks[r.i:r.i + 4], ' ')) AS gh
+      FROM tk, UNNEST(generate_series(1, len(toks) - 4)) AS r(i)),
+dup AS (SELECT gh FROM g GROUP BY gh HAVING COUNT(*) >= 2),
+p AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+runs AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL
+                       OR pos - lag(pos) OVER w > 1
+                     THEN 1 ELSE 0 END AS brk
+         FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+rid AS (SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM runs),
+spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 4 AS e
+          FROM rid GROUP BY doc_id, run_id),
+cov AS (SELECT DISTINCT doc_id, CAST(u.x AS BIGINT) AS pos
+        FROM spans, UNNEST(generate_series(s, e)) AS u(x)),
+tok AS (SELECT doc_id, CAST(r.i AS BIGINT) - 1 AS pos, toks[r.i] AS term
+        FROM tk, UNNEST(generate_series(1, len(toks))) AS r(i)
+        WHERE toks[r.i] <> ''),
+kept AS (SELECT t.doc_id, t.pos, t.term FROM tok t
+         ANTI JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos),
+reb AS (SELECT doc_id, string_agg(term, ' ' ORDER BY pos) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM kept GROUP BY doc_id),
+n AS (SELECT doc_id,
+             CAST(len(list_filter({_TOKS}, t -> t <> '')) AS BIGINT) AS _n
+      FROM documents)
+SELECT n.doc_id, COALESCE(clean_text, '') AS clean_text,
+       COALESCE(n_kept, 0) AS n_kept,
+       _n - COALESCE(n_kept, 0) AS n_removed
+FROM n LEFT JOIN reb USING (doc_id)
 """
     out["dsir_weights"] = f"""
 WITH occ AS (

@@ -917,3 +917,59 @@ def repeated_spans(
         (F.max("pos") + (k - 1)).cast("long").alias("end_tok"),
         (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
     ).select("doc_id", "start_tok", "end_tok", "span_tokens")
+
+
+def strip_repeated_spans(
+    documents: DataFrame, k: int = 5, min_count: int = 2
+) -> DataFrame:
+    """Apply-side of ``repeated_spans``: the cleaned corpus with every
+    repeated span cut out of every document (conservative boilerplate
+    removal — license blocks, navigation chrome, templated headers
+    vanish corpus-wide; Lee et al. instead keep one occurrence, a
+    policy that needs a global owner election and buys little when the
+    repeats are boilerplate rather than content).
+
+    Span rows explode into their covered token positions (fan-out =
+    total boilerplate tokens, bounded by corpus size), anti-join the
+    position-exploded tokens on (doc_id, pos) — a plain equi-join, no
+    range join — and each doc reassembles via an array_sort of
+    (pos, term) structs: deterministic under any partitioning, one
+    doc-keyed shuffle. Docs that were pure boilerplate come back as
+    empty strings (kept, so downstream length filters decide their
+    fate explicitly).
+    """
+    spans = repeated_spans(documents, k=k, min_count=min_count)
+    covered = spans.select(
+        "doc_id",
+        F.explode(F.sequence("start_tok", "end_tok")).alias("pos"),
+    ).distinct()
+    toks = (
+        _spread(documents)
+        .select("doc_id", tokens_expr("text").alias("tk"))
+        .select(
+            "doc_id", F.posexplode("tk").alias("pos", "term")
+        )
+        .filter(F.col("term") != "")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    n_tok = F.size(F.filter(tokens_expr("text"), lambda t: t != ""))
+    return (
+        documents.select("doc_id", n_tok.alias("_n"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("_n") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

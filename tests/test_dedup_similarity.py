@@ -346,3 +346,27 @@ def test_repeated_spans_finds_maximal_shared_runs(spark):
     # within-doc repetition: both occurrences of the 7-token phrase
     assert len(spans[4]) == 2
     assert all(s[2] == 7 for s in spans[4])
+
+
+def test_strip_repeated_spans_cuts_boilerplate_everywhere(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        strip_repeated_spans,
+    )
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        (1, f"alpha beta gamma {boiler} delta epsilon", "en", "web", 0),
+        (2, f"unrelated opening words here {boiler} closing text now", "en", "web", 0),
+        (3, "totally unique content with no repeats at all whatsoever", "en", "web", 0),
+        (4, boiler, "en", "web", 0),  # pure boilerplate -> empty after strip
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: r for r in strip_repeated_spans(docs, k=5).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta epsilon"
+    assert out[1]["n_removed"] == 7 and out[1]["n_kept"] == 5
+    assert out[2]["clean_text"] == "unrelated opening words here closing text now"
+    assert out[3]["clean_text"].startswith("totally unique")
+    assert out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
