@@ -688,3 +688,112 @@ def dsir_weights(
         )
         .drop("_rk", "_n")
     )
+
+
+def dsir_model(
+    documents: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The trained DSIR artifact: the (bucket, log_ratio) table —
+    exactly the broadcast frame inside ``dsir_weights``, exposed so it
+    can be persisted once and reused across drops/streams (the
+    train-offline / score-online split; companion to
+    ``write_lsh_index`` on the near-dup side). Always ``n_buckets``
+    rows regardless of corpus size: buckets absent from the corpus
+    still get the smoothed prior, so scoring never misses a lookup.
+    """
+    occ = (
+        _spread_docs(documents)
+        .select("source", F.explode(tokens_expr("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long"),
+                F.lit(n_buckets),
+            ),
+        )
+    )
+    b_stats = occ.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("raw_n"),
+        F.count(F.when(F.col("source") == target_source, 1)).alias("tgt_n"),
+    )
+    totals = b_stats.agg(
+        F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
+    )
+    spine = documents.sparkSession.range(n_buckets).select(
+        F.col("id").alias("bucket")
+    )
+    return (
+        spine.join(b_stats, "bucket", "left")
+        .join(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("tgt_n", F.lit(0)) + alpha)
+                    / (F.col("tgt_tot") + alpha * n_buckets)
+                )
+                - F.log(
+                    (F.coalesce("raw_n", F.lit(0)) + alpha)
+                    / (F.col("raw_tot") + alpha * n_buckets)
+                )
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def write_dsir_model(
+    documents: DataFrame,
+    path: str,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+) -> None:
+    """Persist the DSIR model (KB-sized at any corpus scale)."""
+    dsir_model(documents, target_source, n_buckets, alpha).coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def dsir_score_with_model(docs: DataFrame, model: DataFrame) -> DataFrame:
+    """Score documents against a trained DSIR model with a STATELESS
+    per-row expression — no shuffle, no aggregation state, so the SAME
+    code scores a batch frame and a Structured Streaming frame (drop
+    it straight into ``readStream → select → writeStream``; nothing
+    here needs a watermark).
+
+    The model (bounded at ``n_buckets`` rows) collapses into a map
+    literal: the per-token bucket lookup + left-fold sum runs entirely
+    inside whole-stage codegen against that literal — the scoring cost
+    of a 100 TB corpus is one scan, zero exchanges. The fold order is
+    the token order, deterministic for a given document.
+    """
+    rows = model.orderBy("bucket").collect()  # bounded: n_buckets rows
+    lut = F.map_from_arrays(
+        F.lit([r["bucket"] for r in rows]),
+        F.lit([r["log_ratio"] for r in rows]),
+    )
+    n_buckets = len(rows)
+    bucket = lambda t: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+    # tokens materialize as a column first: HOF children re-evaluate
+    # per reference (no CSE), so size() + aggregate() over the raw
+    # tokenize tree would tokenize every document twice
+    staged = docs.select(
+        "doc_id", F.filter(tokens_expr("text"), lambda t: t != "").alias("_tk")
+    )
+    logw = F.aggregate(
+        F.col("_tk"),
+        F.lit(0.0),
+        lambda acc, t: acc + F.element_at(lut, bucket(t)),
+    )
+    return staged.select(
+        "doc_id",
+        F.size("_tk").cast("long").alias("n_occ"),
+        F.round(logw, 6).alias("log_weight"),
+    )

@@ -307,3 +307,58 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     # keep_frac=0.5 of 6 docs (one lang) -> exactly 3 selected
     assert sum(1 for r in out.values() if r["is_selected"]) == 3
     assert out[3]["is_selected"]
+
+
+def test_dsir_model_scoring_matches_weights_and_streams(spark, sf_dir, tmp_path):
+    """The persisted-model scorer reproduces dsir_weights' log_weight
+    (same corpus), and the SAME stateless expression scores a
+    Structured Streaming frame — batch/stream parity row for row."""
+    import pytest
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        dsir_score_with_model,
+        dsir_weights,
+        write_dsir_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    model_path = str(tmp_path / "dsir_model")
+    write_dsir_model(docs, model_path)
+    model = spark.read.parquet(model_path)
+    assert model.count() == 1024  # full spine, absent buckets included
+
+    batch = {
+        r["doc_id"]: r for r in dsir_score_with_model(docs, model).collect()
+    }
+    ref = {r["doc_id"]: r for r in dsir_weights(docs).collect()}
+    assert set(batch) == set(ref)
+    for i, r in ref.items():
+        assert batch[i]["n_occ"] == r["n_occ"]
+        assert batch[i]["log_weight"] == pytest.approx(
+            r["log_weight"], abs=1e-4
+        )
+
+    # stream the same docs through the identical scorer expression
+    src = str(tmp_path / "stream_src")
+    docs.limit(50).write.parquet(src)
+    stream_docs = spark.readStream.schema(docs.schema).parquet(src)
+    scored = dsir_score_with_model(stream_docs, model)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("dsir_scores")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["doc_id"]: r for r in spark.sql("SELECT * FROM dsir_scores").collect()
+    }
+    assert len(streamed) == 50
+    for i, r in streamed.items():
+        assert r["log_weight"] == batch[i]["log_weight"]
+        assert r["n_occ"] == batch[i]["n_occ"]
