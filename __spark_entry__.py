@@ -257,6 +257,8 @@ _R4_FRONT = [
     "dsir_weights",
     "repeated_spans",
     "strip_repeated_spans",
+    "fill_missing_days_locf",
+    "fill_missing_days_interp",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -323,6 +325,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
             _docs(s, d)
+        ),
+        "fill_missing_days_locf": lambda s, d: temporal.fill_missing_days_locf(
+            _events(s, d)
+        ),
+        "fill_missing_days_interp": (
+            lambda s, d: temporal.fill_missing_days_interp(_events(s, d))
         ),
         # --- never driver-verified (r3 front block): oracle-backed first,
         # cheapest first, heaviest last ---
@@ -2254,6 +2262,52 @@ SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_tok,
        CAST(MAX(pos) + 4 AS BIGINT) AS end_tok,
        CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS span_tokens
 FROM rid GROUP BY doc_id, run_id
+"""
+    _FILL_GRID = """
+daily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS val
+  FROM events GROUP BY 1, 2),
+bounds AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
+spine AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM bounds),
+types AS (SELECT DISTINCT event_type FROM daily),
+g AS (SELECT spine.day_idx, types.event_type, n_events, val
+      FROM spine CROSS JOIN types
+      LEFT JOIN daily ON daily.day_idx = spine.day_idx
+                      AND daily.event_type = types.event_type)"""
+    out["fill_missing_days_locf"] = f"""
+WITH {_FILL_GRID}
+SELECT day_idx * 86400000000 AS day_us, event_type,
+       COALESCE(n_events, 0) AS n_events,
+       CAST(last_value(val IGNORE NULLS)
+              OVER (PARTITION BY event_type ORDER BY day_idx
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS total_value
+FROM g
+"""
+    out["fill_missing_days_interp"] = f"""
+WITH {_FILL_GRID},
+c AS (SELECT *,
+             last_value(val IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN val IS NOT NULL THEN day_idx END
+                        IGNORE NULLS) OVER wb AS pd,
+             first_value(val IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN val IS NOT NULL THEN day_idx END
+                         IGNORE NULLS) OVER wf AS nd
+      FROM g
+      WINDOW wb AS (PARTITION BY event_type ORDER BY day_idx
+                    ROWS UNBOUNDED PRECEDING),
+             wf AS (PARTITION BY event_type ORDER BY day_idx
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT day_idx * 86400000000 AS day_us, event_type,
+       COALESCE(n_events, 0) AS n_events,
+       CASE WHEN val IS NOT NULL THEN CAST(val AS DOUBLE)
+            WHEN pd IS NOT NULL AND nd IS NOT NULL
+            THEN round(CAST(pv AS DOUBLE)
+                       + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                         * ((day_idx - pd) / (nd - pd)), 6)
+            END AS total_value
+FROM c
 """
     out["strip_repeated_spans"] = f"""
 WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

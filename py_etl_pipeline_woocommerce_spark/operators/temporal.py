@@ -460,3 +460,112 @@ def dau_sketch_rollup(events: DataFrame, days_per_window: int = 7) -> DataFrame:
             "summed_daily",
         )
     )
+
+
+def fill_missing_days_locf(events: DataFrame) -> DataFrame:
+    """Gap-filled daily series with LOCF (last observation carried
+    forward) — the timescale-style ``locf()`` companion to the
+    zero-filling ``fill_missing_days``: missing days repeat the most
+    recent observed day's total_value; days before a type's first
+    observation stay NULL (carrying nothing forward is a fact worth
+    surfacing, not a zero).
+
+    Same spine/grid construction as ``fill_missing_days`` (two tiny
+    aggregates broadcast against the daily agg); the carry is one
+    window per event_type over the day-grain frame — partitions are
+    bounded by the day span, never by event cardinality.
+    """
+    e = _ts_us(events)
+    daily = e.groupBy(
+        (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec_money("value")).alias("_val"),
+    )
+    bounds = daily.agg(
+        F.min("day_idx").alias("_lo"), F.max("day_idx").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day_idx")
+    )
+    grid = spine.crossJoin(daily.select("event_type").distinct())
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["day_idx", "event_type"], "left")
+        .withColumn("_carried", F.last("_val", ignorenulls=True).over(w))
+        .select(
+            (F.col("day_idx") * DAY_US).alias("day_us"),
+            "event_type",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.col("_carried").cast("double").alias("total_value"),
+        )
+    )
+
+
+def fill_missing_days_interp(events: DataFrame) -> DataFrame:
+    """Gap-filled daily series with LINEAR INTERPOLATION between the
+    surrounding observed days (timescale ``interpolate()``): a missing
+    day's total_value is the straight line between the previous and
+    next observed values; edges with only one neighbor stay NULL
+    (interpolation needs both ends — extrapolating silently would
+    fabricate trend).
+
+    Two ignore-null window passes per event_type (backward carry of
+    the previous observation and its day, forward carry of the next)
+    feed one deterministic per-row blend, rounded at 6 dp. Observed
+    days pass through exactly.
+    """
+    e = _ts_us(events)
+    daily = e.groupBy(
+        (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec_money("value")).alias("_val"),
+    )
+    bounds = daily.agg(
+        F.min("day_idx").alias("_lo"), F.max("day_idx").alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day_idx")
+    )
+    grid = spine.crossJoin(daily.select("event_type").distinct())
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("day_idx")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("_val").isNotNull(), F.col("day_idx"))
+    joined = (
+        grid.join(daily, ["day_idx", "event_type"], "left")
+        .withColumn("_pv", F.last("_val", ignorenulls=True).over(back))
+        .withColumn("_pd", F.last(obs_day, ignorenulls=True).over(back))
+        .withColumn("_nv", F.first("_val", ignorenulls=True).over(fwd))
+        .withColumn("_nd", F.first(obs_day, ignorenulls=True).over(fwd))
+    )
+    pv, nv = F.col("_pv").cast("double"), F.col("_nv").cast("double")
+    frac = (F.col("day_idx") - F.col("_pd")) / (F.col("_nd") - F.col("_pd"))
+    blended = F.when(
+        F.col("_val").isNotNull(), F.col("_val").cast("double")
+    ).otherwise(
+        F.when(
+            F.col("_pd").isNotNull() & F.col("_nd").isNotNull(),
+            F.round(pv + (nv - pv) * frac, 6),
+        )
+    )
+    return joined.select(
+        (F.col("day_idx") * DAY_US).alias("day_us"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        blended.alias("total_value"),
+    )

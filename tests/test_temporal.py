@@ -308,3 +308,53 @@ def test_session_window_agg_matches_hand_rolled_sessionize(spark, sf_dir):
     b = {(r["user_id"], r["start_us"], r["n_events"]) for r in built_in.collect()}
     h = {(r["user_id"], r["start_us"], r["n_events"]) for r in hand.collect()}
     assert b == h
+
+
+def _gap_events(spark):
+    # type A observed on days 0, 3 (values 10, 40); type B only day 1
+    day = 86_400_000_000_000  # ns
+    rows = [
+        (1, 0 * day, 1, "A", 10.0),
+        (2, 3 * day, 1, "A", 40.0),
+        (3, 1 * day, 2, "B", 7.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+
+
+def test_fill_missing_days_locf_carries_forward(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        fill_missing_days_locf,
+    )
+
+    out = {
+        (r["event_type"], r["day_us"] // 86_400_000_000): r
+        for r in fill_missing_days_locf(_gap_events(spark)).collect()
+    }
+    assert len(out) == 8  # 4-day spine x 2 types
+    assert out[("A", 0)]["total_value"] == 10.0
+    assert out[("A", 1)]["total_value"] == 10.0  # carried
+    assert out[("A", 2)]["total_value"] == 10.0  # carried
+    assert out[("A", 3)]["total_value"] == 40.0
+    assert out[("B", 0)]["total_value"] is None  # nothing to carry yet
+    assert out[("B", 2)]["total_value"] == 7.0  # carried
+    assert out[("B", 2)]["n_events"] == 0
+
+
+def test_fill_missing_days_interp_blends_between_neighbors(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        fill_missing_days_interp,
+    )
+
+    out = {
+        (r["event_type"], r["day_us"] // 86_400_000_000): r["total_value"]
+        for r in fill_missing_days_interp(_gap_events(spark)).collect()
+    }
+    assert out[("A", 0)] == 10.0
+    assert out[("A", 1)] == 20.0  # 10 + (40-10) * 1/3
+    assert out[("A", 2)] == 30.0
+    assert out[("A", 3)] == 40.0
+    # B has a single observation: no pair to interpolate outside it
+    assert out[("B", 1)] == 7.0
+    assert out[("B", 0)] is None and out[("B", 3)] is None
