@@ -259,6 +259,7 @@ _R4_FRONT = [
     "strip_repeated_spans",
     "fill_missing_days_locf",
     "fill_missing_days_interp",
+    "corpus_prep_v2",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -332,6 +333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_missing_days_interp": (
             lambda s, d: temporal.fill_missing_days_interp(_events(s, d))
         ),
+        "corpus_prep_v2": lambda s, d: corpus.corpus_prep_v2(_docs(s, d)),
         # --- never driver-verified (r3 front block): oracle-backed first,
         # cheapest first, heaviest last ---
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
@@ -2374,6 +2376,53 @@ rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
 SELECT doc_id, lang, n_occ, log_weight,
        _rk <= CEIL(0.25 * _n) AS is_selected
 FROM rk
+"""
+    # corpus_prep_v2: composition of already-verified fragments — the
+    # strip oracle becomes a CTE producing the cleaned corpus `docs2`,
+    # the filter/dsir oracles are retargeted at it by word-boundary
+    # table substitution (they are verified verbatim against
+    # `documents` by their own entries), and the pack tail replays
+    # corpus_prep's. DSIR keep_frac is 0.5 here (vs the entry's 0.25).
+    import re as _re
+
+    _strip2 = _re.sub(r"\bdocuments\b", "d1", out["strip_repeated_spans"])
+    _filter2 = _re.sub(r"\bdocuments\b", "docs2", _FILTER_SQL)
+    _dsir2 = _re.sub(
+        r"0\.25", "0.5", _re.sub(r"\bdocuments\b", "surv0", out["dsir_weights"])
+    )
+    out["corpus_prep_v2"] = f"""
+WITH kp AS (SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY md5({_NORM})),
+d1 AS (SELECT documents.* FROM documents JOIN kp USING (doc_id)),
+stripq AS ({_strip2}),
+docs2 AS (SELECT d.doc_id, s.clean_text AS text, d.lang, d.source,
+                 length(s.clean_text) AS n_chars
+          FROM d1 d JOIN stripq s USING (doc_id)),
+fp AS ({_filter2}),
+gate AS (SELECT doc_id FROM fp WHERE keep),
+surv0 AS (SELECT docs2.* FROM docs2 JOIN gate USING (doc_id)),
+dsir AS ({_dsir2}),
+sel AS (SELECT doc_id FROM dsir WHERE is_selected),
+fin AS (SELECT docs2.* FROM docs2 JOIN sel USING (doc_id)),
+pk AS (SELECT doc_id,
+              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 8 AS bucket,
+              CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                        ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+       FROM fin),
+c AS (SELECT *, CAST(SUM(n_tokens)
+                     OVER (PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_end
+      FROM pk WHERE n_tokens > 0)
+SELECT doc_id, bucket, n_tokens,
+       cum_end - n_tokens AS stream_start,
+       CAST(floor((cum_end - n_tokens) / 512) AS BIGINT) AS start_pack,
+       CAST(floor((cum_end - 1) / 512) AS BIGINT) AS end_pack,
+       (cum_end - n_tokens) % 512 AS pack_offset,
+       CAST(floor((cum_end - 1) / 512) AS BIGINT)
+         - CAST(floor((cum_end - n_tokens) / 512) AS BIGINT) + 1
+         AS n_packs_spanned
+FROM c
 """
     # Derived round-4 facade oracles: the exact path of the percentile
     # facade IS value_percentiles; the dashboard digest wraps each

@@ -797,3 +797,63 @@ def dsir_score_with_model(docs: DataFrame, model: DataFrame) -> DataFrame:
         F.size("_tk").cast("long").alias("n_occ"),
         F.round(logw, 6).alias("log_weight"),
     )
+
+
+def corpus_prep_v2(
+    documents: DataFrame,
+    target_source: str = "src0",
+    keep_frac: float = 0.5,
+    budget: int = 512,
+    buckets: int = 8,
+) -> DataFrame:
+    """The modern training-corpus preparation cascade, one declarative
+    plan: exact dedup → repeated-span boilerplate strip → quality/
+    repetition gate → DSIR importance selection (top ``keep_frac``
+    per language toward ``target_source``) → concat-chunk packing.
+    ``corpus_prep``'s hash sample becomes a learned selection.
+
+    ORDER MATTERS: exact dedup runs BEFORE the span strip. Stripping
+    first would let duplicate copies mark each other's ENTIRE text as
+    a repeated span and erase every copy — the reason Lee et al. keep
+    one occurrence. Collapsing dup groups to their min-id keeper
+    first means the surviving copy's text no longer repeats (unless
+    the phrase genuinely recurs elsewhere — true boilerplate — which
+    is exactly what the strip should cut).
+
+    Still one Catalyst job end-to-end: dedup is a semi-join against a
+    content-hash aggregate, the strip contributes its gram shuffle +
+    doc reassembly, the gate and DSIR stages are semi-joins against
+    doc-grain frames (DSIR's model side is a broadcast KB), packing
+    adds the per-bucket window. Every stage is engine-exact, so the
+    composition replays verbatim in the DuckDB oracle.
+    """
+    from .dedup import strip_repeated_spans
+    from .packing import pack_sequences
+    from .textstats import filter_pipeline
+    from ..functions.text import md5_hex, norm_text
+
+    keepers = (
+        documents.select("doc_id", md5_hex(norm_text("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = documents.join(keepers, "doc_id", "left_semi")
+    stripped = strip_repeated_spans(deduped)
+    docs2 = (
+        deduped.select("doc_id", "lang", "source")
+        .join(
+            stripped.select("doc_id", F.col("clean_text").alias("text")),
+            "doc_id",
+        )
+        .withColumn("n_chars", F.length("text"))
+    )
+    gated = filter_pipeline(docs2).filter(F.col("keep")).select("doc_id")
+    surv = docs2.join(gated, "doc_id", "left_semi")
+    sel = (
+        dsir_weights(surv, target_source=target_source, keep_frac=keep_frac)
+        .filter(F.col("is_selected"))
+        .select("doc_id")
+    )
+    final = docs2.join(sel, "doc_id", "left_semi")
+    return pack_sequences(final, budget=budget, buckets=buckets)

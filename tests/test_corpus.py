@@ -362,3 +362,42 @@ def test_dsir_model_scoring_matches_weights_and_streams(spark, sf_dir, tmp_path)
     for i, r in streamed.items():
         assert r["log_weight"] == batch[i]["log_weight"]
         assert r["n_occ"] == batch[i]["n_occ"]
+
+
+def test_corpus_prep_v2_strips_gates_dedups_selects(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import corpus_prep_v2
+
+    boiler = "all rights reserved contact us for details today please"
+    text_a = (
+        "the small garden behind our house grows tomatoes and peppers of "
+        "many colors while birds visit the old fountain each morning to "
+        "drink and sing before the heat of noon arrives quietly over "
+        "dusty rooftops nearby"
+    )
+    text_b = (
+        "a narrow river winds through the quiet valley and carries cold "
+        "water past stone bridges where children of the village gather "
+        "to watch silver fish and toss pebbles during long summer "
+        "afternoons under clear skies"
+    )
+    rows = [
+        (1, text_a + " " + boiler, "en", "tgt", 0),
+        (2, text_b + " " + boiler, "en", "web", 0),
+        (3, boiler + " " + boiler, "en", "web", 0),  # pure boilerplate
+        (4, text_a + " " + boiler, "en", "web", 0),  # exact dup of doc 1
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus_prep_v2(docs, target_source="tgt", keep_frac=1.0).collect()
+    }
+    # dup collapses to the min-id keeper BEFORE stripping, so doc 1
+    # survives with its body intact; the shared boilerplate is cut
+    assert 4 not in out
+    assert 1 in out and 2 in out
+    # pure-boilerplate doc strips to nothing and fails the gate
+    assert 3 not in out
+    # the packed token counts reflect the stripped text (body only)
+    assert out[1]["n_tokens"] < len(rows[0][1].split())
