@@ -260,6 +260,8 @@ _R4_FRONT = [
     "fill_missing_days_locf",
     "fill_missing_days_interp",
     "corpus_prep_v2",
+    "asof_join_forward",
+    "funnel_steps_windowed",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -334,6 +336,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: temporal.fill_missing_days_interp(_events(s, d))
         ),
         "corpus_prep_v2": lambda s, d: corpus.corpus_prep_v2(_docs(s, d)),
+        "asof_join_forward": lambda s, d: temporal.asof_join(
+            _events(s, d), direction="forward"
+        ),
+        "funnel_steps_windowed": lambda s, d: events.funnel_steps(
+            _events(s, d), max_gap_us=86_400_000_000
+        ),
         # --- never driver-verified (r3 front block): oracle-backed first,
         # cheapest first, heaviest last ---
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
@@ -2376,6 +2384,44 @@ rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
 SELECT doc_id, lang, n_occ, log_weight,
        _rk <= CEIL(0.25 * _n) AS is_selected
 FROM rk
+"""
+    out["asof_join_forward"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+           FROM events WHERE event_type IN ('purchase', 'click')),
+tagged AS (
+  SELECT user_id, t_us,
+         CASE WHEN event_type = 'click' THEN 2 ELSE 1 END AS kind,
+         event_id
+  FROM e),
+carried AS (
+  SELECT *,
+         first_value(CASE WHEN kind = 2 THEN event_id END IGNORE NULLS)
+           OVER w AS asof_event_id,
+         first_value(CASE WHEN kind = 2 THEN t_us END IGNORE NULLS)
+           OVER w AS asof_t_us
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, kind, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_id, user_id, t_us, asof_event_id, asof_t_us,
+       asof_t_us - t_us AS gap_us
+FROM carried WHERE kind = 1
+"""
+    out["funnel_steps_windowed"] = """
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+v AS (SELECT user_id, MIN(t) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, MIN(t) AS t_click
+      FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND t >= t_view
+        AND t <= t_view + 86400000000 GROUP BY 1),
+p AS (SELECT e.user_id, MIN(t) AS t_purchase
+      FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND t >= t_click
+        AND t <= t_click + 86400000000 GROUP BY 1)
+SELECT 1 AS stage_order, 'view' AS stage, COUNT(*) AS n_users FROM v
+UNION ALL
+SELECT 2, 'click', COUNT(*) FROM c
+UNION ALL
+SELECT 3, 'purchase', COUNT(*) FROM p
 """
     # corpus_prep_v2: composition of already-verified fragments — the
     # strip oracle becomes a CTE producing the cleaned corpus `docs2`,

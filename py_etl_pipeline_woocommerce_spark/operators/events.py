@@ -90,18 +90,31 @@ def hopping_window_agg(
     )
 
 
-def funnel_steps(events: DataFrame) -> DataFrame:
+def funnel_steps(
+    events: DataFrame, max_gap_us: int | None = None
+) -> DataFrame:
     """Ordered funnel view → click → purchase: per stage, the number
     of users who completed it in sequence (a later stage only counts
     events at/after the user's earliest qualifying previous stage).
+    With ``max_gap_us``, each step must additionally land within that
+    window of the previous step's time — the conversion-window funnel
+    every product-analytics tool defaults to (an unconstrained funnel
+    credits a purchase months after the click).
 
     Three per-user aggregations chained by join — each stage frame is
     one row per surviving user, strictly shrinking, so the joins get
     cheaper down the funnel and AQE broadcasts the later stages. No
     window over the whole event stream: the per-user min is a
-    map-side-combinable agg, robust to power-user skew.
+    map-side-combinable agg, robust to power-user skew. The gap
+    constraint is a filter on the already-joined frame — plan shape
+    unchanged.
     """
     e = events.select("user_id", "event_type", F.expr("ts div 1000").alias("t"))
+    within = (
+        (lambda prev: F.lit(True))
+        if max_gap_us is None
+        else (lambda prev: F.col("t") <= F.col(prev) + max_gap_us)
+    )
     views = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -110,14 +123,14 @@ def funnel_steps(events: DataFrame) -> DataFrame:
     clicks = (
         e.filter(F.col("event_type") == "click")
         .join(views, "user_id")
-        .filter(F.col("t") >= F.col("t_view"))
+        .filter((F.col("t") >= F.col("t_view")) & within("t_view"))
         .groupBy("user_id")
         .agg(F.min("t").alias("t_click"))
     )
     purchases = (
         e.filter(F.col("event_type") == "purchase")
         .join(clicks, "user_id")
-        .filter(F.col("t") >= F.col("t_click"))
+        .filter((F.col("t") >= F.col("t_click")) & within("t_click"))
         .groupBy("user_id")
         .agg(F.min("t").alias("t_purchase"))
     )

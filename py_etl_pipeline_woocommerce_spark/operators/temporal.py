@@ -34,39 +34,51 @@ def asof_join(
     events: DataFrame,
     left_type: str = "purchase",
     right_type: str = "click",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Each ``left_type`` event joined to the user's most recent
-    ``right_type`` event at-or-before it (classic as-of join).
+    """Each ``left_type`` event joined to the user's nearest
+    ``right_type`` event: the most recent at-or-before it
+    (``direction="backward"``, the classic as-of join) or the earliest
+    at-or-after it (``direction="forward"`` — the "what happened next"
+    attribution shape).
 
     Union-tag algorithm: tag both sides, sort per user by
-    (time, kind, id) with the right side first at equal times, and
-    carry the last non-null right id/time forward with a running
-    window — ONE shuffle on user_id, no inequality join, no per-row
-    lookup. Ties (same user, same µs) resolve to the max right
-    event_id; the ordering is total, so output is deterministic at
-    any parallelism.
+    (time, kind, id) with the right side adjacent to equal-time left
+    rows on the matching side, and carry the last (backward) or first
+    (forward) non-null right id/time across a running window — ONE
+    shuffle on user_id, no inequality join, no per-row lookup. Ties
+    (same user, same µs) resolve to the max right event_id backward /
+    min forward; the ordering is total, so output is deterministic at
+    any parallelism. ``gap_us`` is always the non-negative distance in
+    the join direction (NULL when no match exists on that side).
     """
     e = _ts_us(events)
+    backward = direction == "backward"
+    right_kind = 0 if backward else 2
     right = e.filter(F.col("event_type") == right_type).select(
-        "user_id", "t_us", F.lit(0).alias("kind"), "event_id"
+        "user_id", "t_us", F.lit(right_kind).alias("kind"), "event_id"
     )
     left = e.filter(F.col("event_type") == left_type).select(
         "user_id", "t_us", F.lit(1).alias("kind"), "event_id"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t_us", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    is_right = F.col("kind") == 0
+    base = Window.partitionBy("user_id").orderBy("t_us", "kind", "event_id")
+    is_right = F.col("kind") == right_kind
+    if backward:
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        pick = lambda c: F.last(  # noqa: E731
+            F.when(is_right, c), ignorenulls=True
+        ).over(w)
+        gap = F.col("t_us") - F.col("asof_t_us")
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        pick = lambda c: F.first(  # noqa: E731
+            F.when(is_right, c), ignorenulls=True
+        ).over(w)
+        gap = F.col("asof_t_us") - F.col("t_us")
     tagged = right.unionByName(left).select(
         "*",
-        F.last(F.when(is_right, F.col("event_id")), ignorenulls=True)
-        .over(w)
-        .alias("asof_event_id"),
-        F.last(F.when(is_right, F.col("t_us")), ignorenulls=True)
-        .over(w)
-        .alias("asof_t_us"),
+        pick(F.col("event_id")).alias("asof_event_id"),
+        pick(F.col("t_us")).alias("asof_t_us"),
     )
     return tagged.filter(F.col("kind") == 1).select(
         "event_id",
@@ -74,7 +86,7 @@ def asof_join(
         "t_us",
         "asof_event_id",
         "asof_t_us",
-        (F.col("t_us") - F.col("asof_t_us")).alias("gap_us"),
+        gap.alias("gap_us"),
     )
 
 

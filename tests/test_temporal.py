@@ -358,3 +358,55 @@ def test_fill_missing_days_interp_blends_between_neighbors(spark):
     # B has a single observation: no pair to interpolate outside it
     assert out[("B", 1)] == 7.0
     assert out[("B", 0)] is None and out[("B", 3)] is None
+
+
+def test_asof_join_forward_picks_next_event(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import asof_join
+
+    us = 1000  # ns per us
+    rows = [  # (event_id, ts_ns, user, type, value)
+        (1, 100 * us, 1, "click", 0.0),
+        (2, 200 * us, 1, "purchase", 0.0),
+        (3, 300 * us, 1, "click", 0.0),
+        (4, 50 * us, 2, "purchase", 0.0),   # no click before, click after
+        (5, 90 * us, 2, "click", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    back = {r["event_id"]: r for r in asof_join(ev).collect()}
+    fwd = {
+        r["event_id"]: r for r in asof_join(ev, direction="forward").collect()
+    }
+    # user 1 purchase@200: backward -> click@100, forward -> click@300
+    assert back[2]["asof_event_id"] == 1 and back[2]["gap_us"] == 100
+    assert fwd[2]["asof_event_id"] == 3 and fwd[2]["gap_us"] == 100
+    # user 2 purchase@50: nothing before, click@90 after
+    assert back[4]["asof_event_id"] is None and back[4]["gap_us"] is None
+    assert fwd[4]["asof_event_id"] == 5 and fwd[4]["gap_us"] == 40
+
+
+def test_funnel_window_drops_late_conversions(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.events import funnel_steps
+
+    us = 1000
+    day = 86_400_000_000
+    rows = [
+        # user 1 converts quickly; user 2's purchase is 2 days late
+        (1, 0, 1, "view", 0.0),
+        (2, 100 * us, 1, "click", 0.0),
+        (3, 200 * us, 1, "purchase", 0.0),
+        (4, 0, 2, "view", 0.0),
+        (5, 100 * us, 2, "click", 0.0),
+        (6, (2 * day + 100) * us, 2, "purchase", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, value double"
+    )
+    plain = {r["stage"]: r["n_users"] for r in funnel_steps(ev).collect()}
+    windowed = {
+        r["stage"]: r["n_users"]
+        for r in funnel_steps(ev, max_gap_us=day).collect()
+    }
+    assert plain == {"view": 2, "click": 2, "purchase": 2}
+    assert windowed == {"view": 2, "click": 2, "purchase": 1}
