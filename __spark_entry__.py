@@ -262,6 +262,8 @@ _R4_FRONT = [
     "corpus_prep_v2",
     "asof_join_forward",
     "funnel_steps_windowed",
+    "source_quota_sample",
+    "length_buckets",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -342,6 +344,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps_windowed": lambda s, d: events.funnel_steps(
             _events(s, d), max_gap_us=86_400_000_000
         ),
+        "source_quota_sample": lambda s, d: corpus.source_quota_sample(
+            _docs(s, d)
+        ),
+        "length_buckets": lambda s, d: corpus.length_buckets(_docs(s, d)),
         # --- never driver-verified (r3 front block): oracle-backed first,
         # cheapest first, heaviest last ---
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),
@@ -2384,6 +2390,34 @@ rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
 SELECT doc_id, lang, n_occ, log_weight,
        _rk <= CEIL(0.25 * _n) AS is_selected
 FROM rk
+"""
+    out["source_quota_sample"] = f"""
+WITH q AS ({_QUALITY_SQL}),
+j AS (SELECT d.doc_id, d.source, q.quality
+      FROM documents d JOIN q USING (doc_id)),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                        ORDER BY quality DESC, doc_id)
+                     AS BIGINT) AS source_rank
+      FROM j)
+SELECT doc_id, source, source_rank, source_rank <= 40 AS is_kept
+FROM r
+"""
+    out["length_buckets"] = f"""
+WITH pd AS (SELECT CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                             ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+            FROM documents),
+b AS (SELECT n_tokens,
+             CASE WHEN n_tokens <= 1 THEN 0
+                  ELSE CAST(length(bin(n_tokens - 1)) AS BIGINT)
+             END AS bucket
+      FROM pd),
+c AS (SELECT *, least(CAST(1 << bucket AS BIGINT), 512) AS bucket_cap
+      FROM b)
+SELECT bucket, bucket_cap, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(greatest(bucket_cap - least(n_tokens, bucket_cap), 0))
+            AS BIGINT) AS padding_tokens
+FROM c GROUP BY 1, 2
 """
     out["asof_join_forward"] = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us

@@ -857,3 +857,85 @@ def corpus_prep_v2(
     )
     final = docs2.join(sel, "doc_id", "left_semi")
     return pack_sequences(final, budget=budget, buckets=buckets)
+
+
+def source_quota_sample(
+    documents: DataFrame, max_per_source: int = 40
+) -> DataFrame:
+    """Per-source quota capping: keep at most ``max_per_source`` docs
+    from each source, best-quality first — the guard against one
+    crawl/domain dominating the mixture (the per-domain cap every
+    production corpus applies before mixing; cf. the source-weighted
+    sampling in ``mix_weights``, which rebalances but cannot CAP).
+
+    Rank = (quality desc, doc_id) inside each source partition — one
+    window whose partitions are source-grain, so skew follows source
+    skew, not corpus size; the quality signal reuses the single-scan
+    ``quality_score`` columns. Output: every doc with its rank and
+    the keep verdict (callers semi-join on is_kept).
+    """
+    from .textstats import quality_score
+
+    q = quality_score(documents).select("doc_id", "quality")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return (
+        documents.select("doc_id", "source")
+        .join(q, "doc_id")
+        .withColumn("source_rank", F.row_number().over(w).cast("long"))
+        .withColumn("is_kept", F.col("source_rank") <= max_per_source)
+        .select("doc_id", "source", "source_rank", "is_kept")
+    )
+
+
+def length_buckets(documents: DataFrame, max_seq: int = 512) -> DataFrame:
+    """Length-bucketed batching report: docs binned by power-of-2
+    token-count buckets (1-2, 3-4, 5-8, ...), with per-bucket doc/
+    token counts and the padding waste of batching that bucket to its
+    upper bound — the quantified case for length-grouped batching in
+    tokenize/embed/inference fleets (padding to a global ``max_seq``
+    wastes the difference; padding within a power-of-2 bucket caps
+    waste at <50%).
+
+    One scan: token counts are a pure map, the bucket id is
+    ``ceil(log2(n))`` computed as the BIT LENGTH of ``n - 1`` — pure
+    integer math, engine-exact (a float ``log2`` can land a hair above
+    an integer on one engine and below on the other, flipping the
+    ceil) — and the report is a tiny groupBy. Empty and 1-token docs
+    land in bucket 0.
+    """
+    n = token_count_expr("text")
+    b = F.when(n <= 1, F.lit(0).cast("long")).otherwise(
+        F.length(F.bin(n - 1)).cast("long")
+    )
+    per_doc = documents.select(
+        n.alias("n_tokens"), b.alias("bucket")
+    ).withColumn(
+        "bucket_cap",
+        # shiftleft with a COLUMN bit count only exists in SQL form
+        F.least(
+            F.expr("CAST(shiftleft(1, CAST(bucket AS INT)) AS BIGINT)"),
+            F.lit(max_seq).cast("long"),
+        ),
+    )
+    return (
+        per_doc.groupBy("bucket", "bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.greatest(
+                    F.col("bucket_cap") - F.least("n_tokens", F.col("bucket_cap")),
+                    F.lit(0),
+                )
+            ).alias("padding_tokens"),
+        )
+        .select(
+            "bucket",
+            "bucket_cap",
+            "n_docs",
+            "total_tokens",
+            "padding_tokens",
+        )
+    )

@@ -401,3 +401,40 @@ def test_corpus_prep_v2_strips_gates_dedups_selects(spark):
     assert 3 not in out
     # the packed token counts reflect the stripped text (body only)
     assert out[1]["n_tokens"] < len(rows[0][1].split())
+
+
+def test_source_quota_caps_each_source(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        source_quota_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = source_quota_sample(docs, max_per_source=5).collect()
+    per_source = {}
+    for r in out:
+        if r["is_kept"]:
+            per_source.setdefault(r["source"], []).append(r["source_rank"])
+    assert per_source  # something survives
+    for src, ranks in per_source.items():
+        assert len(ranks) <= 5
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_length_buckets_power_of_two_and_padding(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import length_buckets
+
+    rows = [
+        (1, "one", "en", "w", 0),                      # 1 token -> bucket 0
+        (2, "two words", "en", "w", 0),                # 2 -> bucket 1
+        (3, "a b c d e", "en", "w", 0),                # 5 -> bucket 3 cap 8
+        (4, "", "en", "w", 0),                         # 0 -> bucket 0
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["bucket"]: r for r in length_buckets(docs).collect()}
+    assert out[0]["bucket_cap"] == 1 and out[0]["n_docs"] == 2
+    assert out[0]["padding_tokens"] == 1  # empty doc pads 1, 1-token doc 0
+    assert out[1]["bucket_cap"] == 2 and out[1]["padding_tokens"] == 0
+    assert out[3]["bucket_cap"] == 8 and out[3]["padding_tokens"] == 3
