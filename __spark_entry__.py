@@ -264,6 +264,7 @@ _R4_FRONT = [
     "funnel_steps_windowed",
     "source_quota_sample",
     "length_buckets",
+    "dsir_select_threshold",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -348,6 +349,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "length_buckets": lambda s, d: corpus.length_buckets(_docs(s, d)),
+        # approximate by construction (GK quantile cut) — rows-only
+        "dsir_select_threshold": lambda s, d: corpus.dsir_select_threshold(
+            _docs(s, d)
+        ),
         # --- never driver-verified (r3 front block): oracle-backed first,
         # cheapest first, heaviest last ---
         "embedding_scores": lambda s, d: similarity.score_embeddings(_emb(s, d)),

@@ -616,11 +616,45 @@ def dsir_weights(
     Scale shape: one token explode → (doc, bucket) integer partial
     agg; bucket statistics are a ``n_buckets``-row frame (two
     conditional counts in ONE pass — no second corpus scan for the
-    target), broadcast back onto the doc-bucket counts. The only
-    windows partition by language. Nothing driver-side; the feature
-    table is KB-sized at any corpus size — that fixed-size summary is
-    the reason DSIR scales where pairwise selection cannot.
+    target), broadcast back onto the doc-bucket counts. Nothing
+    driver-side; the feature table is KB-sized at any corpus size —
+    that fixed-size summary is the reason DSIR scales where pairwise
+    selection cannot.
+
+    CAVEAT at 100 TB: the rank window partitions by LANGUAGE — a
+    language with billions of docs becomes one sorted partition. The
+    exact rank is kept for oracle parity and moderate strata; for
+    corpus-scale selection use ``dsir_select_threshold``, which
+    replaces the per-language sort with a mergeable approximate
+    quantile cut (no global ordering anywhere).
     """
+    scored = _dsir_scored(documents, target_source, n_buckets, alpha)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("log_weight").desc(), F.col("doc_id")
+    )
+    n_lang = Window.partitionBy("lang")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n_lang))
+        .withColumn(
+            "is_selected",
+            F.col("_rk") <= F.ceil(F.lit(keep_frac) * F.col("_n")),
+        )
+        .drop("_rk", "_n")
+    )
+
+
+def _dsir_scored(
+    documents: DataFrame,
+    target_source: str,
+    n_buckets: int,
+    alpha: float,
+) -> DataFrame:
+    """(doc_id, lang, n_occ, log_weight) — the shared scoring stage of
+    ``dsir_weights`` (exact rank cut) and ``dsir_select_threshold``
+    (quantile cut): one token explode, one (doc, bucket) integer agg,
+    bucket stats in one conditional pass, KB ratio table broadcast
+    back. No windows here — selection strategy is the caller's."""
     occ = (
         _spread_docs(documents)
         .select(
@@ -665,7 +699,7 @@ def dsir_weights(
             F.sum(F.col("tf") * F.col("log_ratio")).alias("_lw"),
         )
     )
-    scored = (
+    return (
         documents.select("doc_id", "lang")
         .join(per_doc, "doc_id", "left")
         .select(
@@ -674,19 +708,6 @@ def dsir_weights(
             F.coalesce("n_occ", F.lit(0)).alias("n_occ"),
             F.coalesce(F.round("_lw", 6), F.lit(0.0)).alias("log_weight"),
         )
-    )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("log_weight").desc(), F.col("doc_id")
-    )
-    n_lang = Window.partitionBy("lang")
-    return (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(n_lang))
-        .withColumn(
-            "is_selected",
-            F.col("_rk") <= F.ceil(F.lit(keep_frac) * F.col("_n")),
-        )
-        .drop("_rk", "_n")
     )
 
 
@@ -873,6 +894,13 @@ def source_quota_sample(
     skew, not corpus size; the quality signal reuses the single-scan
     ``quality_score`` columns. Output: every doc with its rank and
     the keep verdict (callers semi-join on is_kept).
+
+    At 100 TB the same caveat as ``dsir_weights`` applies: a source
+    with billions of docs makes its rank window one sorted partition.
+    For corpus-scale caps, swap the rank for a per-source
+    ``percentile_approx`` quality threshold exactly as
+    ``dsir_select_threshold`` does — mergeable sketch cut, no
+    per-source global sort.
     """
     from .textstats import quality_score
 
@@ -938,4 +966,41 @@ def length_buckets(documents: DataFrame, max_seq: int = 512) -> DataFrame:
             "total_tokens",
             "padding_tokens",
         )
+    )
+
+
+def dsir_select_threshold(
+    documents: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    keep_frac: float = 0.25,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Corpus-scale DSIR selection: same scores as ``dsir_weights``,
+    but the per-language top-``keep_frac`` cut comes from an
+    APPROXIMATE QUANTILE threshold (``percentile_approx`` — a
+    mergeable GK summary per language) instead of an exact rank
+    window. No per-language global sort exists anywhere in the plan:
+    the quantile agg is map-side combinable, the thresholds are a
+    languages-row broadcast, and selection is a stream filter.
+
+    The cut differs from the exact rank only within the quantile
+    sketch's rank error (1/accuracy of the stratum) around the
+    threshold — the boundary docs a resampling selection is least
+    sensitive to. This is the 100 TB default; ``dsir_weights`` is the
+    oracle-exact twin.
+    """
+    scored = _dsir_scored(documents, target_source, n_buckets, alpha)
+    thr = scored.groupBy("lang").agg(
+        F.percentile_approx(
+            "log_weight", F.lit(1.0 - keep_frac), F.lit(accuracy)
+        ).alias("_thr")
+    )
+    return scored.join(F.broadcast(thr), "lang").select(
+        "doc_id",
+        "lang",
+        "n_occ",
+        "log_weight",
+        (F.col("log_weight") >= F.col("_thr")).alias("is_selected"),
     )

@@ -438,3 +438,36 @@ def test_length_buckets_power_of_two_and_padding(spark):
     assert out[0]["padding_tokens"] == 1  # empty doc pads 1, 1-token doc 0
     assert out[1]["bucket_cap"] == 2 and out[1]["padding_tokens"] == 0
     assert out[3]["bucket_cap"] == 8 and out[3]["padding_tokens"] == 3
+
+
+def test_dsir_threshold_selection_tracks_exact_rank(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        dsir_select_threshold,
+        dsir_weights,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["doc_id"] for r in dsir_weights(docs).collect() if r["is_selected"]
+    }
+    approx = {
+        r["doc_id"]
+        for r in dsir_select_threshold(docs).collect()
+        if r["is_selected"]
+    }
+    assert exact and approx
+    # the quantile cut may admit boundary ties the rank cut splits;
+    # the symmetric difference stays small at sketch accuracy
+    drift = len(exact ^ approx) / len(exact)
+    assert drift < 0.1
+    # scale guard: the threshold path contains the mergeable quantile
+    # agg and NO rank window (no per-language global sort anywhere)
+    plan = (
+        dsir_select_threshold(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percentile_approx" in plan
+    assert "row_number" not in plan
