@@ -54,6 +54,11 @@ SCALAR_BROADCAST = {
     "unigram_logprob",
     # 1-row (raw_tot, tgt_tot) broadcast over the n_buckets-row stats
     "dsir_weights",
+    "dsir_select_threshold",
+    "corpus_prep_v2",
+    # day-spine × event-type grid, same class as fill_missing_days
+    "fill_missing_days_locf",
+    "fill_missing_days_interp",
 }
 
 
