@@ -157,3 +157,21 @@ def test_cli_re_enrich_noop_without_missing_rows(spark, tmp_path):
         ["--warehouse", wh, "--re-enrich"], spark=spark, transport=transport
     )
     assert out["re_enriched_months"] == 0
+
+
+def test_cli_module_is_executable_via_python_dash_m():
+    """The documented invocation (python -m package) must resolve:
+    argparse --help exits 0 before any Spark/transport construction."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "py_etl_pipeline_woocommerce_spark", "--help"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=120,
+    )
+    assert proc.returncode == 0
+    assert "--backfill" in proc.stdout
+    assert "--force-all" in proc.stdout
