@@ -264,6 +264,7 @@ _R4_FRONT = [
     "funnel_steps_windowed",
     "source_quota_sample",
     "length_buckets",
+    "value_outliers",
     "dsir_select_threshold",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
@@ -349,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "length_buckets": lambda s, d: corpus.length_buckets(_docs(s, d)),
+        "value_outliers": lambda s, d: temporal.value_outliers(_events(s, d)),
         # approximate by construction (GK quantile cut) — rows-only
         "dsir_select_threshold": lambda s, d: corpus.dsir_select_threshold(
             _docs(s, d)
@@ -2423,6 +2425,15 @@ SELECT bucket, bucket_cap, COUNT(*) AS n_docs,
        CAST(SUM(greatest(bucket_cap - least(n_tokens, bucket_cap), 0))
             AS BIGINT) AS padding_tokens
 FROM c GROUP BY 1, 2
+"""
+    out["value_outliers"] = """
+WITH p AS (SELECT event_type,
+                  ROUND(quantile_cont(value, 0.99), 6) AS p99
+           FROM events GROUP BY 1)
+SELECT event_id, e.event_type, epoch_us(ts) AS t_us, value, p99,
+       ROUND(value / p99, 6) AS exceed_ratio
+FROM events e JOIN p USING (event_type)
+WHERE value > p99
 """
     out["asof_join_forward"] = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us

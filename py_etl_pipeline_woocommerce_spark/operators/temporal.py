@@ -581,3 +581,31 @@ def fill_missing_days_interp(events: DataFrame) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).alias("n_events"),
         blended.alias("total_value"),
     )
+
+
+def value_outliers(events: DataFrame) -> DataFrame:
+    """Events whose value exceeds their type's p99 — the standard
+    threshold-from-the-data anomaly flag (fraud review queues, SLO
+    breach detection) expressed as: exact per-type percentiles
+    (``value_percentiles``, a types-row frame) broadcast back over one
+    event scan. The comparison uses the ROUNDED p99 both engines agree
+    on, so the flagged set is engine-exact.
+
+    At scale the percentile side swaps for the GK sketch exactly as
+    ``event_value_summary`` does (same schema, so this composition is
+    precision-swappable too); the scan side is unchanged either way.
+    """
+    p99 = value_percentiles(events).select("event_type", "p99")
+    e = _ts_us(events)
+    return (
+        e.join(F.broadcast(p99), "event_type")
+        .filter(F.col("value") > F.col("p99"))
+        .select(
+            "event_id",
+            "event_type",
+            "t_us",
+            "value",
+            "p99",
+            F.round(F.col("value") / F.col("p99"), 6).alias("exceed_ratio"),
+        )
+    )
