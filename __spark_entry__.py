@@ -265,6 +265,7 @@ _R4_FRONT = [
     "source_quota_sample",
     "length_buckets",
     "value_outliers",
+    "ann_rerank_topk",
     "dsir_select_threshold",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
@@ -351,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "length_buckets": lambda s, d: corpus.length_buckets(_docs(s, d)),
         "value_outliers": lambda s, d: temporal.value_outliers(_events(s, d)),
+        "ann_rerank_topk": lambda s, d: similarity.ann_rerank_topk(_emb(s, d)),
         # approximate by construction (GK quantile cut) — rows-only
         "dsir_select_threshold": lambda s, d: corpus.dsir_select_threshold(
             _docs(s, d)
@@ -2425,6 +2427,25 @@ SELECT bucket, bucket_cap, COUNT(*) AS n_docs,
        CAST(SUM(greatest(bucket_cap - least(n_tokens, bucket_cap), 0))
             AS BIGINT) AS padding_tokens
 FROM c GROUP BY 1, 2
+"""
+    # ann_rerank_topk: the coarse stage IS the (verified) quantized
+    # oracle with its top-k widened to the candidate count; the rerank
+    # replays ann_topk's exact fold-ordered cosine over candidates.
+    _coarse32 = out["ann_quantized_topk"].replace(
+        "QUALIFY knn_rank <= 5", "QUALIFY knn_rank <= 32"
+    )
+    out["ann_rerank_topk"] = f"""
+WITH coarse AS ({_coarse32}),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings),
+cv AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+r AS (SELECT coarse.query_id, coarse.neighbor_id, {_COS} AS cos
+      FROM coarse JOIN qv USING (query_id) JOIN cv USING (neighbor_id))
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INT)
+         AS knn_rank
+FROM r
+QUALIFY knn_rank <= 5
 """
     out["value_outliers"] = """
 WITH p AS (SELECT event_type,

@@ -812,3 +812,58 @@ def semdedup_apply(
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_kept"),
     )
+
+
+def ann_rerank_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_candidates: int = 32,
+    bits: int = 8,
+) -> DataFrame:
+    """Two-stage ANN retrieval — the production serving pattern: a
+    memory-bound COARSE scan over int8 codes keeps ``n_candidates``
+    per query (integer-exact distances, deterministic cut), then only
+    those candidates pay the exact float cosine RERANK. The scan
+    touches ``dim`` bytes/vector instead of 4–8× that, and the float
+    work drops from corpus-sized to candidates-sized — the trade
+    every IVF/PQ serving stack makes.
+
+    Both stages are engine-exact (integer coarse distances; the
+    rerank reuses ``ann_topk``'s fold-ordered dot), so unlike
+    LSH/IVF probing this two-stage cut has a FULL SQL oracle: recall
+    loss vs exact search is only where true neighbors fall outside
+    the coarse candidate set, which ``n_candidates`` tunes.
+
+    Plan shape: the coarse stage is ``ann_quantized_topk``'s
+    broadcast-scan + per-query top-C window; the candidate list
+    (queries × C rows) then broadcasts against the corpus embeddings
+    — the corpus is scanned, never shuffled, in both stages.
+    """
+    coarse = ann_quantized_topk(
+        embeddings, n_queries=n_queries, k=n_candidates, bits=bits
+    ).select("query_id", "neighbor_id")
+    qv = _prepped(
+        embeddings.filter(F.col("vec_id") < n_queries),
+        "query_id",
+        "q_emb",
+        "q_nrm",
+    )
+    cv = _prepped(embeddings, "neighbor_id", "c_emb", "c_nrm")
+    cand = (
+        cv.join(F.broadcast(coarse), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos",
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "neighbor_id", "knn_rank")
+    )

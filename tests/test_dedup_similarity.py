@@ -370,3 +370,25 @@ def test_strip_repeated_spans_cuts_boilerplate_everywhere(spark):
     assert out[3]["clean_text"].startswith("totally unique")
     assert out[3]["n_removed"] == 0
     assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 0
+
+
+def test_ann_rerank_recovers_exact_neighbors(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        ann_rerank_topk,
+        ann_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in ann_topk(emb).collect()
+    }
+    rerank = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_rerank_topk(emb).collect()
+    }
+    assert len(rerank) == len(exact)
+    recall = len(rerank & exact) / len(exact)
+    # int8 coarse cut at 32 candidates over ~1000 vectors keeps most
+    # true top-5 neighbors; widen n_candidates to trade cost for recall
+    assert recall >= 0.7, recall
