@@ -33,6 +33,9 @@ def test_oracle_keys_subset_of_queries():
         "daily_active_users_approx",
         "value_percentiles_approx",
         "dau_sketch_rollup",
+        # GK-quantile threshold cut — drift-vs-exact-rank bounded in
+        # tests instead
+        "dsir_select_threshold",
     }
 
 

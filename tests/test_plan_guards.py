@@ -54,6 +54,8 @@ SCALAR_BROADCAST = {
     "unigram_logprob",
     # 1-row (raw_tot, tgt_tot) broadcast over the n_buckets-row stats
     "dsir_weights",
+    # inherits ann_quantized_topk's 1-row per-dim ranges broadcast
+    "ann_rerank_topk",
     "dsir_select_threshold",
     "corpus_prep_v2",
     # day-spine × event-type grid, same class as fill_missing_days
