@@ -28,6 +28,7 @@ from py_etl_pipeline_woocommerce_spark.operators import (
     events,
     multimodal,
     packing,
+    reduction,
     sessionize,
     similarity,
     temporal,
@@ -267,6 +268,11 @@ _R4_FRONT = [
     "value_outliers",
     "ann_rerank_topk",
     "dsir_select_threshold",
+    "gopher_rules",
+    "bigram_logprob",
+    "source_divergence",
+    "seasonal_profile",
+    "pca_project",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -329,6 +335,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), exact=True
         ),
         "dashboard_payload": dashboard.dashboard_digest,
+        "gopher_rules": lambda s, d: textstats.gopher_rules(_docs(s, d)),
+        "bigram_logprob": lambda s, d: corpus.bigram_logprob(_docs(s, d)),
+        "source_divergence": lambda s, d: corpus.source_divergence(
+            _docs(s, d)
+        ),
+        "seasonal_profile": lambda s, d: temporal.seasonal_profile(
+            _events(s, d)
+        ),
+        "pca_project": lambda s, d: reduction.pca_project(_emb(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2547,4 +2562,131 @@ FROM c
     # frame oracles are the exact twins).
     out["event_value_summary"] = out["value_percentiles"]
     out["dashboard_payload"] = _dashboard_digest_oracle(out)
+    out["gopher_rules"] = r"""
+WITH a AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')
+           AS words,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    l -> trim(l)), l -> l <> '') AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(words, w -> length(w))), 0)
+              AS BIGINT) AS word_chars,
+         CAST(length(text) - length(replace(text, '#', ''))
+              + len(regexp_extract_all(text, '\.\.\.|…')) AS BIGINT)
+           AS symbols,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(lines, l -> regexp_matches(l, '^[-*•]')))
+              AS BIGINT) AS bullet_lines,
+         CAST(len(list_filter(lines,
+                              l -> regexp_matches(l, '(\.\.\.|…)$')))
+              AS BIGINT) AS ellipsis_lines,
+         CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+              AS BIGINT) AS alpha_words,
+         CAST(len(list_distinct(list_filter(
+                list_transform(words, w -> lower(w)),
+                w -> list_contains(['the','be','to','of','and','that',
+                                    'have','with'], w)))) AS BIGINT)
+           AS stop_hits
+  FROM a),
+r AS (
+  SELECT doc_id, n_words,
+         CASE WHEN n_words > 0
+              THEN CAST(word_chars AS DOUBLE) / n_words
+              ELSE 0.0 END AS mean_word_len,
+         CASE WHEN n_words > 0
+              THEN CAST(symbols AS DOUBLE) / n_words
+              ELSE 0.0 END AS symbol_ratio,
+         CASE WHEN n_lines > 0
+              THEN CAST(bullet_lines AS DOUBLE) / n_lines
+              ELSE 0.0 END AS bullet_ratio,
+         CASE WHEN n_lines > 0
+              THEN CAST(ellipsis_lines AS DOUBLE) / n_lines
+              ELSE 0.0 END AS ellipsis_ratio,
+         CASE WHEN n_words > 0
+              THEN CAST(alpha_words AS DOUBLE) / n_words
+              ELSE 0.0 END AS alpha_word_ratio,
+         stop_hits
+  FROM m)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+       ellipsis_ratio, alpha_word_ratio, stop_hits,
+       n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok,
+       symbol_ratio <= 0.1 AS symbol_ok,
+       bullet_ratio <= 0.9 AS bullet_ok,
+       ellipsis_ratio <= 0.3 AS ellipsis_ok,
+       alpha_word_ratio >= 0.8 AS alpha_ok,
+       stop_hits >= 2 AS stopword_ok,
+       (n_words >= 50 AND n_words <= 100000)
+         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+         AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+         AND ellipsis_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+         AND stop_hits >= 2 AS gopher_pass
+FROM r
+"""
+    out["bigram_logprob"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                            i -> array_to_string(list_slice(toks, i, i + 1),
+                                                 ' ')) AS grams
+      FROM t),
+occ AS (SELECT doc_id, u.gram, string_split(u.gram, ' ')[1] AS w1
+        FROM s, UNNEST(grams) AS u(gram)
+        WHERE u.gram <> ''),
+dt AS (SELECT doc_id, gram, w1, COUNT(*) AS tf_doc FROM occ GROUP BY 1, 2, 3),
+c2 AS (SELECT gram, CAST(SUM(tf_doc) AS BIGINT) AS c2 FROM dt GROUP BY 1),
+c1 AS (SELECT w1, CAST(SUM(tf_doc) AS BIGINT) AS c1 FROM dt GROUP BY 1),
+pd AS (SELECT doc_id, CAST(SUM(tf_doc) AS BIGINT) AS n_bigrams,
+              SUM(tf_doc * -log2(CAST(c2 AS DOUBLE) / c1)) AS bits
+       FROM dt JOIN c2 USING (gram) JOIN c1 USING (w1)
+       GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       COALESCE(round(bits / n_bigrams, 6), 0.0::DOUBLE) AS bits_per_bigram
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+    out["source_divergence"] = f"""
+WITH occ AS (SELECT source, t.term
+             FROM (SELECT source, {_TOKS} AS tk FROM documents),
+                  UNNEST(tk) AS t(term)
+             WHERE t.term <> ''),
+c AS (SELECT source, term, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+k AS (SELECT source, term, c
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY c DESC, term) AS rnk
+            FROM c)
+      WHERE rnk <= 2000),
+tt AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot FROM k GROUP BY 1),
+p AS (SELECT k.source, term, CAST(c AS DOUBLE) / tot AS p
+      FROM k JOIN tt USING (source)),
+pairs AS (SELECT a.source AS source_a, b.source AS source_b,
+                 a.p AS pa, b.p AS pb
+          FROM p a JOIN p b ON a.term = b.term AND a.source < b.source),
+agg AS (SELECT source_a, source_b, COUNT(*) AS n_shared_terms,
+               SUM(pa / 2 * log2(2 * pa / (pa + pb))
+                   + pb / 2 * log2(2 * pb / (pa + pb))) AS sb,
+               SUM(pa) AS ma, SUM(pb) AS mb
+        FROM pairs GROUP BY 1, 2)
+SELECT source_a, source_b, n_shared_terms,
+       round(sb + (1 - ma) / 2 + (1 - mb) / 2, 6) AS jsd
+FROM agg
+"""
+    out["seasonal_profile"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
+g AS (SELECT event_type,
+             (t_us % 86400000000) // 3600000000 AS hour,
+             ((t_us // 86400000000) + 3) % 7 AS weekday,
+             value
+      FROM e),
+a AS (SELECT event_type, weekday, hour, COUNT(*) AS n_events,
+             SUM(CAST(value AS DECIMAL(18,2))) AS tot
+      FROM g GROUP BY 1, 2, 3)
+SELECT event_type, weekday, hour, n_events,
+       CAST(tot AS DOUBLE) AS total_value,
+       round(CAST(tot AS DOUBLE) / n_events, 6) AS mean_value
+FROM a
+"""
     return out

@@ -496,6 +496,148 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     )
 
 
+def bigram_logprob(documents: DataFrame) -> DataFrame:
+    """Per-document bits-per-bigram under the corpus's own CONDITIONAL
+    bigram MLE — one LM order up from ``unigram_logprob``:
+
+        bits = Σ_b tf_doc(b) · (−log2( c2(b) / c1(first(b)) ))
+
+    where ``c2`` counts the bigram corpus-wide and ``c1`` counts its
+    first word *as a bigram prefix* (occurrences in non-final
+    position), so each addend is a proper conditional probability
+    P(w₂|w₁) and the score is the document's cross-entropy under the
+    corpus 2-gram model. Fluent/templated text scores low; shuffled
+    or OCR-mangled word order scores high even when the unigram mix
+    looks normal — exactly the signal order-blind unigram scoring
+    misses.
+
+    Scale shape mirrors ``unigram_logprob``: one shingle explode →
+    distinct (doc, bigram) integer counts → bigram- and prefix-keyed
+    count aggregates → two joins back → doc-grain agg. All big
+    shuffles carry integer partials on high-cardinality keys; the only
+    float reduction is ≤ distinct-bigrams-per-doc addends, rounded to
+    6 dp at the boundary.
+    """
+    from .dedup import _spread
+
+    occ = (
+        _spread(documents)
+        .select(
+            "doc_id",
+            F.explode(word_shingles(tokens_expr("text"), 2)).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .select(
+            "doc_id",
+            "gram",
+            F.split(F.col("gram"), " ")[0].alias("w1"),
+        )
+    )
+    doc_tf = occ.groupBy("doc_id", "gram", "w1").agg(
+        F.count(F.lit(1)).alias("tf_doc")
+    )
+    c2 = doc_tf.groupBy("gram").agg(F.sum("tf_doc").alias("c2"))
+    c1 = doc_tf.groupBy("w1").agg(F.sum("tf_doc").alias("c1"))
+    per_doc = (
+        doc_tf.join(c2, "gram")
+        .join(c1, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf_doc").alias("n_bigrams"),
+            F.sum(
+                F.col("tf_doc")
+                * -F.log2(F.col("c2").cast("double") / F.col("c1"))
+            ).alias("_bits"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce(
+                F.round(F.col("_bits") / F.col("n_bigrams"), 6), F.lit(0.0)
+            ).alias("bits_per_bigram"),
+        )
+    )
+
+
+def source_divergence(documents: DataFrame, top_v: int = 2000) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of sources'
+    unigram distributions — the "how different are my crawls really"
+    matrix that decides whether two sources deserve separate
+    ``mix_weights`` strata or are near-clones.
+
+    Per source: term probabilities over its top-``top_v`` terms
+    (rank-cut so a 100 TB source contributes a bounded vocabulary;
+    probabilities renormalized over the kept terms so each side is a
+    true distribution). For a pair (a, b) with co-occurring terms C:
+
+        JSD = Σ_C [ p/2·log2(2p/(p+q)) + q/2·log2(2q/(p+q)) ]
+              + (1 − Σ_C p)/2 + (1 − Σ_C q)/2
+
+    — the one-sided mass needs no per-term rows because each
+    exclusive term contributes exactly p/2·log2(2) = p/2. Output is
+    in [0, 1] (log2 base), 0 = identical, 1 = disjoint.
+
+    Scale shape: explode → (source, term) integer counts → per-source
+    rank window over the SMALL aggregated vocab (not the corpus) →
+    term-keyed self-join producing only co-occurring pairs (never a
+    vocab cross product) → pair-grain agg. Sources × sources output
+    is tiny by construction.
+    """
+    occ = documents.select(
+        "source", F.explode(tokens_expr("text")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = occ.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("c").desc(), F.col("term")
+    )
+    kept = counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= top_v
+    )
+    totals = kept.groupBy("source").agg(F.sum("c").alias("tot"))
+    probs = kept.join(totals, "source").select(
+        "source", "term", (F.col("c").cast("double") / F.col("tot")).alias("p")
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("p").alias("pa"),
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"),
+        "term",
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "term").filter(F.col("source_a") < F.col("source_b"))
+    m = F.col("pa") + F.col("pb")
+    shared_term = (
+        F.col("pa") / 2 * F.log2(2 * F.col("pa") / m)
+        + F.col("pb") / 2 * F.log2(2 * F.col("pb") / m)
+    )
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_terms"),
+        F.sum(shared_term).alias("_shared_bits"),
+        F.sum("pa").alias("_mass_a"),
+        F.sum("pb").alias("_mass_b"),
+    )
+    jsd = (
+        F.col("_shared_bits")
+        + (1 - F.col("_mass_a")) / 2
+        + (1 - F.col("_mass_b")) / 2
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        F.round(jsd, 6).alias("jsd"),
+    )
+
+
 def tokenizer_stats(documents: DataFrame) -> DataFrame:
     """Per-language tokenizer fertility report: how many tokens a
     language yields per 100 normalized characters and the mean token

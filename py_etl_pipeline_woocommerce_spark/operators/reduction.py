@@ -1,0 +1,126 @@
+"""Embedding dimensionality reduction: exact PCA via a single-pass
+distributed Gramian.
+
+The training-data use case: 100 TB of 1k-dim embeddings are too wide
+for downstream clustering/ANN index builds; PCA to 8-64 dims keeps
+the geometry (and the IVF/LSH recall) at a fraction of the shuffle
+width. The classic scalable construction (public: Halko et al. 2011
+review the Gramian route; every MLlib/Sklearn PCA does the same):
+
+1. ONE distributed pass accumulates the d-vector of sums and the
+   d x d second-moment matrix as integer-position partial aggregates
+   (map-side combinable, d^2 rows cross the shuffle — KB-sized,
+   independent of corpus size).
+2. The driver forms the covariance (O(d^2) memory) and runs a dense
+   symmetric eigendecomposition (O(d^3) — microseconds for any d that
+   fits a Spark row anyway).
+3. Projection is a stateless map: each output coordinate is one
+   fused zip_with/aggregate dot product against a literal component
+   — no shuffle, no Python, streams at scan speed.
+
+Driver check is rows-only by design: eigenvectors are not
+SQL-expressible. The pytest suite asserts the linear-algebra
+contract instead (orthonormal components, descending explained
+variance, reconstruction error shrinking as k grows, parity with
+numpy's exact PCA on the same rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_double(col="embedding"):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
+    """Fit exact PCA; returns plain Python state (the "model"):
+    ``{"mean": [d], "components": [k][d], "explained": [k], "dim": d}``.
+
+    Components are sign-canonicalized (largest-|coefficient| entry
+    positive) so refits are reproducible run-to-run.
+    """
+    dim = embeddings.select(
+        F.size("embedding").alias("d")
+    ).first()["d"]
+    e = _as_double()
+    # one pass: positions [0, d) carry Σx_i, positions [d, d+d²) carry
+    # Σ x_i·x_j (flattened outer product); count rides along.
+    moments = (
+        embeddings.select(
+            F.posexplode(
+                F.concat(
+                    e,
+                    F.flatten(
+                        F.transform(
+                            e, lambda x: F.transform(e, lambda y: x * y)
+                        )
+                    ),
+                )
+            ).alias("pos", "v")
+        )
+        .groupBy("pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    n = moments[0]["n"]
+    flat = np.zeros(dim + dim * dim)
+    for row in moments:
+        flat[row["pos"]] = row["s"]
+    mean = flat[:dim] / n
+    second = flat[dim:].reshape(dim, dim) / n
+    cov = second - np.outer(mean, mean)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    comps = eigvecs[:, order].T  # k x d
+    eigvals = np.maximum(eigvals[order], 0.0)
+    for i in range(comps.shape[0]):  # sign canon: dominant coeff > 0
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i][j] < 0:
+            comps[i] = -comps[i]
+    total_var = max(float(np.trace(cov)), 1e-300)
+    return {
+        "mean": mean.tolist(),
+        "components": comps.tolist(),
+        "explained": (eigvals / total_var).tolist(),
+        "dim": dim,
+    }
+
+
+def pca_project(
+    embeddings: DataFrame, k: int = 8, model: dict | None = None
+) -> DataFrame:
+    """Project embeddings onto the top-``k`` principal axes.
+
+    Output: ``vec_id, label, proj array<double>[k]``. ``model`` lets
+    a stored fit score new batches without re-fitting (same
+    train-offline/score-online split as ``dsir_score_with_model``).
+    """
+    model = pca_fit(embeddings, k) if model is None else model
+    comps = model["components"][:k]
+    e = _as_double()
+    staged = embeddings.select("vec_id", "label", e.alias("_e"))
+    offsets = [
+        float(np.dot(model["mean"], c)) for c in comps
+    ]  # Σ_j (x_j - μ_j)·w_j = x·w − μ·w, with μ·w folded on the driver
+    coords = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    "_e",
+                    F.array(*[F.lit(float(w)) for w in c]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            - F.lit(off)
+        )
+        for c, off in zip(comps, offsets)
+    ]
+    return staged.select(
+        "vec_id", "label", F.array(*coords).alias("proj")
+    )

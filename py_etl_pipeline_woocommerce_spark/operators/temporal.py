@@ -609,3 +609,46 @@ def value_outliers(events: DataFrame) -> DataFrame:
             F.round(F.col("value") / F.col("p99"), 6).alias("exceed_ratio"),
         )
     )
+
+
+def seasonal_profile(events: DataFrame) -> DataFrame:
+    """Hour-of-day x day-of-week activity profile per event type — the
+    seasonality fingerprint behind traffic forecasting, anomaly
+    baselines ("is 3am Tuesday volume normal?"), and batch-window
+    placement.
+
+    Both calendar coordinates are PURE INTEGER epoch math —
+    ``hour = (t_us mod day) div hour``, ``weekday = (epoch_day + 3)
+    mod 7`` (epoch day 0 = Thursday, so +3 lands Monday = 0) — rather
+    than engine date functions, which disagree across engines on
+    week-start convention and timezone defaults. Integer-exact on any
+    engine, UTC by construction.
+
+    One scan, one partial-aggregated shuffle carrying at most
+    |types| x 168 group rows regardless of event volume; the mean is
+    the single float division at the output boundary.
+    """
+    e = _ts_us(events)
+    grouped = (
+        e.select(
+            "event_type",
+            F.expr(f"(t_us % {DAY_US}) div {HOUR_US}").alias("hour"),
+            F.expr(f"((t_us div {DAY_US}) + 3) % 7").alias("weekday"),
+            "value",
+        )
+        .groupBy("event_type", "weekday", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec_money("value")).alias("_total"),
+        )
+    )
+    return grouped.select(
+        "event_type",
+        "weekday",
+        "hour",
+        "n_events",
+        F.col("_total").cast("double").alias("total_value"),
+        F.round(
+            F.col("_total").cast("double") / F.col("n_events"), 6
+        ).alias("mean_value"),
+    )

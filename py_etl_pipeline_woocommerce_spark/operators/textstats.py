@@ -248,6 +248,135 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id", stage.alias("text_scrubbed"), *counts)
 
 
+#: Gopher's stopword rule vocabulary (Rae et al. 2021 §A1.1 — public
+#: paper): a doc must contain at least two DISTINCT words of this set.
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher document-level quality rules (Rae et al. 2021
+    arXiv:2112.11446 §A1.1 — public paper) over the RAW text: the
+    rule set ``quality_score``/``repetition_stats`` do not cover.
+
+    Per-doc signals + rule verdicts:
+    - ``n_words`` in [min_words, max_words] (raw whitespace words),
+    - ``mean_word_len`` in [3, 10],
+    - ``symbol_ratio`` — (# '#' chars + '…'/'...' runs) / words ≤ 0.1,
+    - ``bullet_ratio`` / ``ellipsis_ratio`` — fraction of lines
+      starting with a bullet (≤0.9) / ending in an ellipsis (≤0.3),
+    - ``alpha_word_ratio`` — words containing ≥1 alphabetic char ≥0.8,
+    - ``stop_hits`` — distinct GOPHER_STOPWORDS present ≥2.
+
+    ``gopher_pass`` ANDs all seven. Single codegen'd scan, zero
+    shuffles, zero Python: every signal is integer counting over
+    split/filter/transform arrays, each ratio ONE int/int division —
+    engine-exact against the DuckDB twin at any partitioning.
+    """
+    stops = list(GOPHER_STOPWORDS)
+    # Stage the two splits ONCE as real columns — Catalyst does not
+    # CSE duplicated non-cheap subtrees (see quality_score), so an
+    # un-staged version would re-split the text per signal (~7x).
+    arrays = documents.select(
+        "doc_id",
+        "text",
+        F.filter(F.split(F.col("text"), "\\s+"), lambda w: w != "").alias(
+            "_words"
+        ),
+        F.filter(
+            F.transform(F.split(F.col("text"), "\n"), F.trim),
+            lambda l: l != "",
+        ).alias("_lines"),
+    )
+    words, lines = F.col("_words"), F.col("_lines")
+    staged = arrays.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+        ).cast("bigint").alias("_word_chars"),
+        (
+            F.length(F.col("text"))
+            - F.length(F.regexp_replace(F.col("text"), "#", ""))
+            + F.regexp_count(F.col("text"), F.lit(r"\.\.\.|…"))
+        ).cast("bigint").alias("_symbols"),
+        F.size(lines).cast("bigint").alias("_n_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"^[-*•]"))
+        ).cast("bigint").alias("_bullet_lines"),
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        ).cast("bigint").alias("_ellipsis_lines"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("bigint").alias("_alpha_words"),
+        F.size(
+            F.array_distinct(
+                F.filter(F.transform(words, F.lower), lambda w: w.isin(stops))
+            )
+        ).cast("bigint").alias("stop_hits"),
+    )
+    n_words = F.col("n_words")
+    nonempty = n_words > 0
+    has_lines = F.col("_n_lines") > 0
+    mean_word_len = F.when(
+        nonempty, F.col("_word_chars") / n_words
+    ).otherwise(0.0)
+    symbol_ratio = F.when(
+        nonempty, F.col("_symbols") / n_words
+    ).otherwise(0.0)
+    bullet_ratio = F.when(
+        has_lines, F.col("_bullet_lines") / F.col("_n_lines")
+    ).otherwise(0.0)
+    ellipsis_ratio = F.when(
+        has_lines, F.col("_ellipsis_lines") / F.col("_n_lines")
+    ).otherwise(0.0)
+    alpha_ratio = F.when(
+        nonempty, F.col("_alpha_words") / n_words
+    ).otherwise(0.0)
+    staged = staged.select(
+        "doc_id",
+        "n_words",
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        "stop_hits",
+    )
+    rules = {
+        "word_count_ok": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "word_len_ok": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "symbol_ok": F.col("symbol_ratio") <= max_symbol_ratio,
+        "bullet_ok": F.col("bullet_ratio") <= max_bullet_ratio,
+        "ellipsis_ok": F.col("ellipsis_ratio") <= max_ellipsis_ratio,
+        "alpha_ok": F.col("alpha_word_ratio") >= min_alpha_word_ratio,
+        "stopword_ok": F.col("stop_hits") >= min_stop_hits,
+    }
+    gopher_pass = F.lit(True)
+    for expr in rules.values():
+        gopher_pass = gopher_pass & expr
+    return staged.select(
+        "*",
+        *[expr.alias(name) for name, expr in rules.items()],
+        gopher_pass.alias("gopher_pass"),
+    )
+
+
 def filter_pipeline(
     documents: DataFrame,
     min_tokens: int = 20,

@@ -36,6 +36,10 @@ def test_oracle_keys_subset_of_queries():
         # GK-quantile threshold cut — drift-vs-exact-rank bounded in
         # tests instead
         "dsir_select_threshold",
+        # eigenvectors are not SQL-expressible; the linear-algebra
+        # contract (orthonormality, numpy parity, reconstruction) is
+        # pytest-asserted instead
+        "pca_project",
     }
 
 

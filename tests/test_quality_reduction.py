@@ -1,0 +1,270 @@
+"""Round-4 additions: Gopher document rules, bigram LM scoring,
+source JS-divergence, seasonal profile, and distributed PCA — literal
+hand-computed expectations plus the linear-algebra contract for PCA.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from py_etl_pipeline_woocommerce_spark.operators import corpus, reduction
+from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+    seasonal_profile,
+)
+from py_etl_pipeline_woocommerce_spark.operators.textstats import gopher_rules
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string"
+EV_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+# ------------------------------------------------------------------
+# gopher_rules
+# ------------------------------------------------------------------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+def test_gopher_word_count_and_stopwords(spark):
+    good = "the quick brown fox and that dog have fun with everyone " * 6
+    out = {
+        r.doc_id: r
+        for r in gopher_rules(
+            _docs(
+                spark,
+                [
+                    (1, good, "en", "s"),  # 66 words, stopword-rich
+                    (2, "tiny doc only", "en", "s"),  # too short, no stops
+                ],
+            )
+        ).collect()
+    }
+    assert out[1].n_words == 66
+    assert out[1].word_count_ok and out[1].stopword_ok
+    assert out[1].gopher_pass
+    assert out[2].n_words == 3
+    assert not out[2].word_count_ok
+    assert out[2].stop_hits == 0 and not out[2].stopword_ok
+    assert not out[2].gopher_pass
+
+
+def test_gopher_line_and_symbol_rules(spark):
+    bullets = "\n".join(["- item one two", "* item three", "plain line"])
+    ellipsis = "\n".join(["trailing off...", "also this…", "solid line"])
+    hashy = "a b c # # # # #"
+    out = {
+        r.doc_id: r
+        for r in gopher_rules(
+            _docs(
+                spark,
+                [
+                    (1, bullets, "en", "s"),
+                    (2, ellipsis, "en", "s"),
+                    (3, hashy, "en", "s"),
+                ],
+            )
+        ).collect()
+    }
+    assert out[1].bullet_ratio == pytest.approx(2 / 3)
+    assert out[2].ellipsis_ratio == pytest.approx(2 / 3)
+    assert not out[2].ellipsis_ok
+    # 5 '#' chars over 8 words
+    assert out[3].symbol_ratio == pytest.approx(5 / 8)
+    assert not out[3].symbol_ok
+    # words that are pure '#' contain no alphabetic char
+    assert out[3].alpha_word_ratio == pytest.approx(3 / 8)
+
+
+def test_gopher_empty_doc_all_zero(spark):
+    (row,) = gopher_rules(_docs(spark, [(1, "", "en", "s")])).collect()
+    assert row.n_words == 0
+    assert row.mean_word_len == 0.0
+    assert not row.gopher_pass  # word_count + stopword rules fail
+
+
+# ------------------------------------------------------------------
+# bigram_logprob
+# ------------------------------------------------------------------
+
+def test_bigram_logprob_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [(1, "a b a c", "en", "s"), (2, "a b", "en", "s")],
+    )
+    out = {r.doc_id: r for r in corpus.bigram_logprob(docs).collect()}
+    # c2: (a b)=2, (b a)=1, (a c)=1 ; prefix c1: a=3, b=1
+    # doc1 bits = -[log2(2/3) + log2(1/1) + log2(1/3)]
+    bits1 = -(math.log2(2 / 3) + math.log2(1 / 3))
+    assert out[1].n_bigrams == 3
+    assert out[1].bits_per_bigram == pytest.approx(round(bits1 / 3, 6))
+    assert out[2].n_bigrams == 1
+    assert out[2].bits_per_bigram == pytest.approx(
+        round(-math.log2(2 / 3), 6)
+    )
+
+
+def test_bigram_logprob_short_docs_zero(spark):
+    docs = _docs(spark, [(1, "solo", "en", "s"), (2, "", "en", "s")])
+    out = {r.doc_id: r for r in corpus.bigram_logprob(docs).collect()}
+    assert out[1].n_bigrams == 0 and out[1].bits_per_bigram == 0.0
+    assert out[2].n_bigrams == 0 and out[2].bits_per_bigram == 0.0
+
+
+# ------------------------------------------------------------------
+# source_divergence
+# ------------------------------------------------------------------
+
+def test_source_divergence_identical_and_disjoint(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "x y x", "en", "sA"),
+            (2, "x y x", "en", "sB"),  # identical distribution to sA
+            (3, "z w", "en", "sC"),    # disjoint vocabulary
+        ],
+    )
+    out = {
+        (r.source_a, r.source_b): r
+        for r in corpus.source_divergence(docs).collect()
+    }
+    assert out[("sA", "sB")].jsd == pytest.approx(0.0, abs=1e-9)
+    assert out[("sA", "sB")].n_shared_terms == 2
+    # disjoint: no co-occurring terms -> no pair row at all (JSD would
+    # be exactly 1); the join shape intentionally emits only pairs
+    # with shared vocabulary
+    assert ("sA", "sC") not in out
+
+
+def test_source_divergence_bounded(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "x x x y", "en", "sA"),
+            (2, "x y y y", "en", "sB"),
+        ],
+    )
+    (row,) = corpus.source_divergence(docs).collect()
+    assert 0.0 < row.jsd < 1.0
+
+
+# ------------------------------------------------------------------
+# seasonal_profile
+# ------------------------------------------------------------------
+
+def test_seasonal_profile_epoch_math(spark):
+    day_us = 86_400_000_000
+    hour_us = 3_600_000_000
+    rows = [
+        # epoch 0 = Thursday 1970-01-01 -> weekday 3 (Monday=0), hour 0
+        (1, 0, 1, "click", 1.0, "{}"),
+        # +25h -> Friday (4), hour 1
+        (2, (day_us + hour_us) * 1000, 1, "click", 3.0, "{}"),
+        # same cell as event 1
+        (3, 1_000_000 * 1000, 2, "click", 2.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {
+        (r.event_type, r.weekday, r.hour): r
+        for r in seasonal_profile(ev).collect()
+    }
+    cell = out[("click", 3, 0)]
+    assert cell.n_events == 2
+    assert cell.total_value == pytest.approx(3.0)
+    assert cell.mean_value == pytest.approx(1.5)
+    assert out[("click", 4, 1)].n_events == 1
+
+
+# ------------------------------------------------------------------
+# pca
+# ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    d = 6
+    # strong variance along axis 0, medium along axis 1, noise elsewhere
+    data = np.column_stack(
+        [
+            rng.normal(0, 10, 200),
+            rng.normal(0, 3, 200),
+            *[rng.normal(0, 0.1, 200) for _ in range(d - 2)],
+        ]
+    )
+    return (
+        spark.createDataFrame(
+            [
+                (int(i), [float(x) for x in row], int(i % 3))
+                for i, row in enumerate(data)
+            ],
+            "vec_id bigint, embedding array<float>, label int",
+        ),
+        data.astype(np.float32).astype(np.float64),
+    )
+
+
+def test_pca_fit_matches_numpy(emb):
+    df, data = emb
+    model = reduction.pca_fit(df, k=3)
+    comps = np.array(model["components"])
+    # orthonormal
+    assert np.abs(comps @ comps.T - np.eye(3)).max() < 1e-9
+    # explained variance descending, dominated by the wide axis
+    assert model["explained"][0] > model["explained"][1] > model["explained"][2]
+    assert model["explained"][0] > 0.8
+    # first component is essentially e0
+    assert abs(abs(comps[0][0]) - 1.0) < 1e-2
+    # exact parity with numpy PCA on the same rows
+    cov = np.cov(data.T, bias=True)
+    ev, W = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:3]
+    Wk = W[:, order].T
+    for i in range(3):
+        j = int(np.argmax(np.abs(Wk[i])))
+        if Wk[i][j] < 0:
+            Wk[i] = -Wk[i]
+    assert np.abs(Wk - comps).max() < 1e-8
+
+
+def test_pca_project_reconstruction_improves_with_k(emb):
+    df, data = emb
+    mu = data.mean(0)
+    errs = []
+    for k in (1, 2, 4):
+        model = reduction.pca_fit(df, k=k)
+        proj = (
+            reduction.pca_project(df, k=k, model=model)
+            .orderBy("vec_id")
+            .collect()
+        )
+        P = np.array([r.proj for r in proj])
+        comps = np.array(model["components"])
+        recon = mu + P @ comps
+        errs.append(float(((data - recon) ** 2).sum()))
+    assert errs[0] > errs[1] > errs[2]
+    # top-2 axes carry nearly all the variance in this construction
+    total = float(((data - mu) ** 2).sum())
+    assert errs[1] / total < 0.01
+
+
+def test_pca_project_partitioning_invariant(emb):
+    df, _ = emb
+    model = reduction.pca_fit(df, k=2)
+    a = (
+        reduction.pca_project(df, k=2, model=model)
+        .orderBy("vec_id")
+        .collect()
+    )
+    b = (
+        reduction.pca_project(df.repartition(7), k=2, model=model)
+        .orderBy("vec_id")
+        .collect()
+    )
+    for ra, rb in zip(a, b):
+        assert ra.proj == pytest.approx(rb.proj, abs=1e-12)
