@@ -273,6 +273,10 @@ _R4_FRONT = [
     "source_divergence",
     "seasonal_profile",
     "pca_project",
+    "lang_confusion",
+    "value_outliers_mad",
+    "perplexity_bucket_mix",
+    "pmi_terms",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -344,6 +348,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d)
         ),
         "pca_project": lambda s, d: reduction.pca_project(_emb(s, d)),
+        "lang_confusion": lambda s, d: textstats.lang_confusion(_docs(s, d)),
+        "value_outliers_mad": lambda s, d: temporal.value_outliers_mad(
+            _events(s, d)
+        ),
+        "perplexity_bucket_mix": lambda s, d: corpus.perplexity_bucket_mix(
+            _docs(s, d)
+        ),
+        "pmi_terms": lambda s, d: corpus.pmi_terms(_docs(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2673,6 +2685,82 @@ agg AS (SELECT source_a, source_b, COUNT(*) AS n_shared_terms,
 SELECT source_a, source_b, n_shared_terms,
        round(sb + (1 - ma) / 2 + (1 - mb) / 2, 6) AS jsd
 FROM agg
+"""
+    out["lang_confusion"] = f"""
+WITH li AS ({{LANG_ID}}),
+cells AS (SELECT lang_declared, lang_pred, COUNT(*) AS n_docs
+          FROM li GROUP BY 1, 2)
+SELECT lang_declared, lang_pred, n_docs,
+       CAST(SUM(n_docs) OVER (PARTITION BY lang_declared) AS BIGINT)
+         AS declared_total,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER (PARTITION BY lang_declared)
+                    AS BIGINT), 6) AS share
+FROM cells
+""".replace("{LANG_ID}", out["lang_id"])
+    out["value_outliers_mad"] = """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t_us, value
+           FROM events),
+med AS (SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+        FROM e GROUP BY 1),
+mad AS (SELECT e.event_type,
+               round(quantile_cont(abs(value - med), 0.5), 6) AS mad
+        FROM e JOIN med USING (event_type) GROUP BY 1),
+j AS (SELECT e.event_id, e.event_type, e.t_us, e.value, med, mad,
+             round(0.6745 * (value - med) / mad, 6) AS mod_z
+      FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+      WHERE mad > 0)
+SELECT event_id, event_type, t_us, value, med, mad, mod_z
+FROM j WHERE abs(mod_z) > 3.5
+"""
+    out["perplexity_bucket_mix"] = f"""
+WITH ul AS ({{UNIGRAM}}),
+tc AS (SELECT doc_id,
+              CAST(CASE WHEN length({_NORM}) = 0 THEN 0
+                        ELSE len({_TOKS}) END AS BIGINT) AS n_tokens
+       FROM documents),
+j AS (SELECT ul.doc_id, bits_per_token, n_tokens
+      FROM ul JOIN tc USING (doc_id)),
+d AS (SELECT *, CAST(ntile(10) OVER (ORDER BY bits_per_token, doc_id)
+                     AS INT) AS decile
+      FROM j),
+g AS (SELECT decile, COUNT(*) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             MIN(bits_per_token) AS min_bits,
+             MAX(bits_per_token) AS max_bits
+      FROM d GROUP BY 1),
+ct AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS corpus_tokens FROM tc)
+SELECT decile, n_docs, total_tokens,
+       round(CAST(total_tokens AS DOUBLE) / corpus_tokens, 6)
+         AS token_share,
+       min_bits, max_bits
+FROM g CROSS JOIN ct
+""".replace("{UNIGRAM}", out["unigram_logprob"])
+    out["pmi_terms"] = f"""
+WITH pres AS (SELECT DISTINCT doc_id, t.term
+              FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+                   UNNEST(tk) AS t(term)
+              WHERE t.term <> ''),
+dfq AS (SELECT term, COUNT(*) AS df FROM pres GROUP BY 1),
+vocab AS (SELECT term, df
+          FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS r
+                FROM dfq)
+          WHERE r <= 100),
+pv AS (SELECT doc_id, term, df FROM pres JOIN vocab USING (term)),
+n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+pairs AS (SELECT a.term AS term_a, b.term AS term_b,
+                 a.df AS df_a, b.df AS df_b
+          FROM pv a JOIN pv b
+            ON a.doc_id = b.doc_id AND a.term < b.term),
+agg AS (SELECT term_a, term_b, COUNT(*) AS df_ab,
+               ANY_VALUE(df_a) AS df_a, ANY_VALUE(df_b) AS df_b
+        FROM pairs GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+SELECT term_a, term_b, df_ab, df_a, df_b,
+       round(log2(CAST(df_ab AS DOUBLE) * n_corpus
+                  / (CAST(df_a AS DOUBLE) * df_b)), 6) AS pmi
+FROM agg CROSS JOIN n
+ORDER BY pmi DESC, term_a, term_b
+LIMIT 50
 """
     out["seasonal_profile"] = """
 WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),

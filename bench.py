@@ -64,6 +64,15 @@ HEADLINE = [
     "dau_sketch_rollup",
     "dsir_weights",
     "repeated_spans",
+    "gopher_rules",
+    "bigram_logprob",
+    "source_divergence",
+    "seasonal_profile",
+    "pca_project",
+    "lang_confusion",
+    "value_outliers_mad",
+    "perplexity_bucket_mix",
+    "pmi_terms",
 ]
 
 

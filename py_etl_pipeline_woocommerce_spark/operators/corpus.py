@@ -77,8 +77,13 @@ def ngram_freq(documents: DataFrame, n: int = 2, topk: int = 20) -> DataFrame:
     the (tiny) aggregated counts, not the raw corpus. Ties break on
     the n-gram string so the cut is total-ordered.
     """
+    # stage tokens as a column: word_shingles re-evaluates its input
+    # per element inside the transform lambda (no HOF CSE) — unstaged
+    # this re-ran normalize+split once per shingle position (O(T²))
     grams = documents.select(
-        "lang", F.explode(word_shingles(tokens_expr("text"), n)).alias("ngram")
+        "lang", tokens_expr("text").alias("_toks")
+    ).select(
+        "lang", F.explode(word_shingles(F.col("_toks"), n)).alias("ngram")
     )
     counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("freq"))
     w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("ngram"))
@@ -162,17 +167,19 @@ def decontaminate(
     if benchmark is None:
         benchmark = documents.filter(F.col("doc_id") % 20 == 0)
         documents = documents.filter(F.col("doc_id") % 20 != 0)
+    # tokens staged as columns before shingling — see ngram_freq for
+    # the per-element HOF re-evaluation trap this avoids
     bench_shingles = (
-        benchmark.select(
-            F.explode(word_shingles(tokens_expr("text"), n)).alias("shingle")
-        )
+        benchmark.select(tokens_expr("text").alias("_toks"))
+        .select(F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"))
         .filter(F.col("shingle") != "")
         .distinct()
     )
     doc_shingles = (
-        documents.select(
+        documents.select("doc_id", tokens_expr("text").alias("_toks"))
+        .select(
             "doc_id",
-            F.explode_outer(word_shingles(tokens_expr("text"), n)).alias("shingle"),
+            F.explode_outer(word_shingles(F.col("_toks"), n)).alias("shingle"),
         )
         .filter(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
         .distinct()
@@ -520,11 +527,19 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     """
     from .dedup import _spread
 
+    # Stage the token array as a REAL column before shingling:
+    # word_shingles references its input inside a transform lambda,
+    # and HOF children re-evaluate PER ELEMENT (no CSE) — un-staged,
+    # the whole normalize+split pipeline re-ran once per bigram
+    # position, turning each doc O(T²·regex) (measured 31 s vs 1.5 s
+    # at sf0.1).
+    staged = _spread(documents).select(
+        "doc_id", tokens_expr("text").alias("_toks")
+    )
     occ = (
-        _spread(documents)
-        .select(
+        staged.select(
             "doc_id",
-            F.explode(word_shingles(tokens_expr("text"), 2)).alias("gram"),
+            F.explode(word_shingles(F.col("_toks"), 2)).alias("gram"),
         )
         .filter(F.col("gram") != "")
         .select(
@@ -1145,4 +1160,121 @@ def dsir_select_threshold(
         "n_occ",
         "log_weight",
         (F.col("log_weight") >= F.col("_thr")).alias("is_selected"),
+    )
+
+
+def perplexity_bucket_mix(documents: DataFrame) -> DataFrame:
+    """CCNet-style perplexity-decile mixing report: rank every doc by
+    its ``unigram_logprob`` bits-per-token, cut into 10 equal-count
+    buckets, and report each bucket's doc/token mass — the table
+    behind "keep the middle deciles, resample the head" curation
+    (Wenzek et al., CCNet, arXiv:1911.00359 — public paper).
+
+    ORACLE-PARITY PATH: the decile cut is ``ntile(10)`` over the
+    total order (bits_per_token, doc_id), which moves the doc-grain
+    frame (NOT the corpus text) through one global window — fine at
+    verification scale, a single-partition sort at 100 TB. The scale
+    swap is the ``dsir_select_threshold`` construction: nine
+    ``percentile_approx`` boundaries (mergeable GK) + a broadcast
+    bucket join, same output schema.
+
+    token_share divides two engine-exact BIGINTs at the boundary.
+    """
+    scored = unigram_logprob(documents)
+    toks = documents.select(
+        "doc_id", token_count_expr("text").alias("n_tokens")
+    )
+    w = Window.orderBy("bits_per_token", "doc_id")
+    dec = (
+        scored.join(toks, "doc_id")
+        .withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("bits_per_token").alias("min_bits"),
+            F.max("bits_per_token").alias("max_bits"),
+        )
+    )
+    corpus_toks = toks.agg(F.sum("n_tokens").alias("_corpus_tokens"))
+    return dec.join(F.broadcast(corpus_toks)).select(
+        "decile",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens").cast("double") / F.col("_corpus_tokens"), 6
+        ).alias("token_share"),
+        "min_bits",
+        "max_bits",
+    )
+
+
+def pmi_terms(
+    documents: DataFrame,
+    top_v: int = 100,
+    k: int = 50,
+    min_pair_docs: int = 5,
+) -> DataFrame:
+    """Top-``k`` term pairs by pointwise mutual information over
+    document co-occurrence — collocation mining for tokenizer vocab
+    curation and phrase detection:
+
+        pmi(a, b) = log2( df(a,b) · N / (df(a) · df(b)) )
+
+    with document frequencies over DISTINCT presence (a term counts
+    once per doc).
+
+    Scale shape: the pair join is restricted to the top-``top_v``
+    corpus vocabulary (broadcast, rank-cut on the aggregated term
+    frame), so per-doc candidates are bounded by C(min(top_v, doc
+    vocab), 2) and the pair space by C(top_v, 2) — never a corpus
+    cross join. Presence explode → df agg → vocab cut → doc-keyed
+    self-join → pair agg → distributed TakeOrdered top-k. The cut
+    orders by ROUNDED pmi then the pair, so it is total-ordered and
+    engine-exact.
+    """
+    pres = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_expr("text"))).alias("term"),
+    ).filter(F.col("term") != "")
+    df_ = pres.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wv = Window.orderBy(F.col("df").desc(), F.col("term"))
+    vocab = (
+        df_.withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") <= top_v)
+        .select("term", "df")
+    )
+    pv = pres.join(F.broadcast(vocab), "term")
+    a = pv.select(
+        "doc_id", F.col("term").alias("term_a"), F.col("df").alias("df_a")
+    )
+    b = pv.select(
+        "doc_id", F.col("term").alias("term_b"), F.col("df").alias("df_b")
+    )
+    pairs = a.join(b, "doc_id").filter(F.col("term_a") < F.col("term_b"))
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_corpus"))
+    agg = (
+        pairs.groupBy("term_a", "term_b")
+        .agg(
+            F.count(F.lit(1)).alias("df_ab"),
+            F.first("df_a").alias("df_a"),
+            F.first("df_b").alias("df_b"),
+        )
+        .filter(F.col("df_ab") >= min_pair_docs)
+        .join(F.broadcast(n_docs))
+    )
+    # df_a·df_b in DOUBLE: a BIGINT product overflows once doc
+    # frequencies pass ~3e9 (a real 100 TB corpus size)
+    pmi = F.round(
+        F.log2(
+            F.col("df_ab").cast("double")
+            * F.col("n_corpus")
+            / (F.col("df_a").cast("double") * F.col("df_b"))
+        ),
+        6,
+    )
+    return (
+        agg.select("term_a", "term_b", "df_ab", "df_a", "df_b", pmi.alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "term_a", "term_b")
+        .limit(k)
     )

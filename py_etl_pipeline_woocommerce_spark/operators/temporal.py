@@ -652,3 +652,49 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
             F.col("_total").cast("double") / F.col("n_events"), 6
         ).alias("mean_value"),
     )
+
+
+def value_outliers_mad(
+    events: DataFrame, z_cut: float = 3.5
+) -> DataFrame:
+    """Robust per-type anomaly flags via the modified z-score
+    (Iglewicz & Hoaglin's public 0.6745·(x − median)/MAD rule):
+    unlike ``value_outliers``' p99 cut, the median/MAD baseline is
+    insensitive to the outliers themselves, so a burst of extreme
+    values can't drag its own threshold upward.
+
+    Two grouped aggregations over the event scan (median, then median
+    absolute deviation around it) — both per-type frames are tiny and
+    broadcast back; the flagging pass is one scan. Median/MAD are
+    ROUNDED to 6 dp before the comparison so the flagged set is
+    engine-exact. Same caveat as ``value_percentiles``: the exact
+    median buffers per-group values — at 100 TB swap the two medians
+    for ``percentile_approx`` (mergeable GK) with the identical
+    output schema.
+    """
+    e = _ts_us(events)
+    med = (
+        e.groupBy("event_type")
+        .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"))
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.round(
+                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+                6,
+            ).alias("mad"),
+        )
+    )
+    z = F.round(
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        e.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("mod_z", z)
+        .filter(F.abs(F.col("mod_z")) > z_cut)
+        .select("event_id", "event_type", "t_us", "value", "med", "mad", "mod_z")
+    )

@@ -425,3 +425,34 @@ def filter_pipeline(
         reason.alias("reason"),
         (reason == "kept").alias("keep"),
     )
+
+
+def lang_confusion(documents: DataFrame) -> DataFrame:
+    """Declared-vs-predicted language confusion matrix — the
+    lang-ID observability report a corpus run publishes: each cell
+    counts docs whose metadata says ``lang_declared`` but whose text
+    classifies as ``lang_pred``, with the cell's share of its
+    declared-language row.
+
+    Composes ``lang_id`` (one scan) with a cell-grain aggregate; the
+    row totals come from a window over the already-aggregated cells
+    (|langs|² rows), not a second corpus scan. The share is one
+    int/int division at the boundary — engine-exact.
+    """
+    from pyspark.sql import Window
+
+    cells = (
+        lang_id(documents)
+        .groupBy("lang_declared", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    row_total = F.sum("n_docs").over(
+        Window.partitionBy("lang_declared")
+    )
+    return cells.select(
+        "lang_declared",
+        "lang_pred",
+        "n_docs",
+        row_total.alias("declared_total"),
+        F.round(F.col("n_docs") / row_total, 6).alias("share"),
+    )

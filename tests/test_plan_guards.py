@@ -61,6 +61,10 @@ SCALAR_BROADCAST = {
     # day-spine × event-type grid, same class as fill_missing_days
     "fill_missing_days_locf",
     "fill_missing_days_interp",
+    # 1-row corpus-token total broadcast over the 10 decile rows
+    "perplexity_bucket_mix",
+    # 1-row corpus doc count broadcast over the bounded pair frame
+    "pmi_terms",
 }
 
 

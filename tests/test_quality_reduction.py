@@ -268,3 +268,97 @@ def test_pca_project_partitioning_invariant(emb):
     )
     for ra, rb in zip(a, b):
         assert ra.proj == pytest.approx(rb.proj, abs=1e-12)
+
+
+# ------------------------------------------------------------------
+# lang_confusion / value_outliers_mad / perplexity buckets / PMI
+# ------------------------------------------------------------------
+
+def test_lang_confusion_cells(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        lang_confusion,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat and the dog", "en", "s"),   # en -> en
+            (2, "le chat et la mer", "en", "s"),      # declared en, reads fr
+            (3, "der hund und die katze", "de", "s"),  # de -> de
+        ],
+    )
+    out = {
+        (r.lang_declared, r.lang_pred): r
+        for r in lang_confusion(docs).collect()
+    }
+    assert out[("en", "en")].n_docs == 1
+    assert out[("en", "fr")].n_docs == 1
+    assert out[("en", "en")].declared_total == 2
+    assert out[("en", "fr")].share == pytest.approx(0.5)
+    assert out[("de", "de")].share == pytest.approx(1.0)
+
+
+def test_value_outliers_mad_flags_only_extremes(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        value_outliers_mad,
+    )
+
+    rows = [
+        (i, i * 1000_000, 1, "buy", v, "{}")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0])
+    ]
+    ev = spark.createDataFrame(rows, EV_SCHEMA)
+    out = value_outliers_mad(ev).collect()
+    # med=3, mad=1 -> only 100.0 crosses |0.6745*(v-3)/1| > 3.5
+    assert [r.value for r in out] == [100.0]
+    assert out[0].med == 3.0 and out[0].mad == 1.0
+    assert out[0].mod_z == pytest.approx(round(0.6745 * 97, 6))
+
+
+def test_value_outliers_mad_zero_mad_type_dropped(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        value_outliers_mad,
+    )
+
+    rows = [(i, i * 1000_000, 1, "buy", 5.0, "{}") for i in range(4)] + [
+        (9, 9_000_000_000, 1, "buy", 500.0, "{}")
+    ]
+    ev = spark.createDataFrame(rows, EV_SCHEMA)
+    # med=5, mad=0 -> the whole type is unas sessable, emits nothing
+    assert value_outliers_mad(ev).count() == 0
+
+
+def test_perplexity_bucket_mix_shares(spark):
+    docs = _docs(
+        spark,
+        [
+            (i, " ".join(f"w{i}t{j}" for j in range(5)) + " common", "en", "s")
+            for i in range(20)
+        ],
+    )
+    out = sorted(
+        corpus.perplexity_bucket_mix(docs).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in out] == list(range(1, 11))
+    assert sum(r.n_docs for r in out) == 20
+    assert sum(r.token_share for r in out) == pytest.approx(1.0, abs=1e-4)
+    # deciles are ordered by score: each bucket's min >= previous max
+    for prev, cur in zip(out, out[1:]):
+        assert cur.min_bits >= prev.max_bits - 1e-9
+
+
+def test_pmi_terms_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [(i, "a b filler%d" % i, "en", "s") for i in range(5)]
+        + [(i + 10, "c filler%d" % i, "en", "s") for i in range(5)],
+    )
+    out = {
+        (r.term_a, r.term_b): r
+        for r in corpus.pmi_terms(docs, top_v=10, k=10, min_pair_docs=5).collect()
+    }
+    # df_ab=5, df_a=df_b=5, N=10 -> pmi = log2(5*10/25) = 1
+    assert out[("a", "b")].pmi == pytest.approx(1.0)
+    assert out[("a", "b")].df_ab == 5
+    # 'c' never co-occurs >= 5 docs with a/b
+    assert all("c" not in pair for pair in out)
