@@ -277,6 +277,7 @@ _R4_FRONT = [
     "value_outliers_mad",
     "perplexity_bucket_mix",
     "pmi_terms",
+    "mmr_topk",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -356,6 +357,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "pmi_terms": lambda s, d: corpus.pmi_terms(_docs(s, d)),
+        # greedy set-conditioned selection — not SQL-expressible,
+        # rows-only driver check (see test_quality_reduction MMR tests)
+        "mmr_topk": lambda s, d: similarity.mmr_topk(_emb(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(

@@ -867,3 +867,112 @@ def ann_rerank_topk(
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "neighbor_id", "knn_rank")
     )
+
+
+def mmr_topk(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    lamb: float = 0.7,
+    n_candidates: int = 32,
+) -> DataFrame:
+    """Maximal Marginal Relevance retrieval (Carbonell & Goldstein
+    1998 — public paper): per query, greedily pick ``k`` results
+    maximizing ``λ·relevance − (1−λ)·max-sim-to-already-picked`` so
+    near-duplicate hits don't crowd the result page — the serving-side
+    twin of SemDeDup's corpus-side cleanup.
+
+    Two stages, both distributed:
+    1. Candidate generation — the ``ann_topk`` broadcast scan keeps
+       the top-``n_candidates`` by cosine per query (one corpus pass;
+       swap in the quantized/IVF variant at scale, identical shape).
+    2. Greedy MMR — grouped ``applyInPandas`` per query: each group is
+       a BOUNDED (``n_candidates``-row) pandas frame, the greedy loop
+       is O(k·C) numpy inside Arrow — no driver collect, queries
+       re-rank in parallel.
+
+    Greedy selection is not SQL-expressible (each pick conditions on
+    the previous set) → rows-only driver check; determinism pytest +
+    duplicate-demotion semantics instead. Ties break on neighbor_id.
+    """
+    import pandas as pd
+
+    q = _prepped(
+        embeddings.filter(F.col("vec_id") < n_queries),
+        "query_id",
+        "q_emb",
+        "q_nrm",
+    )
+    c = _prepped(embeddings, "neighbor_id", "c_emb", "c_nrm")
+    scored = (
+        c.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "rel",
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= n_candidates)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            (F.transform("c_emb", lambda x: x / F.col("c_nrm"))).alias(
+                "_unit"
+            ),
+        )
+    )
+
+    schema = (
+        "query_id bigint, neighbor_id bigint, mmr_rank int, "
+        "relevance double, redundancy double"
+    )
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["rel", "neighbor_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        import numpy as np
+
+        units = np.stack(pdf["_unit"].values)  # C x d unit vectors
+        rel = pdf["rel"].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        red = np.zeros(n)  # max cosine to the picked set so far
+        out = []
+        for rank in range(1, min(k, n) + 1):
+            mmr = lamb * rel - (1.0 - lamb) * red
+            mmr[picked] = -np.inf
+            # argmax with neighbor_id tie-break: numpy argmax takes the
+            # first max, and rows are sorted by (rel desc, id asc) — a
+            # deterministic total order
+            best = int(np.argmax(np.round(mmr, 12)))
+            out.append(
+                (
+                    int(pdf["query_id"].iloc[best]),
+                    int(pdf["neighbor_id"].iloc[best]),
+                    rank,
+                    round(float(rel[best]), 6),
+                    round(float(red[best]), 6),
+                )
+            )
+            picked.append(best)
+            red = np.maximum(red, units @ units[best])
+        return pd.DataFrame(
+            out,
+            columns=[
+                "query_id",
+                "neighbor_id",
+                "mmr_rank",
+                "relevance",
+                "redundancy",
+            ],
+        )
+
+    return cands.groupBy("query_id").applyInPandas(greedy, schema)

@@ -40,6 +40,9 @@ def test_oracle_keys_subset_of_queries():
         # contract (orthonormality, numpy parity, reconstruction) is
         # pytest-asserted instead
         "pca_project",
+        # greedy set-conditioned selection (each pick depends on the
+        # previous picks) — duplicate-demotion + determinism pytest
+        "mmr_topk",
     }
 
 

@@ -362,3 +362,75 @@ def test_pmi_terms_hand_computed(spark):
     assert out[("a", "b")].df_ab == 5
     # 'c' never co-occurs >= 5 docs with a/b
     assert all("c" not in pair for pair in out)
+
+
+# ------------------------------------------------------------------
+# mmr_topk
+# ------------------------------------------------------------------
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+
+
+def test_mmr_demotes_near_duplicate(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        ann_topk,
+        mmr_topk,
+    )
+
+    emb = _vecs(
+        spark,
+        [
+            (0, [1, 0, 0, 0]),          # the query
+            (1, [0.9, 0.1, 0, 0]),      # most relevant
+            (2, [0.9, 0.1, 0.001, 0]),  # near-duplicate of 1
+            (3, [0.6, 0, 0.8, 0]),      # less relevant but diverse
+        ],
+    )
+    plain = [
+        r.neighbor_id
+        for r in ann_topk(emb, n_queries=1, k=2)
+        .orderBy("knn_rank")
+        .collect()
+    ]
+    assert plain == [1, 2]  # relevance-only ranking keeps the dup
+    mmr = [
+        r.neighbor_id
+        for r in mmr_topk(emb, n_queries=1, k=2, lamb=0.5)
+        .orderBy("mmr_rank")
+        .collect()
+    ]
+    assert mmr == [1, 3]  # MMR swaps the dup for the diverse hit
+
+
+def test_mmr_rank1_is_top_relevance_and_deterministic(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        mmr_topk,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    emb = _vecs(
+        spark,
+        [(i, rng.normal(size=8)) for i in range(40)],
+    )
+    out = mmr_topk(emb, n_queries=2, k=4).orderBy("query_id", "mmr_rank")
+    a = [(r.query_id, r.neighbor_id) for r in out.collect()]
+    b = [
+        (r.query_id, r.neighbor_id)
+        for r in mmr_topk(emb.repartition(5), n_queries=2, k=4)
+        .orderBy("query_id", "mmr_rank")
+        .collect()
+    ]
+    assert a == b
+    # rank 1 always equals the pure-relevance argmax
+    first = {
+        r.query_id: r.redundancy
+        for r in out.collect()
+        if r.mmr_rank == 1
+    }
+    assert all(v == 0.0 for v in first.values())
