@@ -278,6 +278,7 @@ _R4_FRONT = [
     "perplexity_bucket_mix",
     "pmi_terms",
     "mmr_topk",
+    "corpus_report",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -360,6 +361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greedy set-conditioned selection — not SQL-expressible,
         # rows-only driver check (see test_quality_reduction MMR tests)
         "mmr_topk": lambda s, d: similarity.mmr_topk(_emb(s, d)),
+        "corpus_report": lambda s, d: corpus.corpus_report(_docs(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2766,6 +2768,32 @@ FROM agg CROSS JOIN n
 ORDER BY pmi DESC, term_a, term_b
 LIMIT 50
 """
+    # corpus_report: composition of the individually-verified
+    # quality/gopher/lang_id fragments + the fingerprint expression.
+    out["corpus_report"] = f"""
+WITH q AS ({_QUALITY_SQL}),
+g AS ({{GOPHER}}),
+li AS ({{LANG_ID}}),
+fp AS (SELECT doc_id, source, md5({_NORM}) AS fingerprint
+       FROM documents),
+j AS (SELECT fp.doc_id, fp.source, fp.fingerprint, q.n_tokens,
+             q.quality, g.gopher_pass,
+             li.lang_declared <> li.lang_pred AS mismatch
+      FROM fp JOIN q USING (doc_id) JOIN g USING (doc_id)
+              JOIN li USING (doc_id))
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(1 - CAST(COUNT(DISTINCT fingerprint) AS DOUBLE) / COUNT(*),
+             6) AS dup_ratio,
+       round(CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS gopher_pass_rate,
+       round(CAST(SUM(CASE WHEN mismatch THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS lang_mismatch_rate,
+       round(SUM(quality) / COUNT(*), 6) AS mean_quality
+FROM j GROUP BY source
+""".replace("{GOPHER}", out["gopher_rules"]).replace(
+        "{LANG_ID}", out["lang_id"]
+    )
     out["seasonal_profile"] = """
 WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
 g AS (SELECT event_type,

@@ -1278,3 +1278,63 @@ def pmi_terms(
         .orderBy(F.col("pmi").desc(), "term_a", "term_b")
         .limit(k)
     )
+
+
+def corpus_report(documents: DataFrame) -> DataFrame:
+    """One-call corpus health report, one row per source: the summary
+    a curation run publishes before anyone trains on the data —
+    volume, exact-dup rate, Gopher pass rate, language-metadata
+    mismatch rate, mean quality.
+
+    Composes the individually-verified doc-grain operators
+    (fingerprints, quality_score, gopher_rules, lang_id) with
+    doc_id-keyed joins — all four sides are doc-grain projections of
+    the same scan, so Catalyst plans co-partitioned hash joins — and
+    ONE source-grain aggregate. The only non-integer reduction is the
+    quality sum, rounded to 6 dp at the boundary (association noise
+    ~1e-13, far below the grain). dup_ratio counts distinct
+    fingerprints WITHIN the source, so cross-source template reuse
+    doesn't leak between rows.
+    """
+    from .textstats import (
+        doc_fingerprint,
+        gopher_rules,
+        lang_id,
+        quality_score,
+    )
+
+    base = documents.select("doc_id", "source")
+    fp = doc_fingerprint(documents).select("doc_id", "fingerprint")
+    q = quality_score(documents).select("doc_id", "n_tokens", "quality")
+    g = gopher_rules(documents).select("doc_id", "gopher_pass")
+    li = lang_id(documents).select(
+        "doc_id",
+        (F.col("lang_declared") != F.col("lang_pred")).alias("_mismatch"),
+    )
+    j = base.join(fp, "doc_id").join(q, "doc_id").join(g, "doc_id").join(
+        li, "doc_id"
+    )
+    agg = j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("fingerprint").alias("_n_unique"),
+        F.sum(F.col("gopher_pass").cast("bigint")).alias("_n_pass"),
+        F.sum(F.col("_mismatch").cast("bigint")).alias("_n_mismatch"),
+        F.sum("quality").alias("_q_sum"),
+    )
+    n = F.col("n_docs")
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(1 - F.col("_n_unique").cast("double") / n, 6).alias(
+            "dup_ratio"
+        ),
+        F.round(F.col("_n_pass").cast("double") / n, 6).alias(
+            "gopher_pass_rate"
+        ),
+        F.round(F.col("_n_mismatch").cast("double") / n, 6).alias(
+            "lang_mismatch_rate"
+        ),
+        F.round(F.col("_q_sum") / n, 6).alias("mean_quality"),
+    )

@@ -30,6 +30,8 @@ CROSS_JOIN_BASELINES = {
     # quantized codes × broadcast 8-row query batch (bounded fan-out),
     # plus the 1-row per-dim range broadcast
     "ann_quantized_topk",
+    # inherits ann_topk's broadcast query-batch × corpus candidate scan
+    "mmr_topk",
 }
 
 #: Joins against a broadcast 1-row global aggregate (total revenue,

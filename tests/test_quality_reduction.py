@@ -434,3 +434,30 @@ def test_mmr_rank1_is_top_relevance_and_deterministic(spark):
         if r.mmr_rank == 1
     }
     assert all(v == 0.0 for v in first.values())
+
+
+# ------------------------------------------------------------------
+# corpus_report
+# ------------------------------------------------------------------
+
+def test_corpus_report_hand_computed(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the cat and the dog sat", "en", "sA"),
+            (2, "the cat and the dog sat", "en", "sA"),  # exact dup of 1
+            (3, "le chat et la mer bleue", "en", "sA"),  # declared en, reads fr
+            (4, "der hund und die katze", "de", "sB"),
+        ],
+    )
+    out = {r.source: r for r in corpus.corpus_report(docs).collect()}
+    a = out["sA"]
+    assert a.n_docs == 3
+    assert a.dup_ratio == pytest.approx(round(1 - 2 / 3, 6))
+    assert a.lang_mismatch_rate == pytest.approx(round(1 / 3, 6))
+    # none of these tiny docs pass the 50-word Gopher gate
+    assert a.gopher_pass_rate == 0.0
+    b = out["sB"]
+    assert b.n_docs == 1 and b.dup_ratio == 0.0
+    assert b.lang_mismatch_rate == 0.0
+    assert 0.0 < a.mean_quality < 1.0
