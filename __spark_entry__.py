@@ -279,6 +279,7 @@ _R4_FRONT = [
     "pmi_terms",
     "mmr_topk",
     "corpus_report",
+    "pack_bins_bfd",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -362,6 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only driver check (see test_quality_reduction MMR tests)
         "mmr_topk": lambda s, d: similarity.mmr_topk(_emb(s, d)),
         "corpus_report": lambda s, d: corpus.corpus_report(_docs(s, d)),
+        # greedy bin assignment — not SQL-expressible, rows-only
+        # driver check (capacity/determinism pytest)
+        "pack_bins_bfd": lambda s, d: packing.pack_bins_bfd(_docs(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(

@@ -73,6 +73,8 @@ HEADLINE = [
     "value_outliers_mad",
     "perplexity_bucket_mix",
     "pmi_terms",
+    "mmr_topk",
+    "corpus_report",
 ]
 
 

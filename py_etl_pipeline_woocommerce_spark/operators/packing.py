@@ -113,3 +113,100 @@ def chunk_documents(
         F.size(chunk_toks).cast("bigint").alias("n_tokens"),
         F.concat_ws(" ", chunk_toks).alias("chunk_text"),
     )
+
+
+def pack_bins_bfd(
+    documents: DataFrame, budget: int = 512, buckets: int = 8
+) -> DataFrame:
+    """Best-fit-decreasing bin packing: assign each document WHOLE to
+    one fixed-size pack, minimizing padding — the
+    no-cross-contamination packing modern LLM loaders use when
+    attention must not leak across document boundaries (in contrast
+    to ``pack_sequences``' concat-then-chunk layout, which splits
+    docs across pack boundaries). Docs longer than ``budget`` are
+    kept, alone in their pack, flagged ``truncated`` (the loader
+    truncates their tail).
+
+    Distributed shape: ONLY the (doc_id, n_tokens) metadata enters
+    the packing kernel — never the text — so a bucket of a million
+    docs is ~16 MB. Docs hash into ``buckets`` independent substreams
+    (same determinism trick as ``pack_sequences``); each bucket's BFD
+    runs in a grouped ``applyInPandas``: sort by (n_tokens desc,
+    doc_id), place each doc into the open pack with the SMALLEST
+    remaining capacity that fits (heap; ties → oldest pack), else
+    open a new pack. O(n log n) per bucket, buckets ≈ cluster width
+    at 100 TB. Fully deterministic ⇒ re-runs reproduce the layout.
+
+    Greedy set-conditioned assignment is not SQL-expressible →
+    rows-only driver check; pytest asserts capacity, determinism
+    under repartitioning, and strictly less padding than the naive
+    in-order packer on an adversarial mix.
+    """
+    import pandas as pd
+
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    )
+    staged = documents.select(
+        "doc_id",
+        (h.cast("bigint") % buckets).alias("bucket"),
+        token_count_expr("text").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    schema = (
+        "doc_id bigint, bucket bigint, n_tokens bigint, pack_id bigint, "
+        "pack_fill bigint, truncated boolean"
+    )
+
+    def bfd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        bucket = int(pdf["bucket"].iloc[0])
+        # open packs kept as a sorted list of (remaining, pack_idx);
+        # best fit = first entry with remaining >= size — O(n log n)
+        import bisect
+
+        packs: list[int] = []  # pack_idx -> fill
+        by_remaining: list[tuple[int, int]] = []  # sorted (remaining, idx)
+        assign: list[int] = []
+        truncated: list[bool] = []
+        for size, _doc in zip(pdf["n_tokens"], pdf["doc_id"]):
+            size = int(size)
+            if size >= budget:
+                packs.append(min(size, budget))
+                assign.append(len(packs) - 1)
+                truncated.append(size > budget)
+                continue
+            # smallest remaining that fits; ties -> lowest pack idx
+            # (bisect on (size, -inf) finds the first remaining >= size;
+            # entries with equal remaining are ordered by idx, so the
+            # first hit IS the oldest such pack)
+            pos = bisect.bisect_left(by_remaining, (size, -1))
+            if pos < len(by_remaining):
+                rem, idx = by_remaining.pop(pos)
+                packs[idx] += size
+                by_remaining_insert = (rem - size, idx)
+                if by_remaining_insert[0] > 0:
+                    bisect.insort(by_remaining, by_remaining_insert)
+                assign.append(idx)
+            else:
+                packs.append(size)
+                idx = len(packs) - 1
+                if budget - size > 0:
+                    bisect.insort(by_remaining, (budget - size, idx))
+                assign.append(idx)
+            truncated.append(False)
+        fills = [packs[i] for i in assign]
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "bucket": bucket,
+                "n_tokens": pdf["n_tokens"].astype("int64"),
+                "pack_id": pd.Series(assign, dtype="int64"),
+                "pack_fill": pd.Series(fills, dtype="int64"),
+                "truncated": pd.Series(truncated, dtype="bool"),
+            }
+        )
+
+    return staged.groupBy("bucket").applyInPandas(bfd, schema)

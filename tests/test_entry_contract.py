@@ -43,6 +43,8 @@ def test_oracle_keys_subset_of_queries():
         # greedy set-conditioned selection (each pick depends on the
         # previous picks) — duplicate-demotion + determinism pytest
         "mmr_topk",
+        # greedy bin assignment — capacity/waste/determinism pytest
+        "pack_bins_bfd",
     }
 
 

@@ -221,3 +221,85 @@ def test_vocab_drift_flags_shifted_terms(spark):
     assert out["alpha"].share_b == 0.0 and out["alpha"].count_b == 0
     assert out["beta"].drift == pytest.approx(1 / 3)
     assert {out["alpha"].drift_rank, out["beta"].drift_rank} == {1, 2}
+
+
+# ------------------------------------------------------------------
+# pack_bins_bfd
+# ------------------------------------------------------------------
+
+def _bfd_docs(spark, sizes):
+    # doc i gets exactly sizes[i] tokens
+    return spark.createDataFrame(
+        [
+            (i, " ".join(f"t{j}" for j in range(n)), "en", "s")
+            for i, n in enumerate(sizes)
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+
+
+def test_bfd_capacity_and_fill(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.packing import (
+        pack_bins_bfd,
+    )
+
+    # budget 10: sizes 6,6,4,4 -> BFD packs (6+4) and (6+4), zero waste
+    docs = _bfd_docs(spark, [6, 6, 4, 4])
+    out = pack_bins_bfd(docs, budget=10, buckets=1).collect()
+    assert len(out) == 4
+    packs = {}
+    for r in out:
+        assert not r.truncated
+        packs.setdefault(r.pack_id, []).append(r.n_tokens)
+        assert r.pack_fill == 10
+    assert sorted(sorted(v) for v in packs.values()) == [[4, 6], [4, 6]]
+
+
+def test_bfd_beats_naive_in_order_packing(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.packing import (
+        pack_bins_bfd,
+    )
+
+    # in doc_id order (9,2,9,2,9,2) a naive first-fit-in-order packer
+    # with budget 11 opens a new pack per 9 after filling (9+2); BFD
+    # sorts descending and pairs every 9 with a 2: 3 packs, 0 waste
+    docs = _bfd_docs(spark, [9, 2, 9, 2, 9, 2])
+    out = pack_bins_bfd(docs, budget=11, buckets=1).collect()
+    n_packs = len({r.pack_id for r in out})
+    assert n_packs == 3
+    assert all(r.pack_fill == 11 for r in out)
+
+
+def test_bfd_oversize_isolated_and_truncated(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.packing import (
+        pack_bins_bfd,
+    )
+
+    docs = _bfd_docs(spark, [20, 3, 3])
+    out = {r.doc_id: r for r in pack_bins_bfd(docs, budget=10, buckets=1).collect()}
+    assert out[0].truncated and out[0].pack_fill == 10
+    # the oversize doc shares its pack with nobody
+    assert {r.pack_id for r in out.values() if r.doc_id != 0} != {out[0].pack_id}
+
+
+def test_bfd_deterministic_across_partitioning(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.packing import (
+        pack_bins_bfd,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    sizes = [int(x) for x in rng.randint(1, 400, 200)]
+    docs = _bfd_docs(spark, sizes)
+    a = sorted(
+        (r.doc_id, r.bucket, r.pack_id)
+        for r in pack_bins_bfd(docs, budget=512, buckets=4).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.bucket, r.pack_id)
+        for r in pack_bins_bfd(
+            docs.repartition(7), budget=512, buckets=4
+        ).collect()
+    )
+    assert a == b

@@ -301,3 +301,62 @@ def test_streaming_session_window_matches_batch(spark, stream_dirs):
     }
     assert got == batch
     assert len(got) == 3  # user 10 split into two sessions + user 11
+
+
+def test_streaming_quality_gate_matches_batch(spark, stream_dirs, tmp_path):
+    """The stateless doc-quality expressions (gopher_rules) run
+    UNCHANGED on a Structured Streaming frame — the "score documents
+    as they land" ingest gate: pure projections need no watermark, no
+    state store, and produce bit-identical rows to the batch run."""
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [
+            "the quick brown fox and that dog have fun with everyone " * 6,
+            "tiny doc only",
+            "- bullet one\n- bullet two\nthe rest of that line with have",
+        ],
+        "lang": ["en"] * 3,
+        "source": ["s"] * 3,
+        "n_chars": [10, 10, 10],
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "text": pa.array(rows["text"], pa.string()),
+            "lang": pa.array(rows["lang"], pa.string()),
+            "source": pa.array(rows["source"], pa.string()),
+            "n_chars": pa.array(rows["n_chars"], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, f"{src}/part-0.parquet")
+
+    batch_df = spark.read.parquet(str(src))
+    expected = {
+        r.doc_id: r for r in gopher_rules(batch_df).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(str(src))
+    gated = gopher_rules(stream)
+    assert gated.isStreaming
+    q = (
+        gated.writeStream.format("memory")
+        .queryName("gate_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id: r for r in spark.sql("SELECT * FROM gate_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert set(got) == set(expected)
+    for d, exp in expected.items():
+        assert got[d].asDict() == exp.asDict()
