@@ -280,6 +280,7 @@ _R4_FRONT = [
     "mmr_topk",
     "corpus_report",
     "pack_bins_bfd",
+    "lang_id_nb",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -366,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # greedy bin assignment — not SQL-expressible, rows-only
         # driver check (capacity/determinism pytest)
         "pack_bins_bfd": lambda s, d: packing.pack_bins_bfd(_docs(s, d)),
+        "lang_id_nb": lambda s, d: textstats.lang_id_nb(_docs(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2798,6 +2800,51 @@ FROM j GROUP BY source
 """.replace("{GOPHER}", out["gopher_rules"]).replace(
         "{LANG_ID}", out["lang_id"]
     )
+    out["lang_id_nb"] = f"""
+WITH st AS (SELECT doc_id, lang, {_NORM} AS n FROM documents),
+occ AS (SELECT doc_id, lang, g.gram
+        FROM (SELECT doc_id, lang,
+                     CASE WHEN length(n) >= 3
+                          THEN list_transform(range(1, length(n) - 1),
+                                              i -> substr(n, i, 3))
+                          ELSE CAST([] AS VARCHAR[]) END AS grams
+              FROM st), UNNEST(grams) AS g(gram)),
+lg AS (SELECT lang, gram, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+vocab AS (SELECT gram FROM (
+            SELECT gram,
+                   ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, gram) AS r
+            FROM lg GROUP BY gram) WHERE r <= 4096),
+vs AS (SELECT COUNT(*) AS v_size FROM vocab),
+tot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t_l, v_size,
+               ln(1.0 / (CAST(SUM(c) AS BIGINT) + v_size)) AS floor_logp
+        FROM lg JOIN vocab USING (gram) CROSS JOIN vs
+        GROUP BY lang, v_size),
+mat AS (SELECT lg.lang, gram, ln((c + 1.0) / (t_l + v_size)) AS logp
+        FROM lg JOIN vocab USING (gram) JOIN tot USING (lang)),
+tf AS (SELECT doc_id, gram, COUNT(*) AS tf FROM occ GROUP BY 1, 2),
+dn AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_grams FROM tf GROUP BY 1),
+iv AS (SELECT doc_id, lang, SUM(tf * logp) AS in_bits,
+              CAST(SUM(tf) AS BIGINT) AS in_occ
+       FROM tf JOIN mat USING (gram) GROUP BY 1, 2),
+grid AS (SELECT dn.doc_id, t.lang, dn.n_grams, t.floor_logp
+         FROM dn CROSS JOIN tot t),
+sc AS (SELECT g.doc_id, g.lang,
+              round(COALESCE(in_bits, 0.0)
+                    + (g.n_grams - COALESCE(in_occ, 0)) * g.floor_logp,
+                    6) AS score
+       FROM grid g LEFT JOIN iv
+         ON g.doc_id = iv.doc_id AND g.lang = iv.lang),
+best AS (SELECT doc_id, lang AS lang_pred, score,
+                ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, lang) AS r
+         FROM sc)
+SELECT d.doc_id, d.lang AS lang_declared,
+       COALESCE(b.lang_pred, 'unknown') AS lang_pred,
+       COALESCE(b.score, 0.0::DOUBLE) AS score
+FROM documents d
+LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
+  USING (doc_id)
+"""
     out["seasonal_profile"] = """
 WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
 g AS (SELECT event_type,

@@ -456,3 +456,131 @@ def lang_confusion(documents: DataFrame) -> DataFrame:
         row_total.alias("declared_total"),
         F.round(F.col("n_docs") / row_total, 6).alias("share"),
     )
+
+
+def lang_id_nb(documents: DataFrame, top_v: int = 4096) -> DataFrame:
+    """Character-trigram naive-Bayes language ID — the classic
+    textcat construction (Cavnar & Trenkle 1994 n-gram categorization
+    — public paper), trained ON THE CORPUS'S OWN declared labels and
+    applied back to every document. Where ``lang_id`` is a fixed
+    marker-word heuristic, this learns per-language trigram
+    likelihoods, so it generalizes to text that contains no marker
+    words at all.
+
+    Model (all distributed, no driver state):
+    - trigram explode of the normalized text → (lang, gram) counts,
+    - vocabulary = top-``top_v`` grams by corpus count (rank-cut so
+      the model is KB-sized at any corpus scale, broadcastable),
+    - add-one smoothed per-lang log-likelihoods
+      ``ln((c+1)/(T_l+V))``; grams outside a language's training
+      rows fall back to that language's smoothing floor.
+
+    Scoring: one (doc, gram) tf frame joined to the broadcast
+    gram×lang likelihood matrix; per-doc-per-lang score =
+    Σ tf·logp + (oov occurrences)·floor. The argmax compares scores
+    ROUNDED to 6 dp with a declared language order tie-break, so the
+    prediction is engine-exact (the same rounding contract as DSIR's
+    selection). Two corpus scans (train + score) — at 100 TB, train
+    on a sample and persist the matrix; scoring is unchanged.
+    """
+    from pyspark.sql import Window
+
+    staged = documents.select(
+        "doc_id", "lang", norm_text("text").alias("_n")
+    )
+    occ = staged.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.when(
+                F.length("_n") >= 3,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_n") - 2),
+                    lambda i: F.col("_n").substr(i, F.lit(3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    # --- train: vocabulary cut + per-(lang, gram) add-one logp ---
+    lg = occ.groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("c"))
+    wv = Window.orderBy(F.col("vc").desc(), F.col("gram"))
+    vocab = (
+        lg.groupBy("gram")
+        .agg(F.sum("c").alias("vc"))
+        .withColumn("_r", F.row_number().over(wv))
+        .filter(F.col("_r") <= top_v)
+        .select("gram")
+    )
+    v_size = vocab.agg(F.count(F.lit(1)).alias("v_size"))
+    totals = (
+        lg.join(vocab, "gram")
+        .groupBy("lang")
+        .agg(F.sum("c").alias("t_l"))
+        .join(F.broadcast(v_size))
+        .select(
+            "lang",
+            "t_l",
+            "v_size",
+            F.log((F.lit(1.0)) / (F.col("t_l") + F.col("v_size"))).alias(
+                "floor_logp"
+            ),
+        )
+    )
+    matrix = (
+        lg.join(vocab, "gram")
+        .join(F.broadcast(totals.select("lang", "t_l", "v_size")), "lang")
+        .select(
+            "lang",
+            "gram",
+            F.log(
+                (F.col("c") + 1.0) / (F.col("t_l") + F.col("v_size"))
+            ).alias("logp"),
+        )
+    )
+    # --- score: per-doc tf joined to the broadcast matrix ---
+    tf = occ.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("tf"))
+    doc_n = tf.groupBy("doc_id").agg(F.sum("tf").alias("n_grams"))
+    in_vocab = (
+        tf.join(F.broadcast(matrix), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(F.col("tf") * F.col("logp")).alias("_in_bits"),
+            F.sum("tf").alias("_in_occ"),
+        )
+    )
+    # every doc scores against EVERY language: start from the
+    # doc × lang grid (langs is a tiny broadcast dim) so a doc whose
+    # grams all miss a language still gets that language's floor mass
+    grid = doc_n.join(F.broadcast(totals.select("lang", "floor_logp")))
+    scored = grid.join(in_vocab, ["doc_id", "lang"], "left").select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.coalesce(F.col("_in_bits"), F.lit(0.0))
+            + (
+                F.col("n_grams") - F.coalesce(F.col("_in_occ"), F.lit(0))
+            )
+            * F.col("floor_logp"),
+            6,
+        ).alias("score"),
+    )
+    # deterministic argmax: max rounded score, ties to first lang
+    # alphabetically (scores rounded to 6 dp on both engines)
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang")
+    )
+    best = (
+        scored.withColumn("_r", F.row_number().over(wd))
+        .filter(F.col("_r") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"), "score")
+    )
+    return (
+        documents.select("doc_id", F.col("lang").alias("lang_declared"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang_declared",
+            F.coalesce("lang_pred", F.lit("unknown")).alias("lang_pred"),
+            F.coalesce("score", F.lit(0.0)).alias("score"),
+        )
+    )

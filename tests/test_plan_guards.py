@@ -67,6 +67,8 @@ SCALAR_BROADCAST = {
     "perplexity_bucket_mix",
     # 1-row corpus doc count broadcast over the bounded pair frame
     "pmi_terms",
+    # doc grid × |langs|-row broadcast likelihood totals (bounded dim)
+    "lang_id_nb",
 }
 
 

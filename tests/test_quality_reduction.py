@@ -461,3 +461,51 @@ def test_corpus_report_hand_computed(spark):
     assert b.n_docs == 1 and b.dup_ratio == 0.0
     assert b.lang_mismatch_rate == 0.0
     assert 0.0 < a.mean_quality < 1.0
+
+
+# ------------------------------------------------------------------
+# lang_id_nb
+# ------------------------------------------------------------------
+
+def test_lang_id_nb_recovers_labels_and_flags_mislabels(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        lang_id_nb,
+    )
+
+    en = "the quick brown fox jumps over the lazy dog again and again"
+    fr = "le chat noir dort sur le canape pres de la fenetre ouverte"
+    rows = [
+        (1, en, "en", "s"),
+        (2, en + " every day", "en", "s"),
+        (3, fr, "fr", "s"),
+        (4, fr + " chaque nuit", "fr", "s"),
+        # declared en but the text is the French corpus's trigrams
+        (5, fr, "en", "s"),
+        (6, "", "en", "s"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in lang_id_nb(
+            spark.createDataFrame(rows, DOC_SCHEMA)
+        ).collect()
+    }
+    assert out[1].lang_pred == "en" and out[3].lang_pred == "fr"
+    assert out[5].lang_pred == "fr"  # the mislabel is caught
+    assert out[6].lang_pred == "unknown" and out[6].score == 0.0
+
+
+def test_lang_id_nb_partitioning_invariant(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        lang_id_nb,
+    )
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(
+        (r.doc_id, r.lang_pred, r.score) for r in lang_id_nb(docs).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.lang_pred, r.score)
+        for r in lang_id_nb(docs.repartition(9)).collect()
+    )
+    assert a == b
