@@ -281,6 +281,7 @@ _R4_FRONT = [
     "corpus_report",
     "pack_bins_bfd",
     "lang_id_nb",
+    "ewma_daily",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -368,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver check (capacity/determinism pytest)
         "pack_bins_bfd": lambda s, d: packing.pack_bins_bfd(_docs(s, d)),
         "lang_id_nb": lambda s, d: textstats.lang_id_nb(_docs(s, d)),
+        "ewma_daily": lambda s, d: temporal.ewma_daily(_events(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2844,6 +2846,22 @@ SELECT d.doc_id, d.lang AS lang_declared,
 FROM documents d
 LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
   USING (doc_id)
+"""
+    out["ewma_daily"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
+d AS (SELECT event_type,
+             (t_us // 86400000000) * 86400000000 AS day_us,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+      FROM e GROUP BY 1, 2),
+s AS (SELECT *, list(total_value)
+                  OVER (PARTITION BY event_type ORDER BY day_us
+                        ROWS UNBOUNDED PRECEDING) AS series
+      FROM d)
+SELECT event_type, day_us, total_value,
+       round(list_reduce(series, (acc, x) -> 0.2 * x + 0.8 * acc), 6)
+         AS ewma
+FROM s
 """
     out["seasonal_profile"] = """
 WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),

@@ -698,3 +698,53 @@ def value_outliers_mad(
         .filter(F.abs(F.col("mod_z")) > z_cut)
         .select("event_id", "event_type", "t_us", "value", "med", "mad", "mod_z")
     )
+
+
+def ewma_daily(events: DataFrame, alpha: float = 0.2) -> DataFrame:
+    """Exponentially weighted moving average of daily value totals per
+    event type — the classic smoothing baseline behind alerting
+    ("is today's revenue off its trend?") and forecast seeding.
+
+    EWMA is a sequential recurrence (y_t = α·x_t + (1−α)·y_{t−1}, y
+    seeded with the first observation), which most engines can't
+    window. Both engines CAN fold a list in order, so the recurrence
+    runs as an ordered ``collect_list`` over the day window +
+    ``aggregate`` fold — the identical left-to-right IEEE operation
+    sequence on both sides, hence bit-identical results (rounded to
+    6 dp at the boundary anyway).
+
+    Scale shape: the fold runs on the AGGREGATED (type, day) frame —
+    ≤ |types| × |days| rows regardless of event volume — after one
+    partial-agg shuffle of the raw scan. The per-row list is the
+    type's day-prefix (O(days²) per type in memory terms), bounded by
+    the calendar, not the data.
+    """
+    e = _ts_us(events)
+    daily = (
+        e.select(
+            "event_type",
+            ((F.col("t_us") / DAY_US).cast("bigint") * DAY_US).alias(
+                "day_us"
+            ),
+            "value",
+        )
+        .groupBy("event_type", "day_us")
+        .agg(F.sum(dec_money("value")).cast("double").alias("total_value"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    series = F.collect_list("total_value").over(w)
+    ewma = F.aggregate(
+        F.slice(series, 2, F.greatest(F.size(series) - 1, F.lit(0))),
+        F.element_at(series, 1),
+        lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+    )
+    return daily.select(
+        "event_type",
+        "day_us",
+        "total_value",
+        F.round(ewma, 6).alias("ewma"),
+    )

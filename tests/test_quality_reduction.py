@@ -509,3 +509,31 @@ def test_lang_id_nb_partitioning_invariant(spark):
         for r in lang_id_nb(docs.repartition(9)).collect()
     )
     assert a == b
+
+
+# ------------------------------------------------------------------
+# ewma_daily
+# ------------------------------------------------------------------
+
+def test_ewma_daily_recurrence(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        ewma_daily,
+    )
+
+    day_ns = 86_400_000_000_000
+    rows = [
+        (1, 0 * day_ns, 1, "buy", 10.0, "{}"),
+        (2, 1 * day_ns, 1, "buy", 20.0, "{}"),
+        (3, 2 * day_ns, 1, "buy", 30.0, "{}"),
+        # a second type with one day only: ewma == total
+        (4, 0 * day_ns, 1, "view", 5.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {
+        (r.event_type, r.day_us): r for r in ewma_daily(ev).collect()
+    }
+    # y0 = 10; y1 = .2*20+.8*10 = 12; y2 = .2*30+.8*12 = 15.6
+    assert out[("buy", 0)].ewma == pytest.approx(10.0)
+    assert out[("buy", 86_400_000_000)].ewma == pytest.approx(12.0)
+    assert out[("buy", 2 * 86_400_000_000)].ewma == pytest.approx(15.6)
+    assert out[("view", 0)].ewma == pytest.approx(5.0)
