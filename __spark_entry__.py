@@ -282,6 +282,7 @@ _R4_FRONT = [
     "pack_bins_bfd",
     "lang_id_nb",
     "ewma_daily",
+    "hash_embed",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -370,6 +371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_bins_bfd": lambda s, d: packing.pack_bins_bfd(_docs(s, d)),
         "lang_id_nb": lambda s, d: textstats.lang_id_nb(_docs(s, d)),
         "ewma_daily": lambda s, d: temporal.ewma_daily(_events(s, d)),
+        "hash_embed": lambda s, d: corpus.hash_embed(_docs(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2846,6 +2848,23 @@ SELECT d.doc_id, d.lang AS lang_declared,
 FROM documents d
 LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
   USING (doc_id)
+"""
+    out["hash_embed"] = f"""
+WITH occ AS (SELECT doc_id, t.term
+             FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+                  UNNEST(tk) AS t(term)
+             WHERE t.term <> ''),
+tb AS (SELECT doc_id, dim_idx, COUNT(*) AS tf
+       FROM (SELECT doc_id,
+                    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 16
+                      AS dim_idx
+             FROM occ)
+       GROUP BY 1, 2),
+n AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS BIGINT)) AS nrm
+      FROM tb GROUP BY 1)
+SELECT doc_id, dim_idx, CAST(tf AS BIGINT) AS tf,
+       round(tf / nrm, 6) AS weight
+FROM tb JOIN n USING (doc_id)
 """
     out["ewma_daily"] = """
 WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),

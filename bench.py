@@ -75,6 +75,10 @@ HEADLINE = [
     "pmi_terms",
     "mmr_topk",
     "corpus_report",
+    "pack_bins_bfd",
+    "lang_id_nb",
+    "ewma_daily",
+    "hash_embed",
 ]
 
 

@@ -1338,3 +1338,39 @@ def corpus_report(documents: DataFrame) -> DataFrame:
         ),
         F.round(F.col("_q_sum") / n, 6).alias("mean_quality"),
     )
+
+
+def hash_embed(documents: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-hashing document vectors (the "hashing trick",
+    Weinberger et al. 2009 — public paper): term counts fold into
+    ``dim`` buckets by md5, L2-normalized — model-free embeddings
+    good enough for cheap near-dup candidate generation and topic
+    drift checks without shipping a neural encoder.
+
+    Output is the SPARSE form — one (doc_id, dim_idx, weight) row per
+    non-zero bucket — because sparse rows hash cross-engine exactly,
+    while a dense array column would compare by stringified form.
+    Downstream dense consumers pivot with ``map_from_entries`` /
+    ``transform(sequence(...))`` in one map stage.
+
+    One explode → (doc, bucket) integer counts → per-doc norm from
+    the SAME aggregated frame (no second scan) → one division per
+    row, rounded at the boundary. All shuffles carry integer partials
+    keyed on high-cardinality doc_id.
+    """
+    occ = documents.select(
+        "doc_id", F.explode(tokens_expr("text")).alias("term")
+    ).filter(F.col("term") != "")
+    h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+    tb = occ.select(
+        "doc_id", (h.cast("bigint") % dim).alias("dim_idx")
+    ).groupBy("doc_id", "dim_idx").agg(F.count(F.lit(1)).alias("tf"))
+    norms = tb.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("_nrm")
+    )
+    return tb.join(norms, "doc_id").select(
+        "doc_id",
+        "dim_idx",
+        "tf",
+        F.round(F.col("tf") / F.col("_nrm"), 6).alias("weight"),
+    )

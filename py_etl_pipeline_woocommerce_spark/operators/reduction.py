@@ -124,3 +124,37 @@ def pca_project(
     return staged.select(
         "vec_id", "label", F.array(*coords).alias("proj")
     )
+
+
+def write_pca_model(spark, model: dict, path: str) -> None:
+    """Persist a ``pca_fit`` model as a tiny parquet table — the
+    train-offline/score-online split (companion to
+    ``write_dsir_model``): row 0 is the mean, rows 1..k are the
+    components (explained variance rides along on component rows).
+    KB-sized at any corpus scale (k×d doubles)."""
+    rows = [(0, -1.0, [float(x) for x in model["mean"]])]
+    rows += [
+        (i + 1, float(model["explained"][i]), [float(x) for x in c])
+        for i, c in enumerate(model["components"])
+    ]
+    spark.createDataFrame(
+        rows, "row_id int, explained double, vec array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_pca_model(spark, path: str) -> dict:
+    """Load a persisted PCA model back into the plain-dict form
+    ``pca_project`` accepts; a stored fit scores new embedding
+    batches (or a Structured Streaming frame — projection is a
+    stateless map) without re-running the Gramian pass."""
+    rows = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r.row_id
+    )
+    mean = list(rows[0].vec)
+    comps = [list(r.vec) for r in rows[1:]]
+    return {
+        "mean": mean,
+        "components": comps,
+        "explained": [r.explained for r in rows[1:]],
+        "dim": len(mean),
+    }

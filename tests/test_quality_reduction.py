@@ -537,3 +537,44 @@ def test_ewma_daily_recurrence(spark):
     assert out[("buy", 86_400_000_000)].ewma == pytest.approx(12.0)
     assert out[("buy", 2 * 86_400_000_000)].ewma == pytest.approx(15.6)
     assert out[("view", 0)].ewma == pytest.approx(5.0)
+
+
+# ------------------------------------------------------------------
+# hash_embed
+# ------------------------------------------------------------------
+
+def test_hash_embed_unit_norm_and_collision_fold(spark):
+    docs = _docs(
+        spark,
+        [(1, "cat cat dog", "en", "s"), (2, "", "en", "s")],
+    )
+    rows = corpus.hash_embed(docs, dim=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # empty doc contributes no rows (sparse form)
+    assert 2 not in by_doc
+    v = by_doc[1]
+    # tf counts fold into buckets; L2 norm of weights == 1
+    assert sum(r.tf for r in v) == 3
+    assert sum(r.weight**2 for r in v) == pytest.approx(1.0, abs=1e-4)
+    # deterministic: identical under repartitioning
+    again = sorted(
+        (r.doc_id, r.dim_idx, r.tf, r.weight)
+        for r in corpus.hash_embed(docs.repartition(4), dim=16).collect()
+    )
+    assert again == sorted((r.doc_id, r.dim_idx, r.tf, r.weight) for r in rows)
+
+
+def test_pca_model_roundtrip_scores_identically(spark, emb, tmp_path):
+    df, _ = emb
+    model = reduction.pca_fit(df, k=3)
+    path = str(tmp_path / "pca_model")
+    reduction.write_pca_model(spark, model, path)
+    loaded = reduction.read_pca_model(spark, path)
+    assert loaded["dim"] == model["dim"]
+    assert loaded["explained"] == pytest.approx(model["explained"])
+    a = reduction.pca_project(df, k=3, model=model).orderBy("vec_id").collect()
+    b = reduction.pca_project(df, k=3, model=loaded).orderBy("vec_id").collect()
+    for ra, rb in zip(a, b):
+        assert ra.proj == rb.proj
