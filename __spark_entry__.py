@@ -283,6 +283,7 @@ _R4_FRONT = [
     "lang_id_nb",
     "ewma_daily",
     "hash_embed",
+    "dedup_audit",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -372,6 +373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_nb": lambda s, d: textstats.lang_id_nb(_docs(s, d)),
         "ewma_daily": lambda s, d: temporal.ewma_daily(_events(s, d)),
         "hash_embed": lambda s, d: corpus.hash_embed(_docs(s, d)),
+        "dedup_audit": lambda s, d: dedup.dedup_audit(_docs(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2848,6 +2850,25 @@ SELECT d.doc_id, d.lang AS lang_declared,
 FROM documents d
 LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
   USING (doc_id)
+"""
+    out["dedup_audit"] = f"""
+WITH t AS ({_JACCARD_SQL}),
+l0 AS ({_MINHASH_SQL}),
+l AS (SELECT l0.doc_a, l0.doc_b
+      FROM l0
+      JOIN documents da ON l0.doc_a = da.doc_id
+      JOIN documents db ON l0.doc_b = db.doc_id
+      WHERE da.lang = db.lang),
+tr AS (SELECT COUNT(*) AS n_exact_pairs FROM t),
+m AS (SELECT COUNT(*) AS n_lsh_pairs FROM l),
+x AS (SELECT COUNT(*) AS n_hits
+      FROM l JOIN t ON l.doc_a = t.doc_a AND l.doc_b = t.doc_b)
+SELECT n_exact_pairs, n_lsh_pairs, n_hits,
+       n_exact_pairs - n_hits AS n_missed,
+       CASE WHEN n_exact_pairs > 0
+            THEN round(CAST(n_hits AS DOUBLE) / n_exact_pairs, 6)
+            ELSE 1.0::DOUBLE END AS recall
+FROM tr CROSS JOIN m CROSS JOIN x
 """
     out["hash_embed"] = f"""
 WITH occ AS (SELECT doc_id, t.term

@@ -973,3 +973,75 @@ def strip_repeated_spans(
             (F.col("_n") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
         )
     )
+
+
+def dedup_audit(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Recall audit of the MinHash/LSH near-dup path against the
+    EXACT prefix-filter Jaccard join at the same threshold — the
+    "measure the approximation, don't guess" report a curation run
+    publishes before trusting banded LSH at a new threshold or
+    shingle size.
+
+    Both sides verify true Jaccard over identical shingle sets, but
+    their candidate universes differ: the exact join blocks by
+    language while MinHash bands are language-blind, so the LSH side
+    is first restricted to same-language pairs (via a broadcast-able
+    doc→lang attach) to compare like with like. Within that universe
+    LSH is a SUBSET of exact (precision 1.0 by construction); what
+    banding can lose is recall — similar pairs whose signatures never
+    collide in any band. Output is ONE row: exact pairs, LSH pairs,
+    hits, misses, recall.
+
+    Scale shape: the two pair joins are the (already linear-ish)
+    verified operators; the audit adds one doc-pair-keyed join and
+    three 1-row aggregates. Run it on a stratified sample at 100 TB
+    — recall is a property of the band geometry, not the corpus
+    size.
+    """
+    truth = ngram_jaccard_pairs(documents, threshold).select(
+        "doc_a", "doc_b"
+    )
+    langs = documents.select("doc_id", "lang")
+    lsh = (
+        minhash_lsh_pairs(documents, threshold)
+        .join(
+            langs.select(
+                F.col("doc_id").alias("doc_a"), F.col("lang").alias("_la")
+            ),
+            "doc_a",
+        )
+        .join(
+            langs.select(
+                F.col("doc_id").alias("doc_b"), F.col("lang").alias("_lb")
+            ),
+            "doc_b",
+        )
+        .filter(F.col("_la") == F.col("_lb"))
+        .select("doc_a", "doc_b")
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    n_hit = (
+        lsh.join(truth, ["doc_a", "doc_b"])
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        n_true.join(F.broadcast(n_lsh))
+        .join(F.broadcast(n_hit))
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            "n_hits",
+            (F.col("n_exact_pairs") - F.col("n_hits")).alias("n_missed"),
+            F.when(
+                F.col("n_exact_pairs") > 0,
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_exact_pairs"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("recall"),
+        )
+    )

@@ -69,6 +69,8 @@ SCALAR_BROADCAST = {
     "pmi_terms",
     # doc grid × |langs|-row broadcast likelihood totals (bounded dim)
     "lang_id_nb",
+    # three 1-row count aggregates crossed into the report row
+    "dedup_audit",
 }
 
 

@@ -578,3 +578,40 @@ def test_pca_model_roundtrip_scores_identically(spark, emb, tmp_path):
     b = reduction.pca_project(df, k=3, model=loaded).orderBy("vec_id").collect()
     for ra, rb in zip(a, b):
         assert ra.proj == rb.proj
+
+
+# ------------------------------------------------------------------
+# dedup_audit
+# ------------------------------------------------------------------
+
+def test_dedup_audit_lsh_subset_and_recall(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        dedup_audit,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    docs = _docs(
+        spark,
+        [
+            (1, base, "en", "s"),
+            (2, base + " extra", "en", "s"),       # near-dup of 1
+            (3, "completely different words entirely here now", "en", "s"),
+            (4, base.replace("quick", "rapid"), "en", "s"),  # near-dup of 1
+        ],
+    )
+    (row,) = dedup_audit(docs, threshold=0.5).collect()
+    assert row.n_exact_pairs >= 1
+    # LSH never invents pairs: hits == lsh pairs (subset of truth)
+    assert row.n_hits == row.n_lsh_pairs
+    assert row.n_missed == row.n_exact_pairs - row.n_hits
+    assert 0.0 <= row.recall <= 1.0
+
+
+def test_dedup_audit_empty_corpus_recall_one(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        dedup_audit,
+    )
+
+    docs = _docs(spark, [(1, "one doc alone", "en", "s")])
+    (row,) = dedup_audit(docs).collect()
+    assert row.n_exact_pairs == 0 and row.recall == 1.0
