@@ -284,6 +284,7 @@ _R4_FRONT = [
     "ewma_daily",
     "hash_embed",
     "dedup_audit",
+    "quality_percentile_by_source",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -374,6 +375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ewma_daily": lambda s, d: temporal.ewma_daily(_events(s, d)),
         "hash_embed": lambda s, d: corpus.hash_embed(_docs(s, d)),
         "dedup_audit": lambda s, d: dedup.dedup_audit(_docs(s, d)),
+        "quality_percentile_by_source": (
+            lambda s, d: corpus.quality_percentile_by_source(_docs(s, d))
+        ),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2850,6 +2854,21 @@ SELECT d.doc_id, d.lang AS lang_declared,
 FROM documents d
 LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
   USING (doc_id)
+"""
+    out["quality_percentile_by_source"] = f"""
+WITH q AS ({_QUALITY_SQL}),
+j AS (SELECT q.doc_id, d.source, q.quality
+      FROM q JOIN documents d USING (doc_id)),
+r AS (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS rnk,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM j)
+SELECT doc_id, source, quality,
+       CASE WHEN n > 1
+            THEN round(CAST(rnk - 1 AS DOUBLE) / (n - 1), 6)
+            ELSE 0.0::DOUBLE END AS quality_pctile
+FROM r
 """
     out["dedup_audit"] = f"""
 WITH t AS ({_JACCARD_SQL}),

@@ -1374,3 +1374,40 @@ def hash_embed(documents: DataFrame, dim: int = 16) -> DataFrame:
         "tf",
         F.round(F.col("tf") / F.col("_nrm"), 6).alias("weight"),
     )
+
+
+def quality_percentile_by_source(documents: DataFrame) -> DataFrame:
+    """Quantile-normalize quality scores WITHIN each source — the fix
+    for "source A's scorer runs hot": a 0.9 from a lenient source and
+    a 0.6 from a strict one can both be their source's 85th
+    percentile, so cross-source selection should cut on the
+    percentile, not the raw score.
+
+    percentile = (rank − 1) / (n − 1) over (quality, doc_id) within
+    the source (0 for a single-doc source) — integer rank arithmetic,
+    one division, engine-exact. ORACLE-PARITY PATH: the rank window
+    partitions by source over the doc-grain frame; at 100 TB swap
+    the exact rank for per-source ``percentile_approx`` cut points
+    exactly as ``dsir_select_threshold`` does.
+    """
+    from .textstats import quality_score
+
+    q = (
+        quality_score(documents)
+        .select("doc_id", "quality")
+        .join(documents.select("doc_id", "source"), "doc_id")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+    rnk = F.row_number().over(w)
+    return q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.when(
+            n > 1,
+            F.round((rnk - 1).cast("double") / (n - 1), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("quality_pctile"),
+    )

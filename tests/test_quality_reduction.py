@@ -615,3 +615,29 @@ def test_dedup_audit_empty_corpus_recall_one(spark):
     docs = _docs(spark, [(1, "one doc alone", "en", "s")])
     (row,) = dedup_audit(docs).collect()
     assert row.n_exact_pairs == 0 and row.recall == 1.0
+
+
+# ------------------------------------------------------------------
+# quality_percentile_by_source
+# ------------------------------------------------------------------
+
+def test_quality_percentile_normalizes_within_source(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a", "en", "sA"),
+            (2, "a b", "en", "sA"),
+            (3, "a b c", "en", "sA"),
+            (4, "solo", "en", "sB"),  # single-doc source -> 0.0
+        ],
+    )
+    out = {
+        r.doc_id: r
+        for r in corpus.quality_percentile_by_source(docs).collect()
+    }
+    # within sA ranks follow quality; endpoints are exactly 0 and 1
+    vals = sorted(
+        (out[i].quality, out[i].quality_pctile) for i in (1, 2, 3)
+    )
+    assert [p for _, p in vals] == [0.0, 0.5, 1.0]
+    assert out[4].quality_pctile == 0.0
