@@ -124,7 +124,9 @@ def dedup_incremental(
 
 
 def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.5
+    documents: DataFrame,
+    threshold: float = 0.5,
+    persisted_frames: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-shingle Jaccard ≥ threshold (exact).
 
@@ -142,12 +144,18 @@ def ngram_jaccard_pairs(
     This plus a size-ratio prune (J ≤ min/max sizes) keeps the join
     linear-ish in corpus size instead of quadratic per lang block —
     the 100 TB-safe EXACT path next to the approximate MinHash one.
+
+    Pass ``persisted_frames=[]`` to receive the internally persisted
+    shingle frame and unpersist it after materializing the result
+    (repeat callers would otherwise pin one frame per invocation).
     """
     s = (
         _shingle_sets(documents, nonempty=True)  # empty sets pair with nothing
         .withColumn("n_sh", F.size("shingles"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if persisted_frames is not None:
+        persisted_frames.append(s)
     by_hash = F.array_sort(F.transform("shingles", F.md5))
     prefix_len = (
         F.col("n_sh")
@@ -234,7 +242,11 @@ def _signature_from_shingles(s: DataFrame) -> DataFrame:
     return withab.select("doc_id", sig.alias("sig"))
 
 
-def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    persisted_frames: list | None = None,
+) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by true Jaccard.
 
     Banding: signature split into MINHASH_BANDS contiguous bands;
@@ -247,7 +259,10 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
     The shingle table and the compact band table are persisted
     (MEMORY_AND_DISK, spills at scale): both are consumed by two
     downstream branches, and without a persist Spark re-tokenizes the
-    full corpus once per branch — the dominant cost.
+    full corpus once per branch — the dominant cost. Pass
+    ``persisted_frames=[]`` to receive both and unpersist after
+    materializing (repeat callers would otherwise pin two frames per
+    invocation).
     """
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     sh = (
@@ -271,6 +286,8 @@ def minhash_lsh_pairs(documents: DataFrame, threshold: float = 0.5) -> DataFrame
             )
         ).alias("band", "band_hash"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_frames is not None:
+        persisted_frames += [sh, bands]
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     cand = (
@@ -975,7 +992,11 @@ def strip_repeated_spans(
     )
 
 
-def dedup_audit(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+def dedup_audit(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    persisted_frames: list | None = None,
+) -> DataFrame:
     """Recall audit of the MinHash/LSH near-dup path against the
     EXACT prefix-filter Jaccard join at the same threshold — the
     "measure the approximation, don't guess" report a curation run
@@ -998,12 +1019,14 @@ def dedup_audit(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     — recall is a property of the band geometry, not the corpus
     size.
     """
-    truth = ngram_jaccard_pairs(documents, threshold).select(
-        "doc_a", "doc_b"
-    )
+    truth = ngram_jaccard_pairs(
+        documents, threshold, persisted_frames=persisted_frames
+    ).select("doc_a", "doc_b")
     langs = documents.select("doc_id", "lang")
     lsh = (
-        minhash_lsh_pairs(documents, threshold)
+        minhash_lsh_pairs(
+            documents, threshold, persisted_frames=persisted_frames
+        )
         .join(
             langs.select(
                 F.col("doc_id").alias("doc_a"), F.col("lang").alias("_la")

@@ -641,3 +641,22 @@ def test_quality_percentile_normalizes_within_source(spark):
     )
     assert [p for _, p in vals] == [0.0, 0.5, 1.0]
     assert out[4].quality_pctile == 0.0
+
+
+def test_dedup_audit_persisted_frames_escape_hatch(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        dedup_audit,
+    )
+
+    docs = _docs(
+        spark,
+        [(1, "alpha beta gamma delta epsilon zeta", "en", "s"),
+         (2, "alpha beta gamma delta epsilon eta", "en", "s")],
+    )
+    frames = []
+    dedup_audit(docs, persisted_frames=frames).collect()
+    # one shingle frame from the exact join + shingles/bands from LSH
+    assert len(frames) == 3
+    for f in frames:
+        assert f.storageLevel.useMemory or f.storageLevel.useDisk
+        f.unpersist()
