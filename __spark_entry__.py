@@ -285,6 +285,7 @@ _R4_FRONT = [
     "hash_embed",
     "dedup_audit",
     "quality_percentile_by_source",
+    "conversion_latency",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -377,6 +378,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_audit": lambda s, d: dedup.dedup_audit(_docs(s, d)),
         "quality_percentile_by_source": (
             lambda s, d: corpus.quality_percentile_by_source(_docs(s, d))
+        ),
+        "conversion_latency": lambda s, d: temporal.conversion_latency(
+            _events(s, d)
         ),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
@@ -2854,6 +2858,32 @@ SELECT d.doc_id, d.lang AS lang_declared,
 FROM documents d
 LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
   USING (doc_id)
+"""
+    out["conversion_latency"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+           FROM events WHERE event_type IN ('view', 'purchase')),
+tagged AS (SELECT user_id, t_us,
+                  CASE WHEN event_type = 'purchase' THEN 2 ELSE 1 END
+                    AS kind,
+                  event_id
+           FROM e),
+carried AS (SELECT *,
+                   first_value(CASE WHEN kind = 2 THEN t_us END
+                               IGNORE NULLS)
+                     OVER w AS asof_t_us
+            FROM tagged
+            WINDOW w AS (PARTITION BY user_id
+                         ORDER BY t_us, kind, event_id
+                         ROWS BETWEEN CURRENT ROW
+                              AND UNBOUNDED FOLLOWING)),
+g AS (SELECT asof_t_us - t_us AS gap_us FROM carried WHERE kind = 1)
+SELECT COUNT(*) AS n_from_events,
+       COUNT(gap_us) AS n_converted,
+       round(CAST(COUNT(gap_us) AS DOUBLE) / COUNT(*), 6)
+         AS conversion_rate,
+       round(quantile_cont(gap_us, 0.5), 6) AS p50_gap_us,
+       round(quantile_cont(gap_us, 0.9), 6) AS p90_gap_us
+FROM g
 """
     out["quality_percentile_by_source"] = f"""
 WITH q AS ({_QUALITY_SQL}),

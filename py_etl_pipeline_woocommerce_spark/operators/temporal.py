@@ -748,3 +748,40 @@ def ewma_daily(events: DataFrame, alpha: float = 0.2) -> DataFrame:
         "total_value",
         F.round(ewma, 6).alias("ewma"),
     )
+
+
+def conversion_latency(
+    events: DataFrame,
+    from_type: str = "view",
+    to_type: str = "purchase",
+) -> DataFrame:
+    """Time-to-conversion report: for every ``from_type`` event, the
+    forward as-of gap to the user's next ``to_type`` event, reduced
+    to ONE row — conversion rate plus p50/p90 latency — the "how long
+    does a view take to become a purchase" number a funnel page
+    quotes next to its counts.
+
+    Composes the (driver-verified) forward as-of join — one
+    user-keyed shuffle, no inequality join — with a single global
+    aggregate; only scalar counters and two interpolated percentiles
+    leave the reduction. Exact percentile caveat as
+    ``value_percentiles``: swap for percentile_approx at 100 TB,
+    schema unchanged.
+    """
+    j = asof_join(
+        events, left_type=from_type, right_type=to_type, direction="forward"
+    )
+    pct = F.percentile("gap_us", F.array(F.lit(0.5), F.lit(0.9)))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_from_events"),
+        F.count("gap_us").alias("n_converted"),
+        pct.alias("_p"),
+    ).select(
+        "n_from_events",
+        "n_converted",
+        F.round(
+            F.col("n_converted") / F.col("n_from_events"), 6
+        ).alias("conversion_rate"),
+        F.round(F.col("_p")[0], 6).alias("p50_gap_us"),
+        F.round(F.col("_p")[1], 6).alias("p90_gap_us"),
+    )

@@ -660,3 +660,29 @@ def test_dedup_audit_persisted_frames_escape_hatch(spark):
     for f in frames:
         assert f.storageLevel.useMemory or f.storageLevel.useDisk
         f.unpersist()
+
+
+# ------------------------------------------------------------------
+# conversion_latency
+# ------------------------------------------------------------------
+
+def test_conversion_latency_hand_computed(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        conversion_latency,
+    )
+
+    rows = [
+        # user 1: view at 100us, purchase at 300us -> gap 200
+        (1, 100_000, 1, "view", 0.0, "{}"),
+        (2, 300_000, 1, "purchase", 5.0, "{}"),
+        # user 2: view at 100us, no purchase -> unconverted
+        (3, 100_000, 2, "view", 0.0, "{}"),
+        # user 3: view 0us, purchase 100us -> gap 100
+        (4, 0, 3, "view", 0.0, "{}"),
+        (5, 100_000, 3, "purchase", 1.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, EV_SCHEMA)
+    (r,) = conversion_latency(ev).collect()
+    assert r.n_from_events == 3 and r.n_converted == 2
+    assert r.conversion_rate == pytest.approx(round(2 / 3, 6))
+    assert r.p50_gap_us == pytest.approx(150.0)  # interp of {100, 200}
