@@ -1411,3 +1411,74 @@ def quality_percentile_by_source(documents: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("quality_pctile"),
     )
+
+
+def corpus_drop_pipeline(
+    new_docs: DataFrame,
+    index_prefix: str,
+    dsir_model: DataFrame,
+    min_log_weight: float = 0.0,
+    budget: int = 512,
+    persisted_frames: list | None = None,
+) -> DataFrame:
+    """The PRODUCTION daily-drop shape: everything ``corpus_prep_v2``
+    does, but against PERSISTED state so a day's batch costs
+    O(batch), never O(corpus):
+
+    1. near-dup annotate vs the stored bucketed LSH index
+       (``write_lsh_index`` — corpus side exchange-free),
+    2. quality/repetition gate (``filter_pipeline``, batch-local),
+    3. DSIR scoring with the persisted model
+       (``dsir_score_with_model`` — stateless map against a KB
+       literal) cut at ``min_log_weight`` (precomputed offline by
+       ``dsir_select_threshold``),
+    4. BFD pack layout (``pack_bins_bfd``) for the survivors.
+
+    Output: one row per batch doc with every stage's verdict — the
+    audit trail of WHY each document survived or fell — plus pack
+    assignment for survivors. Composition of individually-verified
+    operators; the end-to-end flow is pytest-driven (stored-index
+    tests can't run inside the driver's query harness).
+    """
+    from .dedup import dedup_against_index
+    from .packing import pack_bins_bfd
+    from .textstats import filter_pipeline
+
+    dup = dedup_against_index(
+        new_docs, index_prefix, persisted_frames=persisted_frames
+    ).select("doc_id", "dup_of", "is_near_dup")
+    gate = filter_pipeline(new_docs).select(
+        "doc_id", F.col("keep").alias("gate_keep"), "reason"
+    )
+    scored = dsir_score_with_model(new_docs, dsir_model).select(
+        "doc_id", "log_weight"
+    )
+    verdicts = (
+        new_docs.select("doc_id")
+        .join(dup, "doc_id")
+        .join(gate, "doc_id")
+        .join(scored, "doc_id")
+        .withColumn(
+            "selected",
+            ~F.col("is_near_dup")
+            & F.col("gate_keep")
+            & (F.col("log_weight") >= min_log_weight),
+        )
+    )
+    survivors = new_docs.join(
+        verdicts.filter("selected").select("doc_id"), "doc_id"
+    )
+    packs = pack_bins_bfd(survivors, budget=budget).select(
+        "doc_id", "pack_id", "n_tokens"
+    )
+    return verdicts.join(packs, "doc_id", "left").select(
+        "doc_id",
+        "is_near_dup",
+        "dup_of",
+        "gate_keep",
+        "reason",
+        "log_weight",
+        "selected",
+        "pack_id",
+        "n_tokens",
+    )

@@ -686,3 +686,71 @@ def test_conversion_latency_hand_computed(spark):
     assert r.n_from_events == 3 and r.n_converted == 2
     assert r.conversion_rate == pytest.approx(round(2 / 3, 6))
     assert r.p50_gap_us == pytest.approx(150.0)  # interp of {100, 200}
+
+
+# ------------------------------------------------------------------
+# corpus_drop_pipeline (production daily-drop capstone)
+# ------------------------------------------------------------------
+
+def test_corpus_drop_pipeline_end_to_end(spark):
+    import shutil
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        write_lsh_index,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import (
+        drop_table,
+    )
+
+    def _text(prefix):
+        return (
+            " ".join(f"{prefix}{j}" for j in range(40)) + " the of and"
+        )
+
+    corpus = _docs(
+        spark,
+        [(i, _text(f"corp{i}w"), "en", "src0") for i in range(4)],
+    )
+    try:
+        write_lsh_index(corpus, "drop_test")
+        model = corpus.sparkSession.createDataFrame(
+            [(b, 0.5 if b % 2 == 0 else -0.5) for b in range(1024)],
+            "bucket long, log_ratio double",
+        )
+        batch = _docs(
+            spark,
+            [
+                # near-dup of corpus doc 0 -> dropped at stage 1
+                (100, _text("corp0w") + " zz", "en", "src0"),
+                # fresh, long, stopword-rich -> survives everything
+                (101, _text("novelq"), "en", "src0"),
+                # too short -> gate drop
+                (102, "tiny", "en", "src0"),
+            ],
+        )
+        from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+            corpus_drop_pipeline,
+        )
+
+        frames = []
+        out = {
+            r.doc_id: r
+            for r in corpus_drop_pipeline(
+                batch,
+                "drop_test",
+                model,
+                min_log_weight=-1e9,
+                persisted_frames=frames,
+            ).collect()
+        }
+        for f in frames:
+            f.unpersist()
+        assert out[100].is_near_dup and not out[100].selected
+        assert out[100].dup_of == 0
+        assert out[102].reason == "too_short" and not out[102].selected
+        assert out[101].selected and out[101].pack_id is not None
+        assert out[100].pack_id is None  # unselected docs get no pack
+    finally:
+        drop_table(spark, "drop_test_bands")
+        drop_table(spark, "drop_test_shingles")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
