@@ -215,3 +215,34 @@ def streaming_session_agg(
             "total_value",
         )
     )
+
+
+def streaming_daily_active_sketch(
+    events: DataFrame, watermark: str = "2 hours", rsd: float = 0.02
+) -> DataFrame:
+    """Per-day approximate distinct users on a STREAM — the streaming
+    twin of ``temporal.daily_active_users_approx``: HLL++
+    (``approx_count_distinct``) inside a watermarked daily window, so
+    state per open window is one KB-scale sketch instead of a
+    distinct-user set, and closed windows evict. Exact streaming
+    distinct would need unbounded per-window state; the sketch is THE
+    way DAU is computed on live streams at scale.
+
+    Same estimator and same ``rsd`` as the batch op ⇒ identical
+    estimates on identical input (the algorithm is deterministic) —
+    the batch-parity test pins that.
+    """
+    return (
+        with_event_time(events)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", "1 day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("window.start").alias("day_start"),
+            "approx_users",
+            "n_events",
+        )
+    )

@@ -360,3 +360,45 @@ def test_streaming_quality_gate_matches_batch(spark, stream_dirs, tmp_path):
     assert set(got) == set(expected)
     for d, exp in expected.items():
         assert got[d].asDict() == exp.asDict()
+
+
+def test_streaming_dau_sketch_matches_batch(spark, stream_dirs):
+    """Streaming HLL DAU: identical estimator + rsd as the batch op ->
+    identical per-day estimates on the same rows."""
+    from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+        streaming_daily_active_sketch,
+        with_event_time,
+    )
+
+    src, _ = stream_dirs
+    day_ns = 86_400_000_000_000
+    rows = [
+        (i, (i % 2) * day_ns + i * 1_000_000_000, 100 + (i % 7), "click", 1.0)
+        for i in range(40)
+    ]
+    _write_events(f"{src}/part-0.parquet", rows)
+
+    batch_df = spark.read.parquet(src)
+    expected = {
+        r.day_start: (r.approx_users, r.n_events)
+        for r in streaming_daily_active_sketch(batch_df).collect()
+    }
+    assert len(expected) == 2
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        streaming_daily_active_sketch(stream)
+        .writeStream.format("memory")
+        .queryName("dau_sink")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.day_start: (r.approx_users, r.n_events)
+            for r in spark.sql("SELECT * FROM dau_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got == expected
