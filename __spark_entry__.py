@@ -286,6 +286,7 @@ _R4_FRONT = [
     "dedup_audit",
     "quality_percentile_by_source",
     "conversion_latency",
+    "cluster_stats",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -382,6 +383,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conversion_latency": lambda s, d: temporal.conversion_latency(
             _events(s, d)
         ),
+        # k-means centroids aren't SQL-expressible — rows-only driver
+        # check (size/inertia-contract pytest)
+        "cluster_stats": lambda s, d: similarity.cluster_stats(_emb(s, d)),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(

@@ -976,3 +976,50 @@ def mmr_topk(
         )
 
     return cands.groupBy("query_id").applyInPandas(greedy, schema)
+
+
+def cluster_stats(
+    embeddings: DataFrame, n_centroids: int = 16, iterations: int = 2
+) -> DataFrame:
+    """K-means clustering observability: per-centroid size, inertia
+    (Σ squared L2 to the centroid), mean distance, and size share —
+    the report that decides whether an IVF index / SemDeDup cell
+    layout is balanced or needs a different k before anyone builds on
+    it (one empty or giant cell ruins both recall and Σ|cell|²).
+
+    Reuses the deterministic Lloyd fit (``ivf_centroids``) and the
+    broadcast nearest-centroid assignment; distances are recomputed
+    in the same scan that aggregates (k×dim broadcast, no extra
+    shuffle beyond the k-row aggregate). Rows-only driver check
+    (centroids aren't SQL); pytest asserts sizes sum to the corpus,
+    inertia is non-negative and decreases with more iterations.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, iterations)
+    assigned = assign_to_centroids(embeddings, cents)
+    l2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            F.col("centroid"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    per_cell = (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .withColumn("_d", l2)
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.sum("_d"), 6).alias("inertia"),
+            F.round(F.avg(F.sqrt(F.col("_d"))), 6).alias("mean_dist"),
+        )
+    )
+    total = per_cell.agg(F.sum("n_vectors").alias("_total"))
+    return per_cell.join(F.broadcast(total)).select(
+        "centroid_id",
+        "n_vectors",
+        "inertia",
+        "mean_dist",
+        F.round(F.col("n_vectors") / F.col("_total"), 6).alias("size_share"),
+    )

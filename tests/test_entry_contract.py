@@ -45,6 +45,8 @@ def test_oracle_keys_subset_of_queries():
         "mmr_topk",
         # greedy bin assignment — capacity/waste/determinism pytest
         "pack_bins_bfd",
+        # k-means centroids aren't SQL — size/inertia-contract pytest
+        "cluster_stats",
     }
 
 

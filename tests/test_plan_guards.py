@@ -32,6 +32,8 @@ CROSS_JOIN_BASELINES = {
     "ann_quantized_topk",
     # inherits ann_topk's broadcast query-batch × corpus candidate scan
     "mmr_topk",
+    # inherits IVF's corpus × k-centroids broadcast scoring
+    "cluster_stats",
 }
 
 #: Joins against a broadcast 1-row global aggregate (total revenue,

@@ -754,3 +754,28 @@ def test_corpus_drop_pipeline_end_to_end(spark):
         drop_table(spark, "drop_test_bands")
         drop_table(spark, "drop_test_shingles")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+# ------------------------------------------------------------------
+# cluster_stats
+# ------------------------------------------------------------------
+
+def test_cluster_stats_sizes_and_inertia(spark):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        cluster_stats,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    rows = cluster_stats(emb, n_centroids=8, iterations=1).collect()
+    assert sum(r.n_vectors for r in rows) == n
+    assert all(r.inertia >= 0 for r in rows)
+    assert sum(r.size_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    # more Lloyd iterations never increase total inertia
+    i1 = sum(r.inertia for r in rows)
+    i3 = sum(
+        r.inertia
+        for r in cluster_stats(emb, n_centroids=8, iterations=3).collect()
+    )
+    assert i3 <= i1 + 1e-6
