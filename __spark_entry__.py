@@ -287,6 +287,7 @@ _R4_FRONT = [
     "quality_percentile_by_source",
     "conversion_latency",
     "cluster_stats",
+    "doc_similarity_topk",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -386,6 +387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-means centroids aren't SQL-expressible — rows-only driver
         # check (size/inertia-contract pytest)
         "cluster_stats": lambda s, d: similarity.cluster_stats(_emb(s, d)),
+        "doc_similarity_topk": lambda s, d: corpus.doc_similarity_topk(
+            _docs(s, d)
+        ),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2862,6 +2866,33 @@ SELECT d.doc_id, d.lang AS lang_declared,
 FROM documents d
 LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
   USING (doc_id)
+"""
+    out["doc_similarity_topk"] = f"""
+WITH occ AS (SELECT doc_id, t.term
+             FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+                  UNNEST(tk) AS t(term)
+             WHERE t.term <> ''),
+tb AS (SELECT doc_id, dim_idx, COUNT(*) AS tf
+       FROM (SELECT doc_id,
+                    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 64
+                      AS dim_idx
+             FROM occ)
+       GROUP BY 1, 2),
+nm AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS BIGINT)) AS nrm
+       FROM tb GROUP BY 1),
+ev AS (SELECT doc_id, dim_idx, round(tf / nrm, 6) AS weight
+       FROM tb JOIN nm USING (doc_id)),
+qv AS (SELECT doc_id AS query_id, dim_idx, weight AS q_w
+       FROM ev WHERE doc_id < 8),
+sc AS (SELECT query_id, ev.doc_id, round(SUM(q_w * weight), 6) AS cos
+       FROM ev JOIN qv USING (dim_idx)
+       WHERE ev.doc_id <> query_id
+       GROUP BY 1, 2)
+SELECT query_id, doc_id, cos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, doc_id) AS INT)
+         AS sim_rank
+FROM sc QUALIFY sim_rank <= 5
 """
     out["conversion_latency"] = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us

@@ -1482,3 +1482,41 @@ def corpus_drop_pipeline(
         "pack_id",
         "n_tokens",
     )
+
+
+def doc_similarity_topk(
+    documents: DataFrame, n_queries: int = 8, k: int = 5, dim: int = 64
+) -> DataFrame:
+    """Top-``k`` most similar documents per query doc WITHOUT a
+    neural embedding: cosine over the ``hash_embed`` vectors,
+    computed RELATIONALLY on the sparse form — the dot product of two
+    L2-normalized sparse vectors is one equi-join on ``dim_idx`` plus
+    a sum of weight products, so no dense arrays are built and the
+    whole query is joins + aggregates (fully oracle-checkable).
+
+    The query side (doc_id < n_queries) is a broadcast-sized sparse
+    batch; each corpus (doc, dim) row meets at most ``n_queries``
+    query rows — bounded fan-out, one corpus-side shuffle to the
+    (query, doc) aggregate. Cosines are ROUNDED to 6 dp before the
+    rank cut (ties → doc_id), so the top-k is engine-exact.
+    """
+    e = hash_embed(documents, dim=dim).select("doc_id", "dim_idx", "weight")
+    q = e.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"),
+        "dim_idx",
+        F.col("weight").alias("q_w"),
+    )
+    scored = (
+        e.join(F.broadcast(q), "dim_idx")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("q_w") * F.col("weight")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("sim_rank", F.row_number().over(w))
+        .filter(F.col("sim_rank") <= k)
+        .select("query_id", "doc_id", "cos", "sim_rank")
+    )

@@ -779,3 +779,32 @@ def test_cluster_stats_sizes_and_inertia(spark):
         for r in cluster_stats(emb, n_centroids=8, iterations=3).collect()
     )
     assert i3 <= i1 + 1e-6
+
+
+# ------------------------------------------------------------------
+# doc_similarity_topk
+# ------------------------------------------------------------------
+
+def test_doc_similarity_finds_the_near_copy(spark):
+    base = " ".join(f"tok{j}" for j in range(30))
+    docs = _docs(
+        spark,
+        [
+            (0, base, "en", "s"),                       # the query
+            (1, base + " extra", "en", "s"),            # near copy
+            (2, " ".join(f"other{j}" for j in range(30)), "en", "s"),
+            (3, base.replace("tok1", "tok1x"), "en", "s"),
+        ],
+    )
+    out = sorted(
+        (
+            r.sim_rank,
+            r.doc_id,
+            r.cos,
+        )
+        for r in corpus.doc_similarity_topk(docs, n_queries=1, k=3).collect()
+    )
+    # rank 1 is one of the two near copies with cosine close to 1
+    assert out[0][1] in (1, 3) and out[0][2] > 0.9
+    # the unrelated doc ranks last with a much lower cosine
+    assert out[-1][1] == 2 and out[-1][2] < out[0][2]
