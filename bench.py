@@ -79,6 +79,10 @@ HEADLINE = [
     "lang_id_nb",
     "ewma_daily",
     "hash_embed",
+    "conversion_latency",
+    "quality_percentile_by_source",
+    "doc_similarity_topk",
+    "cluster_stats",
 ]
 
 
