@@ -785,3 +785,54 @@ def conversion_latency(
         F.round(F.col("_p")[0], 6).alias("p50_gap_us"),
         F.round(F.col("_p")[1], 6).alias("p90_gap_us"),
     )
+
+
+def value_outlier_baseline(events: DataFrame) -> DataFrame:
+    """The train-offline half of robust outlier detection: per-type
+    rounded median and MAD (see ``value_outliers_mad`` for the
+    estimator and its scale swap). Persist this tiny frame (|types|
+    rows) on a schedule; live scoring then needs NO aggregation at
+    all — see ``score_outliers_with_baseline``."""
+    e = _ts_us(events)
+    med = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("med").alias("med"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("value") - F.col("med")), F.lit(0.5)
+                ),
+                6,
+            ).alias("mad"),
+        )
+    )
+
+
+def score_outliers_with_baseline(
+    events: DataFrame, baseline: DataFrame, z_cut: float = 3.5
+) -> DataFrame:
+    """Score-online half: flag events against a PRECOMPUTED med/MAD
+    baseline with a stateless broadcast join + filter — no
+    aggregation, no watermark, so the identical expression scores a
+    batch frame AND a Structured Streaming frame (the live anomaly
+    gate; companion to ``dsir_score_with_model`` and the PCA model
+    split). Types absent from the baseline or with mad = 0 pass
+    through unflagged-and-dropped, matching ``value_outliers_mad``.
+    """
+    e = _ts_us(events)
+    z = F.round(
+        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        e.join(F.broadcast(baseline), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn("mod_z", z)
+        .filter(F.abs(F.col("mod_z")) > z_cut)
+        .select(
+            "event_id", "event_type", "t_us", "value", "med", "mad", "mod_z"
+        )
+    )

@@ -808,3 +808,24 @@ def test_doc_similarity_finds_the_near_copy(spark):
     assert out[0][1] in (1, 3) and out[0][2] > 0.9
     # the unrelated doc ranks last with a much lower cosine
     assert out[-1][1] == 2 and out[-1][2] < out[0][2]
+
+
+def test_outlier_baseline_split_matches_inline_op(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        score_outliers_with_baseline,
+        value_outlier_baseline,
+        value_outliers_mad,
+    )
+
+    rows = [
+        (i, i * 1_000_000_000, 1, "buy", v, "{}")
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0, -50.0])
+    ]
+    ev = spark.createDataFrame(rows, EV_SCHEMA)
+    inline = sorted(r.event_id for r in value_outliers_mad(ev).collect())
+    baseline = value_outlier_baseline(ev)
+    split = sorted(
+        r.event_id
+        for r in score_outliers_with_baseline(ev, baseline).collect()
+    )
+    assert inline == split and len(inline) == 2

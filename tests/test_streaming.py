@@ -402,3 +402,45 @@ def test_streaming_dau_sketch_matches_batch(spark, stream_dirs):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_outlier_scoring_with_offline_baseline(spark, stream_dirs):
+    """The stateless score-online outlier expression runs unchanged on
+    a stream against an offline med/MAD baseline (no watermark, no
+    state) and flags exactly what the batch op flags."""
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        score_outliers_with_baseline,
+        value_outlier_baseline,
+        value_outliers_mad,
+    )
+
+    src, _ = stream_dirs
+    rows = [
+        (i, i * 1_000_000_000, 1, "buy", v)
+        for i, v in enumerate([1.0, 2.0, 3.0, 4.0, 100.0, -50.0])
+    ]
+    _write_events(f"{src}/part-0.parquet", rows)
+    batch_df = spark.read.parquet(src)
+    baseline = value_outlier_baseline(batch_df)
+    expected = sorted(
+        r.event_id for r in value_outliers_mad(batch_df).collect()
+    )
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    scored = score_outliers_with_baseline(stream, baseline)
+    assert scored.isStreaming
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("outlier_sink")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            r.event_id
+            for r in spark.sql("SELECT event_id FROM outlier_sink").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
