@@ -33,6 +33,7 @@ from py_etl_pipeline_woocommerce_spark.operators import (
     similarity,
     temporal,
     textstats,
+    warehouse,
 )
 from py_etl_pipeline_woocommerce_spark.operators.enrich import enrich_items_with_categories
 from py_etl_pipeline_woocommerce_spark.operators.incremental import (
@@ -288,6 +289,7 @@ _R4_FRONT = [
     "conversion_latency",
     "cluster_stats",
     "doc_similarity_topk",
+    "profile_orders",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -389,6 +391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stats": lambda s, d: similarity.cluster_stats(_emb(s, d)),
         "doc_similarity_topk": lambda s, d: corpus.doc_similarity_topk(
             _docs(s, d)
+        ),
+        "profile_orders": lambda s, d: warehouse.profile_table(
+            load_table(s, d, "orders")
         ),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
@@ -2867,6 +2872,50 @@ FROM documents d
 LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
   USING (doc_id)
 """
+    # profile_orders: generated per-column (name, spark dtype,
+    # min/max-to-string rule) — doubles go through DECIMAL(28,6) and
+    # timestamps through a fixed strftime so both engines print the
+    # identical string.
+    _prof_cols = [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", "timestamp_ntz"),
+        ("o_orderpriority", "string"),
+    ]
+
+    def _prof_str(expr: str, t: str) -> str:
+        if t == "double":
+            return f"CAST(CAST({expr} AS DECIMAL(28,6)) AS VARCHAR)"
+        if t.startswith("timestamp"):
+            return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+        return f"CAST({expr} AS VARCHAR)"
+
+    _prof_aggs = ["COUNT(*) AS n"]
+    for _i, (_c, _t) in enumerate(_prof_cols):
+        _prof_aggs += [
+            f"CAST(SUM(CASE WHEN {_c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS nn{_i}",
+            f"COUNT(DISTINCT {_c}) AS nd{_i}",
+            f"MIN({_c}) AS mn{_i}",
+            f"MAX({_c}) AS mx{_i}",
+        ]
+    _prof_rows = [
+        f"""SELECT '{_c}' AS "column", '{_t}' AS dtype, n AS n_rows,
+       nn{_i} AS n_nulls, round(CAST(nn{_i} AS DOUBLE) / n, 6) AS null_rate,
+       nd{_i} AS n_distinct,
+       {_prof_str(f"mn{_i}", _t)} AS min_value,
+       {_prof_str(f"mx{_i}", _t)} AS max_value
+FROM a"""
+        for _i, (_c, _t) in enumerate(_prof_cols)
+    ]
+    out["profile_orders"] = (
+        "WITH a AS (SELECT "
+        + ", ".join(_prof_aggs)
+        + " FROM orders)\n"
+        + "\nUNION ALL\n".join(_prof_rows)
+    )
     out["doc_similarity_topk"] = f"""
 WITH occ AS (SELECT doc_id, t.term
              FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),

