@@ -290,6 +290,7 @@ _R4_FRONT = [
     "cluster_stats",
     "doc_similarity_topk",
     "profile_orders",
+    "session_paths",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -394,6 +395,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "profile_orders": lambda s, d: warehouse.profile_table(
             load_table(s, d, "orders")
+        ),
+        "session_paths": lambda s, d: sessionize.session_paths(
+            _events(s, d)
         ),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
@@ -2942,6 +2946,29 @@ SELECT query_id, doc_id, cos,
                                ORDER BY cos DESC, doc_id) AS INT)
          AS sim_rank
 FROM sc QUALIFY sim_rank <= 5
+"""
+    out["session_paths"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+tagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM tagged),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+  FROM sess GROUP BY 1, 2),
+c AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1)
+SELECT path, n_sessions,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS INT)
+         AS path_rank
+FROM c QUALIFY path_rank <= 20
 """
     out["conversion_latency"] = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us

@@ -42,3 +42,55 @@ def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
         F.max("ts_us").alias("end_us"),
         F.sum(dec_money("value")).cast("double").alias("total_value"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = GAP_MINUTES,
+    k: int = 20,
+) -> DataFrame:
+    """Top-``k`` most common event-type paths through a session —
+    "view>view>click>purchase"-style journey analysis, the
+    funnel-adjacent report product teams read next to conversion
+    counts.
+
+    Same deterministic gap sessionization as ``sessionize``; each
+    session's path is the time-ordered (ties: event_id) join of its
+    event types — built by sorting the per-session collected
+    (ts, event_id, type) structs, NOT by assuming collect order, so
+    the string is identical at any parallelism. One user-keyed
+    shuffle + one path-keyed count agg; the top-k is a window over
+    the aggregated path counts (tiny), tie-broken on the path string.
+    """
+    e = events.withColumn("ts_us", F.expr("ts div 1000"))
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag("ts_us").over(order)
+    new_sess = (prev.isNull() | ((F.col("ts_us") - prev) > gap_us)).cast(
+        "int"
+    )
+    sess_id = F.sum(new_sess).over(
+        order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = e.withColumn("session_seq", sess_id)
+    per_session = tagged.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts_us", "event_id", "event_type")
+                    )
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    counts = per_session.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (
+        counts.withColumn("path_rank", F.row_number().over(w))
+        .filter(F.col("path_rank") <= k)
+    )

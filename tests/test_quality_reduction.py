@@ -829,3 +829,32 @@ def test_outlier_baseline_split_matches_inline_op(spark):
         for r in score_outliers_with_baseline(ev, baseline).collect()
     )
     assert inline == split and len(inline) == 2
+
+
+# ------------------------------------------------------------------
+# session_paths
+# ------------------------------------------------------------------
+
+def test_session_paths_orders_and_splits_on_gap(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.sessionize import (
+        session_paths,
+    )
+
+    m = 60_000_000  # one minute in us
+    rows = [
+        # user 1 session A: view -> click -> purchase
+        (1, 0 * m * 1000, 1, "view", 0.0, "{}"),
+        (2, 1 * m * 1000, 1, "click", 0.0, "{}"),
+        (3, 2 * m * 1000, 1, "purchase", 1.0, "{}"),
+        # gap > 30min -> session B: view -> click -> purchase again
+        (4, 60 * m * 1000, 1, "view", 0.0, "{}"),
+        (5, 61 * m * 1000, 1, "click", 0.0, "{}"),
+        (6, 62 * m * 1000, 1, "purchase", 1.0, "{}"),
+        # user 2: single view
+        (7, 0, 2, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {r.path: r for r in session_paths(ev).collect()}
+    assert out["view>click>purchase"].n_sessions == 2
+    assert out["view>click>purchase"].path_rank == 1
+    assert out["view"].n_sessions == 1
