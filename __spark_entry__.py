@@ -291,6 +291,7 @@ _R4_FRONT = [
     "doc_similarity_topk",
     "profile_orders",
     "session_paths",
+    "dup_cluster_histogram",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -398,6 +399,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "session_paths": lambda s, d: sessionize.session_paths(
             _events(s, d)
+        ),
+        "dup_cluster_histogram": lambda s, d: dedup.dup_cluster_histogram(
+            _docs(s, d)
         ),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
@@ -2946,6 +2950,13 @@ SELECT query_id, doc_id, cos,
                                ORDER BY cos DESC, doc_id) AS INT)
          AS sim_rank
 FROM sc QUALIFY sim_rank <= 5
+"""
+    out["dup_cluster_histogram"] = f"""
+WITH c AS ({_CLUSTERS_SQL})
+SELECT cluster_size, COUNT(DISTINCT cluster_id) AS n_clusters,
+       COUNT(*) AS n_docs,
+       COUNT(*) - COUNT(DISTINCT cluster_id) AS n_removable
+FROM c GROUP BY 1
 """
     out["session_paths"] = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us

@@ -1068,3 +1068,31 @@ def dedup_audit(
             .alias("recall"),
         )
     )
+
+
+def dup_cluster_histogram(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """"How duplicated is my corpus" in one small frame: the
+    distribution of near-dup cluster sizes — clusters and docs per
+    size, and how many docs a keep-one policy would remove
+    (``n_docs − n_clusters``). The number a dedup run quotes first.
+
+    Composes the verified connected components; the histogram itself
+    is one aggregate over the doc-grain labels (output rows bounded
+    by the largest cluster size).
+    """
+    c = dedup_clusters(documents, pairs)
+    return (
+        c.groupBy("cluster_size")
+        .agg(
+            F.countDistinct("cluster_id").alias("n_clusters"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            (F.col("n_docs") - F.col("n_clusters")).alias("n_removable"),
+        )
+    )

@@ -858,3 +858,23 @@ def test_session_paths_orders_and_splits_on_gap(spark):
     assert out["view>click>purchase"].n_sessions == 2
     assert out["view>click>purchase"].path_rank == 1
     assert out["view"].n_sessions == 1
+
+
+def test_dup_cluster_histogram_counts(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        dup_cluster_histogram,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river today"
+    docs = _docs(
+        spark,
+        [
+            (1, base, "en", "s"),
+            (2, base + " extra", "en", "s"),   # clusters with 1
+            (3, "totally different words all around here now", "en", "s"),
+        ],
+    )
+    out = {r.cluster_size: r for r in dup_cluster_histogram(docs).collect()}
+    assert out[2].n_clusters == 1 and out[2].n_docs == 2
+    assert out[2].n_removable == 1
+    assert out[1].n_docs == 1 and out[1].n_removable == 0
