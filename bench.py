@@ -83,6 +83,10 @@ HEADLINE = [
     "quality_percentile_by_source",
     "doc_similarity_topk",
     "cluster_stats",
+    "profile_orders",
+    "session_paths",
+    "dup_cluster_histogram",
+    "dedup_audit",
 ]
 
 
