@@ -878,3 +878,103 @@ def test_dup_cluster_histogram_counts(spark):
     assert out[2].n_clusters == 1 and out[2].n_docs == 2
     assert out[2].n_removable == 1
     assert out[1].n_docs == 1 and out[1].n_removable == 0
+
+
+# ------------------------------------------------------------------
+# adversarial-input invariants for the round-4 text operators
+# ------------------------------------------------------------------
+
+NASTY_TEXTS = [
+    "",
+    " ",
+    "\n\n\n",
+    "\t \t",
+    "a",
+    "#",
+    "...",
+    "…",
+    "- ",
+    "• bullet only",
+    "* \n- \n• ",
+    "ünïcödé tëxt wïth äccents everywhere ünïcödé",
+    "ΑΒΓΔ ελληνικά κείμενο δοκιμής",
+    "日本語のテキスト サンプル ですます",
+    "🙂 🚀 emoji 🎉 only 🙂 party",
+    "word " * 500,                      # heavy repetition
+    "x" * 5000,                         # one enormous word
+    "a b" * 100,                        # no spaces between pairs
+    "line one\nline two\nline three...",
+    "  leading and trailing  ",
+    "MiXeD CaSe WoRdS HeRe AgAiN",
+    "numbers 123 456 7890 42 13 37",
+    "tab\tseparated\tcolumns\there",
+    "quote 'single' and \"double\" marks",
+    "null\x00byte",                     # control char
+    "ellipsis… mid… sentence… often…",
+    "the of and to be that have with",  # all stopwords
+]
+
+
+def test_text_ops_survive_adversarial_inputs(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        gopher_rules,
+        lang_id_nb,
+        quality_score,
+    )
+
+    docs = _docs(
+        spark,
+        [(i, t, "en", "s") for i, t in enumerate(NASTY_TEXTS)],
+    )
+    n = len(NASTY_TEXTS)
+
+    g = gopher_rules(docs).collect()
+    assert len(g) == n
+    for r in g:
+        assert r.n_words >= 0
+        for ratio in (
+            r.symbol_ratio,
+            r.bullet_ratio,
+            r.ellipsis_ratio,
+            r.alpha_word_ratio,
+        ):
+            assert ratio >= 0.0
+        assert 0.0 <= r.bullet_ratio <= 1.0
+        assert 0.0 <= r.alpha_word_ratio <= 1.0
+
+    q = quality_score(docs).collect()
+    assert len(q) == n
+    for r in q:
+        assert r.n_tokens >= 0
+        assert 0.0 <= r.distinct_ratio <= 1.0 + 1e-9
+        assert 0.0 <= r.stop_ratio <= 1.0 + 1e-9
+
+    b = corpus.bigram_logprob(docs).collect()
+    assert len(b) == n
+    assert all(r.bits_per_bigram >= 0.0 for r in b)
+
+    he = corpus.hash_embed(docs).collect()
+    by_doc = {}
+    for r in he:
+        by_doc.setdefault(r.doc_id, 0.0)
+        by_doc[r.doc_id] += r.weight**2
+    for doc_id, sq in by_doc.items():
+        assert sq == pytest.approx(1.0, abs=1e-3), doc_id
+
+    li = lang_id_nb(docs).collect()
+    assert len(li) == n  # every doc classified (or 'unknown'), none lost
+
+
+def test_text_ops_deterministic_on_adversarial_inputs(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        gopher_rules,
+    )
+
+    docs = _docs(
+        spark, [(i, t, "en", "s") for i, t in enumerate(NASTY_TEXTS)]
+    )
+    a = sorted(tuple(r) for r in gopher_rules(docs).collect())
+    b = sorted(
+        tuple(r) for r in gopher_rules(docs.repartition(5)).collect()
+    )
+    assert a == b
