@@ -292,6 +292,7 @@ _R4_FRONT = [
     "profile_orders",
     "session_paths",
     "dup_cluster_histogram",
+    "profile_drift_orders",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -345,6 +346,17 @@ _R4_FRONT = [
     # relational stale entries (fill the tail of the ~50 budget)
     "product_profit",
 ]
+
+
+def _q_profile_drift(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = "1995-07-01"
+    return warehouse.profile_drift(
+        orders.filter(F.col("o_orderdate") < cut),
+        orders.filter(F.col("o_orderdate") >= cut),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -403,6 +415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_cluster_histogram": lambda s, d: dedup.dup_cluster_histogram(
             _docs(s, d)
         ),
+        "profile_drift_orders": _q_profile_drift,
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2900,30 +2913,52 @@ LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
             return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
         return f"CAST({expr} AS VARCHAR)"
 
-    _prof_aggs = ["COUNT(*) AS n"]
-    for _i, (_c, _t) in enumerate(_prof_cols):
-        _prof_aggs += [
-            f"CAST(SUM(CASE WHEN {_c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
-            f" AS nn{_i}",
-            f"COUNT(DISTINCT {_c}) AS nd{_i}",
-            f"MIN({_c}) AS mn{_i}",
-            f"MAX({_c}) AS mx{_i}",
-        ]
-    _prof_rows = [
-        f"""SELECT '{_c}' AS "column", '{_t}' AS dtype, n AS n_rows,
-       nn{_i} AS n_nulls, round(CAST(nn{_i} AS DOUBLE) / n, 6) AS null_rate,
-       nd{_i} AS n_distinct,
-       {_prof_str(f"mn{_i}", _t)} AS min_value,
-       {_prof_str(f"mx{_i}", _t)} AS max_value
+    def _profile_sql(from_clause: str) -> str:
+        aggs = ["COUNT(*) AS n"]
+        for i, (c, t) in enumerate(_prof_cols):
+            aggs += [
+                f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)"
+                f" AS BIGINT) AS nn{i}",
+                f"COUNT(DISTINCT {c}) AS nd{i}",
+                f"MIN({c}) AS mn{i}",
+                f"MAX({c}) AS mx{i}",
+            ]
+        rows = [
+            f"""SELECT '{c}' AS "column", '{t}' AS dtype, n AS n_rows,
+       nn{i} AS n_nulls, round(CAST(nn{i} AS DOUBLE) / n, 6) AS null_rate,
+       nd{i} AS n_distinct,
+       {_prof_str(f"mn{i}", t)} AS min_value,
+       {_prof_str(f"mx{i}", t)} AS max_value
 FROM a"""
-        for _i, (_c, _t) in enumerate(_prof_cols)
-    ]
-    out["profile_orders"] = (
-        "WITH a AS (SELECT "
-        + ", ".join(_prof_aggs)
-        + " FROM orders)\n"
-        + "\nUNION ALL\n".join(_prof_rows)
+            for i, (c, t) in enumerate(_prof_cols)
+        ]
+        return (
+            "WITH a AS (SELECT "
+            + ", ".join(aggs)
+            + f" FROM {from_clause})\n"
+            + "\nUNION ALL\n".join(rows)
+        )
+
+    out["profile_orders"] = _profile_sql("orders")
+    _prof_before = _profile_sql(
+        "(SELECT * FROM orders"
+        " WHERE o_orderdate < TIMESTAMP '1995-07-01')"
     )
+    _prof_after = _profile_sql(
+        "(SELECT * FROM orders"
+        " WHERE o_orderdate >= TIMESTAMP '1995-07-01')"
+    )
+    out["profile_drift_orders"] = f"""
+WITH pb AS ({_prof_before}),
+pa AS ({_prof_after})
+SELECT pb."column", pb.dtype,
+       pb.n_rows AS n_rows_before, pa.n_rows AS n_rows_after,
+       round(pa.null_rate - pb.null_rate, 6) AS null_rate_delta,
+       pa.n_distinct - pb.n_distinct AS n_distinct_delta,
+       (pb.min_value <> pa.min_value OR pb.max_value <> pa.max_value)
+         AS bounds_changed
+FROM pb JOIN pa ON pb."column" = pa."column"
+"""
     out["doc_similarity_topk"] = f"""
 WITH occ AS (SELECT doc_id, t.term
              FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),

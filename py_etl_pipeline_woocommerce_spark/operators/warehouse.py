@@ -256,3 +256,45 @@ def profile_table(df: DataFrame) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def profile_drift(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Schema/quality drift between two snapshots of the same table —
+    the "did yesterday's load change the shape of this table" check a
+    warehouse runs before promoting a batch: per column, row counts
+    on both sides, null-rate delta, distinct-count delta, and whether
+    the min/max bounds moved.
+
+    Composes two ``profile_table`` runs (each one scan) with a join
+    on the |columns|-row profile frames — the drift math never
+    touches the data again.
+    """
+    b = profile_table(before).select(
+        "column",
+        "dtype",
+        F.col("n_rows").alias("n_rows_before"),
+        F.col("null_rate").alias("_nr_b"),
+        F.col("n_distinct").alias("_nd_b"),
+        F.col("min_value").alias("_mn_b"),
+        F.col("max_value").alias("_mx_b"),
+    )
+    a = profile_table(after).select(
+        "column",
+        F.col("n_rows").alias("n_rows_after"),
+        F.col("null_rate").alias("_nr_a"),
+        F.col("n_distinct").alias("_nd_a"),
+        F.col("min_value").alias("_mn_a"),
+        F.col("max_value").alias("_mx_a"),
+    )
+    return b.join(a, "column").select(
+        "column",
+        "dtype",
+        "n_rows_before",
+        "n_rows_after",
+        F.round(F.col("_nr_a") - F.col("_nr_b"), 6).alias("null_rate_delta"),
+        (F.col("_nd_a") - F.col("_nd_b")).alias("n_distinct_delta"),
+        (
+            (F.col("_mn_a") != F.col("_mn_b"))
+            | (F.col("_mx_a") != F.col("_mx_b"))
+        ).alias("bounds_changed"),
+    )

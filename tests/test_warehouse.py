@@ -188,3 +188,23 @@ def test_profile_table_per_column_report(spark):
     assert out["s"].n_distinct == 1  # nulls don't count as a value
     assert out["v"].min_value == "1.500000"  # decimal-normalized double
     assert out["v"].dtype == "double"
+
+
+def test_profile_drift_flags_shape_changes(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        profile_drift,
+    )
+
+    before = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id bigint, s string, v double"
+    )
+    after = spark.createDataFrame(
+        [(1, "a", 1.0), (2, None, 9.0), (3, None, 2.0)],
+        "id bigint, s string, v double",
+    )
+    out = {r.column: r for r in profile_drift(before, after).collect()}
+    assert out["id"].n_rows_before == 2 and out["id"].n_rows_after == 3
+    assert out["id"].bounds_changed  # max id moved 2 -> 3
+    assert out["s"].null_rate_delta == round(2 / 3, 6)
+    assert out["s"].n_distinct_delta == -1  # b disappeared
+    assert out["v"].bounds_changed  # max v 2.0 -> 9.0
