@@ -293,6 +293,7 @@ _R4_FRONT = [
     "session_paths",
     "dup_cluster_histogram",
     "profile_drift_orders",
+    "event_mix_drift",
     # timestamp-sensitive stale entries (events / media / time ops)
     "parse_event_props",
     "media_metadata",
@@ -416,6 +417,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "profile_drift_orders": _q_profile_drift,
+        "event_mix_drift": lambda s, d: temporal.event_mix_drift(
+            _events(s, d)
+        ),
         "dsir_weights": lambda s, d: corpus.dsir_weights(_docs(s, d)),
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
@@ -2985,6 +2989,28 @@ SELECT query_id, doc_id, cos,
                                ORDER BY cos DESC, doc_id) AS INT)
          AS sim_rank
 FROM sc QUALIFY sim_rank <= 5
+"""
+    out["event_mix_drift"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
+pt AS (SELECT event_type,
+              CAST(SUM(CASE WHEN t_us < 1705363200000000 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_before,
+              CAST(SUM(CASE WHEN t_us < 1705363200000000 THEN 0 ELSE 1 END)
+                   AS BIGINT) AS n_after
+       FROM e GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_before) AS BIGINT) AS tb,
+               CAST(SUM(n_after) AS BIGINT) AS ta FROM pt),
+s AS (SELECT event_type, n_before, n_after,
+             CASE WHEN tb > 0
+                  THEN round(CAST(n_before AS DOUBLE) / tb, 6)
+                  ELSE 0.0::DOUBLE END AS share_before,
+             CASE WHEN ta > 0
+                  THEN round(CAST(n_after AS DOUBLE) / ta, 6)
+                  ELSE 0.0::DOUBLE END AS share_after
+      FROM pt CROSS JOIN tot)
+SELECT event_type, n_before, n_after, share_before, share_after,
+       round(share_after - share_before, 6) AS share_delta
+FROM s
 """
     out["dup_cluster_histogram"] = f"""
 WITH c AS ({_CLUSTERS_SQL})

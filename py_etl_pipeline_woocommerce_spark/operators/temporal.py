@@ -836,3 +836,43 @@ def score_outliers_with_baseline(
             "event_id", "event_type", "t_us", "value", "med", "mad", "mod_z"
         )
     )
+
+
+def event_mix_drift(
+    events: DataFrame, cut_us: int = 1_705_363_200_000_000
+) -> DataFrame:
+    """Event-type mix shift across a time cut — "did the traffic
+    composition change after the release" (the event-stream twin of
+    ``vocab_drift``): per type, event counts and share of traffic
+    before/after ``cut_us``, and the share delta.
+
+    ONE scan with conditional integer aggregates (no second pass per
+    side), a 1-row totals broadcast, and one division per share at
+    the boundary — engine-exact at any partitioning. Default cut:
+    2024-01-16 UTC, the midpoint of the testdata's event range.
+    """
+    e = _ts_us(events)
+    before = (F.col("t_us") < cut_us).cast("bigint")
+    per_type = e.groupBy("event_type").agg(
+        F.sum(before).alias("n_before"),
+        F.sum(1 - before).alias("n_after"),
+    )
+    totals = per_type.agg(
+        F.sum("n_before").alias("_tb"), F.sum("n_after").alias("_ta")
+    )
+    share_b = F.when(
+        F.col("_tb") > 0,
+        F.round(F.col("n_before") / F.col("_tb"), 6),
+    ).otherwise(0.0)
+    share_a = F.when(
+        F.col("_ta") > 0,
+        F.round(F.col("n_after") / F.col("_ta"), 6),
+    ).otherwise(0.0)
+    return per_type.join(F.broadcast(totals)).select(
+        "event_type",
+        "n_before",
+        "n_after",
+        share_b.alias("share_before"),
+        share_a.alias("share_after"),
+        F.round(share_a - share_b, 6).alias("share_delta"),
+    )

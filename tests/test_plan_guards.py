@@ -73,6 +73,8 @@ SCALAR_BROADCAST = {
     "lang_id_nb",
     # three 1-row count aggregates crossed into the report row
     "dedup_audit",
+    # 1-row before/after totals broadcast over the per-type frame
+    "event_mix_drift",
 }
 
 

@@ -978,3 +978,30 @@ def test_text_ops_deterministic_on_adversarial_inputs(spark):
         tuple(r) for r in gopher_rules(docs.repartition(5)).collect()
     )
     assert a == b
+
+
+def test_event_mix_drift_shares(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        event_mix_drift,
+    )
+
+    rows = [
+        # before the cut at t=100us: 3 clicks, 1 view
+        (1, 10_000, 1, "click", 0.0, "{}"),
+        (2, 20_000, 1, "click", 0.0, "{}"),
+        (3, 30_000, 1, "click", 0.0, "{}"),
+        (4, 40_000, 1, "view", 0.0, "{}"),
+        # after: 1 click, 3 views
+        (5, 200_000, 1, "click", 0.0, "{}"),
+        (6, 210_000, 1, "view", 0.0, "{}"),
+        (7, 220_000, 1, "view", 0.0, "{}"),
+        (8, 230_000, 1, "view", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(rows, EV_SCHEMA)
+    out = {
+        r.event_type: r for r in event_mix_drift(ev, cut_us=100).collect()
+    }
+    assert out["click"].share_before == 0.75
+    assert out["click"].share_after == 0.25
+    assert out["click"].share_delta == -0.5
+    assert out["view"].share_delta == 0.5
