@@ -247,11 +247,13 @@ def _q_dq_rules(spark, sf_dir):
 
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
 # ordering decides what gets (re-)verified each round. Round-4 front block:
-# the fixed token_budget_sample retest, the two new facade entries, then
-# stale r1/r2-green entries that have never been driver-checked against the
-# REGENERATED (micros-timestamp) round-3 testdata — events/docs/embeddings
-# and ETL/dashboard paths first (most exposed to the regen), pure
-# orders/lineitem relational scans deferred to round 5's budget.
+# the fixed token_budget_sample retest, then EVERY operator added this
+# round (46 never-driver-checked entries take the budget first), then the
+# stale rotation. ROUND-5 ROTATION NOTE: move the ~30 stale entries now
+# sitting past position 50 (dashboards, warehouse, r1-era relational and
+# training ops — all green in this round's four full selfcheck gates,
+# final one 154/154 at sf0.01) to the front of the r5 list; the round-4
+# additions only need driver re-checks after their next code change.
 _R4_FRONT = [
     "token_budget_sample",
     "event_value_summary",
