@@ -1520,3 +1520,85 @@ def doc_similarity_topk(
         .filter(F.col("sim_rank") <= k)
         .select("query_id", "doc_id", "cos", "sim_rank")
     )
+
+
+def sample_queries(
+    documents: DataFrame, every: int = 97, n_terms: int = 8
+) -> DataFrame:
+    """Deterministic "more-like-this" query batch for retrieval ops:
+    every ``every``-th document becomes a query whose terms are the
+    doc's first ``n_terms`` tokens (a prefix slice — positionally
+    stable in any engine). Output: (query_id, term), distinct."""
+    toks = documents.filter(F.col("doc_id") % every == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.explode(F.slice(tokens_expr("text"), 1, n_terms)).alias("term"),
+    )
+    return toks.filter(F.col("term") != "").distinct()
+
+
+def bm25_search(
+    documents: DataFrame,
+    queries: DataFrame | None = None,
+    k1: float = 1.2,
+    b: float = 0.75,
+    topk: int = 10,
+) -> DataFrame:
+    """BM25 full-text retrieval over the corpus for a batch of term
+    queries — the lexical side of a retrieval stack (the dense side
+    is ``ann_topk``/``doc_similarity_topk``; production rankers fuse
+    both). Lucene-style positive idf: ``ln(1 + (N − df + ½)/(df + ½))``,
+    per-term contribution ``idf · tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))``.
+
+    ``queries`` is (query_id, term); defaults to ``sample_queries``
+    (every 97th doc's token prefix — self-retrieval smoke, query doc
+    excluded from its own results).
+
+    Scale shape: the corpus is scanned ONCE into a (doc, term, tf)
+    frame; df and the dl/avgdl length stats derive from that frame,
+    not a second scan. The query batch (small by construction)
+    broadcasts into the term join, so the only corpus-sized shuffles
+    are the tf aggregate and the per-(query, doc) score aggregate.
+    Scores are double sums over ≤ |query terms| addends rounded to
+    6 dp (association noise ≪ rounding grain — the
+    ``unigram_logprob`` determinism argument); ranking orders by the
+    ROUNDED score with doc_id tie-break, so the cut is engine-exact.
+    """
+    if queries is None:
+        queries = sample_queries(documents)
+    occ = (
+        _spread_docs(documents)
+        .select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("_tok_total")
+    )
+    scored = (
+        tf.join(F.broadcast(queries), "term")
+        .join(df_, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .filter(F.col("doc_id") != F.col("query_id"))
+    )
+    avgdl = F.col("_tok_total").cast("double") / F.col("n_docs")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / avgdl))
+    )
+    per_pair = scored.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum(contrib), 6).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        per_pair.withColumn("bm25_rank", F.row_number().over(w))
+        .filter(F.col("bm25_rank") <= topk)
+        .select("query_id", "doc_id", "score", "bm25_rank")
+    )

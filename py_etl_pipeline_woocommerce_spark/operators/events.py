@@ -201,3 +201,90 @@ def session_window_agg(
             "total_value",
         )
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (from_type, to_type) pair of CONSECUTIVE
+    events of one user, the transition count and P(to | from) — the
+    "what do users do next" report behind next-action prediction
+    features and funnel discovery (``session_paths`` shows whole
+    journeys; this shows the one-step kernel).
+
+    One user-keyed shuffle (window lead over (ts, event_id) — the
+    same total order every session operator uses), then a partial
+    aggregate to the |types|² transition space. Each user's last
+    event has no successor and drops out. The probability is one
+    division per matrix cell against a broadcast per-from total,
+    rounded to 6 dp — engine-exact at any partitioning.
+    """
+    from pyspark.sql import Window
+
+    e = events.select(
+        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("t_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
+    pairs = (
+        e.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("_from_total")
+    )
+    return counts.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(F.col("n_transitions") / F.col("_from_total"), 6).alias(
+            "p_transition"
+        ),
+    )
+
+
+def user_overlap(events: DataFrame) -> DataFrame:
+    """Exact audience-overlap matrix between event types: for every
+    unordered type pair (a < b), the distinct-user counts of each
+    side, the overlap, and the Jaccard of the two audiences — "do
+    the people who view also purchase".
+
+    Shape: one distinct over (user, type) — the only corpus-sized
+    shuffle — then a per-user self-join whose fan-out is bounded by
+    C(types-per-user, 2) ≤ C(|types|, 2), a small constant per user
+    regardless of event volume. Per-type audience sizes broadcast
+    into the |types|²-row result. At extreme user cardinality the
+    same matrix reaggregates from per-type Datasketches HLL unions
+    (``dau_sketch_rollup``'s construction + inclusion-exclusion);
+    kept exact here for the oracle gate.
+    """
+    ut = events.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    na = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        both.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -876,3 +876,108 @@ def event_mix_drift(
         share_a.alias("share_after"),
         F.round(share_a - share_b, 6).alias("share_delta"),
     )
+
+
+def daily_value_percentiles(events: DataFrame) -> DataFrame:
+    """Per (event_type, UTC day) exact interpolated p50/p95 of event
+    value — the latency-dashboard shape ("p95 by day") one grain
+    finer than ``value_percentiles``.
+
+    ORACLE-PARITY PATH: exact ``F.percentile`` per group, matching
+    DuckDB's ``quantile_cont`` bit-for-bit after 6-dp rounding. The
+    group space here is |types| × |days| — far larger than
+    ``value_percentiles``'s |types| — so per-group buffers stay small
+    (one day of one type) and the exact path survives much deeper
+    into scale than the global variant. For groups that can still go
+    ultra-hot, ``value_percentiles_approx``'s GK construction applies
+    per (type, day) unchanged (same output schema).
+
+    One scan → one partial-aggregated shuffle on (type, day).
+    """
+    e = _ts_us(events)
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95)))
+    agg = e.groupBy(
+        "event_type", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+    ).agg(pct.alias("_p"), F.count(F.lit(1)).alias("n_events"))
+    return agg.select(
+        "event_type",
+        (F.col("day_idx") * DAY_US).alias("day_us"),
+        "n_events",
+        F.round(F.col("_p")[0], 6).alias("p50"),
+        F.round(F.col("_p")[1], 6).alias("p95"),
+    )
+
+
+def equidepth_histogram(events: DataFrame, bins: int = 10) -> DataFrame:
+    """Equi-DEPTH value histogram per event type: ``bins`` buckets
+    holding (near-)equal row counts, with each bucket's value range —
+    the companion to ``value_histogram``'s fixed-width (equi-WIDTH)
+    bins. Equi-depth edges are what optimizers keep as column
+    statistics and what monitoring wants when the distribution is
+    heavy-tailed (fixed-width puts 99% of rows in one bin).
+
+    Bucket assignment is ``ntile(bins)`` over the total order
+    (value, event_id) — the tie-break makes bucket membership
+    parallelism-invariant, so min/max/count per bucket are
+    engine-exact (no floats until the output boundary).
+
+    ORACLE-PARITY PATH: the per-type ntile window is a per-type sort.
+    At 100 TB the same report comes from ``percentile_approx`` edges
+    (mergeable GK, one partial-agg shuffle) with counts from one
+    conditional-aggregate scan against the broadcast edge row —
+    identical output schema, documented swap like
+    ``value_percentiles`` → ``value_percentiles_approx``.
+    """
+    e = _ts_us(events)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    binned = e.select(
+        "event_type", "value", F.ntile(bins).over(w).alias("bin")
+    )
+    return binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.min("value"), 6).alias("lo"),
+        F.round(F.max("value"), 6).alias("hi"),
+    )
+
+
+def seasonal_anomaly(
+    events: DataFrame, low: float = 0.5, high: float = 2.0
+) -> DataFrame:
+    """Daily volume anomaly flags per event type against the type's
+    own day-of-week seasonal baseline — the consumer of
+    ``seasonal_profile``'s fingerprint: "is Tuesday's volume normal
+    *for a Tuesday*?". A day flags when its event count falls outside
+    [low, high] × the mean daily count of that (type, weekday) cell.
+
+    Two aggregates over the same scan lineage: (type, day) daily
+    counts (|types|×|days| rows), then (type, weekday) baseline means
+    over THAT frame (≤ |types|×7 rows, broadcast back). The ratio is
+    one division, rounded to 6 dp BEFORE the cut so the flag is
+    engine-exact; weekday uses the same pure-integer epoch math as
+    ``seasonal_profile`` (Monday = 0, UTC by construction).
+
+    Note the baseline includes the day being judged (a transparency
+    choice, not leakage — it's a descriptive report; for a strict
+    out-of-sample monitor, compute the baseline on a trailing
+    window via ``value_outlier_baseline``'s offline/online split).
+    """
+    e = _ts_us(events)
+    daily = e.groupBy(
+        "event_type", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    daily = daily.withColumn("weekday", F.expr("(day_idx + 3) % 7"))
+    base = daily.groupBy("event_type", "weekday").agg(
+        F.sum("n_events").alias("_tot"), F.count(F.lit(1)).alias("_days")
+    )
+    joined = daily.join(F.broadcast(base), ["event_type", "weekday"])
+    mean_c = F.round(F.col("_tot").cast("double") / F.col("_days"), 6)
+    ratio = F.round(F.col("n_events") / mean_c, 6)
+    return joined.select(
+        "event_type",
+        (F.col("day_idx") * DAY_US).alias("day_us"),
+        "weekday",
+        "n_events",
+        mean_c.alias("baseline_mean"),
+        ratio.alias("ratio"),
+        ((ratio < low) | (ratio > high)).alias("is_anomaly"),
+    )

@@ -1016,3 +1016,69 @@ def supplier_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic marketing cut the
+    reference's dashboard stops short of: per customer, Recency
+    (days since last order, vs the corpus's max order date),
+    Frequency (order count), Monetary (exact-decimal lifetime
+    spend), each scored into quartiles, plus the combined ``rfm``
+    code ("444" = recent, frequent, big-ticket).
+
+    Shape: ONE order scan → customer-grain aggregate (the only
+    corpus-sized shuffle); a 1-row max-date broadcast; three ntile
+    windows over the CUSTOMER-grain frame (orders-of-magnitude
+    smaller than the fact table). Every window orders by a total
+    order with the custkey tie-break, so quartile membership is
+    parallelism- and engine-exact. Recency is integer epoch-day
+    subtraction; monetary stays DECIMAL until the output boundary.
+
+    ORACLE-PARITY PATH on the ntiles: global ntile sorts the
+    customer frame on one partition. At 100 TB customer counts the
+    swap is ``percentile_approx`` quartile THRESHOLDS broadcast into
+    a conditional score projection — the ``dsir_select_threshold`` /
+    ``perplexity_bucket_mix`` construction, same output schema.
+
+    Score direction: 4 = best (most recent / most orders / most
+    spend) — recency ntiles ascending on days-since (small = recent
+    = high score via (5 − ntile)); frequency/monetary ntile
+    ascending so the top quartile scores 4.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey").isNotNull()
+    )
+    day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("timestamp"))
+    per_cust = orders.groupBy(F.col("o_custkey").alias("cust_id")).agg(
+        F.max(day).alias("_last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(dec_money("o_totalprice")).alias("_spend"),
+    )
+    maxday = per_cust.agg(F.max("_last_day").alias("_corpus_last"))
+    feats = per_cust.join(F.broadcast(maxday)).select(
+        "cust_id",
+        (F.col("_corpus_last") - F.col("_last_day"))
+        .cast("bigint")
+        .alias("recency_days"),
+        "frequency",
+        F.col("_spend").cast("double").alias("monetary"),
+        F.col("_spend").alias("_spend_dec"),
+    )
+    w_r = Window.orderBy(F.col("recency_days"), F.col("cust_id"))
+    w_f = Window.orderBy(F.col("frequency"), F.col("cust_id"))
+    w_m = Window.orderBy(F.col("_spend_dec"), F.col("cust_id"))
+    scored = feats.select(
+        "cust_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (F.lit(5) - F.ntile(4).over(w_r)).alias("r_score"),
+        F.ntile(4).over(w_f).alias("f_score"),
+        F.ntile(4).over(w_m).alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )

@@ -1,0 +1,283 @@
+"""Round-4 late additions: daily percentiles, equi-depth histograms,
+seasonal anomaly flags, Markov transitions, audience overlap, BM25
+retrieval, RFM segmentation, continuous-aggregate merge, GDPR purge.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+DAY_NS = 86_400_000_000_000
+DAY_US = 86_400_000_000
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, value double",
+    )
+
+
+def test_daily_value_percentiles_interpolates_per_day(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        daily_value_percentiles,
+    )
+
+    ev = _events(
+        spark,
+        [
+            (1, 0 * DAY_NS, 1, "A", 0.0),
+            (2, 0 * DAY_NS, 2, "A", 10.0),
+            (3, 1 * DAY_NS, 1, "A", 5.0),
+        ],
+    )
+    out = {
+        r["day_us"] // DAY_US: r for r in daily_value_percentiles(ev).collect()
+    }
+    assert out[0]["p50"] == 5.0  # midpoint of {0, 10}
+    assert out[0]["p95"] == 9.5  # 0 + 0.95 * 10
+    assert out[0]["n_events"] == 2
+    assert out[1]["p50"] == 5.0 and out[1]["p95"] == 5.0
+
+
+def test_equidepth_histogram_equal_counts_and_tight_ranges(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        equidepth_histogram,
+    )
+
+    ev = _events(
+        spark,
+        [(i, 0, i, "A", float(i)) for i in range(1, 11)],
+    )
+    out = {r["bin"]: r for r in equidepth_histogram(ev, bins=5).collect()}
+    assert len(out) == 5
+    for b in range(1, 6):
+        assert out[b]["n_events"] == 2
+        assert out[b]["lo"] == 2 * b - 1.0
+        assert out[b]["hi"] == 2 * b + 0.0
+
+
+def test_seasonal_anomaly_flags_vs_weekday_baseline(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        seasonal_anomaly,
+    )
+
+    # Same weekday three weeks running: 4, 10, 40 events -> mean 18.
+    rows = []
+    eid = 0
+    for week, n in ((0, 4), (1, 10), (2, 40)):
+        for i in range(n):
+            eid += 1
+            rows.append((eid, (week * 7) * DAY_NS, i, "A", 1.0))
+    out = {
+        r["day_us"] // (7 * DAY_US): r
+        for r in seasonal_anomaly(_events(spark, rows)).collect()
+    }
+    assert out[0]["baseline_mean"] == 18.0
+    assert out[0]["is_anomaly"] is True  # 4/18 < 0.5
+    assert out[1]["is_anomaly"] is False  # 10/18
+    assert out[2]["is_anomaly"] is True  # 40/18 > 2
+    assert out[1]["weekday"] == out[0]["weekday"]
+
+
+def test_event_transitions_counts_and_probs(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.events import (
+        event_transitions,
+    )
+
+    ev = _events(
+        spark,
+        [
+            (1, 1_000, 1, "A", 0.0),
+            (2, 2_000, 1, "B", 0.0),
+            (3, 3_000, 1, "A", 0.0),
+            (4, 1_000, 2, "A", 0.0),
+            (5, 2_000, 2, "C", 0.0),
+        ],
+    )
+    out = {
+        (r["from_type"], r["to_type"]): r
+        for r in event_transitions(ev).collect()
+    }
+    assert out[("A", "B")]["n_transitions"] == 1
+    assert out[("A", "C")]["n_transitions"] == 1
+    assert out[("B", "A")]["n_transitions"] == 1
+    assert out[("A", "B")]["p_transition"] == 0.5
+    assert out[("B", "A")]["p_transition"] == 1.0
+    # last event of each user has no successor
+    assert sum(r["n_transitions"] for r in out.values()) == 3
+
+
+def test_user_overlap_jaccard_and_sparsity(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.events import user_overlap
+
+    ev = _events(
+        spark,
+        [
+            (1, 0, 1, "A", 0.0),
+            (2, 0, 2, "A", 0.0),
+            (3, 0, 3, "A", 0.0),
+            (4, 0, 2, "B", 0.0),
+            (5, 0, 3, "B", 0.0),
+            (6, 0, 2, "B", 0.0),  # duplicate (user, type) collapses
+            (7, 0, 4, "C", 0.0),
+        ],
+    )
+    out = {(r["type_a"], r["type_b"]): r for r in user_overlap(ev).collect()}
+    ab = out[("A", "B")]
+    assert (ab["n_a"], ab["n_b"], ab["n_both"]) == (3, 2, 2)
+    assert ab["jaccard"] == round(2 / 3, 6)
+    # disjoint audiences produce no row (sparse matrix)
+    assert ("A", "C") not in out and ("B", "C") not in out
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_bm25_ranks_rare_term_and_tf_higher(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import bm25_search
+
+    docs = _docs(
+        spark,
+        [
+            (1, "zebra quantum common", "en", "s"),
+            (2, "zebra zebra zebra common filler words here", "en", "s"),
+            (3, "common filler words here and more padding", "en", "s"),
+            (4, "entirely unrelated content block", "en", "s"),
+        ],
+    )
+    queries = spark.createDataFrame(
+        [(100, "zebra"), (100, "common")], "query_id long, term string"
+    )
+    out = bm25_search(docs, queries, topk=10).collect()
+    ranked = {r["bm25_rank"]: r["doc_id"] for r in out}
+    # doc 4 shares no term -> absent entirely
+    assert 4 not in {r["doc_id"] for r in out}
+    # docs with the rare term beat the common-term-only doc
+    assert set(ranked.values()) == {1, 2, 3}
+    assert ranked[3] == 3
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[1] > scores[3] and scores[2] > scores[3]
+
+
+def test_bm25_default_queries_exclude_self(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import bm25_search
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = bm25_search(docs, topk=3)
+    assert out.filter(F.col("query_id") == F.col("doc_id")).count() == 0
+    per_q = out.groupBy("query_id").count().collect()
+    assert per_q and all(r["count"] <= 3 for r in per_q)
+
+
+def test_rfm_segments_scores_and_code(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.plans.relational import rfm_segments
+
+    rows = rfm_segments(spark, sf_dir).collect()
+    assert rows
+    by_cust = {r["cust_id"]: r for r in rows}
+    for r in rows:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    # the biggest spender lands in the top monetary quartile, the
+    # most recent customer in the top recency quartile
+    top_m = max(rows, key=lambda r: (r["monetary"], -r["cust_id"]))
+    assert top_m["m_score"] == 4
+    most_recent = min(rows, key=lambda r: (r["recency_days"], r["cust_id"]))
+    assert most_recent["recency_days"] == 0 and most_recent["r_score"] == 4
+    # quartiles are near-balanced (ntile property)
+    from collections import Counter
+
+    counts = Counter(r["m_score"] for r in rows)
+    assert max(counts.values()) - min(counts.values()) <= 1
+    assert len(by_cust) == len(rows)  # one row per customer
+
+
+def test_rollup_merge_matches_full_recompute(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        daily_rollup_partials,
+        rollup_merge,
+    )
+
+    hist = _events(
+        spark,
+        [
+            (1, 0 * DAY_NS, 1, "A", 10.0),
+            (2, 0 * DAY_NS, 2, "A", 5.0),
+            (3, 1 * DAY_NS, 1, "B", 2.0),
+        ],
+    )
+    # batch includes a LATE row for day 0 and a new day 2
+    batch = _events(
+        spark,
+        [
+            (4, 0 * DAY_NS, 3, "A", 1.0),
+            (5, 2 * DAY_NS, 1, "A", 7.0),
+        ],
+    )
+    merged = rollup_merge(daily_rollup_partials(hist), batch)
+    full = daily_rollup_partials(hist.unionByName(batch))
+    key = lambda r: (r["day_us"], r["event_type"])
+    m = {key(r): r for r in merged.collect()}
+    f = {key(r): r for r in full.collect()}
+    assert m.keys() == f.keys()
+    for k in f:
+        assert m[k]["n_events"] == f[k]["n_events"]
+        assert m[k]["total_value_dec"] == f[k]["total_value_dec"]
+    # late day-0 row merged INTO the stored day, no new row
+    assert m[(0, "A")]["n_events"] == 3
+
+
+def test_purge_keys_prunes_partitions_and_drops_emptied(spark, tmp_path):
+    from py_etl_pipeline_woocommerce_spark.plans.woo_flow import (
+        PARTITION_COL,
+        purge_keys,
+    )
+
+    path = str(tmp_path / "fct")
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-05", 10.0),
+            (2, "2024-01-06", 20.0),
+            (3, "2024-02-05", 30.0),
+            (4, "2024-03-05", 40.0),
+        ],
+        "order_id long, order_date string, net_total double",
+    ).withColumn(PARTITION_COL, F.substring("order_date", 1, 7))
+    df.write.partitionBy(PARTITION_COL).parquet(path)
+
+    untouched = os.path.join(path, f"{PARTITION_COL}=2024-03")
+    before_bytes = {
+        f: os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+    }
+
+    purge = spark.createDataFrame([(1,), (3,)], "order_id long")
+    audit = purge_keys(spark, path, purge, ["order_id"])
+    assert audit == {"rows_purged": 2, "partitions_rewritten": 2}
+
+    left = spark.read.parquet(path)
+    assert sorted(r["order_id"] for r in left.collect()) == [2, 4]
+    # the fully-purged February directory is gone
+    assert not os.path.exists(os.path.join(path, f"{PARTITION_COL}=2024-02"))
+    # untouched March files were not rewritten
+    after_bytes = {
+        f: os.path.getmtime(os.path.join(untouched, f))
+        for f in os.listdir(untouched)
+    }
+    assert after_bytes == before_bytes
+
+    # purging nothing is a no-op
+    none = spark.createDataFrame([(999,)], "order_id long")
+    assert purge_keys(spark, path, none, ["order_id"]) == {
+        "rows_purged": 0,
+        "partitions_rewritten": 0,
+    }
