@@ -256,6 +256,15 @@ def _q_dq_rules(spark, sf_dir):
 # additions only need driver re-checks after their next code change.
 _R4_FRONT = [
     "token_budget_sample",
+    # round-4b: brand-new this round, never driver-checked
+    "daily_value_percentiles",
+    "equidepth_histogram",
+    "seasonal_anomaly",
+    "event_transitions",
+    "user_overlap",
+    "bm25_search",
+    "rfm_segments",
+    "rollup_merge",
     "event_value_summary",
     "dashboard_payload",
     "dsir_weights",
@@ -362,8 +371,52 @@ def _q_profile_drift(spark, sf_dir):
     )
 
 
+def _q_rollup_merge(spark, sf_dir):
+    """Incremental continuous-aggregate maintenance, driver-shaped:
+    the stored rollup is the partials of events BEFORE the cut, the
+    batch is everything after; the merged result must equal a full
+    recompute over all events — which is exactly what the oracle
+    runs, so the driver hash PROVES the merge is lossless."""
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        daily_rollup_partials,
+        rollup_merge,
+    )
+
+    ev = _events(spark, sf_dir)
+    cut_us = 1_705_363_200_000_000
+    before = ev.filter(F.expr("ts div 1000") < cut_us)
+    after = ev.filter(F.expr("ts div 1000") >= cut_us)
+    merged = rollup_merge(daily_rollup_partials(before), after)
+    return merged.select(
+        "day_us",
+        "event_type",
+        "n_events",
+        F.col("total_value_dec").cast("double").alias("total_value"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- round-4b additions (this rework of the round): never
+        # driver-verified, take the budget first ---
+        "daily_value_percentiles": (
+            lambda s, d: temporal.daily_value_percentiles(_events(s, d))
+        ),
+        "equidepth_histogram": lambda s, d: temporal.equidepth_histogram(
+            _events(s, d)
+        ),
+        "seasonal_anomaly": lambda s, d: temporal.seasonal_anomaly(
+            _events(s, d)
+        ),
+        "event_transitions": lambda s, d: events.event_transitions(
+            _events(s, d)
+        ),
+        "user_overlap": lambda s, d: events.user_overlap(_events(s, d)),
+        "bm25_search": lambda s, d: corpus.bm25_search(_docs(s, d)),
+        "rfm_segments": relational.rfm_segments,
+        "rollup_merge": _q_rollup_merge,
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
@@ -3151,5 +3204,144 @@ SELECT event_type, weekday, hour, n_events,
        CAST(tot AS DOUBLE) AS total_value,
        round(CAST(tot AS DOUBLE) / n_events, 6) AS mean_value
 FROM a
+"""
+    out["daily_value_percentiles"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
+a AS (SELECT event_type,
+             (t_us // 86400000000) * 86400000000 AS day_us,
+             COUNT(*) AS n_events,
+             quantile_cont(value, 0.5) AS q50,
+             quantile_cont(value, 0.95) AS q95
+      FROM e GROUP BY 1, 2)
+SELECT event_type, day_us, n_events,
+       round(q50, 6) AS p50, round(q95, 6) AS p95
+FROM a
+"""
+    out["equidepth_histogram"] = """
+WITH b AS (SELECT event_type, value,
+                  CAST(ntile(10) OVER (PARTITION BY event_type
+                                       ORDER BY value, event_id) AS INT)
+                    AS bin
+           FROM events)
+SELECT event_type, bin, COUNT(*) AS n_events,
+       round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
+FROM b GROUP BY 1, 2
+"""
+    out["seasonal_anomaly"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us FROM events),
+d AS (SELECT event_type, t_us // 86400000000 AS day_idx,
+             COUNT(*) AS n_events
+      FROM e GROUP BY 1, 2),
+w AS (SELECT *, (day_idx + 3) % 7 AS weekday FROM d),
+b AS (SELECT event_type, weekday, CAST(SUM(n_events) AS BIGINT) AS tot,
+             COUNT(*) AS n_days
+      FROM w GROUP BY 1, 2),
+j AS (SELECT w.event_type, w.day_idx, w.weekday, w.n_events,
+             round(CAST(tot AS DOUBLE) / n_days, 6) AS baseline_mean
+      FROM w JOIN b USING (event_type, weekday)),
+r AS (SELECT *, round(n_events / baseline_mean, 6) AS ratio FROM j)
+SELECT event_type, day_idx * 86400000000 AS day_us, weekday, n_events,
+       baseline_mean, ratio,
+       (ratio < 0.5 OR ratio > 2.0) AS is_anomaly
+FROM r
+"""
+    out["event_transitions"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+           FROM events),
+p AS (SELECT event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY t_us, event_id) AS to_type
+      FROM e),
+c AS (SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM p WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS ft
+      FROM c GROUP BY 1)
+SELECT from_type, to_type, n_transitions,
+       round(CAST(n_transitions AS DOUBLE) / ft, 6) AS p_transition
+FROM c JOIN t USING (from_type)
+"""
+    out["user_overlap"] = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+b AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a JOIN ut c ON a.user_id = c.user_id
+      WHERE a.event_type < c.event_type
+      GROUP BY 1, 2)
+SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+       round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+         AS jaccard
+FROM b JOIN s sa ON sa.event_type = type_a
+       JOIN s sb ON sb.event_type = type_b
+"""
+    out["bm25_search"] = f"""
+WITH toks AS (SELECT doc_id, t.term
+              FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+                   UNNEST(tk) AS t(term)
+              WHERE t.term <> ''),
+q AS (SELECT DISTINCT doc_id AS query_id, t.term
+      FROM (SELECT doc_id, list_slice({_TOKS}, 1, 8) AS tk
+            FROM documents WHERE doc_id % 97 = 0),
+           UNNEST(tk) AS t(term)
+      WHERE t.term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tok_total
+       FROM dl),
+sc AS (SELECT q.query_id, tf.doc_id,
+              round(SUM(
+                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                * (tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl
+                          / (CAST(tok_total AS DOUBLE) / n_docs))))
+              ), 6) AS score
+       FROM tf JOIN q USING (term)
+               JOIN df USING (term)
+               JOIN dl ON dl.doc_id = tf.doc_id
+               CROSS JOIN st
+       WHERE tf.doc_id <> q.query_id
+       GROUP BY 1, 2)
+SELECT query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT)
+         AS bm25_rank
+FROM sc QUALIFY bm25_rank <= 10
+"""
+    out["rfm_segments"] = """
+WITH pc AS (SELECT o_custkey AS cust_id,
+                   MAX(date_diff('day', TIMESTAMP '1970-01-01 00:00:00',
+                                 o_orderdate)) AS last_day,
+                   COUNT(*) AS frequency,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+            FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+mx AS (SELECT MAX(last_day) AS corpus_last FROM pc),
+f AS (SELECT cust_id,
+             CAST(corpus_last - last_day AS BIGINT) AS recency_days,
+             frequency, CAST(spend AS DOUBLE) AS monetary, spend
+      FROM pc CROSS JOIN mx),
+s AS (SELECT cust_id, recency_days, frequency, monetary,
+             CAST(5 - ntile(4) OVER (ORDER BY recency_days, cust_id)
+                  AS INT) AS r_score,
+             CAST(ntile(4) OVER (ORDER BY frequency, cust_id)
+                  AS INT) AS f_score,
+             CAST(ntile(4) OVER (ORDER BY spend, cust_id)
+                  AS INT) AS m_score
+      FROM f)
+SELECT cust_id, recency_days, frequency, monetary,
+       r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+         || CAST(m_score AS VARCHAR) AS rfm
+FROM s
+"""
+    # rollup_merge's oracle is a FULL recompute over every event —
+    # hash equality proves the incremental partial-merge is lossless.
+    out["rollup_merge"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events)
+SELECT (t_us - (t_us % 86400000000)) AS day_us, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM e GROUP BY 1, 2
 """
     return out

@@ -75,6 +75,10 @@ SCALAR_BROADCAST = {
     "dedup_audit",
     # 1-row before/after totals broadcast over the per-type frame
     "event_mix_drift",
+    # 1-row corpus length stats (n_docs, token total) broadcast
+    "bm25_search",
+    # 1-row corpus max-order-day broadcast over the customer frame
+    "rfm_segments",
 }
 
 
