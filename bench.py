@@ -87,6 +87,14 @@ HEADLINE = [
     "session_paths",
     "dup_cluster_histogram",
     "dedup_audit",
+    "daily_value_percentiles",
+    "equidepth_histogram",
+    "seasonal_anomaly",
+    "event_transitions",
+    "user_overlap",
+    "bm25_search",
+    "rfm_segments",
+    "rollup_merge",
 ]
 
 
