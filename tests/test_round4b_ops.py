@@ -281,3 +281,65 @@ def test_purge_keys_prunes_partitions_and_drops_emptied(spark, tmp_path):
         "rows_purged": 0,
         "partitions_rewritten": 0,
     }
+
+
+# --- adversarial / edge-case invariants ---
+
+
+def test_bm25_empty_and_no_overlap_inputs(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import bm25_search
+
+    # documents with no tokens at all -> empty result, no crash
+    empty = _docs(spark, [(1, "!!! ???", "en", "s"), (2, "", "en", "s")])
+    q = spark.createDataFrame([(9, "zebra")], "query_id long, term string")
+    assert bm25_search(empty, q).count() == 0
+    # query term absent from the corpus -> empty result
+    docs = _docs(spark, [(1, "plain words here", "en", "s")])
+    assert bm25_search(docs, q).count() == 0
+
+
+def test_event_transitions_single_event_users(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.events import (
+        event_transitions,
+    )
+
+    ev = _events(
+        spark,
+        [(1, 1_000, 1, "A", 0.0), (2, 1_000, 2, "B", 0.0)],
+    )
+    assert event_transitions(ev).count() == 0
+
+
+def test_equidepth_histogram_fewer_rows_than_bins(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        equidepth_histogram,
+    )
+
+    ev = _events(spark, [(1, 0, 1, "A", 1.0), (2, 0, 2, "A", 2.0)])
+    out = equidepth_histogram(ev, bins=10).collect()
+    # ntile degrades to one row per bin, bins beyond the rows are empty
+    assert len(out) == 2
+    assert all(r["n_events"] == 1 and r["lo"] == r["hi"] for r in out)
+
+
+def test_user_overlap_single_type_produces_no_pairs(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.events import user_overlap
+
+    ev = _events(spark, [(1, 0, 1, "A", 0.0), (2, 0, 2, "A", 0.0)])
+    assert user_overlap(ev).count() == 0
+
+
+def test_rollup_merge_empty_batch_is_identity(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        daily_rollup_partials,
+        rollup_merge,
+    )
+
+    hist = _events(spark, [(1, 0, 1, "A", 3.0)])
+    partials = daily_rollup_partials(hist)
+    empty = hist.filter("event_id < 0")
+    merged = rollup_merge(partials, empty).collect()
+    base = partials.collect()
+    assert len(merged) == len(base) == 1
+    assert merged[0]["n_events"] == base[0]["n_events"]
+    assert merged[0]["total_value_dec"] == base[0]["total_value_dec"]
