@@ -119,3 +119,84 @@ def cluster_for_skipping(
         .write.mode("overwrite")
         .parquet(dest_dir)
     )
+
+
+def zorder_cluster(
+    df,
+    dest_dir: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Rewrite a table MORTON-ORDERED (Z-ordered) on two or more
+    columns so row-group min/max stats prune on EVERY clustered
+    dimension — the multi-column answer to ``cluster_for_skipping``'s
+    single-column range layout (and the construction behind
+    Delta/Iceberg ``OPTIMIZE ZORDER BY``). A 1-D range sort makes one
+    column's ranges disjoint but leaves the others spanning the whole
+    domain; interleaving the columns' bucket bits into one sort key
+    gives every file a small hyper-rectangle of the joint space, so
+    a selective predicate on ANY of the dimensions skips most files.
+
+    Construction (all JVM expressions, no UDFs):
+    1. Per column, equi-DEPTH bucket edges from ``percentile_approx``
+       (2^bits − 1 cuts; mergeable GK, one partial-agg pass) —
+       rank-space bucketing is skew-immune where min/max linear
+       scaling collapses under heavy tails.
+    2. Bucket id per row = count of edges ≤ value (a broadcast 1-row
+       edges join + one array ``filter`` per column).
+    3. Morton key = bitwise interleave of the bucket ids
+       (``shiftleft``/``shiftright`` terms, bits × |cols| of them).
+    4. ``repartitionByRange`` + ``sortWithinPartitions`` on the key,
+       drop the helper, write.
+
+    Cost is one GK aggregate + one range shuffle — identical shape to
+    the 1-D rewrite. ``tests/test_file_sources.py`` verifies against
+    real parquet footers that per-file coverage of EACH dimension's
+    domain shrinks, not just the first's.
+    """
+    from pyspark.sql import functions as F
+
+    num_cols = [f"_zv{i}" for i in range(len(cols))]
+    staged = df.select(
+        "*",
+        *[
+            F.col(c).cast("double").alias(v)
+            for c, v in zip(cols, num_cols)
+        ],
+    )
+    fracs = F.array(
+        *[F.lit(i / (1 << bits)) for i in range(1, 1 << bits)]
+    )
+    edges = staged.agg(
+        *[
+            F.percentile_approx(v, fracs).alias(f"_edges{i}")
+            for i, v in enumerate(num_cols)
+        ]
+    )
+    bucketed = staged.join(F.broadcast(edges))
+    z = F.lit(0).cast("long")
+
+    def _bucket_of(edges_col: str, value_col: str):
+        return F.size(
+            F.filter(edges_col, lambda e: e <= F.col(value_col))
+        ).cast("long")
+
+    for i, v in enumerate(num_cols):
+        bucketed = bucketed.withColumn(f"_b{i}", _bucket_of(f"_edges{i}", v))
+    # disjoint bit positions, so integer addition == bitwise OR
+    for bit in range(bits):
+        for i in range(len(cols)):
+            z = z + F.shiftleft(
+                F.shiftright(F.col(f"_b{i}"), bit).bitwiseAND(1).cast("long"),
+                bit * len(cols) + i,
+            )
+    keyed = bucketed.withColumn("_zkey", z)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *num_cols, *[f"_b{i}" for i in range(len(cols))],
+              *[f"_edges{i}" for i in range(len(cols))])
+        .write.mode("overwrite")
+        .parquet(dest_dir)
+    )

@@ -350,3 +350,59 @@ def rollup_merge(existing: DataFrame, batch_events: DataFrame) -> DataFrame:
             F.sum("total_value_dec").alias("total_value_dec"),
         )
     )
+
+
+def merge_rollup_store(spark, store_path: str, batch_events: DataFrame) -> None:
+    """Persist-side of ``rollup_merge``: fold a batch of raw events
+    into an ON-DISK month-partitioned daily-rollup table, touching
+    only the months the batch lands in. The existing side is read
+    PRUNED to those months (a drop spans days, so this is a handful
+    of directories regardless of table age), merged by partial
+    re-aggregation, and dynamic-partition-overwritten — untouched
+    months are never read full-width and never rewritten, the same
+    contract as ``woo_flow._upsert_table``.
+
+    Used directly for batch drops and as the body of the streaming
+    ``RollupMergeSink`` — the continuous aggregate is maintained by
+    the identical code under both execution models.
+    """
+    import os
+
+    # The stored measure type is PINNED at DECIMAL(30,2): Spark's sum
+    # widens decimals per plan, and letting each merge write whatever
+    # the optimizer inferred would drift the parquet schema between
+    # partitions written in different rounds.
+    _dec = "decimal(30,2)"
+    batch = daily_rollup_partials(batch_events).select(
+        "day_us",
+        "event_type",
+        "n_events",
+        F.col("total_value_dec").cast(_dec).alias("total_value_dec"),
+        F.date_format(
+            (F.col("day_us") / 1_000_000).cast("timestamp"), "yyyy-MM"
+        ).alias("month"),
+    )
+    if not os.path.exists(store_path):
+        merged = batch
+    else:
+        months = [r[0] for r in batch.select("month").distinct().collect()]
+        existing = spark.read.parquet(store_path).filter(
+            F.col("month").isin(months)
+        )
+        cols = ["day_us", "event_type", "n_events", "total_value_dec", "month"]
+        merged = (
+            existing.select(*cols)
+            .unionByName(batch.select(*cols))
+            .groupBy("day_us", "event_type", "month")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_value_dec").cast(_dec).alias("total_value_dec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("month")
+        .parquet(store_path)
+    )

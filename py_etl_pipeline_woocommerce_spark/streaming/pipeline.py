@@ -246,3 +246,48 @@ def streaming_daily_active_sketch(
             "n_events",
         )
     )
+
+
+class RollupMergeSink:
+    """``foreachBatch`` sink that maintains an on-disk continuous
+    aggregate: every micro-batch of raw events folds into the stored
+    month-partitioned daily rollup via
+    ``warehouse.merge_rollup_store`` — the IDENTICAL code path a
+    batch drop uses, so stream- and batch-maintained stores are
+    bit-equal (pytest-asserted). Per batch cost is O(batch + touched
+    months' partial rows); history is never rescanned. Late events
+    within the watermark fold into their (old) day naturally because
+    the stored measures are associative partials."""
+
+    def __init__(self, store_path: str):
+        self.store_path = store_path
+        self.batches_seen = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.warehouse import merge_rollup_store
+
+        self.batches_seen += 1
+        merge_rollup_store(batch_df.sparkSession, self.store_path, batch_df)
+
+
+def run_stream_rollup_merge(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    store_path: str,
+) -> tuple:
+    """Wire source → foreachBatch continuous-aggregate maintenance;
+    returns (query, sink). Raw events go straight to the sink (no
+    pre-aggregation in the stream graph): the merge aggregates
+    per-batch inside ``merge_rollup_store``, keeping ALL state in
+    the store — restart-safe with zero streaming state beyond the
+    source offsets in the checkpoint."""
+    stream = read_event_stream(spark, source_path)
+    sink = RollupMergeSink(store_path)
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    return query, sink

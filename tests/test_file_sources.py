@@ -169,3 +169,52 @@ def test_cluster_for_skipping_yields_disjoint_row_group_ranges(spark, tmp_path, 
         pq.ParquetFile(f).metadata.num_rows for f in glob.glob(f"{dest}/*.parquet")
     )
     assert n_total == orders.count()
+
+
+def test_zorder_cluster_localizes_every_dimension(spark, tmp_path, sf_dir):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        zorder_cluster,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    dest = str(tmp_path / "orders_zordered")
+    zorder_cluster(orders, dest, ["o_totalprice", "o_custkey"], n_files=16)
+
+    def coverage(col):
+        spans, glo, ghi = [], None, None
+        for f in glob.glob(f"{dest}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[col]).statistics
+                assert st is not None and st.has_min_max
+                spans.append((st.min, st.max))
+                glo = st.min if glo is None else min(glo, st.min)
+                ghi = st.max if ghi is None else max(ghi, st.max)
+        width = ghi - glo
+        return sum((hi - lo) / width for lo, hi in spans) / len(spans)
+
+    # Z-ORDER localizes BOTH dimensions: each file covers a strict
+    # subrectangle of the joint domain, so mean per-row-group span is
+    # well under the full range on every clustered column (a 1-D
+    # range sort gives ~0 on one column and ~1.0 on the other).
+    cov_price = coverage("o_totalprice")
+    cov_cust = coverage("o_custkey")
+    assert cov_price < 0.7, cov_price
+    assert cov_cust < 0.7, cov_cust
+
+    # row preservation
+    n_total = sum(
+        pq.ParquetFile(f).metadata.num_rows
+        for f in glob.glob(f"{dest}/*.parquet")
+    )
+    assert n_total == orders.count()
+    # schema is unpolluted by the helper columns
+    first = glob.glob(f"{dest}/*.parquet")[0]
+    names = set(pq.read_schema(first).names)
+    assert names == set(orders.columns)

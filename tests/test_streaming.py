@@ -444,3 +444,67 @@ def test_streaming_outlier_scoring_with_offline_baseline(spark, stream_dirs):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_streaming_rollup_merge_matches_batch_store(spark, stream_dirs, tmp_path):
+    from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+        run_stream_rollup_merge,
+    )
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        merge_rollup_store,
+    )
+
+    src, ckpt = stream_dirs
+    day_ns = 86_400_000_000_000
+    base = 1_700_006_400_000_000_000  # 2023-11-15 UTC, mid-month
+    rows_a = [
+        (1, base, 10, "click", 1.5),
+        (2, base + 60 * 1_000_000_000, 11, "click", 2.5),
+        (3, base + day_ns, 12, "view", 4.0),
+    ]
+    rows_b = [
+        (4, base + 10, 13, "click", 8.0),  # late row, same day as batch A
+        (5, base + 40 * day_ns, 14, "view", 3.0),  # next month
+    ]
+    _write_events(f"{src}/part-0.parquet", rows_a)
+    _write_events(f"{src}/part-1.parquet", rows_b)
+
+    store_stream = str(tmp_path / "rollup_stream")
+    query, sink = run_stream_rollup_merge(spark, src, ckpt, store_stream)
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert sink.batches_seen >= 1
+
+    # batch twin: two sequential drops through the SAME merge code
+    store_batch = str(tmp_path / "rollup_batch")
+    all_events = spark.read.parquet(src)
+    merge_rollup_store(spark, store_batch, all_events.filter("event_id <= 3"))
+    merge_rollup_store(spark, store_batch, all_events.filter("event_id > 3"))
+
+    key = lambda r: (r["day_us"], r["event_type"])
+    got = {key(r): r for r in spark.read.parquet(store_stream).collect()}
+    want = {key(r): r for r in spark.read.parquet(store_batch).collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k]["n_events"] == want[k]["n_events"]
+        assert got[k]["total_value_dec"] == want[k]["total_value_dec"]
+    # the late row folded into the stored day: 3 click events on day 0
+    d0 = (base // 1_000 - (base // 1_000) % 86_400_000_000, "click")
+    assert want[d0]["n_events"] == 3
+
+    # incremental merge touches ONLY the batch's months
+    import glob as _glob
+    import os as _os
+
+    nov = _glob.glob(f"{store_batch}/month=2023-11/*.parquet")
+    assert nov
+    before = {f: _os.path.getmtime(f) for f in nov}
+    extra = spark.createDataFrame(
+        [(9, base + 41 * day_ns, 15, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    merge_rollup_store(spark, store_batch, extra)
+    after = {f: _os.path.getmtime(f) for f in _glob.glob(f"{store_batch}/month=2023-11/*.parquet")}
+    assert after == before
