@@ -26,6 +26,7 @@ from py_etl_pipeline_woocommerce_spark.operators import (
     corpus,
     dedup,
     events,
+    skew,
     multimodal,
     packing,
     reduction,
@@ -265,6 +266,7 @@ _R4_FRONT = [
     "bm25_search",
     "rfm_segments",
     "rollup_merge",
+    "hot_keys",
     "event_value_summary",
     "dashboard_payload",
     "dsir_weights",
@@ -417,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": lambda s, d: corpus.bm25_search(_docs(s, d)),
         "rfm_segments": relational.rfm_segments,
         "rollup_merge": _q_rollup_merge,
+        "hot_keys": lambda s, d: skew.hot_keys(_events(s, d), "user_id"),
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
@@ -3343,5 +3346,19 @@ SELECT (t_us - (t_us % 86400000000)) AS day_us, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM e GROUP BY 1, 2
+"""
+    out["hot_keys"] = """
+WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value,
+                  COUNT(*) AS n_rows
+           FROM events GROUP BY 1),
+t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys
+      FROM c),
+top AS (SELECT * FROM c ORDER BY n_rows DESC, key_value LIMIT 20)
+SELECT key_value, n_rows,
+       round(n_rows / total, 6) AS share,
+       round((n_rows * n_keys) / total, 6) AS x_uniform,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value) AS INT)
+         AS key_rank
+FROM top CROSS JOIN t
 """
     return out

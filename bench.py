@@ -95,6 +95,7 @@ HEADLINE = [
     "bm25_search",
     "rfm_segments",
     "rollup_merge",
+    "hot_keys",
 ]
 
 

@@ -8,7 +8,7 @@ where the other side must be replicated per salt.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
@@ -57,3 +57,40 @@ def salted_sum(
         .agg(F.sum(value_col).alias("__partial"))
     )
     return partial.groupBy(*keys).agg(F.sum("__partial").alias(f"sum_{value_col}"))
+
+
+def hot_keys(df: DataFrame, key_col: str, topk: int = 20) -> DataFrame:
+    """Skew DIAGNOSTIC: the top-``topk`` hottest values of a join or
+    grouping key, with each key's row count, its share of the table,
+    and the ratio to a perfectly uniform key ("5000x uniform" = this
+    key alone will dominate one reducer). Run it before planning a
+    big join: the output tells you whether AQE's skew split is
+    enough, or the key needs `salted_join`/`salted_sum`, or the hot
+    values deserve a broadcast side-channel of their own.
+
+    One partial-aggregated shuffle on the key; the global top-k cut
+    is TakeOrdered over the aggregated frame (never a full sort), the
+    totals ride in a 1-row broadcast. Shares round to 6 dp and ties
+    break on the key string, so the report is engine-exact.
+    """
+    counts = df.groupBy(
+        F.col(key_col).cast("string").alias("key_value")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_n_keys"),
+    )
+    top = counts.orderBy(F.col("n_rows").desc(), "key_value").limit(topk)
+    w = Window.orderBy(F.col("n_rows").desc(), "key_value")
+    return (
+        top.join(F.broadcast(totals))
+        .select(
+            "key_value",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6
+            ).alias("x_uniform"),
+        )
+        .withColumn("key_rank", F.row_number().over(w).cast("int"))
+    )

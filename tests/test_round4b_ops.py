@@ -343,3 +343,22 @@ def test_rollup_merge_empty_batch_is_identity(spark):
     assert len(merged) == len(base) == 1
     assert merged[0]["n_events"] == base[0]["n_events"]
     assert merged[0]["total_value_dec"] == base[0]["total_value_dec"]
+
+
+def test_hot_keys_flags_dominant_key(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.skew import hot_keys
+
+    rows = [(i, 0, 7, "A", 0.0) for i in range(80)] + [
+        (100 + u, 0, u, "B", 0.0) for u in range(20)
+    ]
+    ev = _events(spark, [(i + 1, r[1], r[2], r[3], r[4]) for i, r in enumerate(rows)])
+    out = {r["key_rank"]: r for r in hot_keys(ev, "user_id", topk=5).collect()}
+    assert len(out) == 5
+    top = out[1]
+    assert top["key_value"] == "7"
+    # user 7 also appears once among the B rows: 81 of 100 rows
+    assert top["n_rows"] == 81
+    assert top["share"] == 0.81
+    # 20 distinct keys, so uniform would be 5 rows each
+    assert top["x_uniform"] == round(81 * 20 / 100, 6)
+    assert out[2]["n_rows"] == 1  # everything else is cold
