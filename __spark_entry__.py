@@ -249,12 +249,13 @@ def _q_dq_rules(spark, sf_dir):
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
 # ordering decides what gets (re-)verified each round. Round-4 front block:
 # the fixed token_budget_sample retest, then EVERY operator added this
-# round (46 never-driver-checked entries take the budget first), then the
-# stale rotation. ROUND-5 ROTATION NOTE: move the ~30 stale entries now
-# sitting past position 50 (dashboards, warehouse, r1-era relational and
-# training ops — all green in this round's four full selfcheck gates,
-# final one 154/154 at sf0.01) to the front of the r5 list; the round-4
-# additions only need driver re-checks after their next code change.
+# round (9 round-4b + 40 earlier round-4 never-driver-checked entries
+# take the budget first), then the stale rotation. ROUND-5 ROTATION
+# NOTE: move the stale entries now sitting past position 50 (dashboards,
+# warehouse, r1-era relational and training ops — all green in this
+# round's five full selfcheck gates at sf0.01) to the front of the r5
+# list; this round's additions only need driver re-checks after their
+# next code change.
 _R4_FRONT = [
     "token_budget_sample",
     # round-4b: brand-new this round, never driver-checked
