@@ -268,6 +268,7 @@ _R4_FRONT = [
     "rfm_segments",
     "rollup_merge",
     "hot_keys",
+    "hybrid_search",
     "event_value_summary",
     "dashboard_payload",
     "dsir_weights",
@@ -421,6 +422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": relational.rfm_segments,
         "rollup_merge": _q_rollup_merge,
         "hot_keys": lambda s, d: skew.hot_keys(_events(s, d), "user_id"),
+        "hybrid_search": lambda s, d: corpus.hybrid_search(_docs(s, d)),
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
@@ -876,6 +878,72 @@ LEFT JOIN uni ON d.doc_id = uni.doc_id
 LEFT JOIN bi ON d.doc_id = bi.doc_id
 LEFT JOIN tri ON d.doc_id = tri.doc_id
 """
+
+_BM25_SQL = f"""
+WITH toks AS (SELECT doc_id, t.term
+              FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+                   UNNEST(tk) AS t(term)
+              WHERE t.term <> ''),
+q AS (SELECT DISTINCT doc_id AS query_id, t.term
+      FROM (SELECT doc_id, list_slice({_TOKS}, 1, 8) AS tk
+            FROM documents WHERE doc_id % 97 = 0),
+           UNNEST(tk) AS t(term)
+      WHERE t.term <> ''),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tok_total
+       FROM dl),
+sc AS (SELECT q.query_id, tf.doc_id,
+              round(SUM(
+                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                * (tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl
+                          / (CAST(tok_total AS DOUBLE) / n_docs))))
+              ), 6) AS score
+       FROM tf JOIN q USING (term)
+               JOIN df USING (term)
+               JOIN dl ON dl.doc_id = tf.doc_id
+               CROSS JOIN st
+       WHERE tf.doc_id <> q.query_id
+       GROUP BY 1, 2)
+SELECT query_id, doc_id, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INT)
+         AS bm25_rank
+FROM sc QUALIFY bm25_rank <= 10
+"""
+
+
+_SEM97_SQL = f"""
+WITH occ AS (SELECT doc_id, t.term
+             FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+                  UNNEST(tk) AS t(term)
+             WHERE t.term <> ''),
+tb AS (SELECT doc_id, dim_idx, COUNT(*) AS tf
+       FROM (SELECT doc_id,
+                    CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) % 64
+                      AS dim_idx
+             FROM occ)
+       GROUP BY 1, 2),
+nm AS (SELECT doc_id, sqrt(CAST(SUM(tf * tf) AS BIGINT)) AS nrm
+       FROM tb GROUP BY 1),
+ev AS (SELECT doc_id, dim_idx, round(tf / nrm, 6) AS weight
+       FROM tb JOIN nm USING (doc_id)),
+qv AS (SELECT doc_id AS query_id, dim_idx, weight AS q_w
+       FROM ev WHERE doc_id % 97 = 0),
+sc AS (SELECT query_id, ev.doc_id, round(SUM(q_w * weight), 6) AS cos
+       FROM ev JOIN qv USING (dim_idx)
+       WHERE ev.doc_id <> query_id
+       GROUP BY 1, 2)
+SELECT query_id, doc_id, cos,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, doc_id) AS INT)
+         AS sim_rank
+FROM sc QUALIFY sim_rank <= 10
+"""
+
 
 _CLUSTERS_SQL = f"""
 WITH RECURSIVE
@@ -3278,40 +3346,21 @@ SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
 FROM b JOIN s sa ON sa.event_type = type_a
        JOIN s sb ON sb.event_type = type_b
 """
-    out["bm25_search"] = f"""
-WITH toks AS (SELECT doc_id, t.term
-              FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
-                   UNNEST(tk) AS t(term)
-              WHERE t.term <> ''),
-q AS (SELECT DISTINCT doc_id AS query_id, t.term
-      FROM (SELECT doc_id, list_slice({_TOKS}, 1, 8) AS tk
-            FROM documents WHERE doc_id % 97 = 0),
-           UNNEST(tk) AS t(term)
-      WHERE t.term <> ''),
-tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
-dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
-df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-st AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tok_total
-       FROM dl),
-sc AS (SELECT q.query_id, tf.doc_id,
-              round(SUM(
-                ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
-                * (tf.tf * (1.2 + 1.0)
-                   / (tf.tf + 1.2 * (1.0 - 0.75
-                        + 0.75 * dl.dl
-                          / (CAST(tok_total AS DOUBLE) / n_docs))))
-              ), 6) AS score
-       FROM tf JOIN q USING (term)
-               JOIN df USING (term)
-               JOIN dl ON dl.doc_id = tf.doc_id
-               CROSS JOIN st
-       WHERE tf.doc_id <> q.query_id
-       GROUP BY 1, 2)
-SELECT query_id, doc_id, score,
+    out["bm25_search"] = _BM25_SQL
+    out["hybrid_search"] = f"""
+WITH lex AS (SELECT * FROM ({_BM25_SQL})),
+sem AS (SELECT * FROM ({_SEM97_SQL})),
+f AS (SELECT COALESCE(lex.query_id, sem.query_id) AS query_id,
+             COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             round(COALESCE(1.0 / (60 + bm25_rank), 0.0)
+                   + COALESCE(1.0 / (60 + sim_rank), 0.0), 6) AS rrf_score
+      FROM lex FULL OUTER JOIN sem
+        ON lex.query_id = sem.query_id AND lex.doc_id = sem.doc_id)
+SELECT query_id, doc_id, rrf_score,
        CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY score DESC, doc_id) AS INT)
-         AS bm25_rank
-FROM sc QUALIFY bm25_rank <= 10
+                               ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS fused_rank
+FROM f QUALIFY fused_rank <= 10
 """
     out["rfm_segments"] = """
 WITH pc AS (SELECT o_custkey AS cust_id,

@@ -96,6 +96,7 @@ HEADLINE = [
     "rfm_segments",
     "rollup_merge",
     "hot_keys",
+    "hybrid_search",
 ]
 
 

@@ -1602,3 +1602,74 @@ def bm25_search(
         .filter(F.col("bm25_rank") <= topk)
         .select("query_id", "doc_id", "score", "bm25_rank")
     )
+
+
+def hybrid_search(
+    documents: DataFrame,
+    every: int = 97,
+    topk: int = 10,
+    rrf_k: int = 60,
+    stage_k: int = 10,
+    dim: int = 64,
+) -> DataFrame:
+    """Hybrid lexical + semantic retrieval fused by Reciprocal Rank
+    Fusion (Cormack, Clarke & Büttcher 2009): per (query, doc),
+    ``Σ 1/(rrf_k + rank)`` over the lists the doc appears in. RRF is
+    the standard production fusion because it needs no score
+    calibration — ranks are scale-free, so a BM25 score and a cosine
+    never have to share units. Query set = ``bm25_search``'s default
+    (every 97th doc), so both stages answer the same questions.
+
+    Lexical = ``bm25_search`` top-``stage_k``; semantic = sparse
+    relational cosine over ``hash_embed`` vectors for the SAME query
+    docs (the ``doc_similarity_topk`` construction) top-``stage_k``.
+    Fusion is one full-outer join of two (query, ≤stage_k)-row
+    frames — trivially small next to either retrieval — and every
+    contribution is ``1.0/(int + int)`` then rounded, so the fused
+    ranking is engine-exact.
+
+    Scale: both stages are verified linear-ish plans; at serving
+    scale swap the semantic stage for ``ann_rerank_topk`` over real
+    embeddings — the fusion join is unchanged (rank columns are the
+    whole interface).
+    """
+    lex = bm25_search(documents, topk=stage_k).select(
+        "query_id", "doc_id", "bm25_rank"
+    )
+    e = hash_embed(documents, dim=dim).select("doc_id", "dim_idx", "weight")
+    q = e.filter(F.col("doc_id") % every == 0).select(
+        F.col("doc_id").alias("query_id"),
+        "dim_idx",
+        F.col("weight").alias("q_w"),
+    )
+    sem_scored = (
+        e.join(F.broadcast(q), "dim_idx")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(F.col("q_w") * F.col("weight")), 6).alias("cos"))
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("doc_id")
+    )
+    sem = (
+        sem_scored.withColumn("sim_rank", F.row_number().over(w_sem))
+        .filter(F.col("sim_rank") <= stage_k)
+        .select("query_id", "doc_id", "sim_rank")
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.round(
+            F.coalesce(F.lit(1.0) / (rrf_k + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (rrf_k + F.col("sim_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= topk)
+        .select("query_id", "doc_id", "rrf_score", "fused_rank")
+    )

@@ -362,3 +362,30 @@ def test_hot_keys_flags_dominant_key(spark):
     # 20 distinct keys, so uniform would be 5 rows each
     assert top["x_uniform"] == round(81 * 20 / 100, 6)
     assert out[2]["n_rows"] == 1  # everything else is cold
+
+
+def test_hybrid_search_rrf_rewards_cross_list_agreement(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        bm25_search,
+        hybrid_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fused = hybrid_search(docs).collect()
+    assert fused
+    by_q = {}
+    for r in fused:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        ranks = [r["fused_rank"] for r in sorted(rows, key=lambda r: r["fused_rank"])]
+        assert ranks == list(range(1, len(ranks) + 1))
+        # scores non-increasing in rank, ties impossible after the
+        # doc_id tie-break
+        scores = [r["rrf_score"] for r in sorted(rows, key=lambda r: r["fused_rank"])]
+        assert all(a >= b for a, b in zip(scores, scores[1:]))
+    # every fused doc must come from one of the stage lists
+    lex = {(r["query_id"], r["doc_id"]) for r in bm25_search(docs).collect()}
+    assert any((r["query_id"], r["doc_id"]) in lex for r in fused)
+    # RRF score bounds: max possible is rank 1 in both lists
+    assert all(r["rrf_score"] <= round(2 / 61, 6) + 1e-9 for r in fused)
