@@ -269,6 +269,7 @@ _R4_FRONT = [
     "rollup_merge",
     "hot_keys",
     "hybrid_search",
+    "basket_pairs",
     "event_value_summary",
     "dashboard_payload",
     "dsir_weights",
@@ -423,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_merge": _q_rollup_merge,
         "hot_keys": lambda s, d: skew.hot_keys(_events(s, d), "user_id"),
         "hybrid_search": lambda s, d: corpus.hybrid_search(_docs(s, d)),
+        "basket_pairs": relational.basket_pairs,
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
@@ -3347,6 +3349,25 @@ FROM b JOIN s sa ON sa.event_type = type_a
        JOIN s sb ON sb.event_type = type_b
 """
     out["bm25_search"] = _BM25_SQL
+    out["basket_pairs"] = """
+WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+no AS (SELECT COUNT(DISTINCT o) AS n_orders FROM li),
+pp AS (SELECT p, COUNT(*) AS n_part FROM li GROUP BY 1),
+pr AS (SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_both
+       FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+       GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+s AS (SELECT part_a, part_b, n_both,
+             round(CAST(n_both AS DOUBLE) / n_orders, 6) AS support,
+             round(CAST(n_both AS DOUBLE) / na.n_part, 6) AS conf_a_to_b,
+             round((n_both * n_orders) / (na.n_part * nb.n_part), 6) AS lift
+      FROM pr JOIN pp na ON na.p = part_a
+              JOIN pp nb ON nb.p = part_b
+              CROSS JOIN no)
+SELECT part_a, part_b, n_both, support, conf_a_to_b, lift,
+       CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, part_a, part_b) AS INT)
+         AS pair_rank
+FROM s QUALIFY pair_rank <= 50
+"""
     out["hybrid_search"] = f"""
 WITH lex AS (SELECT * FROM ({_BM25_SQL})),
 sem AS (SELECT * FROM ({_SEM97_SQL})),

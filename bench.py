@@ -97,6 +97,7 @@ HEADLINE = [
     "rollup_merge",
     "hot_keys",
     "hybrid_search",
+    "basket_pairs",
 ]
 
 

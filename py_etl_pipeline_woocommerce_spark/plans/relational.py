@@ -1082,3 +1082,71 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def basket_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    min_pair_orders: int = 3,
+    topk: int = 50,
+) -> DataFrame:
+    """Market-basket association pairs — the "frequently bought
+    together" analysis a WooCommerce shop runs next (the reference's
+    dashboard stops at per-product revenue): for part pairs
+    co-occurring in ≥ ``min_pair_orders`` orders, support,
+    directional confidence, and lift, top-``topk`` by lift.
+
+    Shape: one lineitem scan → distinct (order, part) — the only
+    corpus-sized shuffle; the pair join is per-ORDER, so fan-out is
+    C(items-per-order, 2), a basket-sized constant at any scale
+    (never part×part). Per-part order counts broadcast back into the
+    pair frame. The support cut is an integer compare BEFORE any
+    float; lift is one rounded division, ranked with part-id
+    tie-breaks — engine-exact. (The a-priori candidate-pruning
+    literature exists for baskets of hundreds; order baskets are
+    single digits, so the exact pair join IS the scalable plan.)
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_part"))
+    a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_pair_orders)
+    )
+    na = per_part.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("n_a")
+    )
+    nb = per_part.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
+    )
+    scored = (
+        pairs.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb), "part_b")
+        .join(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            F.round(
+                (F.col("n_both") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("lift").desc(), "part_a", "part_b"
+    ).limit(topk)
+    w = Window.orderBy(F.col("lift").desc(), "part_a", "part_b")
+    return top.withColumn("pair_rank", F.row_number().over(w).cast("int"))

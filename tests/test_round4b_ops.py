@@ -389,3 +389,21 @@ def test_hybrid_search_rrf_rewards_cross_list_agreement(spark, sf_dir):
     assert any((r["query_id"], r["doc_id"]) in lex for r in fused)
     # RRF score bounds: max possible is rank 1 in both lists
     assert all(r["rrf_score"] <= round(2 / 61, 6) + 1e-9 for r in fused)
+
+
+def test_basket_pairs_lift_math(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.plans.relational import basket_pairs
+
+    rows = basket_pairs(spark, sf_dir, min_pair_orders=1, topk=10).collect()
+    assert rows
+    ranks = sorted(r["pair_rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert r["n_both"] >= 1
+        assert 0 < r["support"] <= 1
+        assert 0 < r["conf_a_to_b"] <= 1
+        assert r["lift"] > 0
+    # lift ordering is the rank ordering
+    lifts = [r["lift"] for r in sorted(rows, key=lambda r: r["pair_rank"])]
+    assert all(a >= b for a, b in zip(lifts, lifts[1:]))
