@@ -77,6 +77,12 @@ SCALAR_BROADCAST = {
     "event_mix_drift",
     # 1-row corpus length stats (n_docs, token total) broadcast
     "bm25_search",
+    # inherits bm25_search's 1-row stats broadcast in its lexical stage
+    "hybrid_search",
+    # 1-row distinct-order count broadcast over the pair frame
+    "basket_pairs",
+    # 1-row totals (sum, key count) broadcast over the top-k frame
+    "hot_keys",
     # 1-row corpus max-order-day broadcast over the customer frame
     "rfm_segments",
 }
