@@ -407,3 +407,45 @@ def test_basket_pairs_lift_math(spark, sf_dir):
     # lift ordering is the rank ordering
     lifts = [r["lift"] for r in sorted(rows, key=lambda r: r["pair_rank"])]
     assert all(a >= b for a, b in zip(lifts, lifts[1:]))
+
+
+def test_rollup_merge_split_invariance_property(spark):
+    """Associativity property behind the continuous aggregate: for ANY
+    split of the event stream into (history, batch), merging the
+    batch into the history's stored partials equals the full
+    recompute. Randomized splits over a fixed event set — the
+    property the incremental warehouse design rests on."""
+    import random
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        daily_rollup_partials,
+        rollup_merge,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (
+            i,
+            rng.randrange(0, 5) * DAY_NS + rng.randrange(0, 1000) * 1_000_000,
+            rng.randrange(1, 20),
+            rng.choice(["A", "B", "C"]),
+            round(rng.uniform(-50, 50), 2),
+        )
+        for i in range(1, 120)
+    ]
+    ev = _events(spark, rows)
+    full = {
+        (r["day_us"], r["event_type"]): (r["n_events"], r["total_value_dec"])
+        for r in daily_rollup_partials(ev).collect()
+    }
+    for cut in (1, 30, 60, 119):
+        hist = ev.filter(F.col("event_id") <= cut)
+        batch = ev.filter(F.col("event_id") > cut)
+        merged = {
+            (r["day_us"], r["event_type"]): (
+                r["n_events"],
+                r["total_value_dec"],
+            )
+            for r in rollup_merge(daily_rollup_partials(hist), batch).collect()
+        }
+        assert merged == full, f"split at {cut} diverged"
