@@ -508,3 +508,70 @@ def test_streaming_rollup_merge_matches_batch_store(spark, stream_dirs, tmp_path
     merge_rollup_store(spark, store_batch, extra)
     after = {f: _os.path.getmtime(f) for f in _glob.glob(f"{store_batch}/month=2023-11/*.parquet")}
     assert after == before
+
+
+def test_stateful_transitions_stream_across_batches(spark, stream_dirs):
+    """The 'previous event' must survive micro-batch boundaries: the
+    first event of batch 2 forms a transition with the LAST event of
+    batch 1 — the pair a per-batch window would silently drop. The
+    emitted multiset must equal the batch operator's pair multiset."""
+    from py_etl_pipeline_woocommerce_spark.operators.events import (
+        event_transitions,
+    )
+    from py_etl_pipeline_woocommerce_spark.streaming.transitions import (
+        transitions_stream,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    _write_events(
+        f"{src}/b0.parquet",
+        [(1, base, 7, "view", 1.0), (2, base + MIN_NS, 7, "click", 2.0)],
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    query = (
+        transitions_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def wait_rows(pred, deadline_s=90):
+        import time
+
+        t0 = time.time()
+        rows = []
+        while time.time() - t0 < deadline_s:
+            rows = spark.sql("select * from trans_test").collect()
+            if pred(rows):
+                return rows
+            time.sleep(1)
+        raise AssertionError(f"sink never satisfied predicate; last: {rows}")
+
+    try:
+        wait_rows(lambda rows: len(rows) >= 1)
+        _write_events(
+            f"{src}/b1.parquet",
+            [
+                (3, base + 2 * MIN_NS, 7, "purchase", 4.0),  # cross-batch pair
+                (4, base + 3 * MIN_NS, 8, "view", 1.0),  # lone event, no pair
+            ],
+        )
+        rows = wait_rows(lambda rows: len(rows) >= 2)
+    finally:
+        query.stop()
+
+    got = sorted((r["from_type"], r["to_type"], r["gap_us"]) for r in rows)
+    assert ("click", "purchase", 60_000_000) in got  # crossed the batch line
+    # parity with the batch operator over the union of both files
+    batch_pairs = sorted(
+        (r["from_type"], r["to_type"])
+        for r in event_transitions(spark.read.parquet(src)).collect()
+        for _ in range(r["n_transitions"])
+    )
+    assert sorted((a, b) for a, b, _ in got) == batch_pairs
