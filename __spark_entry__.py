@@ -270,6 +270,7 @@ _R4_FRONT = [
     "hot_keys",
     "hybrid_search",
     "basket_pairs",
+    "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
     "dsir_weights",
@@ -557,6 +558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
         # --- temporal / time-series (r2 driver-pass) ---
         "asof_join": lambda s, d: temporal.asof_join(_events(s, d)),
+        "asof_join_tolerance": lambda s, d: temporal.asof_join(
+            _events(s, d), tolerance_us=3_600_000_000
+        ),
         "range_join_window": lambda s, d: temporal.range_join_window(_events(s, d)),
         "multires_rollup": lambda s, d: temporal.multires_rollup(_events(s, d)),
         "value_percentiles": lambda s, d: temporal.value_percentiles(_events(s, d)),
@@ -2368,6 +2372,33 @@ carried AS (
 SELECT event_id, user_id, t_us, asof_event_id, asof_t_us,
        t_us - asof_t_us AS gap_us
 FROM carried WHERE kind = 1
+""",
+        "asof_join_tolerance": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+           FROM events WHERE event_type IN ('purchase', 'click')),
+tagged AS (
+  SELECT user_id, t_us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+         event_id
+  FROM e),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+           OVER w AS asof_event_id,
+         last_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS)
+           OVER w AS asof_t_us
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, kind, event_id
+               ROWS UNBOUNDED PRECEDING)),
+g AS (SELECT event_id, user_id, t_us, asof_event_id, asof_t_us,
+             t_us - asof_t_us AS gap_us
+      FROM carried WHERE kind = 1)
+SELECT event_id, user_id, t_us,
+       CASE WHEN gap_us <= 3600000000 THEN asof_event_id END
+         AS asof_event_id,
+       CASE WHEN gap_us <= 3600000000 THEN asof_t_us END AS asof_t_us,
+       CASE WHEN gap_us <= 3600000000 THEN gap_us END AS gap_us
+FROM g
 """,
         "range_join_window": """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us, value

@@ -35,6 +35,7 @@ def asof_join(
     left_type: str = "purchase",
     right_type: str = "click",
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Each ``left_type`` event joined to the user's nearest
     ``right_type`` event: the most recent at-or-before it
@@ -51,6 +52,14 @@ def asof_join(
     min forward; the ordering is total, so output is deterministic at
     any parallelism. ``gap_us`` is always the non-negative distance in
     the join direction (NULL when no match exists on that side).
+
+    ``tolerance_us`` bounds the match distance (pandas
+    ``merge_asof(tolerance=...)`` semantics): a nearest event farther
+    than the tolerance is NO match — the left row survives with NULL
+    asof columns, exactly like a row with no candidate at all. The
+    cut is an integer compare on the already-computed gap, so the
+    bounded variant costs nothing extra and shares the single-shuffle
+    plan.
     """
     e = _ts_us(events)
     backward = direction == "backward"
@@ -80,7 +89,7 @@ def asof_join(
         pick(F.col("event_id")).alias("asof_event_id"),
         pick(F.col("t_us")).alias("asof_t_us"),
     )
-    return tagged.filter(F.col("kind") == 1).select(
+    out = tagged.filter(F.col("kind") == 1).select(
         "event_id",
         "user_id",
         "t_us",
@@ -88,6 +97,17 @@ def asof_join(
         "asof_t_us",
         gap.alias("gap_us"),
     )
+    if tolerance_us is not None:
+        within = F.col("gap_us") <= tolerance_us
+        out = out.select(
+            "event_id",
+            "user_id",
+            "t_us",
+            F.when(within, F.col("asof_event_id")).alias("asof_event_id"),
+            F.when(within, F.col("asof_t_us")).alias("asof_t_us"),
+            F.when(within, F.col("gap_us")).alias("gap_us"),
+        )
+    return out
 
 
 def range_join_window(

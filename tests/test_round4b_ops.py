@@ -449,3 +449,28 @@ def test_rollup_merge_split_invariance_property(spark):
             for r in rollup_merge(daily_rollup_partials(hist), batch).collect()
         }
         assert merged == full, f"split at {cut} diverged"
+
+
+def test_asof_tolerance_nulls_far_matches(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import asof_join
+
+    MIN_NS = 60 * 1_000_000_000
+    ev = _events(
+        spark,
+        [
+            (1, 0, 1, "click", 0.0),
+            (2, 5 * MIN_NS, 1, "purchase", 0.0),  # 5 min after click
+            (3, 0, 2, "click", 0.0),
+            (4, 120 * MIN_NS, 2, "purchase", 0.0),  # 2 h after click
+        ],
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(ev, tolerance_us=3_600_000_000).collect()
+    }
+    assert out[2]["asof_event_id"] == 1 and out[2]["gap_us"] == 5 * 60_000_000
+    # beyond tolerance -> treated as no match
+    assert out[4]["asof_event_id"] is None and out[4]["gap_us"] is None
+    # unbounded variant still matches it
+    unbounded = {r["event_id"]: r for r in asof_join(ev).collect()}
+    assert unbounded[4]["asof_event_id"] == 3
