@@ -270,6 +270,11 @@ _R4_FRONT = [
     "hot_keys",
     "hybrid_search",
     "basket_pairs",
+    # round-4c: the closing wave of this round, never driver-checked
+    "time_gaps",
+    "merge_intervals",
+    "m4_downsample",
+    "ks_drift",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
@@ -426,6 +431,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys": lambda s, d: skew.hot_keys(_events(s, d), "user_id"),
         "hybrid_search": lambda s, d: corpus.hybrid_search(_docs(s, d)),
         "basket_pairs": relational.basket_pairs,
+        # --- round-4c additions ---
+        "time_gaps": lambda s, d: temporal.time_gaps(_events(s, d)),
+        "merge_intervals": lambda s, d: temporal.merge_intervals(
+            _events(s, d)
+        ),
+        "m4_downsample": lambda s, d: temporal.m4_downsample(_events(s, d)),
+        "ks_drift": lambda s, d: temporal.ks_drift(_events(s, d)),
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
@@ -3171,6 +3183,89 @@ s AS (SELECT event_type, n_before, n_after,
 SELECT event_type, n_before, n_after, share_before, share_after,
        round(share_after - share_before, 6) AS share_delta
 FROM s
+"""
+    out["time_gaps"] = """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t_us FROM events),
+g AS (SELECT event_type,
+             lag(t_us) OVER (PARTITION BY event_type
+                             ORDER BY t_us, event_id) AS gap_start_us,
+             t_us AS gap_end_us
+      FROM e)
+SELECT event_type, gap_start_us, gap_end_us,
+       gap_end_us - gap_start_us AS gap_us
+FROM g WHERE gap_end_us - gap_start_us > 3600000000
+"""
+    out["merge_intervals"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
+                  epoch_us(ts) + 1800000000 AS end_us FROM events),
+t AS (SELECT *,
+        CASE WHEN max(end_us) OVER pre IS NULL
+               OR start_us > max(end_us) OVER pre
+             THEN 1 ELSE 0 END AS new_island
+      FROM e
+      WINDOW pre AS (PARTITION BY user_id ORDER BY start_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+s AS (SELECT *,
+        CAST(SUM(new_island) OVER (PARTITION BY user_id
+                                   ORDER BY start_us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          AS island
+      FROM t)
+SELECT user_id, island, MIN(start_us) AS start_us, MAX(end_us) AS end_us,
+       COUNT(*) AS n_events, MAX(end_us) - MIN(start_us) AS covered_us
+FROM s GROUP BY 1, 2
+"""
+    out["m4_downsample"] = """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t_us, value
+           FROM events),
+sp AS (SELECT event_type, MIN(t_us) AS t0, MAX(t_us) AS t1
+       FROM e GROUP BY 1),
+b AS (SELECT e.event_type,
+             CAST(least(99, ((t_us - t0) * 100) //
+                  (CASE WHEN t1 > t0 THEN t1 - t0 ELSE 1 END)) AS INT)
+               AS bucket,
+             t_us, event_id, value
+      FROM e JOIN sp USING (event_type)),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY t_us, event_id) AS rf,
+        row_number() OVER (PARTITION BY event_type, bucket
+                           ORDER BY t_us DESC, event_id DESC) AS rl
+      FROM b)
+SELECT event_type, bucket, COUNT(*) AS n_events,
+       MAX(CASE WHEN rf = 1 THEN t_us END) AS t_first_us,
+       MAX(CASE WHEN rf = 1 THEN value END) AS v_first,
+       MAX(CASE WHEN rl = 1 THEN t_us END) AS t_last_us,
+       MAX(CASE WHEN rl = 1 THEN value END) AS v_last,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max
+FROM r GROUP BY 1, 2
+"""
+    out["ks_drift"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
+pv AS (SELECT event_type, value,
+         CAST(SUM(CASE WHEN t_us < 1705363200000000 THEN 1 ELSE 0 END)
+              AS BIGINT) AS d_b,
+         CAST(SUM(CASE WHEN t_us < 1705363200000000 THEN 0 ELSE 1 END)
+              AS BIGINT) AS d_a
+       FROM e GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(SUM(d_b) AS BIGINT) AS n_before,
+               CAST(SUM(d_a) AS BIGINT) AS n_after
+        FROM pv GROUP BY 1),
+c AS (SELECT event_type,
+        CAST(SUM(d_b) OVER w AS BIGINT) AS c_b,
+        CAST(SUM(d_a) OVER w AS BIGINT) AS c_a
+      FROM pv
+      WINDOW w AS (PARTITION BY event_type ORDER BY value
+                   ROWS UNBOUNDED PRECEDING)),
+m AS (SELECT c.event_type, n_before, n_after,
+             MAX(abs(c_b * n_after - c_a * n_before)) AS num
+      FROM c JOIN tot USING (event_type) GROUP BY 1, 2, 3)
+SELECT event_type, n_before, n_after,
+       round(num / (CAST(n_before AS DOUBLE) * n_after), 6) AS ks_d,
+       round(num / (CAST(n_before AS DOUBLE) * n_after), 6) > 0.1
+         AS drifted
+FROM m
 """
     out["dup_cluster_histogram"] = f"""
 WITH c AS ({_CLUSTERS_SQL})

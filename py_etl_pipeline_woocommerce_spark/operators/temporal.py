@@ -1001,3 +1001,215 @@ def seasonal_anomaly(
         ratio.alias("ratio"),
         ((ratio < low) | (ratio > high)).alias("is_anomaly"),
     )
+
+
+def time_gaps(events: DataFrame, min_gap_us: int = HOUR_US) -> DataFrame:
+    """Stream-outage report: per event type, every silence in the
+    stream longer than ``min_gap_us`` — the "did the collector stop
+    sending for six hours" monitor a pipeline page next to its volume
+    charts (the reference's dashboard has no liveness view at all;
+    this is the operational twin of ``fill_missing_days``, at event
+    grain instead of day grain).
+
+    Consecutive-event deltas via one ``lag`` window per type, ordered
+    by the TOTAL key (t_us, event_id) so equal-µs ties are
+    deterministic at any parallelism (tied rows yield a 0 delta and
+    can never flag). Pure integer µs arithmetic end to end —
+    engine-exact, no rounding anywhere.
+
+    Scale shape: ONE shuffle partitioned by event_type. A per-type
+    window over raw events is the honest cost of exact adjacency; at
+    100 TB with few types, pre-aggregate to a coarser grain first
+    (e.g. distinct (type, minute) — gaps longer than the threshold
+    survive minute-flooring) or range-repartition within type; the
+    window spec is unchanged.
+    """
+    e = _ts_us(events)
+    w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+    gapped = e.select(
+        "event_type",
+        F.lag("t_us").over(w).alias("gap_start_us"),
+        F.col("t_us").alias("gap_end_us"),
+    ).withColumn("gap_us", F.col("gap_end_us") - F.col("gap_start_us"))
+    return gapped.filter(F.col("gap_us") > min_gap_us).select(
+        "event_type", "gap_start_us", "gap_end_us", "gap_us"
+    )
+
+
+def merge_intervals(
+    events: DataFrame, ttl_us: int = 30 * 60 * 1_000_000
+) -> DataFrame:
+    """Interval-union coverage per user: extend every event to the
+    span ``[t_us, t_us + ttl_us)`` and merge overlapping/touching
+    spans into maximal islands — presence/uptime coverage ("when was
+    this user's device reporting"), the duration-interval twin of
+    gap-based ``sessionize`` (which clusters POINTS by inter-event
+    gap; this unions SPANS, the classic gaps-and-islands construction
+    over [start, end) intervals).
+
+    A new island starts where an interval's start exceeds the running
+    maximum of all previous interval ends (one ``max`` window), and a
+    running sum of those starts numbers the islands (one ``sum``
+    window over the same (user, time, id) total order) — both windows
+    share ONE user-keyed sort, then a (user, island) aggregate emits
+    the island bounds. All integer µs arithmetic: engine-exact.
+
+    Scale shape: one shuffle on user_id; per-user data is
+    human-bounded. ``covered_us = end - start`` sums to the user's
+    total presence without double-counting overlaps — the number raw
+    ``count(*) × ttl`` overstates.
+    """
+    e = _ts_us(events).select(
+        "user_id",
+        "event_id",
+        F.col("t_us").alias("start_us"),
+        (F.col("t_us") + F.lit(ttl_us)).alias("end_us"),
+    )
+    order = Window.partitionBy("user_id").orderBy("start_us", "event_id")
+    prev_max_end = F.max("end_us").over(
+        order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = e.withColumn(
+        "new_island",
+        F.when(
+            prev_max_end.isNull() | (F.col("start_us") > prev_max_end),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    island = F.sum("new_island").over(
+        order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("island", island)
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("start_us").alias("start_us"),
+            F.max("end_us").alias("end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .withColumn("covered_us", F.col("end_us") - F.col("start_us"))
+    )
+
+
+def m4_downsample(events: DataFrame, n_buckets: int = 100) -> DataFrame:
+    """M4 visualization-oriented downsampling (Jugel et al., VLDB
+    2014): split each type's time range into ``n_buckets`` equal
+    pixel buckets and keep, per bucket, the first/last points (by
+    time) and the min/max values — the four extrema that make a
+    line-chart rendering of the reduced series pixel-identical to
+    the full series. The dashboard-serving answer to "don't ship a
+    million points to the browser".
+
+    One tiny per-type (min, max) time agg broadcast back (the pixel
+    grid), then ONE (type, bucket) aggregate over the scan carrying
+    four struct-extrema — lexicographic struct min/max with event_id
+    tie-breaks, so every selected point is deterministic at any
+    parallelism. Values pass through untouched (no float arithmetic):
+    engine-exact.
+
+    Scale shape: one broadcast + one partial-agg shuffle bounded by
+    |types| × n_buckets rows regardless of event volume.
+    """
+    e = _ts_us(events)
+    span = e.groupBy("event_type").agg(
+        F.min("t_us").alias("_t0"), F.max("t_us").alias("_t1")
+    )
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.expr(
+            f"((t_us - _t0) * {n_buckets}) div "
+            "(CASE WHEN _t1 > _t0 THEN _t1 - _t0 ELSE 1 END)"
+        ),
+    ).cast("int")
+    binned = e.join(F.broadcast(span), "event_type").select(
+        "event_type",
+        bucket.alias("bucket"),
+        "t_us",
+        "event_id",
+        "value",
+    )
+    first_s = F.min(F.struct("t_us", "event_id", "value"))
+    last_s = F.max(F.struct("t_us", "event_id", "value"))
+    vmin_s = F.min(F.struct("value", "event_id", "t_us"))
+    vmax_s = F.max(F.struct("value", "event_id", "t_us"))
+    return binned.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        first_s.getField("t_us").alias("t_first_us"),
+        first_s.getField("value").alias("v_first"),
+        last_s.getField("t_us").alias("t_last_us"),
+        last_s.getField("value").alias("v_last"),
+        vmin_s.getField("value").alias("v_min"),
+        vmax_s.getField("value").alias("v_max"),
+    )
+
+
+def ks_drift(
+    events: DataFrame,
+    cut_us: int = 1_705_363_200_000_000,
+    d_cut: float = 0.1,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per event type across
+    a time cut: did the VALUE DISTRIBUTION shift after the release?
+    The distribution-shape companion to ``event_mix_drift`` (which
+    only sees composition) and ``profile_drift`` (which only sees
+    bounds/null-rates) — KS catches a variance blow-up or a bimodal
+    split that leaves counts and means untouched.
+
+    D = max_x |F_before(x) − F_after(x)| evaluated exactly: collapse
+    to DISTINCT values first (per-value side counts — the tie-correct
+    evaluation points; a per-row cumsum over arbitrary tie order
+    would inflate D), then one per-type window cumsum and a max over
+    the INTEGER cross product |c_b·n_a − c_a·n_b| — division by
+    n_b·n_a happens once, on the final scalar, rounded to 6 dp, so
+    the statistic and the flag are engine-exact.
+
+    Scale shape: one (type, value) partial-agg shuffle (distinct
+    values ≪ events), one per-type window over that reduced frame,
+    one |types|-row output. At extreme per-type value cardinality,
+    pre-quantize values to a fixed grid — D changes by at most one
+    grid cell's mass.
+    """
+    e = _ts_us(events)
+    per_value = e.groupBy("event_type", "value").agg(
+        F.sum(F.when(F.col("t_us") < cut_us, 1).otherwise(0)).alias("d_b"),
+        F.sum(F.when(F.col("t_us") < cut_us, 0).otherwise(1)).alias("d_a"),
+    )
+    totals = per_value.groupBy("event_type").agg(
+        F.sum("d_b").alias("n_before"), F.sum("d_a").alias("n_after")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_value.select(
+        "event_type",
+        F.sum("d_b").over(w).alias("c_b"),
+        F.sum("d_a").over(w).alias("c_a"),
+    )
+    per_type = (
+        cum.join(F.broadcast(totals), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("n_before").alias("n_before"),
+            F.first("n_after").alias("n_after"),
+            F.max(
+                F.abs(
+                    F.col("c_b") * F.col("n_after")
+                    - F.col("c_a") * F.col("n_before")
+                )
+            ).alias("_num"),
+        )
+    )
+    ks_d = F.round(
+        F.col("_num")
+        / (F.col("n_before").cast("double") * F.col("n_after")),
+        6,
+    )
+    return per_type.select(
+        "event_type",
+        "n_before",
+        "n_after",
+        ks_d.alias("ks_d"),
+        (ks_d > d_cut).alias("drifted"),
+    )

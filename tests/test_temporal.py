@@ -410,3 +410,92 @@ def test_funnel_window_drops_late_conversions(spark):
     }
     assert plain == {"view": 2, "click": 2, "purchase": 2}
     assert windowed == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_time_gaps_flags_only_silences_beyond_threshold(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import time_gaps
+
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, "hb", 0.0),
+            (2, 100, 1, "hb", 0.0),
+            (3, 100, 2, "hb", 0.0),      # tie at same µs: 0-gap, never flags
+            (4, 5_100, 2, "hb", 0.0),    # 5000 µs silence
+            (5, 5_200, 1, "hb", 0.0),
+            (6, 400, 1, "other", 0.0),   # other type: its own chain
+        ],
+    )
+    got = {
+        (r.event_type, r.gap_start_us, r.gap_end_us, r.gap_us)
+        for r in time_gaps(ev, min_gap_us=1_000).collect()
+    }
+    assert got == {("hb", 100, 5_100, 5_000)}
+
+
+def test_merge_intervals_unions_overlapping_spans(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import merge_intervals
+
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 7, "a", 0.0),
+            (2, 50, 7, "b", 0.0),     # overlaps [0,100): extends to 150
+            (3, 150, 7, "c", 0.0),    # touches end 150 -> same island
+            (4, 400, 7, "d", 0.0),    # new island
+            (5, 0, 8, "e", 0.0),      # other user independent
+        ],
+    )
+    rows = {
+        (r.user_id, r.island): (r.start_us, r.end_us, r.n_events, r.covered_us)
+        for r in merge_intervals(ev, ttl_us=100).collect()
+    }
+    assert rows == {
+        (7, 1): (0, 250, 3, 250),
+        (7, 2): (400, 500, 1, 100),
+        (8, 1): (0, 100, 1, 100),
+    }
+
+
+def test_m4_downsample_keeps_bucket_extrema(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import m4_downsample
+
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, "m", 5.0),
+            (2, 10, 1, "m", 1.0),    # bucket 0 min value
+            (3, 20, 1, "m", 9.0),    # bucket 0 max value + last
+            (4, 60, 1, "m", 4.0),
+            (5, 100, 1, "m", 7.0),   # t == t1 lands in last bucket
+        ],
+    )
+    out = {r.bucket: r for r in m4_downsample(ev, n_buckets=2).collect()}
+    b0, b1 = out[0], out[1]
+    assert (b0.t_first_us, b0.v_first, b0.t_last_us, b0.v_last) == (0, 5.0, 20, 9.0)
+    assert (b0.v_min, b0.v_max, b0.n_events) == (1.0, 9.0, 3)
+    assert (b1.t_first_us, b1.t_last_us, b1.n_events) == (60, 100, 2)
+
+
+def test_ks_drift_detects_distribution_shift(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import ks_drift
+
+    ev = _ev(
+        spark,
+        [
+            # type "same": identical value sets before/after the cut
+            (1, 0, 1, "same", 1.0),
+            (2, 10, 1, "same", 2.0),
+            (3, 1_000, 1, "same", 1.0),
+            (4, 1_010, 1, "same", 2.0),
+            # type "shift": disjoint supports -> D = 1
+            (5, 0, 2, "shift", 1.0),
+            (6, 10, 2, "shift", 2.0),
+            (7, 1_000, 2, "shift", 10.0),
+            (8, 1_010, 2, "shift", 20.0),
+        ],
+    )
+    out = {r.event_type: r for r in ks_drift(ev, cut_us=500).collect()}
+    assert out["same"].ks_d == 0.0 and not out["same"].drifted
+    assert out["shift"].ks_d == 1.0 and out["shift"].drifted
+    assert (out["shift"].n_before, out["shift"].n_after) == (2, 2)
