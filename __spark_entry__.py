@@ -275,6 +275,8 @@ _R4_FRONT = [
     "merge_intervals",
     "m4_downsample",
     "ks_drift",
+    "cdc_apply",
+    "dq_referential",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
@@ -382,6 +384,74 @@ def _q_profile_drift(spark, sf_dir):
     )
 
 
+def _q_cdc_apply(spark, sf_dir):
+    """Apply a synthetic-but-deterministic CDC feed to the orders
+    current state: every key divisible by 7 gets an UPDATE (seq 2),
+    by 13 a DELETE (seq 3, so it beats a coexisting update — keys
+    divisible by 91 must vanish), by 11 an INSERT of a brand-new key
+    (seq 1). The oracle replays the identical net-effect resolution."""
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    current = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("updated").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("gone").alias("status"),
+        F.lit(0.0).alias("total"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("order_id"),
+        F.lit("new").alias("status"),
+        F.col("o_totalprice").alias("total"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    return warehouse.cdc_apply(current, changes, "order_id")
+
+
+def _q_dq_referential(spark, sf_dir):
+    """Two-relation referential audit: lineitem→orders is intact by
+    construction (0 orphans); lineitem→part runs against a parent
+    with every 10th key dropped (synthetic orphans) and a child with
+    every 97th order's part key nulled (NULL-FK accounting)."""
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    li_holes = li.select(
+        F.when(F.col("l_orderkey") % 97 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("l_partkey"))
+        .alias("l_partkey"),
+        "l_orderkey",
+    )
+    r1 = warehouse.dq_referential(
+        li, orders, "l_orderkey", "o_orderkey", "lineitem->orders"
+    )
+    r2 = warehouse.dq_referential(
+        li_holes,
+        part.filter(F.col("p_partkey") % 10 != 0),
+        "l_partkey",
+        "p_partkey",
+        "lineitem->part",
+    )
+    return r1.unionByName(r2)
+
+
 def _q_rollup_merge(spark, sf_dir):
     """Incremental continuous-aggregate maintenance, driver-shaped:
     the stored rollup is the partials of events BEFORE the cut, the
@@ -438,6 +508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "m4_downsample": lambda s, d: temporal.m4_downsample(_events(s, d)),
         "ks_drift": lambda s, d: temporal.ks_drift(_events(s, d)),
+        "cdc_apply": _q_cdc_apply,
+        "dq_referential": _q_dq_referential,
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
@@ -3183,6 +3255,62 @@ s AS (SELECT event_type, n_before, n_after,
 SELECT event_type, n_before, n_after, share_before, share_after,
        round(share_after - share_before, 6) AS share_delta
 FROM s
+"""
+    out["cdc_apply"] = """
+WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,
+                    o_totalprice AS total FROM orders),
+chg AS (
+  SELECT o_orderkey AS order_id, 'updated' AS status,
+         o_totalprice AS total, 2 AS seq, 'U' AS op
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'gone', 0.0, 3, 'D'
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'new', o_totalprice, 1, 'I'
+  FROM orders WHERE o_orderkey % 11 = 0),
+net AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY order_id
+                               ORDER BY seq DESC, op DESC) AS rn
+  FROM chg) WHERE rn = 1),
+kept AS (SELECT * FROM cur
+         WHERE order_id NOT IN (SELECT order_id FROM net))
+SELECT order_id, status, total FROM kept
+UNION ALL
+SELECT order_id, status, total FROM net WHERE op <> 'D'
+"""
+    out["dq_referential"] = """
+WITH fk1 AS (SELECT l_orderkey AS k, COUNT(*) AS n FROM lineitem
+             WHERE l_orderkey IS NOT NULL GROUP BY 1),
+orph1 AS (SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_orphan_rows,
+                 COUNT(*) AS n_orphan_keys
+          FROM fk1 WHERE k NOT IN (SELECT o_orderkey FROM orders)),
+tot1 AS (SELECT COUNT(*) AS n_child_rows,
+                CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_null_fk,
+                COUNT(DISTINCT l_orderkey) AS n_distinct_fk
+         FROM lineitem),
+child2 AS (SELECT CASE WHEN l_orderkey % 97 = 0 THEN NULL
+                       ELSE l_partkey END AS fk
+           FROM lineitem),
+par2 AS (SELECT p_partkey FROM part WHERE p_partkey % 10 <> 0),
+fk2 AS (SELECT fk AS k, COUNT(*) AS n FROM child2
+        WHERE fk IS NOT NULL GROUP BY 1),
+orph2 AS (SELECT COALESCE(CAST(SUM(n) AS BIGINT), 0) AS n_orphan_rows,
+                 COUNT(*) AS n_orphan_keys
+          FROM fk2 WHERE k NOT IN (SELECT p_partkey FROM par2)),
+tot2 AS (SELECT COUNT(*) AS n_child_rows,
+                CAST(SUM(CASE WHEN fk IS NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_null_fk,
+                COUNT(DISTINCT fk) AS n_distinct_fk
+         FROM child2)
+SELECT 'lineitem->orders' AS relation, n_child_rows, n_null_fk,
+       n_distinct_fk, n_orphan_rows, n_orphan_keys
+FROM tot1 CROSS JOIN orph1
+UNION ALL
+SELECT 'lineitem->part', n_child_rows, n_null_fk,
+       n_distinct_fk, n_orphan_rows, n_orphan_keys
+FROM tot2 CROSS JOIN orph2
 """
     out["time_gaps"] = """
 WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t_us FROM events),

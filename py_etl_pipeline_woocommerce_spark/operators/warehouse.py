@@ -406,3 +406,95 @@ def merge_rollup_store(spark, store_path: str, batch_events: DataFrame) -> None:
         .partitionBy("month")
         .parquet(store_path)
     )
+
+
+def cdc_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply an ordered change-data-capture feed (op ∈ I/U/D with a
+    monotonic sequence) to a current-state table — the Debezium/CDC
+    MERGE shape the reference's delete+insert upsert
+    (``duckdb_client.py:55-75``) can't express: a key may be inserted,
+    updated twice, and deleted within ONE feed, and only the net
+    effect may apply.
+
+    Net effect per key = the change with the highest (seq, op).
+    Well-formed feeds have unique (key, seq); including ``op_col`` in
+    the ordering makes even a malformed feed with duplicate sequence
+    numbers resolve deterministically at any parallelism. A net 'D'
+    removes the key; any other net op replaces/creates the row with
+    the change's payload columns.
+
+    Scale shape: ONE key shuffle of the FEED (a window over changes,
+    which are drop-sized), then the same broadcast-anti-join ∪
+    survivors plan as ``upsert_df`` — the current table is scanned
+    once and never reshuffled.
+    """
+    payload = [c for c in current.columns]
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    net = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    touched = net.select(key).distinct()
+    kept = current.join(F.broadcast(touched), key, "left_anti")
+    upserts = net.filter(F.col(op_col) != "D").select(*payload)
+    return kept.unionByName(upserts)
+
+
+def dq_referential(
+    child: DataFrame,
+    parent: DataFrame,
+    fk: str,
+    pk: str,
+    relation: str,
+) -> DataFrame:
+    """Referential-integrity audit: one row summarizing how many
+    ``child`` rows point at a ``parent`` key that does not exist —
+    the orphan check a load gate runs after every upsert (the
+    reference trusts WooCommerce to be internally consistent; a
+    warehouse ingesting partial drops cannot).
+
+    NULL foreign keys are counted separately, not as orphans (a NULL
+    FK is a modeling choice; a dangling one is corruption). Orphan
+    detection is an anti-join of the child's DISTINCT key frame
+    against the parent's DISTINCT key frame — both sides collapse to
+    key cardinality before the join, so the shuffle carries keys,
+    not rows; per-key child row counts ride along as an integer sum.
+
+    Scale shape: one (fk) partial-agg shuffle of the child + one key
+    shuffle of the parent's distinct keys; output is a single row.
+    Union several calls for a whole-schema audit — each relation is
+    an independent plan.
+    """
+    fk_counts = (
+        child.filter(F.col(fk).isNotNull())
+        .groupBy(F.col(fk).alias("_k"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    orphans = fk_counts.join(
+        parent.select(F.col(pk).alias("_k")).distinct(), "_k", "left_anti"
+    ).agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n_orphan_rows"),
+        F.count(F.lit(1)).alias("n_orphan_keys"),
+    )
+    totals = child.agg(
+        F.count(F.lit(1)).alias("n_child_rows"),
+        F.sum(F.col(fk).isNull().cast("bigint")).alias("n_null_fk"),
+        F.count_distinct(F.col(fk)).alias("n_distinct_fk"),
+    )
+    return totals.crossJoin(orphans).select(
+        F.lit(relation).alias("relation"),
+        "n_child_rows",
+        "n_null_fk",
+        "n_distinct_fk",
+        "n_orphan_rows",
+        "n_orphan_keys",
+    )

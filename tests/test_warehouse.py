@@ -208,3 +208,57 @@ def test_profile_drift_flags_shape_changes(spark):
     assert out["s"].null_rate_delta == round(2 / 3, 6)
     assert out["s"].n_distinct_delta == -1  # b disappeared
     assert out["v"].bounds_changed  # max v 2.0 -> 9.0
+
+
+def test_cdc_apply_nets_insert_update_delete(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import cdc_apply
+
+    current = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "order_id long, status string, total double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 1, "U"),   # update key 2
+            (2, "x", 0.0, 2, "D"),     # ...then delete it: D wins (seq 2)
+            (3, "c2", 31.0, 5, "U"),   # plain update
+            (4, "d", 40.0, 1, "I"),    # brand-new key
+            (4, "d2", 41.0, 2, "U"),   # updated within the same feed
+        ],
+        "order_id long, status string, total double, seq int, op string",
+    )
+    out = {
+        r.order_id: (r.status, r.total)
+        for r in cdc_apply(current, changes, "order_id").collect()
+    }
+    assert out == {1: ("a", 10.0), 3: ("c2", 31.0), 4: ("d2", 41.0)}
+
+
+def test_cdc_apply_duplicate_seq_resolves_deterministically(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import cdc_apply
+
+    current = spark.createDataFrame(
+        [(1, "a", 1.0)], "order_id long, status string, total double"
+    )
+    # malformed feed: same key, same seq — op desc breaks the tie ('U' > 'D')
+    changes = spark.createDataFrame(
+        [(1, "u", 2.0, 7, "U"), (1, "x", 0.0, 7, "D")],
+        "order_id long, status string, total double, seq int, op string",
+    )
+    out = cdc_apply(current, changes, "order_id").collect()
+    assert [(r.order_id, r.status) for r in out] == [(1, "u")]
+
+
+def test_dq_referential_counts_orphans_and_null_fks(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import dq_referential
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 99), (4, 99), (5, 99), (6, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    r = dq_referential(child, parent, "fk", "pk", "child->parent").collect()[0]
+    assert r.relation == "child->parent"
+    assert r.n_child_rows == 6 and r.n_null_fk == 1
+    assert r.n_distinct_fk == 2          # 10 and 99 (NULL excluded)
+    assert r.n_orphan_rows == 3 and r.n_orphan_keys == 1  # fk=99
