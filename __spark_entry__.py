@@ -277,6 +277,8 @@ _R4_FRONT = [
     "ks_drift",
     "cdc_apply",
     "dq_referential",
+    "numeric_corr",
+    "soft_dedup_weights",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
@@ -510,6 +512,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": lambda s, d: temporal.ks_drift(_events(s, d)),
         "cdc_apply": _q_cdc_apply,
         "dq_referential": _q_dq_referential,
+        "numeric_corr": lambda s, d: warehouse.numeric_corr(
+            load_table(s, d, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ),
+        "soft_dedup_weights": lambda s, d: dedup.soft_dedup_weights(
+            _docs(s, d)
+        ),
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
@@ -3255,6 +3264,45 @@ s AS (SELECT event_type, n_before, n_after,
 SELECT event_type, n_before, n_after, share_before, share_after,
        round(share_after - share_before, 6) AS share_delta
 FROM s
+"""
+    _corr_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+    def _corr_sql() -> str:
+        """Mirror numeric_corr's naming and EXACT operation order."""
+        # 19,6 not 18,6: DuckDB widens 19-wide products to DECIMAL(38,12)
+        # but overflows 18-wide ones in place; both widths are exact for
+        # these ≤2-dp inputs, so the DOUBLE boundary values are identical.
+        dec = {c: f"CAST({c} AS DECIMAL(19,6))" for c in _corr_cols}
+        sums = ["COUNT(*) AS n"]
+        for i, x in enumerate(_corr_cols):
+            sums.append(f"CAST(SUM({dec[x]}) AS DOUBLE) AS s_{x}")
+            for y in _corr_cols[i:]:
+                sums.append(
+                    f"CAST(SUM({dec[x]} * {dec[y]}) AS DOUBLE) AS s_{x}_{y}"
+                )
+        rows = []
+        for i, x in enumerate(_corr_cols):
+            for y in _corr_cols[i + 1 :]:
+                num = f"(n * s_{x}_{y} - s_{x} * s_{y})"
+                vx = f"(n * s_{x}_{x} - s_{x} * s_{x})"
+                vy = f"(n * s_{y}_{y} - s_{y} * s_{y})"
+                rows.append(
+                    f"SELECT '{x}' AS col_x, '{y}' AS col_y, n,\n"
+                    f"       round({num} / sqrt({vx} * {vy}), 6) AS corr\n"
+                    "FROM a"
+                )
+        body = ",\n  ".join(sums)
+        return (
+            f"WITH a AS (SELECT {body} FROM lineitem)\n"
+            + "\nUNION ALL\n".join(rows)
+        )
+
+    out["numeric_corr"] = _corr_sql()
+    out["soft_dedup_weights"] = f"""
+WITH c AS ({_CLUSTERS_SQL})
+SELECT doc_id, cluster_id, cluster_size,
+       round(1.0 / cluster_size, 6) AS weight
+FROM c
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

@@ -1096,3 +1096,28 @@ def dup_cluster_histogram(
             (F.col("n_docs") - F.col("n_clusters")).alias("n_removable"),
         )
     )
+
+
+def soft_dedup_weights(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, weight every
+    document by ``1 / cluster_size`` so each near-dup cluster carries
+    the total sampling mass of ONE document — the frequency-based
+    down-weighting alternative to ``dedup_apply``'s keep-one policy
+    (duplicated content often correlates with quality; keeping all
+    copies at reduced weight preserves diversity of near-identical
+    variants while removing the repetition bias at training time).
+
+    A thin weighting layer over the verified ``dedup_clusters``
+    components — singletons get weight 1.0; the weight column feeds
+    the same weighted-sampling machinery as ``mix_weights``. One
+    float division per doc, rounded to 6 dp: engine-exact.
+    """
+    labels = dedup_clusters(documents, pairs=pairs)
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
+    )

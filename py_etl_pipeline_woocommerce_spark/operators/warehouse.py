@@ -498,3 +498,59 @@ def dq_referential(
         "n_orphan_rows",
         "n_orphan_keys",
     )
+
+
+def numeric_corr(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlation matrix over numeric columns in
+    ONE aggregation pass — the profiler's relationship report
+    (``profile_table`` sees columns in isolation; this sees which
+    move together, e.g. "is discount driven by quantity?").
+
+    All co-moments (Σx, Σxy) accumulate in EXACT DECIMAL, so the
+    partial aggregation is order-insensitive and the only floating
+    point is the textbook closed form
+    ``(n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))``
+    evaluated once per pair on the 1-row result with an identical
+    operation order in the SQL oracle — engine-exact after the 6 dp
+    round. A zero-variance column yields NULL corr (0/0), not a
+    crash.
+
+    Scale shape: one scan, one 1-row partial aggregate carrying
+    k + k(k+1)/2 decimal sums (k = len(cols)); the pair matrix is
+    projected off that single row via a literal struct explode —
+    nothing else moves. DECIMAL(18,6) inputs bound values to ~10¹²;
+    widen the cast for larger magnitudes.
+    """
+    dec = {c: F.col(c).cast("decimal(18,6)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, x in enumerate(cols):
+        aggs.append(F.sum(dec[x]).cast("double").alias(f"s_{x}"))
+        for y in cols[i:]:
+            aggs.append(
+                F.sum(dec[x] * dec[y]).cast("double").alias(f"s_{x}_{y}")
+            )
+    one = df.agg(*aggs)
+    pair_structs = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            num = F.col("n") * F.col(f"s_{x}_{y}") - F.col(f"s_{x}") * F.col(
+                f"s_{y}"
+            )
+            vx = F.col("n") * F.col(f"s_{x}_{x}") - F.col(f"s_{x}") * F.col(
+                f"s_{x}"
+            )
+            vy = F.col("n") * F.col(f"s_{y}_{y}") - F.col(f"s_{y}") * F.col(
+                f"s_{y}"
+            )
+            pair_structs.append(
+                F.struct(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    F.round(
+                        F.try_divide(num, F.sqrt(vx * vy)), 6
+                    ).alias("corr"),
+                )
+            )
+    return one.select(
+        "n", F.explode(F.array(*pair_structs)).alias("p")
+    ).select("p.col_x", "p.col_y", "n", "p.corr")

@@ -392,3 +392,23 @@ def test_ann_rerank_recovers_exact_neighbors(spark, sf_dir):
     # int8 coarse cut at 32 candidates over ~1000 vectors keeps most
     # true top-5 neighbors; widen n_candidates to trade cost for recall
     assert recall >= 0.7, recall
+
+
+def test_soft_dedup_weights_split_mass_across_cluster(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import soft_dedup_weights
+
+    docs = _docs(
+        spark,
+        [
+            (1, "en", BASE),
+            (2, "en", BASE + " x"),          # near-dup of 1
+            (3, "en", "completely different text about something else entirely now"),
+        ],
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    out = {r.doc_id: r for r in soft_dedup_weights(docs, pairs=pairs).collect()}
+    assert out[1].cluster_id == 1 and out[2].cluster_id == 1
+    assert out[1].weight == 0.5 and out[2].weight == 0.5
+    assert out[3].cluster_size == 1 and out[3].weight == 1.0
+    # the cluster's total sampling mass equals one document
+    assert sum(r.weight for r in out.values()) == 2.0

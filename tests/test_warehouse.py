@@ -262,3 +262,27 @@ def test_dq_referential_counts_orphans_and_null_fks(spark):
     assert r.n_child_rows == 6 and r.n_null_fk == 1
     assert r.n_distinct_fk == 2          # 10 and 99 (NULL excluded)
     assert r.n_orphan_rows == 3 and r.n_orphan_keys == 1  # fk=99
+
+
+def test_numeric_corr_hand_computed(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import numeric_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)],
+        "x double, y double, z double",
+    )
+    out = {(r.col_x, r.col_y): r for r in numeric_corr(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")].corr == 1.0    # y = 2x exactly
+    assert out[("x", "z")].corr == -1.0   # z = 4 - x exactly
+    assert out[("y", "z")].corr == -1.0
+    assert all(r.n == 3 for r in out.values())
+
+
+def test_numeric_corr_zero_variance_yields_null(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import numeric_corr
+
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0)], "x double, c double"
+    )
+    r = numeric_corr(df, ["x", "c"]).collect()[0]
+    assert r.corr is None
