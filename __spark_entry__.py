@@ -26,6 +26,7 @@ from py_etl_pipeline_woocommerce_spark.operators import (
     corpus,
     dedup,
     events,
+    graph,
     skew,
     multimodal,
     packing,
@@ -279,6 +280,7 @@ _R4_FRONT = [
     "dq_referential",
     "numeric_corr",
     "soft_dedup_weights",
+    "part_pagerank",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
@@ -519,6 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup_weights": lambda s, d: dedup.soft_dedup_weights(
             _docs(s, d)
         ),
+        # iterative float power iteration — not SQL-expressible,
+        # rows-only driver check (numpy-parity pytest in test_graph.py)
+        "part_pagerank": graph.part_pagerank,
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
