@@ -281,6 +281,8 @@ _R4_FRONT = [
     "numeric_corr",
     "soft_dedup_weights",
     "part_pagerank",
+    "dayn_retention",
+    "corpus_split",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
@@ -524,6 +526,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative float power iteration — not SQL-expressible,
         # rows-only driver check (numpy-parity pytest in test_graph.py)
         "part_pagerank": graph.part_pagerank,
+        "dayn_retention": lambda s, d: temporal.dayn_retention(
+            _events(s, d)
+        ),
+        "corpus_split": lambda s, d: corpus.corpus_split(_docs(s, d)),
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
@@ -3308,6 +3314,35 @@ WITH c AS ({_CLUSTERS_SQL})
 SELECT doc_id, cluster_id, cluster_size,
        round(1.0 / cluster_size, 6) AS weight
 FROM c
+"""
+    out["dayn_retention"] = """
+WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx
+           FROM events GROUP BY 1, 2),
+f AS (SELECT user_id, MIN(day_idx) AS first_day FROM e GROUP BY 1),
+m AS (SELECT MAX(day_idx) AS max_day FROM e),
+o AS (SELECT UNNEST([1, 3, 7, 14]) AS offset_days),
+p AS (SELECT user_id, first_day + offset_days AS day_idx, offset_days
+      FROM f CROSS JOIN m CROSS JOIN o
+      WHERE first_day + offset_days <= max_day),
+j AS (SELECT p.offset_days,
+             CASE WHEN e.day_idx IS NULL THEN 0 ELSE 1 END AS active
+      FROM p LEFT JOIN e ON p.user_id = e.user_id
+                        AND p.day_idx = e.day_idx)
+SELECT offset_days, COUNT(*) AS n_eligible,
+       CAST(SUM(active) AS BIGINT) AS n_retained,
+       round(CAST(SUM(active) AS BIGINT) / COUNT(*), 6) AS retention
+FROM j GROUP BY 1
+"""
+    out["corpus_split"] = """
+WITH b AS (SELECT doc_id, lang, source,
+             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 100 AS bucket
+           FROM documents)
+SELECT doc_id, lang, source, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

@@ -1673,3 +1673,42 @@ def hybrid_search(
         .filter(F.col("fused_rank") <= topk)
         .select("query_id", "doc_id", "rrf_score", "fused_rank")
     )
+
+
+def corpus_split(
+    documents: DataFrame, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Deterministic train/validation/test assignment — the split
+    every training pipeline needs pinned BEFORE any other processing
+    so no experiment ever leaks across it. Membership depends only on
+    ``md5('split:' || doc_id)`` (salted so it is independent of
+    ``stratified_sample``'s unsalted buckets): identical at any
+    scale, parallelism, or re-run; stable under corpus growth (a new
+    doc never moves an old one); and a pure map-side projection —
+    zero shuffles.
+
+    Buckets 0..train_pct-1 → train, the next val_pct → val, the rest
+    → test. The bucket rides along for audit.
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    split = (
+        F.when(F.col("bucket") < train_pct, "train")
+        .when(F.col("bucket") < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return documents.select(
+        "doc_id", "lang", "source", h.alias("bucket")
+    ).withColumn("split", split)

@@ -1213,3 +1213,58 @@ def ks_drift(
         ks_d.alias("ks_d"),
         (ks_d > d_cut).alias("drifted"),
     )
+
+
+def dayn_retention(
+    events: DataFrame, offsets: tuple[int, ...] = (1, 3, 7, 14)
+) -> DataFrame:
+    """Day-N retention curve: of the users ELIGIBLE to return N days
+    after their first-seen day (their day-0 plus N fits inside the
+    data's time range), what fraction had any activity exactly on
+    day N? The product-analytics companion to the monthly
+    ``cohort_retention`` matrix, at event/day grain and reduced to
+    one row per offset — the "D1/D7/D30" numbers a growth dashboard
+    headlines.
+
+    Eligibility matters: without the ``first_day + N ≤ max_day``
+    filter the late cohorts structurally drag D14 toward zero. All
+    day arithmetic is integer epoch-day math; the single float is the
+    final rate division, rounded to 6 dp — engine-exact.
+
+    Scale shape: one distinct (user, day) shuffle of the scan, a
+    per-user min (same shuffle key), then a (user, probe-day)
+    equi-join — probes are |users| × |offsets| rows. The max-day
+    scalar rides a 1-row broadcast.
+    """
+    e = _ts_us(events)
+    days = e.select(
+        "user_id", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+    ).distinct()
+    firsts = days.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
+    max_day = days.agg(F.max("day_idx").alias("max_day"))
+    probes = (
+        firsts.crossJoin(F.broadcast(max_day))
+        .select(
+            "user_id",
+            "first_day",
+            "max_day",
+            F.explode(
+                F.array(*[F.lit(o) for o in offsets])
+            ).alias("offset_days"),
+        )
+        .filter(F.col("first_day") + F.col("offset_days") <= F.col("max_day"))
+        .withColumn("day_idx", F.col("first_day") + F.col("offset_days"))
+    )
+    active = days.withColumn("active", F.lit(1))
+    joined = probes.join(active, ["user_id", "day_idx"], "left")
+    return (
+        joined.groupBy("offset_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_eligible"),
+            F.sum(F.coalesce("active", F.lit(0))).alias("n_retained"),
+        )
+        .withColumn(
+            "retention",
+            F.round(F.col("n_retained") / F.col("n_eligible"), 6),
+        )
+    )

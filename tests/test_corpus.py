@@ -471,3 +471,22 @@ def test_dsir_threshold_selection_tracks_exact_rank(spark, sf_dir):
     )
     assert "percentile_approx" in plan
     assert "row_number" not in plan
+
+
+def test_corpus_split_is_deterministic_and_complete(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import corpus_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r.doc_id: (r.split, r.bucket) for r in corpus_split(docs).collect()}
+    b = {r.doc_id: (r.split, r.bucket) for r in corpus_split(docs).collect()}
+    assert a == b                      # rerun-stable
+    assert len(a) == docs.count()      # total partition of the corpus
+    splits = {s for s, _ in a.values()}
+    assert splits == {"train", "val", "test"}
+    n_train = sum(1 for s, _ in a.values() if s == "train")
+    assert n_train / len(a) > 0.8      # roughly the 90% mass
+    # buckets and split labels agree
+    for s, bkt in a.values():
+        want = "train" if bkt < 90 else ("val" if bkt < 95 else "test")
+        assert s == want

@@ -499,3 +499,28 @@ def test_ks_drift_detects_distribution_shift(spark):
     assert out["same"].ks_d == 0.0 and not out["same"].drifted
     assert out["shift"].ks_d == 1.0 and out["shift"].drifted
     assert (out["shift"].n_before, out["shift"].n_after) == (2, 2)
+
+
+def test_dayn_retention_counts_eligibility_and_returns(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import dayn_retention
+
+    D = DAY_US
+    ev = _ev(
+        spark,
+        [
+            # user 1: first day 0, returns day 1; data spans to day 3
+            (1, 0, 1, "a", 0.0),
+            (2, 1 * D + 5, 1, "a", 0.0),
+            # user 2: first day 0, never returns
+            (3, 10, 2, "a", 0.0),
+            # user 3: first day 2 -> eligible for D1 (3 <= 3), not D3
+            (4, 2 * D, 3, "a", 0.0),
+            (5, 3 * D, 3, "a", 0.0),   # returns on day 3 = its D1
+        ],
+    )
+    out = {r.offset_days: r for r in dayn_retention(ev, offsets=(1, 3)).collect()}
+    d1 = out[1]
+    assert (d1.n_eligible, d1.n_retained) == (3, 2)
+    assert d1.retention == round(2 / 3, 6)
+    d3 = out[3]  # only users 1 and 2 eligible (first_day 0, 0+3 <= 3)
+    assert (d3.n_eligible, d3.n_retained) == (2, 0)
