@@ -1,0 +1,79 @@
+"""Custom stateful streaming operator: cross-batch stream-liveness
+(heartbeat gap) monitoring.
+
+The batch ``time_gaps`` (``operators/temporal.py``) is a lag window;
+on a live stream the "previous event of this type" must survive
+micro-batch boundaries — an outage usually IS a batch boundary — so
+each type's last-seen timestamp lives in the state store via
+``applyInPandasWithState``. A gap row is emitted the moment the
+stream RESUMES (same observability semantics as the batch twin: a
+silence is only measurable once the next event lands), final on emit
+→ APPEND output mode.
+
+State is one BIGINT per event type — bounded by the type vocabulary,
+the smallest state of any stateful operator here. No idle eviction:
+evicting a type's state would un-detect exactly the outage this
+operator exists to catch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+GAP_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("gap_start_us", T.LongType()),
+        T.StructField("gap_end_us", T.LongType()),
+        T.StructField("gap_us", T.LongType()),
+    ]
+)
+
+#: (last_us,)
+STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
+
+
+def _gaps_type(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    min_gap_us: int,
+) -> Iterator[pd.DataFrame]:
+    (event_type,) = key
+    (last_us,) = state.get if state.exists else (None,)
+    events = pd.concat(list(pdfs)).sort_values(["t_us", "event_id"])
+    out = []
+    for t_us in events["t_us"]:
+        t_us = int(t_us)
+        if last_us is not None and t_us - last_us > min_gap_us:
+            out.append([event_type, last_us, t_us, t_us - last_us])
+        last_us = max(t_us, last_us) if last_us is not None else t_us
+    state.update((last_us,))
+    yield pd.DataFrame(out, columns=GAP_SCHEMA.fieldNames())
+
+
+def gaps_stream(events: DataFrame, min_gap_us: int = 3_600_000_000) -> DataFrame:
+    """events (ts epoch-ns BIGINT) → one row per detected silence
+    longer than ``min_gap_us``, per event type, emitted exactly once
+    when the stream resumes (append semantics; parity with the batch
+    ``time_gaps`` asserted in tests)."""
+    prepared = events.select(
+        "event_type", "event_id", F.expr("ts div 1000").alias("t_us")
+    )
+
+    def fn(key, pdfs, state):
+        return _gaps_type(key, pdfs, state, min_gap_us)
+
+    return prepared.groupBy("event_type").applyInPandasWithState(
+        fn,
+        outputStructType=GAP_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -575,3 +575,72 @@ def test_stateful_transitions_stream_across_batches(spark, stream_dirs):
         for _ in range(r["n_transitions"])
     )
     assert sorted((a, b) for a, b, _ in got) == batch_pairs
+
+
+def test_liveness_gaps_stream_detects_cross_batch_outage(spark, stream_dirs):
+    """An outage usually IS a micro-batch boundary: the last event of
+    batch 1 and the first event of batch 2 bound the silence. The
+    emitted gap set must equal the batch time_gaps over the union."""
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import time_gaps
+    from py_etl_pipeline_woocommerce_spark.streaming.liveness import gaps_stream
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    GAP_US = 5 * 60 * 1_000_000  # flag silences > 5 minutes
+    _write_events(
+        f"{src}/b0.parquet",
+        [
+            (1, base, 7, "hb", 1.0),
+            (2, base + MIN_NS, 7, "hb", 1.0),  # 1 min: quiet, no gap
+        ],
+    )
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    query = (
+        gaps_stream(stream, min_gap_us=GAP_US)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gaps_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def wait(pred, deadline_s=90):
+        import time
+
+        t0 = time.time()
+        rows = []
+        while time.time() - t0 < deadline_s:
+            rows = spark.sql("select * from gaps_test").collect()
+            if pred(rows):
+                return rows
+            time.sleep(1)
+        raise AssertionError(f"sink never satisfied predicate; last: {rows}")
+
+    try:
+        query.processAllAvailable()  # batch 1: no gaps expected
+        _write_events(
+            f"{src}/b1.parquet",
+            [
+                (3, base + 10 * MIN_NS, 7, "hb", 1.0),  # 9-min cross-batch gap
+                (4, base + 11 * MIN_NS, 7, "hb", 1.0),  # 1 min: quiet again
+            ],
+        )
+        rows = wait(lambda rows: len(rows) >= 1)
+    finally:
+        query.stop()
+
+    got = sorted(
+        (r["event_type"], r["gap_start_us"], r["gap_end_us"], r["gap_us"])
+        for r in rows
+    )
+    batch = sorted(
+        (r["event_type"], r["gap_start_us"], r["gap_end_us"], r["gap_us"])
+        for r in time_gaps(
+            spark.read.parquet(src), min_gap_us=GAP_US
+        ).collect()
+    )
+    assert got == batch
+    assert got == [("hb", (base + MIN_NS) // 1000, (base + 10 * MIN_NS) // 1000, 9 * 60 * 1_000_000)]
