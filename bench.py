@@ -98,6 +98,14 @@ HEADLINE = [
     "hot_keys",
     "hybrid_search",
     "basket_pairs",
+    "time_gaps",
+    "merge_intervals",
+    "m4_downsample",
+    "ks_drift",
+    "cdc_apply",
+    "numeric_corr",
+    "dayn_retention",
+    "part_pagerank",
 ]
 
 
