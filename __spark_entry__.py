@@ -254,9 +254,10 @@ def _q_dq_rules(spark, sf_dir):
 # take the budget first), then the stale rotation. ROUND-5 ROTATION
 # NOTE: move the stale entries now sitting past position 50 (dashboards,
 # warehouse, r1-era relational and training ops — all green in this
-# round's five full selfcheck gates at sf0.01) to the front of the r5
-# list; this round's additions only need driver re-checks after their
-# next code change.
+# round's full selfcheck gates at sf0.01, latest covering the entire
+# closing surface) to the front of the r5 list; this round's additions
+# (round-4b block AND the round-4c closing wave below) only need driver
+# re-checks after their next code change.
 _R4_FRONT = [
     "token_budget_sample",
     # round-4b: brand-new this round, never driver-checked
@@ -283,6 +284,8 @@ _R4_FRONT = [
     "part_pagerank",
     "dayn_retention",
     "corpus_split",
+    "split_leakage",
+    "cusum_changepoint",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
@@ -530,6 +533,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d)
         ),
         "corpus_split": lambda s, d: corpus.corpus_split(_docs(s, d)),
+        "split_leakage": lambda s, d: corpus.split_leakage(_docs(s, d)),
+        "cusum_changepoint": lambda s, d: temporal.cusum_changepoint(
+            _events(s, d)
+        ),
         # --- round-4 additions: facade surfaces promoted to driver checks ---
         "event_value_summary": lambda s, d: temporal.event_value_summary(
             _events(s, d), exact=True
@@ -3343,6 +3350,51 @@ SELECT doc_id, lang, source, bucket,
             WHEN bucket < 95 THEN 'val'
             ELSE 'test' END AS split
 FROM b
+"""
+    out["split_leakage"] = f"""
+WITH b AS (SELECT doc_id,
+             CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 100 AS bucket,
+             md5({_NORM}) AS fp
+           FROM documents),
+t AS (SELECT doc_id, fp,
+             CASE WHEN bucket < 90 THEN 'train'
+                  WHEN bucket < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM b),
+tr AS (SELECT DISTINCT fp FROM t WHERE split = 'train'),
+ev AS (SELECT t.split, t.fp, CASE WHEN tr.fp IS NULL THEN 0 ELSE 1 END AS hit
+       FROM t LEFT JOIN tr ON t.fp = tr.fp
+       WHERE t.split <> 'train')
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(hit) AS BIGINT) AS n_leaked,
+       round(CAST(SUM(hit) AS BIGINT) / COUNT(*), 6) AS leak_rate
+FROM ev GROUP BY 1
+"""
+    out["cusum_changepoint"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
+d AS (SELECT event_type, t_us // 86400000000 AS day_idx,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS x
+      FROM e GROUP BY 1, 2),
+tot AS (SELECT event_type, CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
+               CAST(SUM(x) AS DECIMAL(28,2)) AS s
+        FROM d GROUP BY 1),
+c AS (SELECT event_type, day_idx,
+             CAST(row_number() OVER w AS DECIMAL(10,0)) AS t,
+             CAST(SUM(x) OVER (PARTITION BY event_type ORDER BY day_idx
+                               ROWS UNBOUNDED PRECEDING)
+                  AS DECIMAL(28,2)) AS prefix
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day_idx)),
+st AS (SELECT c.event_type, c.day_idx, tot.n,
+              abs(tot.n * c.prefix - c.t * tot.s) AS abs_stat
+       FROM c JOIN tot USING (event_type)),
+r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY abs_stat DESC, day_idx) AS rn
+      FROM st)
+SELECT event_type, day_idx * 86400000000 AS cp_day_us,
+       CAST(n AS BIGINT) AS n_days,
+       round(CAST(abs_stat AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum_peak
+FROM r WHERE rn = 1
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

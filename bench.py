@@ -106,6 +106,8 @@ HEADLINE = [
     "numeric_corr",
     "dayn_retention",
     "part_pagerank",
+    "split_leakage",
+    "cusum_changepoint",
 ]
 
 

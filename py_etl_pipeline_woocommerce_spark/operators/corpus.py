@@ -1675,6 +1675,27 @@ def hybrid_search(
     )
 
 
+def _split_bucket():
+    """Salted [0, 100) split bucket from md5('split:' || doc_id) —
+    portable to DuckDB as
+    ``CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+    1, 15) AS BIGINT) % 100``."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+
+
 def corpus_split(
     documents: DataFrame, train_pct: int = 90, val_pct: int = 5
 ) -> DataFrame:
@@ -1690,20 +1711,7 @@ def corpus_split(
     Buckets 0..train_pct-1 → train, the next val_pct → val, the rest
     → test. The bucket rides along for audit.
     """
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    h = _split_bucket()
     split = (
         F.when(F.col("bucket") < train_pct, "train")
         .when(F.col("bucket") < train_pct + val_pct, "val")
@@ -1712,3 +1720,55 @@ def corpus_split(
     return documents.select(
         "doc_id", "lang", "source", h.alias("bucket")
     ).withColumn("split", split)
+
+
+def split_leakage(
+    documents: DataFrame, train_pct: int = 90, val_pct: int = 5
+) -> DataFrame:
+    """Cross-split contamination audit: how many val/test documents
+    share EXACT (normalized) content with any train document — the
+    leak that silently inflates every eval number, and the first
+    thing to re-check after any corpus refresh. Composes the salted
+    ``corpus_split`` assignment with ``dedup_exact``'s content hash;
+    a near-dup sweep (`decontaminate`) is the recall-heavier second
+    pass, this is the exact-match fast gate.
+
+    One projection computes split + fingerprint (zero extra scans);
+    train fingerprints collapse to a distinct hash frame; the eval
+    side left-joins it and reduces to one row per eval split with
+    an integer leak count and a rounded rate — engine-exact.
+
+    Scale shape: one (fp) distinct shuffle of the train side + one
+    hash equi-join; output is two rows.
+    """
+    from ..functions.text import md5_hex
+
+    h = _split_bucket()
+    split = (
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    tagged = documents.select(
+        "doc_id",
+        split.alias("split"),
+        md5_hex(norm_text("text")).alias("fp"),
+    )
+    train_fps = (
+        tagged.filter(F.col("split") == "train")
+        .select("fp")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    evals = tagged.filter(F.col("split") != "train")
+    joined = evals.join(train_fps, "fp", "left")
+    return (
+        joined.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_leaked"),
+        )
+        .withColumn(
+            "leak_rate", F.round(F.col("n_leaked") / F.col("n_docs"), 6)
+        )
+    )

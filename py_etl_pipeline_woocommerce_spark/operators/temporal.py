@@ -1268,3 +1268,72 @@ def dayn_retention(
             F.round(F.col("n_retained") / F.col("n_eligible"), 6),
         )
     )
+
+
+def cusum_changepoint(events: DataFrame) -> DataFrame:
+    """Single change-point location per event type via the CUSUM
+    statistic (Page 1954 / the textbook MLE for one mean shift):
+    the day t maximizing |Σ_{i≤t} x_i − (t/n)·Σx| over the daily
+    value totals — "when did this metric's level actually move",
+    the localization step after ``ks_drift``/``seasonal_anomaly``
+    say *that* something moved.
+
+    Exactness: the maximized statistic is evaluated SCALED BY n —
+    ``|n·prefix_t − t·S|`` — which is pure DECIMAL×INTEGER
+    arithmetic (same argmax, no division inside the ordering), so
+    the selected day is engine-exact; the reported peak height
+    divides back and rounds only at the output boundary. Ties take
+    the earliest day (total order).
+
+    Scale shape: one partial-agg shuffle to the (type, day) frame,
+    then two windows sharing one per-type sort over that reduced
+    frame (≤ |types| × |days| rows) and a 1-row-per-type rank cut.
+    """
+    e = _ts_us(events)
+    daily = (
+        e.select(
+            "event_type",
+            F.expr(f"t_us div {DAY_US}").alias("day_idx"),
+            "value",
+        )
+        .groupBy("event_type", "day_idx")
+        .agg(F.sum(dec_money("value")).cast("decimal(28,2)").alias("x"))
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("x").cast("decimal(28,2)").alias("s"),
+    )
+    order = Window.partitionBy("event_type").orderBy("day_idx")
+    cum = daily.select(
+        "event_type",
+        "day_idx",
+        F.row_number().over(order).cast("decimal(10,0)").alias("t"),
+        F.sum("x")
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("decimal(28,2)")
+        .alias("prefix"),
+    )
+    stat = cum.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "day_idx",
+        "n",
+        F.abs(
+            F.col("n") * F.col("prefix") - F.col("t") * F.col("s")
+        ).alias("abs_stat"),
+    )
+    pick = Window.partitionBy("event_type").orderBy(
+        F.col("abs_stat").desc(), F.col("day_idx")
+    )
+    return (
+        stat.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "event_type",
+            (F.col("day_idx") * DAY_US).alias("cp_day_us"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.round(
+                F.col("abs_stat").cast("double") / F.col("n").cast("double"),
+                6,
+            ).alias("cusum_peak"),
+        )
+    )

@@ -490,3 +490,29 @@ def test_corpus_split_is_deterministic_and_complete(spark, sf_dir):
     for s, bkt in a.values():
         want = "train" if bkt < 90 else ("val" if bkt < 95 else "test")
         assert s == want
+
+
+def test_split_leakage_counts_cross_split_exact_dups(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        corpus_split,
+        split_leakage,
+    )
+
+    base = spark.createDataFrame(
+        [(i, "en", "web", f"unique document number {i} with words") for i in range(200)]
+        + [(1000 + i, "en", "web", f"unique document number {i} with words") for i in range(200)],
+        "doc_id long, lang string, source string, text string",
+    )
+    splits = {r.doc_id: r.split for r in corpus_split(base).collect()}
+    out = {r.split: r for r in split_leakage(base).collect()}
+    # hand-compute expected leakage from the split assignment itself
+    for ev_split in ("val", "test"):
+        expected_docs = [d for d, s in splits.items() if s == ev_split]
+        leaked = 0
+        for d in expected_docs:
+            twin = d + 1000 if d < 1000 else d - 1000
+            if splits.get(twin) == "train":
+                leaked += 1
+        assert out[ev_split].n_docs == len(expected_docs)
+        assert out[ev_split].n_leaked == leaked
+        assert out[ev_split].leak_rate == round(leaked / len(expected_docs), 6)

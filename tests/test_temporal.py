@@ -524,3 +524,31 @@ def test_dayn_retention_counts_eligibility_and_returns(spark):
     assert d1.retention == round(2 / 3, 6)
     d3 = out[3]  # only users 1 and 2 eligible (first_day 0, 0+3 <= 3)
     assert (d3.n_eligible, d3.n_retained) == (2, 0)
+
+
+def test_cusum_changepoint_locates_mean_shift(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        cusum_changepoint,
+    )
+
+    D = DAY_US
+    rows = []
+    eid = 0
+    # type "shift": level 10 for days 0-4, level 50 for days 5-9
+    for day in range(10):
+        eid += 1
+        v = 10.0 if day < 5 else 50.0
+        rows.append((eid, day * D + 1, 1, "shift", v))
+    # type "flat": constant level -> peak at interior, height tiny
+    for day in range(10):
+        eid += 1
+        rows.append((eid, day * D + 1, 2, "flat", 7.0))
+    out = {r.event_type: r for r in cusum_changepoint(_ev(spark, rows)).collect()}
+    s = out["shift"]
+    # CUSUM peaks at the last pre-shift day (day 4)
+    assert s.cp_day_us == 4 * D and s.n_days == 10
+    # |n*prefix - t*S| at t=5: |10*50 - 5*300| = 1000 -> /n = 100
+    assert s.cusum_peak == 100.0
+    f = out["flat"]
+    assert f.cusum_peak == 0.0
+    assert f.cp_day_us == 0  # all-zero stats tie-break to the earliest day
