@@ -286,6 +286,8 @@ _R4_FRONT = [
     "corpus_split",
     "split_leakage",
     "cusum_changepoint",
+    "trend_fit",
+    "linear_attribution",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
@@ -534,6 +536,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "corpus_split": lambda s, d: corpus.corpus_split(_docs(s, d)),
         "split_leakage": lambda s, d: corpus.split_leakage(_docs(s, d)),
+        "trend_fit": lambda s, d: temporal.trend_fit(_events(s, d)),
+        "linear_attribution": lambda s, d: events.linear_attribution(
+            _events(s, d)
+        ),
         "cusum_changepoint": lambda s, d: temporal.cusum_changepoint(
             _events(s, d)
         ),
@@ -3395,6 +3401,57 @@ SELECT event_type, day_idx * 86400000000 AS cp_day_us,
        CAST(n AS BIGINT) AS n_days,
        round(CAST(abs_stat AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cusum_peak
 FROM r WHERE rn = 1
+"""
+    out["trend_fit"] = """
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
+d AS (SELECT event_type, t_us // 86400000000 AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS y
+      FROM e GROUP BY 1, 2),
+m AS (SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(10,0)) * y) AS DOUBLE) AS sxy,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM d GROUP BY 1)
+SELECT event_type, n AS n_days,
+       round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+         AS slope,
+       round((sy - ((n * sxy - sx * sy) /
+                    CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+             (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
+         AS r2
+FROM m
+"""
+    out["linear_attribution"] = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+                  value FROM events),
+conv AS (SELECT event_id AS conv_id, user_id, t_us AS conv_us,
+                CAST(value AS DECIMAL(18,2)) AS conv_value
+         FROM e WHERE event_type = 'purchase'),
+probes AS (SELECT user_id AS p_user, event_type AS channel,
+                  t_us AS p_t_us
+           FROM e WHERE event_type IN ('view', 'click')),
+pairs AS (SELECT conv_id, channel, conv_value
+          FROM conv JOIN probes ON user_id = p_user
+            AND p_t_us >= conv_us - 604800000000
+            AND p_t_us < conv_us),
+shares AS (SELECT conv_id, channel,
+                  CAST(round(CAST(conv_value AS DOUBLE) /
+                             COUNT(*) OVER (PARTITION BY conv_id), 6)
+                       AS DECIMAL(28,6)) AS share
+           FROM pairs),
+direct AS (SELECT conv_id, 'direct' AS channel,
+                  CAST(conv_value AS DECIMAL(28,6)) AS share
+           FROM conv
+           WHERE conv_id NOT IN (SELECT conv_id FROM shares)),
+u AS (SELECT * FROM shares UNION ALL SELECT * FROM direct)
+SELECT channel, COUNT(DISTINCT conv_id) AS n_conversions,
+       COUNT(*) AS n_touches,
+       CAST(SUM(share) AS DOUBLE) AS attributed_value
+FROM u GROUP BY 1
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

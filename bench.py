@@ -108,6 +108,8 @@ HEADLINE = [
     "part_pagerank",
     "split_leakage",
     "cusum_changepoint",
+    "trend_fit",
+    "linear_attribution",
 ]
 
 

@@ -9,7 +9,7 @@ windowed aggregation in ``streaming/events.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import dec_money
@@ -286,5 +286,98 @@ def user_overlap(events: DataFrame) -> DataFrame:
                 / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("view", "click"),
+    window_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Multi-touch linear revenue attribution: every conversion's
+    value splits EQUALLY across the user's touch events in the
+    ``window_us`` strictly before it; conversions with no touches
+    credit a ``direct`` channel. One row per channel with attributed
+    revenue — the step past last-touch (which the as-of join already
+    gives) toward the fractional-credit models a marketing warehouse
+    actually reports.
+
+    Candidate touches come from the same bucketed equi-join as
+    ``range_join_window`` (each conversion probes its window-grain
+    bucket and the one before — never an inequality join); the split
+    count is one window over the pair frame. Per pair the ONE float
+    op is ``round(value / n, 6)``; shares then accumulate in
+    DECIMAL(28,6) so channel totals are order-insensitive and
+    engine-exact (the dashboard-digest accumulation pattern).
+
+    Scale shape: one (user, bucket) equi-join + one conversion-keyed
+    window + one |channels|-row aggregate.
+    """
+    e = events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000").alias("t_us"),
+        "value",
+    )
+    conv = e.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("conv_id"),
+        "user_id",
+        F.col("t_us").alias("conv_us"),
+        dec_money("value").alias("conv_value"),
+    )
+    probes = e.filter(F.col("event_type").isin(*touch_types)).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_type").alias("channel"),
+        F.col("t_us").alias("p_t_us"),
+        (F.col("t_us") / F.lit(window_us)).cast("bigint").alias("p_bucket"),
+    )
+    cand = conv.select(
+        "conv_id",
+        "user_id",
+        "conv_us",
+        "conv_value",
+        F.explode(
+            F.array(
+                (F.col("conv_us") / F.lit(window_us)).cast("bigint"),
+                (F.col("conv_us") / F.lit(window_us)).cast("bigint") - 1,
+            )
+        ).alias("bucket"),
+    )
+    pairs = cand.join(
+        probes,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("bucket") == F.col("p_bucket")),
+    ).filter(
+        (F.col("p_t_us") >= F.col("conv_us") - F.lit(window_us))
+        & (F.col("p_t_us") < F.col("conv_us"))
+    )
+    n_w = Window.partitionBy("conv_id")
+    shares = pairs.select(
+        "conv_id",
+        "channel",
+        F.round(
+            F.col("conv_value").cast("double")
+            / F.count(F.lit(1)).over(n_w),
+            6,
+        )
+        .cast("decimal(28,6)")
+        .alias("share"),
+    )
+    touched = shares.select("conv_id").distinct()
+    direct = conv.join(touched, "conv_id", "left_anti").select(
+        "conv_id",
+        F.lit("direct").alias("channel"),
+        F.col("conv_value").cast("decimal(28,6)").alias("share"),
+    )
+    return (
+        shares.unionByName(direct)
+        .groupBy("channel")
+        .agg(
+            F.count_distinct(F.col("conv_id")).alias("n_conversions"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("share").cast("double").alias("attributed_value"),
         )
     )

@@ -1337,3 +1337,55 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
             ).alias("cusum_peak"),
         )
     )
+
+
+def trend_fit(events: DataFrame) -> DataFrame:
+    """Per-type ordinary-least-squares daily trend: slope (value/day),
+    intercept, and R² of the line through (epoch-day, daily total) —
+    the "is this metric growing, and how fast" number behind every
+    capacity forecast, fitted in closed form with NO iteration.
+
+    Same exactness discipline as ``numeric_corr``: all five
+    co-moments accumulate in DECIMAL/INTEGER (the x side — epoch
+    days — is pure integer), and the closed form
+    ``slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)`` runs once per type
+    on the aggregated row with the identical operation order in the
+    oracle — engine-exact at 6 dp. A single-day type has zero x
+    variance → NULL slope/intercept/r2 via try_divide, not a crash.
+
+    Scale shape: one partial-agg shuffle to (type, day), one tiny
+    per-type aggregate; output is |types| rows.
+    """
+    e = _ts_us(events)
+    daily = (
+        e.select(
+            "event_type",
+            F.expr(f"t_us div {DAY_US}").alias("x"),
+            "value",
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum(dec_money("value")).cast("decimal(28,2)").alias("y"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(10,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = F.try_divide(num, den_x.cast("double"))
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    r2 = F.try_divide(num * num, den_x.cast("double") * den_y)
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )

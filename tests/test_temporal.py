@@ -552,3 +552,37 @@ def test_cusum_changepoint_locates_mean_shift(spark):
     f = out["flat"]
     assert f.cusum_peak == 0.0
     assert f.cp_day_us == 0  # all-zero stats tie-break to the earliest day
+
+
+def test_trend_fit_recovers_exact_line(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import trend_fit
+
+    D = DAY_US
+    rows = []
+    eid = 0
+    # type "line": daily total = 2*day + 10 exactly (value per single event)
+    for day in range(5):
+        eid += 1
+        rows.append((eid, day * D, 1, "line", 2.0 * day + 10.0))
+    # type "flat": constant 5 -> slope 0, r2 NULL (den_y = 0)
+    for day in range(4):
+        eid += 1
+        rows.append((eid, day * D, 2, "flat", 5.0))
+    out = {r.event_type: r for r in trend_fit(_ev(spark, rows)).collect()}
+    line = out["line"]
+    assert line.n_days == 5
+    # x is the absolute epoch day, but slope/r2 are shift-invariant
+    assert line.slope == 2.0 and line.r2 == 1.0
+    # intercept is at epoch day 0: y = 2x + 10 with x0 = epoch day of t=0
+    x0 = 0  # _ev uses µs offsets from epoch, so day_idx starts at 0
+    assert line.intercept == 10.0 - 2.0 * x0
+    flat = out["flat"]
+    assert flat.slope == 0.0 and flat.r2 is None
+
+
+def test_trend_fit_single_day_yields_nulls(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import trend_fit
+
+    out = trend_fit(_ev(spark, [(1, 5, 1, "one", 3.0)])).collect()[0]
+    assert out.n_days == 1
+    assert out.slope is None and out.r2 is None

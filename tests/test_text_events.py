@@ -160,3 +160,33 @@ def test_chunk_documents_overlapping_windows(spark):
     assert covered == set(toks)
     assert [(r.chunk_id, r.chunk_text) for r in by_doc[2]] == [(0, "short doc")]
     assert 3 not in by_doc  # empty doc yields no chunks
+
+
+def test_linear_attribution_splits_value_across_touches(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.events import (
+        linear_attribution,
+    )
+
+    M = 60 * 1_000_000  # one minute in µs
+    rows = [
+        # user 1: view + click inside window, purchase 90 -> 45 each
+        (1, 0 * M, 1, "view", 0.0),
+        (2, 1 * M, 1, "click", 0.0),
+        (3, 2 * M, 1, "purchase", 90.0),
+        # user 2: no touches -> direct gets the full 50
+        (4, 5 * M, 2, "purchase", 50.0),
+        # user 3: touch AFTER purchase does not count
+        (5, 7 * M, 3, "purchase", 10.0),
+        (6, 8 * M, 3, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t * 1000, u, ty, v, "{}") for i, t, u, ty, v in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    out = {r.channel: r for r in linear_attribution(ev).collect()}
+    assert out["view"].attributed_value == 45.0
+    assert out["click"].attributed_value == 45.0
+    assert out["direct"].attributed_value == 60.0   # users 2 and 3
+    assert out["direct"].n_conversions == 2
+    # conservation: attributed mass equals total purchase value
+    assert sum(r.attributed_value for r in out.values()) == 150.0
