@@ -76,3 +76,35 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def register_model_views(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """SQL surface parity with the reference's DuckDB warehouse: on
+    top of the base-table views, register the derived model as temp
+    views — ``fct_orders`` / ``fct_order_items`` (the two tables
+    ``ddl.sql`` defines) plus the six dashboard marts — so a SQL user
+    can ``spark.sql("SELECT … FROM fct_orders WHERE …")`` exactly as
+    they query the reference warehouse today. Views are lazy logical
+    plans: registering costs nothing, every query through them gets
+    full Catalyst pushdown/pruning, and a filter on a view prunes the
+    underlying parquet scan like the hand-built DataFrame would.
+    """
+    from .plans import analytics, woo_model
+
+    dfs = register_views(spark, sf_dir)
+    model = {
+        "fct_orders": woo_model.fct_orders(spark, sf_dir),
+        "fct_order_items": woo_model.fct_order_items(spark, sf_dir),
+        "mart_date_bounds": analytics.date_bounds(spark, sf_dir),
+        "mart_kpis": analytics.kpis(spark, sf_dir),
+        "mart_revenue_timeseries": analytics.revenue_timeseries(spark, sf_dir),
+        "mart_top_products": analytics.top_products(spark, sf_dir),
+        "mart_category_mix": analytics.category_mix(spark, sf_dir),
+        "mart_geo_rollup": analytics.geo_rollup(spark, sf_dir),
+    }
+    for name, df in model.items():
+        df.createOrReplaceTempView(name)
+    dfs.update(model)
+    return dfs

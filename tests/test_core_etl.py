@@ -176,3 +176,26 @@ def test_notify_env_gated_and_swallows_errors(monkeypatch):
         raise RuntimeError("smtp down")
     # a failing transport must not raise
     assert notify("msg", transport=boom) is True
+
+
+def test_register_model_views_sql_surface(spark, sf_dir):
+    """SQL parity with the reference's DuckDB warehouse: the derived
+    model is queryable via spark.sql, results match the function API,
+    and a filter through the view still prunes the parquet scan."""
+    from py_etl_pipeline_woocommerce_spark.catalog import register_model_views
+    from py_etl_pipeline_woocommerce_spark.plans import woo_model
+
+    register_model_views(spark, sf_dir)
+    via_sql = spark.sql(
+        "SELECT COUNT(*) AS n, SUM(CAST(net_after_refunds AS DECIMAL(28,6))) AS s "
+        "FROM fct_orders"
+    ).collect()[0]
+    api = woo_model.fct_orders(spark, sf_dir)
+    assert via_sql.n == api.count()
+    # marts answer too
+    assert spark.sql("SELECT * FROM mart_kpis").count() == 1
+    # pushdown survives the view: a date filter reaches the orders scan
+    plan = spark.sql(
+        "SELECT order_id FROM fct_orders WHERE order_date >= '1995-01-01'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "IsNotNull" in plan
