@@ -288,6 +288,7 @@ _R4_FRONT = [
     "cusum_changepoint",
     "trend_fit",
     "linear_attribution",
+    "hot_keys_approx",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
@@ -531,6 +532,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # iterative float power iteration — not SQL-expressible,
         # rows-only driver check (numpy-parity pytest in test_graph.py)
         "part_pagerank": graph.part_pagerank,
+        # bounded-memory sketch with data-dependent per-partition
+        # decrements — not SQL-expressible, rows-only driver check
+        # (error-bound-vs-exact pytest in test_multimodal_skew.py)
+        "hot_keys_approx": lambda s, d: skew.hot_keys_approx(
+            _events(s, d), "user_id"
+        ),
         "dayn_retention": lambda s, d: temporal.dayn_retention(
             _events(s, d)
         ),

@@ -110,6 +110,7 @@ HEADLINE = [
     "cusum_changepoint",
     "trend_fit",
     "linear_attribution",
+    "hot_keys_approx",
 ]
 
 

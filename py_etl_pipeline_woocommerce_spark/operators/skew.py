@@ -94,3 +94,66 @@ def hot_keys(df: DataFrame, key_col: str, topk: int = 20) -> DataFrame:
         )
         .withColumn("key_rank", F.row_number().over(w).cast("int"))
     )
+
+
+def hot_keys_approx(
+    df: DataFrame, key_col: str, topk: int = 20, counters: int = 200
+) -> DataFrame:
+    """Approximate heavy hitters via per-partition Misra–Gries
+    summaries merged downstream (Misra & Gries 1982; mergeability per
+    Agarwal et al., "Mergeable Summaries") — the sketch companion to
+    the exact ``hot_keys`` for when the key cardinality itself is too
+    large to aggregate (raw URLs, session ids, free-text tokens at
+    100 TB): shuffle volume is bounded by ``counters`` rows PER
+    PARTITION, never by distinct keys.
+
+    Each partition keeps at most ``counters`` weighted candidates;
+    when full, the batch decrement subtracts the (counters+1)-largest
+    weight from every counter and drops the non-positive ones —
+    removing ≥ (counters+1)·m mass per decrement of m, so a
+    partition's total decrement d_p ≤ n_p/(counters+1) and the merged
+    global error D = Σ d_p ≤ n/(counters+1). Output counts are
+    guaranteed bounds: ``est_count ≤ true ≤ est_count + err_bound``,
+    and ANY key with true count > D survives into the summary
+    (asserted against exact ``hot_keys`` in pytest).
+
+    Python touches only the bounded counter maps (pandas value_counts
+    per Arrow batch feeding a dict) — the scan stays Arrow-batched,
+    and the merge is an ordinary integer groupBy over ≤ counters ×
+    n_partitions rows.
+    """
+    import pandas as pd
+
+    schema = "key_value string, cnt long, dec long"
+
+    def mg(batches):
+        counts: dict[str, int] = {}
+        dec_total = 0
+        for pdf in batches:
+            for key, c in pdf["_k"].value_counts().items():
+                counts[key] = counts.get(key, 0) + int(c)
+            if len(counts) > counters:
+                m = sorted(counts.values(), reverse=True)[counters]
+                dec_total += m
+                counts = {k: v - m for k, v in counts.items() if v - m > 0}
+        yield pd.DataFrame(
+            [(k, v, 0) for k, v in counts.items()] + [(None, 0, dec_total)],
+            columns=["key_value", "cnt", "dec"],
+        )
+
+    summaries = df.select(
+        F.col(key_col).cast("string").alias("_k")
+    ).mapInPandas(mg, schema)
+    merged = (
+        summaries.filter(F.col("key_value").isNotNull())
+        .groupBy("key_value")
+        .agg(F.sum("cnt").alias("est_count"))
+    )
+    err = summaries.agg(F.sum("dec").alias("err_bound"))
+    top = merged.orderBy(F.col("est_count").desc(), "key_value").limit(topk)
+    w = Window.orderBy(F.col("est_count").desc(), "key_value")
+    return (
+        top.join(F.broadcast(err))
+        .withColumn("key_rank", F.row_number().over(w))
+        .select("key_rank", "key_value", "est_count", "err_bound")
+    )

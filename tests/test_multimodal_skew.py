@@ -159,3 +159,37 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_hot_keys_approx_bounds_hold_against_exact(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.skew import (
+        hot_keys,
+        hot_keys_approx,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {r.key_value: r.n_rows for r in hot_keys(ev, "user_id", topk=1000).collect()}
+    approx = hot_keys_approx(ev, "user_id", topk=10, counters=50).collect()
+    n = ev.count()
+    err = approx[0].err_bound
+    assert err <= n // 51 + 1  # D <= n/(counters+1)
+    for r in approx:
+        true = exact.get(r.key_value, 0)
+        assert r.est_count <= true <= r.est_count + err
+    # ranks are 1..k and counts non-increasing
+    assert [r.key_rank for r in approx] == list(range(1, len(approx) + 1))
+    cnts = [r.est_count for r in approx]
+    assert cnts == sorted(cnts, reverse=True)
+
+
+def test_hot_keys_approx_exact_when_counters_exceed_cardinality(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.skew import hot_keys_approx
+
+    df = spark.createDataFrame(
+        [(k,) for k in ["a"] * 50 + ["b"] * 30 + ["c"] * 20], "k string"
+    ).repartition(4)
+    got = {r.key_value: r for r in hot_keys_approx(df, "k", topk=3, counters=10).collect()}
+    # cardinality 3 <= counters: no decrements anywhere, counts exact
+    assert got["a"].est_count == 50 and got["b"].est_count == 30 and got["c"].est_count == 20
+    assert got["a"].err_bound == 0
