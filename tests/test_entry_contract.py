@@ -47,6 +47,11 @@ def test_oracle_keys_subset_of_queries():
         "pack_bins_bfd",
         # k-means centroids aren't SQL — size/inertia-contract pytest
         "cluster_stats",
+        # iterative float power iteration — numpy-parity pytest
+        "part_pagerank",
+        # bounded-memory sketch, data-dependent decrements —
+        # error-bound-vs-exact pytest
+        "hot_keys_approx",
     }
 
 

@@ -83,6 +83,12 @@ SCALAR_BROADCAST = {
     "basket_pairs",
     # 1-row totals (sum, key count) broadcast over the top-k frame
     "hot_keys",
+    # two 1-row aggregates crossed per relation (totals × orphan counts)
+    "dq_referential",
+    # 1-row max-day broadcast over the per-user probe frame
+    "dayn_retention",
+    # 1-row merged error bound broadcast over the ≤topk summary rows
+    "hot_keys_approx",
     # 1-row corpus max-order-day broadcast over the customer frame
     "rfm_segments",
 }
