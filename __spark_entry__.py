@@ -538,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys_approx": lambda s, d: skew.hot_keys_approx(
             _events(s, d), "user_id"
         ),
+        "fulfillment_latency": relational.fulfillment_latency,
         "dayn_retention": lambda s, d: temporal.dayn_retention(
             _events(s, d)
         ),
@@ -3459,6 +3460,18 @@ SELECT channel, COUNT(DISTINCT conv_id) AS n_conversions,
        COUNT(*) AS n_touches,
        CAST(SUM(share) AS DOUBLE) AS attributed_value
 FROM u GROUP BY 1
+"""
+    out["fulfillment_latency"] = """
+WITH j AS (SELECT o_orderpriority,
+                  (epoch_us(l_shipdate) // 86400000000)
+                  - (epoch_us(o_orderdate) // 86400000000) AS lag_days
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       MIN(lag_days) AS min_days, MAX(lag_days) AS max_days,
+       round(quantile_cont(lag_days, 0.5), 6) AS p50_days,
+       round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
+       round(AVG(lag_days), 6) AS mean_days
+FROM j GROUP BY 1
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

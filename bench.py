@@ -111,6 +111,7 @@ HEADLINE = [
     "trend_fit",
     "linear_attribution",
     "hot_keys_approx",
+    "fulfillment_latency",
 ]
 
 

@@ -199,3 +199,18 @@ def test_register_model_views_sql_surface(spark, sf_dir):
         "SELECT order_id FROM fct_orders WHERE order_date >= '1995-01-01'"
     )._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "IsNotNull" in plan
+
+
+def test_fulfillment_latency_integer_day_lags(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.plans.relational import (
+        fulfillment_latency,
+    )
+
+    out = {r.o_orderpriority: r for r in fulfillment_latency(spark, sf_dir).collect()}
+    assert out  # every priority present in the data reports
+    for r in out.values():
+        # the synthetic testdata draws ship dates independently of
+        # order dates, so lags can be negative — only the ordering
+        # invariants are data-independent
+        assert r.min_days <= r.p50_days <= r.p90_days <= r.max_days
+        assert r.n_lines > 0
