@@ -113,3 +113,62 @@ def read_orc(
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC writer (zlib default; columnar, splittable)."""
     df.write.mode(mode).orc(path)
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    max_bytes: int | None = None,
+) -> DataFrame:
+    """Raw-asset ingestion via Spark's built-in ``binaryFile`` source:
+    one row per file with (path, modificationTime, length, content) —
+    the landing step that feeds the multimodal pipeline
+    (``operators/multimodal.py`` expects exactly this binary-column
+    shape). Images/audio/video land as opaque bytes; decode happens
+    downstream in Arrow-batched UDFs, never here.
+
+    ``glob`` filters by pattern at the LISTING level
+    (``pathGlobFilter`` — unmatched files are never opened);
+    ``max_bytes`` pushes a length predicate that skips oversized
+    assets from the file footer stats. At 100 TB the directory is
+    millions of objects: listing parallelizes across the cluster, and
+    each file is one task-local read — no shuffle at all.
+    """
+    r = spark.read.format("binaryFile")
+    if glob is not None:
+        r = r.option("pathGlobFilter", glob)
+    df = r.load(path)
+    if max_bytes is not None:
+        df = df.filter(F.col("length") <= max_bytes)
+    return df
+
+
+def read_text_docs(
+    spark: SparkSession,
+    path: str,
+    whole_file: bool = False,
+) -> DataFrame:
+    """Raw-text corpus ingestion via the built-in ``text`` source:
+    ``whole_file=False`` maps one LINE per document row (the JSONL-
+    adjacent "one doc per line" crawl export), ``whole_file=True``
+    maps one FILE per document (book/article dumps). Output is
+    (doc_path, text) ready for ``doc_fingerprint``/``corpus_prep``;
+    a stable doc_id comes from the existing md5 helpers downstream.
+
+    Pure scan, no shuffle; line mode splits large files across tasks,
+    whole-file mode is one task per file (bounded by the largest
+    document — chunk upstream if files exceed executor memory).
+    """
+    # NOTE: must be the .text() kwarg — DataFrameReader.text() passes
+    # its own wholetext default, which overrides a prior .option().
+    df = (
+        spark.read.text(path, wholetext=whole_file)
+        .select(
+            F.input_file_name().alias("doc_path"),
+            F.col("value").alias("text"),
+        )
+    )
+    if not whole_file:
+        df = df.filter(F.length("text") > 0)
+    return df

@@ -218,3 +218,36 @@ def test_zorder_cluster_localizes_every_dimension(spark, tmp_path, sf_dir):
     first = glob.glob(f"{dest}/*.parquet")[0]
     names = set(pq.read_schema(first).names)
     assert names == set(orders.columns)
+
+
+def test_read_binary_dir_lands_opaque_bytes(spark, tmp_path):
+    from py_etl_pipeline_woocommerce_spark.sources.files import read_binary_dir
+
+    (tmp_path / "a.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (tmp_path / "b.jpg").write_bytes(b"\xff\xd8" + b"x" * 100)
+    (tmp_path / "c.txt").write_bytes(b"not an image")
+    rows = {
+        r.path.rsplit("/", 1)[-1]: r
+        for r in read_binary_dir(spark, str(tmp_path), glob="*.jpg").collect()
+    }
+    assert set(rows) == {"a.jpg", "b.jpg"}          # glob filtered the txt
+    assert bytes(rows["a.jpg"].content) == b"\xff\xd8fakejpeg"
+    assert rows["b.jpg"].length == 102
+    # size cap prunes via the length column
+    small = read_binary_dir(spark, str(tmp_path), glob="*.jpg", max_bytes=50)
+    assert [r.path.rsplit("/", 1)[-1] for r in small.collect()] == ["a.jpg"]
+
+
+def test_read_text_docs_line_and_whole_file_modes(spark, tmp_path):
+    from py_etl_pipeline_woocommerce_spark.sources.files import read_text_docs
+
+    (tmp_path / "d1.txt").write_text("first doc\nsecond doc\n\nthird doc\n")
+    (tmp_path / "d2.txt").write_text("whole file doc\nwith two lines\n")
+    lines = read_text_docs(spark, str(tmp_path)).collect()
+    assert sorted(r.text for r in lines) == sorted(
+        ["first doc", "second doc", "third doc", "whole file doc", "with two lines"]
+    )  # empty line dropped
+    whole = read_text_docs(spark, str(tmp_path), whole_file=True).collect()
+    texts = {r.doc_path.rsplit("/", 1)[-1]: r.text for r in whole}
+    assert texts["d2.txt"] == "whole file doc\nwith two lines\n"
+    assert len(whole) == 2
