@@ -554,3 +554,53 @@ def numeric_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(
         "n", F.explode(F.array(*pair_structs)).alias("p")
     ).select("p.col_x", "p.col_y", "n", "p.corr")
+
+
+def cdc_apply_store(
+    spark,
+    store_path: str,
+    changes: DataFrame,
+    key: str,
+    seq_col: str = "seq",
+    op_col: str = "op",
+) -> None:
+    """Persist-side of ``cdc_apply``: fold a change batch into an
+    ON-DISK current-state table. The store carries each row's last
+    applied sequence (``_seq``), and the merge resolves the net
+    effect over stored-rows-∪-incoming-changes — so a LATE batch
+    whose sequence numbers are older than what's already applied
+    cannot regress the table (plain delete+insert would): max-seq
+    wins globally, which makes the fold independent of how the feed
+    is split into batches (pytest asserts split-invariance, the CDC
+    twin of the rollup-store property).
+
+    Sized for dimension/current-state tables (the usual CDC target):
+    each fold rewrites the table once, cost O(store + batch) with one
+    key shuffle. For fact-scale targets use the month-pruned
+    ``woo_flow`` upsert instead. Used directly for batch drops and as
+    the body of the streaming ``CdcApplySink`` — one code path under
+    both execution models.
+    """
+    import os
+
+    payload = [c for c in changes.columns if c not in (seq_col, op_col)]
+    incoming = changes
+    if os.path.exists(store_path):
+        existing = spark.read.parquet(store_path).select(
+            *payload,
+            F.col("_seq").alias(seq_col),
+            F.lit("U").alias(op_col),
+        )
+        incoming = incoming.select(*payload, seq_col, op_col).unionByName(
+            existing
+        )
+    w = Window.partitionBy(key).orderBy(
+        F.col(seq_col).desc(), F.col(op_col).desc()
+    )
+    merged = (
+        incoming.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
+        .select(*payload, F.col(seq_col).alias("_seq"))
+        .localCheckpoint(eager=True)
+    )
+    merged.write.mode("overwrite").parquet(store_path)

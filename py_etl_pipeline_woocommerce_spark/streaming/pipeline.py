@@ -291,3 +291,54 @@ def run_stream_rollup_merge(
         .start()
     )
     return query, sink
+
+
+class CdcApplySink:
+    """``foreachBatch`` sink that maintains an on-disk current-state
+    table from a CDC change stream: every micro-batch folds through
+    ``warehouse.cdc_apply_store`` — the IDENTICAL code path a batch
+    drop uses. Because the store keeps each row's last applied
+    sequence and the fold resolves max-seq over stored ∪ incoming,
+    the result is independent of micro-batch boundaries AND of
+    out-of-order delivery across batches (split-invariance
+    pytest-asserted)."""
+
+    def __init__(self, store_path: str, key: str):
+        self.store_path = store_path
+        self.key = key
+        self.batches_seen = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.warehouse import cdc_apply_store
+
+        self.batches_seen += 1
+        cdc_apply_store(
+            batch_df.sparkSession, self.store_path, batch_df, self.key
+        )
+
+
+def run_stream_cdc_apply(
+    spark: SparkSession,
+    source_path: str,
+    source_schema,
+    checkpoint_dir: str,
+    store_path: str,
+    key: str,
+) -> tuple:
+    """Wire a CDC change-file stream → foreachBatch current-state
+    maintenance; returns (query, sink). All state lives in the store
+    (rows + their last applied seq) — restart-safe with zero
+    streaming state beyond source offsets."""
+    stream = (
+        spark.readStream.schema(source_schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_path)
+    )
+    sink = CdcApplySink(store_path, key)
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    return query, sink

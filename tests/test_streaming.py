@@ -644,3 +644,76 @@ def test_liveness_gaps_stream_detects_cross_batch_outage(spark, stream_dirs):
     )
     assert got == batch
     assert got == [("hb", (base + MIN_NS) // 1000, (base + 10 * MIN_NS) // 1000, 9 * 60 * 1_000_000)]
+
+
+def test_cdc_store_split_invariant_and_stream_parity(spark, tmp_path):
+    """The on-disk CDC fold must not depend on how the feed is split
+    into batches — including a LATE batch carrying older sequence
+    numbers than what's already applied (plain delete+insert would
+    regress the row). Stream-maintained and one-shot stores agree."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        cdc_apply_store,
+    )
+    from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+        run_stream_cdc_apply,
+    )
+
+    feed = [
+        # (order_id, status, total, seq, op)
+        (1, "a", 10.0, 1, "I"),
+        (1, "a2", 11.0, 3, "U"),   # newest for key 1
+        (1, "late", 0.0, 2, "U"),  # arrives in a LATER batch, must lose
+        (2, "b", 20.0, 1, "I"),
+        (2, "x", 0.0, 2, "D"),     # key 2 ends deleted
+        (3, "c", 30.0, 5, "U"),
+    ]
+    sch = "order_id long, status string, total double, seq int, op string"
+
+    def write_feed(path, rows):
+        tbl = pa.table(
+            {
+                "order_id": pa.array([r[0] for r in rows], pa.int64()),
+                "status": pa.array([r[1] for r in rows], pa.string()),
+                "total": pa.array([r[2] for r in rows], pa.float64()),
+                "seq": pa.array([r[3] for r in rows], pa.int32()),
+                "op": pa.array([r[4] for r in rows], pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # one-shot fold of the whole feed
+    once = str(tmp_path / "once")
+    cdc_apply_store(
+        spark, once, spark.createDataFrame(feed, sch), "order_id"
+    )
+    expect = {
+        (r.order_id): (r.status, r.total, r._seq)
+        for r in spark.read.parquet(once).collect()
+    }
+    assert expect == {1: ("a2", 11.0, 3), 3: ("c", 30.0, 5)}
+
+    # streamed in three batches with the stale update LAST
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = str(tmp_path / "store")
+    write_feed(f"{src}/b0.parquet", [feed[0], feed[3], feed[5]])
+    write_feed(f"{src}/b1.parquet", [feed[1], feed[4]])
+    write_feed(f"{src}/b2.parquet", [feed[2]])  # the late, stale update
+    schema = spark.read.parquet(f"{src}/b0.parquet").schema
+    query, sink = run_stream_cdc_apply(
+        spark, str(src), schema, ckpt, store, "order_id"
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert sink.batches_seen == 3
+    got = {
+        (r.order_id): (r.status, r.total, r._seq)
+        for r in spark.read.parquet(store).collect()
+    }
+    assert got == expect
