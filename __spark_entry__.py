@@ -539,6 +539,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d), "user_id"
         ),
         "fulfillment_latency": relational.fulfillment_latency,
+        "wow_growth": relational.wow_growth,
+        "session_stats": lambda s, d: sessionize.session_stats(
+            _events(s, d)
+        ),
         "dayn_retention": lambda s, d: temporal.dayn_retention(
             _events(s, d)
         ),
@@ -3472,6 +3476,50 @@ SELECT o_orderpriority, COUNT(*) AS n_lines,
        round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
        round(AVG(lag_days), 6) AS mean_days
 FROM j GROUP BY 1
+"""
+    out["wow_growth"] = """
+WITH w AS (SELECT epoch_us(o_orderdate) // 604800000000 AS week_idx,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS revenue
+           FROM orders GROUP BY 1)
+SELECT week_idx, week_idx * 604800000000 AS week_start_us, revenue,
+       lag(revenue) OVER (ORDER BY week_idx) AS prev_revenue,
+       round((revenue - lag(revenue) OVER (ORDER BY week_idx))
+             / lag(revenue) OVER (ORDER BY week_idx), 6) AS growth
+FROM w
+"""
+    out["session_stats"] = """
+WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+tagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+              AS session_seq
+  FROM tagged),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts_us, event_id) AS rn
+  FROM sess),
+per_sess AS (
+  SELECT user_id, session_seq, COUNT(*) AS n_events,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry_type,
+         MAX(ts_us) - MIN(ts_us) AS duration_us
+  FROM ranked GROUP BY 1, 2)
+SELECT entry_type, COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             / COUNT(*), 6) AS bounce_rate,
+       round(CAST(SUM(n_events) AS BIGINT) / COUNT(*), 6) AS mean_events,
+       round(CAST(SUM(duration_us) AS BIGINT) / COUNT(*), 6)
+         AS mean_duration_us
+FROM per_sess GROUP BY 1
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

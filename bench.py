@@ -112,6 +112,8 @@ HEADLINE = [
     "linear_attribution",
     "hot_keys_approx",
     "fulfillment_latency",
+    "wow_growth",
+    "session_stats",
 ]
 
 

@@ -94,3 +94,52 @@ def session_paths(
         counts.withColumn("path_rank", F.row_number().over(w))
         .filter(F.col("path_rank") <= k)
     )
+
+
+def session_stats(
+    events: DataFrame, gap_minutes: int = GAP_MINUTES
+) -> DataFrame:
+    """Session-quality report by ENTRY event type: how many sessions
+    start with a view vs a click, what share bounce (single-event
+    sessions), and the mean depth/duration — the engagement summary a
+    product dashboard shows next to the raw session list
+    (``sessionize``) and the top journeys (``session_paths``).
+
+    Same single user-keyed sort as ``sessionize``; the entry event is
+    the struct-min over (ts, event_id, type), so ties are
+    deterministic. Counts and durations are integers; the three means
+    are single divisions rounded at the boundary — engine-exact.
+    """
+    e = events.withColumn("ts_us", F.expr("ts div 1000"))
+    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev = F.lag("ts_us").over(order)
+    new_sess = (prev.isNull() | ((F.col("ts_us") - prev) > gap_us)).cast("int")
+    tagged = e.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(order.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = tagged.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.struct("ts_us", "event_id", "event_type"))
+        .getField("event_type")
+        .alias("entry_type"),
+        (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+    )
+    return per_sess.groupBy("entry_type").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "n_bounces"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(F.sum("n_events") / F.count(F.lit(1)), 6).alias(
+            "mean_events"
+        ),
+        F.round(F.sum("duration_us") / F.count(F.lit(1)), 6).alias(
+            "mean_duration_us"
+        ),
+    )

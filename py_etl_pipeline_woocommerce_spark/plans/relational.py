@@ -1188,3 +1188,41 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lag_days", F.lit(0.9)), 6).alias("p90_days"),
         F.round(F.avg("lag_days"), 6).alias("mean_days"),
     )
+
+
+def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue growth: total order value per epoch
+    week with the previous week's total and the percent change — the
+    growth line every executive dashboard opens with (the reference's
+    timeseries chart shows levels; this shows the derivative).
+
+    Weeks are pure integer epoch math (µs div week — no ISO-week
+    calendar ambiguity across engines); revenue accumulates in exact
+    DECIMAL; the single float is the growth division (try_divide — a
+    zero-revenue week yields NULL growth, and the first week has no
+    baseline). One partial-agg shuffle to ≤ |weeks| rows, then a lag
+    window over that calendar-bounded frame.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    week_us = 7 * 86_400_000_000
+    weekly = (
+        orders.select(
+            F.expr(
+                f"unix_micros(cast(o_orderdate as timestamp)) div {week_us}"
+            ).alias("week_idx"),
+            "o_totalprice",
+        )
+        .groupBy("week_idx")
+        .agg(F.sum(dec_money("o_totalprice")).cast("double").alias("revenue"))
+    )
+    w = Window.orderBy("week_idx")  # ≤ |weeks| rows: calendar-bounded
+    prev = F.lag("revenue").over(w)
+    return weekly.select(
+        "week_idx",
+        (F.col("week_idx") * week_us).alias("week_start_us"),
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round(
+            F.try_divide(F.col("revenue") - prev, prev), 6
+        ).alias("growth"),
+    )

@@ -214,3 +214,14 @@ def test_fulfillment_latency_integer_day_lags(spark, sf_dir):
         # invariants are data-independent
         assert r.min_days <= r.p50_days <= r.p90_days <= r.max_days
         assert r.n_lines > 0
+
+
+def test_wow_growth_lags_and_divides(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.plans.relational import wow_growth
+
+    rows = sorted(wow_growth(spark, sf_dir).collect(), key=lambda r: r.week_idx)
+    assert rows[0].prev_revenue is None and rows[0].growth is None
+    for a, b in zip(rows, rows[1:]):
+        assert b.prev_revenue == a.revenue
+        if a.revenue:
+            assert b.growth == round((b.revenue - a.revenue) / a.revenue, 6)

@@ -190,3 +190,30 @@ def test_linear_attribution_splits_value_across_touches(spark):
     assert out["direct"].n_conversions == 2
     # conservation: attributed mass equals total purchase value
     assert sum(r.attributed_value for r in out.values()) == 150.0
+
+
+def test_session_stats_bounce_and_entry_semantics(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.sessionize import (
+        session_stats,
+    )
+
+    M = 60 * 1_000_000
+    rows = [
+        # user 1, session 1: view -> click (entry view, 2 events, 5 min)
+        (1, 0 * M, 1, "view", 0.0),
+        (2, 5 * M, 1, "click", 0.0),
+        # user 1, session 2 (>30 min later): lone purchase = bounce
+        (3, 60 * M, 1, "purchase", 1.0),
+        # user 2: lone view = bounce (entry view)
+        (4, 0 * M, 2, "view", 0.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, t * 1000, u, ty, v, "{}") for i, t, u, ty, v in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    out = {r.entry_type: r for r in session_stats(ev).collect()}
+    v = out["view"]
+    assert v.n_sessions == 2 and v.n_bounces == 1 and v.bounce_rate == 0.5
+    assert v.mean_events == 1.5 and v.mean_duration_us == (5 * M) / 2
+    p = out["purchase"]
+    assert p.n_sessions == 1 and p.bounce_rate == 1.0 and p.mean_duration_us == 0.0
