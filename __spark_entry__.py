@@ -540,6 +540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "fulfillment_latency": relational.fulfillment_latency,
         "wow_growth": relational.wow_growth,
+        "repeat_rate": relational.repeat_rate,
         "session_stats": lambda s, d: sessionize.session_stats(
             _events(s, d)
         ),
@@ -3520,6 +3521,28 @@ SELECT entry_type, COUNT(*) AS n_sessions,
        round(CAST(SUM(duration_us) AS BIGINT) / COUNT(*), 6)
          AS mean_duration_us
 FROM per_sess GROUP BY 1
+"""
+    out["repeat_rate"] = """
+WITH o AS (SELECT o_custkey, o_orderkey,
+                  epoch_us(o_orderdate) // 86400000000 AS day
+           FROM orders),
+r AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY day, o_orderkey) AS rn
+      FROM o),
+pc AS (SELECT o_custkey,
+              MIN(CASE WHEN rn = 1 THEN day END) AS first_day,
+              MIN(CASE WHEN rn = 2 THEN day END) AS second_day
+       FROM r WHERE rn <= 2 GROUP BY 1)
+SELECT COUNT(*) AS n_customers,
+       CAST(SUM(CASE WHEN second_day IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_repeat,
+       round(CAST(SUM(CASE WHEN second_day IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) / COUNT(*), 6) AS repeat_rate,
+       round(quantile_cont(second_day - first_day, 0.5), 6)
+         AS p50_gap_days,
+       round(quantile_cont(second_day - first_day, 0.9), 6)
+         AS p90_gap_days
+FROM pc
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

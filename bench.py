@@ -114,6 +114,7 @@ HEADLINE = [
     "fulfillment_latency",
     "wow_growth",
     "session_stats",
+    "repeat_rate",
 ]
 
 

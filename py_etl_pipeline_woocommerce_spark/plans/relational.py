@@ -1226,3 +1226,47 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("revenue") - prev, prev), 6
         ).alias("growth"),
     )
+
+
+def repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase report: what share of customers ever order a
+    second time, and how long the first→second gap takes (p50/p90
+    days) — the retention KPI an e-commerce dashboard pairs with
+    ``cohort_retention``'s matrix and ``customer_order_gaps``'
+    cadence detail, reduced to ONE row.
+
+    One customer-keyed window (total order: date then key) marks each
+    customer's first and second orders; a customer-grain aggregate
+    and a 1-row reduction follow. Integer epoch-day gaps; the rate
+    and the two interpolated percentiles are the only floats, rounded
+    at the boundary (percentiles skip non-repeat customers' NULL gaps
+    identically in both engines).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .alias("day"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    ranked = orders.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    per_cust = ranked.groupBy("o_custkey").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("day"))).alias("first_day"),
+        F.min(F.when(F.col("rn") == 2, F.col("day"))).alias("second_day"),
+    )
+    gap = F.col("second_day") - F.col("first_day")
+    return per_cust.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("second_day").isNotNull().cast("bigint")).alias(
+            "n_repeat"
+        ),
+        F.round(
+            F.sum(F.col("second_day").isNotNull().cast("bigint"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("repeat_rate"),
+        F.round(F.percentile(gap, F.lit(0.5)), 6).alias("p50_gap_days"),
+        F.round(F.percentile(gap, F.lit(0.9)), 6).alias("p90_gap_days"),
+    )

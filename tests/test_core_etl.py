@@ -225,3 +225,41 @@ def test_wow_growth_lags_and_divides(spark, sf_dir):
         assert b.prev_revenue == a.revenue
         if a.revenue:
             assert b.growth == round((b.revenue - a.revenue) / a.revenue, 6)
+
+
+def test_repeat_rate_hand_computed(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from py_etl_pipeline_woocommerce_spark.plans.relational import repeat_rate
+
+    D = 86_400_000_000
+    rows = [
+        # cust 1: orders on day 0 and day 10 -> repeat, gap 10
+        (1, 1, 0), (2, 1, 10 * D),
+        # cust 2: one order -> not repeat
+        (3, 2, 5 * D),
+        # cust 3: three orders, second on day 2 -> gap 2
+        (4, 3, 0), (5, 3, 2 * D), (6, 3, 30 * D),
+    ]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+                "o_orderstatus": pa.array(["O"] * len(rows), pa.string()),
+                "o_totalprice": pa.array([1.0] * len(rows), pa.float64()),
+                "o_orderdate": pa.array(
+                    [r[2] for r in rows], pa.timestamp("us")
+                ),
+                "o_orderpriority": pa.array(["1"] * len(rows), pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    r = repeat_rate(spark, str(d)).collect()[0]
+    assert (r.n_customers, r.n_repeat) == (3, 2)
+    assert r.repeat_rate == round(2 / 3, 6)
+    assert r.p50_gap_days == 6.0  # median of {10, 2}
