@@ -541,6 +541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fulfillment_latency": relational.fulfillment_latency,
         "wow_growth": relational.wow_growth,
         "repeat_rate": relational.repeat_rate,
+        "user_streaks": lambda s, d: temporal.user_streaks(_events(s, d)),
         "session_stats": lambda s, d: sessionize.session_stats(
             _events(s, d)
         ),
@@ -3543,6 +3544,18 @@ SELECT COUNT(*) AS n_customers,
        round(quantile_cont(second_day - first_day, 0.9), 6)
          AS p90_gap_days
 FROM pc
+"""
+    out["user_streaks"] = """
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx
+           FROM events GROUP BY 1, 2),
+r AS (SELECT user_id, day_idx,
+             day_idx - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx) AS island
+      FROM d),
+s AS (SELECT user_id, island, COUNT(*) AS len FROM r GROUP BY 1, 2)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+FROM s GROUP BY 1
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

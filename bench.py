@@ -115,6 +115,7 @@ HEADLINE = [
     "wow_growth",
     "session_stats",
     "repeat_rate",
+    "user_streaks",
 ]
 
 

@@ -1389,3 +1389,37 @@ def trend_fit(events: DataFrame) -> DataFrame:
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"),
     )
+
+
+def user_streaks(events: DataFrame) -> DataFrame:
+    """Per-user consecutive-day activity streaks — the engagement
+    metric behind "7-day streak" product mechanics and the per-user
+    drill-down under ``dayn_retention``'s aggregate curve. Reports
+    each user's active-day count, number of distinct streaks, and
+    longest streak.
+
+    The other classic gaps-and-islands construction (``sessionize``
+    groups by gap, ``merge_intervals`` unions spans): over distinct
+    (user, day), ``day − row_number()`` is constant exactly within a
+    run of consecutive days, so one window + two integer aggregates
+    finish the job. All-integer: engine-exact.
+
+    Scale shape: one distinct (user, day) shuffle; the window and
+    both aggregates stay on that user-keyed frame.
+    """
+    e = _ts_us(events)
+    days = e.select(
+        "user_id", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    runs = days.withColumn(
+        "island", F.col("day_idx") - F.row_number().over(w)
+    )
+    streaks = runs.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("len").alias("max_streak"),
+    )

@@ -586,3 +586,23 @@ def test_trend_fit_single_day_yields_nulls(spark):
     out = trend_fit(_ev(spark, [(1, 5, 1, "one", 3.0)])).collect()[0]
     assert out.n_days == 1
     assert out.slope is None and out.r2 is None
+
+
+def test_user_streaks_gaps_and_islands(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import user_streaks
+
+    D = DAY_US
+    rows = [
+        # user 1: days 0,1,2 then 5,6 -> streaks {3, 2}
+        (1, 0, 1, "a", 0.0),
+        (2, 0 + 5, 1, "a", 0.0),        # same day twice: still one day
+        (3, 1 * D, 1, "a", 0.0),
+        (4, 2 * D, 1, "a", 0.0),
+        (5, 5 * D, 1, "a", 0.0),
+        (6, 6 * D, 1, "a", 0.0),
+        # user 2: one day only
+        (7, 3 * D, 2, "a", 0.0),
+    ]
+    out = {r.user_id: r for r in user_streaks(_ev(spark, rows)).collect()}
+    assert (out[1].n_active_days, out[1].n_streaks, out[1].max_streak) == (5, 2, 3)
+    assert (out[2].n_active_days, out[2].n_streaks, out[2].max_streak) == (1, 1, 1)
