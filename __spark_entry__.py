@@ -542,6 +542,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wow_growth": relational.wow_growth,
         "repeat_rate": relational.repeat_rate,
         "user_streaks": lambda s, d: temporal.user_streaks(_events(s, d)),
+        "dau_new_vs_returning": lambda s, d: temporal.dau_new_vs_returning(
+            _events(s, d)
+        ),
         "session_stats": lambda s, d: sessionize.session_stats(
             _events(s, d)
         ),
@@ -3556,6 +3559,20 @@ s AS (SELECT user_id, island, COUNT(*) AS len FROM r GROUP BY 1, 2)
 SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
        COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
 FROM s GROUP BY 1
+"""
+    out["dau_new_vs_returning"] = """
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx
+           FROM events GROUP BY 1, 2),
+t AS (SELECT *, CASE WHEN day_idx = MIN(day_idx) OVER (PARTITION BY user_id)
+                     THEN 1 ELSE 0 END AS is_new
+      FROM d),
+a AS (SELECT day_idx, COUNT(*) AS n_active,
+             CAST(SUM(is_new) AS BIGINT) AS n_new
+      FROM t GROUP BY 1)
+SELECT day_idx * 86400000000 AS day_us, n_active, n_new,
+       n_active - n_new AS n_returning,
+       round(n_new / n_active, 6) AS new_share
+FROM a
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

@@ -116,6 +116,7 @@ HEADLINE = [
     "session_stats",
     "repeat_rate",
     "user_streaks",
+    "dau_new_vs_returning",
 ]
 
 

@@ -1423,3 +1423,42 @@ def user_streaks(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("len").alias("max_streak"),
     )
+
+
+def dau_new_vs_returning(events: DataFrame) -> DataFrame:
+    """Daily active users split into NEW (first-ever-seen that day)
+    vs RETURNING — the growth-accounting view of ``daily_active_users``
+    (is the DAU line new acquisition or retention?), feeding the same
+    dashboard as ``dayn_retention``.
+
+    One distinct (user, day) shuffle; each user's first day is a
+    per-user min over that frame (same shuffle key, no extra
+    exchange), and the day-grain aggregate counts the split. The
+    share is the single rounded division. All-integer otherwise.
+    """
+    e = _ts_us(events)
+    days = e.select(
+        "user_id", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    tagged = days.withColumn(
+        "is_new", (F.col("day_idx") == F.min("day_idx").over(w)).cast("int")
+    )
+    return (
+        tagged.groupBy("day_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("is_new").alias("n_new"),
+            (F.count(F.lit(1)) - F.sum("is_new")).alias("n_returning"),
+        )
+        .withColumn(
+            "new_share", F.round(F.col("n_new") / F.col("n_active"), 6)
+        )
+        .select(
+            (F.col("day_idx") * DAY_US).alias("day_us"),
+            "n_active",
+            "n_new",
+            "n_returning",
+            "new_share",
+        )
+    )

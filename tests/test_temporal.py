@@ -606,3 +606,22 @@ def test_user_streaks_gaps_and_islands(spark):
     out = {r.user_id: r for r in user_streaks(_ev(spark, rows)).collect()}
     assert (out[1].n_active_days, out[1].n_streaks, out[1].max_streak) == (5, 2, 3)
     assert (out[2].n_active_days, out[2].n_streaks, out[2].max_streak) == (1, 1, 1)
+
+
+def test_dau_new_vs_returning_split(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        dau_new_vs_returning,
+    )
+
+    D = DAY_US
+    rows = [
+        (1, 0, 1, "a", 0.0),          # day 0: users 1, 2 both new
+        (2, 5, 2, "a", 0.0),
+        (3, 1 * D, 1, "a", 0.0),      # day 1: user 1 returning, 3 new
+        (4, 1 * D, 3, "a", 0.0),
+    ]
+    out = {r.day_us // D: r for r in dau_new_vs_returning(_ev(spark, rows)).collect()}
+    assert (out[0].n_active, out[0].n_new, out[0].n_returning) == (2, 2, 0)
+    assert out[0].new_share == 1.0
+    assert (out[1].n_active, out[1].n_new, out[1].n_returning) == (2, 1, 1)
+    assert out[1].new_share == 0.5
