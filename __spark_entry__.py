@@ -289,6 +289,12 @@ _R4_FRONT = [
     "trend_fit",
     "linear_attribution",
     "hot_keys_approx",
+    "fulfillment_latency",
+    "wow_growth",
+    "session_stats",
+    "repeat_rate",
+    "user_streaks",
+    "dau_new_vs_returning",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
