@@ -271,3 +271,25 @@ def test_bounded_dashboard_prunes_date_partitions(spark, sf_dir, tmp_path):
         ).count()
     )
     assert n_bounded == n_expected
+
+
+def test_closing_wave_shuffle_budgets(plans):
+    """Pin the shuffle shapes the round-4 closing wave was designed
+    around: interval union does ONE user shuffle with both windows
+    sharing its sort; KS drift broadcasts its totals instead of
+    re-shuffling; the CDC merge never reshuffles the current table
+    (the feed window is its only exchange lineage); M4 broadcasts the
+    per-type span frame."""
+    p = plans["merge_intervals"]
+    # one hash exchange (plus nothing else); two Windows over one Sort
+    assert p.count(") Exchange") == 1 and "hashpartitioning(user_id" in p
+    assert p.count(") Window") == 2 and p.count(") Sort") == 1
+    p = plans["ks_drift"]
+    assert "BroadcastHashJoin" in p          # totals broadcast back
+    p = plans["m4_downsample"]
+    assert "BroadcastHashJoin" in p          # span frame broadcast
+    p = plans["cdc_apply"]
+    # the survivors' anti-join builds on the broadcast feed keys
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    p = plans["user_streaks"]
+    assert p.count(") Exchange") <= 2  # distinct + window share keys
