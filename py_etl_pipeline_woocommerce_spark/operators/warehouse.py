@@ -604,3 +604,39 @@ def cdc_apply_store(
         .localCheckpoint(eager=True)
     )
     merged.write.mode("overwrite").parquet(store_path)
+
+
+def merge_first_seen_store(spark, store_path: str, batch_events: DataFrame) -> None:
+    """Maintain an ON-DISK (user_id, first_day_us) table — the state
+    behind ``dau_new_vs_returning`` when the events arrive as a
+    stream or as daily drops instead of one scannable history. MIN is
+    associative, so folding each batch's per-user min into the store
+    is split-invariant and out-of-order-safe (same argument as the
+    rollup partials; pytest asserts both). Per fold: one user-keyed
+    aggregate of the batch + one key shuffle against the store.
+
+    A day's new-vs-returning split then derives from joining that
+    day's actives against this store — O(day + store keys), never a
+    rescan of history.
+    """
+    import os
+
+    batch = (
+        batch_events.select(
+            "user_id",
+            (F.expr("ts div 1000") - F.expr("ts div 1000") % 86_400_000_000)
+            .alias("first_day_us"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("first_day_us").alias("first_day_us"))
+    )
+    if os.path.exists(store_path):
+        existing = spark.read.parquet(store_path)
+        batch = (
+            existing.unionByName(batch)
+            .groupBy("user_id")
+            .agg(F.min("first_day_us").alias("first_day_us"))
+        )
+    batch.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        store_path
+    )

@@ -342,3 +342,44 @@ def run_stream_cdc_apply(
         .start()
     )
     return query, sink
+
+
+class FirstSeenSink:
+    """``foreachBatch`` sink maintaining the on-disk (user, first-day)
+    table via ``warehouse.merge_first_seen_store`` — MIN is
+    associative, so the stream-maintained store equals the one-shot
+    batch fold regardless of micro-batch boundaries or arrival order
+    (pytest-asserted). The live new-vs-returning split joins each
+    day's actives against this store."""
+
+    def __init__(self, store_path: str):
+        self.store_path = store_path
+        self.batches_seen = 0
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from ..operators.warehouse import merge_first_seen_store
+
+        self.batches_seen += 1
+        merge_first_seen_store(
+            batch_df.sparkSession, self.store_path, batch_df
+        )
+
+
+def run_stream_first_seen(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    store_path: str,
+) -> tuple:
+    """Wire an event stream → foreachBatch first-seen maintenance;
+    returns (query, sink). All state is in the store — restart-safe
+    with zero streaming state beyond source offsets."""
+    stream = read_event_stream(spark, source_path, max_files_per_trigger=1)
+    sink = FirstSeenSink(store_path)
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(sink)
+        .start()
+    )
+    return query, sink

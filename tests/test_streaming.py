@@ -717,3 +717,57 @@ def test_cdc_store_split_invariant_and_stream_parity(spark, tmp_path):
         for r in spark.read.parquet(store).collect()
     }
     assert got == expect
+
+
+def test_first_seen_store_split_invariant_and_stream_parity(spark, tmp_path):
+    """MIN is associative: the stream-maintained first-seen table
+    equals the one-shot fold even when a user's EARLIER event arrives
+    in a LATER micro-batch (out-of-order delivery)."""
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        merge_first_seen_store,
+    )
+    from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+        run_stream_first_seen,
+    )
+
+    base = 1_700_000_000_000_000_000
+    D_NS = 86_400 * 1_000_000_000
+    rows = [
+        (1, base + 3 * D_NS, 7, "view", 0.0),   # user 7 day 3 (first batch)
+        (2, base + 1 * D_NS, 7, "view", 0.0),   # user 7 day 1 arrives LATER
+        (3, base + 2 * D_NS, 8, "view", 0.0),   # user 8 day 2
+    ]
+    once = str(tmp_path / "once")
+    merge_first_seen_store(
+        spark,
+        once,
+        spark.createDataFrame(
+            rows, "event_id long, ts long, user_id long, event_type string, value double"
+        ),
+    )
+    expect = {
+        r.user_id: r.first_day_us for r in spark.read.parquet(once).collect()
+    }
+    D_US = 86_400 * 1_000_000
+    assert expect == {
+        7: (base // 1000 // D_US + 1) * D_US,
+        8: (base // 1000 // D_US + 2) * D_US,
+    }
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events(f"{src}/b0.parquet", [rows[0], rows[2]])
+    _write_events(f"{src}/b1.parquet", [rows[1]])  # the out-of-order event
+    store = str(tmp_path / "store")
+    query, sink = run_stream_first_seen(
+        spark, str(src), str(tmp_path / "ckpt"), store
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    assert sink.batches_seen == 2
+    got = {
+        r.user_id: r.first_day_us for r in spark.read.parquet(store).collect()
+    }
+    assert got == expect
