@@ -285,6 +285,7 @@ _R4_FRONT = [
     "dayn_retention",
     "corpus_split",
     "split_leakage",
+    "split_leakage_near",
     "cusum_changepoint",
     "trend_fit",
     "linear_attribution",
@@ -559,6 +560,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "corpus_split": lambda s, d: corpus.corpus_split(_docs(s, d)),
         "split_leakage": lambda s, d: corpus.split_leakage(_docs(s, d)),
+        "split_leakage_near": lambda s, d: corpus.split_leakage_near(
+            _docs(s, d)
+        ),
         "trend_fit": lambda s, d: temporal.trend_fit(_events(s, d)),
         "linear_attribution": lambda s, d: events.linear_attribution(
             _events(s, d)
@@ -3579,6 +3583,36 @@ SELECT day_idx * 86400000000 AS day_us, n_active, n_new,
        n_active - n_new AS n_returning,
        round(n_new / n_active, 6) AS new_share
 FROM a
+"""
+    out["split_leakage_near"] = f"""
+WITH mh AS ({_MINHASH_SQL}),
+sp AS (SELECT doc_id,
+         CASE WHEN CAST('0x' || substr(md5('split:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 100 < 90 THEN 'train'
+              WHEN CAST('0x' || substr(md5('split:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                   % 100 < 95 THEN 'val'
+              ELSE 'test' END AS split
+       FROM documents),
+cross_p AS (
+  SELECT CASE WHEN a.split = 'train' THEN m.doc_b ELSE m.doc_a END
+           AS eval_doc,
+         CASE WHEN a.split = 'train' THEN b.split ELSE a.split END
+           AS split
+  FROM mh m JOIN sp a ON m.doc_a = a.doc_id
+            JOIN sp b ON m.doc_b = b.doc_id
+  WHERE (a.split = 'train') <> (b.split = 'train')),
+lk AS (SELECT split, COUNT(DISTINCT eval_doc) AS n_leaked_docs,
+              COUNT(*) AS n_leak_pairs
+       FROM cross_p GROUP BY 1),
+tot AS (SELECT split, COUNT(*) AS n_docs FROM sp
+        WHERE split <> 'train' GROUP BY 1)
+SELECT t.split, t.n_docs,
+       COALESCE(n_leaked_docs, 0) AS n_leaked_docs,
+       COALESCE(n_leak_pairs, 0) AS n_leak_pairs,
+       round(COALESCE(n_leaked_docs, 0) / t.n_docs, 6) AS leak_rate
+FROM tot t LEFT JOIN lk ON t.split = lk.split
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

@@ -117,6 +117,7 @@ HEADLINE = [
     "repeat_rate",
     "user_streaks",
     "dau_new_vs_returning",
+    "split_leakage_near",
 ]
 
 

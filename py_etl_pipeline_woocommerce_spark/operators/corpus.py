@@ -1772,3 +1772,73 @@ def split_leakage(
             "leak_rate", F.round(F.col("n_leaked") / F.col("n_docs"), 6)
         )
     )
+
+
+def split_leakage_near(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """NEAR-duplicate cross-split contamination: val/test documents
+    whose MinHash-verified Jaccard similarity to some TRAIN document
+    reaches ``threshold`` — the recall pass behind the exact
+    ``split_leakage`` gate (an eval doc paraphrasing a train doc
+    inflates eval scores just as surely as a byte copy). Reuses the
+    verified ``minhash_lsh_pairs`` machinery, so candidates come from
+    band-key equi-joins, never an all-pairs comparison.
+
+    Output: one row per eval split with its doc count, the distinct
+    docs near-leaked, the leaking pair count, and the rounded rate —
+    eval splits with zero leaks still report (left join from the
+    split totals). All counters integer; one division per row.
+    """
+    from .dedup import minhash_lsh_pairs
+
+    h = _split_bucket()
+    split = (
+        F.when(h < train_pct, "train")
+        .when(h < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    splits = documents.select("doc_id", split.alias("split"))
+    pairs = minhash_lsh_pairs(documents, threshold=threshold)
+    sa = splits.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+    )
+    cross = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (F.col("split_a") == "train") != (F.col("split_b") == "train")
+        )
+        .select(
+            F.when(F.col("split_a") == "train", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("eval_doc"),
+            F.when(F.col("split_a") == "train", F.col("split_b"))
+            .otherwise(F.col("split_a"))
+            .alias("split"),
+        )
+    )
+    leaks = cross.groupBy("split").agg(
+        F.count_distinct("eval_doc").alias("n_leaked_docs"),
+        F.count(F.lit(1)).alias("n_leak_pairs"),
+    )
+    totals = (
+        splits.filter(F.col("split") != "train")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    return totals.join(leaks, "split", "left").select(
+        "split",
+        "n_docs",
+        F.coalesce("n_leaked_docs", F.lit(0)).alias("n_leaked_docs"),
+        F.coalesce("n_leak_pairs", F.lit(0)).alias("n_leak_pairs"),
+        F.round(
+            F.coalesce("n_leaked_docs", F.lit(0)) / F.col("n_docs"), 6
+        ).alias("leak_rate"),
+    )

@@ -516,3 +516,32 @@ def test_split_leakage_counts_cross_split_exact_dups(spark):
         assert out[ev_split].n_docs == len(expected_docs)
         assert out[ev_split].n_leaked == leaked
         assert out[ev_split].leak_rate == round(leaked / len(expected_docs), 6)
+
+
+def test_split_leakage_near_catches_paraphrase_across_boundary(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        corpus_split,
+        split_leakage_near,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away home tonight to sleep deeply")
+    docs = spark.createDataFrame(
+        [(i, "en", "web", f"totally unrelated document {i} about topic {i} "
+                          f"with its own distinct words number {i}")
+         for i in range(40)]
+        + [(100 + i, "en", "web", base) for i in range(40)],  # near-dup family
+        "doc_id long, lang string, source string, text string",
+    )
+    splits = {r.doc_id: r.split for r in corpus_split(docs).collect()}
+    fam = [d for d in splits if d >= 100]
+    fam_train = {d for d in fam if splits[d] == "train"}
+    out = {r.split: r for r in split_leakage_near(docs).collect()}
+    for ev_split in ("val", "test"):
+        expected = sorted(d for d in fam if splits[d] == ev_split)
+        r = out[ev_split]
+        # every family member in an eval split leaks iff any family
+        # member landed in train (they're identical texts)
+        want = len(expected) if fam_train else 0
+        assert r.n_leaked_docs == want
+        assert r.n_docs == sum(1 for s in splits.values() if s == ev_split)
