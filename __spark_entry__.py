@@ -296,6 +296,7 @@ _R4_FRONT = [
     "repeat_rate",
     "user_streaks",
     "dau_new_vs_returning",
+    "interarrival_stats",
     "asof_join_tolerance",
     "event_value_summary",
     "dashboard_payload",
@@ -550,6 +551,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_rate": relational.repeat_rate,
         "user_streaks": lambda s, d: temporal.user_streaks(_events(s, d)),
         "dau_new_vs_returning": lambda s, d: temporal.dau_new_vs_returning(
+            _events(s, d)
+        ),
+        "interarrival_stats": lambda s, d: temporal.interarrival_stats(
             _events(s, d)
         ),
         "session_stats": lambda s, d: sessionize.session_stats(
@@ -3613,6 +3617,19 @@ SELECT t.split, t.n_docs,
        COALESCE(n_leak_pairs, 0) AS n_leak_pairs,
        round(COALESCE(n_leaked_docs, 0) / t.n_docs, 6) AS leak_rate
 FROM tot t LEFT JOIN lk ON t.split = lk.split
+"""
+    out["interarrival_stats"] = """
+WITH e AS (SELECT event_id, event_type, epoch_us(ts) AS t_us FROM events),
+d AS (SELECT event_type,
+             t_us - lag(t_us) OVER (PARTITION BY event_type
+                                    ORDER BY t_us, event_id) AS delta_us
+      FROM e)
+SELECT event_type, COUNT(*) AS n_gaps,
+       round(quantile_cont(delta_us, 0.5), 6) AS p50_us,
+       round(quantile_cont(delta_us, 0.9), 6) AS p90_us,
+       round(quantile_cont(delta_us, 0.99), 6) AS p99_us,
+       CAST(SUM(delta_us) // COUNT(*) AS BIGINT) AS mean_us
+FROM d WHERE delta_us IS NOT NULL GROUP BY 1
 """
     out["cdc_apply"] = """
 WITH cur AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,

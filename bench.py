@@ -118,6 +118,7 @@ HEADLINE = [
     "user_streaks",
     "dau_new_vs_returning",
     "split_leakage_near",
+    "interarrival_stats",
 ]
 
 

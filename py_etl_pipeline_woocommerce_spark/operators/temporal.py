@@ -1462,3 +1462,43 @@ def dau_new_vs_returning(events: DataFrame) -> DataFrame:
             "new_share",
         )
     )
+
+
+def interarrival_stats(events: DataFrame) -> DataFrame:
+    """Per-type inter-arrival-time distribution (p50/p90/p99 and mean
+    µs between consecutive events) — the rate-stability report behind
+    ``time_gaps``' binary outage flags: a drifting p99 warns BEFORE
+    the stream goes silent enough to flag a gap.
+
+    One lag window per type over the (t_us, event_id) total order
+    (equal-µs ties contribute 0-µs deltas — the honest reading of
+    simultaneous arrivals); integer deltas, three interpolated
+    percentiles + one mean division rounded at the boundary. Exact
+    percentile caveat as ``value_percentiles``: swap in
+    ``percentile_approx`` at 100 TB, schema unchanged.
+    """
+    e = _ts_us(events)
+    w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
+    deltas = e.select(
+        "event_type",
+        (F.col("t_us") - F.lag("t_us").over(w)).alias("delta_us"),
+    ).filter(F.col("delta_us").isNotNull())
+    agg = deltas.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.percentile("delta_us", F.lit(0.5)), 6).alias("p50_us"),
+        F.round(F.percentile("delta_us", F.lit(0.9)), 6).alias("p90_us"),
+        F.round(F.percentile("delta_us", F.lit(0.99)), 6).alias("p99_us"),
+        F.sum("delta_us").alias("_sum"),
+    )
+    # mean as INTEGER division: at µs scale the fractional part is
+    # noise, and a rounded double mean of a ~1e10 value sits past
+    # double's representable 6-dp precision — engines disagree in the
+    # last ulp. Floor-div of exact integer sums is bit-identical.
+    return agg.select(
+        "event_type",
+        "n_gaps",
+        "p50_us",
+        "p90_us",
+        "p99_us",
+        F.expr("_sum div n_gaps").alias("mean_us"),
+    )

@@ -625,3 +625,22 @@ def test_dau_new_vs_returning_split(spark):
     assert out[0].new_share == 1.0
     assert (out[1].n_active, out[1].n_new, out[1].n_returning) == (2, 1, 1)
     assert out[1].new_share == 0.5
+
+
+def test_interarrival_stats_hand_computed(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        interarrival_stats,
+    )
+
+    rows = [
+        (1, 0, 1, "a", 0.0),
+        (2, 100, 1, "a", 0.0),     # delta 100
+        (3, 100, 2, "a", 0.0),     # tie at same µs: delta 0
+        (4, 400, 2, "a", 0.0),     # delta 300
+        (5, 999, 9, "b", 0.0),     # single event: no deltas, no row
+    ]
+    out = {r.event_type: r for r in interarrival_stats(_ev(spark, rows)).collect()}
+    a = out["a"]
+    assert a.n_gaps == 3
+    assert a.p50_us == 100.0 and a.mean_us == (100 + 0 + 300) // 3
+    assert "b" not in out
