@@ -3446,13 +3446,15 @@ m AS (SELECT event_type, COUNT(*) AS n,
              CAST(SUM(y * y) AS DOUBLE) AS syy
       FROM d GROUP BY 1)
 SELECT event_type, n AS n_days,
-       round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+       round((n * sxy - sx * sy)
+             / NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0), 6)
          AS slope,
        round((sy - ((n * sxy - sx * sy) /
-                    CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6)
+                    NULLIF(CAST(n * sxx - sx * sx AS DOUBLE), 0)) * sx) / n, 6)
          AS intercept,
        round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
-             (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 6)
+             NULLIF(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * (n * syy - sy * sy), 0), 6)
          AS r2
 FROM m
 """

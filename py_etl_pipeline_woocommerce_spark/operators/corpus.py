@@ -708,7 +708,9 @@ def tokenizer_stats(documents: DataFrame) -> DataFrame:
 
 
 def token_budget_sample(
-    documents: DataFrame, budget_tokens: int = 20_000
+    documents: DataFrame,
+    budget_tokens: int = 20_000,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Greedy quality-ranked corpus selection under a PER-LANGUAGE
     token budget: take documents best-quality-first until each
@@ -719,25 +721,74 @@ def token_budget_sample(
     A doc is selected iff the tokens ranked AHEAD of it are under
     budget (the boundary doc may overflow — greedy fill). Total order
     (quality DESC, doc_id) makes the selection reproducible across
-    engines and partitionings; the cumulative sum is an integer
-    window over one lang-keyed shuffle.
+    engines and partitionings.
+
+    Scale shape: the per-language cumulative sum is computed as a
+    TWO-PASS distributed prefix sum, not one lang-partitioned window
+    (a single language — English, ~half of any web corpus — would
+    otherwise land on ONE task). Docs are split into ``n_buckets``
+    quality-range buckets per language (approximate-quantile cuts;
+    the cut VALUES only partition the order, so their precision never
+    affects the result), the running sum is a window inside each
+    (lang, bucket) — |lang|/n_buckets rows — and bucket base offsets
+    come from a per-bucket token-sum cumsum over the tiny
+    (lang × n_buckets) frame. Equal-quality docs share a bucket by
+    construction, so bucket concatenation reproduces the exact
+    (quality DESC, doc_id) order and the result is bit-identical to
+    the naive single window (oracle-checked).
     """
     from .textstats import quality_score
 
     q = quality_score(documents).select("doc_id", "n_tokens", "quality")
     d = documents.select("doc_id", "lang").join(q, "doc_id")
-    w = (
-        Window.partitionBy("lang")
+    # pass 0: per-language descending quality cut points (any values
+    # work; quantiles just keep buckets balanced)
+    fracs = ", ".join(
+        str(1.0 - (i + 1) / n_buckets) for i in range(n_buckets - 1)
+    )
+    cuts = d.groupBy("lang").agg(
+        F.expr(f"approx_percentile(quality, array({fracs}))").alias("_cuts")
+    )
+    b = d.join(F.broadcast(cuts), "lang").withColumn(
+        "_b",
+        F.size(F.filter("_cuts", lambda c: c > F.col("quality"))),
+    )
+    wb = (
+        Window.partitionBy("lang", "_b")
         .orderBy(F.col("quality").desc(), "doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    within = b.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "quality",
+        "_b",
+        F.sum("n_tokens").over(wb).alias("_cum_in"),
+    )
+    # bucket base offsets: n_buckets rows per language — bounded frame
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        b.groupBy("lang", "_b")
+        .agg(F.sum("n_tokens").alias("_btok"))
+        .select(
+            "lang",
+            "_b",
+            F.coalesce(F.sum("_btok").over(wo), F.lit(0)).alias("_off"),
+        )
+    )
     return (
-        d.select(
+        within.join(F.broadcast(offsets), ["lang", "_b"])
+        .select(
             "doc_id",
             "lang",
             "n_tokens",
             "quality",
-            F.sum("n_tokens").over(w).alias("cum_tokens"),
+            (F.col("_cum_in") + F.col("_off")).alias("cum_tokens"),
         )
         .withColumn(
             "is_selected",
@@ -1238,10 +1289,11 @@ def pmi_terms(
         F.explode(F.array_distinct(tokens_expr("text"))).alias("term"),
     ).filter(F.col("term") != "")
     df_ = pres.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    wv = Window.orderBy(F.col("df").desc(), F.col("term"))
+    # distributed TakeOrdered vocab cut (corpus vocabulary is
+    # unbounded — a rank window over it would be a one-task sort)
     vocab = (
-        df_.withColumn("_r", F.row_number().over(wv))
-        .filter(F.col("_r") <= top_v)
+        df_.orderBy(F.col("df").desc(), "term")
+        .limit(top_v)
         .select("term", "df")
     )
     pv = pres.join(F.broadcast(vocab), "term")

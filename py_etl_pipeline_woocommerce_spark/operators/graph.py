@@ -80,6 +80,11 @@ def pagerank(
     out_edges = sym.join(deg, "src").persist()
     n = deg.count()  # scalar: the only driver-side value
     spark = edges.sparkSession
+    if n == 0:  # empty graph: no nodes, so no 1/n mass to spread
+        out_edges.unpersist()
+        return edges.select(F.col("src").alias("node")).limit(0).withColumn(
+            "rank", F.lit(0.0)
+        )
     par = spark.sparkContext.defaultParallelism
     ranks = (
         deg.select("src", F.lit(1.0 / n).alias("rank"))

@@ -59,8 +59,9 @@ def session_paths(
     event types — built by sorting the per-session collected
     (ts, event_id, type) structs, NOT by assuming collect order, so
     the string is identical at any parallelism. One user-keyed
-    shuffle + one path-keyed count agg; the top-k is a window over
-    the aggregated path counts (tiny), tie-broken on the path string.
+    shuffle + one path-keyed count agg; the top-k is a distributed
+    TakeOrdered over the aggregated path counts (rank window sees
+    only the k survivors), tie-broken on the path string.
     """
     e = events.withColumn("ts_us", F.expr("ts div 1000"))
     order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -89,11 +90,12 @@ def session_paths(
     counts = per_session.groupBy("path").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+    # distributed TakeOrdered for the global cut; the rank window only
+    # ever sees the k survivors (distinct paths grow with the corpus,
+    # so ranking the full aggregate would be a one-task sort)
+    top = counts.orderBy(F.col("n_sessions").desc(), F.col("path")).limit(k)
     w = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
-    return (
-        counts.withColumn("path_rank", F.row_number().over(w))
-        .filter(F.col("path_rank") <= k)
-    )
+    return top.withColumn("path_rank", F.row_number().over(w))
 
 
 def session_stats(

@@ -526,12 +526,13 @@ def lang_id_nb(documents: DataFrame, top_v: int = 4096) -> DataFrame:
         .groupBy("lang", "gram")
         .agg(F.sum("tf").alias("c"))
     )
-    wv = Window.orderBy(F.col("vc").desc(), F.col("gram"))
+    # distributed TakeOrdered vocab cut (trigram vocabulary is
+    # corpus-sized — a rank window over it would be a one-task sort)
     vocab = (
         lg.groupBy("gram")
         .agg(F.sum("c").alias("vc"))
-        .withColumn("_r", F.row_number().over(wv))
-        .filter(F.col("_r") <= top_v)
+        .orderBy(F.col("vc").desc(), "gram")
+        .limit(top_v)
         .select("gram")
     )
     v_size = vocab.agg(F.count(F.lit(1)).alias("v_size"))

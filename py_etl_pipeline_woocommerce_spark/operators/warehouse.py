@@ -566,13 +566,17 @@ def cdc_apply_store(
 ) -> None:
     """Persist-side of ``cdc_apply``: fold a change batch into an
     ON-DISK current-state table. The store carries each row's last
-    applied sequence (``_seq``), and the merge resolves the net
-    effect over stored-rows-∪-incoming-changes — so a LATE batch
-    whose sequence numbers are older than what's already applied
-    cannot regress the table (plain delete+insert would): max-seq
-    wins globally, which makes the fold independent of how the feed
-    is split into batches (pytest asserts split-invariance, the CDC
-    twin of the rollup-store property).
+    applied sequence (``_seq``) plus a ``_deleted`` tombstone flag,
+    and the merge resolves the net effect over
+    stored-rows-∪-incoming-changes — so a LATE batch whose sequence
+    numbers are older than what's already applied cannot regress the
+    table (plain delete+insert would): max-seq wins globally, which
+    makes the fold independent of how the feed is split into batches
+    (pytest asserts split-invariance, the CDC twin of the
+    rollup-store property). Deletes are kept as TOMBSTONE rows rather
+    than dropped, so a late stale I/U for an already-deleted key
+    loses to the tombstone's newer ``_seq`` instead of resurrecting
+    the row — read the live view through ``read_cdc_store``.
 
     Sized for dimension/current-state tables (the usual CDC target):
     each fold rewrites the table once, cost O(store + batch) with one
@@ -584,26 +588,41 @@ def cdc_apply_store(
     import os
 
     payload = [c for c in changes.columns if c not in (seq_col, op_col)]
-    incoming = changes
+    incoming = changes.select(*payload, seq_col, op_col)
     if os.path.exists(store_path):
         existing = spark.read.parquet(store_path).select(
             *payload,
             F.col("_seq").alias(seq_col),
-            F.lit("U").alias(op_col),
+            F.when(F.col("_deleted"), F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias(op_col),
         )
-        incoming = incoming.select(*payload, seq_col, op_col).unionByName(
-            existing
-        )
+        incoming = incoming.unionByName(existing)
     w = Window.partitionBy(key).orderBy(
         F.col(seq_col).desc(), F.col(op_col).desc()
     )
     merged = (
         incoming.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col(op_col) != "D"))
-        .select(*payload, F.col(seq_col).alias("_seq"))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *payload,
+            F.col(seq_col).alias("_seq"),
+            (F.col(op_col) == "D").alias("_deleted"),
+        )
         .localCheckpoint(eager=True)
     )
     merged.write.mode("overwrite").parquet(store_path)
+
+
+def read_cdc_store(spark, store_path: str) -> DataFrame:
+    """Live view of a ``cdc_apply_store`` table: tombstoned keys
+    filtered out, bookkeeping flag dropped (``_seq`` retained — it is
+    part of the documented store contract)."""
+    return (
+        spark.read.parquet(store_path)
+        .filter(~F.col("_deleted"))
+        .drop("_deleted")
+    )
 
 
 def merge_first_seen_store(spark, store_path: str, batch_events: DataFrame) -> None:

@@ -650,12 +650,16 @@ def test_cdc_store_split_invariant_and_stream_parity(spark, tmp_path):
     """The on-disk CDC fold must not depend on how the feed is split
     into batches — including a LATE batch carrying older sequence
     numbers than what's already applied (plain delete+insert would
-    regress the row). Stream-maintained and one-shot stores agree."""
+    regress the row), and including a late stale update for a key
+    that is already DELETED (without a tombstone the delete's seq is
+    forgotten and the row resurrects). Stream-maintained and one-shot
+    stores agree."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
         cdc_apply_store,
+        read_cdc_store,
     )
     from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
         run_stream_cdc_apply,
@@ -668,6 +672,7 @@ def test_cdc_store_split_invariant_and_stream_parity(spark, tmp_path):
         (1, "late", 0.0, 2, "U"),  # arrives in a LATER batch, must lose
         (2, "b", 20.0, 1, "I"),
         (2, "x", 0.0, 2, "D"),     # key 2 ends deleted
+        (2, "zomb", 25.0, 1, "U"),  # stale U AFTER the delete: must stay dead
         (3, "c", 30.0, 5, "U"),
     ]
     sch = "order_id long, status string, total double, seq int, op string"
@@ -691,18 +696,25 @@ def test_cdc_store_split_invariant_and_stream_parity(spark, tmp_path):
     )
     expect = {
         (r.order_id): (r.status, r.total, r._seq)
-        for r in spark.read.parquet(once).collect()
+        for r in read_cdc_store(spark, once).collect()
     }
     assert expect == {1: ("a2", 11.0, 3), 3: ("c", 30.0, 5)}
+    # the delete survives as a tombstone carrying its applied seq
+    tomb = {
+        r.order_id: r._seq
+        for r in spark.read.parquet(once).filter("_deleted").collect()
+    }
+    assert tomb == {2: 2}
 
-    # streamed in three batches with the stale update LAST
+    # streamed in three batches with the stale updates LAST
     src = tmp_path / "src"
     src.mkdir()
     ckpt = str(tmp_path / "ckpt")
     store = str(tmp_path / "store")
-    write_feed(f"{src}/b0.parquet", [feed[0], feed[3], feed[5]])
+    write_feed(f"{src}/b0.parquet", [feed[0], feed[3], feed[6]])
     write_feed(f"{src}/b1.parquet", [feed[1], feed[4]])
-    write_feed(f"{src}/b2.parquet", [feed[2]])  # the late, stale update
+    # the late stale updates: one for a live key, one for a deleted key
+    write_feed(f"{src}/b2.parquet", [feed[2], feed[5]])
     schema = spark.read.parquet(f"{src}/b0.parquet").schema
     query, sink = run_stream_cdc_apply(
         spark, str(src), schema, ckpt, store, "order_id"
@@ -714,7 +726,7 @@ def test_cdc_store_split_invariant_and_stream_parity(spark, tmp_path):
     assert sink.batches_seen == 3
     got = {
         (r.order_id): (r.status, r.total, r._seq)
-        for r in spark.read.parquet(store).collect()
+        for r in read_cdc_store(spark, store).collect()
     }
     assert got == expect
 
