@@ -506,7 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lambda s, d: temporal.daily_value_percentiles(_events(s, d))
         ),
         "equidepth_histogram": lambda s, d: temporal.equidepth_histogram(
-            _events(s, d)
+            _events(s, d), exact=True
         ),
         "seasonal_anomaly": lambda s, d: temporal.seasonal_anomaly(
             _events(s, d)
@@ -516,7 +516,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "user_overlap": lambda s, d: events.user_overlap(_events(s, d)),
         "bm25_search": lambda s, d: corpus.bm25_search(_docs(s, d)),
-        "rfm_segments": relational.rfm_segments,
+        "rfm_segments": lambda s, d: relational.rfm_segments(
+            s, d, exact=True
+        ),
         "rollup_merge": _q_rollup_merge,
         "hot_keys": lambda s, d: skew.hot_keys(_events(s, d), "user_id"),
         "hybrid_search": lambda s, d: corpus.hybrid_search(_docs(s, d)),
@@ -593,7 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events(s, d)
         ),
         "perplexity_bucket_mix": lambda s, d: corpus.perplexity_bucket_mix(
-            _docs(s, d)
+            _docs(s, d), exact=True
         ),
         "pmi_terms": lambda s, d: corpus.pmi_terms(_docs(s, d)),
         # greedy set-conditioned selection — not SQL-expressible,
@@ -608,7 +610,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_embed": lambda s, d: corpus.hash_embed(_docs(s, d)),
         "dedup_audit": lambda s, d: dedup.dedup_audit(_docs(s, d)),
         "quality_percentile_by_source": (
-            lambda s, d: corpus.quality_percentile_by_source(_docs(s, d))
+            lambda s, d: corpus.quality_percentile_by_source(
+                _docs(s, d), exact=True
+            )
         ),
         "conversion_latency": lambda s, d: temporal.conversion_latency(
             _events(s, d)
@@ -1169,12 +1173,28 @@ _BOUNDS = (
 )
 
 
+#: The dashboard's DEFAULT sidebar window — the reference initializes
+#: to the LAST 30 DAYS of data: (max(min_d, max_d − 30d), max_d)
+#: (app.py:124-126). Expressed as scalar subqueries over orders so the
+#: oracle derives the bounds from the data exactly like
+#: dashboard_payload's default resolution.
+_DEF_BOUNDS = (
+    "o_orderdate >= (SELECT greatest(min(CAST(o_orderdate AS DATE)), "
+    "max(CAST(o_orderdate AS DATE)) - INTERVAL 30 DAY) FROM orders) "
+    "AND o_orderdate < (SELECT max(CAST(o_orderdate AS DATE)) "
+    "+ INTERVAL 1 DAY FROM orders)"
+)
+
+
 def _dashboard_digest_oracle(frames: dict[str, str]) -> str:
     """Digest oracle for ``dashboard_payload``: wraps each payload
     frame's own oracle as a subquery and reduces it to
     (frame, n_rows, digest) exactly like ``dashboard_digest`` —
     DECIMAL(28,6)-accumulated sum of the headline numeric column so
-    the fold matches Spark's bit-for-bit."""
+    the fold matches Spark's bit-for-bit. The five windowed frames
+    use their *_bounded oracles with the fixed test window swapped
+    for the data-derived DEFAULT window (last 30 days of data), the
+    same bounds ``dashboard_payload`` resolves when called bare."""
     digest_col = {
         "date_bounds": None,
         "kpis": "net_after_refunds",
@@ -1184,9 +1204,20 @@ def _dashboard_digest_oracle(frames: dict[str, str]) -> str:
         "geo_rollup": "net",
         "cohort_retention": "n_orders",
     }
+    src_key = {
+        "kpis": "kpis_bounded",
+        "revenue_timeseries": "revenue_timeseries_bounded",
+        "top_products": "top_products_bounded",
+        "category_mix": "category_mix_bounded",
+        "geo_rollup": "geo_rollup_bounded",
+    }
     parts = []
     for name, col in digest_col.items():
-        inner = frames[name].strip()
+        inner = (
+            frames[src_key.get(name, name)]
+            .strip()
+            .replace(_BOUNDS, _DEF_BOUNDS)
+        )
         if col is None:
             digest = "CAST(0 AS DOUBLE)"
         else:

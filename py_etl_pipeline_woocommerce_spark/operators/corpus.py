@@ -1214,20 +1214,26 @@ def dsir_select_threshold(
     )
 
 
-def perplexity_bucket_mix(documents: DataFrame) -> DataFrame:
+def perplexity_bucket_mix(
+    documents: DataFrame, exact: bool = False
+) -> DataFrame:
     """CCNet-style perplexity-decile mixing report: rank every doc by
     its ``unigram_logprob`` bits-per-token, cut into 10 equal-count
     buckets, and report each bucket's doc/token mass — the table
     behind "keep the middle deciles, resample the head" curation
     (Wenzek et al., CCNet, arXiv:1911.00359 — public paper).
 
-    ORACLE-PARITY PATH: the decile cut is ``ntile(10)`` over the
-    total order (bits_per_token, doc_id), which moves the doc-grain
-    frame (NOT the corpus text) through one global window — fine at
-    verification scale, a single-partition sort at 100 TB. The scale
-    swap is the ``dsir_select_threshold`` construction: nine
-    ``percentile_approx`` boundaries (mergeable GK) + a broadcast
-    bucket join, same output schema.
+    DEFAULTS TO THE SKETCH PATH (the ``dsir_select_threshold``
+    construction): nine ``percentile_approx`` boundaries (mergeable
+    GK, one aggregate) + a broadcast bucket projection — no global
+    sort anywhere, so decile populations are only near-equal (score
+    ties share a decile).
+
+    ``exact=True`` cuts with ``ntile(10)`` over the total order
+    (bits_per_token, doc_id), which moves the doc-grain frame (NOT
+    the corpus text) through one global window — use for oracle
+    verification, a single-partition sort at 100 TB. Same output
+    schema either way.
 
     token_share divides two engine-exact BIGINTs at the boundary.
     """
@@ -1235,11 +1241,30 @@ def perplexity_bucket_mix(documents: DataFrame) -> DataFrame:
     toks = documents.select(
         "doc_id", token_count_expr("text").alias("n_tokens")
     )
-    w = Window.orderBy("bits_per_token", "doc_id")
+    joined = scored.join(toks, "doc_id")
+    if exact:
+        w = Window.orderBy("bits_per_token", "doc_id")
+        binned = joined.withColumn("decile", F.ntile(10).over(w))
+    else:
+        fr = ", ".join(str(i / 10) for i in range(1, 10))
+        cuts = joined.agg(
+            F.expr(f"percentile_approx(bits_per_token, array({fr}))").alias(
+                "_cuts"
+            )
+        )
+        binned = (
+            joined.join(F.broadcast(cuts))
+            .withColumn(
+                "decile",
+                F.size(
+                    F.filter("_cuts", lambda c: c < F.col("bits_per_token"))
+                )
+                + 1,
+            )
+            .drop("_cuts")
+        )
     dec = (
-        scored.join(toks, "doc_id")
-        .withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        binned.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
@@ -1428,19 +1453,28 @@ def hash_embed(documents: DataFrame, dim: int = 16) -> DataFrame:
     )
 
 
-def quality_percentile_by_source(documents: DataFrame) -> DataFrame:
+def quality_percentile_by_source(
+    documents: DataFrame, exact: bool = False
+) -> DataFrame:
     """Quantile-normalize quality scores WITHIN each source — the fix
     for "source A's scorer runs hot": a 0.9 from a lenient source and
     a 0.6 from a strict one can both be their source's 85th
     percentile, so cross-source selection should cut on the
     percentile, not the raw score.
 
-    percentile = (rank − 1) / (n − 1) over (quality, doc_id) within
-    the source (0 for a single-doc source) — integer rank arithmetic,
-    one division, engine-exact. ORACLE-PARITY PATH: the rank window
-    partitions by source over the doc-grain frame; at 100 TB swap
-    the exact rank for per-source ``percentile_approx`` cut points
-    exactly as ``dsir_select_threshold`` does.
+    DEFAULTS TO THE SKETCH PATH (the ``dsir_select_threshold``
+    construction): 99 per-source ``percentile_approx`` cut points
+    (mergeable GK, one source-keyed aggregate) broadcast into a
+    projection that counts cuts below each doc's quality — percentile
+    quantized to the 1% grid, no per-source sort, safe when one crawl
+    source dominates the corpus.
+
+    ``exact=True`` computes percentile = (rank − 1) / (n − 1) over
+    (quality, doc_id) within the source (0 for a single-doc source) —
+    integer rank arithmetic, one division, engine-exact; use for
+    oracle verification (the rank window partitions by source over
+    the doc-grain frame — one task per source). Same output schema
+    either way.
     """
     from .textstats import quality_score
 
@@ -1449,19 +1483,35 @@ def quality_percentile_by_source(documents: DataFrame) -> DataFrame:
         .select("doc_id", "quality")
         .join(documents.select("doc_id", "source"), "doc_id")
     )
-    w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    n = F.count(F.lit(1)).over(Window.partitionBy("source"))
-    rnk = F.row_number().over(w)
-    return q.select(
+    if exact:
+        w = Window.partitionBy("source").orderBy("quality", "doc_id")
+        n = F.count(F.lit(1)).over(Window.partitionBy("source"))
+        rnk = F.row_number().over(w)
+        return q.select(
+            "doc_id",
+            "source",
+            "quality",
+            F.when(
+                n > 1,
+                F.round((rnk - 1).cast("double") / (n - 1), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("quality_pctile"),
+        )
+    fr = ", ".join(str(i / 100) for i in range(1, 100))
+    cuts = q.groupBy("source").agg(
+        F.expr(f"percentile_approx(quality, array({fr}))").alias("_cuts")
+    )
+    return q.join(F.broadcast(cuts), "source").select(
         "doc_id",
         "source",
         "quality",
-        F.when(
-            n > 1,
-            F.round((rnk - 1).cast("double") / (n - 1), 6),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("quality_pctile"),
+        F.round(
+            F.size(F.filter("_cuts", lambda c: c < F.col("quality")))
+            .cast("double")
+            / 100.0,
+            6,
+        ).alias("quality_pctile"),
     )
 
 

@@ -928,7 +928,9 @@ def daily_value_percentiles(events: DataFrame) -> DataFrame:
     )
 
 
-def equidepth_histogram(events: DataFrame, bins: int = 10) -> DataFrame:
+def equidepth_histogram(
+    events: DataFrame, bins: int = 10, exact: bool = False
+) -> DataFrame:
     """Equi-DEPTH value histogram per event type: ``bins`` buckets
     holding (near-)equal row counts, with each bucket's value range —
     the companion to ``value_histogram``'s fixed-width (equi-WIDTH)
@@ -936,23 +938,37 @@ def equidepth_histogram(events: DataFrame, bins: int = 10) -> DataFrame:
     statistics and what monitoring wants when the distribution is
     heavy-tailed (fixed-width puts 99% of rows in one bin).
 
-    Bucket assignment is ``ntile(bins)`` over the total order
+    DEFAULTS TO THE SKETCH PATH: per-type ``percentile_approx`` edges
+    (mergeable GK, one partial-agg shuffle) broadcast back into a
+    value-range bin projection + one (type, bin) aggregate — no
+    per-type sort, safe when one event type dominates the stream.
+    Bucket populations are then only near-equal (edge ties land low).
+
+    ``exact=True`` assigns via ``ntile(bins)`` over the total order
     (value, event_id) — the tie-break makes bucket membership
     parallelism-invariant, so min/max/count per bucket are
-    engine-exact (no floats until the output boundary).
-
-    ORACLE-PARITY PATH: the per-type ntile window is a per-type sort.
-    At 100 TB the same report comes from ``percentile_approx`` edges
-    (mergeable GK, one partial-agg shuffle) with counts from one
-    conditional-aggregate scan against the broadcast edge row —
-    identical output schema, documented swap like
-    ``value_percentiles`` → ``value_percentiles_approx``.
+    engine-exact (no floats until the output boundary). Use it for
+    oracle verification or types known to fit one task; the per-type
+    ntile window is a per-type sort. Same output schema either way.
     """
     e = _ts_us(events)
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    binned = e.select(
-        "event_type", "value", F.ntile(bins).over(w).alias("bin")
-    )
+    if exact:
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        binned = e.select(
+            "event_type", "value", F.ntile(bins).over(w).alias("bin")
+        )
+    else:
+        fr = ", ".join(str(i / bins) for i in range(1, bins))
+        edges = e.groupBy("event_type").agg(
+            F.expr(f"percentile_approx(value, array({fr}))").alias("_edges")
+        )
+        binned = e.join(F.broadcast(edges), "event_type").select(
+            "event_type",
+            "value",
+            (
+                F.size(F.filter("_edges", lambda c: c < F.col("value"))) + 1
+            ).alias("bin"),
+        )
     return binned.groupBy("event_type", "bin").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.min("value"), 6).alias("lo"),

@@ -69,10 +69,23 @@ def _bound_orders(orders: DataFrame, d1: str | None, d2: str | None) -> DataFram
 
 
 def date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """min/max order date (app.py:10-22 ``fetch_date_bounds``)."""
+    """min/max order date (app.py:10-22 ``fetch_date_bounds``),
+    including the reference's empty-table fallback: no orders →
+    (today − 30 days, today). ``current_date`` only evaluates on the
+    empty branch, so the populated-table result stays deterministic
+    and engine-exact."""
     orders = load_table(spark, sf_dir, "orders")
     d = F.date_format("o_orderdate", "yyyy-MM-dd")
-    return orders.agg(F.min(d).alias("min_d"), F.max(d).alias("max_d"))
+    iso = "yyyy-MM-dd"
+    return orders.agg(
+        F.coalesce(
+            F.min(d),
+            F.date_format(F.date_sub(F.current_date(), 30), iso),
+        ).alias("min_d"),
+        F.coalesce(
+            F.max(d), F.date_format(F.current_date(), iso)
+        ).alias("max_d"),
+    )
 
 
 def kpis(

@@ -39,13 +39,22 @@ def dashboard_payload(
 ) -> dict[str, DataFrame]:
     """Every frame of the dashboard page for one (d1, d2) window.
 
-    When either bound is missing, both default from the data's own
-    min/max order date (app.py ``fetch_date_bounds`` fallback).
+    When either bound is missing it defaults the way the reference
+    sidebar initializes (app.py:124-126): the LAST 30 DAYS of data —
+    d2 from the data's max order date, d1 = max(min_d, max_d − 30d)
+    — so a user comparing default pages sees the same numbers.
     """
     if d1 is None or d2 is None:
+        from datetime import date, timedelta
+
         row = date_bounds(spark, sf_dir).first()
-        d1 = d1 or row["min_d"]
-        d2 = d2 or row["max_d"]
+        if d2 is None:
+            d2 = row["max_d"]
+        if d1 is None:
+            back30 = (
+                date.fromisoformat(row["max_d"]) - timedelta(days=30)
+            ).isoformat()
+            d1 = max(row["min_d"], back30)
     return {
         "date_bounds": date_bounds(spark, sf_dir),
         "kpis": kpis(spark, sf_dir, d1, d2),

@@ -1018,7 +1018,9 @@ def supplier_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rfm_segments(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
     """RFM customer segmentation — the classic marketing cut the
     reference's dashboard stops short of: per customer, Recency
     (days since last order, vs the corpus's max order date),
@@ -1027,18 +1029,21 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     code ("444" = recent, frequent, big-ticket).
 
     Shape: ONE order scan → customer-grain aggregate (the only
-    corpus-sized shuffle); a 1-row max-date broadcast; three ntile
-    windows over the CUSTOMER-grain frame (orders-of-magnitude
-    smaller than the fact table). Every window orders by a total
-    order with the custkey tie-break, so quartile membership is
-    parallelism- and engine-exact. Recency is integer epoch-day
-    subtraction; monetary stays DECIMAL until the output boundary.
+    corpus-sized shuffle); a 1-row max-date broadcast. Recency is
+    integer epoch-day subtraction; monetary stays DECIMAL until the
+    output boundary.
 
-    ORACLE-PARITY PATH on the ntiles: global ntile sorts the
-    customer frame on one partition. At 100 TB customer counts the
-    swap is ``percentile_approx`` quartile THRESHOLDS broadcast into
-    a conditional score projection — the ``dsir_select_threshold`` /
-    ``perplexity_bucket_mix`` construction, same output schema.
+    DEFAULTS TO THE SKETCH PATH on the quartile cuts: one
+    ``percentile_approx`` aggregate produces the three thresholds
+    per metric (mergeable GK), broadcast into a score projection —
+    the ``dsir_select_threshold`` / ``perplexity_bucket_mix``
+    construction, no global sort at any customer count (threshold
+    ties share a score). ``exact=True`` scores with three ntile
+    windows over the customer-grain frame, each ordered by a total
+    order with the custkey tie-break so quartile membership is
+    parallelism- and engine-exact — use for oracle verification; a
+    global ntile sorts the customer frame on one partition. Same
+    output schema either way.
 
     Score direction: 4 = best (most recent / most orders / most
     spend) — recency ntiles ascending on days-since (small = recent
@@ -1064,18 +1069,46 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_spend").cast("double").alias("monetary"),
         F.col("_spend").alias("_spend_dec"),
     )
-    w_r = Window.orderBy(F.col("recency_days"), F.col("cust_id"))
-    w_f = Window.orderBy(F.col("frequency"), F.col("cust_id"))
-    w_m = Window.orderBy(F.col("_spend_dec"), F.col("cust_id"))
-    scored = feats.select(
-        "cust_id",
-        "recency_days",
-        "frequency",
-        "monetary",
-        (F.lit(5) - F.ntile(4).over(w_r)).alias("r_score"),
-        F.ntile(4).over(w_f).alias("f_score"),
-        F.ntile(4).over(w_m).alias("m_score"),
-    )
+    if exact:
+        w_r = Window.orderBy(F.col("recency_days"), F.col("cust_id"))
+        w_f = Window.orderBy(F.col("frequency"), F.col("cust_id"))
+        w_m = Window.orderBy(F.col("_spend_dec"), F.col("cust_id"))
+        scored = feats.select(
+            "cust_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            (F.lit(5) - F.ntile(4).over(w_r)).alias("r_score"),
+            F.ntile(4).over(w_f).alias("f_score"),
+            F.ntile(4).over(w_m).alias("m_score"),
+        )
+    else:
+        th = feats.agg(
+            F.expr(
+                "percentile_approx(recency_days, array(0.25, 0.5, 0.75))"
+            ).alias("_tr"),
+            F.expr(
+                "percentile_approx(frequency, array(0.25, 0.5, 0.75))"
+            ).alias("_tf"),
+            F.expr(
+                "percentile_approx(monetary, array(0.25, 0.5, 0.75))"
+            ).alias("_tm"),
+        )
+
+        def _q(cuts: str, col: str):
+            return (
+                F.size(F.filter(cuts, lambda c: c < F.col(col))) + 1
+            )
+
+        scored = feats.join(F.broadcast(th)).select(
+            "cust_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            (F.lit(5) - _q("_tr", "recency_days")).alias("r_score"),
+            _q("_tf", "frequency").alias("f_score"),
+            _q("_tm", "monetary").alias("m_score"),
+        )
     return scored.withColumn(
         "rfm",
         F.concat_ws(

@@ -1,7 +1,10 @@
-"""Dashboard facade: one call returns every page frame, windows
-default from the data's own date bounds (app.py parity)."""
+"""Dashboard facade: one call returns every page frame; a bare call
+defaults to the reference sidebar's LAST-30-DAYS-of-data window
+(app.py:124-126 parity)."""
 
 from __future__ import annotations
+
+from datetime import date, timedelta
 
 from py_etl_pipeline_woocommerce_spark.plans.dashboard import dashboard_payload
 
@@ -25,7 +28,47 @@ def test_dashboard_payload_respects_window(spark, sf_dir):
     frames = dashboard_payload(spark, sf_dir, "1995-01-01", "1995-12-31")
     days = [r["d"] for r in frames["revenue_timeseries"].collect()]
     assert days and min(days) >= "1995-01-01" and max(days) <= "1995-12-31"
-    # a narrower window strictly reduces the KPI order count
-    all_k = dashboard_payload(spark, sf_dir)["kpis"].first()["orders_cnt"]
+    # a narrower window strictly reduces the KPI order count vs the
+    # explicit full data range
+    bounds = frames["date_bounds"].first()
+    all_k = dashboard_payload(spark, sf_dir, bounds["min_d"], bounds["max_d"])[
+        "kpis"
+    ].first()["orders_cnt"]
     win_k = frames["kpis"].first()["orders_cnt"]
     assert 0 < win_k < all_k
+
+
+def test_date_bounds_empty_table_fallback(spark, sf_dir, tmp_path):
+    # reference parity (app.py:19-22): an EMPTY orders table yields
+    # (today - 30d, today), not NULLs
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.plans.analytics import date_bounds
+
+    load_table(spark, sf_dir, "orders").limit(0).write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    row = date_bounds(spark, str(tmp_path)).first()
+    # current_date in the pinned-UTC session
+    today = date.fromisoformat(
+        spark.sql("SELECT CAST(current_date() AS STRING) AS d").first()["d"]
+    )
+    assert row["max_d"] == today.isoformat()
+    assert row["min_d"] == (today - timedelta(days=30)).isoformat()
+
+
+def test_dashboard_default_window_is_last_30_days(spark, sf_dir):
+    # bare call == sidebar default: (max(min_d, max_d - 30d), max_d)
+    frames = dashboard_payload(spark, sf_dir)
+    bounds = frames["date_bounds"].first()
+    d2 = bounds["max_d"]
+    d1 = max(
+        bounds["min_d"],
+        (date.fromisoformat(d2) - timedelta(days=30)).isoformat(),
+    )
+    days = [r["d"] for r in frames["revenue_timeseries"].collect()]
+    assert days and min(days) >= d1 and max(days) <= d2
+    explicit = dashboard_payload(spark, sf_dir, d1, d2)
+    assert (
+        frames["kpis"].first()["orders_cnt"]
+        == explicit["kpis"].first()["orders_cnt"]
+    )

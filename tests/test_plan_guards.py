@@ -94,6 +94,104 @@ SCALAR_BROADCAST = {
 }
 
 
+#: Queries whose plans contain an UNPARTITIONED ordered window —
+#: every entry must be over a frame bounded BEFORE the window, never
+#: over a corpus-sized frame (that would move all data to one task):
+#:   - rank-the-survivors: a TakeOrdered (orderBy().limit(k)) runs
+#:     first, the window sees ≤k rows — basket_pairs, embedding_scores,
+#:     hot_keys(+_approx), session_paths, vocab_drift
+#:   - bounded-by-construction frames: ann_ivf_topk's and
+#:     cluster_stats' k-row centroid frames, wow_growth's
+#:     calendar-bounded weekly aggregate
+#:   - documented oracle-parity exact=True paths whose DEFAULT is the
+#:     sketch construction: perplexity_bucket_mix, rfm_segments
+#:     (driver entries pin exact=True for the DuckDB hash compare;
+#:     equidepth_histogram / quality_percentile_by_source exact paths
+#:     partition by type/source so they never appear here)
+UNPARTITIONED_WINDOW_BASELINES = {
+    "ann_ivf_topk",
+    "basket_pairs",
+    "cluster_stats",
+    "embedding_scores",
+    "hot_keys",
+    "hot_keys_approx",
+    "perplexity_bucket_mix",
+    "rfm_segments",
+    "session_paths",
+    "vocab_drift",
+    "wow_growth",
+}
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    parts.append(cur)
+    return parts
+
+
+def count_unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes with NO partition spec but an ORDER spec —
+    the shape that moves all data to a single task. A formatted-plan
+    Window's Arguments line holds [funcs], [part], [order]; when only
+    two lists print, the second is either a partition list (window
+    without orderBy — fine) or an order list (unpartitioned window —
+    flagged): order specs carry ASC/DESC, partition lists don't."""
+    n = 0
+    for line in plan.splitlines():
+        s = line.strip()
+        if s.startswith("Arguments:") and "windowspecdefinition" in s:
+            parts = _split_top_level(s[len("Arguments:"):].strip())
+            if len(parts) == 2 and (
+                " ASC" in parts[1] or " DESC" in parts[1]
+            ):
+                n += 1
+    return n
+
+
+def test_no_unpartitioned_windows_outside_bounded_frames(plans):
+    bad = [
+        name
+        for name, plan in plans.items()
+        if count_unpartitioned_windows(plan)
+        and name not in UNPARTITIONED_WINDOW_BASELINES
+    ]
+    assert not bad, f"single-task window over unbounded frame in: {bad}"
+
+
+def test_sketch_defaults_avoid_unpartitioned_windows(spark, sf_dir):
+    """The ntile-family operators DEFAULT to the sketch path — the
+    default plan must not contain the exact path's global windows
+    (exact=True stays available for oracle parity and is what the
+    allowlist above covers)."""
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators import corpus, temporal
+    from py_etl_pipeline_woocommerce_spark.plans import relational
+
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+    for name, df in (
+        ("perplexity_bucket_mix", corpus.perplexity_bucket_mix(docs)),
+        (
+            "quality_percentile_by_source",
+            corpus.quality_percentile_by_source(docs),
+        ),
+        ("equidepth_histogram", temporal.equidepth_histogram(events)),
+        ("rfm_segments", relational.rfm_segments(spark, sf_dir)),
+        ("token_budget_sample", corpus.token_budget_sample(docs)),
+    ):
+        assert count_unpartitioned_windows(plan_of(df)) == 0, name
+
+
 def plan_of(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

@@ -337,13 +337,24 @@ def test_perplexity_bucket_mix_shares(spark):
         ],
     )
     out = sorted(
-        corpus.perplexity_bucket_mix(docs).collect(), key=lambda r: r.decile
+        corpus.perplexity_bucket_mix(docs, exact=True).collect(),
+        key=lambda r: r.decile,
     )
     assert [r.decile for r in out] == list(range(1, 11))
     assert sum(r.n_docs for r in out) == 20
     assert sum(r.token_share for r in out) == pytest.approx(1.0, abs=1e-4)
     # deciles are ordered by score: each bucket's min >= previous max
     for prev, cur in zip(out, out[1:]):
+        assert cur.min_bits >= prev.max_bits - 1e-9
+    # sketch default: same schema, full doc mass, ordered buckets,
+    # and no global sort in the plan
+    sk = sorted(
+        corpus.perplexity_bucket_mix(docs).collect(), key=lambda r: r.decile
+    )
+    assert sum(r.n_docs for r in sk) == 20
+    assert sum(r.token_share for r in sk) == pytest.approx(1.0, abs=1e-4)
+    assert {f for f in sk[0].asDict()} == {f for f in out[0].asDict()}
+    for prev, cur in zip(sk, sk[1:]):
         assert cur.min_bits >= prev.max_bits - 1e-9
 
 
@@ -633,7 +644,9 @@ def test_quality_percentile_normalizes_within_source(spark):
     )
     out = {
         r.doc_id: r
-        for r in corpus.quality_percentile_by_source(docs).collect()
+        for r in corpus.quality_percentile_by_source(
+            docs, exact=True
+        ).collect()
     }
     # within sA ranks follow quality; endpoints are exactly 0 and 1
     vals = sorted(
@@ -641,6 +654,19 @@ def test_quality_percentile_normalizes_within_source(spark):
     )
     assert [p for _, p in vals] == [0.0, 0.5, 1.0]
     assert out[4].quality_pctile == 0.0
+    # sketch default: same schema, percentile monotone in quality
+    # within a source, bounded to [0, 1), single-doc source pinned 0
+    sk = {
+        r.doc_id: r
+        for r in corpus.quality_percentile_by_source(docs).collect()
+    }
+    assert set(sk) == set(out)
+    ranked = sorted((sk[i].quality, sk[i].quality_pctile) for i in (1, 2, 3))
+    assert all(
+        a[1] <= b[1] for a, b in zip(ranked, ranked[1:])
+    )
+    assert all(0.0 <= sk[i].quality_pctile < 1.0 for i in sk)
+    assert sk[4].quality_pctile == 0.0
 
 
 def test_dedup_audit_persisted_frames_escape_hatch(spark):

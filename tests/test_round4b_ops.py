@@ -51,12 +51,22 @@ def test_equidepth_histogram_equal_counts_and_tight_ranges(spark):
         spark,
         [(i, 0, i, "A", float(i)) for i in range(1, 11)],
     )
-    out = {r["bin"]: r for r in equidepth_histogram(ev, bins=5).collect()}
+    out = {
+        r["bin"]: r
+        for r in equidepth_histogram(ev, bins=5, exact=True).collect()
+    }
     assert len(out) == 5
     for b in range(1, 6):
         assert out[b]["n_events"] == 2
         assert out[b]["lo"] == 2 * b - 1.0
         assert out[b]["hi"] == 2 * b + 0.0
+    # sketch default: all rows binned, bins ordered and non-overlapping
+    sk = sorted(
+        equidepth_histogram(ev, bins=5).collect(), key=lambda r: r["bin"]
+    )
+    assert sum(r["n_events"] for r in sk) == 10
+    for prev, cur in zip(sk, sk[1:]):
+        assert cur["lo"] >= prev["hi"]
 
 
 def test_seasonal_anomaly_flags_vs_weekday_baseline(spark):
@@ -179,7 +189,7 @@ def test_bm25_default_queries_exclude_self(spark, sf_dir):
 def test_rfm_segments_scores_and_code(spark, sf_dir):
     from py_etl_pipeline_woocommerce_spark.plans.relational import rfm_segments
 
-    rows = rfm_segments(spark, sf_dir).collect()
+    rows = rfm_segments(spark, sf_dir, exact=True).collect()
     assert rows
     by_cust = {r["cust_id"]: r for r in rows}
     for r in rows:
@@ -199,6 +209,19 @@ def test_rfm_segments_scores_and_code(spark, sf_dir):
     counts = Counter(r["m_score"] for r in rows)
     assert max(counts.values()) - min(counts.values()) <= 1
     assert len(by_cust) == len(rows)  # one row per customer
+    # sketch default: same schema/score ranges, extremes still land
+    # in the top quartile, one row per customer
+    sk = rfm_segments(spark, sf_dir).collect()
+    assert len(sk) == len(rows)
+    for r in sk:
+        assert 1 <= r["r_score"] <= 4
+        assert 1 <= r["f_score"] <= 4
+        assert 1 <= r["m_score"] <= 4
+        assert r["rfm"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+    sk_top_m = max(sk, key=lambda r: (r["monetary"], -r["cust_id"]))
+    assert sk_top_m["m_score"] == 4
+    sk_recent = min(sk, key=lambda r: (r["recency_days"], r["cust_id"]))
+    assert sk_recent["r_score"] == 4
 
 
 def test_rollup_merge_matches_full_recompute(spark):
