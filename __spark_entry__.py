@@ -248,104 +248,60 @@ def _q_dq_rules(spark, sf_dir):
 
 
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
-# ordering decides what gets (re-)verified each round. Round-4 front block:
-# the fixed token_budget_sample retest, then EVERY operator added this
-# round (9 round-4b + 40 earlier round-4 never-driver-checked entries
-# take the budget first), then the stale rotation. ROUND-5 ROTATION
-# NOTE: move the stale entries now sitting past position 50 (dashboards,
-# warehouse, r1-era relational and training ops — all green in this
-# round's full selfcheck gates at sf0.01, latest covering the entire
-# closing surface) to the front of the r5 list; this round's additions
-# (round-4b block AND the round-4c closing wave below) only need driver
+# ordering decides what gets (re-)verified each round. Round-5 front
+# block, in priority order:
+#   1. the 27 entries NEVER driver-checked through r4 (they passed the
+#      builder's selfcheck replica at sf0.001+sf0.01 every round but
+#      that is self-attestation) — oracle-backed first, rows-only
+#      (mmr/pack_bins/cluster_stats/pca_project) after;
+#   2. every entry whose CODE or ORACLE changed in round 5 (sketch
+#      defaults with exact=True driver pins, limit-then-rank top-k
+#      fixes, bucketed token_budget cumsum, trend_fit NULLIF oracle,
+#      dashboard last-30-days default window, pagerank empty guard);
+#   3. the stalest r1-era rows (core ETL + dashboard + Q1) so no green
+#      row is more than a few rounds old.
+# ROUND-6 ROTATION NOTE: promote the next-stalest tail (bounded
+# dashboards, warehouse r2 rows, dedup/training r1-r2 rows listed
+# after position 50) to the front; round-5 blocks 1-2 only need
 # re-checks after their next code change.
-_R4_FRONT = [
-    "token_budget_sample",
-    # round-4b: brand-new this round, never driver-checked
-    "daily_value_percentiles",
-    "equidepth_histogram",
-    "seasonal_anomaly",
-    "event_transitions",
-    "user_overlap",
-    "bm25_search",
-    "rfm_segments",
-    "rollup_merge",
-    "hot_keys",
-    "hybrid_search",
-    "basket_pairs",
-    # round-4c: the closing wave of this round, never driver-checked
-    "time_gaps",
-    "merge_intervals",
-    "m4_downsample",
-    "ks_drift",
-    "cdc_apply",
-    "dq_referential",
-    "numeric_corr",
-    "soft_dedup_weights",
-    "part_pagerank",
-    "dayn_retention",
-    "corpus_split",
-    "split_leakage",
-    "split_leakage_near",
-    "cusum_changepoint",
-    "trend_fit",
-    "linear_attribution",
-    "hot_keys_approx",
-    "fulfillment_latency",
-    "wow_growth",
-    "session_stats",
-    "repeat_rate",
-    "user_streaks",
-    "dau_new_vs_returning",
-    "interarrival_stats",
-    "asof_join_tolerance",
-    "event_value_summary",
-    "dashboard_payload",
-    "dsir_weights",
-    "repeated_spans",
-    "strip_repeated_spans",
-    "fill_missing_days_locf",
-    "fill_missing_days_interp",
-    "corpus_prep_v2",
-    "asof_join_forward",
-    "funnel_steps_windowed",
-    "source_quota_sample",
-    "length_buckets",
-    "value_outliers",
+_R5_FRONT = [
+    # --- block 1: never driver-checked (27) ---
     "ann_rerank_topk",
     "dsir_select_threshold",
     "gopher_rules",
     "bigram_logprob",
     "source_divergence",
     "seasonal_profile",
-    "pca_project",
     "lang_confusion",
     "value_outliers_mad",
     "perplexity_bucket_mix",
     "pmi_terms",
-    "mmr_topk",
     "corpus_report",
-    "pack_bins_bfd",
     "lang_id_nb",
     "ewma_daily",
     "hash_embed",
     "dedup_audit",
     "quality_percentile_by_source",
     "conversion_latency",
-    "cluster_stats",
     "doc_similarity_topk",
     "profile_orders",
     "session_paths",
     "dup_cluster_histogram",
     "profile_drift_orders",
     "event_mix_drift",
-    # timestamp-sensitive stale entries (events / media / time ops)
-    "parse_event_props",
-    "media_metadata",
-    "resize_images",
-    "frame_sample",
-    "ohlc_bars",
-    "value_histogram",
-    # core ETL stale entries
+    "pca_project",
+    "mmr_topk",
+    "pack_bins_bfd",
+    "cluster_stats",
+    # --- block 2: round-5 code/oracle changes needing re-green ---
+    "token_budget_sample",
+    "rfm_segments",
+    "equidepth_histogram",
+    "trend_fit",
+    "dashboard_payload",
+    "date_bounds",
+    "part_pagerank",
+    # --- block 3: stalest r1-era rows ---
     "normalize_orders",
     "normalize_items",
     "enrich_categories",
@@ -355,20 +311,25 @@ _R4_FRONT = [
     "upsert",
     "incremental_watermark",
     "backfill_windows",
-    # dashboard stale entries
-    "date_bounds",
     "kpis",
     "revenue_timeseries",
     "top_products",
     "category_mix",
     "geo_rollup",
     "cohort_retention",
+    "pricing_summary",
+    # --- past the ~50 budget: next-stalest, rotated forward in r6 ---
     "kpis_bounded",
     "revenue_timeseries_bounded",
     "top_products_bounded",
     "category_mix_bounded",
     "geo_rollup_bounded",
-    # warehouse / temporal stale entries
+    "parse_event_props",
+    "media_metadata",
+    "resize_images",
+    "frame_sample",
+    "ohlc_bars",
+    "value_histogram",
     "scd2_apply",
     "snapshot_diff",
     "dq_summary",
@@ -376,7 +337,6 @@ _R4_FRONT = [
     "customer_ltv",
     "late_suppliers",
     "supplier_percentiles",
-    # training-data stale entries
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash",
@@ -388,7 +348,6 @@ _R4_FRONT = [
     "quantize_embeddings",
     "filter_pipeline",
     "doc_rarity",
-    # relational stale entries (fill the tail of the ~50 budget)
     "product_profit",
 ]
 
@@ -838,7 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
     }
-    ordered = {k: base[k] for k in _R4_FRONT}
+    ordered = {k: base[k] for k in _R5_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 

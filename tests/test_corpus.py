@@ -275,6 +275,54 @@ def test_token_budget_sample_fills_greedily_per_lang(spark):
     assert not all(r["is_selected"] for r in en)
 
 
+def test_token_budget_two_pass_matches_naive_window(spark, sf_dir):
+    """The bucketed two-pass prefix sum must be BIT-IDENTICAL to the
+    naive per-language cumsum window it replaced, for any n_buckets
+    (cut values only partition the order, never change the result) —
+    including n_buckets larger than the corpus (empty buckets)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        token_budget_sample,
+    )
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "n_tokens", "quality")
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = {
+        r["doc_id"]: (r["cum_tokens"], r["is_selected"])
+        for r in docs.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.sum("n_tokens").over(w).alias("cum_tokens"),
+        )
+        .withColumn(
+            "is_selected",
+            (F.col("cum_tokens") - F.col("n_tokens")) < F.lit(20_000),
+        )
+        .collect()
+    }
+    for n_buckets in (2, 7, 64, 10_000):
+        got = {
+            r["doc_id"]: (r["cum_tokens"], r["is_selected"])
+            for r in token_budget_sample(
+                docs, n_buckets=n_buckets
+            ).collect()
+        }
+        assert got == naive, n_buckets
+
+
 def test_dsir_weights_prefers_target_like_docs(spark):
     from py_etl_pipeline_woocommerce_spark.operators.corpus import dsir_weights
 
