@@ -548,8 +548,13 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
             F.split(F.col("gram"), " ")[0].alias("w1"),
         )
     )
-    doc_tf = occ.groupBy("doc_id", "gram", "w1").agg(
-        F.count(F.lit(1)).alias("tf_doc")
+    # doc_tf has THREE consumers (c2, c1, the score join) — a lazy
+    # localCheckpoint materializes the shingle explode+agg once per
+    # execution instead of once per consumer (lang_id_nb/bm25 device)
+    doc_tf = (
+        occ.groupBy("doc_id", "gram", "w1")
+        .agg(F.count(F.lit(1)).alias("tf_doc"))
+        .localCheckpoint(eager=False)
     )
     c2 = doc_tf.groupBy("gram").agg(F.sum("tf_doc").alias("c2"))
     c1 = doc_tf.groupBy("w1").agg(F.sum("tf_doc").alias("c1"))
@@ -1672,9 +1677,25 @@ def bm25_search(
         .select("doc_id", F.explode(tokens_expr("text")).alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the tf frame has THREE consumers (dl, df_, the score join) and
+    # Catalyst inlines the corpus explode+agg subtree into each — a
+    # lazy localCheckpoint materializes the tokenize ONCE per
+    # execution (the lang_id_nb construction)
+    tf = (
+        occ.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df is only consumed for QUERY terms — pre-filtering on the
+    # broadcast term set keeps the df aggregate's shuffle at
+    # |matching postings|, not vocab-wide (df values are still full
+    # corpus counts: the semi-filter keeps every doc's row per term)
+    df_ = (
+        tf.join(F.broadcast(queries.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("_tok_total")
     )
