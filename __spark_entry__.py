@@ -360,6 +360,7 @@ def _q_profile_drift(spark, sf_dir):
     return warehouse.profile_drift(
         orders.filter(F.col("o_orderdate") < cut),
         orders.filter(F.col("o_orderdate") >= cut),
+        exact=True,
     )
 
 
@@ -551,7 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_project": lambda s, d: reduction.pca_project(_emb(s, d)),
         "lang_confusion": lambda s, d: textstats.lang_confusion(_docs(s, d)),
         "value_outliers_mad": lambda s, d: temporal.value_outliers_mad(
-            _events(s, d)
+            _events(s, d), exact=True
         ),
         "perplexity_bucket_mix": lambda s, d: corpus.perplexity_bucket_mix(
             _docs(s, d), exact=True
@@ -583,7 +584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "profile_orders": lambda s, d: warehouse.profile_table(
-            load_table(s, d, "orders")
+            load_table(s, d, "orders"), exact=True
         ),
         "session_paths": lambda s, d: sessionize.session_paths(
             _events(s, d)

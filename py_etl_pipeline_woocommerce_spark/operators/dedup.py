@@ -996,6 +996,8 @@ def dedup_audit(
     documents: DataFrame,
     threshold: float = 0.5,
     persisted_frames: list | None = None,
+    sample_frac: float | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Recall audit of the MinHash/LSH near-dup path against the
     EXACT prefix-filter Jaccard join at the same threshold — the
@@ -1015,10 +1017,26 @@ def dedup_audit(
 
     Scale shape: the two pair joins are the (already linear-ish)
     verified operators; the audit adds one doc-pair-keyed join and
-    three 1-row aggregates. Run it on a stratified sample at 100 TB
-    — recall is a property of the band geometry, not the corpus
-    size.
+    three 1-row aggregates. At 100 TB pass ``sample_frac`` — recall
+    is a property of the band geometry, not the corpus size, so a
+    deterministic hash sample of the documents (both sides audit the
+    IDENTICAL sampled universe; xxhash64 on doc_id, never ``rand()``,
+    so reruns and engines agree) estimates it at a fraction of the
+    pair cost. ``sample_frac=None`` (the oracle-parity default)
+    audits everything.
     """
+    if sample_frac is not None:
+        if persisted_frames is not None:
+            raise ValueError(
+                "sample_frac resamples the document universe, which a "
+                "caller-persisted shingle frame would not reflect — "
+                "pass one or the other"
+            )
+        m = 1_000_000
+        documents = documents.filter(
+            F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(m))
+            < int(sample_frac * m)
+        )
     truth = ngram_jaccard_pairs(
         documents, threshold, persisted_frames=persisted_frames
     ).select("doc_a", "doc_b")

@@ -675,7 +675,7 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
 
 
 def value_outliers_mad(
-    events: DataFrame, z_cut: float = 3.5
+    events: DataFrame, z_cut: float = 3.5, exact: bool = False
 ) -> DataFrame:
     """Robust per-type anomaly flags via the modified z-score
     (Iglewicz & Hoaglin's public 0.6745·(x − median)/MAD rule):
@@ -687,15 +687,23 @@ def value_outliers_mad(
     absolute deviation around it) — both per-type frames are tiny and
     broadcast back; the flagging pass is one scan. Median/MAD are
     ROUNDED to 6 dp before the comparison so the flagged set is
-    engine-exact. Same caveat as ``value_percentiles``: the exact
-    median buffers per-group values — at 100 TB swap the two medians
-    for ``percentile_approx`` (mergeable GK) with the identical
-    output schema.
+    engine-exact given the baseline.
+
+    DEFAULTS TO ``percentile_approx`` medians (mergeable GK, fixed
+    per-group state at any volume). ``exact=True`` uses the exact
+    interpolating median — oracle verification only; it buffers each
+    (type)'s values in one aggregation buffer, the
+    ``value_percentiles`` caveat. Same output schema either way.
     """
+    med_of = (
+        (lambda col: F.percentile(col, F.lit(0.5)))
+        if exact
+        else (lambda col: F.percentile_approx(col, F.lit(0.5)))
+    )
     e = _ts_us(events)
     med = (
         e.groupBy("event_type")
-        .agg(F.round(F.percentile("value", F.lit(0.5)), 6).alias("med"))
+        .agg(F.round(med_of(F.col("value")), 6).alias("med"))
     )
     mad = (
         e.join(F.broadcast(med), "event_type")
@@ -703,7 +711,7 @@ def value_outliers_mad(
         .agg(
             F.first("med").alias("med"),
             F.round(
-                F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)),
+                med_of(F.abs(F.col("value") - F.col("med"))),
                 6,
             ).alias("mad"),
         )
@@ -807,15 +815,24 @@ def conversion_latency(
     )
 
 
-def value_outlier_baseline(events: DataFrame) -> DataFrame:
+def value_outlier_baseline(
+    events: DataFrame, exact: bool = False
+) -> DataFrame:
     """The train-offline half of robust outlier detection: per-type
     rounded median and MAD (see ``value_outliers_mad`` for the
-    estimator and its scale swap). Persist this tiny frame (|types|
-    rows) on a schedule; live scoring then needs NO aggregation at
-    all — see ``score_outliers_with_baseline``."""
+    estimator; ``exact`` selects the same GK-vs-interpolating median
+    pair so split scoring matches the inline op under either
+    precision). Persist this tiny frame (|types| rows) on a schedule;
+    live scoring then needs NO aggregation at all — see
+    ``score_outliers_with_baseline``."""
+    med_of = (
+        (lambda col: F.percentile(col, F.lit(0.5)))
+        if exact
+        else (lambda col: F.percentile_approx(col, F.lit(0.5)))
+    )
     e = _ts_us(events)
     med = e.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+        F.round(med_of(F.col("value")), 6).alias("med")
     )
     return (
         e.join(F.broadcast(med), "event_type")
@@ -823,9 +840,7 @@ def value_outlier_baseline(events: DataFrame) -> DataFrame:
         .agg(
             F.first("med").alias("med"),
             F.round(
-                F.percentile(
-                    F.abs(F.col("value") - F.col("med")), F.lit(0.5)
-                ),
+                med_of(F.abs(F.col("value") - F.col("med"))),
                 6,
             ).alias("mad"),
         )

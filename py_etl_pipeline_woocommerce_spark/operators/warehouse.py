@@ -202,28 +202,33 @@ def dq_check(df: DataFrame, rules: dict[str, str]) -> DataFrame:
     )
 
 
-def profile_table(df: DataFrame) -> DataFrame:
+def profile_table(df: DataFrame, exact: bool = False) -> DataFrame:
     """Generic one-pass table profiler — the per-column report a
     warehouse publishes next to every landed table (dbt-style
-    profiling): rows, null count/rate, exact distinct count, min and
-    max, one row per column.
+    profiling): rows, null count/rate, distinct count, min and max,
+    one row per column.
 
-    ONE aggregation over one scan (Spark plans the multi-column exact
-    distinct via a single expand — still one pass of the data); the
-    per-column rows are then projected off the single 1-row aggregate
+    DEFAULTS TO ``approx_count_distinct`` (mergeable HLL — a fixed
+    KB-sized sketch per column at any table size, and the single
+    aggregation stays one pass with NO expand). ``exact=True``
+    switches to exact multi-column distinct via Spark's single-expand
+    plan — use for oracle verification (the expand multiplies the
+    scan by the column count, and exact distinct state grows with
+    cardinality). Same output schema either way.
+
+    The per-column rows are projected off the single 1-row aggregate
     (union of 1-row selects — plan cost nil). Min/max normalize to
     strings by dtype: doubles through DECIMAL(28,6) (so neither
     engine prints scientific notation), timestamps through a fixed
     'yyyy-MM-dd HH:mm:ss' format, everything else a plain cast —
-    each choice is engine-exact for the oracle. At 100 TB swap the
-    exact distinct for ``approx_count_distinct`` (same schema, one
-    line).
+    each choice is engine-exact for the oracle.
     """
+    nd = F.countDistinct if exact else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c, t in df.dtypes:
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nn_{c}"),
-            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            nd(F.col(c)).alias(f"_nd_{c}"),
             F.min(F.col(c)).alias(f"_mn_{c}"),
             F.max(F.col(c)).alias(f"_mx_{c}"),
         ]
@@ -258,18 +263,21 @@ def profile_table(df: DataFrame) -> DataFrame:
     return out
 
 
-def profile_drift(before: DataFrame, after: DataFrame) -> DataFrame:
+def profile_drift(
+    before: DataFrame, after: DataFrame, exact: bool = False
+) -> DataFrame:
     """Schema/quality drift between two snapshots of the same table —
     the "did yesterday's load change the shape of this table" check a
     warehouse runs before promoting a batch: per column, row counts
     on both sides, null-rate delta, distinct-count delta, and whether
     the min/max bounds moved.
 
-    Composes two ``profile_table`` runs (each one scan) with a join
-    on the |columns|-row profile frames — the drift math never
-    touches the data again.
+    Composes two ``profile_table`` runs (each one scan; ``exact``
+    forwarded — HLL distinct by default, exact for oracle parity)
+    with a join on the |columns|-row profile frames — the drift math
+    never touches the data again.
     """
-    b = profile_table(before).select(
+    b = profile_table(before, exact=exact).select(
         "column",
         "dtype",
         F.col("n_rows").alias("n_rows_before"),
@@ -278,7 +286,7 @@ def profile_drift(before: DataFrame, after: DataFrame) -> DataFrame:
         F.col("min_value").alias("_mn_b"),
         F.col("max_value").alias("_mx_b"),
     )
-    a = profile_table(after).select(
+    a = profile_table(after, exact=exact).select(
         "column",
         F.col("n_rows").alias("n_rows_after"),
         F.col("null_rate").alias("_nr_a"),

@@ -628,6 +628,30 @@ def test_dedup_audit_empty_corpus_recall_one(spark):
     assert row.n_exact_pairs == 0 and row.recall == 1.0
 
 
+def test_dedup_audit_sampled_mode(spark, sf_dir):
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        dedup_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    full = dedup_audit(docs).first()
+    # sample_frac=1.0 keeps every doc: identical report
+    assert dedup_audit(docs, sample_frac=1.0).first() == full
+    # a half sample is deterministic (hash, not rand) and coherent
+    a = dedup_audit(docs, sample_frac=0.5).first()
+    b = dedup_audit(docs, sample_frac=0.5).first()
+    assert a == b
+    assert a.n_exact_pairs <= full.n_exact_pairs
+    assert a.n_hits == a.n_lsh_pairs  # precision-1 subset holds
+    assert 0.0 <= a.recall <= 1.0
+    # sampling is incompatible with caller-persisted shingle frames
+    with _pytest.raises(ValueError):
+        dedup_audit(docs, sample_frac=0.5, persisted_frames=[])
+
+
 # ------------------------------------------------------------------
 # quality_percentile_by_source
 # ------------------------------------------------------------------

@@ -178,7 +178,7 @@ def test_profile_table_per_column_report(spark):
         [(1, "a", 1.5), (2, None, 2.5), (3, "a", None)],
         "id bigint, s string, v double",
     )
-    out = {r.column: r for r in profile_table(df).collect()}
+    out = {r.column: r for r in profile_table(df, exact=True).collect()}
     assert set(out) == {"id", "s", "v"}
     assert out["id"].n_rows == 3 and out["id"].n_nulls == 0
     assert out["id"].n_distinct == 3
@@ -188,6 +188,20 @@ def test_profile_table_per_column_report(spark):
     assert out["s"].n_distinct == 1  # nulls don't count as a value
     assert out["v"].min_value == "1.500000"  # decimal-normalized double
     assert out["v"].dtype == "double"
+    # sketch default: same schema, HLL distinct exact at tiny
+    # cardinality, and the plan carries no Expand (the exact
+    # multi-distinct rewrite)
+    sk = {r.column: r for r in profile_table(df).collect()}
+    assert set(sk) == set(out)
+    assert sk["id"].asDict().keys() == out["id"].asDict().keys()
+    assert sk["id"].n_distinct == 3 and sk["s"].n_distinct == 1
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profile_table(df).explain("formatted")
+    assert ") Expand" not in buf.getvalue()
 
 
 def test_profile_drift_flags_shape_changes(spark):
