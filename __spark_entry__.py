@@ -474,7 +474,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_transitions": lambda s, d: events.event_transitions(
             _events(s, d)
         ),
-        "user_overlap": lambda s, d: events.user_overlap(_events(s, d)),
+        "user_overlap": lambda s, d: events.user_overlap(
+            _events(s, d), exact=True
+        ),
         "bm25_search": lambda s, d: corpus.bm25_search(_docs(s, d)),
         "rfm_segments": lambda s, d: relational.rfm_segments(
             s, d, exact=True

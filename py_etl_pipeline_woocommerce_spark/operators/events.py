@@ -245,33 +245,96 @@ def event_transitions(events: DataFrame) -> DataFrame:
     )
 
 
-def user_overlap(events: DataFrame) -> DataFrame:
-    """Exact audience-overlap matrix between event types: for every
+def user_overlap(events: DataFrame, exact: bool = False) -> DataFrame:
+    """Audience-overlap matrix between event types: for every
     unordered type pair (a < b), the distinct-user counts of each
     side, the overlap, and the Jaccard of the two audiences — "do
     the people who view also purchase".
 
-    Shape: one distinct over (user, type) — the only corpus-sized
-    shuffle — then a per-user self-join whose fan-out is bounded by
-    C(types-per-user, 2) ≤ C(|types|, 2), a small constant per user
-    regardless of event volume. Per-type audience sizes broadcast
-    into the |types|²-row result. At extreme user cardinality the
-    same matrix reaggregates from per-type Datasketches HLL unions
-    (``dau_sketch_rollup``'s construction + inclusion-exclusion);
-    kept exact here for the oracle gate.
+    DEFAULTS TO THE SKETCH PATH: per-pair UNION audiences via
+    ``approx_count_distinct`` (HLL) + inclusion-exclusion
+    (n_both = n_a + n_b − n_union). The pair grid is the bounded
+    |types|² broadcast; each event row fans out to ≤ |types| pairs
+    and partial HLL aggregation means the shuffle carries KB sketches
+    per pair, never user ids — the extreme-cardinality shape where
+    even the distinct (user, type) shuffle hurts. Sketch noise is
+    clamped at 0 and pairs with no estimated overlap are dropped to
+    match the exact row set.
+
+    ``exact=True`` (the oracle gate) runs one distinct over
+    (user, type) — the only corpus-sized shuffle — then a per-user
+    self-join whose fan-out is bounded by C(types-per-user, 2), with
+    per-type audience sizes broadcast into the |types|²-row result.
+    Same output schema either way.
     """
-    ut = events.select("user_id", "event_type").distinct()
-    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a = ut.select("user_id", F.col("event_type").alias("type_a"))
-    b = ut.select("user_id", F.col("event_type").alias("type_b"))
-    both = (
-        a.join(b, "user_id")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
+    if exact:
+        ut = events.select("user_id", "event_type").distinct()
+        sizes = ut.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        a = ut.select("user_id", F.col("event_type").alias("type_a"))
+        b = ut.select("user_id", F.col("event_type").alias("type_b"))
+        both = (
+            a.join(b, "user_id")
+            .filter(F.col("type_a") < F.col("type_b"))
+            .groupBy("type_a", "type_b")
+            .agg(F.count(F.lit(1)).alias("n_both"))
+        )
+    else:
+        e = events.select("user_id", "event_type")
+        types = e.select("event_type").distinct()
+        pairs = (
+            types.select(F.col("event_type").alias("type_a"))
+            .join(types.select(F.col("event_type").alias("type_b")))
+            .filter(F.col("type_a") < F.col("type_b"))
+        )
+        sizes = e.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id").alias("n")
+        )
+        unions = (
+            e.join(
+                F.broadcast(pairs),
+                (F.col("event_type") == F.col("type_a"))
+                | (F.col("event_type") == F.col("type_b")),
+            )
+            .groupBy("type_a", "type_b")
+            .agg(F.approx_count_distinct("user_id").alias("_n_union"))
+        )
+        both = (
+            unions.join(
+                F.broadcast(
+                    sizes.select(
+                        F.col("event_type").alias("type_a"),
+                        F.col("n").alias("_sa"),
+                    )
+                ),
+                "type_a",
+            )
+            .join(
+                F.broadcast(
+                    sizes.select(
+                        F.col("event_type").alias("type_b"),
+                        F.col("n").alias("_sb"),
+                    )
+                ),
+                "type_b",
+            )
+            .select(
+                "type_a",
+                "type_b",
+                F.greatest(
+                    F.col("_sa") + F.col("_sb") - F.col("_n_union"),
+                    F.lit(0),
+                ).alias("n_both"),
+            )
+            .filter(F.col("n_both") > 0)
+        )
+    na = sizes.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
     )
-    na = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    nb = sizes.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
     return (
         both.join(F.broadcast(na), "type_a")
         .join(F.broadcast(nb), "type_b")

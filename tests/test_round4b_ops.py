@@ -141,6 +141,15 @@ def test_user_overlap_jaccard_and_sparsity(spark):
     assert ab["jaccard"] == round(2 / 3, 6)
     # disjoint audiences produce no row (sparse matrix)
     assert ("A", "C") not in out and ("B", "C") not in out
+    # the exact path agrees cell-for-cell at this cardinality (HLL is
+    # exact in sparse mode, so the sketch default matches here)
+    exact = {
+        (r["type_a"], r["type_b"]): r
+        for r in user_overlap(ev, exact=True).collect()
+    }
+    assert set(exact) == set(out)
+    for k in out:
+        assert out[k].asDict() == exact[k].asDict()
 
 
 def _docs(spark, rows):
