@@ -1034,7 +1034,11 @@ def seasonal_anomaly(
     )
 
 
-def time_gaps(events: DataFrame, min_gap_us: int = HOUR_US) -> DataFrame:
+def time_gaps(
+    events: DataFrame,
+    min_gap_us: int = HOUR_US,
+    coarse_us: int | None = None,
+) -> DataFrame:
     """Stream-outage report: per event type, every silence in the
     stream longer than ``min_gap_us`` — the "did the collector stop
     sending for six hours" monitor a pipeline page next to its volume
@@ -1048,14 +1052,29 @@ def time_gaps(events: DataFrame, min_gap_us: int = HOUR_US) -> DataFrame:
     can never flag). Pure integer µs arithmetic end to end —
     engine-exact, no rounding anywhere.
 
-    Scale shape: ONE shuffle partitioned by event_type. A per-type
-    window over raw events is the honest cost of exact adjacency; at
-    100 TB with few types, pre-aggregate to a coarser grain first
-    (e.g. distinct (type, minute) — gaps longer than the threshold
-    survive minute-flooring) or range-repartition within type; the
-    window spec is unchanged.
+    Scale shape: ONE shuffle partitioned by event_type; the per-type
+    window over raw events is the honest cost of exact adjacency. At
+    100 TB with few types pass ``coarse_us`` (e.g. 60_000_000 for
+    minute grain): events pre-aggregate to DISTINCT (type, floored
+    bucket) before the window — the sorted frame shrinks from event
+    count to active-bucket count, and any true gap longer than
+    ``min_gap_us + coarse_us`` still surfaces (a reported coarse gap
+    is bucket-start to bucket-start; require ``coarse_us`` ≤ the
+    monitoring slack below ``min_gap_us``). Exact µs endpoints need
+    the default path.
     """
     e = _ts_us(events)
+    if coarse_us is not None:
+        e = (
+            e.select(
+                "event_type",
+                (F.col("t_us") - F.col("t_us") % F.lit(coarse_us)).alias(
+                    "t_us"
+                ),
+            )
+            .distinct()
+            .withColumn("event_id", F.lit(0))
+        )
     w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
     gapped = e.select(
         "event_type",

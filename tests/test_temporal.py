@@ -433,6 +433,29 @@ def test_time_gaps_flags_only_silences_beyond_threshold(spark):
     assert got == {("hb", 100, 5_100, 5_000)}
 
 
+def test_time_gaps_coarse_mode_surfaces_long_gaps(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import time_gaps
+
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, "hb", 0.0),
+            (2, 100, 1, "hb", 0.0),      # same 1000-µs bucket as event 1
+            (3, 10_000, 1, "hb", 0.0),   # ~9.9 ms silence
+            (4, 10_050, 1, "hb", 0.0),
+        ],
+    )
+    got = {
+        (r.event_type, r.gap_start_us, r.gap_end_us, r.gap_us)
+        for r in time_gaps(ev, min_gap_us=5_000, coarse_us=1_000).collect()
+    }
+    # bucket-start to bucket-start: the true 9900-µs gap reports as
+    # the 10000-µs bucket delta
+    assert got == {("hb", 0, 10_000, 10_000)}
+    # gaps under the threshold never flag at coarse grain either
+    assert time_gaps(ev, min_gap_us=20_000, coarse_us=1_000).count() == 0
+
+
 def test_merge_intervals_unions_overlapping_spans(spark):
     from py_etl_pipeline_woocommerce_spark.operators.temporal import merge_intervals
 
