@@ -301,6 +301,7 @@ _R5_FRONT = [
     "dashboard_payload",
     "date_bounds",
     "part_pagerank",
+    "sample_exact_k",
     # --- block 3: stalest r1-era rows ---
     "normalize_orders",
     "normalize_items",
@@ -696,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": lambda s, d: corpus.tfidf_top_terms(_docs(s, d)),
         "ngram_freq": lambda s, d: corpus.ngram_freq(_docs(s, d)),
         "stratified_sample": lambda s, d: corpus.stratified_sample(_docs(s, d)),
+        "sample_exact_k": lambda s, d: corpus.sample_exact_k(_docs(s, d)),
         "corpus_stats": lambda s, d: corpus.corpus_stats(_docs(s, d)),
         # --- dedup / similarity (r2 driver-pass) ---
         "ann_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
@@ -2433,6 +2435,18 @@ WITH b AS (
   FROM documents)
 SELECT doc_id, lang, source, bucket
 FROM b WHERE bucket < CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+""",
+        "sample_exact_k": """
+WITH h AS (
+  SELECT doc_id, lang, source,
+         md5(CAST(doc_id AS VARCHAR) || ':42') AS _h
+  FROM documents),
+r AS (
+  SELECT doc_id, lang, source,
+         row_number() OVER (PARTITION BY lang ORDER BY _h, doc_id)
+           AS sample_rank
+  FROM h)
+SELECT doc_id, lang, source, sample_rank FROM r WHERE sample_rank <= 100
 """,
         "corpus_stats": f"""
 WITH t AS (

@@ -36,6 +36,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "label_centroids",
     "stratified_sample",
+    "sample_exact_k",
     "hopping_window_agg",
     "event_window_agg",
     "sessionize",

@@ -119,6 +119,61 @@ def stratified_sample(
     )
 
 
+def sample_exact_k(
+    documents: DataFrame, k: int = 100, seed: int = 42
+) -> DataFrame:
+    """EXACTLY ``k`` documents per language, deterministically — the
+    "give me 10k docs per language for the eval set, same ones every
+    run" sibling of ``stratified_sample`` (which keeps a percentage).
+    Selection order is (md5(doc_id:seed), doc_id): uniform, seedable,
+    engine-portable (DuckDB computes the identical hex), and
+    independent of partitioning; a language with fewer than ``k``
+    docs is kept whole.
+
+    Scale shape — distributed order-statistic selection, NOT a
+    per-language rank window (a dominant language would sort on one
+    task): docs split into 256 hash-prefix buckets per language;
+    per-bucket counts (tiny frame) give each bucket's running offset;
+    a doc is selected iff offset + rank-within-bucket ≤ k, where the
+    rank window partitions by (lang, bucket) — |lang|/256 rows. Only
+    the ≤ k SELECTED rows per language enter the final
+    ``sample_rank`` window (bounded frame by construction).
+    """
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.lit(str(seed))
+        )
+    )
+    d = (
+        documents.select("doc_id", "lang", "source")
+        .withColumn("_h", h)
+        .withColumn(
+            "_b", F.conv(F.substring("_h", 1, 2), 16, 10).cast("int")
+        )
+    )
+    counts = d.groupBy("lang", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    wo = (
+        Window.partitionBy("lang")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = counts.select(
+        "lang",
+        "_b",
+        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_before"),
+    )
+    wb = Window.partitionBy("lang", "_b").orderBy("_h", "doc_id")
+    sel = (
+        d.join(F.broadcast(off), ["lang", "_b"])
+        .withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_before") + F.col("_r") <= k)
+    )
+    ws = Window.partitionBy("lang").orderBy("_h", "doc_id")
+    return sel.withColumn(
+        "sample_rank", F.row_number().over(ws)
+    ).select("doc_id", "lang", "source", "sample_rank")
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """Per (lang, source) corpus statistics: doc count, token and char
     totals, mean document length.

@@ -63,6 +63,58 @@ def test_stratified_sample_composable_and_deterministic(spark, sf_dir):
     assert {r.doc_id for r in half.collect()} == half_ids
 
 
+def test_sample_exact_k_counts_nesting_and_scalable_plan(spark, sf_dir):
+    import contextlib
+    import io
+
+    documents = load_table(spark, sf_dir, "documents")
+    lang_sizes = {
+        r.lang: r.n
+        for r in documents.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = corpus.sample_exact_k(documents, k=20).collect()
+    per_lang = {}
+    for r in out:
+        per_lang.setdefault(r.lang, []).append(r)
+    for lang, rows in per_lang.items():
+        # exactly k, or the whole (smaller) language
+        assert len(rows) == min(20, lang_sizes[lang])
+        # ranks are 1..n without gaps
+        assert sorted(r.sample_rank for r in rows) == list(
+            range(1, len(rows) + 1)
+        )
+    assert set(per_lang) == set(lang_sizes)
+    # hash-order selection nests: the k=5 sample is the rank<=5 slice
+    # of the k=20 sample, and a re-run is identical
+    small = {
+        (r.lang, r.doc_id)
+        for r in corpus.sample_exact_k(documents, k=5).collect()
+    }
+    assert small == {
+        (r.lang, r.doc_id) for r in out if r.sample_rank <= 5
+    }
+    assert {(r.lang, r.doc_id, r.sample_rank) for r in out} == {
+        (r.lang, r.doc_id, r.sample_rank)
+        for r in corpus.sample_exact_k(documents, k=20).collect()
+    }
+    # different seed -> different selection order
+    reseeded = {
+        (r.lang, r.doc_id)
+        for r in corpus.sample_exact_k(documents, k=5, seed=7).collect()
+    }
+    assert reseeded != small
+    # scalable plan: the only ordered windows partition by
+    # (lang, bucket) / the bounded selected frame — never unpartitioned
+    from tests.test_plan_guards import count_unpartitioned_windows
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        corpus.sample_exact_k(documents).explain("formatted")
+    assert count_unpartitioned_windows(buf.getvalue()) == 0
+
+
 def test_corpus_stats_totals(spark, docs):
     out = {(r.lang, r.source): r for r in corpus.corpus_stats(docs).collect()}
     en_s1 = out[("en", "s1")]
