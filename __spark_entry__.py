@@ -302,6 +302,7 @@ _R5_FRONT = [
     "date_bounds",
     "part_pagerank",
     "sample_exact_k",
+    "asof_join_nearest",
     # --- block 3: stalest r1-era rows ---
     "normalize_orders",
     "normalize_items",
@@ -673,6 +674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": lambda s, d: similarity.ann_ivf_topk(_emb(s, d)),
         # --- temporal / time-series (r2 driver-pass) ---
         "asof_join": lambda s, d: temporal.asof_join(_events(s, d)),
+        "asof_join_nearest": lambda s, d: temporal.asof_join(
+            _events(s, d), direction="nearest"
+        ),
         "asof_join_tolerance": lambda s, d: temporal.asof_join(
             _events(s, d), tolerance_us=3_600_000_000
         ),
@@ -2526,6 +2530,41 @@ carried AS (
                ROWS UNBOUNDED PRECEDING))
 SELECT event_id, user_id, t_us, asof_event_id, asof_t_us,
        t_us - asof_t_us AS gap_us
+FROM carried WHERE kind = 1
+""",
+        "asof_join_nearest": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
+           FROM events WHERE event_type IN ('purchase', 'click')),
+tagged AS (
+  SELECT user_id, t_us,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
+         event_id
+  FROM e),
+carried AS (
+  SELECT *,
+         last_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+           OVER wb AS _b_id,
+         last_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS)
+           OVER wb AS _b_t,
+         first_value(CASE WHEN kind = 0 THEN event_id END IGNORE NULLS)
+           OVER wf AS _f_id,
+         first_value(CASE WHEN kind = 0 THEN t_us END IGNORE NULLS)
+           OVER wf AS _f_t
+  FROM tagged
+  WINDOW wb AS (PARTITION BY user_id ORDER BY t_us, kind, event_id
+                ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY user_id ORDER BY t_us, kind, event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+SELECT event_id, user_id, t_us,
+       CASE WHEN _b_t IS NOT NULL
+                  AND (_f_t IS NULL OR t_us - _b_t <= _f_t - t_us)
+            THEN _b_id ELSE _f_id END AS asof_event_id,
+       CASE WHEN _b_t IS NOT NULL
+                  AND (_f_t IS NULL OR t_us - _b_t <= _f_t - t_us)
+            THEN _b_t ELSE _f_t END AS asof_t_us,
+       CASE WHEN _b_t IS NOT NULL
+                  AND (_f_t IS NULL OR t_us - _b_t <= _f_t - t_us)
+            THEN t_us - _b_t ELSE _f_t - t_us END AS gap_us
 FROM carried WHERE kind = 1
 """,
         "asof_join_tolerance": """

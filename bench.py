@@ -41,6 +41,7 @@ HEADLINE = [
     "event_window_agg",
     "sessionize",
     "asof_join",
+    "asof_join_nearest",
     "range_join_window",
     "multires_rollup",
     "repetition_stats",

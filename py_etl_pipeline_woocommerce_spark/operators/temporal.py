@@ -53,6 +53,13 @@ def asof_join(
     any parallelism. ``gap_us`` is always the non-negative distance in
     the join direction (NULL when no match exists on that side).
 
+    ``direction="nearest"`` (pandas ``merge_asof`` parity) runs BOTH
+    carries over the SAME per-user sort (two Window nodes, one
+    exchange — the ``merge_intervals`` shared-sort shape) and keeps
+    whichever side is closer, backward winning exact-distance ties
+    (an equal-time right is a 0-gap backward match by the tie
+    ordering, so it always wins).
+
     ``tolerance_us`` bounds the match distance (pandas
     ``merge_asof(tolerance=...)`` semantics): a nearest event farther
     than the tolerance is NO match — the left row survives with NULL
@@ -62,6 +69,64 @@ def asof_join(
     plan.
     """
     e = _ts_us(events)
+    if direction == "nearest":
+        right = e.filter(F.col("event_type") == right_type).select(
+            "user_id", "t_us", F.lit(0).alias("kind"), "event_id"
+        )
+        left = e.filter(F.col("event_type") == left_type).select(
+            "user_id", "t_us", F.lit(1).alias("kind"), "event_id"
+        )
+        base = Window.partitionBy("user_id").orderBy(
+            "t_us", "kind", "event_id"
+        )
+        is_right = F.col("kind") == 0
+        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        tagged = right.unionByName(left).select(
+            "*",
+            F.last(F.when(is_right, F.col("event_id")), ignorenulls=True)
+            .over(wb)
+            .alias("_b_id"),
+            F.last(F.when(is_right, F.col("t_us")), ignorenulls=True)
+            .over(wb)
+            .alias("_b_t"),
+            F.first(F.when(is_right, F.col("event_id")), ignorenulls=True)
+            .over(wf)
+            .alias("_f_id"),
+            F.first(F.when(is_right, F.col("t_us")), ignorenulls=True)
+            .over(wf)
+            .alias("_f_t"),
+        )
+        bgap = F.col("t_us") - F.col("_b_t")
+        fgap = F.col("_f_t") - F.col("t_us")
+        use_b = F.col("_b_t").isNotNull() & (
+            F.col("_f_t").isNull() | (bgap <= fgap)
+        )
+        out = tagged.filter(F.col("kind") == 1).select(
+            "event_id",
+            "user_id",
+            "t_us",
+            F.when(use_b, F.col("_b_id"))
+            .otherwise(F.col("_f_id"))
+            .alias("asof_event_id"),
+            F.when(use_b, F.col("_b_t"))
+            .otherwise(F.col("_f_t"))
+            .alias("asof_t_us"),
+            F.when(use_b, bgap).otherwise(fgap).alias("gap_us"),
+        )
+        if tolerance_us is not None:
+            within = F.col("gap_us") <= tolerance_us
+            out = out.select(
+                "event_id",
+                "user_id",
+                "t_us",
+                F.when(within, F.col("asof_event_id")).alias(
+                    "asof_event_id"
+                ),
+                F.when(within, F.col("asof_t_us")).alias("asof_t_us"),
+                F.when(within, F.col("gap_us")).alias("gap_us"),
+            )
+        return out
     backward = direction == "backward"
     right_kind = 0 if backward else 2
     right = e.filter(F.col("event_type") == right_type).select(

@@ -59,6 +59,64 @@ def test_asof_join_tie_breaks_to_max_event_id(spark):
     assert row["asof_event_id"] == 11
 
 
+def test_asof_join_nearest_picks_closer_side(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 100, 7, "click", 0.0),
+            (2, 500, 7, "click", 0.0),
+            (3, 180, 7, "purchase", 0.0),  # back 80 < fwd 320 -> click 1
+            (4, 400, 7, "purchase", 0.0),  # back 300 > fwd 100 -> click 2
+            (5, 300, 8, "purchase", 0.0),  # user 8: no clicks -> NULLs
+            (6, 600, 9, "click", 0.0),
+            (7, 550, 9, "purchase", 0.0),  # only forward exists -> click 6
+        ],
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(ev, direction="nearest").collect()
+    }
+    assert out[3]["asof_event_id"] == 1 and out[3]["gap_us"] == 80
+    assert out[4]["asof_event_id"] == 2 and out[4]["gap_us"] == 100
+    assert out[5]["asof_event_id"] is None and out[5]["gap_us"] is None
+    assert out[7]["asof_event_id"] == 6 and out[7]["gap_us"] == 50
+
+
+def test_asof_join_nearest_ties_tolerance_and_shared_sort(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 100, 7, "click", 0.0),
+            (2, 300, 7, "click", 0.0),
+            (3, 200, 7, "purchase", 0.0),  # equidistant -> backward wins
+        ],
+    )
+    (row,) = asof_join(ev, direction="nearest").collect()
+    assert row["asof_event_id"] == 1 and row["gap_us"] == 100
+    # tolerance drops matches beyond the bound (row survives with NULLs)
+    (row,) = asof_join(
+        ev, direction="nearest", tolerance_us=50
+    ).collect()
+    assert row["asof_event_id"] is None and row["gap_us"] is None
+    # an equal-time right is a 0-gap backward match
+    ev2 = _ev(
+        spark, [(1, 200, 7, "click", 0.0), (2, 200, 7, "purchase", 0.0)]
+    )
+    (r2,) = asof_join(ev2, direction="nearest").collect()
+    assert r2["asof_event_id"] == 1 and r2["gap_us"] == 0
+    # both carries share ONE user-keyed sort (merge_intervals shape)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof_join(ev, direction="nearest").explain("formatted")
+    p = buf.getvalue()
+    # Spark plans both frames over the single sort (one Window node
+    # when it can merge the specs, never more than two)
+    assert p.count(") Sort") == 1 and 1 <= p.count(") Window") <= 2
+
+
 def test_range_join_window_counts_inclusive_window(spark):
     t0 = 10 * HOUR_US + 500  # not bucket-aligned
     ev = _ev(
