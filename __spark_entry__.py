@@ -465,7 +465,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-4b additions (this rework of the round): never
         # driver-verified, take the budget first ---
         "daily_value_percentiles": (
-            lambda s, d: temporal.daily_value_percentiles(_events(s, d))
+            lambda s, d: temporal.daily_value_percentiles(
+                _events(s, d), exact=True
+            )
         ),
         "equidepth_histogram": lambda s, d: temporal.equidepth_histogram(
             _events(s, d), exact=True
@@ -512,15 +514,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hot_keys_approx": lambda s, d: skew.hot_keys_approx(
             _events(s, d), "user_id"
         ),
-        "fulfillment_latency": relational.fulfillment_latency,
+        "fulfillment_latency": lambda s, d: relational.fulfillment_latency(
+            s, d, exact=True
+        ),
         "wow_growth": relational.wow_growth,
-        "repeat_rate": relational.repeat_rate,
+        "repeat_rate": lambda s, d: relational.repeat_rate(
+            s, d, exact=True
+        ),
         "user_streaks": lambda s, d: temporal.user_streaks(_events(s, d)),
         "dau_new_vs_returning": lambda s, d: temporal.dau_new_vs_returning(
             _events(s, d)
         ),
         "interarrival_stats": lambda s, d: temporal.interarrival_stats(
-            _events(s, d)
+            _events(s, d), exact=True
         ),
         "session_stats": lambda s, d: sessionize.session_stats(
             _events(s, d)
@@ -579,7 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         ),
         "conversion_latency": lambda s, d: temporal.conversion_latency(
-            _events(s, d)
+            _events(s, d), exact=True
         ),
         # k-means centroids aren't SQL-expressible — rows-only driver
         # check (size/inertia-contract pytest)

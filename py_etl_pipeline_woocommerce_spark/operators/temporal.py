@@ -847,6 +847,7 @@ def conversion_latency(
     events: DataFrame,
     from_type: str = "view",
     to_type: str = "purchase",
+    exact: bool = False,
 ) -> DataFrame:
     """Time-to-conversion report: for every ``from_type`` event, the
     forward as-of gap to the user's next ``to_type`` event, reduced
@@ -856,15 +857,21 @@ def conversion_latency(
 
     Composes the (driver-verified) forward as-of join — one
     user-keyed shuffle, no inequality join — with a single global
-    aggregate; only scalar counters and two interpolated percentiles
-    leave the reduction. Exact percentile caveat as
-    ``value_percentiles``: swap for percentile_approx at 100 TB,
-    schema unchanged.
+    aggregate; only scalar counters and two percentiles leave the
+    reduction. DEFAULTS to mergeable ``percentile_approx`` (the 1-row
+    reduction otherwise buffers every gap in one aggregation state);
+    ``exact=True`` keeps the interpolating percentile for the oracle
+    gate, identical schema.
     """
     j = asof_join(
         events, left_type=from_type, right_type=to_type, direction="forward"
     )
-    pct = F.percentile("gap_us", F.array(F.lit(0.5), F.lit(0.9)))
+    ps = F.array(F.lit(0.5), F.lit(0.9))
+    pct = (
+        F.percentile("gap_us", ps)
+        if exact
+        else F.percentile_approx("gap_us", ps).cast("array<double>")
+    )
     return j.agg(
         F.count(F.lit(1)).alias("n_from_events"),
         F.count("gap_us").alias("n_converted"),
@@ -978,24 +985,30 @@ def event_mix_drift(
     )
 
 
-def daily_value_percentiles(events: DataFrame) -> DataFrame:
+def daily_value_percentiles(
+    events: DataFrame, exact: bool = False
+) -> DataFrame:
     """Per (event_type, UTC day) exact interpolated p50/p95 of event
     value — the latency-dashboard shape ("p95 by day") one grain
     finer than ``value_percentiles``.
 
-    ORACLE-PARITY PATH: exact ``F.percentile`` per group, matching
-    DuckDB's ``quantile_cont`` bit-for-bit after 6-dp rounding. The
-    group space here is |types| × |days| — far larger than
-    ``value_percentiles``'s |types| — so per-group buffers stay small
-    (one day of one type) and the exact path survives much deeper
-    into scale than the global variant. For groups that can still go
-    ultra-hot, ``value_percentiles_approx``'s GK construction applies
-    per (type, day) unchanged (same output schema).
+    DEFAULTS to per-(type, day) ``percentile_approx`` (mergeable GK —
+    even an ultra-hot type-day keeps fixed aggregation state).
+    ``exact=True`` uses interpolating ``F.percentile`` per group,
+    matching DuckDB's ``quantile_cont`` bit-for-bit after 6-dp
+    rounding — the oracle gate; its per-group buffers hold one day of
+    one type, so it survives much deeper into scale than a global
+    exact percentile. Same output schema either way.
 
     One scan → one partial-aggregated shuffle on (type, day).
     """
     e = _ts_us(events)
-    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.95)))
+    ps = F.array(F.lit(0.5), F.lit(0.95))
+    pct = (
+        F.percentile("value", ps)
+        if exact
+        else F.percentile_approx("value", ps).cast("array<double>")
+    )
     agg = e.groupBy(
         "event_type", F.expr(f"t_us div {DAY_US}").alias("day_idx")
     ).agg(pct.alias("_p"), F.count(F.lit(1)).alias("n_events"))
@@ -1579,7 +1592,9 @@ def dau_new_vs_returning(events: DataFrame) -> DataFrame:
     )
 
 
-def interarrival_stats(events: DataFrame) -> DataFrame:
+def interarrival_stats(
+    events: DataFrame, exact: bool = False
+) -> DataFrame:
     """Per-type inter-arrival-time distribution (p50/p90/p99 and mean
     µs between consecutive events) — the rate-stability report behind
     ``time_gaps``' binary outage flags: a drifting p99 warns BEFORE
@@ -1587,11 +1602,17 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
 
     One lag window per type over the (t_us, event_id) total order
     (equal-µs ties contribute 0-µs deltas — the honest reading of
-    simultaneous arrivals); integer deltas, three interpolated
-    percentiles + one mean division rounded at the boundary. Exact
-    percentile caveat as ``value_percentiles``: swap in
-    ``percentile_approx`` at 100 TB, schema unchanged.
+    simultaneous arrivals); integer deltas, three percentiles + one
+    mean division rounded at the boundary. DEFAULTS to mergeable
+    ``percentile_approx`` per type (fixed group state for a hot
+    type); ``exact=True`` keeps the interpolating percentile for the
+    oracle gate, identical schema.
     """
+    pctl = (
+        (lambda c, p: F.percentile(c, p))
+        if exact
+        else (lambda c, p: F.percentile_approx(c, p).cast("double"))
+    )
     e = _ts_us(events)
     w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
     deltas = e.select(
@@ -1600,9 +1621,9 @@ def interarrival_stats(events: DataFrame) -> DataFrame:
     ).filter(F.col("delta_us").isNotNull())
     agg = deltas.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.round(F.percentile("delta_us", F.lit(0.5)), 6).alias("p50_us"),
-        F.round(F.percentile("delta_us", F.lit(0.9)), 6).alias("p90_us"),
-        F.round(F.percentile("delta_us", F.lit(0.99)), 6).alias("p99_us"),
+        F.round(pctl(F.col("delta_us"), F.lit(0.5)), 6).alias("p50_us"),
+        F.round(pctl(F.col("delta_us"), F.lit(0.9)), 6).alias("p90_us"),
+        F.round(pctl(F.col("delta_us"), F.lit(0.99)), 6).alias("p99_us"),
         F.sum("delta_us").alias("_sum"),
     )
     # mean as INTEGER division: at µs scale the fractional part is

@@ -1185,7 +1185,9 @@ def basket_pairs(
     return top.withColumn("pair_rank", F.row_number().over(w).cast("int"))
 
 
-def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fulfillment_latency(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
     """Order-fulfillment latency report: per order priority, the
     distribution of line-level ship lag (l_shipdate − o_orderdate in
     whole days) — the operations dashboard's "are URGENT orders
@@ -1196,10 +1198,17 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag is an integer day difference computed from epoch-µs division
     (engine-exact, UTC, no calendar functions), so only the two
     interpolated percentiles and the mean division are floats,
-    rounded at the boundary. Exact-percentile caveat as
-    ``value_percentiles``: at 100 TB swap ``percentile`` for the
-    mergeable ``percentile_approx`` — identical schema.
+    rounded at the boundary. DEFAULTS to mergeable
+    ``percentile_approx`` (a priority group holds a fifth of all
+    lineitems — exact percentile would buffer it in one aggregation
+    state); ``exact=True`` keeps the interpolating percentile for the
+    oracle gate, identical schema (approx result cast to double).
     """
+    pctl = (
+        (lambda c, p: F.percentile(c, p))
+        if exact
+        else (lambda c, p: F.percentile_approx(c, p).cast("double"))
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").alias("ship_day"),
@@ -1217,8 +1226,8 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.min("lag_days").alias("min_days"),
         F.max("lag_days").alias("max_days"),
-        F.round(F.percentile("lag_days", F.lit(0.5)), 6).alias("p50_days"),
-        F.round(F.percentile("lag_days", F.lit(0.9)), 6).alias("p90_days"),
+        F.round(pctl(F.col("lag_days"), F.lit(0.5)), 6).alias("p50_days"),
+        F.round(pctl(F.col("lag_days"), F.lit(0.9)), 6).alias("p90_days"),
         F.round(F.avg("lag_days"), 6).alias("mean_days"),
     )
 
@@ -1261,7 +1270,9 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def repeat_rate(
+    spark: SparkSession, sf_dir: str, exact: bool = False
+) -> DataFrame:
     """Repeat-purchase report: what share of customers ever order a
     second time, and how long the first→second gap takes (p50/p90
     days) — the retention KPI an e-commerce dashboard pairs with
@@ -1270,7 +1281,11 @@ def repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One customer-keyed window (total order: date then key) marks each
     customer's first and second orders; a customer-grain aggregate
-    and a 1-row reduction follow. Integer epoch-day gaps; the rate
+    and a 1-row reduction follow. DEFAULTS to mergeable
+    ``percentile_approx`` for the two gap percentiles (the 1-row
+    reduction otherwise buffers every customer's gap in one
+    aggregation state); ``exact=True`` keeps the interpolating
+    percentile for the oracle gate. Integer epoch-day gaps; the rate
     and the two interpolated percentiles are the only floats, rounded
     at the boundary (percentiles skip non-repeat customers' NULL gaps
     identically in both engines).
@@ -1300,6 +1315,20 @@ def repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("repeat_rate"),
-        F.round(F.percentile(gap, F.lit(0.5)), 6).alias("p50_gap_days"),
-        F.round(F.percentile(gap, F.lit(0.9)), 6).alias("p90_gap_days"),
+        F.round(
+            (
+                F.percentile(gap, F.lit(0.5))
+                if exact
+                else F.percentile_approx(gap, F.lit(0.5)).cast("double")
+            ),
+            6,
+        ).alias("p50_gap_days"),
+        F.round(
+            (
+                F.percentile(gap, F.lit(0.9))
+                if exact
+                else F.percentile_approx(gap, F.lit(0.9)).cast("double")
+            ),
+            6,
+        ).alias("p90_gap_days"),
     )

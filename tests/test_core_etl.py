@@ -259,7 +259,11 @@ def test_repeat_rate_hand_computed(spark, tmp_path):
         ),
         str(d / "orders.parquet"),
     )
-    r = repeat_rate(spark, str(d)).collect()[0]
+    r = repeat_rate(spark, str(d), exact=True).collect()[0]
     assert (r.n_customers, r.n_repeat) == (3, 2)
     assert r.repeat_rate == round(2 / 3, 6)
     assert r.p50_gap_days == 6.0  # median of {10, 2}
+    # sketch default: same schema/counters, GK picks an actual gap
+    sk = repeat_rate(spark, str(d)).collect()[0]
+    assert (sk.n_customers, sk.n_repeat) == (3, 2)
+    assert sk.p50_gap_days in (2.0, 10.0)

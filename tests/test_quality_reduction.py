@@ -732,10 +732,14 @@ def test_conversion_latency_hand_computed(spark):
         (5, 100_000, 3, "purchase", 1.0, "{}"),
     ]
     ev = spark.createDataFrame(rows, EV_SCHEMA)
-    (r,) = conversion_latency(ev).collect()
+    (r,) = conversion_latency(ev, exact=True).collect()
     assert r.n_from_events == 3 and r.n_converted == 2
     assert r.conversion_rate == pytest.approx(round(2 / 3, 6))
     assert r.p50_gap_us == pytest.approx(150.0)  # interp of {100, 200}
+    # sketch default: same schema/counters, GK picks an actual gap
+    (sk,) = conversion_latency(ev).collect()
+    assert sk.n_from_events == 3 and sk.n_converted == 2
+    assert sk.p50_gap_us in (100.0, 200.0)
 
 
 # ------------------------------------------------------------------

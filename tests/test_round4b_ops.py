@@ -34,12 +34,21 @@ def test_daily_value_percentiles_interpolates_per_day(spark):
         ],
     )
     out = {
-        r["day_us"] // DAY_US: r for r in daily_value_percentiles(ev).collect()
+        r["day_us"] // DAY_US: r
+        for r in daily_value_percentiles(ev, exact=True).collect()
     }
     assert out[0]["p50"] == 5.0  # midpoint of {0, 10}
     assert out[0]["p95"] == 9.5  # 0 + 0.95 * 10
     assert out[0]["n_events"] == 2
     assert out[1]["p50"] == 5.0 and out[1]["p95"] == 5.0
+    # sketch default: same schema, GK picks actual data values
+    sk = {
+        r["day_us"] // DAY_US: r
+        for r in daily_value_percentiles(ev).collect()
+    }
+    assert set(sk) == set(out)
+    assert sk[0]["p50"] in (0.0, 10.0) and sk[0]["p95"] in (0.0, 10.0)
+    assert sk[1]["p50"] == 5.0 and sk[1]["p95"] == 5.0
 
 
 def test_equidepth_histogram_equal_counts_and_tight_ranges(spark):
