@@ -1187,11 +1187,13 @@ def _dashboard_digest_oracle(frames: dict[str, str]) -> str:
     }
     parts = []
     for name, col in digest_col.items():
-        inner = (
-            frames[src_key.get(name, name)]
-            .strip()
-            .replace(_BOUNDS, _DEF_BOUNDS)
-        )
+        inner = frames[src_key.get(name, name)].strip()
+        if name in src_key:
+            # the swap is literal-string-based: fail loudly if the
+            # *_bounded oracle was rephrased, never verify the wrong
+            # window silently
+            assert _BOUNDS in inner, f"{src_key[name]} lost _BOUNDS"
+            inner = inner.replace(_BOUNDS, _DEF_BOUNDS)
         if col is None:
             digest = "CAST(0 AS DOUBLE)"
         else:

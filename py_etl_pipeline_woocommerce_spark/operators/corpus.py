@@ -801,18 +801,25 @@ def token_budget_sample(
 
     q = quality_score(documents).select("doc_id", "n_tokens", "quality")
     d = documents.select("doc_id", "lang").join(q, "doc_id")
-    # pass 0: per-language descending quality cut points (any values
-    # work; quantiles just keep buckets balanced)
-    fracs = ", ".join(
-        str(1.0 - (i + 1) / n_buckets) for i in range(n_buckets - 1)
-    )
-    cuts = d.groupBy("lang").agg(
-        F.expr(f"approx_percentile(quality, array({fracs}))").alias("_cuts")
-    )
-    b = d.join(F.broadcast(cuts), "lang").withColumn(
-        "_b",
-        F.size(F.filter("_cuts", lambda c: c > F.col("quality"))),
-    )
+    if n_buckets < 2:
+        # degenerate opt-out: one bucket == the naive per-language
+        # window (callers accepting the single-task cost)
+        b = d.withColumn("_b", F.lit(0))
+    else:
+        # pass 0: per-language descending quality cut points (any
+        # values work; quantiles just keep buckets balanced)
+        fracs = ", ".join(
+            str(1.0 - (i + 1) / n_buckets) for i in range(n_buckets - 1)
+        )
+        cuts = d.groupBy("lang").agg(
+            F.expr(
+                f"approx_percentile(quality, array({fracs}))"
+            ).alias("_cuts")
+        )
+        b = d.join(F.broadcast(cuts), "lang").withColumn(
+            "_b",
+            F.size(F.filter("_cuts", lambda c: c > F.col("quality"))),
+        )
     wb = (
         Window.partitionBy("lang", "_b")
         .orderBy(F.col("quality").desc(), "doc_id")

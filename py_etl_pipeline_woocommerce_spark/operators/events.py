@@ -267,6 +267,10 @@ def user_overlap(events: DataFrame, exact: bool = False) -> DataFrame:
     per-type audience sizes broadcast into the |types|²-row result.
     Same output schema either way.
     """
+    jaccard = F.round(
+        F.col("n_both") / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+        6,
+    )
     if exact:
         ut = events.select("user_id", "event_type").distinct()
         sizes = ut.groupBy("event_type").agg(
@@ -280,32 +284,12 @@ def user_overlap(events: DataFrame, exact: bool = False) -> DataFrame:
             .groupBy("type_a", "type_b")
             .agg(F.count(F.lit(1)).alias("n_both"))
         )
-    else:
-        e = events.select("user_id", "event_type")
-        types = e.select("event_type").distinct()
-        pairs = (
-            types.select(F.col("event_type").alias("type_a"))
-            .join(types.select(F.col("event_type").alias("type_b")))
-            .filter(F.col("type_a") < F.col("type_b"))
-        )
-        sizes = e.groupBy("event_type").agg(
-            F.approx_count_distinct("user_id").alias("n")
-        )
-        unions = (
-            e.join(
-                F.broadcast(pairs),
-                (F.col("event_type") == F.col("type_a"))
-                | (F.col("event_type") == F.col("type_b")),
-            )
-            .groupBy("type_a", "type_b")
-            .agg(F.approx_count_distinct("user_id").alias("_n_union"))
-        )
-        both = (
-            unions.join(
+        return (
+            both.join(
                 F.broadcast(
                     sizes.select(
                         F.col("event_type").alias("type_a"),
-                        F.col("n").alias("_sa"),
+                        F.col("n").alias("n_a"),
                     )
                 ),
                 "type_a",
@@ -314,41 +298,75 @@ def user_overlap(events: DataFrame, exact: bool = False) -> DataFrame:
                 F.broadcast(
                     sizes.select(
                         F.col("event_type").alias("type_b"),
-                        F.col("n").alias("_sb"),
+                        F.col("n").alias("n_b"),
                     )
                 ),
                 "type_b",
             )
             .select(
-                "type_a",
-                "type_b",
-                F.greatest(
-                    F.col("_sa") + F.col("_sb") - F.col("_n_union"),
-                    F.lit(0),
-                ).alias("n_both"),
+                "type_a", "type_b", "n_a", "n_b", "n_both",
+                jaccard.alias("jaccard"),
             )
-            .filter(F.col("n_both") > 0)
         )
-    na = sizes.select(
-        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    e = events.select("user_id", "event_type")
+    types = e.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
     )
-    nb = sizes.select(
-        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    sizes = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n")
     )
+    unions = (
+        e.join(
+            F.broadcast(pairs),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.approx_count_distinct("user_id").alias("_n_union"))
+    )
+    # inclusion-exclusion over three independent HLL estimates: clamp
+    # into [0, min(n_a, n_b)] so sketch noise can never report an
+    # overlap exceeding either audience (jaccard stays in [0, 1])
     return (
-        both.join(F.broadcast(na), "type_a")
-        .join(F.broadcast(nb), "type_b")
+        unions.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_a"),
+                    F.col("n").alias("n_a"),
+                )
+            ),
+            "type_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("event_type").alias("type_b"),
+                    F.col("n").alias("n_b"),
+                )
+            ),
+            "type_b",
+        )
         .select(
             "type_a",
             "type_b",
             "n_a",
             "n_b",
-            "n_both",
-            F.round(
-                F.col("n_both")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
-                6,
-            ).alias("jaccard"),
+            F.least(
+                F.greatest(
+                    F.col("n_a") + F.col("n_b") - F.col("_n_union"),
+                    F.lit(0),
+                ),
+                F.col("n_a"),
+                F.col("n_b"),
+            ).alias("n_both"),
+        )
+        .filter(F.col("n_both") > 0)
+        .select(
+            "type_a", "type_b", "n_a", "n_b", "n_both",
+            jaccard.alias("jaccard"),
         )
     )
 

@@ -1050,6 +1050,8 @@ def equidepth_histogram(
         binned = e.select(
             "event_type", "value", F.ntile(bins).over(w).alias("bin")
         )
+    elif bins < 2:  # degenerate: no edges to cut, one bucket
+        binned = e.select("event_type", "value", F.lit(1).alias("bin"))
     else:
         fr = ", ".join(str(i / bins) for i in range(1, bins))
         edges = e.groupBy("event_type").agg(

@@ -598,12 +598,18 @@ def cdc_apply_store(
     payload = [c for c in changes.columns if c not in (seq_col, op_col)]
     incoming = changes.select(*payload, seq_col, op_col)
     if os.path.exists(store_path):
-        existing = spark.read.parquet(store_path).select(
+        stored = spark.read.parquet(store_path)
+        # stores written before the tombstone change carry no
+        # _deleted column — their rows are all live by construction
+        deleted = (
+            F.col("_deleted")
+            if "_deleted" in stored.columns
+            else F.lit(False)
+        )
+        existing = stored.select(
             *payload,
             F.col("_seq").alias(seq_col),
-            F.when(F.col("_deleted"), F.lit("D"))
-            .otherwise(F.lit("U"))
-            .alias(op_col),
+            F.when(deleted, F.lit("D")).otherwise(F.lit("U")).alias(op_col),
         )
         incoming = incoming.unionByName(existing)
     w = Window.partitionBy(key).orderBy(
@@ -625,12 +631,12 @@ def cdc_apply_store(
 def read_cdc_store(spark, store_path: str) -> DataFrame:
     """Live view of a ``cdc_apply_store`` table: tombstoned keys
     filtered out, bookkeeping flag dropped (``_seq`` retained — it is
-    part of the documented store contract)."""
-    return (
-        spark.read.parquet(store_path)
-        .filter(~F.col("_deleted"))
-        .drop("_deleted")
-    )
+    part of the documented store contract). Pre-tombstone stores
+    (no ``_deleted`` column — all rows live) read unchanged."""
+    df = spark.read.parquet(store_path)
+    if "_deleted" not in df.columns:
+        return df
+    return df.filter(~F.col("_deleted")).drop("_deleted")
 
 
 def merge_first_seen_store(spark, store_path: str, batch_events: DataFrame) -> None:

@@ -51,10 +51,13 @@ def dashboard_payload(
         if d2 is None:
             d2 = row["max_d"]
         if d1 is None:
+            # anchor the 30-day default to the EFFECTIVE d2 (caller-
+            # provided or data max), never past it — else an explicit
+            # early d2 would produce an inverted, empty window
             back30 = (
-                date.fromisoformat(row["max_d"]) - timedelta(days=30)
+                date.fromisoformat(d2) - timedelta(days=30)
             ).isoformat()
-            d1 = max(row["min_d"], back30)
+            d1 = min(max(row["min_d"], back30), d2)
     return {
         "date_bounds": date_bounds(spark, sf_dir),
         "kpis": kpis(spark, sf_dir, d1, d2),

@@ -1305,6 +1305,11 @@ def repeat_rate(
         F.min(F.when(F.col("rn") == 2, F.col("day"))).alias("second_day"),
     )
     gap = F.col("second_day") - F.col("first_day")
+    pctl = (
+        (lambda c, p: F.percentile(c, p))
+        if exact
+        else (lambda c, p: F.percentile_approx(c, p).cast("double"))
+    )
     return per_cust.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("second_day").isNotNull().cast("bigint")).alias(
@@ -1315,20 +1320,6 @@ def repeat_rate(
             / F.count(F.lit(1)),
             6,
         ).alias("repeat_rate"),
-        F.round(
-            (
-                F.percentile(gap, F.lit(0.5))
-                if exact
-                else F.percentile_approx(gap, F.lit(0.5)).cast("double")
-            ),
-            6,
-        ).alias("p50_gap_days"),
-        F.round(
-            (
-                F.percentile(gap, F.lit(0.9))
-                if exact
-                else F.percentile_approx(gap, F.lit(0.9)).cast("double")
-            ),
-            6,
-        ).alias("p90_gap_days"),
+        F.round(pctl(gap, F.lit(0.5)), 6).alias("p50_gap_days"),
+        F.round(pctl(gap, F.lit(0.9)), 6).alias("p90_gap_days"),
     )

@@ -365,7 +365,7 @@ def test_token_budget_two_pass_matches_naive_window(spark, sf_dir):
         )
         .collect()
     }
-    for n_buckets in (2, 7, 64, 10_000):
+    for n_buckets in (1, 2, 7, 64, 10_000):
         got = {
             r["doc_id"]: (r["cum_tokens"], r["is_selected"])
             for r in token_budget_sample(

@@ -47,13 +47,29 @@ def test_date_bounds_empty_table_fallback(spark, sf_dir, tmp_path):
     load_table(spark, sf_dir, "orders").limit(0).write.parquet(
         str(tmp_path / "orders.parquet")
     )
-    row = date_bounds(spark, str(tmp_path)).first()
-    # current_date in the pinned-UTC session
-    today = date.fromisoformat(
+    # capture the session's current_date BEFORE and AFTER so a UTC
+    # midnight crossing between queries can't flake the assertion
+    get_today = lambda: date.fromisoformat(  # noqa: E731
         spark.sql("SELECT CAST(current_date() AS STRING) AS d").first()["d"]
     )
-    assert row["max_d"] == today.isoformat()
-    assert row["min_d"] == (today - timedelta(days=30)).isoformat()
+    before = get_today()
+    row = date_bounds(spark, str(tmp_path)).first()
+    after = get_today()
+    assert row["max_d"] in {before.isoformat(), after.isoformat()}
+    assert (
+        date.fromisoformat(row["max_d"])
+        - date.fromisoformat(row["min_d"])
+    ) == timedelta(days=30)
+
+
+def test_dashboard_partial_override_anchors_to_effective_d2(spark, sf_dir):
+    # d2 given, d1 defaulted: the 30-day default must anchor to the
+    # EFFECTIVE d2, not the data's max date (which would invert the
+    # window and empty every frame)
+    frames = dashboard_payload(spark, sf_dir, None, "1995-12-31")
+    days = [r["d"] for r in frames["revenue_timeseries"].collect()]
+    assert days, "window must not be empty"
+    assert max(days) <= "1995-12-31" and min(days) >= "1995-12-01"
 
 
 def test_dashboard_default_window_is_last_30_days(spark, sf_dir):

@@ -76,6 +76,9 @@ def test_equidepth_histogram_equal_counts_and_tight_ranges(spark):
     assert sum(r["n_events"] for r in sk) == 10
     for prev, cur in zip(sk, sk[1:]):
         assert cur["lo"] >= prev["hi"]
+    # degenerate bins=1: one bucket holding everything (no edge cut)
+    (one,) = equidepth_histogram(ev, bins=1).collect()
+    assert one["bin"] == 1 and one["n_events"] == 10
 
 
 def test_seasonal_anomaly_flags_vs_weekday_baseline(spark):

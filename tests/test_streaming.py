@@ -730,6 +730,25 @@ def test_cdc_store_split_invariant_and_stream_parity(spark, tmp_path):
     }
     assert got == expect
 
+    # migration: a store written BEFORE the tombstone change (no
+    # _deleted column) reads as all-live and folds without error
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame(
+        [(5, "old", 50.0, 1)],
+        "order_id long, status string, total double, _seq int",
+    ).write.parquet(legacy)
+    assert {
+        r.order_id for r in read_cdc_store(spark, legacy).collect()
+    } == {5}
+    cdc_apply_store(
+        spark,
+        legacy,
+        spark.createDataFrame([(5, "new", 55.0, 2, "U")], sch),
+        "order_id",
+    )
+    (row,) = read_cdc_store(spark, legacy).collect()
+    assert (row.status, row._seq) == ("new", 2)
+
 
 def test_first_seen_store_split_invariant_and_stream_parity(spark, tmp_path):
     """MIN is associative: the stream-maintained first-seen table
