@@ -117,6 +117,77 @@ def test_asof_join_nearest_ties_tolerance_and_shared_sort(spark):
     assert p.count(") Sort") == 1 and 1 <= p.count(") Window") <= 2
 
 
+def test_asof_join_all_directions_match_brute_force(spark):
+    """Seeded random fuzz: 400 events on a coarse time grid (many
+    exact-time ties, one-sided users, empty sides) — all three
+    directions and the tolerance cut must match an independent
+    brute-force reference, including tie-break identities."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for eid in range(1, 401):
+        rows.append(
+            (
+                eid,
+                rng.randint(0, 50) * 100,
+                rng.randint(1, 12),
+                rng.choice(["click", "purchase"]),
+                0.0,
+            )
+        )
+    ev = _ev(spark, rows)
+    clicks = {}
+    for eid, t, u, ty, _v in rows:
+        if ty == "click":
+            clicks.setdefault(u, []).append((t, eid))
+
+    def brute(direction, tolerance=None):
+        out = {}
+        for eid, t, u, ty, _v in rows:
+            if ty != "purchase":
+                continue
+            cands = clicks.get(u, [])
+            # backward: min gap, ties -> max id; forward: min gap,
+            # ties -> min id (mirrors the union-tag sort order)
+            back = min(
+                ((t - ct, -cid) for ct, cid in cands if ct <= t),
+                default=None,
+            )
+            fwd = min(
+                ((ct - t, cid) for ct, cid in cands if ct >= t),
+                default=None,
+            )
+            if direction == "backward":
+                pick = (back[0], -back[1]) if back else None
+            elif direction == "forward":
+                pick = fwd
+            else:  # nearest: backward wins ties
+                if back and (not fwd or back[0] <= fwd[0]):
+                    pick = (back[0], -back[1])
+                else:
+                    pick = fwd
+            if pick and (tolerance is None or pick[0] <= tolerance):
+                out[eid] = (pick[1], pick[0])
+            else:
+                out[eid] = (None, None)
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        got = {
+            r["event_id"]: (r["asof_event_id"], r["gap_us"])
+            for r in asof_join(ev, direction=direction).collect()
+        }
+        assert got == brute(direction), direction
+    got_tol = {
+        r["event_id"]: (r["asof_event_id"], r["gap_us"])
+        for r in asof_join(
+            ev, direction="nearest", tolerance_us=300
+        ).collect()
+    }
+    assert got_tol == brute("nearest", tolerance=300)
+
+
 def test_range_join_window_counts_inclusive_window(spark):
     t0 = 10 * HOUR_US + 500  # not bucket-aligned
     ev = _ev(
