@@ -43,9 +43,14 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
     Components are sign-canonicalized (largest-|coefficient| entry
     positive) so refits are reproducible run-to-run.
     """
-    dim = embeddings.select(
-        F.size("embedding").alias("d")
-    ).first()["d"]
+    first = embeddings.select(F.size("embedding").alias("d")).first()
+    if first is None:
+        raise ValueError(
+            "pca_fit: cannot fit on an empty embeddings frame (no "
+            "dimensionality to infer) — fit on history, then project "
+            "batches with pca_project(model=...)"
+        )
+    dim = first["d"]
     e = _as_double()
     # one pass: positions [0, d) carry Σx_i, positions [d, d+d²) carry
     # Σ x_i·x_j (flattened outer product); count rides along.

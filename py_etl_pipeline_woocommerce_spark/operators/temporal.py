@@ -880,7 +880,7 @@ def conversion_latency(
         "n_from_events",
         "n_converted",
         F.round(
-            F.col("n_converted") / F.col("n_from_events"), 6
+            F.try_divide(F.col("n_converted"), F.col("n_from_events")), 6
         ).alias("conversion_rate"),
         F.round(F.col("_p")[0], 6).alias("p50_gap_us"),
         F.round(F.col("_p")[1], 6).alias("p90_gap_us"),
