@@ -61,3 +61,33 @@ def test_sample_queries_match_oracle(spark, sf_dir, name):
     sdf = entrymod.queries()[name](spark, sf_dir).toPandas()
     ddf = con.execute(entrymod.oracle_sql()[name]).df()
     assert compare(name, sdf, ddf) == "OK"
+
+
+def test_session_timezone_never_changes_results(spark, sf_dir):
+    """The engine pins UTC internally (catalog.load_table), so a host
+    session configured for any other zone must see IDENTICAL results
+    from every timestamp-sensitive surface — the 'notebook in New
+    York, cluster in UTC' invariant."""
+    qs = entrymod.queries()
+    names = (
+        "date_bounds",
+        "revenue_timeseries",
+        "ohlc_bars",
+        "seasonal_profile",
+        "incremental_watermark",
+    )
+
+    def run():
+        return {
+            n: sorted(map(str, qs[n](spark, sf_dir).collect()))
+            for n in names
+        }
+
+    base = run()
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = run()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
+    assert shifted == base
