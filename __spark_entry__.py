@@ -3107,10 +3107,15 @@ agg AS (SELECT source_a, source_b, COUNT(*) AS n_shared_terms,
                SUM(pa / 2 * log2(2 * pa / (pa + pb))
                    + pb / 2 * log2(2 * pb / (pa + pb))) AS sb,
                SUM(pa) AS ma, SUM(pb) AS mb
-        FROM pairs GROUP BY 1, 2)
-SELECT source_a, source_b, n_shared_terms,
-       round(sb + (1 - ma) / 2 + (1 - mb) / 2, 6) AS jsd
-FROM agg
+        FROM pairs GROUP BY 1, 2),
+srcs AS (SELECT DISTINCT source FROM p),
+grid AS (SELECT a.source AS source_a, b.source AS source_b
+         FROM srcs a JOIN srcs b ON a.source < b.source)
+SELECT source_a, source_b,
+       COALESCE(n_shared_terms, 0) AS n_shared_terms,
+       round(COALESCE(sb, 0) + (1 - COALESCE(ma, 0)) / 2
+             + (1 - COALESCE(mb, 0)) / 2, 6) AS jsd
+FROM grid LEFT JOIN agg USING (source_a, source_b)
 """
     out["lang_confusion"] = f"""
 WITH li AS ({{LANG_ID}}),

@@ -700,15 +700,25 @@ def source_divergence(documents: DataFrame, top_v: int = 2000) -> DataFrame:
         F.sum("pa").alias("_mass_a"),
         F.sum("pb").alias("_mass_b"),
     )
-    jsd = (
-        F.col("_shared_bits")
-        + (1 - F.col("_mass_a")) / 2
-        + (1 - F.col("_mass_b")) / 2
+    # full pair grid off the tiny distinct-source frame: a pair whose
+    # top vocabularies share ZERO terms is the maximally-divergent
+    # cell (JSD = 1) the matrix most needs to show, not a missing row
+    srcs = probs.select("source").distinct()
+    grid = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
     )
-    return agg.select(
+    full = grid.join(agg, ["source_a", "source_b"], "left")
+    jsd = (
+        F.coalesce("_shared_bits", F.lit(0.0))
+        + (1 - F.coalesce("_mass_a", F.lit(0.0))) / 2
+        + (1 - F.coalesce("_mass_b", F.lit(0.0))) / 2
+    )
+    return full.select(
         "source_a",
         "source_b",
-        "n_shared_terms",
+        F.coalesce("n_shared_terms", F.lit(0)).alias("n_shared_terms"),
         F.round(jsd, 6).alias("jsd"),
     )
 
@@ -1068,6 +1078,18 @@ def dsir_score_with_model(docs: DataFrame, model: DataFrame) -> DataFrame:
     the token order, deterministic for a given document.
     """
     rows = model.orderBy("bucket").collect()  # bounded: n_buckets rows
+    # the hash modulus is DERIVED from the model's row count, so a
+    # model frame that isn't exactly one row per bucket 0..n-1 (a
+    # filtered read, the pre-spine b_stats shape) would silently
+    # re-bucket every token differently than at training time
+    seen = [r["bucket"] for r in rows]
+    if seen != list(range(len(rows))):
+        raise ValueError(
+            "dsir model must hold exactly one row per contiguous "
+            f"bucket 0..n-1; got {len(rows)} rows with ids "
+            f"{seen[:3]}...{seen[-3:] if rows else []} — pass "
+            "dsir_model(...)'s frame unfiltered"
+        )
     lut = F.map_from_arrays(
         F.lit([r["bucket"] for r in rows]),
         F.lit([r["log_ratio"] for r in rows]),
@@ -1670,7 +1692,19 @@ def doc_similarity_topk(
     rank cut (ties → doc_id), so the top-k is engine-exact.
     """
     e = hash_embed(documents, dim=dim).select("doc_id", "dim_idx", "weight")
-    q = e.filter(F.col("doc_id") < n_queries).select(
+    return _sparse_cosine_topk(e, F.col("doc_id") < n_queries, k)
+
+
+def _sparse_cosine_topk(e: DataFrame, query_pred, k: int) -> DataFrame:
+    """ONE sparse-cosine scoring stage shared by
+    ``doc_similarity_topk`` and ``hybrid_search``'s semantic side
+    (rounding grain, tie-break, and fan-out shape must stay identical
+    or the fused ranking drifts from the standalone operator):
+    queries = hash-embed rows satisfying ``query_pred``
+    (broadcast-sized by construction), one dim_idx equi-join +
+    (query, doc) aggregate + per-query rank, cosine rounded to 6 dp
+    before the cut (ties → doc_id)."""
+    q = e.filter(query_pred).select(
         F.col("doc_id").alias("query_id"),
         "dim_idx",
         F.col("weight").alias("q_w"),
@@ -1818,29 +1852,18 @@ def hybrid_search(
     embeddings — the fusion join is unchanged (rank columns are the
     whole interface).
     """
-    lex = bm25_search(documents, topk=stage_k).select(
-        "query_id", "doc_id", "bm25_rank"
-    )
+    # BOTH stages must answer the same question set: thread `every`
+    # into the lexical stage's query sampling (defaulting bm25_search
+    # would silently pin its own every=97 and fuse disjoint queries)
+    lex = bm25_search(
+        documents,
+        queries=sample_queries(documents, every=every),
+        topk=stage_k,
+    ).select("query_id", "doc_id", "bm25_rank")
     e = hash_embed(documents, dim=dim).select("doc_id", "dim_idx", "weight")
-    q = e.filter(F.col("doc_id") % every == 0).select(
-        F.col("doc_id").alias("query_id"),
-        "dim_idx",
-        F.col("weight").alias("q_w"),
-    )
-    sem_scored = (
-        e.join(F.broadcast(q), "dim_idx")
-        .filter(F.col("doc_id") != F.col("query_id"))
-        .groupBy("query_id", "doc_id")
-        .agg(F.round(F.sum(F.col("q_w") * F.col("weight")), 6).alias("cos"))
-    )
-    w_sem = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("doc_id")
-    )
-    sem = (
-        sem_scored.withColumn("sim_rank", F.row_number().over(w_sem))
-        .filter(F.col("sim_rank") <= stage_k)
-        .select("query_id", "doc_id", "sim_rank")
-    )
+    sem = _sparse_cosine_topk(
+        e, F.col("doc_id") % every == 0, stage_k
+    ).select("query_id", "doc_id", "sim_rank")
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",

@@ -264,28 +264,11 @@ def minhash_lsh_pairs(
     materializing (repeat callers would otherwise pin two frames per
     invocation).
     """
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    sh = (
-        _shingle_sets(documents, nonempty=True)
-        .select("doc_id", "shingles")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    sig = _signature_from_shingles(sh)
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
-                lambda b: F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                        lambda v: v.cast("string"),
-                    ),
-                ),
-            )
-        ).alias("band", "band_hash"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ONE band-key construction for every LSH consumer (_band_frame
+    # also feeds the incremental and stored-index paths — a format
+    # drift here would silently break index compatibility)
+    sh, bands = _band_frame(documents, "doc_id")
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     if persisted_frames is not None:
         persisted_frames += [sh, bands]
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
@@ -338,25 +321,52 @@ def _simhash_bits(documents: DataFrame, bits: int = 32) -> DataFrame:
     return sums.select("doc_id", sim.alias("simbits"))
 
 
-def simhash_pairs(documents: DataFrame, max_hamming: int = 3, bits: int = 32) -> DataFrame:
+def simhash_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    persisted_frames: list | None = None,
+) -> DataFrame:
     """SimHash near-dup pairs: hamming(simhash) ≤ max_hamming.
 
-    Candidates via band-8 exact-match blocking (any pair within
-    hamming 3 of a 32-bit fingerprint shares at least one of 4 8-bit
-    bands — pigeonhole), then exact hamming verification. Same
+    Candidates via exact-match band blocking with ``max_hamming + 1``
+    bands — pigeonhole: a pair differing in ≤ max_hamming bits cannot
+    differ in every one of max_hamming+1 bands, so it shares at least
+    one band key (complete for ANY max_hamming, not just the
+    default; band widths are the near-equal integer split of
+    ``bits``). Exact hamming verification follows. Same
     join-don't-cross-join shape as MinHash LSH.
+
+    Pass ``persisted_frames=[]`` to receive the internally persisted
+    fingerprint frame and unpersist it after materializing the
+    result (repeat callers would otherwise pin one frame per
+    invocation).
     """
-    n_bands = 4
-    band_bits = bits // n_bands
+    n_bands = max_hamming + 1
+    if n_bands > bits:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs {n_bands} bands but the "
+            f"fingerprint has only {bits} bits"
+        )
+    bounds = [i * bits // n_bands for i in range(n_bands + 1)]
     sim = _simhash_bits(documents, bits).persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_frames is not None:
+        persisted_frames.append(sim)
     bands = sim.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.concat_ws(
-                    "", F.slice(F.col("simbits"), b * band_bits + 1, band_bits)
-                ),
+            F.array(
+                *[
+                    F.concat_ws(
+                        "",
+                        F.slice(
+                            F.col("simbits"),
+                            bounds[i] + 1,
+                            bounds[i + 1] - bounds[i],
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
             )
         ).alias("band", "band_key"),
     )
@@ -516,6 +526,7 @@ def dedup_clusters_star(
         return row["n"], row["h"]
 
     sig = signature(E)
+    converged = False
     for _ in range(max_iter):
         adj = E.select(F.col("hi").alias("src"), F.col("lo").alias("dst")).union(
             E.select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
@@ -549,8 +560,19 @@ def dedup_clusters_star(
         E = part1.union(part2).distinct().coalesce(par).localCheckpoint(eager=True)
         new_sig = signature(E)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a non-star E would emit duplicate, conflicting label rows
+        # (a node can appear as both hi and a root) — refuse rather
+        # than return silently-wrong clusters
+        raise RuntimeError(
+            f"dedup_clusters_star did not converge in {max_iter} "
+            "star rounds (O(log diameter) expected — this graph's "
+            "diameter is astronomically deep or max_iter was "
+            "lowered); raise max_iter or use dedup_clusters"
+        )
     labels = E.groupBy(F.col("hi").alias("doc_id")).agg(
         F.min("lo").alias("cluster_id")
     )

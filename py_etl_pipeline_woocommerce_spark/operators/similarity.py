@@ -178,20 +178,12 @@ def cosine_dup_pairs(
     )
 
 
-def _cosine_dup_pairs_pandas(
-    embeddings: DataFrame, threshold: float, B: int
-) -> DataFrame:
-    """Cogrouped-BLAS kernel for ``cosine_dup_pairs`` (see there)."""
-    left = embeddings.select(
-        F.col("vec_id").alias("ida"),
-        F.col("embedding").alias("ea"),
-        F.pmod(F.col("vec_id"), F.lit(B)).alias("ba"),
-    ).withColumn("bb", F.explode(F.sequence(F.col("ba"), F.lit(B - 1))))
-    right = embeddings.select(
-        F.col("vec_id").alias("idb"),
-        F.col("embedding").alias("eb"),
-        F.pmod(F.col("vec_id"), F.lit(B)).alias("bb"),
-    ).withColumn("ba", F.explode(F.sequence(F.lit(0), F.col("bb"))))
+def _block_cosine_score(threshold: float, is_diag):
+    """ONE cogrouped-BLAS kernel for every block-grid cosine join
+    (`cosine_dup_pairs` and `centroid_cell_pairs` share it): score a
+    block cell with a single normalized matmul, keep pairs ≥
+    threshold; ``is_diag(key)`` says whether the cell sits on the
+    block diagonal (both orderings present → keep ida < idb once)."""
 
     def score(key, ldf, rdf):
         import numpy as np
@@ -207,17 +199,37 @@ def _cosine_dup_pairs_pandas(
         ia, ib = np.nonzero(C >= threshold)
         ida = ldf["ida"].to_numpy()[ia]
         idb = rdf["idb"].to_numpy()[ib]
-        if key[0] == key[1]:  # diagonal cell: both orderings present
+        if is_diag(key):
             keep = ida < idb
             ida, idb = ida[keep], idb[keep]
         return pd.DataFrame(
             {"vec_a": np.minimum(ida, idb), "vec_b": np.maximum(ida, idb)}
         )
 
+    return score
+
+
+def _cosine_dup_pairs_pandas(
+    embeddings: DataFrame, threshold: float, B: int
+) -> DataFrame:
+    """Cogrouped-BLAS kernel for ``cosine_dup_pairs`` (see there)."""
+    left = embeddings.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.pmod(F.col("vec_id"), F.lit(B)).alias("ba"),
+    ).withColumn("bb", F.explode(F.sequence(F.col("ba"), F.lit(B - 1))))
+    right = embeddings.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("eb"),
+        F.pmod(F.col("vec_id"), F.lit(B)).alias("bb"),
+    ).withColumn("ba", F.explode(F.sequence(F.lit(0), F.col("bb"))))
     return (
         left.groupBy("ba", "bb")
         .cogroup(right.groupBy("ba", "bb"))
-        .applyInPandas(score, "vec_a long, vec_b long")
+        .applyInPandas(
+            _block_cosine_score(threshold, lambda k: k[0] == k[1]),
+            "vec_a long, vec_b long",
+        )
     )
 
 
@@ -532,6 +544,51 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def _dim_ranges(e: DataFrame) -> DataFrame:
+    """ONE-row broadcastable frame of per-dimension (mns, mxs) arrays
+    from a (vec_id, emb array<double>) frame — shared by
+    ``quantize_embeddings`` (storage codes) and ``ann_quantized_topk``
+    (scan codes): both MUST quantize identically or the coarse scan
+    diverges from the stored codes it matches against."""
+    return (
+        e.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias(
+                "dm"
+            )
+        )
+        .select(
+            F.transform("dm", lambda s: s["mn"]).alias("mns"),
+            F.transform("dm", lambda s: s["mx"]).alias("mxs"),
+        )
+    )
+
+
+def _quant_fns(bits: int):
+    """(mn, scale, code) expression builders over a joined
+    ``_dim_ranges`` row. ``code = floor((x - mn)/scale + 0.5)`` —
+    explicit half-up via floor (round's half-even/away dialect
+    differs across engines); degenerate mx == mn dims get scale 1."""
+    levels = float((1 << bits) - 1)
+
+    def _mn(i):
+        return F.element_at(F.col("mns"), i + F.lit(1))
+
+    def _scale(i):
+        mn, mx = _mn(i), F.element_at(F.col("mxs"), i + F.lit(1))
+        return F.when(mx > mn, (mx - mn) / F.lit(levels)).otherwise(
+            F.lit(1.0)
+        )
+
+    def _code(x, i):
+        return F.floor((x - _mn(i)) / _scale(i) + F.lit(0.5))
+
+    return _mn, _scale, _code
+
+
 def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     """Per-dimension min-max scalar quantization (the int8 embedding
     compression an ANN serving/storage layer applies) + per-vector
@@ -551,32 +608,11 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     combinable); pass 2 is one scan with a k·dim broadcast. Nothing
     is O(n²), nothing is Python.
     """
-    levels = float((1 << bits) - 1)
     e = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    ranges = (
-        e.select(F.posexplode("emb").alias("dim", "v"))
-        .groupBy("dim")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("dm"))
-        .select(
-            F.transform("dm", lambda s: s["mn"]).alias("mns"),
-            F.transform("dm", lambda s: s["mx"]).alias("mxs"),
-        )
-    )
-
-    def _mn(i):
-        return F.element_at(F.col("mns"), i + F.lit(1))
-
-    def _scale(i):
-        mn, mx = _mn(i), F.element_at(F.col("mxs"), i + F.lit(1))
-        return F.when(mx > mn, (mx - mn) / F.lit(levels)).otherwise(F.lit(1.0))
-
-    def _code(x, i):
-        return F.floor((x - _mn(i)) / _scale(i) + F.lit(0.5))
-
+    ranges = _dim_ranges(e)
+    _mn, _scale, _code = _quant_fns(bits)
     quantized = e.join(F.broadcast(ranges)).select(
         "vec_id",
         F.transform("emb", _code).alias("codes"),
@@ -646,28 +682,11 @@ def ann_quantized_topk(
     ``ann_topk``: one corpus scan against a broadcast query batch
     (bounded fan-out), per-query top-k window on the scored rows.
     """
-    levels = float((1 << bits) - 1)
     e = embeddings.select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    ranges = (
-        e.select(F.posexplode("emb").alias("dim", "v"))
-        .groupBy("dim")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .groupBy()
-        .agg(F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("dm"))
-        .select(
-            F.transform("dm", lambda s: s["mn"]).alias("mns"),
-            F.transform("dm", lambda s: s["mx"]).alias("mxs"),
-        )
-    )
-
-    def _code(x, i):
-        mn = F.element_at(F.col("mns"), i + F.lit(1))
-        mx = F.element_at(F.col("mxs"), i + F.lit(1))
-        scale = F.when(mx > mn, (mx - mn) / F.lit(levels)).otherwise(F.lit(1.0))
-        return F.floor((x - mn) / scale + F.lit(0.5))
-
+    ranges = _dim_ranges(e)
+    _mn_, _scale_, _code = _quant_fns(bits)
     coded = e.join(F.broadcast(ranges)).select(
         "vec_id", F.transform("emb", _code).alias("codes")
     )
@@ -736,31 +755,13 @@ def centroid_cell_pairs(
         F.pmod(F.col("vec_id"), F.lit(B)).alias("bb"),
     ).withColumn("ba", F.explode(F.sequence(F.lit(0), F.col("bb"))))
 
-    def score(key, ldf, rdf):
-        import numpy as np
-        import pandas as pd
-
-        if ldf.empty or rdf.empty:
-            return pd.DataFrame({"vec_a": [], "vec_b": []}).astype("int64")
-        A = np.vstack(ldf["ea"].to_numpy()).astype(np.float64)
-        Bm = np.vstack(rdf["eb"].to_numpy()).astype(np.float64)
-        A /= np.linalg.norm(A, axis=1, keepdims=True)
-        Bm /= np.linalg.norm(Bm, axis=1, keepdims=True)
-        C = A @ Bm.T
-        ia, ib = np.nonzero(C >= threshold)
-        ida = ldf["ida"].to_numpy()[ia]
-        idb = rdf["idb"].to_numpy()[ib]
-        if key[1] == key[2]:  # diagonal block cell: both orderings present
-            keep = ida < idb
-            ida, idb = ida[keep], idb[keep]
-        return pd.DataFrame(
-            {"vec_a": np.minimum(ida, idb), "vec_b": np.maximum(ida, idb)}
-        )
-
     return (
         left.groupBy("cell", "ba", "bb")
         .cogroup(right.groupBy("cell", "ba", "bb"))
-        .applyInPandas(score, "vec_a long, vec_b long")
+        .applyInPandas(
+            _block_cosine_score(threshold, lambda k: k[1] == k[2]),
+            "vec_a long, vec_b long",
+        )
     )
 
 

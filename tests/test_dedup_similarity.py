@@ -93,6 +93,36 @@ def test_simhash_identical_docs_hamming_zero(spark):
     assert got.get((1, 2)) == 0
 
 
+def test_simhash_banding_complete_for_any_max_hamming(spark, sf_dir):
+    """Pigeonhole completeness: with max_hamming+1 bands, EVERY pair
+    within the hamming budget must surface — for max_hamming beyond
+    the old fixed-4-band default too (4+ differing bits could miss
+    all 4 bands). Verified against a brute-force hamming matrix."""
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        _simhash_bits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 120")
+    bits = {
+        r["doc_id"]: tuple(r["simbits"])
+        for r in _simhash_bits(docs).collect()
+    }
+    ids = sorted(bits)
+    for h in (3, 4, 6):
+        expected = {
+            (a, b): sum(x != y for x, y in zip(bits[a], bits[b]))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1:]
+            if sum(x != y for x, y in zip(bits[a], bits[b])) <= h
+        }
+        got = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_pairs(docs, max_hamming=h).collect()
+        }
+        assert got == expected, h
+
+
 def _emb(spark, rows):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 

@@ -136,10 +136,13 @@ def test_source_divergence_identical_and_disjoint(spark):
     }
     assert out[("sA", "sB")].jsd == pytest.approx(0.0, abs=1e-9)
     assert out[("sA", "sB")].n_shared_terms == 2
-    # disjoint: no co-occurring terms -> no pair row at all (JSD would
-    # be exactly 1); the join shape intentionally emits only pairs
-    # with shared vocabulary
-    assert ("sA", "sC") not in out
+    # disjoint vocabularies: the pair ROW must exist with JSD exactly
+    # 1 — the maximally-divergent cell is what the matrix is for
+    assert out[("sA", "sC")].jsd == pytest.approx(1.0)
+    assert out[("sA", "sC")].n_shared_terms == 0
+    assert out[("sB", "sC")].jsd == pytest.approx(1.0)
+    # the matrix is COMPLETE: every unordered source pair present
+    assert set(out) == {("sA", "sB"), ("sA", "sC"), ("sB", "sC")}
 
 
 def test_source_divergence_bounded(spark):

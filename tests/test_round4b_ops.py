@@ -435,6 +435,22 @@ def test_hybrid_search_rrf_rewards_cross_list_agreement(spark, sf_dir):
     assert all(r["rrf_score"] <= round(2 / 61, 6) + 1e-9 for r in fused)
 
 
+def test_hybrid_search_threads_every_into_both_stages(spark, sf_dir):
+    # a non-default `every` must drive BOTH retrieval stages: every
+    # fused query_id is on the every-grid, and none of the default
+    # every=97 grid's extra queries leak in from the lexical stage
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        hybrid_search,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fused = hybrid_search(docs, every=50, topk=3).collect()
+    qids = {r["query_id"] for r in fused}
+    assert qids
+    assert all(q % 50 == 0 for q in qids)
+
+
 def test_basket_pairs_lift_math(spark, sf_dir):
     from py_etl_pipeline_woocommerce_spark.plans.relational import basket_pairs
 
