@@ -1358,9 +1358,13 @@ aft AS (
   UNION ALL
   SELECT -o_orderkey, o_orderstatus, total_c
   FROM base WHERE o_orderkey % 13 = 0),
-b AS (SELECT o_orderkey, md5(o_orderstatus || chr(31) || total_c) AS fp_before
+b AS (SELECT o_orderkey,
+             md5(COALESCE(md5(o_orderstatus), '-')
+                 || COALESCE(md5(total_c), '-')) AS fp_before
       FROM base),
-a AS (SELECT o_orderkey, md5(o_orderstatus || chr(31) || total_c) AS fp_after
+a AS (SELECT o_orderkey,
+             md5(COALESCE(md5(o_orderstatus), '-')
+                 || COALESCE(md5(total_c), '-')) AS fp_after
       FROM aft),
 jj AS (SELECT COALESCE(b.o_orderkey, a.o_orderkey) AS o_orderkey,
               fp_before, fp_after
@@ -2905,7 +2909,7 @@ WITH p AS (SELECT event_type,
                   ROUND(quantile_cont(value, 0.99), 6) AS p99
            FROM events GROUP BY 1)
 SELECT event_id, e.event_type, epoch_us(ts) AS t_us, value, p99,
-       ROUND(value / p99, 6) AS exceed_ratio
+       ROUND(value / NULLIF(p99, 0), 6) AS exceed_ratio
 FROM events e JOIN p USING (event_type)
 WHERE value > p99
 """
@@ -3322,13 +3326,15 @@ FROM a"""
     out["profile_drift_orders"] = f"""
 WITH pb AS ({_prof_before}),
 pa AS ({_prof_after})
-SELECT pb."column", pb.dtype,
+SELECT COALESCE(pb."column", pa."column") AS "column",
+       COALESCE(pa.dtype, pb.dtype) AS dtype,
        pb.n_rows AS n_rows_before, pa.n_rows AS n_rows_after,
        round(pa.null_rate - pb.null_rate, 6) AS null_rate_delta,
        pa.n_distinct - pb.n_distinct AS n_distinct_delta,
-       (pb.min_value <> pa.min_value OR pb.max_value <> pa.max_value)
+       NOT (pa.min_value IS NOT DISTINCT FROM pb.min_value
+            AND pa.max_value IS NOT DISTINCT FROM pb.max_value)
          AS bounds_changed
-FROM pb JOIN pa ON pb."column" = pa."column"
+FROM pb FULL OUTER JOIN pa ON pb."column" = pa."column"
 """
     out["doc_similarity_topk"] = f"""
 WITH occ AS (SELECT doc_id, t.term
@@ -3558,14 +3564,19 @@ SELECT o_orderpriority, COUNT(*) AS n_lines,
 FROM j GROUP BY 1
 """
     out["wow_growth"] = """
-WITH w AS (SELECT epoch_us(o_orderdate) // 604800000000 AS week_idx,
+WITH o AS (SELECT epoch_us(o_orderdate) // 604800000000 AS week_idx,
                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
                     AS revenue
-           FROM orders GROUP BY 1)
+           FROM orders GROUP BY 1),
+s AS (SELECT unnest(range((SELECT MIN(week_idx) FROM o),
+                          (SELECT MAX(week_idx) FROM o) + 1)) AS week_idx),
+w AS (SELECT s.week_idx, COALESCE(o.revenue, 0.0) AS revenue
+      FROM s LEFT JOIN o USING (week_idx))
 SELECT week_idx, week_idx * 604800000000 AS week_start_us, revenue,
        lag(revenue) OVER (ORDER BY week_idx) AS prev_revenue,
        round((revenue - lag(revenue) OVER (ORDER BY week_idx))
-             / lag(revenue) OVER (ORDER BY week_idx), 6) AS growth
+             / NULLIF(lag(revenue) OVER (ORDER BY week_idx), 0), 6)
+         AS growth
 FROM w
 """
     out["session_stats"] = """
@@ -3826,8 +3837,9 @@ m AS (SELECT c.event_type, n_before, n_after,
              MAX(abs(c_b * n_after - c_a * n_before)) AS num
       FROM c JOIN tot USING (event_type) GROUP BY 1, 2, 3)
 SELECT event_type, n_before, n_after,
-       round(num / (CAST(n_before AS DOUBLE) * n_after), 6) AS ks_d,
-       round(num / (CAST(n_before AS DOUBLE) * n_after), 6) > 0.1
+       round(num / NULLIF(CAST(n_before AS DOUBLE) * n_after, 0), 6)
+         AS ks_d,
+       round(num / NULLIF(CAST(n_before AS DOUBLE) * n_after, 0), 6) > 0.1
          AS drifted
 FROM m
 """

@@ -66,11 +66,14 @@ def hopping_window_agg(
     The window membership explode is a ``sequence`` of the k window
     starts covering the event (pure integer arithmetic — identical in
     any engine), then the same map-side-combined agg as the tumbling
-    case. Fan-out is the fixed window/hop ratio (2 here), so the
-    shuffled volume is 2× the input regardless of scale — the
-    standard streaming-SQL hopping-window plan.
+    case. Fan-out is the fixed ⌈window/hop⌉ ratio (2 here) — CEILING,
+    because when hop doesn't divide window an event near the start of
+    its hop bucket still falls inside one extra earlier window (the
+    in-window filter below trims candidates that overshoot) — so the
+    shuffled volume is a fixed small multiple of the input regardless
+    of scale: the standard streaming-SQL hopping-window plan.
     """
-    n = window_us // hop_us
+    n = -(-window_us // hop_us)  # ceil
     ts_us = F.expr("ts div 1000")
     anchor = ts_us - (ts_us % hop_us)
     starts = F.sequence(

@@ -312,17 +312,16 @@ def daily_active_users(events: DataFrame) -> DataFrame:
     )
 
 
-def fill_missing_days(events: DataFrame) -> DataFrame:
-    """Zero-filled daily event counts per type: a day spine spanning
-    the observed [min, max] day range, cross-joined with the observed
-    event types, left-joined to the daily aggregates.
+def _day_grid(events: DataFrame):
+    """(daily aggregate, day×type grid) shared by the three
+    ``fill_missing_days*`` variants — ONE construction so a spine
+    change (bounds, grain) can never drift between fill policies.
 
     The spine explodes from a 1-row min/max aggregate and the type
     list is a distinct over the same daily agg — both tiny regardless
     of input scale, so the spine×types frame (days × types rows) is
     broadcast into the left join against the daily aggregate. Gap
-    filling never touches raw events twice.
-    """
+    filling never touches raw events twice."""
     e = _ts_us(events)
     daily = e.groupBy(
         (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"),
@@ -337,8 +336,17 @@ def fill_missing_days(events: DataFrame) -> DataFrame:
     spine = bounds.select(
         F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day_idx")
     )
-    types = daily.select("event_type").distinct()
-    grid = spine.crossJoin(types)
+    grid = spine.crossJoin(daily.select("event_type").distinct())
+    return daily, grid
+
+
+def fill_missing_days(events: DataFrame) -> DataFrame:
+    """Zero-filled daily event counts per type: a day spine spanning
+    the observed [min, max] day range, cross-joined with the observed
+    event types, left-joined to the daily aggregates (the shared
+    ``_day_grid`` construction).
+    """
+    daily, grid = _day_grid(events)
     return (
         grid.join(daily, ["day_idx", "event_type"], "left")
         .select(
@@ -536,9 +544,17 @@ def dau_sketch_rollup(events: DataFrame, days_per_window: int = 7) -> DataFrame:
     """
     e = _ts_us(events)
     day_idx = (F.col("t_us") / DAY_US).cast("bigint")
-    daily = e.groupBy(day_idx.alias("day_idx")).agg(
-        F.hll_sketch_agg("user_id").alias("sketch"),
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("day_estimate"),
+    # ONE sketch aggregation per day; the daily estimate derives from
+    # the already-built sketch column (a second hll_sketch_agg in the
+    # same agg would double the aggregation state and CPU)
+    daily = (
+        e.groupBy(day_idx.alias("day_idx"))
+        .agg(F.hll_sketch_agg("user_id").alias("sketch"))
+        .select(
+            "day_idx",
+            "sketch",
+            F.hll_sketch_estimate("sketch").alias("day_estimate"),
+        )
     )
     win = (F.col("day_idx") / days_per_window).cast("bigint")
     return (
@@ -567,26 +583,12 @@ def fill_missing_days_locf(events: DataFrame) -> DataFrame:
     observation stay NULL (carrying nothing forward is a fact worth
     surfacing, not a zero).
 
-    Same spine/grid construction as ``fill_missing_days`` (two tiny
-    aggregates broadcast against the daily agg); the carry is one
-    window per event_type over the day-grain frame — partitions are
-    bounded by the day span, never by event cardinality.
+    Same spine/grid construction as ``fill_missing_days`` (the shared
+    ``_day_grid``); the carry is one window per event_type over the
+    day-grain frame — partitions are bounded by the day span, never
+    by event cardinality.
     """
-    e = _ts_us(events)
-    daily = e.groupBy(
-        (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec_money("value")).alias("_val"),
-    )
-    bounds = daily.agg(
-        F.min("day_idx").alias("_lo"), F.max("day_idx").alias("_hi")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day_idx")
-    )
-    grid = spine.crossJoin(daily.select("event_type").distinct())
+    daily, grid = _day_grid(events)
     w = (
         Window.partitionBy("event_type")
         .orderBy("day_idx")
@@ -615,23 +617,10 @@ def fill_missing_days_interp(events: DataFrame) -> DataFrame:
     Two ignore-null window passes per event_type (backward carry of
     the previous observation and its day, forward carry of the next)
     feed one deterministic per-row blend, rounded at 6 dp. Observed
-    days pass through exactly.
+    days pass through exactly. Spine/grid from the shared
+    ``_day_grid`` construction.
     """
-    e = _ts_us(events)
-    daily = e.groupBy(
-        (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"),
-        "event_type",
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec_money("value")).alias("_val"),
-    )
-    bounds = daily.agg(
-        F.min("day_idx").alias("_lo"), F.max("day_idx").alias("_hi")
-    )
-    spine = bounds.select(
-        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias("day_idx")
-    )
-    grid = spine.crossJoin(daily.select("event_type").distinct())
+    daily, grid = _day_grid(events)
     back = (
         Window.partitionBy("event_type")
         .orderBy("day_idx")
@@ -691,7 +680,12 @@ def value_outliers(events: DataFrame) -> DataFrame:
             "t_us",
             "value",
             "p99",
-            F.round(F.col("value") / F.col("p99"), 6).alias("exceed_ratio"),
+            # try_divide: a type that is >99% zeros has p99 = 0 while
+            # positive values still pass the filter — NULL ratio, not
+            # an ANSI divide-by-zero crash
+            F.round(
+                F.try_divide(F.col("value"), F.col("p99")), 6
+            ).alias("exceed_ratio"),
         )
     )
 
@@ -759,37 +753,15 @@ def value_outliers_mad(
     interpolating median — oracle verification only; it buffers each
     (type)'s values in one aggregation buffer, the
     ``value_percentiles`` caveat. Same output schema either way.
+
+    Pure composition of the train/score split — the baseline
+    estimator and the scoring expression live ONCE, in
+    ``value_outlier_baseline`` + ``score_outliers_with_baseline``, so
+    the inline op and the persisted-baseline/streaming path can never
+    drift apart.
     """
-    med_of = (
-        (lambda col: F.percentile(col, F.lit(0.5)))
-        if exact
-        else (lambda col: F.percentile_approx(col, F.lit(0.5)))
-    )
-    e = _ts_us(events)
-    med = (
-        e.groupBy("event_type")
-        .agg(F.round(med_of(F.col("value")), 6).alias("med"))
-    )
-    mad = (
-        e.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.first("med").alias("med"),
-            F.round(
-                med_of(F.abs(F.col("value") - F.col("med"))),
-                6,
-            ).alias("mad"),
-        )
-    )
-    z = F.round(
-        F.lit(0.6745) * (F.col("value") - F.col("med")) / F.col("mad"), 6
-    )
-    return (
-        e.join(F.broadcast(mad), "event_type")
-        .filter(F.col("mad") > 0)
-        .withColumn("mod_z", z)
-        .filter(F.abs(F.col("mod_z")) > z_cut)
-        .select("event_id", "event_type", "t_us", "value", "med", "mad", "mod_z")
+    return score_outliers_with_baseline(
+        events, value_outlier_baseline(events, exact=exact), z_cut
     )
 
 
@@ -1244,10 +1216,14 @@ def m4_downsample(events: DataFrame, n_buckets: int = 100) -> DataFrame:
     span = e.groupBy("event_type").agg(
         F.min("t_us").alias("_t0"), F.max("t_us").alias("_t1")
     )
+    # the (offset × n_buckets) product runs in DECIMAL(38,0): a year
+    # of µs (~3e13) × a million pixels overflows BIGINT (9.2e18)
+    # under ANSI mode; decimal keeps the division exact (no
+    # double-rounding at bucket boundaries) at any span × resolution
     bucket = F.least(
         F.lit(n_buckets - 1),
         F.expr(
-            f"((t_us - _t0) * {n_buckets}) div "
+            f"(CAST(t_us - _t0 AS DECIMAL(38,0)) * {n_buckets}) div "
             "(CASE WHEN _t1 > _t0 THEN _t1 - _t0 ELSE 1 END)"
         ),
     ).cast("int")
@@ -1331,9 +1307,15 @@ def ks_drift(
             ).alias("_num"),
         )
     )
+    # try_divide: a type with ALL events on one side of the cut (the
+    # brand-new-event-type case a drift monitor exists to catch) has
+    # an undefined KS statistic — NULL ks_d/drifted, not an ANSI
+    # divide-by-zero crash
     ks_d = F.round(
-        F.col("_num")
-        / (F.col("n_before").cast("double") * F.col("n_after")),
+        F.try_divide(
+            F.col("_num"),
+            F.col("n_before").cast("double") * F.col("n_after"),
+        ),
         6,
     )
     return per_type.select(

@@ -15,25 +15,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Sentinel substituted for NULL before fingerprint concatenation.
-# concat_ws silently DROPS null arguments, so without it the rows
-# (NULL, 'x') and ('x', NULL) hash identically and NULL<->value
-# transitions go undetected. \x00 cannot occur in cast(… as string)
-# output, so the sentinel never collides with real data.
-_NULL_SENTINEL = "\x00<NULL>"
-
-
 def _row_fingerprint(cols: list[str], prefix: str = "") -> "F.Column":
-    """md5 over tracked columns with NULL-sentinel substitution."""
+    """md5 over tracked columns, each column hashed SEPARATELY first.
+
+    A separator-joined concat can collide on real data (any separator
+    byte may occur inside string values: ('a\\x1f', 'b') vs
+    ('a', '\\x1fb')), and concat_ws silently DROPS null arguments so
+    NULL↔value transitions vanish. Per-column md5 gives every value a
+    fixed 32-char hex token and NULL a 1-char '-' marker; hex never
+    contains '-', so the token stream is uniquely decodable and the
+    outer md5 is injective over the column tuple."""
     return F.md5(
-        F.concat_ws(
-            "\x1f",
+        F.concat(
             *[
                 F.coalesce(
-                    F.col(prefix + c).cast("string"), F.lit(_NULL_SENTINEL)
+                    F.md5(F.col(prefix + c).cast("string")), F.lit("-")
                 )
                 for c in cols
-            ],
+            ]
         )
     )
 
@@ -274,12 +273,16 @@ def profile_drift(
 
     Composes two ``profile_table`` runs (each one scan; ``exact``
     forwarded — HLL distinct by default, exact for oracle parity)
-    with a join on the |columns|-row profile frames — the drift math
-    never touches the data again.
+    with a FULL OUTER join on the |columns|-row profile frames — a
+    column ADDED or DROPPED between snapshots (the most drastic drift
+    there is) keeps its report row, with the missing side's counts
+    NULL and ``bounds_changed`` true. The bounds compare is
+    NULL-SAFE, so an all-NULL column on both sides reads unchanged
+    (false), never NULL. The drift math never touches the data again.
     """
     b = profile_table(before, exact=exact).select(
         "column",
-        "dtype",
+        F.col("dtype").alias("_dt_b"),
         F.col("n_rows").alias("n_rows_before"),
         F.col("null_rate").alias("_nr_b"),
         F.col("n_distinct").alias("_nd_b"),
@@ -288,22 +291,25 @@ def profile_drift(
     )
     a = profile_table(after, exact=exact).select(
         "column",
+        F.col("dtype").alias("_dt_a"),
         F.col("n_rows").alias("n_rows_after"),
         F.col("null_rate").alias("_nr_a"),
         F.col("n_distinct").alias("_nd_a"),
         F.col("min_value").alias("_mn_a"),
         F.col("max_value").alias("_mx_a"),
     )
-    return b.join(a, "column").select(
+    return b.join(a, "column", "full_outer").select(
         "column",
-        "dtype",
+        F.coalesce("_dt_a", "_dt_b").alias("dtype"),
         "n_rows_before",
         "n_rows_after",
         F.round(F.col("_nr_a") - F.col("_nr_b"), 6).alias("null_rate_delta"),
         (F.col("_nd_a") - F.col("_nd_b")).alias("n_distinct_delta"),
         (
-            (F.col("_mn_a") != F.col("_mn_b"))
-            | (F.col("_mx_a") != F.col("_mx_b"))
+            ~(
+                F.col("_mn_a").eqNullSafe(F.col("_mn_b"))
+                & F.col("_mx_a").eqNullSafe(F.col("_mx_b"))
+            )
         ).alias("bounds_changed"),
     )
 

@@ -1242,12 +1242,16 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar ambiguity across engines); revenue accumulates in exact
     DECIMAL; the single float is the growth division (try_divide — a
     zero-revenue week yields NULL growth, and the first week has no
-    baseline). One partial-agg shuffle to ≤ |weeks| rows, then a lag
-    window over that calendar-bounded frame.
+    baseline). The weekly frame is ZERO-FILLED over the min..max week
+    spine first, so an order-less week shows revenue 0 / growth −100%
+    and the following week's baseline is its TRUE predecessor, not an
+    older week (a lag over observed weeks only would smooth straight
+    across an outage). One partial-agg shuffle to ≤ |weeks| rows,
+    then a lag window over that calendar-bounded frame.
     """
     orders = load_table(spark, sf_dir, "orders")
     week_us = 7 * 86_400_000_000
-    weekly = (
+    observed = (
         orders.select(
             F.expr(
                 f"unix_micros(cast(o_orderdate as timestamp)) div {week_us}"
@@ -1256,6 +1260,12 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("week_idx")
         .agg(F.sum(dec_money("o_totalprice")).cast("double").alias("revenue"))
+    )
+    spine = observed.agg(
+        F.min("week_idx").alias("_lo"), F.max("week_idx").alias("_hi")
+    ).select(F.explode(F.sequence("_lo", "_hi")).alias("week_idx"))
+    weekly = spine.join(observed, "week_idx", "left").select(
+        "week_idx", F.coalesce("revenue", F.lit(0.0)).alias("revenue")
     )
     w = Window.orderBy("week_idx")  # ≤ |weeks| rows: calendar-bounded
     prev = F.lag("revenue").over(w)

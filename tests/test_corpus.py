@@ -252,6 +252,44 @@ def test_hopping_window_membership(spark):
     assert all(r.n_events == 2 and r.total_value == 3.0 for r in rows)
 
 
+def test_hopping_window_non_divisible_hop_matches_brute_force(spark):
+    """When hop does not divide window (3.6s windows hopping 1s) the
+    fan-out is CEIL(window/hop): an event early in its hop bucket
+    belongs to one extra earlier window — parity with a brute-force
+    membership reference over every (event, window) pair."""
+    from py_etl_pipeline_woocommerce_spark.operators.events import (
+        hopping_window_agg,
+    )
+
+    W, H = 3_600_000, 1_000_000  # 3.6 s window, 1 s hop (µs)
+    ts_us = [200_000, 10_200_000, 10_900_000, 13_100_000]
+    events = spark.createDataFrame(
+        [
+            (i, t * 1000, "u", "click", 1.0, "{}")
+            for i, t in enumerate(ts_us)
+        ],
+        "event_id bigint, ts bigint, user_id string, event_type string, "
+        "value double, props string",
+    )
+    expected = {}
+    for t in ts_us:
+        s = t - t % H
+        while s > t - W:
+            if s <= t < s + W:
+                expected[s] = expected.get(s, 0) + 1
+            s -= H
+    got = {
+        r.window_start_us: r.n_events
+        for r in hopping_window_agg(
+            events, window_us=W, hop_us=H
+        ).collect()
+    }
+    assert got == expected
+    # the event at 10.2e6 must appear in the window starting at 7e6
+    # (the one the old floor(window/hop) fan-out silently dropped)
+    assert expected[7_000_000] >= 1 and got[7_000_000] == expected[7_000_000]
+
+
 def test_unigram_logprob_hand_computed(spark):
     import math
 
