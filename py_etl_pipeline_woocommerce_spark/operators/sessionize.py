@@ -20,22 +20,36 @@ from ..functions.money import dec_money
 GAP_MINUTES = 30
 
 
-def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
-    """One row per (user, session): ordinal, bounds, size, value sum.
+def _tag_sessions(events: DataFrame, gap_minutes: int) -> DataFrame:
+    """THE gap-sessionization kernel, shared by ``sessionize``,
+    ``session_paths`` and ``session_stats`` — one place owns the
+    session definition (total order (ts_us, event_id); a session
+    break is a gap STRICTLY greater than the threshold), so the three
+    surfaces can never silently diverge.
 
-    Ordering within user is (ts, event_id) — a total order, so session
-    assignment is deterministic.
-    """
-    # Integer-microsecond arithmetic: ``ts`` arrives as epoch-ns longs
-    # (see session.py nanosAsLong), floor-divided to µs so gap
-    # comparison and session bounds are exact integer ops.
+    Integer-microsecond arithmetic: ``ts`` arrives as epoch-ns longs
+    (see session.py nanosAsLong), floor-divided to µs so gap
+    comparison and session bounds are exact integer ops. Returns the
+    event-grain frame with ``ts_us`` and ``session_seq`` stamped —
+    one user-keyed sort, both windows sharing it."""
     e = events.withColumn("ts_us", F.expr("ts div 1000"))
     order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag("ts_us").over(order)
     new_sess = (prev.isNull() | ((F.col("ts_us") - prev) > gap_us)).cast("int")
-    sess_id = F.sum(new_sess).over(order.rowsBetween(Window.unboundedPreceding, 0))
-    tagged = e.withColumn("session_seq", sess_id)
+    sess_id = F.sum(new_sess).over(
+        order.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.withColumn("session_seq", sess_id)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = GAP_MINUTES) -> DataFrame:
+    """One row per (user, session): ordinal, bounds, size, value sum.
+
+    Ordering within user is (ts, event_id) — a total order, so session
+    assignment is deterministic (the shared ``_tag_sessions`` kernel).
+    """
+    tagged = _tag_sessions(events, gap_minutes)
     return tagged.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts_us").alias("start_us"),
@@ -54,26 +68,17 @@ def session_paths(
     funnel-adjacent report product teams read next to conversion
     counts.
 
-    Same deterministic gap sessionization as ``sessionize``; each
-    session's path is the time-ordered (ties: event_id) join of its
-    event types — built by sorting the per-session collected
-    (ts, event_id, type) structs, NOT by assuming collect order, so
-    the string is identical at any parallelism. One user-keyed
-    shuffle + one path-keyed count agg; the top-k is a distributed
-    TakeOrdered over the aggregated path counts (rank window sees
-    only the k survivors), tie-broken on the path string.
+    Same deterministic gap sessionization as ``sessionize`` (the
+    shared ``_tag_sessions`` kernel); each session's path is the
+    time-ordered (ties: event_id) join of its event types — built by
+    sorting the per-session collected (ts, event_id, type) structs,
+    NOT by assuming collect order, so the string is identical at any
+    parallelism. One user-keyed shuffle + one path-keyed count agg;
+    the top-k is a distributed TakeOrdered over the aggregated path
+    counts (rank window sees only the k survivors), tie-broken on
+    the path string.
     """
-    e = events.withColumn("ts_us", F.expr("ts div 1000"))
-    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    gap_us = gap_minutes * 60 * 1_000_000
-    prev = F.lag("ts_us").over(order)
-    new_sess = (prev.isNull() | ((F.col("ts_us") - prev) > gap_us)).cast(
-        "int"
-    )
-    sess_id = F.sum(new_sess).over(
-        order.rowsBetween(Window.unboundedPreceding, 0)
-    )
-    tagged = e.withColumn("session_seq", sess_id)
+    tagged = _tag_sessions(events, gap_minutes)
     per_session = tagged.groupBy("user_id", "session_seq").agg(
         F.concat_ws(
             ">",
@@ -107,20 +112,13 @@ def session_stats(
     product dashboard shows next to the raw session list
     (``sessionize``) and the top journeys (``session_paths``).
 
-    Same single user-keyed sort as ``sessionize``; the entry event is
-    the struct-min over (ts, event_id, type), so ties are
-    deterministic. Counts and durations are integers; the three means
-    are single divisions rounded at the boundary — engine-exact.
+    Same single user-keyed sort as ``sessionize`` (the shared
+    ``_tag_sessions`` kernel); the entry event is the struct-min over
+    (ts, event_id, type), so ties are deterministic. Counts and
+    durations are integers; the three means are single divisions
+    rounded at the boundary — engine-exact.
     """
-    e = events.withColumn("ts_us", F.expr("ts div 1000"))
-    order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    gap_us = gap_minutes * 60 * 1_000_000
-    prev = F.lag("ts_us").over(order)
-    new_sess = (prev.isNull() | ((F.col("ts_us") - prev) > gap_us)).cast("int")
-    tagged = e.withColumn(
-        "session_seq",
-        F.sum(new_sess).over(order.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    tagged = _tag_sessions(events, gap_minutes)
     per_sess = tagged.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.struct("ts_us", "event_id", "event_type"))

@@ -15,12 +15,20 @@ SALT_COL = "__salt"
 
 
 def add_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
-    """Uniform deterministic salt derived from the row (not rand(), so
-    retried tasks produce identical output — required for exactly-once
-    sinks)."""
+    """Uniform salt mixing the row's content hash with the
+    partition-local row ordinal. Content hash alone maps IDENTICAL
+    duplicate rows (millions of repeated bot/filler events — exactly
+    the data that creates hot keys) to ONE salt, defeating the
+    spread; the ordinal disambiguates them. Not ``rand()``: for
+    deterministic scans (parquet file splits) a retried task re-reads
+    the same rows in the same order, so output is retry-stable — the
+    same guarantee ``monotonically_increasing_id`` itself carries."""
     return df.withColumn(
         SALT_COL,
-        F.pmod(F.hash(*df.columns), F.lit(n_salts)).cast("int"),
+        F.pmod(
+            F.hash(*df.columns, F.monotonically_increasing_id()),
+            F.lit(n_salts),
+        ).cast("int"),
     )
 
 
@@ -88,8 +96,14 @@ def hot_keys(df: DataFrame, key_col: str, topk: int = 20) -> DataFrame:
             "key_value",
             "n_rows",
             F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            # double BEFORE the multiply: bigint n_rows × n_keys
+            # overflows under ANSI at exactly the table sizes this
+            # diagnostic targets (1e13 rows × 1e12 keys ≫ int64)
             F.round(
-                F.col("n_rows") * F.col("_n_keys") / F.col("_total"), 6
+                F.col("n_rows").cast("double")
+                * F.col("_n_keys")
+                / F.col("_total"),
+                6,
             ).alias("x_uniform"),
         )
         .withColumn("key_rank", F.row_number().over(w).cast("int"))

@@ -93,9 +93,16 @@ def build_facts(
     )
     items = items.join(F.broadcast(cats), "product_id", "left")
 
+    # persist the refunds fan-out: order_ref AND item_ref descend
+    # from it and materialize as separate jobs, so without the
+    # persist every orders/{id}/refunds endpoint is hit TWICE per run
+    # (double API pressure, and a refund landing between the two
+    # fetches would make order- and item-grain totals disagree)
     refunds = rest.fetch_refunds_for_orders(
         spark, transport, orders.select("order_id")
-    )
+    ).persist()
+    if persisted_frames is not None:
+        persisted_frames.append(refunds)
     order_ref = rest.order_refund_totals(refunds)
     item_ref = rest.item_refund_totals(refunds)
 

@@ -58,12 +58,20 @@ def read_jsonl(
 
 
 def read_jsonl_quarantine(
-    spark: SparkSession, path: str, schema: T.StructType
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    persisted_frames: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """PERMISSIVE JSON-lines scan split into (good, quarantined) —
     the landing-zone pattern when upstream can't be trusted to be
     well-formed: good rows flow on, corrupt raw lines are preserved
     for triage instead of killing the job or vanishing.
+
+    Pass ``persisted_frames=[]`` to receive the internally cached
+    scan and unpersist after materializing both branches — a repeated
+    landing-zone loop would otherwise pin one cached copy of the
+    input per call for the session's lifetime.
     """
     with_corrupt = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
@@ -77,6 +85,8 @@ def read_jsonl_quarantine(
         # documented unblock — and both branches reuse the one scan.
         .cache()
     )
+    if persisted_frames is not None:
+        persisted_frames.append(raw)
     good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad

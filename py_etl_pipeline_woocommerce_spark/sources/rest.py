@@ -207,8 +207,15 @@ def parse_orders(raw: DataFrame) -> DataFrame:
 
 def _money(col) -> F.Column:
     """Woo money-string -> double, 0.0 on null/garbage (the `_f()`
-    coercion of normalize_orders.py:6-10, vectorized)."""
-    return F.coalesce(F.col(col).cast("double"), F.lit(0.0))
+    coercion of normalize_orders.py:6-10, vectorized). try_cast, not
+    cast: under Spark 4's default ANSI mode a plain cast RAISES on a
+    malformed money string instead of yielding the NULL this
+    coalesce exists to absorb."""
+    return F.coalesce(_try_double(col), F.lit(0.0))
+
+
+def _try_double(col) -> F.Column:
+    return F.expr(f"try_cast({col} AS DOUBLE)")
 
 
 def orders_frame(parsed: DataFrame) -> DataFrame:
@@ -251,9 +258,9 @@ def items_frame(parsed: DataFrame) -> DataFrame:
         F.col("li.sku").alias("sku"),
         F.col("li.name").alias("name"),
         F.coalesce(F.col("li.quantity"), F.lit(0)).alias("quantity"),
-        F.coalesce(F.col("li.price").cast("double"), F.lit(0.0)).alias("price"),
-        F.coalesce(F.col("li.total").cast("double"), F.lit(0.0)).alias("total"),
-        F.coalesce(F.col("li.subtotal").cast("double"), F.lit(0.0)).alias(
+        F.coalesce(_try_double("li.price"), F.lit(0.0)).alias("price"),
+        F.coalesce(_try_double("li.total"), F.lit(0.0)).alias("total"),
+        F.coalesce(_try_double("li.subtotal"), F.lit(0.0)).alias(
             "subtotal"
         ),
         F.col("li.tax_class").alias("tax_class"),
@@ -355,7 +362,7 @@ def fetch_refunds_for_orders(
 def order_refund_totals(refunds: DataFrame) -> DataFrame:
     """order_id -> refund_total (refunds.py:30-37 aggregation)."""
     return refunds.groupBy("order_id").agg(
-        F.sum(F.coalesce(F.col("amount").cast("double"), F.lit(0.0))).alias(
+        F.sum(F.coalesce(_try_double("amount"), F.lit(0.0))).alias(
             "refund_total"
         )
     )
@@ -376,7 +383,7 @@ def item_refund_totals(refunds: DataFrame) -> DataFrame:
         F.sum(F.coalesce(F.col("li.quantity"), F.lit(0))).alias(
             "refunded_quantity"
         ),
-        F.sum(F.coalesce(F.col("li.total").cast("double"), F.lit(0.0))).alias(
+        F.sum(F.coalesce(_try_double("li.total"), F.lit(0.0))).alias(
             "refunded_total"
         ),
     )

@@ -2,11 +2,16 @@
 
 Mirrors ``/root/reference/src/etl/utils/state.py`` (a JSON file with
 ``since_iso``) and ``utils/time.py`` (default lookback). The file
-lives on shared storage in a real deployment; the advance rule —
-max ingested order date + 1 minute — matches ``flow.py``'s
-``t_advance_watermark``. The 1-minute overlap plus idempotent
-delete+insert upserts make re-reads harmless (at-least-once extract,
-exactly-once warehouse state).
+lives on shared storage in a real deployment; the default advance
+rule — max ingested order date + 1 minute — matches ``flow.py``'s
+``t_advance_watermark`` EXACTLY, including its flaw: Woo's ``after``
+filter is exclusive, so an order created inside that skipped minute
+is never fetched by any run (a permanent gap, NOT an overlap).
+``advance_from(..., overlap_minutes=1)`` selects the gap-free rule
+(max − 1 minute); the idempotent delete+insert upserts make the
+resulting re-reads harmless (at-least-once extract, exactly-once
+warehouse state), so the overlap costs nothing but a few re-fetched
+rows.
 """
 
 from __future__ import annotations
@@ -42,10 +47,17 @@ class WatermarkStore:
             json.dump({"since_iso": iso_ts}, f)
 
     @staticmethod
-    def advance_from(max_order_date: str | None) -> str | None:
-        """Next watermark = max order_date + 1 minute
-        (flow.py t_advance_watermark)."""
+    def advance_from(
+        max_order_date: str | None, overlap_minutes: int = 0
+    ) -> str | None:
+        """Next watermark. Default = max order_date + 1 minute —
+        reference parity with flow.py ``t_advance_watermark``, which
+        SKIPS the minute after the last ingested order (see module
+        docstring). ``overlap_minutes=1`` gives the gap-free rule
+        (max − 1 minute): re-reads the boundary minute instead of
+        losing orders created inside it."""
         if not max_order_date:
             return None
         dt = datetime.fromisoformat(max_order_date)
-        return (dt + timedelta(minutes=1)).strftime("%Y-%m-%dT%H:%M:%S")
+        delta = timedelta(minutes=1 if overlap_minutes == 0 else -overlap_minutes)
+        return (dt + delta).strftime("%Y-%m-%dT%H:%M:%S")

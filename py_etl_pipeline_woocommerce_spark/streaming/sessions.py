@@ -58,7 +58,17 @@ def _sessionize_user(
     (user_id,) = key
     if state.hasTimedOut:
         seq, start, last, n, tot = state.get
-        state.remove()
+        if n == 0:
+            # counter-only tombstone expired: the user stayed away
+            # long past the retention horizon — forget the counter
+            state.remove()
+            return
+        # close the open session but KEEP the session counter in a
+        # counter-only state: a returning user continues at seq+1
+        # instead of restarting at 0 and overwriting historical
+        # (user, session_seq) rows in an upsert sink
+        state.update((seq + 1, None, None, 0, 0.0))
+        state.setTimeoutDuration(30 * 86_400_000)  # counter retention
         yield pd.DataFrame(
             [[user_id, seq, n, start, last, tot, True]],
             columns=SESSION_SCHEMA.fieldNames(),
@@ -78,9 +88,13 @@ def _sessionize_user(
         if last is not None and t_us - last > gap_us:
             out_rows.append([user_id, seq, n, start, last, tot, True])
             seq, start, n, tot = seq + 1, t_us, 0, 0.0
-        if start is None:
-            start = t_us
-        last = t_us
+        # late (cross-batch out-of-order) events may precede the
+        # stored bounds: clamp so the clock never runs backwards (a
+        # regressed `last` would fake a gap and split the session —
+        # the liveness monitor's max() guard) and the session bounds
+        # stay the true [min, max] the batch twin reports
+        start = t_us if start is None else min(start, t_us)
+        last = t_us if last is None else max(last, t_us)
         n += 1
         tot += float(value) if value == value else 0.0  # NaN-safe
 
@@ -88,7 +102,8 @@ def _sessionize_user(
     # idle eviction: close the open session if no event arrives for a
     # gap's worth of processing time
     state.setTimeoutDuration(gap_us // 1000)
-    out_rows.append([user_id, seq, n, start, last, tot, False])
+    if n > 0:
+        out_rows.append([user_id, seq, n, start, last, tot, False])
     yield pd.DataFrame(out_rows, columns=SESSION_SCHEMA.fieldNames())
 
 

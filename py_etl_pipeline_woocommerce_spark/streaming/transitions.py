@@ -61,6 +61,13 @@ def _transitions_user(
     out = []
     for t_us, etype in zip(events["t_us"], events["event_type"]):
         t_us = int(t_us)
+        if last_type is not None and t_us < last_us:
+            # late cross-batch event: older than the stored clock —
+            # emitting (last_type -> etype, negative gap) would invert
+            # event order in the transition matrix; drop it (the
+            # batch twin's global sort would have placed it earlier,
+            # a position no stream can retroactively emit)
+            continue
         if last_type is not None:
             out.append([user_id, last_type, etype, t_us - last_us])
         last_us, last_type = t_us, etype

@@ -128,6 +128,54 @@ def test_orders_and_items_frames(spark, transport):
     assert i11["quantity"] == 2 and i11["total"] == pytest.approx(20.0)
 
 
+def test_money_coercion_survives_garbage_under_ansi(spark):
+    """The documented `_f()` contract: malformed/empty money strings
+    coerce to 0.0 — under Spark 4's default ANSI mode a plain cast
+    would RAISE instead, killing the whole incremental run on one bad
+    order payload."""
+    raw = spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "id": 9,
+                        "status": "completed",
+                        "date_created_gmt": "2024-01-01T10:00:00",
+                        "total": "not-a-number",
+                        "total_tax": "",
+                        "discount_total": "NaN-ish",
+                        "shipping_total": None,
+                        "currency": "EUR",
+                        "customer_id": 5,
+                        "billing": {"country": "GR", "city": "Athens"},
+                        "line_items": [
+                            {
+                                "id": 1,
+                                "product_id": 11,
+                                "variation_id": 0,
+                                "name": "x",
+                                "quantity": 1,
+                                "price": "oops",
+                                "total": "",
+                                "subtotal": "10.0",
+                                "total_tax": "0",
+                            }
+                        ],
+                    }
+                ),
+                1,
+            )
+        ],
+        "raw string, page int",
+    )
+    parsed = rest.parse_orders(raw)
+    (o,) = rest.orders_frame(parsed).collect()
+    assert o["order_id"] == 9 and o["net_total"] == 0.0
+    (i,) = rest.items_frame(parsed).collect()
+    assert i["price"] == 0.0 and i["total"] == 0.0
+    assert i["subtotal"] == pytest.approx(10.0)
+
+
 def test_category_snapshot_join(spark, transport):
     ids = spark.createDataFrame([(11,), (12,), (13,), (99,)], "product_id long")
     cats = {

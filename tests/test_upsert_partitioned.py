@@ -128,10 +128,17 @@ def test_watermark_advance_is_monotonic(dt):
     assert datetime.fromisoformat(nxt) == dt.replace(microsecond=0) + timedelta(
         minutes=1
     )
+    # gap-free mode: max - overlap, so the boundary minute re-reads
+    # instead of being skipped (Woo `after` is exclusive)
+    safe = WatermarkStore.advance_from(iso, overlap_minutes=1)
+    assert datetime.fromisoformat(safe) == dt.replace(
+        microsecond=0
+    ) - timedelta(minutes=1)
 
 
 def test_watermark_none_passthrough():
     assert WatermarkStore.advance_from(None) is None
+    assert WatermarkStore.advance_from(None, overlap_minutes=1) is None
 
 
 def test_upsert_deletes_stale_row_when_key_changes_month(spark, tmp_path):
