@@ -9,6 +9,7 @@ collect; measures the whole plan incl. shuffle/exchange).
 from __future__ import annotations
 
 import json
+import re
 import os
 import sys
 import time
@@ -151,7 +152,8 @@ def calibration(spark, passes: int = 3) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.0  # 0.0 = unknown layout, still run
     spark = get_spark("bench")
     qs = entrymod.queries()
 

@@ -95,6 +95,9 @@ def _backfill(spark, transport, state, warehouse, d1, d2, window_days) -> dict:
     incremental cycle per window; the cursor jumps by max ingested
     date + 1 minute when data lands, else by the window size."""
     cursor, end = _parse_iso(d1), _parse_iso(d2)
+    # a HISTORICAL backfill must never rewind the production
+    # watermark: remember it and restore the max at the end
+    prior_since = state.get_since()
     total_orders = total_items = windows = 0
     while cursor < end:
         window_end = min(
@@ -104,12 +107,18 @@ def _backfill(spark, transport, state, warehouse, d1, d2, window_days) -> dict:
             end,
         )
         state.set_since(cursor)
-        stats = woo_flow.incremental_run(spark, transport, state, warehouse)
+        # the extract is bounded ABOVE too (Woo `before`): one window
+        # per cycle, never everything-after-the-cursor
+        stats = woo_flow.incremental_run(
+            spark, transport, state, warehouse, before_iso=window_end
+        )
         windows += 1
         total_orders += stats["orders"]
         total_items += stats["items"]
         advanced = state.get_since()
         cursor = advanced if stats["orders"] and advanced > cursor else window_end
+    if state.get_since() < prior_since:
+        state.set_since(prior_since)
     # final missing-only re-enrich pass (run.py:128-130)
     enrich_stats = woo_flow.re_enrich_run(spark, transport, warehouse)
     return {

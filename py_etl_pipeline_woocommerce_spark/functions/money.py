@@ -38,7 +38,9 @@ def money(col: Column) -> Column:
 
 
 def disc_price(price: str = "l_extendedprice", discount: str = "l_discount") -> Column:
-    """price * (1 - discount), exact: DECIMAL(18,2) * DECIMAL(5,2) -> DECIMAL(24,4)."""
+    """price * (1 - discount), exact: the rate casts to DECIMAL(4,2)
+    and (1 - rate) widens to DECIMAL(5,2), so the product is
+    DECIMAL(18,2) * DECIMAL(5,2) -> DECIMAL(24,4)."""
     return dec_money(price) * (F.lit(1).cast(RATE) - dec_rate(discount))
 
 

@@ -24,19 +24,20 @@ def filter_since(df: DataFrame, ts_col: str, watermark_iso: str) -> DataFrame:
 
 def next_watermark(df: DataFrame, ts_col: str) -> str | None:
     """max(ts) + 1 minute, ISO string — matches run.py:146
-    (``p.parse(max_dt).add(minutes=1)``). Single tiny agg -> driver."""
-    row = df.agg(F.max(ts_col).alias("m")).collect()[0]
-    if row["m"] is None:
-        return None
-    return (
-        df.sparkSession.createDataFrame([(row["m"],)], f"{ts_col} timestamp")
-        .select(
-            F.date_format(
-                F.col(ts_col) + F.expr("INTERVAL 1 MINUTE"), "yyyy-MM-dd'T'HH:mm:ss"
-            ).alias("iso")
-        )
-        .collect()[0]["iso"]
-    )
+    (``p.parse(max_dt).add(minutes=1)``). ONE tiny agg whose +1min
+    and formatting run INSIDE Spark: the old two-job version
+    round-tripped the max through a driver-local naive datetime
+    (collect → createDataFrame), which drops the DST fold bit — with
+    a driver TZ that falls back (the repo's own Europe/Athens
+    default) a max in the repeated hour could land the watermark an
+    hour late and silently skip that hour's orders forever."""
+    row = df.agg(
+        F.date_format(
+            F.max(ts_col) + F.expr("INTERVAL 1 MINUTE"),
+            "yyyy-MM-dd'T'HH:mm:ss",
+        ).alias("iso")
+    ).collect()[0]
+    return row["iso"]
 
 
 def assign_backfill_windows(

@@ -80,8 +80,16 @@ def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
                     "n_bytes": pdf["payload"].map(
                         lambda b: len(b) if b is not None else 0
                     ),
+                    # NULL payload -> NULL hash (NOT md5 of b"") so
+                    # this column agrees with dedup_media_exact's
+                    # JVM md5: a missing payload is not "the same
+                    # content" as a genuinely empty file
                     "content_hash": pdf["payload"].map(
-                        lambda b: hashlib.md5(b or b"").hexdigest()
+                        lambda b: (
+                            hashlib.md5(b).hexdigest()
+                            if b is not None
+                            else None
+                        )
                     ),
                     "feature": feats,
                 }
@@ -93,9 +101,14 @@ def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
 
 def dedup_media_exact(media: DataFrame) -> DataFrame:
     """Exact media dedup on content hash — JVM-side md5 over binary,
-    no Python in the loop; same shape as ``dedup.dedup_exact``."""
+    no Python in the loop; same shape as ``dedup.dedup_exact``.
+    NULL payloads are EXCLUDED: they have no content, so grouping
+    them under the NULL hash would declare unrelated broken rows
+    duplicates of each other (and disagree with
+    ``extract_features``'s NULL content_hash)."""
     return (
-        media.withColumn("content_hash", F.md5(F.col("payload")))
+        media.filter(F.col("payload").isNotNull())
+        .withColumn("content_hash", F.md5(F.col("payload")))
         .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),

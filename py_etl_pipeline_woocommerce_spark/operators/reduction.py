@@ -43,14 +43,28 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
     Components are sign-canonicalized (largest-|coefficient| entry
     positive) so refits are reproducible run-to-run.
     """
-    first = embeddings.select(F.size("embedding").alias("d")).first()
-    if first is None:
+    dims = (
+        embeddings.select(F.size("embedding").alias("d"))
+        .distinct()
+        .limit(3)
+        .collect()
+    )
+    if not dims:
         raise ValueError(
             "pca_fit: cannot fit on an empty embeddings frame (no "
             "dimensionality to infer) — fit on history, then project "
             "batches with pca_project(model=...)"
         )
-    dim = first["d"]
+    if len(dims) > 1:
+        # ragged inputs would silently corrupt the moment frame (per-
+        # position counts stop being the row count) or IndexError on
+        # positions past d+d² — refuse with the real cause
+        raise ValueError(
+            "pca_fit: embeddings are ragged — got dimensionalities "
+            f"{sorted(r['d'] for r in dims)}; fix upstream before "
+            "fitting"
+        )
+    dim = dims[0]["d"]
     e = _as_double()
     # one pass: positions [0, d) carry Σx_i, positions [d, d+d²) carry
     # Σ x_i·x_j (flattened outer product); count rides along.
@@ -107,7 +121,26 @@ def pca_project(
     model = pca_fit(embeddings, k) if model is None else model
     comps = model["components"][:k]
     e = _as_double()
-    staged = embeddings.select("vec_id", "label", e.alias("_e"))
+    # a batch vector whose length differs from the model's dim would
+    # zip_with NULL padding into the dot product and emit proj =
+    # [null, ...] — corrupt features with no error anywhere. Fuse the
+    # check into the staged column itself (a separate pruned check
+    # column could be optimized away) so a mismatched row fails the
+    # job loudly with the offending vec_id.
+    e_checked = F.when(
+        F.size("embedding") == F.lit(model["dim"]), e
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("pca_project: embedding dim "),
+                F.size("embedding").cast("string"),
+                F.lit(f" != model dim {model['dim']} (vec_id "),
+                F.col("vec_id").cast("string"),
+                F.lit(")"),
+            )
+        )
+    )
+    staged = embeddings.select("vec_id", "label", e_checked.alias("_e"))
     offsets = [
         float(np.dot(model["mean"], c)) for c in comps
     ]  # Σ_j (x_j - μ_j)·w_j = x·w − μ·w, with μ·w folded on the driver

@@ -47,8 +47,14 @@ def apply_refunds_orders(orders_base: DataFrame, refunds: DataFrame) -> DataFram
 
     ``net_after_refunds = net_total - refund_total`` with missing
     refunds coalesced to 0.0 (reference defaults via ``_f``/get).
+    ``normalize_orders`` output carries a placeholder
+    ``refund_total`` column — dropped before the join so the joined
+    frame never holds two ambiguously-named copies.
     """
-    joined = orders_base.join(
+    base = orders_base
+    if "refund_total" in base.columns:
+        base = base.drop("refund_total")
+    joined = base.join(
         refunds.select("order_id", "refund_total"), "order_id", "left"
     )
     refund = F.coalesce(F.col("refund_total"), F.lit(0.0))

@@ -70,6 +70,7 @@ def build_facts(
     since_iso: str,
     warehouse_dir: str | None = None,
     persisted_frames: list | None = None,
+    before_iso: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Extract + transform since the watermark → (orders, items) with
     categories and refunds applied (flow.py t_process_batch).
@@ -78,7 +79,9 @@ def build_facts(
     ``stg_orders_raw`` first (cached so the paged API extract runs
     exactly once for landing + parsing; the cached frame is appended
     to ``persisted_frames`` for the caller to unpersist)."""
-    raw = rest.fetch_orders_since(spark, transport, since_iso)
+    raw = rest.fetch_orders_since(
+        spark, transport, since_iso, before_iso=before_iso
+    )
     if warehouse_dir is not None:
         raw = raw.persist()
         if persisted_frames is not None:
@@ -202,15 +205,23 @@ def incremental_run(
     transport: rest.Transport,
     state: WatermarkStore,
     warehouse_dir: str,
+    before_iso: str | None = None,
 ) -> dict:
     """One incremental cycle (flow.py incremental_flow): returns run
     stats. Idempotent: re-running with an unmoved watermark rewrites
-    the same keys (delete+insert), so retries are safe."""
+    the same keys (delete+insert), so retries are safe.
+    ``before_iso`` bounds the extract above (the backfill-window
+    case); a normal incremental run leaves it open."""
     since = state.get_since()
     log.info("incremental run since=%s", since)
     cleanup: list = []
     orders, items = build_facts(
-        spark, transport, since, warehouse_dir, persisted_frames=cleanup
+        spark,
+        transport,
+        since,
+        warehouse_dir,
+        persisted_frames=cleanup,
+        before_iso=before_iso,
     )
     orders = _with_month(orders).persist()
     # items carry no date — stamp the order's month so both facts

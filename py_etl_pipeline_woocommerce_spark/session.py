@@ -29,8 +29,10 @@ def get_spark(
       oracle bit-for-bit.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not cpus.isdigit():  # one validation for BOTH uses: a bad env
+        cpus = "32"         # value must not crash the master URL
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        shuffle_partitions = int(cpus)
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

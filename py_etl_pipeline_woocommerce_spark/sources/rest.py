@@ -190,11 +190,17 @@ def fetch_orders_since(
     transport: Transport,
     since_iso: str,
     status: str | None = None,
+    before_iso: str | None = None,
 ) -> DataFrame:
-    """Raw orders created after ``since_iso`` (orders.py:4-18)."""
+    """Raw orders created after ``since_iso`` (orders.py:4-18);
+    ``before_iso`` adds Woo's upper ``before`` bound — what makes a
+    windowed backfill actually extract ONE window instead of
+    everything after the cursor."""
     params: dict = {"after": since_iso, "orderby": "date", "order": "asc"}
     if status:
         params["status"] = status
+    if before_iso:
+        params["before"] = before_iso
     return fetch_paged(spark, transport, "orders", params)
 
 

@@ -78,8 +78,14 @@ def make_fake_transport(orders, products, refunds, per_page_cap=2):
     def transport(path, params):
         if path == "orders":
             since = params.get("after", "")
+            before = params.get("before")
             rows = sorted(
-                (o for o in orders if o["date_created_gmt"] > since),
+                (
+                    o
+                    for o in orders
+                    if o["date_created_gmt"] > since
+                    and (before is None or o["date_created_gmt"] < before)
+                ),
                 key=lambda o: o["date_created_gmt"],
             )
             per = min(int(params.get("per_page", 100)), per_page_cap)
