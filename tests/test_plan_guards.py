@@ -91,6 +91,10 @@ SCALAR_BROADCAST = {
     "hot_keys_approx",
     # 1-row corpus max-order-day broadcast over the customer frame
     "rfm_segments",
+    # |sources|² pair grid (a<b inequality join of the tiny distinct-
+    # source frame with itself) completing the divergence matrix —
+    # bounded by source count regardless of corpus size
+    "source_divergence",
 }
 
 
