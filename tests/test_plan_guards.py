@@ -178,11 +178,17 @@ def test_sketch_defaults_avoid_unpartitioned_windows(spark, sf_dir):
     (exact=True stays available for oracle parity and is what the
     allowlist above covers)."""
     from py_etl_pipeline_woocommerce_spark.catalog import load_table
-    from py_etl_pipeline_woocommerce_spark.operators import corpus, temporal
+    from py_etl_pipeline_woocommerce_spark.operators import (
+        corpus,
+        events as events_ops,
+        temporal,
+        warehouse,
+    )
     from py_etl_pipeline_woocommerce_spark.plans import relational
 
     docs = load_table(spark, sf_dir, "documents")
     events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
     for name, df in (
         ("perplexity_bucket_mix", corpus.perplexity_bucket_mix(docs)),
         (
@@ -192,6 +198,21 @@ def test_sketch_defaults_avoid_unpartitioned_windows(spark, sf_dir):
         ("equidepth_histogram", temporal.equidepth_histogram(events)),
         ("rfm_segments", relational.rfm_segments(spark, sf_dir)),
         ("token_budget_sample", corpus.token_budget_sample(docs)),
+        ("sample_exact_k", corpus.sample_exact_k(docs)),
+        ("value_outliers_mad", temporal.value_outliers_mad(events)),
+        ("profile_table", warehouse.profile_table(orders)),
+        ("user_overlap", events_ops.user_overlap(events)),
+        ("conversion_latency", temporal.conversion_latency(events)),
+        ("interarrival_stats", temporal.interarrival_stats(events)),
+        ("repeat_rate", relational.repeat_rate(spark, sf_dir)),
+        (
+            "fulfillment_latency",
+            relational.fulfillment_latency(spark, sf_dir),
+        ),
+        (
+            "daily_value_percentiles",
+            temporal.daily_value_percentiles(events),
+        ),
     ):
         assert count_unpartitioned_windows(plan_of(df)) == 0, name
 
