@@ -2369,9 +2369,12 @@ FROM (SELECT query_id, neighbor_id,
       FROM scored)
 WHERE knn_rank <= 5
 """,
-        # ann_lsh_topk: intentionally NO oracle — bucket membership
-        # depends on sign(dot) where dot can sit at float boundary;
-        # rows-only check records it as approximate.
+        # ann_lsh_topk's oracle lives above (driver hash-green since
+        # r3). Residual risk, accepted: bucket membership depends on
+        # sign(dot); an embedding whose hyperplane dot product sat
+        # EXACTLY at a float boundary could flip between Spark's and
+        # DuckDB's fold — never observed on this data (both sides
+        # fold in double over the same values in the same order).
         "lang_id": _LANG_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": f"""

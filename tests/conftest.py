@@ -9,7 +9,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from py_etl_pipeline_woocommerce_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.001"
+#: single point of configuration for all testdata paths (a few
+#: recall/property tests need the bigger sf0.01 tables)
+TESTDATA_ROOT = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_DIR = f"{TESTDATA_ROOT}/sf0.001"
+SF01_DIR = f"{TESTDATA_ROOT}/sf0.01"
 
 
 @pytest.fixture(scope="session")
@@ -21,3 +25,8 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf01_dir():
+    return SF01_DIR

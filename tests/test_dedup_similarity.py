@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+from conftest import SF01_DIR
 from pyspark.sql import functions as F
 
 from py_etl_pipeline_woocommerce_spark.operators.dedup import (
@@ -326,7 +327,7 @@ def test_semdedup_centroid_mode_parity_and_plan(spark, sf_dir):
         semdedup_apply,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = load_table(spark, SF01_DIR, "embeddings")
     exact_05 = {tuple(r) for r in cosine_dup_pairs(emb, 0.5).collect()}
     cell_05 = {tuple(r) for r in centroid_cell_pairs(emb, 0.5).collect()}
     assert exact_05, "expected at least one true near-dup pair at τ=0.5"
@@ -409,7 +410,7 @@ def test_ann_rerank_recovers_exact_neighbors(spark, sf_dir):
         ann_topk,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = load_table(spark, SF01_DIR, "embeddings")
     exact = {
         (r["query_id"], r["neighbor_id"]) for r in ann_topk(emb).collect()
     }

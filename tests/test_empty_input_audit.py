@@ -29,7 +29,9 @@ FIT_REQUIRES_ROWS = {
 
 @pytest.fixture(scope="module")
 def empty_dir(tmp_path_factory):
-    src = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+    from conftest import SF_DIR
+
+    src = SF_DIR
     dst = tmp_path_factory.mktemp("empty_sf")
     for t in TABLES:
         tbl = pq.read_table(os.path.join(src, f"{t}.parquet")).slice(0, 0)

@@ -508,13 +508,13 @@ def test_lang_id_nb_recovers_labels_and_flags_mislabels(spark):
     assert out[6].lang_pred == "unknown" and out[6].score == 0.0
 
 
-def test_lang_id_nb_partitioning_invariant(spark):
+def test_lang_id_nb_partitioning_invariant(spark, sf_dir):
     from py_etl_pipeline_woocommerce_spark.operators.textstats import (
         lang_id_nb,
     )
     from py_etl_pipeline_woocommerce_spark.catalog import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    docs = load_table(spark, sf_dir, "documents")
     a = sorted(
         (r.doc_id, r.lang_pred, r.score) for r in lang_id_nb(docs).collect()
     )
@@ -817,13 +817,13 @@ def test_corpus_drop_pipeline_end_to_end(spark):
 # cluster_stats
 # ------------------------------------------------------------------
 
-def test_cluster_stats_sizes_and_inertia(spark):
+def test_cluster_stats_sizes_and_inertia(spark, sf_dir):
     from py_etl_pipeline_woocommerce_spark.catalog import load_table
     from py_etl_pipeline_woocommerce_spark.operators.similarity import (
         cluster_stats,
     )
 
-    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     rows = cluster_stats(emb, n_centroids=8, iterations=1).collect()
     assert sum(r.n_vectors for r in rows) == n

@@ -72,6 +72,22 @@ def dtype_gate(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> str | None:
                 f"duck={duck_df[c].dtype} (driver hash would fail; "
                 f"CAST the oracle expression)"
             )
+        if sf == df_ == "other":
+            # object columns: canon()'s astype(str) would make
+            # Decimal('1.50') equal VARCHAR '1.50' — compare the
+            # PYTHON types of the first non-null values so a
+            # type-level divergence (driver hashes raw values) is a
+            # named failure, not a silent OK
+            sv = spark_df[c].dropna()
+            dv = duck_df[c].dropna()
+            if len(sv) and len(dv):
+                st, dt = type(sv.iloc[0]).__name__, type(dv.iloc[0]).__name__
+                if st != dt:
+                    return (
+                        f"DTYPE MISMATCH col={c} spark values are "
+                        f"{st}, duck values are {dt} (driver hash "
+                        f"would fail; CAST the oracle expression)"
+                    )
     return None
 
 
@@ -108,6 +124,12 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # a typo'd name would otherwise match NOTHING and the run would
+    # print "0 failures" while verifying nothing
+    unknown = only - set(qs)
+    if unknown:
+        print(f"[FAIL] unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in qs.items():
         if only and name not in only:
@@ -128,7 +150,10 @@ def main() -> int:
             print(f"[FAIL] {name}: DUCKDB ERROR {type(e).__name__}: {str(e)[:300]}")
             failures += 1
             continue
-        verdict = compare(name, sdf, ddf)
+        try:
+            verdict = compare(name, sdf, ddf)
+        except Exception as e:  # canonicalization itself can throw
+            verdict = f"COMPARE ERROR {type(e).__name__}: {str(e)[:200]}"
         status = "ok  " if verdict == "OK" else "FAIL"
         if verdict != "OK":
             failures += 1
