@@ -248,109 +248,85 @@ def _q_dq_rules(spark, sf_dir):
 
 
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
-# ordering decides what gets (re-)verified each round. Round-5 front
+# ordering decides what gets (re-)verified each round. Round-6 front
 # block, in priority order:
-#   1. the 27 entries NEVER driver-checked through r4 (they passed the
-#      builder's selfcheck replica at sf0.001+sf0.01 every round but
-#      that is self-attestation) — oracle-backed first, rows-only
-#      (mmr/pack_bins/cluster_stats/pca_project) after;
-#   2. every entry whose CODE or ORACLE changed in round 5 (sketch
-#      defaults with exact=True driver pins, limit-then-rank top-k
-#      fixes, bucketed token_budget cumsum, trend_fit NULLIF oracle,
-#      dashboard last-30-days default window, pagerank empty guard);
-#   3. the stalest r1-era rows (core ETL + dashboard + Q1) so no green
-#      row is more than a few rounds old.
-# ROUND-6 ROTATION NOTE: promote the next-stalest tail (bounded
-# dashboards, warehouse r2 rows, dedup/training r1-r2 rows listed
-# after position 50) to the front; round-5 blocks 1-2 only need
-# re-checks after their next code change.
-_R5_FRONT = [
-    # --- block 1: never driver-checked (27) ---
-    "ann_rerank_topk",
-    "dsir_select_threshold",
-    "gopher_rules",
-    "bigram_logprob",
-    "source_divergence",
-    "seasonal_profile",
-    "lang_confusion",
-    "value_outliers_mad",
-    "perplexity_bucket_mix",
-    "pmi_terms",
-    "corpus_report",
-    "lang_id_nb",
-    "ewma_daily",
-    "hash_embed",
-    "dedup_audit",
-    "quality_percentile_by_source",
-    "conversion_latency",
-    "doc_similarity_topk",
-    "profile_orders",
-    "session_paths",
-    "dup_cluster_histogram",
-    "profile_drift_orders",
-    "event_mix_drift",
+#   1. entries whose ENTRY/CODE/ORACLE changed in round 6 — headed by
+#      pca_project, the single never-confirmed entry of 201 (its r5
+#      driver row crashed on the array<double> proj column; the entry
+#      now projects to rounded scalars p0..p7);
+#   2. the stalest driver rows: all 33 remaining r1-era rows
+#      (relational breadth Q1-Q22 variants, parse_event_props,
+#      cohort_retention, the r1 dedup trio);
+#   3. the r2-era rows (bounded dashboards, warehouse scd2/snapshot/
+#      dq_summary, multimodal, r2 training-data ops).
+# ROUND-7 ROTATION NOTE: promote the r3-era rows (ann_* family,
+# dedup_clusters/_star/simhash/containment, corpus_prep/pipeline,
+# lang_id, sessionize/funnels, value_percentiles, asof_join,
+# range_join_window, ...) plus any r6 code changes; r1/r2 rows just
+# re-greened here only need re-checks after their next code change.
+_R6_FRONT = [
+    # --- block 1: round-6 entry/code changes ---
     "pca_project",
-    "mmr_topk",
-    "pack_bins_bfd",
-    "cluster_stats",
-    # --- block 2: round-5 code/oracle changes needing re-green ---
-    "token_budget_sample",
-    "rfm_segments",
-    "equidepth_histogram",
-    "trend_fit",
-    "dashboard_payload",
-    "date_bounds",
-    "part_pagerank",
-    "sample_exact_k",
-    "asof_join_nearest",
-    # --- block 3: stalest r1-era rows ---
-    "normalize_orders",
-    "normalize_items",
-    "enrich_categories",
-    "re_enrich_categories",
-    "apply_refunds_orders",
-    "apply_refunds_items",
-    "upsert",
-    "incremental_watermark",
-    "backfill_windows",
-    "kpis",
-    "revenue_timeseries",
-    "top_products",
-    "category_mix",
-    "geo_rollup",
+    # --- block 2: stalest r1-era rows (33) ---
+    "parse_event_props",
     "cohort_retention",
     "pricing_summary",
-    # --- past the ~50 budget: next-stalest, rotated forward in r6 ---
+    "regional_revenue",
+    "top_orders_per_customer",
+    "sales_rollup",
+    "order_priority_count",
+    "shipping_priority",
+    "discount_revenue",
+    "customer_order_distribution",
+    "top_supplier",
+    "volume_shipping",
+    "market_share",
+    "promo_revenue",
+    "large_volume_orders",
+    "supplier_part_breadth",
+    "important_parts",
+    "idle_customers",
+    "min_cost_supplier",
+    "product_profit",
+    "returned_item_report",
+    "small_qty_revenue",
+    "disjunctive_revenue",
+    "supplier_quartiles",
+    "segment_share",
+    "revenue_pivot",
+    "customer_year_cohorts",
+    "sales_cube",
+    "fuzzy_part_names",
+    "returnflag_totals",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    # --- block 3: r2-era rows (25); tail spills to round 7 ---
     "kpis_bounded",
     "revenue_timeseries_bounded",
     "top_products_bounded",
     "category_mix_bounded",
     "geo_rollup_bounded",
-    "parse_event_props",
-    "media_metadata",
-    "resize_images",
-    "frame_sample",
-    "ohlc_bars",
-    "value_histogram",
     "scd2_apply",
     "snapshot_diff",
     "dq_summary",
-    "customer_order_gaps",
-    "customer_ltv",
-    "late_suppliers",
     "supplier_percentiles",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
+    "late_suppliers",
+    "customer_ltv",
+    "customer_order_gaps",
+    "ohlc_bars",
+    "value_histogram",
     "dedup_incremental",
     "knn_classify",
-    "repetition_stats",
     "mix_weights",
     "pack_sequences",
     "quantize_embeddings",
+    "resize_images",
+    "media_metadata",
+    "frame_sample",
+    "repetition_stats",
     "filter_pipeline",
     "doc_rarity",
-    "product_profit",
 ]
 
 
@@ -559,7 +535,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_profile": lambda s, d: temporal.seasonal_profile(
             _events(s, d)
         ),
-        "pca_project": lambda s, d: reduction.pca_project(_emb(s, d)),
+        # the driver's rows-only canonicalizer sorts raw pandas values,
+        # and an array<double> column is unhashable there (r5 ERR) —
+        # so the ENTRY projects `proj` to rounded scalar columns
+        # p0..p7; the operator keeps its array API for library users.
+        "pca_project": lambda s, d: reduction.pca_project(
+            _emb(s, d)
+        ).selectExpr(
+            "vec_id",
+            "label",
+            *[f"round(proj[{i}], 6) AS p{i}" for i in range(8)],
+        ),
         "lang_confusion": lambda s, d: textstats.lang_confusion(_docs(s, d)),
         "value_outliers_mad": lambda s, d: temporal.value_outliers_mad(
             _events(s, d), exact=True
@@ -812,7 +798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
     }
-    ordered = {k: base[k] for k in _R5_FRONT}
+    ordered = {k: base[k] for k in _R6_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 

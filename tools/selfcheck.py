@@ -30,7 +30,29 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def reject_unsortable(df: pd.DataFrame) -> None:
+    """The driver canonicalizes by sorting RAW pandas values; a column
+    holding lists/arrays/dicts is unhashable there and crashes the
+    check (pca_project, r5). Stringifying such a column here would let
+    the replica pass what the driver cannot run — reject instead."""
+    for c in df.columns:
+        if df[c].dtype == object:
+            vals = df[c].dropna()
+            if not len(vals):
+                continue
+            v = vals.iloc[0]
+            if isinstance(v, (list, tuple, dict, set, bytearray)) or hasattr(
+                v, "__array__"
+            ):
+                raise TypeError(
+                    f"column {c!r} holds {type(v).__name__} values — "
+                    "the driver canonicalizer cannot sort these; "
+                    "project to scalar columns in the entry"
+                )
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    reject_unsortable(df)
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
@@ -142,6 +164,22 @@ def main() -> int:
             failures += 1
             continue
         if name not in oracles:
+            # the driver still canonicalizes rows-only entries (raw
+            # value sort) — replicate that so an unsortable column is
+            # a named failure here, not a driver-only crash
+            try:
+                reject_unsortable(sdf)
+                if len(sdf):
+                    sdf[sorted(sdf.columns)].sort_values(
+                        by=sorted(sdf.columns), ignore_index=True
+                    )
+            except Exception as e:
+                print(
+                    f"[FAIL] {name}: ROWS-ONLY CANON ERROR "
+                    f"{type(e).__name__}: {str(e)[:200]}"
+                )
+                failures += 1
+                continue
             print(f"[rows] {name}: {len(sdf)} rows (no oracle) {time.time()-t0:.1f}s")
             continue
         try:
