@@ -267,6 +267,9 @@ def _q_dq_rules(spark, sf_dir):
 _R6_FRONT = [
     # --- block 1: round-6 entry/code changes ---
     "pca_project",
+    # multi-consumer lazy-checkpoint fix in unigram scoring (r6)
+    "unigram_logprob",
+    "perplexity_bucket_mix",
     # --- block 2: stalest r1-era rows (33) ---
     "parse_event_props",
     "cohort_retention",

@@ -184,19 +184,31 @@ def main() -> None:
         times[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "passes": passes,
-                "calibration_sec": calibration_sec,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "passes": passes,
+            "calibration_sec": calibration_sec,
+        }
     )
+    print(payload)
+    # The driver captures only a stdout TAIL, which truncated the first
+    # ~25 per-query numbers out of BENCH_r04/r05 ("parsed": null). Also
+    # write the full JSON to a file so every bench run is durable and
+    # auditable (override the path with $SPARK_GRAFT_BENCH_OUT).
+    out = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+    )
+    try:
+        with open(out, "w") as f:
+            f.write(payload + "\n")
+    except OSError as e:
+        print(f"bench: could not write {out}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -74,6 +74,20 @@ def build_parser() -> argparse.ArgumentParser:
         help="backfill window size in days (run.py:99)",
     )
     ap.add_argument(
+        "--retries",
+        type=int,
+        default=2,
+        help="re-run a failed ingest cycle this many times "
+        "(flow.py:44 @task(retries=2))",
+    )
+    ap.add_argument(
+        "--retry-delay-sec",
+        type=float,
+        default=30.0,
+        help="delay between ingest retries "
+        "(flow.py:44 retry_delay_seconds=30)",
+    )
+    ap.add_argument(
         "--re-enrich",
         action="store_true",
         help="re-enrich categories for items missing them",
@@ -90,7 +104,17 @@ def _parse_iso(d: str) -> str:
     return datetime.fromisoformat(d).strftime(_ISO)
 
 
-def _backfill(spark, transport, state, warehouse, d1, d2, window_days) -> dict:
+def _backfill(
+    spark,
+    transport,
+    state,
+    warehouse,
+    d1,
+    d2,
+    window_days,
+    retries: int = 0,
+    retry_delay_sec: float = 30.0,
+) -> dict:
     """run.py:99-130: advance a cursor through [d1, d2), one
     incremental cycle per window; the cursor jumps by max ingested
     date + 1 minute when data lands, else by the window size."""
@@ -110,7 +134,13 @@ def _backfill(spark, transport, state, warehouse, d1, d2, window_days) -> dict:
         # the extract is bounded ABOVE too (Woo `before`): one window
         # per cycle, never everything-after-the-cursor
         stats = woo_flow.incremental_run(
-            spark, transport, state, warehouse, before_iso=window_end
+            spark,
+            transport,
+            state,
+            warehouse,
+            before_iso=window_end,
+            retries=retries,
+            retry_delay_sec=retry_delay_sec,
         )
         windows += 1
         total_orders += stats["orders"]
@@ -154,9 +184,18 @@ def main(argv: list[str] | None = None, spark=None, transport=None) -> dict:
             args.backfill[0],
             args.backfill[1],
             args.window_days,
+            retries=args.retries,
+            retry_delay_sec=args.retry_delay_sec,
         )
     else:
-        stats = woo_flow.incremental_run(spark, transport, state, args.warehouse)
+        stats = woo_flow.incremental_run(
+            spark,
+            transport,
+            state,
+            args.warehouse,
+            retries=args.retries,
+            retry_delay_sec=args.retry_delay_sec,
+        )
         out = {"mode": "incremental", **stats}
         # run.py:141-147: --force-all overwrites every snapshot;
         # --re-enrich (or an empty extract) refreshes missing ones

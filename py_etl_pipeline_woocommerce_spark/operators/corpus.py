@@ -528,8 +528,14 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
         .select("doc_id", F.explode(tokens_expr("text")).alias("term"))
         .filter(F.col("term") != "")
     )
-    doc_tf = occ.groupBy("doc_id", "term").agg(
-        F.count(F.lit(1)).alias("tf_doc")
+    # doc_tf has THREE consumers (total via corpus_tf, the corpus_tf
+    # join, the score join) — a lazy localCheckpoint materializes the
+    # corpus tokenize+agg once per execution instead of once per
+    # consumer (the bigram_logprob/bm25 device)
+    doc_tf = (
+        occ.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf_doc"))
+        .localCheckpoint(eager=False)
     )
     corpus_tf = doc_tf.groupBy("term").agg(F.sum("tf_doc").alias("tf"))
     total = corpus_tf.agg(F.sum("tf").alias("total"))
@@ -1327,14 +1333,19 @@ def perplexity_bucket_mix(
     token_share divides two engine-exact BIGINTs at the boundary.
     """
     scored = unigram_logprob(documents)
+    # toks has two consumers (the score join and the corpus-total
+    # agg); checkpoint so the text scan + token count runs once
     toks = documents.select(
         "doc_id", token_count_expr("text").alias("n_tokens")
-    )
+    ).localCheckpoint(eager=False)
     joined = scored.join(toks, "doc_id")
     if exact:
         w = Window.orderBy("bits_per_token", "doc_id")
         binned = joined.withColumn("decile", F.ntile(10).over(w))
     else:
+        # two consumers in the sketch path (cuts agg + bucket
+        # projection) — materialize the scored join once
+        joined = joined.localCheckpoint(eager=False)
         fr = ", ".join(str(i / 10) for i in range(1, 10))
         cuts = joined.agg(
             F.expr(f"percentile_approx(bits_per_token, array({fr}))").alias(

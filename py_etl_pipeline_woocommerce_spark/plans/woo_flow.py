@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -206,55 +207,105 @@ def incremental_run(
     state: WatermarkStore,
     warehouse_dir: str,
     before_iso: str | None = None,
+    retries: int = 0,
+    retry_delay_sec: float = 30.0,
 ) -> dict:
     """One incremental cycle (flow.py incremental_flow): returns run
     stats. Idempotent: re-running with an unmoved watermark rewrites
     the same keys (delete+insert), so retries are safe.
     ``before_iso`` bounds the extract above (the backfill-window
-    case); a normal incremental run leaves it open."""
+    case); a normal incremental run leaves it open.
+
+    ``retries``/``retry_delay_sec`` mirror the reference's
+    ``@task(retries=2, retry_delay_seconds=30)`` on order fetching
+    (flow.py:44-46), one layer up: a failed cycle — transient HTTP
+    errors included — is re-run FROM THE TOP after the delay. This is
+    safe precisely because of the idempotence above: the watermark
+    only advances after a successful load, so a retry re-extracts the
+    same window and the delete+insert upsert rewrites the same keys
+    without double-loading."""
+    attempt = 0
+    while True:
+        try:
+            return _incremental_run_once(
+                spark, transport, state, warehouse_dir, before_iso
+            )
+        except Exception as e:
+            attempt += 1
+            if attempt > retries:
+                raise
+            log.warning(
+                "incremental run failed (%s: %s); retry %d/%d in %.0fs",
+                type(e).__name__,
+                e,
+                attempt,
+                retries,
+                retry_delay_sec,
+            )
+            time.sleep(retry_delay_sec)
+
+
+def _incremental_run_once(
+    spark: SparkSession,
+    transport: rest.Transport,
+    state: WatermarkStore,
+    warehouse_dir: str,
+    before_iso: str | None = None,
+) -> dict:
     since = state.get_since()
     log.info("incremental run since=%s", since)
     cleanup: list = []
-    orders, items = build_facts(
-        spark,
-        transport,
-        since,
-        warehouse_dir,
-        persisted_frames=cleanup,
-        before_iso=before_iso,
-    )
-    orders = _with_month(orders).persist()
-    # items carry no date — stamp the order's month so both facts
-    # share the partition layout (batch-sized broadcast join).
-    items = (
-        items.join(
-            F.broadcast(orders.select("order_id", PARTITION_COL)), "order_id"
-        )
-        .persist()
-    )
-    n_orders = orders.count()
-    n_items = items.count()
-    log.info("extracted %d orders / %d items", n_orders, n_items)
-    if n_orders:
-        _upsert_table(
-            spark, orders, os.path.join(warehouse_dir, "fct_orders"), ["order_id"]
-        )
-        _upsert_table(
+    orders = items = None
+    try:
+        orders, items = build_facts(
             spark,
-            items,
-            os.path.join(warehouse_dir, "fct_order_items"),
-            ["order_id", "product_id", "variation_id"],
+            transport,
+            since,
+            warehouse_dir,
+            persisted_frames=cleanup,
+            before_iso=before_iso,
         )
-        max_date = orders.agg(F.max("order_date")).first()[0]
-        nxt = WatermarkStore.advance_from(max_date)
-        if nxt:
-            state.set_since(nxt)
-            log.info("watermark advanced to %s", nxt)
-    orders.unpersist()
-    items.unpersist()
-    for f in cleanup:
-        f.unpersist()
-    return {"since": since, "orders": n_orders, "items": n_items}
+        orders = _with_month(orders).persist()
+        # items carry no date — stamp the order's month so both facts
+        # share the partition layout (batch-sized broadcast join).
+        items = (
+            items.join(
+                F.broadcast(orders.select("order_id", PARTITION_COL)),
+                "order_id",
+            )
+            .persist()
+        )
+        n_orders = orders.count()
+        n_items = items.count()
+        log.info("extracted %d orders / %d items", n_orders, n_items)
+        if n_orders:
+            _upsert_table(
+                spark,
+                orders,
+                os.path.join(warehouse_dir, "fct_orders"),
+                ["order_id"],
+            )
+            _upsert_table(
+                spark,
+                items,
+                os.path.join(warehouse_dir, "fct_order_items"),
+                ["order_id", "product_id", "variation_id"],
+            )
+            max_date = orders.agg(F.max("order_date")).first()[0]
+            nxt = WatermarkStore.advance_from(max_date)
+            if nxt:
+                state.set_since(nxt)
+                log.info("watermark advanced to %s", nxt)
+        return {"since": since, "orders": n_orders, "items": n_items}
+    finally:
+        # unpersist on BOTH exits so a failed attempt doesn't leak
+        # cached partitions into its retry
+        for f in (orders, items, *cleanup):
+            if f is not None:
+                try:
+                    f.unpersist()
+                except Exception:  # pragma: no cover - best effort
+                    pass
 
 
 def re_enrich_run(

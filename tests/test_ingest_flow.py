@@ -336,3 +336,109 @@ def test_raw_landing_zone_supports_replay_without_refetch(spark, tmp_path):
     assert by_id[1]["net_total"] == pytest.approx(27.0)
     assert by_id[2]["currency"] == "EUR"
     assert calls["orders"] == fetches_after_run  # NO refetch happened
+
+
+def test_incremental_run_no_retries_propagates_and_holds_watermark(
+    spark, transport, tmp_path
+):
+    """retries=0 (library default): a transient extract failure
+    propagates and the watermark must NOT advance (nothing loaded)."""
+    state = WatermarkStore(str(tmp_path / "state.json"))
+    state.set_since("2023-12-31T00:00:00")
+    wh = str(tmp_path / "wh")
+    inner = transport
+
+    def flaky(path, params):
+        if path == "orders" and int(params.get("page", 1)) == 1:
+            raise RuntimeError("HTTP 500: transient upstream error")
+        return inner(path, params)
+
+    flaky.orders = inner.orders
+    with pytest.raises(RuntimeError, match="transient"):
+        incremental_run(spark, flaky, state, wh, retries=0)
+    assert state.get_since() == "2023-12-31T00:00:00"
+
+
+def test_incremental_run_retries_transient_failure_without_double_load(
+    spark, transport, tmp_path
+):
+    """flow.py:44 @task(retries=2, retry_delay_seconds=30) parity: one
+    transient 500 on the first orders page, then success. The retried
+    cycle must load each order exactly once (delete+insert upsert
+    idempotence) and advance the watermark once."""
+    state = WatermarkStore(str(tmp_path / "state.json"))
+    state.set_since("2023-12-31T00:00:00")
+    wh = str(tmp_path / "wh")
+    inner = transport
+    calls = {"n": 0}
+
+    def flaky(path, params):
+        if path == "orders" and int(params.get("page", 1)) == 1:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise RuntimeError("HTTP 500: transient upstream error")
+        return inner(path, params)
+
+    flaky.orders = inner.orders
+    stats = incremental_run(
+        spark, flaky, state, wh, retries=2, retry_delay_sec=0.01
+    )
+    assert stats["orders"] == 3 and stats["items"] == 4
+    fct = spark.read.parquet(f"{wh}/fct_orders")
+    assert fct.count() == 3
+    assert fct.select("order_id").distinct().count() == 3  # no double-load
+    items = spark.read.parquet(f"{wh}/fct_order_items")
+    assert items.count() == 4
+    assert (
+        items.select("order_id", "product_id", "variation_id")
+        .distinct()
+        .count()
+        == 4
+    )
+    assert state.get_since() == "2024-01-03T12:01:00"
+
+
+def test_incremental_run_retry_after_midrun_failure_is_idempotent(
+    spark, transport, tmp_path
+):
+    """Transient failure INSIDE the cycle (products enrichment path,
+    which may fire after some output is already written): the retry
+    re-runs the whole cycle and the keyed upsert must leave exactly
+    one row per key — no duplicates from the partial first attempt.
+    A sentinel file gates the one-time failure so it works wherever
+    the call happens (driver or executor worker, shared local FS)."""
+    state = WatermarkStore(str(tmp_path / "state.json"))
+    state.set_since("2023-12-31T00:00:00")
+    wh = str(tmp_path / "wh")
+    sentinel = str(tmp_path / "failed_once")
+    inner = transport
+
+    def flaky(path, params):
+        if path == "products":
+            import os as _os
+
+            if not _os.path.exists(sentinel):
+                with open(sentinel, "w") as f:
+                    f.write("x")
+                raise RuntimeError("HTTP 503: transient upstream error")
+        return inner(path, params)
+
+    flaky.orders = inner.orders
+    stats = incremental_run(
+        spark, flaky, state, wh, retries=2, retry_delay_sec=0.01
+    )
+    assert stats["orders"] == 3 and stats["items"] == 4
+    fct = spark.read.parquet(f"{wh}/fct_orders")
+    assert fct.count() == 3
+    assert fct.select("order_id").distinct().count() == 3
+    items = spark.read.parquet(f"{wh}/fct_order_items")
+    assert items.count() == 4
+    assert (
+        items.select("order_id", "product_id", "variation_id")
+        .distinct()
+        .count()
+        == 4
+    )
+    by_id = {r["order_id"]: r for r in fct.collect()}
+    assert by_id[2]["refund_total"] == pytest.approx(10.0)
+    assert state.get_since() == "2024-01-03T12:01:00"
