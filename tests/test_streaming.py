@@ -802,3 +802,175 @@ def test_first_seen_store_split_invariant_and_stream_parity(spark, tmp_path):
         r.user_id: r.first_day_us for r in spark.read.parquet(store).collect()
     }
     assert got == expect
+
+
+def _poll_parquet(spark, path, pred, deadline_s=120):
+    """Poll a parquet output dir (memory sinks cannot recover from a
+    checkpoint, so restart tests write through foreachBatch)."""
+    import time as _time
+
+    t0 = _time.time()
+    rows = []
+    while _time.time() - t0 < deadline_s:
+        try:
+            rows = spark.read.parquet(path).collect()
+        except Exception:
+            rows = []
+        if pred(rows):
+            return rows
+        _time.sleep(1)
+    raise AssertionError(f"{path} never satisfied predicate; last: {rows}")
+
+
+def _foreach_parquet_append(outdir):
+    def write(df, _bid):
+        df.write.mode("append").parquet(outdir)
+
+    return write
+
+
+def test_sessionize_stream_recovers_from_checkpoint_restart(
+    spark, stream_dirs, tmp_path
+):
+    """Kill the stateful sessionizer mid-stream and restart it from
+    the same checkpoint: per-user session state (seq, bounds, counts)
+    must be restored, so a post-restart continuation extends the
+    PRE-restart session instead of starting a fresh one, and the
+    eventual close is emitted exactly once — no lost or duplicated
+    sessions. (memory sinks refuse checkpoint recovery, so output
+    goes through foreachBatch -> parquet, the recoverable path.)"""
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    src, ckpt = stream_dirs
+    out = str(tmp_path / "sess_restart_out")
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    _write_events(
+        f"{src}/b0.parquet",
+        [(1, base, 7, "click", 1.0), (2, base + 5 * MIN_NS, 7, "view", 2.0)],
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            sessionize_stream(stream, gap_minutes=30)
+            .writeStream.outputMode("update")
+            .foreachBatch(_foreach_parquet_append(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    try:
+        _poll_parquet(spark, out, lambda rows: len(rows) >= 1)
+    finally:
+        q1.stop()  # simulated crash/redeploy between micro-batches
+
+    # post-restart: a continuation inside the gap, then a gap-breaker
+    _write_events(
+        f"{src}/b1.parquet",
+        [
+            (3, base + 15 * MIN_NS, 7, "click", 4.0),
+            (4, base + 80 * MIN_NS, 7, "purchase", 8.0),
+        ],
+    )
+    q2 = start()
+    try:
+        rows = _poll_parquet(
+            spark, out, lambda rows: any(r["closed"] for r in rows)
+        )
+    finally:
+        q2.stop()
+
+    closed = [r for r in rows if r["closed"]]
+    # exactly one closed session — nothing lost, nothing re-emitted
+    assert len(closed) == 1
+    c = closed[0]
+    # the closed session spans the restart: events 1,2 (before) + 3
+    # (after) prove the state store carried (seq, start, last, n, tot)
+    assert c["session_seq"] == 0 and c["n_events"] == 3
+    assert c["start_us"] == base // 1000
+    assert c["end_us"] == (base + 15 * MIN_NS) // 1000
+    assert c["total_value"] == pytest.approx(7.0)
+    # the post-gap event opened session 1 with the restored counter
+    open_rows = [
+        r for r in rows if not r["closed"] and r["session_seq"] == 1
+    ]
+    assert open_rows and any(r["n_events"] == 1 for r in open_rows)
+
+
+def test_transitions_stream_recovers_from_checkpoint_restart(
+    spark, stream_dirs, tmp_path
+):
+    """Restart the stateful transition tracker from its checkpoint:
+    the stored 'previous event' must survive, so the first
+    post-restart event pairs with the last pre-restart one, and the
+    cross-restart transition is emitted exactly once."""
+    from collections import Counter
+
+    from py_etl_pipeline_woocommerce_spark.streaming.transitions import (
+        transitions_stream,
+    )
+
+    src, ckpt = stream_dirs
+    out = str(tmp_path / "trans_restart_out")
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    _write_events(
+        f"{src}/b0.parquet",
+        [(1, base, 7, "view", 1.0), (2, base + MIN_NS, 7, "click", 2.0)],
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            transitions_stream(stream)
+            .writeStream.outputMode("append")
+            .foreachBatch(_foreach_parquet_append(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    try:
+        _poll_parquet(spark, out, lambda rows: len(rows) >= 1)
+    finally:
+        q1.stop()
+
+    _write_events(
+        f"{src}/b1.parquet",
+        [(3, base + 2 * MIN_NS, 7, "purchase", 4.0)],
+    )
+    q2 = start()
+    try:
+        rows = _poll_parquet(
+            spark,
+            out,
+            lambda rows: any(r["to_type"] == "purchase" for r in rows),
+        )
+    finally:
+        q2.stop()
+
+    key = lambda r: (r["from_type"], r["to_type"], r["gap_us"])  # noqa: E731
+    counts = Counter(key(r) for r in rows)
+    # the cross-restart pair exists and is emitted exactly once: the
+    # restored state held (click, base+1min) as user 7 previous event
+    assert counts[("click", "purchase", 60_000_000)] == 1
+    # nothing lost; the pre-restart pair may legally appear twice if
+    # its batch had not committed before the stop (at-least-once
+    # replay into the same sink), but never more
+    assert 1 <= counts[("view", "click", 60_000_000)] <= 2
+    assert set(counts) == {
+        ("click", "purchase", 60_000_000),
+        ("view", "click", 60_000_000),
+    }
