@@ -267,9 +267,11 @@ def _q_dq_rules(spark, sf_dir):
 _R6_FRONT = [
     # --- block 1: round-6 entry/code changes ---
     "pca_project",
-    # multi-consumer lazy-checkpoint fix in unigram scoring (r6)
+    # multi-consumer lazy-checkpoint fixes (r6): unigram scoring,
+    # NB lang-ID training frames
     "unigram_logprob",
     "perplexity_bucket_mix",
+    "lang_id_nb",
     # --- block 2: stalest r1-era rows (33) ---
     "parse_event_props",
     "cohort_retention",

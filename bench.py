@@ -198,15 +198,27 @@ def main() -> None:
     print(payload)
     # The driver captures only a stdout TAIL, which truncated the first
     # ~25 per-query numbers out of BENCH_r04/r05 ("parsed": null). Also
-    # write the full JSON to a file so every bench run is durable and
-    # auditable (override the path with $SPARK_GRAFT_BENCH_OUT).
+    # APPEND the full JSON (with a wall-clock stamp) as one JSONL line,
+    # so every run stays durable and auditable — a later run must not
+    # clobber the history a regression comparison needs. Override the
+    # path with $SPARK_GRAFT_BENCH_OUT.
     out = os.environ.get(
         "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"),
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.jsonl"
+        ),
+    )
+    stamped = json.dumps(
+        {
+            "ran_at_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            ),
+            **json.loads(payload),
+        }
     )
     try:
-        with open(out, "w") as f:
-            f.write(payload + "\n")
+        with open(out, "a") as f:
+            f.write(stamped + "\n")
     except OSError as e:
         print(f"bench: could not write {out}: {e}", file=sys.stderr)
 

@@ -120,35 +120,46 @@ def _backfill(
     date + 1 minute when data lands, else by the window size."""
     cursor, end = _parse_iso(d1), _parse_iso(d2)
     # a HISTORICAL backfill must never rewind the production
-    # watermark: remember it and restore the max at the end
+    # watermark: remember it and restore the max at the end — in a
+    # finally, because retry exhaustion inside a window is a designed
+    # exit path and must not leave state.json rewound to the
+    # historical cursor (the next routine incremental run would
+    # re-extract everything since it)
     prior_since = state.get_since()
     total_orders = total_items = windows = 0
-    while cursor < end:
-        window_end = min(
-            (
-                datetime.fromisoformat(cursor) + timedelta(days=window_days)
-            ).strftime(_ISO),
-            end,
-        )
-        state.set_since(cursor)
-        # the extract is bounded ABOVE too (Woo `before`): one window
-        # per cycle, never everything-after-the-cursor
-        stats = woo_flow.incremental_run(
-            spark,
-            transport,
-            state,
-            warehouse,
-            before_iso=window_end,
-            retries=retries,
-            retry_delay_sec=retry_delay_sec,
-        )
-        windows += 1
-        total_orders += stats["orders"]
-        total_items += stats["items"]
-        advanced = state.get_since()
-        cursor = advanced if stats["orders"] and advanced > cursor else window_end
-    if state.get_since() < prior_since:
-        state.set_since(prior_since)
+    try:
+        while cursor < end:
+            window_end = min(
+                (
+                    datetime.fromisoformat(cursor)
+                    + timedelta(days=window_days)
+                ).strftime(_ISO),
+                end,
+            )
+            state.set_since(cursor)
+            # the extract is bounded ABOVE too (Woo `before`): one
+            # window per cycle, never everything-after-the-cursor
+            stats = woo_flow.incremental_run(
+                spark,
+                transport,
+                state,
+                warehouse,
+                before_iso=window_end,
+                retries=retries,
+                retry_delay_sec=retry_delay_sec,
+            )
+            windows += 1
+            total_orders += stats["orders"]
+            total_items += stats["items"]
+            advanced = state.get_since()
+            cursor = (
+                advanced
+                if stats["orders"] and advanced > cursor
+                else window_end
+            )
+    finally:
+        if state.get_since() < prior_since:
+            state.set_since(prior_since)
     # final missing-only re-enrich pass (run.py:128-130)
     enrich_stats = woo_flow.re_enrich_run(spark, transport, warehouse)
     return {

@@ -521,10 +521,13 @@ def lang_id_nb(documents: DataFrame, top_v: int = 4096) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
+    # lg itself has THREE consumers (vocab, totals, matrix) — without
+    # a checkpoint each re-runs the corpus-sized tf⋈lang join + agg
     lg = (
         tf.join(staged.select("doc_id", "lang"), "doc_id")
         .groupBy("lang", "gram")
         .agg(F.sum("tf").alias("c"))
+        .localCheckpoint(eager=False)
     )
     # distributed TakeOrdered vocab cut (trigram vocabulary is
     # corpus-sized — a rank window over it would be a one-task sort)
@@ -534,6 +537,7 @@ def lang_id_nb(documents: DataFrame, top_v: int = 4096) -> DataFrame:
         .orderBy(F.col("vc").desc(), "gram")
         .limit(top_v)
         .select("gram")
+        .localCheckpoint(eager=False)  # 3 consumers, ≤top_v rows
     )
     v_size = vocab.agg(F.count(F.lit(1)).alias("v_size"))
     totals = (

@@ -72,6 +72,7 @@ def build_facts(
     warehouse_dir: str | None = None,
     persisted_frames: list | None = None,
     before_iso: str | None = None,
+    stage: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Extract + transform since the watermark → (orders, items) with
     categories and refunds applied (flow.py t_process_batch).
@@ -79,7 +80,9 @@ def build_facts(
     When ``warehouse_dir`` is given, the raw order JSON lands in
     ``stg_orders_raw`` first (cached so the paged API extract runs
     exactly once for landing + parsing; the cached frame is appended
-    to ``persisted_frames`` for the caller to unpersist)."""
+    to ``persisted_frames`` for the caller to unpersist).
+    ``stage=False`` skips the bronze append — the retry path, where
+    the first attempt already landed this window's batch."""
     raw = rest.fetch_orders_since(
         spark, transport, since_iso, before_iso=before_iso
     )
@@ -87,7 +90,8 @@ def build_facts(
         raw = raw.persist()
         if persisted_frames is not None:
             persisted_frames.append(raw)
-        stage_raw_orders(raw, warehouse_dir)
+        if stage:
+            stage_raw_orders(raw, warehouse_dir)
     parsed = rest.parse_orders(raw)
     orders = rest.orders_frame(parsed)
     items = rest.items_frame(parsed)
@@ -223,13 +227,28 @@ def incremental_run(
     safe precisely because of the idempotence above: the watermark
     only advances after a successful load, so a retry re-extracts the
     same window and the delete+insert upsert rewrites the same keys
-    without double-loading."""
+    without double-loading. Deterministic plan/schema errors
+    (AnalysisException) are NOT retried — re-running a query that can
+    never compile just delays the real error by retries × delay. A
+    retry also skips re-landing the raw batch when the first attempt
+    already staged it (the bronze append would otherwise duplicate
+    the window once per failed attempt)."""
+    from pyspark.errors import AnalysisException
+
     attempt = 0
+    staged = {"done": False}
     while True:
         try:
             return _incremental_run_once(
-                spark, transport, state, warehouse_dir, before_iso
+                spark,
+                transport,
+                state,
+                warehouse_dir,
+                before_iso,
+                staged=staged,
             )
+        except AnalysisException:
+            raise
         except Exception as e:
             attempt += 1
             if attempt > retries:
@@ -242,7 +261,7 @@ def incremental_run(
                 retries,
                 retry_delay_sec,
             )
-            time.sleep(retry_delay_sec)
+            time.sleep(max(0.0, retry_delay_sec))
 
 
 def _incremental_run_once(
@@ -251,6 +270,7 @@ def _incremental_run_once(
     state: WatermarkStore,
     warehouse_dir: str,
     before_iso: str | None = None,
+    staged: dict | None = None,
 ) -> dict:
     since = state.get_since()
     log.info("incremental run since=%s", since)
@@ -264,7 +284,13 @@ def _incremental_run_once(
             warehouse_dir,
             persisted_frames=cleanup,
             before_iso=before_iso,
+            stage=not (staged or {}).get("done", False),
         )
+        # the staging write is the only action inside build_facts, so
+        # reaching here means the batch landed exactly once — a retry
+        # of a LATER failure must not append a second bronze copy
+        if staged is not None:
+            staged["done"] = True
         orders = _with_month(orders).persist()
         # items carry no date — stamp the order's month so both facts
         # share the partition layout (batch-sized broadcast join).

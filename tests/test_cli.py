@@ -175,3 +175,81 @@ def test_cli_module_is_executable_via_python_dash_m():
     assert proc.returncode == 0
     assert "--backfill" in proc.stdout
     assert "--force-all" in proc.stdout
+
+
+def test_cli_backfill_restores_watermark_after_window_failure(spark, tmp_path):
+    """Retry exhaustion inside a backfill window is a designed exit
+    path: the production watermark must be restored to its prior
+    value even when the backfill aborts, or the next routine
+    incremental run re-extracts everything since the historical
+    cursor."""
+    wh = str(tmp_path / "wh")
+    state_path = os.path.join(wh, "state.json")
+    os.makedirs(wh, exist_ok=True)
+    # seed a production watermark AFTER the historical range
+    transport = make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS)
+    main(
+        ["--warehouse", wh, "--backfill", "2024-01-01", "2024-02-01"],
+        spark=spark,
+        transport=transport,
+    )
+    prior = json.load(open(state_path))["since_iso"]
+    assert prior > "2024-01-03T12:00:00"
+
+    def always_down(path, params):
+        raise RuntimeError("HTTP 500: persistent outage")
+
+    always_down.orders = []
+    with pytest.raises(RuntimeError, match="persistent outage"):
+        main(
+            [
+                "--warehouse",
+                wh,
+                "--backfill",
+                "2023-01-01",
+                "2023-03-01",
+                "--retries",
+                "1",
+                "--retry-delay-sec",
+                "0",
+            ],
+            spark=spark,
+            transport=always_down,
+        )
+    assert json.load(open(state_path))["since_iso"] == prior
+
+
+def test_retry_does_not_duplicate_bronze_staging(spark, tmp_path):
+    """A retried cycle whose first attempt got past raw staging must
+    not append a second copy of the window to stg_orders_raw."""
+    from py_etl_pipeline_woocommerce_spark.plans.woo_flow import (
+        incremental_run,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.state import (
+        WatermarkStore,
+    )
+
+    wh = str(tmp_path / "wh")
+    state = WatermarkStore(str(tmp_path / "state.json"))
+    state.set_since("2023-12-31T00:00:00")
+    sentinel = str(tmp_path / "failed_once")
+    inner = make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS)
+
+    def flaky(path, params):
+        # fail AFTER staging (products fetch happens downstream of
+        # the raw landing)
+        if path == "products" and not os.path.exists(sentinel):
+            with open(sentinel, "w") as f:
+                f.write("x")
+            raise RuntimeError("HTTP 503: transient upstream error")
+        return inner(path, params)
+
+    flaky.orders = inner.orders
+    stats = incremental_run(
+        spark, flaky, state, wh, retries=2, retry_delay_sec=0.01
+    )
+    assert stats["orders"] == 3
+    stg = spark.read.parquet(os.path.join(wh, "stg_orders_raw"))
+    # one bronze row per order, not one per attempt
+    assert stg.count() == 3
+    assert stg.select("order_id").distinct().count() == 3

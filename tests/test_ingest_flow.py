@@ -442,3 +442,34 @@ def test_incremental_run_retry_after_midrun_failure_is_idempotent(
     by_id = {r["order_id"]: r for r in fct.collect()}
     assert by_id[2]["refund_total"] == pytest.approx(10.0)
     assert state.get_since() == "2024-01-03T12:01:00"
+
+
+def test_deterministic_analysis_errors_are_not_retried(
+    spark, transport, tmp_path, monkeypatch
+):
+    """A plan/schema bug (AnalysisException) can never succeed on
+    retry — it must surface immediately instead of burning
+    retries x delay on re-extracts."""
+    from pyspark.errors import AnalysisException
+
+    from py_etl_pipeline_woocommerce_spark.plans import woo_flow
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise AnalysisException("deterministic plan error")
+
+    monkeypatch.setattr(woo_flow, "build_facts", boom)
+    state = WatermarkStore(str(tmp_path / "state.json"))
+    state.set_since("2023-12-31T00:00:00")
+    with pytest.raises(AnalysisException):
+        woo_flow.incremental_run(
+            spark,
+            transport,
+            state,
+            str(tmp_path / "wh"),
+            retries=5,
+            retry_delay_sec=0,
+        )
+    assert calls["n"] == 1
