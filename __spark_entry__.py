@@ -272,6 +272,8 @@ _R6_FRONT = [
     "unigram_logprob",
     "perplexity_bucket_mix",
     "lang_id_nb",
+    # pagerank deg checkpoint + PCA input guards (r6 review wave)
+    "part_pagerank",
     # --- block 2: stalest r1-era rows (33) ---
     "parse_event_props",
     "cohort_retention",

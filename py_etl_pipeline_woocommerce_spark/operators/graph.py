@@ -76,7 +76,15 @@ def pagerank(
     sym = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg has THREE consumers (the out_edges join, the n count, the
+    # uniform rank init) — a lazy checkpoint materializes the
+    # node-sized aggregate once instead of re-running the symmetrize
+    # + groupBy per consumer
+    deg = (
+        sym.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
     out_edges = sym.join(deg, "src").persist()
     n = deg.count()  # scalar: the only driver-side value
     spark = edges.sparkSession

@@ -55,27 +55,66 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
             "dimensionality to infer) — fit on history, then project "
             "batches with pca_project(model=...)"
         )
-    if len(dims) > 1:
+    # each degenerate input gets ITS OWN named refusal — a NULL array
+    # makes F.size yield NULL and an all-empty corpus yields zero
+    # moment rows, and letting either fall through produced masking
+    # TypeErrors/IndexErrors instead of the real cause
+    sizes = [r["d"] for r in dims]
+    if any(s is None for s in sizes):
+        raise ValueError(
+            "pca_fit: some rows have NULL embedding arrays — drop or "
+            "repair upstream before fitting"
+        )
+    if len(sizes) > 1:
         # ragged inputs would silently corrupt the moment frame (per-
         # position counts stop being the row count) or IndexError on
         # positions past d+d² — refuse with the real cause
         raise ValueError(
             "pca_fit: embeddings are ragged — got dimensionalities "
-            f"{sorted(r['d'] for r in dims)}; fix upstream before "
-            "fitting"
+            f"{sorted(sizes)}; fix upstream before fitting"
         )
-    dim = dims[0]["d"]
+    dim = sizes[0]
+    if dim == 0:
+        raise ValueError(
+            "pca_fit: embeddings are zero-length arrays — nothing to fit"
+        )
+    if k > dim:
+        raise ValueError(
+            f"pca_fit: k={k} exceeds the embedding dimensionality "
+            f"{dim} — at most dim components exist"
+        )
     e = _as_double()
+    # a NULL ELEMENT inside an array silently biases the fit (F.sum
+    # skips the null product but the count still counts the row, so
+    # the affected mean/covariance entries drift toward 0) — fuse a
+    # loud per-row check into the staged column, same device as
+    # pca_project's dim guard below
+    checked = embeddings.select(
+        F.when(
+            F.exists("embedding", lambda x: x.isNull()),
+            F.raise_error(
+                F.concat(
+                    F.lit("pca_fit: embedding contains NULL elements "),
+                    F.lit("(vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(")"),
+                )
+            ),
+        )
+        .otherwise(e)
+        .alias("_e")
+    )
+    ce = F.col("_e")
     # one pass: positions [0, d) carry Σx_i, positions [d, d+d²) carry
     # Σ x_i·x_j (flattened outer product); count rides along.
     moments = (
-        embeddings.select(
+        checked.select(
             F.posexplode(
                 F.concat(
-                    e,
+                    ce,
                     F.flatten(
                         F.transform(
-                            e, lambda x: F.transform(e, lambda y: x * y)
+                            ce, lambda x: F.transform(ce, lambda y: x * y)
                         )
                     ),
                 )
@@ -119,26 +158,47 @@ def pca_project(
     train-offline/score-online split as ``dsir_score_with_model``).
     """
     model = pca_fit(embeddings, k) if model is None else model
+    if k > len(model["components"]):
+        # silently handing back fewer dimensions than asked would give
+        # downstream consumers sized for k short vectors with no error
+        raise ValueError(
+            f"pca_project: k={k} exceeds the model's "
+            f"{len(model['components'])} stored components — refit "
+            "with a larger k or lower the request"
+        )
     comps = model["components"][:k]
     e = _as_double()
-    # a batch vector whose length differs from the model's dim would
-    # zip_with NULL padding into the dot product and emit proj =
-    # [null, ...] — corrupt features with no error anywhere. Fuse the
-    # check into the staged column itself (a separate pruned check
-    # column could be optimized away) so a mismatched row fails the
-    # job loudly with the offending vec_id.
-    e_checked = F.when(
-        F.size("embedding") == F.lit(model["dim"]), e
-    ).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit("pca_project: embedding dim "),
-                F.size("embedding").cast("string"),
-                F.lit(f" != model dim {model['dim']} (vec_id "),
-                F.col("vec_id").cast("string"),
-                F.lit(")"),
-            )
+    # a batch vector whose length differs from the model's dim — or
+    # one holding a NULL element — would zip_with NULL into the dot
+    # product and emit proj = [null, ...]: corrupt features with no
+    # error anywhere. Fuse both checks into the staged column itself
+    # (a separate pruned check column could be optimized away) so a
+    # bad row fails the job loudly with the offending vec_id.
+    e_checked = (
+        F.when(
+            F.size("embedding") != F.lit(model["dim"]),
+            F.raise_error(
+                F.concat(
+                    F.lit("pca_project: embedding dim "),
+                    F.size("embedding").cast("string"),
+                    F.lit(f" != model dim {model['dim']} (vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(")"),
+                )
+            ),
         )
+        .when(
+            F.exists("embedding", lambda x: x.isNull()),
+            F.raise_error(
+                F.concat(
+                    F.lit("pca_project: embedding contains NULL "),
+                    F.lit("elements (vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(")"),
+                )
+            ),
+        )
+        .otherwise(e)
     )
     staged = embeddings.select("vec_id", "label", e_checked.alias("_e"))
     offsets = [

@@ -11,6 +11,15 @@ sessions are emitted, the open one stays in state.
 State is bounded: one fixed-width row per active user, evicted by the
 state timeout (idle users close their session after the gap wall-time
 elapses even with no further events).
+
+Two documented divergences from the batch twin, both inherent to
+single-pass streaming: (1) events later than one gap BEFORE the open
+session's start are dropped — they belong to an already-emitted
+session no stream can retroactively revise; (2) the idle eviction
+uses PROCESSING-time silence, so a source stall or backpressure pause
+longer than the gap closes sessions the batch twin (which sees only
+event time) would keep open. Re-running the batch sessionizer over
+the full log reconciles both.
 """
 
 from __future__ import annotations
@@ -85,14 +94,24 @@ def _sessionize_user(
     events = events.sort_values("t_us")
     for t_us, value in zip(events["t_us"], events["value"]):
         t_us = int(t_us)
+        if start is not None and t_us < start - gap_us:
+            # beyond the lateness horizon: more than a gap OLDER than
+            # the open session's start, so the batch twin would place
+            # it in an earlier, already-emitted session — absorbing
+            # it would stretch the open session's bounds and merge
+            # what batch semantics split. Dropped (the batch
+            # sessionizer over the full log is the reconciliation
+            # path for data that late).
+            continue
         if last is not None and t_us - last > gap_us:
             out_rows.append([user_id, seq, n, start, last, tot, True])
             seq, start, n, tot = seq + 1, t_us, 0, 0.0
-        # late (cross-batch out-of-order) events may precede the
-        # stored bounds: clamp so the clock never runs backwards (a
-        # regressed `last` would fake a gap and split the session —
-        # the liveness monitor's max() guard) and the session bounds
-        # stay the true [min, max] the batch twin reports
+        # late (cross-batch out-of-order) events within the horizon
+        # may still precede the stored bounds: clamp so the clock
+        # never runs backwards (a regressed `last` would fake a gap
+        # and split the session — the liveness monitor's max() guard)
+        # and the session bounds stay the true [min, max] the batch
+        # twin reports
         start = t_us if start is None else min(start, t_us)
         last = t_us if last is None else max(last, t_us)
         n += 1

@@ -35,10 +35,13 @@ TRANSITION_SCHEMA = T.StructType(
     ]
 )
 
-#: (last_us, last_type)
+#: (last_us, last_id, last_type) — the event_id rides along so the
+#: cross-batch tie-break matches the batch twin's (t_us, event_id)
+#: window order
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_us", T.LongType()),
+        T.StructField("last_id", T.LongType()),
         T.StructField("last_type", T.StringType()),
     ]
 )
@@ -56,22 +59,28 @@ def _transitions_user(
         yield pd.DataFrame(columns=TRANSITION_SCHEMA.fieldNames())
         return
 
-    last_us, last_type = state.get if state.exists else (None, None)
+    last_us, last_id, last_type = (
+        state.get if state.exists else (None, None, None)
+    )
     events = pd.concat(list(pdfs)).sort_values(["t_us", "event_id"])
     out = []
-    for t_us, etype in zip(events["t_us"], events["event_type"]):
-        t_us = int(t_us)
-        if last_type is not None and t_us < last_us:
-            # late cross-batch event: older than the stored clock —
-            # emitting (last_type -> etype, negative gap) would invert
-            # event order in the transition matrix; drop it (the
-            # batch twin's global sort would have placed it earlier,
-            # a position no stream can retroactively emit)
+    for t_us, eid, etype in zip(
+        events["t_us"], events["event_id"], events["event_type"]
+    ):
+        t_us, eid = int(t_us), int(eid)
+        if last_type is not None and (t_us, eid) < (last_us, last_id):
+            # late cross-batch event: older than the stored clock in
+            # the batch twin's (t_us, event_id) order — emitting
+            # (last_type -> etype) would invert event order in the
+            # transition matrix (a TIE on t_us with a smaller
+            # event_id counts as older too); drop it (the batch
+            # twin's global sort would have placed it earlier, a
+            # position no stream can retroactively emit)
             continue
         if last_type is not None:
             out.append([user_id, last_type, etype, t_us - last_us])
-        last_us, last_type = t_us, etype
-    state.update((last_us, last_type))
+        last_us, last_id, last_type = t_us, eid, etype
+    state.update((last_us, last_id, last_type))
     state.setTimeoutDuration(idle_ms)
     yield pd.DataFrame(out, columns=TRANSITION_SCHEMA.fieldNames())
 

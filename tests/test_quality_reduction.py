@@ -1062,3 +1062,40 @@ def test_event_mix_drift_shares(spark):
     assert out["click"].share_after == 0.25
     assert out["click"].share_delta == -0.5
     assert out["view"].share_delta == 0.5
+
+
+def test_pca_degenerate_inputs_fail_loudly(spark, emb):
+    """Each degenerate input gets a NAMED refusal, not a masking
+    TypeError/IndexError — and NULL elements inside an embedding
+    raise instead of silently biasing the moments toward 0."""
+    df, _ = emb
+    # k larger than the embedding dimensionality
+    with pytest.raises(ValueError, match="exceeds the embedding"):
+        reduction.pca_fit(df, k=99)
+    # NULL array rows
+    null_row = spark.createDataFrame(
+        [(9999, None, 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    with pytest.raises(ValueError, match="NULL embedding arrays"):
+        reduction.pca_fit(df.unionByName(null_row), k=2)
+    # zero-length arrays
+    empty = spark.createDataFrame(
+        [(1, [], 0), (2, [], 1)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    with pytest.raises(ValueError, match="zero-length"):
+        reduction.pca_fit(empty, k=2)
+    # NULL ELEMENT inside an array: loud executor-side raise naming
+    # the row, in both fit and project
+    bad_elem = spark.createDataFrame(
+        [(0, [1.0, None, 3.0, 0.0, 0.0, 0.0], 0)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    with pytest.raises(Exception, match="NULL elements"):
+        reduction.pca_fit(df.unionByName(bad_elem), k=2)
+    model = reduction.pca_fit(df, k=3)
+    with pytest.raises(Exception, match="NULL elements"):
+        reduction.pca_project(bad_elem, k=3, model=model).collect()
+    # k beyond the stored model's components: refuse, don't truncate
+    with pytest.raises(ValueError, match="stored components"):
+        reduction.pca_project(df, k=5, model=model)

@@ -974,3 +974,143 @@ def test_transitions_stream_recovers_from_checkpoint_restart(
         ("click", "purchase", 60_000_000),
         ("view", "click", 60_000_000),
     }
+
+
+def test_sessionize_stream_drops_events_beyond_lateness_horizon(
+    spark, stream_dirs
+):
+    """An event more than one gap OLDER than the open session's start
+    belongs to an already-emitted session — it must be dropped, not
+    absorbed (absorbing would stretch the open session across a gap
+    the batch twin splits on)."""
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    # batch 1: session starts at base+120min
+    _write_events(
+        f"{src}/b0.parquet", [(1, base + 120 * MIN_NS, 7, "click", 1.0)]
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_late_horizon")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def wait(pred, deadline_s=90):
+        import time as _t
+
+        t0 = _t.time()
+        rows = []
+        while _t.time() - t0 < deadline_s:
+            rows = spark.sql("select * from sess_late_horizon").collect()
+            if pred(rows):
+                return rows
+            _t.sleep(1)
+        raise AssertionError(f"predicate never satisfied; last: {rows}")
+
+    try:
+        wait(lambda rows: len(rows) >= 1)
+        # batch 2: a 2h-stale stray (beyond the 30min horizon) plus a
+        # legitimate continuation 5min after the start
+        _write_events(
+            f"{src}/b1.parquet",
+            [
+                (2, base, 7, "view", 100.0),  # must be dropped
+                (3, base + 125 * MIN_NS, 7, "click", 2.0),
+            ],
+        )
+        rows = wait(
+            lambda rows: any(
+                not r["closed"] and r["n_events"] == 2 for r in rows
+            )
+        )
+    finally:
+        query.stop()
+
+    open_rows = [r for r in rows if not r["closed"] and r["n_events"] == 2]
+    assert open_rows
+    o = open_rows[-1]
+    # the stray did NOT rewrite the session bounds or totals
+    assert o["start_us"] == (base + 120 * MIN_NS) // 1000
+    assert o["end_us"] == (base + 125 * MIN_NS) // 1000
+    assert o["total_value"] == pytest.approx(3.0)
+    # and nothing ever reported 3 events or the stray's start
+    assert not [r for r in rows if r["n_events"] and r["n_events"] >= 3]
+    assert not [r for r in rows if r["start_us"] == base // 1000]
+
+
+def test_transitions_stream_cross_batch_tie_matches_batch_order(
+    spark, stream_dirs
+):
+    """A cross-batch event with the SAME t_us but a smaller event_id
+    than the stored state is older in the batch twin's
+    (t_us, event_id) order — it must be dropped, not emitted as a
+    successor (which would flip the transition direction)."""
+    from py_etl_pipeline_woocommerce_spark.streaming.transitions import (
+        transitions_stream,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    _write_events(f"{src}/b0.parquet", [(5, base, 7, "view", 1.0)])
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        transitions_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_tie")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def wait(pred, deadline_s=90):
+        import time as _t
+
+        t0 = _t.time()
+        rows = []
+        while _t.time() - t0 < deadline_s:
+            rows = spark.sql("select * from trans_tie").collect()
+            if pred(rows):
+                return rows
+            _t.sleep(1)
+        raise AssertionError(f"predicate never satisfied; last: {rows}")
+
+    try:
+        wait(lambda rows: True)  # let batch 1 commit state
+        import time as _t
+
+        _t.sleep(2)
+        # tie on t_us with a SMALLER event_id (older in batch order),
+        # then a real successor
+        _write_events(
+            f"{src}/b1.parquet",
+            [(3, base, 7, "click", 1.0), (7, base + MIN_NS, 7, "purchase", 1.0)],
+        )
+        rows = wait(
+            lambda rows: any(r["to_type"] == "purchase" for r in rows)
+        )
+    finally:
+        query.stop()
+
+    got = [(r["from_type"], r["to_type"], r["gap_us"]) for r in rows]
+    # the tied-but-older click never became a successor of view...
+    assert ("view", "click", 0) not in got
+    # ...and the kept path is view -> purchase off the restored state
+    assert ("view", "purchase", 60_000_000) in got
