@@ -274,6 +274,10 @@ _R6_FRONT = [
     "lang_id_nb",
     # pagerank deg checkpoint + PCA input guards (r6 review wave)
     "part_pagerank",
+    # hot-key diagnostics: counts/summaries checkpoint + NULL-key
+    # counting in the Misra-Gries path (r6 review wave)
+    "hot_keys",
+    "hot_keys_approx",
     # --- block 2: stalest r1-era rows (33) ---
     "parse_event_props",
     "cohort_retention",

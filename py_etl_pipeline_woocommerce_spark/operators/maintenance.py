@@ -70,21 +70,31 @@ def export_shards(
     regardless of stratum skew.
 
     Returns per-partition-directory shard counts (from the filesystem,
-    not the plan — what was actually written).
+    not the plan — what was actually written). Listing goes through
+    the Hadoop FileSystem API so the count works for ANY scheme the
+    writer accepted (s3a://, hdfs://, file:/) — a local os.walk would
+    silently return {} for object-store destinations.
     """
-    import os
-
     (
         df.write.mode("overwrite")
         .option("maxRecordsPerFile", str(max_records_per_file))
         .partitionBy(*partition_by)
         .parquet(dest_dir)
     )
+    spark = df.sparkSession
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(dest_dir)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    base = fs.makeQualified(jpath).toString().rstrip("/")
     shards: dict[str, int] = {}
-    for root, _dirs, files in os.walk(dest_dir):
-        n = sum(1 for f in files if f.endswith(".parquet"))
-        if n:
-            shards[os.path.relpath(root, dest_dir)] = n
+    it = fs.listFiles(jpath, True)  # recursive
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if not p.endswith(".parquet"):
+            continue
+        rel = p[len(base):].lstrip("/")
+        d = rel.rsplit("/", 1)[0] if "/" in rel else "."
+        shards[d] = shards.get(d, 0) + 1
     return shards
 
 
@@ -157,6 +167,15 @@ def zorder_cluster(
     """
     from pyspark.sql import functions as F
 
+    if bits * len(cols) > 63:
+        # the JVM masks shift counts mod 64 (and bit 63 is the sign),
+        # so an oversized config would silently wrap bit positions
+        # into a garbage key with no locality — refuse instead
+        raise ValueError(
+            f"zorder_cluster: bits({bits}) x cols({len(cols)}) = "
+            f"{bits * len(cols)} interleaved bits exceed the 63 usable "
+            "bits of a signed long — lower bits or cluster fewer columns"
+        )
     num_cols = [f"_zv{i}" for i in range(len(cols))]
     staged = df.select(
         "*",

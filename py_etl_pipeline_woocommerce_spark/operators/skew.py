@@ -81,9 +81,14 @@ def hot_keys(df: DataFrame, key_col: str, topk: int = 20) -> DataFrame:
     totals ride in a 1-row broadcast. Shares round to 6 dp and ties
     break on the key string, so the report is engine-exact.
     """
-    counts = df.groupBy(
-        F.col(key_col).cast("string").alias("key_value")
-    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    # counts feeds BOTH the totals agg and the top-k cut; a lazy
+    # checkpoint materializes the table-wide groupBy once instead of
+    # once per consumer (the repo's multi-consumer device)
+    counts = (
+        df.groupBy(F.col(key_col).cast("string").alias("key_value"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .localCheckpoint(eager=False)
+    )
     totals = counts.agg(
         F.sum("n_rows").alias("_total"),
         F.count(F.lit(1)).alias("_n_keys"),
@@ -155,9 +160,24 @@ def hot_keys_approx(
             columns=["key_value", "cnt", "dec"],
         )
 
-    summaries = df.select(
-        F.col(key_col).cast("string").alias("_k")
-    ).mapInPandas(mg, schema)
+    # NULL keys are often THE hot spot (missing user_id) and pandas
+    # value_counts drops NaN — encode NULL as a reserved token before
+    # the Python path and decode after the merge, so the approx report
+    # counts the NULL group exactly like `hot_keys` does (None in the
+    # output stays the per-partition dec sentinel, filtered below)
+    _NULL_TOKEN = "\x00<NULL>"
+    # summaries has TWO consumers (merged counts + the err agg); a
+    # lazy checkpoint runs the Misra-Gries scan once, and its size is
+    # bounded at counters x partitions rows
+    summaries = (
+        df.select(
+            F.coalesce(
+                F.col(key_col).cast("string"), F.lit(_NULL_TOKEN)
+            ).alias("_k")
+        )
+        .mapInPandas(mg, schema)
+        .localCheckpoint(eager=False)
+    )
     merged = (
         summaries.filter(F.col("key_value").isNotNull())
         .groupBy("key_value")
@@ -169,5 +189,12 @@ def hot_keys_approx(
     return (
         top.join(F.broadcast(err))
         .withColumn("key_rank", F.row_number().over(w))
-        .select("key_rank", "key_value", "est_count", "err_bound")
+        .select(
+            "key_rank",
+            F.when(F.col("key_value") == _NULL_TOKEN, F.lit(None))
+            .otherwise(F.col("key_value"))
+            .alias("key_value"),
+            "est_count",
+            "err_bound",
+        )
     )

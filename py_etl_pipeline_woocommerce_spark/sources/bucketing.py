@@ -29,9 +29,20 @@ def write_bucketed(
     sort: bool = True,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` as a bucketed+sorted parquet warehouse table."""
+    """Persist ``df`` as a bucketed+sorted parquet warehouse table.
+
+    The input is first repartitioned on the bucket columns with one
+    partition per bucket: ``bucketBy`` alone makes EVERY write task
+    emit one file per bucket it holds rows for (up to input-partitions
+    x n_buckets files — the classic bucketed-write small-file
+    explosion); pre-hashing on the same columns lands each bucket's
+    rows in exactly one task, so the table materializes as n_buckets
+    files per partition tree."""
     writer = (
-        df.write.mode(mode).format("parquet").bucketBy(n_buckets, *bucket_cols)
+        df.repartition(n_buckets, *[df[c] for c in bucket_cols])
+        .write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
     )
     if sort:
         writer = writer.sortBy(*bucket_cols)

@@ -68,10 +68,11 @@ def read_jsonl_quarantine(
     well-formed: good rows flow on, corrupt raw lines are preserved
     for triage instead of killing the job or vanishing.
 
-    Pass ``persisted_frames=[]`` to receive the internally cached
-    scan and unpersist after materializing both branches — a repeated
-    landing-zone loop would otherwise pin one cached copy of the
-    input per call for the session's lifetime.
+    ``persisted_frames`` is accepted for backward compatibility and
+    no longer needed: the shared scan is a lazy ``localCheckpoint``
+    rather than a ``cache()``, so its blocks are released by Spark's
+    ContextCleaner once the returned frames go out of scope instead
+    of pinning one copy per call for the session's lifetime.
     """
     with_corrupt = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
@@ -81,9 +82,10 @@ def read_jsonl_quarantine(
         .options(mode="PERMISSIVE", columnNameOfCorruptRecord=CORRUPT_COL)
         .json(path)
         # Spark disallows filtering raw file scans on the corrupt
-        # column alone (SPARK-21610); caching the parsed frame is the
-        # documented unblock — and both branches reuse the one scan.
-        .cache()
+        # column alone (SPARK-21610); materializing the parsed frame
+        # is the documented unblock — and both branches reuse the one
+        # scan. Lazy checkpoint, not cache: GC-managed lifetime.
+        .localCheckpoint(eager=False)
     )
     if persisted_frames is not None:
         persisted_frames.append(raw)

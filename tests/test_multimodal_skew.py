@@ -193,3 +193,59 @@ def test_hot_keys_approx_exact_when_counters_exceed_cardinality(spark):
     # cardinality 3 <= counters: no decrements anywhere, counts exact
     assert got["a"].est_count == 50 and got["b"].est_count == 30 and got["c"].est_count == 20
     assert got["a"].err_bound == 0
+
+
+def test_hot_keys_and_approx_count_null_group(spark):
+    """A NULL key is often THE hot spot (missing user_id): both the
+    exact and the Misra-Gries report must count the NULL group —
+    pandas value_counts drops NaN by default, which silently omitted
+    the hottest key from the approx report."""
+    from py_etl_pipeline_woocommerce_spark.operators.skew import (
+        hot_keys,
+        hot_keys_approx,
+    )
+
+    rows = [(None,)] * 40 + [(1,)] * 10 + [(2,)] * 5
+    df = spark.createDataFrame(rows, "k bigint").repartition(4)
+    exact = hot_keys(df, "k", topk=3).collect()
+    assert exact[0]["key_value"] is None and exact[0]["n_rows"] == 40
+    approx = hot_keys_approx(df, "k", topk=3, counters=10).collect()
+    top = approx[0]
+    assert top["key_value"] is None
+    # MG bound: est <= true <= est + err
+    assert top["est_count"] <= 40 <= top["est_count"] + top["err_bound"]
+
+
+def test_zorder_rejects_configs_past_63_bits(spark, tmp_path):
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        zorder_cluster,
+    )
+
+    df = spark.range(10).selectExpr(*[f"id as c{i}" for i in range(9)])
+    with pytest.raises(ValueError, match="63 usable bits"):
+        zorder_cluster(df, str(tmp_path / "z"), [f"c{i}" for i in range(9)], bits=8)
+
+
+def test_write_bucketed_emits_one_file_per_bucket(spark):
+    """bucketBy alone writes up to tasks x buckets files; the
+    pre-repartition must land each bucket in exactly one file."""
+    import glob
+    import shutil
+
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import (
+        drop_table,
+        write_bucketed,
+    )
+
+    df = spark.range(10_000).selectExpr("id as k", "id % 7 as v").repartition(16)
+    try:
+        write_bucketed(df, "bucket_filecount_probe", ["k"], n_buckets=4)
+        files = [
+            f
+            for f in glob.glob("spark-warehouse/bucket_filecount_probe/*")
+            if not f.endswith("_SUCCESS")
+        ]
+        assert len(files) == 4, sorted(files)
+    finally:
+        drop_table(spark, "bucket_filecount_probe")
+        shutil.rmtree("spark-warehouse/bucket_filecount_probe", ignore_errors=True)
