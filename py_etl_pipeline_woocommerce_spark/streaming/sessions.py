@@ -15,11 +15,15 @@ elapses even with no further events).
 Two documented divergences from the batch twin, both inherent to
 single-pass streaming: (1) events later than one gap BEFORE the open
 session's start are dropped — they belong to an already-emitted
-session no stream can retroactively revise; (2) the idle eviction
-uses PROCESSING-time silence, so a source stall or backpressure pause
-longer than the gap closes sessions the batch twin (which sees only
-event time) would keep open. Re-running the batch sessionizer over
-the full log reconciles both.
+session no stream can retroactively revise; (2) in the default
+processing-time mode the idle eviction uses WALL-CLOCK silence, so a
+source stall or backpressure pause longer than the gap closes
+sessions the batch twin (which sees only event time) would keep open
+— ``sessionize_stream(timeout="event")`` switches eviction to the
+watermark clock and removes this divergence at the cost of idle
+sessions closing only as other events advance the watermark.
+Re-running the batch sessionizer over the full log reconciles
+everything.
 """
 
 from __future__ import annotations
@@ -58,11 +62,28 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+COUNTER_RETENTION_MS = 30 * 86_400_000
+
+
+def _set_timeout(state: GroupState, event_time: bool, last_us, gap_us, ms):
+    """Arm the state timeout: processing-time mode waits ``ms`` of
+    wall clock; event-time mode arms an absolute watermark timestamp
+    (clamped above the current watermark — Spark rejects stale
+    timestamps, and a late batch can arm after the watermark already
+    passed last+gap)."""
+    if not event_time:
+        state.setTimeoutDuration(ms)
+        return
+    base = (last_us // 1000 + ms) if last_us is not None else ms
+    state.setTimeoutTimestamp(max(base, state.getCurrentWatermarkMs() + 1))
+
+
 def _sessionize_user(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     gap_us: int,
+    event_time: bool = False,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
@@ -77,7 +98,7 @@ def _sessionize_user(
         # instead of restarting at 0 and overwriting historical
         # (user, session_seq) rows in an upsert sink
         state.update((seq + 1, None, None, 0, 0.0))
-        state.setTimeoutDuration(30 * 86_400_000)  # counter retention
+        _set_timeout(state, event_time, last, gap_us, COUNTER_RETENTION_MS)
         yield pd.DataFrame(
             [[user_id, seq, n, start, last, tot, True]],
             columns=SESSION_SCHEMA.fieldNames(),
@@ -118,31 +139,60 @@ def _sessionize_user(
         tot += float(value) if value == value else 0.0  # NaN-safe
 
     state.update((seq, start, last, n, tot))
-    # idle eviction: close the open session if no event arrives for a
-    # gap's worth of processing time
-    state.setTimeoutDuration(gap_us // 1000)
+    # idle eviction: close the open session when the gap elapses —
+    # wall clock in processing-time mode, watermark in event-time mode
+    _set_timeout(state, event_time, last, gap_us, gap_us // 1000)
     if n > 0:
         out_rows.append([user_id, seq, n, start, last, tot, False])
     yield pd.DataFrame(out_rows, columns=SESSION_SCHEMA.fieldNames())
 
 
 def sessionize_stream(
-    events: DataFrame, gap_minutes: int = GAP_MINUTES
+    events: DataFrame,
+    gap_minutes: int = GAP_MINUTES,
+    timeout: str = "processing",
 ) -> DataFrame:
     """events (ts epoch-ns BIGINT) → per-user session rows; ``closed``
-    marks finished sessions, open sessions re-emit on every update."""
+    marks finished sessions, open sessions re-emit on every update.
+
+    ``timeout`` picks the idle-eviction clock:
+
+    - ``"processing"`` (default): a session closes after ``gap``
+      minutes of WALL-CLOCK silence. Simple, but a source stall or
+      backpressure pause longer than the gap closes sessions the
+      batch twin would keep open.
+    - ``"event"``: the input carries a watermark and a session closes
+      when the WATERMARK passes last_event + gap — the same gap rule
+      the batch sessionizer applies, immune to source stalls. Idle
+      users' sessions only close as other events advance the
+      watermark (the standard event-time trade).
+    """
+    if timeout not in ("processing", "event"):
+        raise ValueError(
+            f"sessionize_stream: timeout must be 'processing' or "
+            f"'event', got {timeout!r}"
+        )
+    event_time = timeout == "event"
     gap_us = gap_minutes * 60_000_000
     prepared = events.select(
         "user_id", F.expr("ts div 1000").alias("t_us"), "value"
     )
+    if event_time:
+        prepared = prepared.withColumn(
+            "evt_ts", F.timestamp_micros(F.col("t_us"))
+        ).withWatermark("evt_ts", f"{gap_minutes} minutes")
 
     def fn(key, pdfs, state):
-        return _sessionize_user(key, pdfs, state, gap_us)
+        return _sessionize_user(key, pdfs, state, gap_us, event_time)
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if event_time
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

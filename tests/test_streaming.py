@@ -1114,3 +1114,71 @@ def test_transitions_stream_cross_batch_tie_matches_batch_order(
     assert ("view", "click", 0) not in got
     # ...and the kept path is view -> purchase off the restored state
     assert ("view", "purchase", 60_000_000) in got
+
+
+def test_sessionize_stream_event_time_timeout_follows_watermark(
+    spark, stream_dirs, tmp_path
+):
+    """timeout='event': an idle user's session closes when the
+    WATERMARK passes last_event + gap (the batch twin's gap rule),
+    driven by OTHER users' events — not by wall-clock silence."""
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    _write_events(f"{src}/b0.parquet", [(1, base, 7, "click", 2.5)])
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        sessionize_stream(stream, gap_minutes=30, timeout="event")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_evt_timeout")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def wait(pred, deadline_s=120):
+        import time as _t
+
+        t0 = _t.time()
+        rows = []
+        while _t.time() - t0 < deadline_s:
+            rows = spark.sql("select * from sess_evt_timeout").collect()
+            if pred(rows):
+                return rows
+            _t.sleep(1)
+        raise AssertionError(f"predicate never satisfied; last: {rows}")
+
+    try:
+        wait(lambda rows: len(rows) >= 1)
+        # another user far in the future advances the watermark
+        # (90min - 30min delay = +60min > user 7's last + 30min gap)
+        _write_events(
+            f"{src}/b1.parquet", [(2, base + 90 * MIN_NS, 8, "view", 1.0)]
+        )
+        # one more batch so the advanced watermark's no-data batch
+        # processes the timed-out state
+        _write_events(
+            f"{src}/b2.parquet", [(3, base + 91 * MIN_NS, 8, "view", 1.0)]
+        )
+        rows = wait(
+            lambda rows: any(
+                r["closed"] and r["user_id"] == 7 for r in rows
+            )
+        )
+    finally:
+        query.stop()
+
+    closed7 = [r for r in rows if r["closed"] and r["user_id"] == 7]
+    assert len(closed7) == 1
+    c = closed7[0]
+    assert c["session_seq"] == 0 and c["n_events"] == 1
+    assert c["start_us"] == c["end_us"] == base // 1000
+    assert c["total_value"] == pytest.approx(2.5)
