@@ -259,11 +259,13 @@ def _q_dq_rules(spark, sf_dir):
 #      cohort_retention, the r1 dedup trio);
 #   3. the r2-era rows (bounded dashboards, warehouse scd2/snapshot/
 #      dq_summary, multimodal, r2 training-data ops).
-# ROUND-7 ROTATION NOTE: promote the r3-era rows (ann_* family,
+# ROUND-7 ROTATION NOTE: promote (a) whatever r2-era tail spilled
+# past round 6's ~50-entry budget (count CORRECTNESS_r06 rows against
+# block 3 below), then (b) the r3-era rows (ann_* family,
 # dedup_clusters/_star/simhash/containment, corpus_prep/pipeline,
 # lang_id, sessionize/funnels, value_percentiles, asof_join,
-# range_join_window, ...) plus any r6 code changes; r1/r2 rows just
-# re-greened here only need re-checks after their next code change.
+# range_join_window, ...) plus any r7 code changes; rows re-greened
+# here only need re-checks after their next code change.
 _R6_FRONT = [
     # --- block 1: round-6 entry/code changes ---
     "pca_project",
@@ -278,6 +280,13 @@ _R6_FRONT = [
     # counting in the Misra-Gries path (r6 review wave)
     "hot_keys",
     "hot_keys_approx",
+    # extract-layer explode simplification touched the line-item
+    # lineage (r6 review wave) — re-green the ETL rows it feeds
+    "normalize_items",
+    "apply_refunds_items",
+    "apply_refunds_orders",
+    "enrich_categories",
+    "upsert",
     # --- block 2: stalest r1-era rows (33) ---
     "parse_event_props",
     "cohort_retention",

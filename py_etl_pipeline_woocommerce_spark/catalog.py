@@ -39,6 +39,19 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table, normalized to the engine's contracts.
+
+    SESSION-GLOBAL SIDE EFFECTS, by design: the session timezone is
+    pinned to UTC on every call (timestamp literals and date_format
+    must be timezone-stable regardless of how the host session was
+    built — the oracle-parity contract), and loading ``events`` sets
+    ``spark.sql.legacy.parquet.nanosAsLong`` for the session (there
+    is no per-read option; TIMESTAMP(NANOS) files cannot be read
+    without it). A host application embedding the engine in a session
+    whose timezone or nanos semantics it relies on should use a
+    separate SparkSession (``SparkSession.newSession()`` shares the
+    cluster but isolates runtime conf).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Timestamp literals in filters and date_format() must be

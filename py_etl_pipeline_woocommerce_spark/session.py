@@ -29,8 +29,11 @@ def get_spark(
       oracle bit-for-bit.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    if not cpus.isdigit():  # one validation for BOTH uses: a bad env
-        cpus = "32"         # value must not crash the master URL
+    # one validation for BOTH uses: a bad env value must not crash the
+    # master URL — and "0" is bad too (local[0] and zero shuffle
+    # partitions both fail at startup)
+    if not cpus.isdigit() or int(cpus) < 1:
+        cpus = "32"
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
     builder = (

@@ -109,10 +109,19 @@ class WooHttpTransport:
                 self._session = requests.Session()
         return self._session
 
+    #: ceiling for honoring a server's Retry-After beyond the normal
+    #: exponential cap — waiting out a compliant throttle beats
+    #: burning the retry budget re-hitting a still-throttling server
+    RETRY_AFTER_CAP = 300.0
+
     def _delay(self, attempt: int, retry_after: str | None) -> float:
         if retry_after:
             try:
-                return min(float(retry_after), self.backoff_cap)
+                # clamp into [0, RETRY_AFTER_CAP]: a negative value
+                # (clock-skewed server) would crash time.sleep
+                return max(
+                    0.0, min(float(retry_after), self.RETRY_AFTER_CAP)
+                )
             except ValueError:
                 pass  # HTTP-date form: fall through to exponential
         return min(self.backoff_base * (2**attempt), self.backoff_cap)
@@ -146,7 +155,13 @@ class WooHttpTransport:
             status = int(resp.status_code)
             if status < 400:
                 pages = resp.headers.get("X-WP-TotalPages")
-                return resp.text, int(pages) if pages else -1
+                try:
+                    return resp.text, int(pages) if pages else -1
+                except ValueError:
+                    # malformed header (proxy-merged duplicates like
+                    # "5, 5"): degrade to the documented unknown-total
+                    # contract instead of dying on a 200
+                    return resp.text, -1
             last_status, last_body = status, resp.text
             if status not in RETRYABLE_STATUSES or attempt == self.max_retries:
                 break

@@ -21,13 +21,14 @@ is testable offline and swappable for a real session-pooled client.
 from __future__ import annotations
 
 import json
-import math
 from typing import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from .http_transport import WooHttpError
 
 #: transport(path, params) -> (response_json_text, total_pages).
 #: total_pages mirrors WooCommerce's X-WP-TotalPages header; a
@@ -152,12 +153,14 @@ def fetch_paged(
     first_body, total_pages = transport(path, {**params, "page": 1, "per_page": per_page})
     first = _records(first_body)
     first_rows = [(1, r) for r in first]
-    if total_pages < 0:
+    known_total = total_pages >= 0
+    if not known_total:
         # Unknown total (no X-WP-TotalPages): a short first page means
         # done, else probe optimistically (wc_client.py:41-48 loop).
         total_pages = 1 if len(first) < per_page else max_unknown_pages
     if total_pages <= 1 or not first:
         return spark.createDataFrame(first_rows or [], RAW_SCHEMA)
+    last_probe_page = total_pages
 
     def fetch_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -170,7 +173,33 @@ def fetch_paged(
                 pages_out.extend([page] * len(recs))
                 raw_out.extend(recs)
                 if not recs:
+                    if known_total:
+                        # the server SAID this page exists; an empty
+                        # body is an upstream inconsistency (replica
+                        # lag, WAF) — breaking here would silently
+                        # drop every later page in this partition and
+                        # advance the watermark past the gap. Fail the
+                        # task loudly; retries re-fetch the window.
+                        raise RuntimeError(
+                            f"fetch_paged: page {page} of {path} came "
+                            f"back empty but X-WP-TotalPages reported "
+                            f"{total_pages} pages — refusing to "
+                            "silently drop the remaining pages"
+                        )
                     break  # past the end (unknown-total probing)
+                if not known_total and page == last_probe_page:
+                    # probe range exhausted with data still flowing:
+                    # pages beyond max_unknown_pages may exist
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "fetch_paged: unknown-total probe of %s hit the "
+                        "max_unknown_pages=%d ceiling with a non-empty "
+                        "page — data past page %d is NOT extracted",
+                        path,
+                        last_probe_page,
+                        last_probe_page,
+                    )
             yield pd.DataFrame({"page": pages_out, "raw": raw_out})
 
     n_tasks = min(
@@ -255,8 +284,8 @@ def items_frame(parsed: DataFrame) -> DataFrame:
     nested array — one shuffle-free narrow op per order row."""
     li = parsed.select(
         F.col("id").alias("order_id"),
-        F.explode_outer("line_items").alias("li"),
-    ).filter(F.col("li").isNotNull())
+        F.explode("line_items").alias("li"),
+    )
     return li.select(
         "order_id",
         F.col("li.product_id").alias("product_id"),
@@ -349,7 +378,13 @@ def fetch_refunds_for_orders(
                         f"orders/{oid}/refunds", {"per_page": 100}
                     )
                     recs = _records(body)
-                except Exception:  # refunds.py:26-28: missing -> empty
+                except WooHttpError as exc:
+                    # refunds.py:26-28: a MISSING order -> no refunds.
+                    # Only 404 qualifies — swallowing auth failures or
+                    # exhausted retries here would silently persist
+                    # refund_total=0 for the whole batch.
+                    if exc.status != 404:
+                        raise
                     recs = []
                 oids.extend([oid] * len(recs))
                 raws.extend(recs)
@@ -379,8 +414,8 @@ def item_refund_totals(refunds: DataFrame) -> DataFrame:
     (refunds.py:39-53; refund line totals are negative in Woo, summed
     as-is like the reference)."""
     li = refunds.select(
-        "order_id", F.explode_outer("line_items").alias("li")
-    ).filter(F.col("li").isNotNull())
+        "order_id", F.explode("line_items").alias("li")
+    )
     return li.groupBy(
         "order_id",
         F.coalesce(F.col("li.product_id"), F.lit(0)).alias("product_id"),

@@ -17,8 +17,12 @@ rows.
 from __future__ import annotations
 
 import json
+import logging
 import os
+import tempfile
 from datetime import datetime, timedelta, timezone
+
+log = logging.getLogger(__name__)
 
 DEFAULT_LOOKBACK_DAYS = 30
 
@@ -32,8 +36,21 @@ class WatermarkStore:
         """Stored watermark, or now - lookback on first run
         (state.py:9-16)."""
         if os.path.exists(self.path):
-            with open(self.path, encoding="utf-8") as f:
-                stored = json.load(f).get("since_iso")
+            try:
+                with open(self.path, encoding="utf-8") as f:
+                    stored = json.load(f).get("since_iso")
+            except (json.JSONDecodeError, OSError) as exc:
+                # a crash mid-write can leave a truncated file; the
+                # idempotent upsert makes re-ingesting the lookback
+                # window safe, so degrade to first-run semantics
+                # loudly instead of bricking every subsequent run
+                log.warning(
+                    "watermark state %s is unreadable (%s); falling "
+                    "back to the first-run lookback",
+                    self.path,
+                    exc,
+                )
+                stored = None
             if stored:
                 return stored
         now = now or datetime.now(timezone.utc)
@@ -42,9 +59,21 @@ class WatermarkStore:
         )
 
     def set_since(self, iso_ts: str) -> None:
-        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        with open(self.path, "w", encoding="utf-8") as f:
-            json.dump({"since_iso": iso_ts}, f)
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        # atomic replace: a crash between truncate and write must not
+        # leave a half-written state file behind
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".state_", suffix=".json")
+        try:
+            with os.fdopen(fd, "w", encoding="utf-8") as f:
+                json.dump({"since_iso": iso_ts}, f)
+            os.replace(tmp, self.path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     @staticmethod
     def advance_from(

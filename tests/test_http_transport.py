@@ -203,3 +203,24 @@ def test_non_requests_exceptions_propagate_immediately():
     with pytest.raises(ValueError, match="logic bug"):
         transport("orders", {})
     assert len(session.calls) == 1      # no retry on non-transport errors
+
+
+def test_delay_clamps_negative_and_oversized_retry_after():
+    """Retry-After: -1 (clock-skewed server) must not reach
+    time.sleep, and a server wait above the exponential cap is
+    honored up to RETRY_AFTER_CAP instead of being clamped below
+    what the server demanded."""
+    transport, _ = make([])
+    assert transport._delay(0, "-1") == 0.0
+    assert transport._delay(0, "120") == 120.0  # above backoff_cap
+    assert transport._delay(0, "9999") == transport.RETRY_AFTER_CAP
+
+
+def test_malformed_total_pages_header_degrades_to_unknown():
+    """A proxy-merged 'X-WP-TotalPages: 5, 5' must not kill a 200
+    response — degrade to the unknown-total contract (-1)."""
+    transport, _ = make(
+        [FakeResponse(200, '[{"id": 1}]', {"X-WP-TotalPages": "5, 5"})]
+    )
+    body, pages = transport("orders", {})
+    assert pages == -1

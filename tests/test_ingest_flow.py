@@ -473,3 +473,60 @@ def test_deterministic_analysis_errors_are_not_retried(
             retry_delay_sec=0,
         )
     assert calls["n"] == 1
+
+
+def test_fetch_paged_raises_on_empty_page_with_known_total(spark):
+    """When X-WP-TotalPages says a page exists, an empty body is an
+    upstream inconsistency — the extract must fail loudly instead of
+    silently dropping every later page in the partition."""
+
+    def transport(path, params):
+        page = int(params.get("page", 1))
+        total = 3
+        if page == 2:
+            return "[]", total  # transiently empty mid-range page
+        return json.dumps([{"id": page}]), total
+
+    with pytest.raises(Exception, match="refusing to silently drop"):
+        rest.fetch_paged(spark, transport, "orders", {}, per_page=1).collect()
+
+
+def test_refund_fetch_swallows_only_404(spark):
+    """A missing order (404) means no refunds; any OTHER transport
+    failure (auth, exhausted retries) must propagate — silently
+    recording refund_total=0 for a whole batch is data corruption."""
+    from py_etl_pipeline_woocommerce_spark.sources.http_transport import (
+        WooHttpError,
+    )
+
+    ids = spark.createDataFrame([(1,), (2,)], "order_id bigint")
+
+    def missing(path, params):
+        raise WooHttpError(path, 404, "not found")
+
+    out = rest.fetch_refunds_for_orders(spark, missing, ids)
+    assert out.count() == 0
+
+    def unauthorized(path, params):
+        raise WooHttpError(path, 401, "bad credentials")
+
+    with pytest.raises(Exception, match="401"):
+        rest.fetch_refunds_for_orders(spark, unauthorized, ids).collect()
+
+
+def test_watermark_store_recovers_from_corrupt_state(tmp_path):
+    """A crash mid-write may truncate state.json; the store must fall
+    back to first-run lookback semantics instead of raising forever."""
+    p = str(tmp_path / "state.json")
+    state = WatermarkStore(p, lookback_days=30)
+    state.set_since("2024-01-01T00:00:00")
+    assert state.get_since() == "2024-01-01T00:00:00"
+    with open(p, "w") as f:
+        f.write('{"since_iso": "2024-')  # truncated mid-write
+    from datetime import datetime
+
+    got = state.get_since(now=datetime.fromisoformat("2024-06-30T00:00:00+00:00"))
+    assert got == "2024-05-31T00:00:00"  # lookback fallback, no crash
+    # and the store still writes (atomically) afterwards
+    state.set_since("2024-07-01T00:00:00")
+    assert state.get_since() == "2024-07-01T00:00:00"
