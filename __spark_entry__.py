@@ -248,85 +248,31 @@ def _q_dq_rules(spark, sf_dir):
 
 
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
-# ordering decides what gets (re-)verified each round. Round-6 front
+# ordering decides what gets (re-)verified each round. Round-7 front
 # block, in priority order:
-#   1. entries whose ENTRY/CODE/ORACLE changed in round 6 — headed by
-#      pca_project, the single never-confirmed entry of 201 (its r5
-#      driver row crashed on the array<double> proj column; the entry
-#      now projects to rounded scalars p0..p7);
-#   2. the stalest driver rows: all 33 remaining r1-era rows
-#      (relational breadth Q1-Q22 variants, parse_event_props,
-#      cohort_retention, the r1 dedup trio);
-#   3. the r2-era rows (bounded dashboards, warehouse scd2/snapshot/
-#      dq_summary, multimodal, r2 training-data ops).
-# ROUND-7 ROTATION NOTE: promote (a) whatever r2-era tail spilled
-# past round 6's ~50-entry budget (count CORRECTNESS_r06 rows against
-# block 3 below), then (b) the r3-era rows (ann_* family,
-# dedup_clusters/_star/simhash/containment, corpus_prep/pipeline,
-# lang_id, sessionize/funnels, value_percentiles, asof_join,
-# range_join_window, ...) plus any r7 code changes; rows re-greened
-# here only need re-checks after their next code change.
-_R6_FRONT = [
-    # --- block 1: round-6 entry/code changes ---
+#   1. entries whose ENTRY/CODE/ORACLE changed in round 7 —
+#      woo_flow_digest (NEW: the composed ingest flow, oracle-hashed
+#      end-to-end) and pca_project (score-online whole-NULL guard);
+#   2. the 20 r2-era rows that spilled past round 6's ~50-entry budget
+#      (CORRECTNESS_r06 stopped at geo_rollup_bounded);
+#   3. the r3-era rows (text/corpus singles, sessions/funnels/windows,
+#      temporal basics, the dedup/ann families, the corpus capstones),
+#      cheapest first so the budget covers as many as possible.
+# ROUND-8 ROTATION NOTE: promote (a) whatever r3-era tail spilled past
+# round 7's ~50-entry budget (count CORRECTNESS_r07 rows against
+# block 3 below — the heavy dedup/ann/capstone tail is most likely to
+# spill), then (b) the remaining r4-era rows (wow_growth, repeat_rate,
+# fulfillment_latency, basket_pairs, user_streaks, dayn_retention,
+# time_gaps/merge_intervals/m4/ks_drift, cdc_apply, dq_referential,
+# rollup_merge, bm25/hybrid_search, corpus_prep_v2, split_leakage*,
+# soft_dedup_weights, repeated/strip_repeated_spans, ...) plus any r8
+# code changes; rows re-greened here only need re-checks after their
+# next code change.
+_R7_FRONT = [
+    # --- block 1: round-7 entry/code changes ---
+    "woo_flow_digest",
     "pca_project",
-    # multi-consumer lazy-checkpoint fixes (r6): unigram scoring,
-    # NB lang-ID training frames
-    "unigram_logprob",
-    "perplexity_bucket_mix",
-    "lang_id_nb",
-    # pagerank deg checkpoint + PCA input guards (r6 review wave)
-    "part_pagerank",
-    # hot-key diagnostics: counts/summaries checkpoint + NULL-key
-    # counting in the Misra-Gries path (r6 review wave)
-    "hot_keys",
-    "hot_keys_approx",
-    # extract-layer explode simplification touched the line-item
-    # lineage (r6 review wave) — re-green the ETL rows it feeds
-    "normalize_items",
-    "apply_refunds_items",
-    "apply_refunds_orders",
-    "enrich_categories",
-    "upsert",
-    # --- block 2: stalest r1-era rows (33) ---
-    "parse_event_props",
-    "cohort_retention",
-    "pricing_summary",
-    "regional_revenue",
-    "top_orders_per_customer",
-    "sales_rollup",
-    "order_priority_count",
-    "shipping_priority",
-    "discount_revenue",
-    "customer_order_distribution",
-    "top_supplier",
-    "volume_shipping",
-    "market_share",
-    "promo_revenue",
-    "large_volume_orders",
-    "supplier_part_breadth",
-    "important_parts",
-    "idle_customers",
-    "min_cost_supplier",
-    "product_profit",
-    "returned_item_report",
-    "small_qty_revenue",
-    "disjunctive_revenue",
-    "supplier_quartiles",
-    "segment_share",
-    "revenue_pivot",
-    "customer_year_cohorts",
-    "sales_cube",
-    "fuzzy_part_names",
-    "returnflag_totals",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    # --- block 3: r2-era rows (25); tail spills to round 7 ---
-    "kpis_bounded",
-    "revenue_timeseries_bounded",
-    "top_products_bounded",
-    "category_mix_bounded",
-    "geo_rollup_bounded",
+    # --- block 2: r2-era spill from round 6's budget (20) ---
     "scd2_apply",
     "snapshot_diff",
     "dq_summary",
@@ -347,7 +293,220 @@ _R6_FRONT = [
     "repetition_stats",
     "filter_pipeline",
     "doc_rarity",
+    # --- block 3: r3-era rows, cheapest first ---
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "pii_scrub",
+    "tfidf_top_terms",
+    "ngram_freq",
+    "stratified_sample",
+    "corpus_stats",
+    "sessionize",
+    "funnel_steps",
+    "event_window_agg",
+    "hopping_window_agg",
+    "event_props_typed",
+    "session_window_agg",
+    "asof_join",
+    "asof_join_tolerance",
+    "range_join_window",
+    "multires_rollup",
+    "value_percentiles",
+    "daily_active_users",
+    "fill_missing_days",
+    "rolling_active_users",
+    "dq_rules",
+    "decontaminate",
+    "dedup_apply",
+    "embedding_cosine_dup",
+    "label_centroids",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_quantized_topk",
+    "dedup_simhash",
+    "dedup_containment",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "semdedup_apply",
+    "dedup_incremental_near",
+    "tokenizer_stats",
+    "corpus_prep",
+    "corpus_pipeline",
 ]
+
+
+def _woo_digest_batch():
+    """The deterministic 120-order Woo batch behind woo_flow_digest:
+    pure integer arithmetic (prices in tenths, tax in cents) so every
+    money string is exact and the DuckDB oracle can regenerate the
+    identical batch from generate_series — no floats, no randomness.
+
+    Shape per order i in 1..120: 1 + i%3 line items, product_id
+    10 + (i+j)%7, qty 1 + (i*j)%5, price (100 + (i*7+j*13)%900)/10;
+    10% tax; status 'processing' when i%10==0; month 1 + i%2; every
+    9th order refunds one unit of its first line item.
+    """
+    import json as _json
+
+    countries = ["GR", "DE", "FR", "IT", "ES"]
+    orders, refunds = [], {}
+    for i in range(1, 121):
+        lines, subtotal_tenths = [], 0
+        for j in range(1, 2 + (i % 3)):
+            q = 1 + ((i * j) % 5)
+            pt = 100 + ((i * 7 + j * 13) % 900)
+            lt = q * pt
+            subtotal_tenths += lt
+            lines.append(
+                {
+                    "id": j,
+                    "product_id": 10 + ((i + j) % 7),
+                    "variation_id": 0,
+                    "sku": f"SKU-{10 + ((i + j) % 7)}",
+                    "name": f"Product {10 + ((i + j) % 7)}",
+                    "quantity": q,
+                    "price": f"{pt // 10}.{pt % 10}",
+                    "total": f"{lt // 10}.{lt % 10}",
+                    "subtotal": f"{lt // 10}.{lt % 10}",
+                    "tax_class": "",
+                }
+            )
+        tax_cents = subtotal_tenths  # 10% of subtotal, exact in cents
+        total_cents = 11 * subtotal_tenths
+        orders.append(
+            {
+                "id": i,
+                "status": "processing" if i % 10 == 0 else "completed",
+                "currency": "EUR",
+                "customer_id": 100 + (i % 40),
+                "date_created_gmt": (
+                    f"2024-{1 + (i % 2):02d}-{1 + (i % 28):02d}T10:00:00"
+                ),
+                "total": f"{total_cents // 100}.{total_cents % 100:02d}",
+                "total_tax": f"{tax_cents // 100}.{tax_cents % 100:02d}",
+                "discount_total": "0.00",
+                "billing": {"country": countries[i % 5], "city": "X"},
+                "line_items": lines,
+            }
+        )
+        if i % 9 == 0:
+            pt1 = 100 + ((i * 7 + 13) % 900)
+            refunds[i] = [
+                {
+                    "amount": f"{pt1 // 10}.{pt1 % 10}",
+                    "line_items": [
+                        {
+                            "product_id": 10 + ((i + 1) % 7),
+                            "variation_id": 0,
+                            "quantity": 1,
+                            "total": f"-{pt1 // 10}.{pt1 % 10}",
+                        }
+                    ],
+                }
+            ]
+    products = {
+        p: {
+            "id": p,
+            "categories": (
+                [{"name": f"Cat{p % 3}"}]
+                + ([{"name": "Extra"}] if p % 2 == 0 else [])
+            ),
+        }
+        for p in range(10, 17)
+    }
+
+    def transport(path, params):
+        if path == "orders":
+            since = params.get("after", "")
+            rows = sorted(
+                (o for o in orders if o["date_created_gmt"] > since),
+                key=lambda o: o["date_created_gmt"],
+            )
+            per = min(int(params.get("per_page", 100)), 50)
+            page = int(params.get("page", 1))
+            total_pages = max(1, -(-len(rows) // per))
+            return (
+                _json.dumps(rows[(page - 1) * per : page * per]),
+                total_pages,
+            )
+        if path == "products":
+            ids = [int(x) for x in params["include"].split(",")]
+            return (
+                _json.dumps([products[i] for i in ids if i in products]),
+                1,
+            )
+        if path.startswith("orders/") and path.endswith("/refunds"):
+            oid = int(path.split("/")[1])
+            return _json.dumps(refunds.get(oid, [])), 1
+        raise AssertionError(f"unexpected path {path}")
+
+    return transport
+
+
+def _q_woo_flow_digest(spark, sf_dir):
+    """END-TO-END reference-parity gate for the whole ingest pipeline
+    (reference flow.py incremental_flow): stage → parse → enrich →
+    refunds → month-partitioned upsert → watermark advance, run
+    against the deterministic fake batch, then digested per
+    (order_month, status) from the LOADED warehouse tables. The
+    oracle regenerates the identical batch in pure SQL and replays
+    the same net-total/refund/category semantics, so the driver hash
+    proves the composed flow — not just its pieces — matches the
+    reference. The digest is collected (≤4 rows) so the temp
+    warehouse can be deleted before returning."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.plans.woo_flow import (
+        incremental_run,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.state import (
+        WatermarkStore,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="woo_flow_digest_")
+    try:
+        state = WatermarkStore(os.path.join(tmp, "state.json"))
+        state.set_since("2023-12-31T00:00:00")
+        wh = os.path.join(tmp, "wh")
+        incremental_run(spark, _woo_digest_batch(), state, wh)
+        fct = spark.read.parquet(os.path.join(wh, "fct_orders"))
+        items = spark.read.parquet(os.path.join(wh, "fct_order_items"))
+        orders_agg = fct.groupBy("order_month", "status").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("net_total"), 2).alias("net_sum"),
+            F.round(F.sum("refund_total"), 2).alias("refund_sum"),
+            F.round(F.sum("net_after_refunds"), 2).alias("net_after_sum"),
+        )
+        items_agg = (
+            items.join(
+                fct.select("order_id", "status"), "order_id"
+            )
+            .groupBy("order_month", "status")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum("quantity").cast("long").alias("qty_sum"),
+                F.round(F.sum("total"), 2).alias("item_total_sum"),
+                F.sum("refunded_quantity")
+                .cast("long")
+                .alias("refunded_qty_sum"),
+                F.round(F.sum("refunded_total"), 2).alias(
+                    "refunded_total_sum"
+                ),
+                F.countDistinct("category_snapshot").alias("n_cats"),
+            )
+        )
+        digest = orders_agg.join(
+            items_agg, ["order_month", "status"]
+        ).orderBy("order_month", "status")
+        rows = digest.collect()
+        return spark.createDataFrame(rows, digest.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _q_profile_drift(spark, sf_dir):
@@ -458,6 +617,9 @@ def _q_rollup_merge(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- round-7 addition: the composed ingest flow, oracle-hashed
+        # end-to-end (verdict item 6) ---
+        "woo_flow_digest": _q_woo_flow_digest,
         # --- round-4b additions (this rework of the round): never
         # driver-verified, take the budget first ---
         "daily_value_percentiles": (
@@ -818,7 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
     }
-    ordered = {k: base[k] for k in _R6_FRONT}
+    ordered = {k: base[k] for k in _R7_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 
@@ -1215,6 +1377,74 @@ def _dashboard_digest_oracle(frames: dict[str, str]) -> str:
 
 def oracle_sql() -> dict[str, str]:
     out = {
+        # END-TO-END flow parity: regenerate woo_flow_digest's
+        # deterministic 120-order batch (same integer arithmetic as
+        # _woo_digest_batch) from generate_series and replay the
+        # pipeline's net-total / refund / category semantics in SQL —
+        # the hash proves the COMPOSED stage→parse→enrich→refunds→
+        # upsert flow, not just its pieces.
+        "woo_flow_digest": """
+WITH lines AS (
+  SELECT i, j,
+         10 + ((i + j) % 7) AS product_id,
+         1 + ((i * j) % 5) AS quantity,
+         (100 + ((i * 7 + j * 13) % 900)) / 10.0 AS price
+  FROM generate_series(1, 120) t(i), generate_series(1, 3) u(j)
+  WHERE j <= 1 + (i % 3)
+),
+ord AS (
+  SELECT i,
+         '2024-0' || CAST(1 + (i % 2) AS VARCHAR) AS order_month,
+         CASE WHEN i % 10 = 0 THEN 'processing'
+              ELSE 'completed' END AS status,
+         SUM(quantity * price) AS net_total
+  FROM lines GROUP BY 1, 2, 3
+),
+ref AS (
+  SELECT i, (100 + ((i * 7 + 13) % 900)) / 10.0 AS refund_total
+  FROM generate_series(1, 120) t(i) WHERE i % 9 = 0
+),
+o2 AS (
+  SELECT o.order_month, o.status, o.net_total,
+         COALESCE(r.refund_total, 0.0) AS refund_total
+  FROM ord o LEFT JOIN ref r USING (i)
+),
+orders_agg AS (
+  SELECT order_month, status,
+         COUNT(*) AS n_orders,
+         ROUND(SUM(net_total), 2) AS net_sum,
+         ROUND(SUM(refund_total), 2) AS refund_sum,
+         ROUND(SUM(net_total - refund_total), 2) AS net_after_sum
+  FROM o2 GROUP BY 1, 2
+),
+items AS (
+  SELECT l.i, l.quantity, l.quantity * l.price AS total,
+         o.order_month, o.status,
+         CASE WHEN r.i IS NOT NULL AND l.j = 1
+              THEN 1 ELSE 0 END AS refunded_quantity,
+         CASE WHEN r.i IS NOT NULL AND l.j = 1
+              THEN -r.refund_total ELSE 0.0 END AS refunded_total,
+         'Cat' || CAST(l.product_id % 3 AS VARCHAR) ||
+           CASE WHEN l.product_id % 2 = 0
+                THEN ' | Extra' ELSE '' END AS category_snapshot
+  FROM lines l JOIN ord o USING (i) LEFT JOIN ref r USING (i)
+),
+items_agg AS (
+  SELECT order_month, status,
+         COUNT(*) AS n_items,
+         CAST(SUM(quantity) AS BIGINT) AS qty_sum,
+         ROUND(SUM(total), 2) AS item_total_sum,
+         CAST(SUM(refunded_quantity) AS BIGINT) AS refunded_qty_sum,
+         ROUND(SUM(refunded_total), 2) AS refunded_total_sum,
+         COUNT(DISTINCT category_snapshot) AS n_cats
+  FROM items GROUP BY 1, 2
+)
+SELECT o.order_month, o.status, n_orders, net_sum, refund_sum,
+       net_after_sum, n_items, qty_sum, item_total_sum,
+       refunded_qty_sum, refunded_total_sum, n_cats
+FROM orders_agg o JOIN items_agg USING (order_month, status)
+ORDER BY 1, 2
+""",
         "kpis_bounded": f"""
 WITH k AS (SELECT o_orderkey FROM orders WHERE {_BOUNDS}),
 l AS (SELECT l_orderkey, {_DISC} AS net, l_returnflag

@@ -173,9 +173,24 @@ def pca_project(
     # product and emit proj = [null, ...]: corrupt features with no
     # error anywhere. Fuse both checks into the staged column itself
     # (a separate pruned check column could be optimized away) so a
-    # bad row fails the job loudly with the offending vec_id.
+    # bad row fails the job loudly with the offending vec_id. A
+    # whole-NULL embedding needs its own leading branch: size(NULL)
+    # and exists(NULL, ...) both evaluate to NULL (not true), so the
+    # dim/element checks fall through and .otherwise would hand back
+    # a NULL array — the score-online path (model= from
+    # read_pca_model) has no pca_fit pass to catch it.
     e_checked = (
         F.when(
+            F.col("embedding").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("pca_project: embedding is NULL (vec_id "),
+                    F.col("vec_id").cast("string"),
+                    F.lit(")"),
+                )
+            ),
+        )
+        .when(
             F.size("embedding") != F.lit(model["dim"]),
             F.raise_error(
                 F.concat(

@@ -140,6 +140,15 @@ def hot_keys_approx(
     per Arrow batch feeding a dict) — the scan stays Arrow-batched,
     and the merge is an ordinary integer groupBy over ≤ counters ×
     n_partitions rows.
+
+    Caveat (diagnostic-grade): NULL keys are tracked by encoding them
+    as the reserved in-band token ``"\\x00<NULL>"`` before the Python
+    path. A genuine key whose string form equals that token (a NUL
+    byte followed by ``<NULL>``) would be merged into and reported as
+    the NULL group, and because the token sorts before all printable
+    strings it can reorder est_count TIES relative to exact
+    ``hot_keys``. Acceptable for a skew diagnostic; use ``hot_keys``
+    when exact tie order or adversarial key values matter.
     """
     import pandas as pd
 

@@ -72,7 +72,6 @@ def build_facts(
     warehouse_dir: str | None = None,
     persisted_frames: list | None = None,
     before_iso: str | None = None,
-    stage: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Extract + transform since the watermark → (orders, items) with
     categories and refunds applied (flow.py t_process_batch).
@@ -80,9 +79,7 @@ def build_facts(
     When ``warehouse_dir`` is given, the raw order JSON lands in
     ``stg_orders_raw`` first (cached so the paged API extract runs
     exactly once for landing + parsing; the cached frame is appended
-    to ``persisted_frames`` for the caller to unpersist).
-    ``stage=False`` skips the bronze append — the retry path, where
-    the first attempt already landed this window's batch."""
+    to ``persisted_frames`` for the caller to unpersist)."""
     raw = rest.fetch_orders_since(
         spark, transport, since_iso, before_iso=before_iso
     )
@@ -90,8 +87,7 @@ def build_facts(
         raw = raw.persist()
         if persisted_frames is not None:
             persisted_frames.append(raw)
-        if stage:
-            stage_raw_orders(raw, warehouse_dir)
+        stage_raw_orders(raw, warehouse_dir)
     parsed = rest.parse_orders(raw)
     orders = rest.orders_frame(parsed)
     items = rest.items_frame(parsed)
@@ -229,14 +225,23 @@ def incremental_run(
     same window and the delete+insert upsert rewrites the same keys
     without double-loading. Deterministic plan/schema errors
     (AnalysisException) are NOT retried — re-running a query that can
-    never compile just delays the real error by retries × delay. A
-    retry also skips re-landing the raw batch when the first attempt
-    already staged it (the bronze append would otherwise duplicate
-    the window once per failed attempt)."""
+    never compile just delays the real error by retries × delay.
+
+    A retry re-lands the raw batch it actually fetched, with a
+    superseding ``extracted_at`` — it does NOT reuse the first
+    attempt's bronze copy. The facts are always built from the
+    retry's own fetch, so skipping the re-stage would let bronze hold
+    only attempt 1's snapshot while the warehouse held attempt N's:
+    any order that changed between attempts would make
+    ``replay_parsed_from_raw`` (which picks the LATEST landed copy
+    per order_id) diverge from what was actually loaded, silently
+    breaking the replay/audit contract. The cost is one extra bronze
+    copy of the window per failed attempt — bounded by ``retries``
+    and reclaimable by compaction, which is the right trade against
+    an unauditable warehouse."""
     from pyspark.errors import AnalysisException
 
     attempt = 0
-    staged = {"done": False}
     while True:
         try:
             return _incremental_run_once(
@@ -245,7 +250,6 @@ def incremental_run(
                 state,
                 warehouse_dir,
                 before_iso,
-                staged=staged,
             )
         except AnalysisException:
             raise
@@ -270,7 +274,6 @@ def _incremental_run_once(
     state: WatermarkStore,
     warehouse_dir: str,
     before_iso: str | None = None,
-    staged: dict | None = None,
 ) -> dict:
     since = state.get_since()
     log.info("incremental run since=%s", since)
@@ -284,13 +287,7 @@ def _incremental_run_once(
             warehouse_dir,
             persisted_frames=cleanup,
             before_iso=before_iso,
-            stage=not (staged or {}).get("done", False),
         )
-        # the staging write is the only action inside build_facts, so
-        # reaching here means the batch landed exactly once — a retry
-        # of a LATER failure must not append a second bronze copy
-        if staged is not None:
-            staged["done"] = True
         orders = _with_month(orders).persist()
         # items carry no date — stamp the order's month so both facts
         # share the partition layout (batch-sized broadcast join).

@@ -12,8 +12,20 @@ transition stream (the probability matrix) is an ordinary streaming
 groupBy.
 
 State is one fixed-width row per active user, evicted after
-``idle_minutes`` of processing-time silence — bounded by the active
-audience, not the stream length.
+``idle_minutes`` of silence — bounded by the active audience, not the
+stream length. The eviction clock is wall time by default and the
+watermark in ``timeout="event"`` mode (same trade as
+``sessionize_stream``).
+
+Checkpoint compatibility: the state row layout (``STATE_SCHEMA``) is
+part of the streaming checkpoint. Widening it — as round 6 did when
+``last_id`` was added for the batch-twin tie-break — makes Spark's
+state-store schema check REJECT a restart from any checkpoint written
+by the older layout; there is no in-place migration. Upgrading a
+deployed transitions stream across a state-schema change therefore
+requires a fresh checkpoint directory, with history reconciled by the
+batch twin (``event_transitions`` over the full log) — the same
+recovery path the lateness drops already document.
 """
 
 from __future__ import annotations
@@ -37,7 +49,8 @@ TRANSITION_SCHEMA = T.StructType(
 
 #: (last_us, last_id, last_type) — the event_id rides along so the
 #: cross-batch tie-break matches the batch twin's (t_us, event_id)
-#: window order
+#: window order. NOTE: changing this layout invalidates existing
+#: checkpoints (see module docstring).
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_us", T.LongType()),
@@ -47,11 +60,25 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+def _set_timeout(state: GroupState, event_time: bool, last_us, idle_ms):
+    """Arm the idle eviction: processing-time mode waits ``idle_ms``
+    of wall clock; event-time mode arms an absolute watermark
+    timestamp (clamped above the current watermark — Spark rejects
+    stale timestamps, and a late batch can arm after the watermark
+    already passed last+idle)."""
+    if not event_time:
+        state.setTimeoutDuration(idle_ms)
+        return
+    base = (last_us // 1000 + idle_ms) if last_us is not None else idle_ms
+    state.setTimeoutTimestamp(max(base, state.getCurrentWatermarkMs() + 1))
+
+
 def _transitions_user(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
     idle_ms: int,
+    event_time: bool = False,
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
@@ -81,15 +108,40 @@ def _transitions_user(
             out.append([user_id, last_type, etype, t_us - last_us])
         last_us, last_id, last_type = t_us, eid, etype
     state.update((last_us, last_id, last_type))
-    state.setTimeoutDuration(idle_ms)
+    _set_timeout(state, event_time, last_us, idle_ms)
     yield pd.DataFrame(out, columns=TRANSITION_SCHEMA.fieldNames())
 
 
 def transitions_stream(
-    events: DataFrame, idle_minutes: int = 24 * 60
+    events: DataFrame,
+    idle_minutes: int = 24 * 60,
+    timeout: str = "processing",
 ) -> DataFrame:
     """events (ts epoch-ns BIGINT) → one row per consecutive-event
-    transition per user, emitted exactly once (append semantics)."""
+    transition per user, emitted exactly once (append semantics).
+
+    ``timeout`` picks the idle-eviction clock (state hygiene only —
+    eviction never emits a row, it just forgets an inactive user's
+    last event, so the NEXT event after eviction starts a fresh chain
+    instead of producing a transition):
+
+    - ``"processing"`` (default): evict after ``idle_minutes`` of
+      WALL-CLOCK silence. A source stall or backpressure pause longer
+      than the idle horizon forgets users the batch twin (which sees
+      only event time) would chain across — the stall-adjacent
+      transitions are silently not emitted.
+    - ``"event"``: the input carries a watermark and a user is
+      evicted when the WATERMARK passes last_event + idle — the same
+      clock the batch twin's gap semantics read, immune to source
+      stalls. Idle users are only forgotten as other events advance
+      the watermark (the standard event-time trade).
+    """
+    if timeout not in ("processing", "event"):
+        raise ValueError(
+            f"transitions_stream: timeout must be 'processing' or "
+            f"'event', got {timeout!r}"
+        )
+    event_time = timeout == "event"
     idle_ms = idle_minutes * 60_000
     prepared = events.select(
         "user_id",
@@ -97,14 +149,22 @@ def transitions_stream(
         F.expr("ts div 1000").alias("t_us"),
         "event_type",
     )
+    if event_time:
+        prepared = prepared.withColumn(
+            "evt_ts", F.timestamp_micros(F.col("t_us"))
+        ).withWatermark("evt_ts", f"{idle_minutes} minutes")
 
     def fn(key, pdfs, state):
-        return _transitions_user(key, pdfs, state, idle_ms)
+        return _transitions_user(key, pdfs, state, idle_ms, event_time)
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=TRANSITION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if event_time
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )

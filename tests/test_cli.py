@@ -219,37 +219,70 @@ def test_cli_backfill_restores_watermark_after_window_failure(spark, tmp_path):
     assert json.load(open(state_path))["since_iso"] == prior
 
 
-def test_retry_does_not_duplicate_bronze_staging(spark, tmp_path):
-    """A retried cycle whose first attempt got past raw staging must
-    not append a second copy of the window to stg_orders_raw."""
+def test_retry_restages_bronze_and_replay_matches_loaded_facts(
+    spark, tmp_path
+):
+    """A retried cycle re-lands the raw batch it ACTUALLY fetched with
+    a superseding extracted_at — it must not reuse attempt 1's bronze
+    copy. When an order changes between attempts, the warehouse is
+    loaded from the retry's fetch, and replaying bronze (latest landed
+    copy per order_id) must reproduce exactly that — not attempt 1's
+    stale snapshot. Skipping the re-stage would silently break the
+    replay/audit contract."""
     from py_etl_pipeline_woocommerce_spark.plans.woo_flow import (
         incremental_run,
+        replay_parsed_from_raw,
     )
+    from py_etl_pipeline_woocommerce_spark.sources.rest import orders_frame
     from py_etl_pipeline_woocommerce_spark.sources.state import (
         WatermarkStore,
     )
+    from tests.test_ingest_flow import _order
 
     wh = str(tmp_path / "wh")
     state = WatermarkStore(str(tmp_path / "state.json"))
     state.set_since("2023-12-31T00:00:00")
     sentinel = str(tmp_path / "failed_once")
-    inner = make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS)
+    # order 3's total changes between attempt 1 (20.0) and the retry
+    # (25.0) — the divergence scenario the re-stage exists for
+    orders_v2 = list(ORDERS[:2]) + [
+        _order(3, "2024-01-03T12:00:00", 25.0, 2.0, [(13, 1, 20.0)])
+    ]
+    t1 = make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS)
+    t2 = make_fake_transport(orders_v2, PRODUCTS, REFUNDS)
 
     def flaky(path, params):
-        # fail AFTER staging (products fetch happens downstream of
-        # the raw landing)
-        if path == "products" and not os.path.exists(sentinel):
-            with open(sentinel, "w") as f:
-                f.write("x")
-            raise RuntimeError("HTTP 503: transient upstream error")
-        return inner(path, params)
+        # sentinel file gates both the one-time failure and the data
+        # switch, so it works wherever the call runs (driver or
+        # executor worker, shared local FS)
+        import os as _os
 
-    flaky.orders = inner.orders
+        if not _os.path.exists(sentinel):
+            if path == "products":
+                with open(sentinel, "w") as f:
+                    f.write("x")
+                raise RuntimeError("HTTP 503: transient upstream error")
+            return t1(path, params)
+        return t2(path, params)
+
+    flaky.orders = list(ORDERS)
     stats = incremental_run(
         spark, flaky, state, wh, retries=2, retry_delay_sec=0.01
     )
     assert stats["orders"] == 3
     stg = spark.read.parquet(os.path.join(wh, "stg_orders_raw"))
-    # one bronze row per order, not one per attempt
-    assert stg.count() == 3
+    # one bronze copy per attempt that fetched (append-only audit
+    # trail), still 3 distinct orders
+    assert stg.count() == 6
     assert stg.select("order_id").distinct().count() == 3
+    # warehouse holds the retry's fetch...
+    fct = spark.read.parquet(os.path.join(wh, "fct_orders"))
+    loaded = {r["order_id"]: r for r in fct.collect()}
+    assert loaded[3]["net_total"] == pytest.approx(23.0)  # 25 - 2 tax
+    # ...and bronze replay reproduces exactly what was loaded
+    replayed = {
+        r["order_id"]: r
+        for r in orders_frame(replay_parsed_from_raw(spark, wh)).collect()
+    }
+    assert replayed[3]["net_total"] == pytest.approx(23.0)
+    assert set(replayed) == set(loaded)

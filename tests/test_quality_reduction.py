@@ -1099,3 +1099,13 @@ def test_pca_degenerate_inputs_fail_loudly(spark, emb):
     # k beyond the stored model's components: refuse, don't truncate
     with pytest.raises(ValueError, match="stored components"):
         reduction.pca_project(df, k=5, model=model)
+    # whole-NULL embedding through the SCORE-ONLINE path (model=): no
+    # pca_fit pass runs to catch it, and without its own guard branch
+    # size(NULL)/exists(NULL) evaluate to NULL (not true) and the row
+    # would silently project to [null, ...]
+    null_row = spark.createDataFrame(
+        [(7777, None, 0)],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    with pytest.raises(Exception, match="embedding is NULL"):
+        reduction.pca_project(null_row, k=3, model=model).collect()

@@ -1182,3 +1182,152 @@ def test_sessionize_stream_event_time_timeout_follows_watermark(
     assert c["session_seq"] == 0 and c["n_events"] == 1
     assert c["start_us"] == c["end_us"] == base // 1000
     assert c["total_value"] == pytest.approx(2.5)
+
+
+def test_transitions_stream_event_time_timeout_evicts_via_watermark(
+    spark, stream_dirs
+):
+    """timeout='event': an idle user's stored previous-event is
+    evicted when the WATERMARK passes last_event + idle, driven by
+    OTHER users' events — not wall-clock silence (seconds elapse here,
+    the idle horizon is 30 minutes). After eviction the user's next
+    event starts a FRESH chain: no transition across the eviction."""
+    from py_etl_pipeline_woocommerce_spark.streaming.transitions import (
+        transitions_stream,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    _write_events(f"{src}/b0.parquet", [(1, base, 7, "view", 1.0)])
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        transitions_stream(stream, idle_minutes=30, timeout="event")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trans_evt_timeout")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def wait(pred, deadline_s=120):
+        import time as _t
+
+        t0 = _t.time()
+        rows = []
+        while _t.time() - t0 < deadline_s:
+            rows = spark.sql("select * from trans_evt_timeout").collect()
+            if pred(rows):
+                return rows
+            _t.sleep(1)
+        raise AssertionError(f"predicate never satisfied; last: {rows}")
+
+    try:
+        query.processAllAvailable()  # b0 ingested, user 7 state armed
+        # user 8 advances the watermark past base + 30min idle
+        # (90min - 30min delay = +60min), then one more batch so the
+        # no-data pass processes user 7's timed-out state
+        _write_events(
+            f"{src}/b1.parquet", [(2, base + 90 * MIN_NS, 8, "x", 1.0)]
+        )
+        _write_events(
+            f"{src}/b2.parquet", [(3, base + 91 * MIN_NS, 8, "x", 1.0)]
+        )
+        wait(lambda rows: any(r["user_id"] == 8 for r in rows))
+        # user 7 returns AFTER eviction: must start a fresh chain...
+        _write_events(
+            f"{src}/b3.parquet", [(4, base + 92 * MIN_NS, 7, "click", 1.0)]
+        )
+        # ...so only their NEXT pair emits a user-7 transition
+        _write_events(
+            f"{src}/b4.parquet",
+            [(5, base + 93 * MIN_NS, 7, "purchase", 1.0)],
+        )
+        rows = wait(
+            lambda rows: any(r["to_type"] == "purchase" for r in rows)
+        )
+    finally:
+        query.stop()
+
+    got7 = sorted(
+        (r["from_type"], r["to_type"], r["gap_us"])
+        for r in rows
+        if r["user_id"] == 7
+    )
+    # no chain across the eviction (view -> click would be a 92-minute
+    # ghost transition), only the fresh post-eviction pair
+    assert got7 == [("click", "purchase", 60_000_000)]
+
+
+def test_liveness_gaps_stream_recovers_from_checkpoint_restart(
+    spark, stream_dirs, tmp_path
+):
+    """Kill the liveness monitor mid-stream and restart from the same
+    checkpoint: the per-type last-seen clock must be restored, so an
+    outage SPANNING the restart (last pre-restart heartbeat → first
+    post-restart one) is still detected and bounded correctly, exactly
+    once. (memory sinks refuse checkpoint recovery, so output goes
+    through foreachBatch -> parquet, the recoverable path.)"""
+    from py_etl_pipeline_woocommerce_spark.streaming.liveness import (
+        gaps_stream,
+    )
+
+    src, ckpt = stream_dirs
+    out = str(tmp_path / "gaps_restart_out")
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    GAP_US = 5 * 60 * 1_000_000
+    _write_events(
+        f"{src}/b0.parquet",
+        [(1, base, 7, "hb", 1.0), (2, base + MIN_NS, 7, "hb", 1.0)],
+    )
+
+    def start():
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            gaps_stream(stream, min_gap_us=GAP_US)
+            .writeStream.outputMode("append")
+            .foreachBatch(_foreach_parquet_append(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()
+    try:
+        q1.processAllAvailable()  # quiet minute ingested, no gap yet
+    finally:
+        q1.stop()  # simulated crash/redeploy between micro-batches
+
+    # the stream resumes after a 9-minute silence that SPANS the
+    # restart — only the restored last-seen clock can bound it
+    _write_events(
+        f"{src}/b1.parquet", [(3, base + 10 * MIN_NS, 7, "hb", 1.0)]
+    )
+    q2 = start()
+    try:
+        rows = _poll_parquet(spark, out, lambda rows: len(rows) >= 1)
+    finally:
+        q2.stop()
+
+    got = [
+        (r["event_type"], r["gap_start_us"], r["gap_end_us"], r["gap_us"])
+        for r in rows
+    ]
+    # exactly one gap row: nothing lost across the restart, nothing
+    # re-emitted by the replayed batch
+    assert got == [
+        (
+            "hb",
+            (base + MIN_NS) // 1000,
+            (base + 10 * MIN_NS) // 1000,
+            9 * 60 * 1_000_000,
+        )
+    ]
