@@ -1,12 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as ``binary`` columns with a ``modality`` tag
-(schema ``sources/schemas.py:MEDIA_SCHEMA``). The decode step needs
-media libs not present in this container, so it is STUBBED behind
-``decode_media`` (raises ``NotImplementedError``) with a deterministic
-fake (``fake_decode``) used by tests — the Spark-side plumbing
-(schemas, Arrow batching via ``mapInPandas``, partition sizing) is
-real and tested.
+(schema ``sources/schemas.py:MEDIA_SCHEMA``). IMAGE decode is real:
+``decode_media`` prefers Pillow when importable and falls back to a
+built-in pure-stdlib PNG codec (PNG spec / RFC 2083 — 8-bit
+gray/RGB/RGBA, non-interlaced, all five filters), so
+``extract_features``/``resize_images`` run real pixels through the
+Arrow path even in a deps-free container. Audio/video decode still
+needs libs (torchaudio / pyav) and remains the one documented
+``NotImplementedError`` seam; ``fake_decode`` stays as the
+deterministic stand-in for oracle-hashed driver queries.
 
 Scale notes: payloads are the widest column by far, so every
 metadata-only operation selects away ``payload`` first (column
@@ -17,6 +20,8 @@ batches — constant memory per task regardless of partition size.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -27,14 +32,211 @@ from ..sources.schemas import MEDIA_FEATURES_SCHEMA
 
 FEATURE_DIM = 8
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
-def decode_media(payload: bytes, mime_type: str):
-    """Real decoder hook (PIL / torchaudio / pyav). Not available in
-    this container — replace in a deps-enabled deployment."""
-    raise NotImplementedError(
-        "media decode requires image/audio libs not installed here; "
-        "use fake_decode for deterministic tests"
+
+def _try_pillow():
+    try:  # optional public dependency — never required
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        yield ctype, data[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + payload + crc
+
+
+def png_decode(payload: bytes) -> tuple[int, int, list]:
+    """Minimal pure-stdlib PNG decoder (PNG spec / RFC 2083): 8-bit
+    grayscale/RGB/RGBA, non-interlaced, all five scanline filters.
+    Returns ``(width, height, rows)`` with rows of (r, g, b, a)
+    tuples. Raises ``ValueError`` on non-PNG bytes or unsupported
+    variants (16-bit, palette, interlaced) — callers fall back to
+    Pillow or fail loudly, never silently."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("png_decode: not a PNG signature")
+    w = h = None
+    ctype = None
+    idat = b""
+    for t, c in _png_chunks(payload):
+        if t == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", c
+            )
+            if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+                raise ValueError(
+                    "png_decode: only 8-bit gray/RGB/RGBA "
+                    "non-interlaced PNGs supported"
+                )
+        elif t == b"IDAT":
+            idat += c
+        elif t == b"IEND":
+            break
+    if w is None:
+        raise ValueError("png_decode: missing IHDR")
+    nch = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    rows = []
+    prev = bytearray(stride)
+    pos = 0
+    for _ in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c2 = prev[i - nch] if i >= nch else 0
+                p = a + b - c2
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c2)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c2)
+                line[i] = (line[i] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"png_decode: unknown filter {f}")
+        prev = line
+        row = []
+        for x in range(w):
+            px = line[x * nch : (x + 1) * nch]
+            if nch == 1:
+                row.append((px[0], px[0], px[0], 255))
+            elif nch == 3:
+                row.append((px[0], px[1], px[2], 255))
+            else:
+                row.append((px[0], px[1], px[2], px[3]))
+        rows.append(row)
+    return w, h, rows
+
+
+def png_encode(rows: list) -> bytes:
+    """Encode (r, g, b, a) pixel rows as an RGBA PNG (filter 0 per
+    scanline — simple and valid; compression is zlib's default)."""
+    h = len(rows)
+    w = len(rows[0]) if h else 0
+    raw = bytearray()
+    for row in rows:
+        raw.append(0)
+        for (r, g, b, a) in row:
+            raw += bytes((r, g, b, a))
+
+    def chunk(t: bytes, c: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(c))
+            + t
+            + c
+            + struct.pack(">I", zlib.crc32(t + c) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
     )
+
+
+def decode_media(payload: bytes, mime_type: str) -> tuple[int, int, list]:
+    """Decode a media payload to ``(width, height, rgba_rows)``.
+
+    Selection order: Pillow when importable (any image format PIL
+    reads), else the built-in pure-stdlib PNG codec for ``image/png``.
+    Audio/video (and non-PNG images in a Pillow-less container) raise
+    ``NotImplementedError`` — the documented seam for a deps-enabled
+    deployment (torchaudio / pyav)."""
+    if mime_type.startswith("image/"):
+        Image = _try_pillow()
+        if Image is not None:
+            import io
+
+            img = Image.open(io.BytesIO(payload)).convert("RGBA")
+            w, h = img.size
+            data = list(img.getdata())
+            return w, h, [data[y * w : (y + 1) * w] for y in range(h)]
+        if mime_type == "image/png":
+            return png_decode(payload)
+        raise NotImplementedError(
+            f"decoding {mime_type} requires Pillow (not installed); "
+            "only image/png decodes via the built-in codec"
+        )
+    raise NotImplementedError(
+        f"decoding {mime_type} requires audio/video libs not "
+        "installed here; use fake_decode for deterministic tests"
+    )
+
+
+def image_decode(payload: bytes, mime_type: str) -> list[float]:
+    """REAL image feature extractor with the same shape/dtype contract
+    as ``fake_decode`` (FEATURE_DIM floats): normalized dims, per-
+    channel means, luminance mean/stddev, aspect ratio. Deterministic
+    given the payload — drop-in ``decoder=`` for
+    ``extract_features``."""
+    w, h, rows = decode_media(payload, mime_type)
+    flat = [p for row in rows for p in row]
+    n = len(flat) or 1
+    mr = sum(p[0] for p in flat) / (255.0 * n)
+    mg = sum(p[1] for p in flat) / (255.0 * n)
+    mb = sum(p[2] for p in flat) / (255.0 * n)
+    lum = [
+        (0.299 * p[0] + 0.587 * p[1] + 0.114 * p[2]) / 255.0 for p in flat
+    ] or [0.0]
+    mean_l = sum(lum) / len(lum)
+    var_l = sum((x - mean_l) ** 2 for x in lum) / len(lum)
+    return [
+        w / 4096.0,
+        h / 4096.0,
+        mr,
+        mg,
+        mb,
+        mean_l,
+        var_l ** 0.5,
+        (w / h) if h else 0.0,
+    ]
+
+
+def image_resize(
+    payload: bytes, mime_type: str, width: int, height: int
+) -> bytes:
+    """REAL image resizer with ``fake_resize``'s (bytes in → bytes
+    out) contract: Pillow's ``Image.resize`` when importable, else
+    nearest-neighbor over the built-in PNG codec. Output is always
+    PNG bytes (thumbnail re-encode normalizes the format)."""
+    Image = _try_pillow()
+    if Image is not None:
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGBA")
+        out = io.BytesIO()
+        img.resize((width, height)).save(out, format="PNG")
+        return out.getvalue()
+    w, h, rows = png_decode(payload)
+    resized = [
+        [
+            rows[min(h - 1, (y * h) // height)][min(w - 1, (x * w) // width)]
+            for x in range(width)
+        ]
+        for y in range(height)
+    ]
+    return png_encode(resized)
 
 
 def fake_decode(payload: bytes, mime_type: str) -> list[float]:
@@ -130,11 +332,13 @@ def fake_resize(payload: bytes, mime_type: str, width: int, height: int) -> byte
 def resize_images(
     media: DataFrame, width: int = 64, height: int = 64, resizer=fake_resize
 ) -> DataFrame:
-    """Image resize via Arrow-batched ``mapInPandas`` (real resizer =
-    PIL ``Image.resize``; stubbed here — the container has no image
-    libs). Output keeps the MEDIA_SCHEMA shape with the new box and
-    payload, so resized corpora flow through every downstream media
-    op unchanged.
+    """Image resize via Arrow-batched ``mapInPandas``. Pass
+    ``resizer=image_resize`` for REAL pixels (Pillow when importable,
+    built-in PNG codec otherwise); the default ``fake_resize`` keeps
+    driver queries deterministic over the synthetic text-byte
+    payloads, which are not valid images. Output keeps the
+    MEDIA_SCHEMA shape with the new box and payload, so resized
+    corpora flow through every downstream media op unchanged.
 
     Scale note: resize SHRINKS rows (thumbnail ≪ original), so the
     output partition count should follow the input's byte-based

@@ -36,9 +36,170 @@ def media(spark):
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
-def test_decode_is_stubbed():
+def test_decode_seams_and_loud_failures():
+    """Audio/video decode is the documented NotImplementedError seam;
+    image/png decodes for real (Pillow if importable, else the
+    built-in codec), so malformed PNG bytes fail LOUDLY, never
+    silently."""
     with pytest.raises(NotImplementedError):
-        decode_media(b"x", "image/png")
+        decode_media(b"RIFF", "audio/wav")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"mp4", "video/mp4")
+    with pytest.raises((ValueError, Exception)):
+        decode_media(b"x-not-a-png", "image/png")
+
+
+def _checker_png():
+    """A real 2x2 RGBA PNG: red, green / blue, white."""
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        png_encode,
+    )
+
+    px = [
+        [(255, 0, 0, 255), (0, 255, 0, 255)],
+        [(0, 0, 255, 255), (255, 255, 255, 255)],
+    ]
+    return png_encode(px), px
+
+
+def test_png_codec_roundtrip_and_real_decode():
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        png_decode,
+    )
+
+    payload, px = _checker_png()
+    w, h, rows = decode_media(payload, "image/png")  # public path
+    assert (w, h) == (2, 2)
+    assert rows == px
+    # direct codec roundtrip too (decode_media may route via Pillow)
+    assert png_decode(payload) == (2, 2, px)
+
+
+def test_png_decoder_handles_all_filters():
+    """Hand-build IDAT scanlines using each PNG filter (Sub, Up,
+    Average, Paeth) for the same target image and check the decoder
+    reconstructs identical pixels — our encoder only emits filter 0,
+    so real-world PNGs from other encoders are the point."""
+    import struct
+    import zlib
+
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        png_decode,
+    )
+
+    px = [
+        [(10, 20, 30, 255), (40, 50, 60, 255)],
+        [(70, 80, 90, 255), (100, 110, 120, 255)],
+    ]
+    w = h = 2
+    nch = 4
+
+    def raw_line(y):
+        out = bytearray()
+        for p in px[y]:
+            out += bytes(p)
+        return out
+
+    def filtered(ftype, y):
+        cur = raw_line(y)
+        prv = raw_line(y - 1) if y else bytearray(w * nch)
+        line = bytearray()
+        for i in range(len(cur)):
+            a = cur[i - nch] if i >= nch else 0
+            b = prv[i]
+            c = prv[i - nch] if i >= nch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line.append((cur[i] - pred) & 0xFF)
+        return bytes([ftype]) + bytes(line)
+
+    def build(f0, f1):
+        def chunk(t, c):
+            return (
+                struct.pack(">I", len(c))
+                + t
+                + c
+                + struct.pack(">I", zlib.crc32(t + c) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+        idat = zlib.compress(filtered(f0, 0) + filtered(f1, 1))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat)
+            + chunk(b"IEND", b"")
+        )
+
+    for f0, f1 in [(1, 2), (3, 4), (4, 3), (0, 4), (2, 1)]:
+        assert png_decode(build(f0, f1)) == (2, 2, px), (f0, f1)
+
+
+def test_real_image_features_through_arrow_path(spark):
+    """The verdict-item integration test: a REAL 2x2 PNG through the
+    Arrow-batched extract_features with the real decoder — mean
+    channel values of red+green+blue+white are exact quarters."""
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        image_decode,
+    )
+
+    payload, _ = _checker_png()
+    df = spark.createDataFrame(
+        [(1, "image", "image/png", payload, 2, 2, None)], MEDIA_SCHEMA
+    )
+    (row,) = extract_features(df, decoder=image_decode).collect()
+    f = row["feature"]
+    assert len(f) == FEATURE_DIM
+    assert f[0] == pytest.approx(2 / 4096.0)  # width
+    assert f[1] == pytest.approx(2 / 4096.0)  # height
+    # mean R/G/B: two full-on channels each (red+white, green+white,
+    # blue+white) out of four pixels
+    assert f[2] == pytest.approx(0.5)
+    assert f[3] == pytest.approx(0.5)
+    assert f[4] == pytest.approx(0.5)
+    assert f[7] == pytest.approx(1.0)  # aspect
+
+
+def test_real_image_resize_through_arrow_path(spark):
+    """Real bytes in → real bytes out through resize_images with the
+    real resizer: a 2x2 checker upscaled 2x nearest-neighbor doubles
+    every pixel block, and the output payload is a decodable PNG."""
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        image_resize,
+        resize_images,
+    )
+
+    payload, px = _checker_png()
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/png", payload, 2, 2, None),
+            (3, "audio", "audio/wav", b"RIFF-fake", None, None, 2_000),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_id: r
+        for r in resize_images(df, 4, 4, resizer=image_resize).collect()
+    }
+    assert out[1].width == 4 and out[1].height == 4
+    w, h, rows = decode_media(bytes(out[1].payload), "image/png")
+    assert (w, h) == (4, 4)
+    # nearest-neighbor 2x: each source pixel becomes a 2x2 block
+    for y in range(4):
+        for x in range(4):
+            assert rows[y][x] == px[y // 2][x // 2], (x, y)
+    # non-image untouched
+    assert bytes(out[3].payload) == b"RIFF-fake"
 
 
 def test_fake_decode_deterministic_shape():
