@@ -1737,13 +1737,25 @@ def _sparse_cosine_topk(e: DataFrame, query_pred, k: int) -> DataFrame:
 
 
 def sample_queries(
-    documents: DataFrame, every: int = 97, n_terms: int = 8
+    documents: DataFrame,
+    every: int = 97,
+    n_terms: int = 8,
+    doc_ids: list[int] | None = None,
 ) -> DataFrame:
     """Deterministic "more-like-this" query batch for retrieval ops:
     every ``every``-th document becomes a query whose terms are the
     doc's first ``n_terms`` tokens (a prefix slice — positionally
-    stable in any engine). Output: (query_id, term), distinct."""
-    toks = documents.filter(F.col("doc_id") % every == 0).select(
+    stable in any engine). ``doc_ids`` pins an EXPLICIT query-doc
+    batch instead (the serving shape: a fixed query load over a
+    growing corpus — with ``every``-sampling the query set grows with
+    the corpus, which is self-retrieval smoke, not serving). Output:
+    (query_id, term), distinct."""
+    pred = (
+        F.col("doc_id").isin([int(i) for i in doc_ids])
+        if doc_ids is not None
+        else F.col("doc_id") % every == 0
+    )
+    toks = documents.filter(pred).select(
         F.col("doc_id").alias("query_id"),
         F.explode(F.slice(tokens_expr("text"), 1, n_terms)).alias("term"),
     )
@@ -1841,6 +1853,7 @@ def hybrid_search(
     rrf_k: int = 60,
     stage_k: int = 10,
     dim: int = 64,
+    query_ids: list[int] | None = None,
 ) -> DataFrame:
     """Hybrid lexical + semantic retrieval fused by Reciprocal Rank
     Fusion (Cormack, Clarke & Büttcher 2009): per (query, doc),
@@ -1861,20 +1874,30 @@ def hybrid_search(
     Scale: both stages are verified linear-ish plans; at serving
     scale swap the semantic stage for ``ann_rerank_topk`` over real
     embeddings — the fusion join is unchanged (rank columns are the
-    whole interface).
+    whole interface). ``query_ids`` pins a FIXED query batch (the
+    serving shape: constant query load over a growing corpus); the
+    default ``every``-sampling grows the query set with the corpus —
+    right for self-retrieval smoke, quadratic-by-construction as a
+    scaling model (confirmed empirically by the sf1 scale probe).
     """
-    # BOTH stages must answer the same question set: thread `every`
-    # into the lexical stage's query sampling (defaulting bm25_search
-    # would silently pin its own every=97 and fuse disjoint queries)
+    # BOTH stages must answer the same question set: thread the query
+    # selection into the lexical stage's sampling AND the semantic
+    # stage's predicate (defaulting bm25_search would silently pin
+    # its own every=97 and fuse disjoint queries)
+    sem_pred = (
+        F.col("doc_id").isin([int(i) for i in query_ids])
+        if query_ids is not None
+        else F.col("doc_id") % every == 0
+    )
     lex = bm25_search(
         documents,
-        queries=sample_queries(documents, every=every),
+        queries=sample_queries(documents, every=every, doc_ids=query_ids),
         topk=stage_k,
     ).select("query_id", "doc_id", "bm25_rank")
     e = hash_embed(documents, dim=dim).select("doc_id", "dim_idx", "weight")
-    sem = _sparse_cosine_topk(
-        e, F.col("doc_id") % every == 0, stage_k
-    ).select("query_id", "doc_id", "sim_rank")
+    sem = _sparse_cosine_topk(e, sem_pred, stage_k).select(
+        "query_id", "doc_id", "sim_rank"
+    )
     fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
         "query_id",
         "doc_id",

@@ -1,0 +1,165 @@
+"""sf1 scale probe: empirical 10x-data scaling check for the
+heavyweight operators whose 100 TB claims otherwise rest on plan
+reading alone.
+
+Generates a 10x replica of the sf0.1 testdata under
+``.scale_probe/sf1`` (never touches /root/testdata):
+
+- ``documents``: 10 disjoint copies; copy k > 0 suffixes every token
+  with ``xk``, which keeps the token-frequency/length distribution of
+  the original corpus while making shingle space DISJOINT across
+  copies — per-bucket density stays sf0.1-like and bucket count grows
+  10x, i.e. the "more distinct documents from the same distribution"
+  shape a real scale-up has. (Plain duplication would instead make
+  every doc 9 mutual near-dups and quadratically explode pair counts
+  by construction, measuring the data, not the algorithm.)
+- ``lineitem``/``orders``: 10 disjoint copies with order/part keys
+  offset per copy — 10 disjoint co-purchase graphs (more parts, more
+  orders), not one graph with 10x edge multiplicity.
+
+Then times each probe query once warm (one untimed pass at sf0.1
+first to absorb codegen/JIT, matching bench.py's second-pass
+convention) at sf0.1 and sf1 and prints one JSON line with the
+sec-per-sf ratio: ratio10 = t(sf1) / (10 * t(sf0.1)). ratio10 ~ 1.0
+is linear scaling; >> 1 is the super-linear finding the local bench
+cannot see. Fixed overhead (job scheduling, 15 pagerank rounds of
+job launch) makes small-side times look worse, so ratios BELOW 1 are
+expected for overhead-dominated queries.
+
+Usage: python tools/scale_probe.py [--regen]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".scale_probe",
+    "sf1",
+)
+COPIES = 10
+KEY_OFFSET = 100_000_000
+
+
+def generate(dst: str = DST, src: str = SRC, copies: int = COPIES) -> None:
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    os.makedirs(dst, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(src, "documents.parquet")).to_pandas()
+    frames = []
+    for k in range(copies):
+        c = docs.copy()
+        c["doc_id"] = c["doc_id"] + k * KEY_OFFSET
+        if k:
+            suf = f"x{k}"
+            c["text"] = c["text"].map(
+                lambda s, suf=suf: " ".join(
+                    w + suf for w in (s or "").split()
+                )
+            )
+            c["n_chars"] = c["text"].str.len()
+        frames.append(c)
+    pd.concat(frames, ignore_index=True).to_parquet(
+        os.path.join(dst, "documents.parquet"), index=False
+    )
+
+    li = pq.read_table(os.path.join(src, "lineitem.parquet")).to_pandas()
+    frames = []
+    for k in range(copies):
+        c = li.copy()
+        c["l_orderkey"] = c["l_orderkey"] + k * KEY_OFFSET
+        c["l_partkey"] = c["l_partkey"] + k * KEY_OFFSET
+        frames.append(c)
+    pd.concat(frames, ignore_index=True).to_parquet(
+        os.path.join(dst, "lineitem.parquet"), index=False
+    )
+
+    orders = pq.read_table(os.path.join(src, "orders.parquet")).to_pandas()
+    frames = []
+    for k in range(copies):
+        c = orders.copy()
+        c["o_orderkey"] = c["o_orderkey"] + k * KEY_OFFSET
+        frames.append(c)
+    pd.concat(frames, ignore_index=True).to_parquet(
+        os.path.join(dst, "orders.parquet"), index=False
+    )
+
+
+def probes():
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators import (
+        corpus,
+        dedup,
+        graph,
+    )
+
+    def docs(s, d):
+        return load_table(s, d, "documents")
+
+    return {
+        "part_pagerank": lambda s, d: graph.part_pagerank(s, d),
+        "dedup_audit_sampled": lambda s, d: dedup.dedup_audit(
+            docs(s, d), sample_frac=0.2
+        ),
+        "dedup_containment": lambda s, d: dedup.containment_pairs(
+            docs(s, d)
+        ),
+        # growing query set (every 97th doc — 10x queries at sf1, so
+        # the workload itself is ~quadratic-by-construction) AND the
+        # serving shape (fixed query batch over the growing corpus)
+        "hybrid_search": lambda s, d: corpus.hybrid_search(docs(s, d)),
+        "hybrid_search_fixed_queries": lambda s, d: corpus.hybrid_search(
+            docs(s, d), query_ids=list(range(0, 5000, 97))
+        ),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(docs(s, d)),
+        "corpus_prep_v2": lambda s, d: corpus.corpus_prep_v2(docs(s, d)),
+    }
+
+
+def main() -> None:
+    if "--regen" in sys.argv and os.path.exists(DST):
+        shutil.rmtree(DST)
+    if not os.path.exists(os.path.join(DST, "orders.parquet")):
+        print("generating sf1 replica ...", file=sys.stderr)
+        generate()
+
+    from py_etl_pipeline_woocommerce_spark.session import get_spark
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = {"sf_small": SRC, "sf_big": DST, "queries": {}}
+    for name, fn in probes().items():
+        fn(spark, SRC).count()  # warm: codegen/JIT absorbed untimed
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n_small = fn(spark, SRC).count()
+        t_small = time.time() - t0
+        spark.catalog.clearCache()
+        t0 = time.time()
+        n_big = fn(spark, DST).count()
+        t_big = time.time() - t0
+        ratio10 = t_big / (COPIES * t_small) if t_small > 0 else None
+        out["queries"][name] = {
+            "sec_sf01": round(t_small, 2),
+            "sec_sf1": round(t_big, 2),
+            "rows_sf01": n_small,
+            "rows_sf1": n_big,
+            "ratio10": round(ratio10, 3) if ratio10 else None,
+        }
+        print(f"{name}: {out['queries'][name]}", file=sys.stderr)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
