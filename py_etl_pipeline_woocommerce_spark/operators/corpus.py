@@ -1736,6 +1736,17 @@ def _sparse_cosine_topk(e: DataFrame, query_pred, k: int) -> DataFrame:
     )
 
 
+def _query_doc_pred(every: int, doc_ids: list[int] | None):
+    """The ONE query-doc selection predicate shared by the lexical
+    (``sample_queries``) and semantic (``hybrid_search``) stages —
+    two hand-maintained copies of this rule silently diverging would
+    make the stages answer disjoint query sets, the exact fusion bug
+    ``hybrid_search`` exists to prevent."""
+    if doc_ids is not None:
+        return F.col("doc_id").isin([int(i) for i in doc_ids])
+    return F.col("doc_id") % every == 0
+
+
 def sample_queries(
     documents: DataFrame,
     every: int = 97,
@@ -1750,12 +1761,7 @@ def sample_queries(
     growing corpus — with ``every``-sampling the query set grows with
     the corpus, which is self-retrieval smoke, not serving). Output:
     (query_id, term), distinct."""
-    pred = (
-        F.col("doc_id").isin([int(i) for i in doc_ids])
-        if doc_ids is not None
-        else F.col("doc_id") % every == 0
-    )
-    toks = documents.filter(pred).select(
+    toks = documents.filter(_query_doc_pred(every, doc_ids)).select(
         F.col("doc_id").alias("query_id"),
         F.explode(F.slice(tokens_expr("text"), 1, n_terms)).alias("term"),
     )
@@ -1883,12 +1889,9 @@ def hybrid_search(
     # BOTH stages must answer the same question set: thread the query
     # selection into the lexical stage's sampling AND the semantic
     # stage's predicate (defaulting bm25_search would silently pin
-    # its own every=97 and fuse disjoint queries)
-    sem_pred = (
-        F.col("doc_id").isin([int(i) for i in query_ids])
-        if query_ids is not None
-        else F.col("doc_id") % every == 0
-    )
+    # its own every=97 and fuse disjoint queries) — one shared
+    # predicate builder, so the rule cannot diverge between stages
+    sem_pred = _query_doc_pred(every, query_ids)
     lex = bm25_search(
         documents,
         queries=sample_queries(documents, every=every, doc_ids=query_ids),

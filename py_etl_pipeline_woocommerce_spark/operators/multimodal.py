@@ -188,8 +188,10 @@ def image_decode(payload: bytes, mime_type: str) -> list[float]:
     """REAL image feature extractor with the same shape/dtype contract
     as ``fake_decode`` (FEATURE_DIM floats): normalized dims, per-
     channel means, luminance mean/stddev, aspect ratio. Deterministic
-    given the payload — drop-in ``decoder=`` for
-    ``extract_features``."""
+    given the payload. Decodes IMAGES only — pair with
+    ``extract_features(..., modalities=("image",))`` on mixed-modality
+    frames so audio/video rows get a NULL feature instead of a
+    decoder crash."""
     w, h, rows = decode_media(payload, mime_type)
     flat = [p for row in rows for p in row]
     n = len(flat) or 1
@@ -228,7 +230,11 @@ def image_resize(
         out = io.BytesIO()
         img.resize((width, height)).save(out, format="PNG")
         return out.getvalue()
-    w, h, rows = png_decode(payload)
+    # route the fallback through decode_media's mime gate: a non-PNG
+    # image in a Pillow-less container gets the documented
+    # NotImplementedError seam, not png_decode's misleading
+    # "not a PNG signature" corruption error
+    w, h, rows = decode_media(payload, mime_type)
     resized = [
         [
             rows[min(h - 1, (y * h) // height)][min(w - 1, (x * w) // width)]
@@ -261,19 +267,31 @@ def media_metadata(media: DataFrame) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, decoder=fake_decode) -> DataFrame:
+def extract_features(
+    media: DataFrame, decoder=fake_decode, modalities=None
+) -> DataFrame:
     """payload → fixed-dim feature vector via Arrow-batched mapInPandas.
 
     One Python worker per partition, Arrow transfer both ways; the
     decoder runs per-row inside the batch loop (vectorize further in
     a real deployment with batched GPU decode).
+
+    ``modalities``: optional subset (e.g. ``("image",)``) — rows of
+    other modalities keep their metadata/content_hash but get a NULL
+    feature instead of being fed to a decoder that cannot read them
+    (``image_decode`` raises on audio/wav; the default ``fake_decode``
+    handles every modality, so ``None`` decodes all rows).
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
                 decoder(p if p is not None else b"", m)
-                for p, m in zip(pdf["payload"], pdf["mime_type"])
+                if modalities is None or mod in modalities
+                else None
+                for p, m, mod in zip(
+                    pdf["payload"], pdf["mime_type"], pdf["modality"]
+                )
             ]
             yield pd.DataFrame(
                 {

@@ -36,6 +36,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .state_util import set_idle_timeout
+
 GAP_MINUTES = 30
 
 SESSION_SCHEMA = T.StructType(
@@ -65,19 +67,6 @@ STATE_SCHEMA = T.StructType(
 COUNTER_RETENTION_MS = 30 * 86_400_000
 
 
-def _set_timeout(state: GroupState, event_time: bool, last_us, gap_us, ms):
-    """Arm the state timeout: processing-time mode waits ``ms`` of
-    wall clock; event-time mode arms an absolute watermark timestamp
-    (clamped above the current watermark — Spark rejects stale
-    timestamps, and a late batch can arm after the watermark already
-    passed last+gap)."""
-    if not event_time:
-        state.setTimeoutDuration(ms)
-        return
-    base = (last_us // 1000 + ms) if last_us is not None else ms
-    state.setTimeoutTimestamp(max(base, state.getCurrentWatermarkMs() + 1))
-
-
 def _sessionize_user(
     key: Tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],
@@ -98,7 +87,7 @@ def _sessionize_user(
         # instead of restarting at 0 and overwriting historical
         # (user, session_seq) rows in an upsert sink
         state.update((seq + 1, None, None, 0, 0.0))
-        _set_timeout(state, event_time, last, gap_us, COUNTER_RETENTION_MS)
+        set_idle_timeout(state, event_time, last, COUNTER_RETENTION_MS)
         yield pd.DataFrame(
             [[user_id, seq, n, start, last, tot, True]],
             columns=SESSION_SCHEMA.fieldNames(),
@@ -141,7 +130,7 @@ def _sessionize_user(
     state.update((seq, start, last, n, tot))
     # idle eviction: close the open session when the gap elapses —
     # wall clock in processing-time mode, watermark in event-time mode
-    _set_timeout(state, event_time, last, gap_us, gap_us // 1000)
+    set_idle_timeout(state, event_time, last, gap_us // 1000)
     if n > 0:
         out_rows.append([user_id, seq, n, start, last, tot, False])
     yield pd.DataFrame(out_rows, columns=SESSION_SCHEMA.fieldNames())

@@ -1,0 +1,32 @@
+"""Shared helpers for applyInPandasWithState operators.
+
+One home for the idle-eviction arming logic so the sessionizer and
+the transition tracker (and any future stateful twin) cannot drift
+apart on the subtle parts: the event-time clamp above the current
+watermark, and the no-events-yet fallback.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.streaming.state import GroupState
+
+
+def set_idle_timeout(
+    state: GroupState, event_time: bool, last_us, idle_ms: int
+) -> None:
+    """Arm the idle eviction for a state row.
+
+    Processing-time mode waits ``idle_ms`` of wall clock. Event-time
+    mode arms an absolute watermark timestamp at ``last_us + idle_ms``
+    (ms grain), clamped above the CURRENT watermark — Spark rejects
+    stale timestamps, and a late batch can arm after the watermark
+    already passed last+idle. With no stored clock yet
+    (``last_us is None``) the relative ``idle_ms`` is used as the
+    base, which the clamp immediately lifts to watermark+1 — i.e.
+    "evict at the next watermark advance", the earliest legal slot.
+    """
+    if not event_time:
+        state.setTimeoutDuration(idle_ms)
+        return
+    base = (last_us // 1000 + idle_ms) if last_us is not None else idle_ms
+    state.setTimeoutTimestamp(max(base, state.getCurrentWatermarkMs() + 1))

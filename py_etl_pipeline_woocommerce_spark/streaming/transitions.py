@@ -38,6 +38,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .state_util import set_idle_timeout
+
 TRANSITION_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType()),
@@ -58,19 +60,6 @@ STATE_SCHEMA = T.StructType(
         T.StructField("last_type", T.StringType()),
     ]
 )
-
-
-def _set_timeout(state: GroupState, event_time: bool, last_us, idle_ms):
-    """Arm the idle eviction: processing-time mode waits ``idle_ms``
-    of wall clock; event-time mode arms an absolute watermark
-    timestamp (clamped above the current watermark — Spark rejects
-    stale timestamps, and a late batch can arm after the watermark
-    already passed last+idle)."""
-    if not event_time:
-        state.setTimeoutDuration(idle_ms)
-        return
-    base = (last_us // 1000 + idle_ms) if last_us is not None else idle_ms
-    state.setTimeoutTimestamp(max(base, state.getCurrentWatermarkMs() + 1))
 
 
 def _transitions_user(
@@ -108,7 +97,7 @@ def _transitions_user(
             out.append([user_id, last_type, etype, t_us - last_us])
         last_us, last_id, last_type = t_us, eid, etype
     state.update((last_us, last_id, last_type))
-    _set_timeout(state, event_time, last_us, idle_ms)
+    set_idle_timeout(state, event_time, last_us, idle_ms)
     yield pd.DataFrame(out, columns=TRANSITION_SCHEMA.fieldNames())
 
 

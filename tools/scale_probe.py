@@ -17,9 +17,10 @@ Generates a 10x replica of the sf0.1 testdata under
   offset per copy — 10 disjoint co-purchase graphs (more parts, more
   orders), not one graph with 10x edge multiplicity.
 
-Then times each probe query once warm (one untimed pass at sf0.1
-first to absorb codegen/JIT, matching bench.py's second-pass
-convention) at sf0.1 and sf1 and prints one JSON line with the
+Then times each probe query once warm (one untimed pass at EACH
+scale first to absorb codegen/JIT/file-listing/page-cache, matching
+bench.py's second-pass convention) at sf0.1 and sf1 and prints one
+JSON line with the
 sec-per-sf ratio: ratio10 = t(sf1) / (10 * t(sf0.1)). ratio10 ~ 1.0
 is linear scaling; >> 1 is the super-linear finding the local bench
 cannot see. Fixed overhead (job scheduling, 15 pagerank rounds of
@@ -140,7 +141,12 @@ def main() -> None:
 
     out = {"sf_small": SRC, "sf_big": DST, "queries": {}}
     for name, fn in probes().items():
-        fn(spark, SRC).count()  # warm: codegen/JIT absorbed untimed
+        # warm BOTH scales untimed so each timed pass sees the same
+        # codegen/JIT/file-listing/page-cache state — a cold sf1 side
+        # would inflate every ratio10 with first-run overhead the
+        # sf0.1 side had already amortized
+        fn(spark, SRC).count()
+        fn(spark, DST).count()
         spark.catalog.clearCache()
         t0 = time.time()
         n_small = fn(spark, SRC).count()
@@ -155,7 +161,7 @@ def main() -> None:
             "sec_sf1": round(t_big, 2),
             "rows_sf01": n_small,
             "rows_sf1": n_big,
-            "ratio10": round(ratio10, 3) if ratio10 else None,
+            "ratio10": round(ratio10, 3) if ratio10 is not None else None,
         }
         print(f"{name}: {out['queries'][name]}", file=sys.stderr)
     print(json.dumps(out))
