@@ -1866,8 +1866,9 @@ def hybrid_search(
     ``Σ 1/(rrf_k + rank)`` over the lists the doc appears in. RRF is
     the standard production fusion because it needs no score
     calibration — ranks are scale-free, so a BM25 score and a cosine
-    never have to share units. Query set = ``bm25_search``'s default
-    (every 97th doc), so both stages answer the same questions.
+    never have to share units. Query set = ``query_ids`` when given
+    (the serving mode), else ``bm25_search``'s default sample (every
+    97th doc); both stages always answer the same questions.
 
     Lexical = ``bm25_search`` top-``stage_k``; semantic = sparse
     relational cosine over ``hash_embed`` vectors for the SAME query

@@ -49,7 +49,18 @@ def _png_chunks(data: bytes):
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
-        yield ctype, data[pos + 8 : pos + 8 + length]
+        body = data[pos + 8 : pos + 8 + length]
+        crc = data[pos + 8 + length : pos + 12 + length]
+        # a compliant decoder rejects CRC mismatches — without this a
+        # bit-flipped IHDR decodes into garbage geometry silently
+        # (zlib's adler32 only covers IDAT contents, not framing)
+        if len(body) < length or len(crc) < 4:
+            raise ValueError("png_decode: truncated chunk")
+        if struct.unpack(">I", crc)[0] != zlib.crc32(ctype + body) & 0xFFFFFFFF:
+            raise ValueError(
+                f"png_decode: CRC mismatch in {ctype!r} chunk"
+            )
+        yield ctype, body
         pos += 12 + length  # length + type + payload + crc
 
 
@@ -67,6 +78,8 @@ def png_decode(payload: bytes) -> tuple[int, int, list]:
     idat = b""
     for t, c in _png_chunks(payload):
         if t == b"IHDR":
+            if len(c) != 13:
+                raise ValueError("png_decode: malformed IHDR")
             w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", c
             )
@@ -82,8 +95,13 @@ def png_decode(payload: bytes) -> tuple[int, int, list]:
     if w is None:
         raise ValueError("png_decode: missing IHDR")
     nch = {0: 1, 2: 3, 6: 4}[ctype]
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:  # keep the documented ValueError contract
+        raise ValueError(f"png_decode: corrupt IDAT stream ({e})") from e
     stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise ValueError("png_decode: truncated pixel data")
     rows = []
     prev = bytearray(stride)
     pos = 0
@@ -163,6 +181,8 @@ def decode_media(payload: bytes, mime_type: str) -> tuple[int, int, list]:
     Audio/video (and non-PNG images in a Pillow-less container) raise
     ``NotImplementedError`` — the documented seam for a deps-enabled
     deployment (torchaudio / pyav)."""
+    if mime_type is None:
+        raise ValueError("decode_media: mime_type is NULL")
     if mime_type.startswith("image/"):
         Image = _try_pillow()
         if Image is not None:
@@ -228,7 +248,16 @@ def image_resize(
 
         img = Image.open(io.BytesIO(payload)).convert("RGBA")
         out = io.BytesIO()
-        img.resize((width, height)).save(out, format="PNG")
+        # pin NEAREST so output bytes are identical with or without
+        # Pillow installed — the deterministic-bytes contract every
+        # oracle-parity surface here relies on; deployments that want
+        # quality interpolation pass their own resizer=
+        nearest = getattr(
+            getattr(Image, "Resampling", Image), "NEAREST"
+        )
+        img.resize((width, height), resample=nearest).save(
+            out, format="PNG"
+        )
         return out.getvalue()
     # route the fallback through decode_media's mime gate: a non-PNG
     # image in a Pillow-less container gets the documented
@@ -281,13 +310,19 @@ def extract_features(
     feature instead of being fed to a decoder that cannot read them
     (``image_decode`` raises on audio/wav; the default ``fake_decode``
     handles every modality, so ``None`` decodes all rows).
+
+    A NULL payload always yields a NULL feature, decoder regardless:
+    a missing payload has no content to featurize (matching the NULL
+    content_hash below), and feeding ``b""`` to a real decoder would
+    fail the whole job with a misleading corruption error.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             feats = [
-                decoder(p if p is not None else b"", m)
-                if modalities is None or mod in modalities
+                decoder(p, m)
+                if p is not None
+                and (modalities is None or mod in modalities)
                 else None
                 for p, m, mod in zip(
                     pdf["payload"], pdf["mime_type"], pdf["modality"]
@@ -368,8 +403,10 @@ def resize_images(
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = pdf.copy()
+            # NULL payload passes through as NULL — no content to
+            # resize, and a real resizer would crash on b""
             out["payload"] = [
-                resizer(p if p is not None else b"", m, width, height)
+                None if p is None else resizer(p, m, width, height)
                 for p, m in zip(pdf["payload"], pdf["mime_type"])
             ]
             out["width"] = width

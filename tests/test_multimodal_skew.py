@@ -45,7 +45,16 @@ def test_decode_seams_and_loud_failures():
         decode_media(b"RIFF", "audio/wav")
     with pytest.raises(NotImplementedError):
         decode_media(b"mp4", "video/mp4")
-    with pytest.raises((ValueError, Exception)):
+    # pin the LOUD decode error precisely: a regression back to the
+    # NotImplementedError stub (or any other exception type) must fail
+    # this test, not slip through a catch-all Exception
+    try:
+        from PIL import UnidentifiedImageError as _pil_err
+
+        expected = (ValueError, _pil_err)
+    except ImportError:
+        expected = (ValueError,)
+    with pytest.raises(expected):
         decode_media(b"x-not-a-png", "image/png")
 
 
@@ -200,6 +209,91 @@ def test_real_image_resize_through_arrow_path(spark):
             assert rows[y][x] == px[y // 2][x // 2], (x, y)
     # non-image untouched
     assert bytes(out[3].payload) == b"RIFF-fake"
+
+
+def test_png_decode_rejects_corruption_with_valueerror():
+    """The documented ValueError contract holds for every corruption
+    class: CRC-mismatched chunks (bit-flipped IHDR framing), truncated
+    IDAT streams, and pixel data shorter than the IHDR geometry — none
+    may escape as zlib.error / IndexError or decode silently."""
+    import struct
+    import zlib
+
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        png_decode,
+    )
+
+    payload, _ = _checker_png()
+
+    # bit-flip one byte inside the IHDR body: structurally valid PNG,
+    # CRC no longer matches — must be rejected, not decoded as garbage
+    flipped = bytearray(payload)
+    flipped[8 + 8 + 3] ^= 0x01  # IHDR width low byte
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        png_decode(bytes(flipped))
+
+    # truncate mid-IDAT: zlib.error must surface as ValueError
+    idat_at = payload.index(b"IDAT")
+    truncated = payload[: idat_at + 8]
+    with pytest.raises(ValueError):
+        png_decode(truncated)
+
+    # valid zlib stream but too few bytes for the declared geometry
+    def chunk(t, c):
+        return (
+            struct.pack(">I", len(c))
+            + t
+            + c
+            + struct.pack(">I", zlib.crc32(t + c) & 0xFFFFFFFF)
+        )
+
+    short = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00\x01\x02"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="truncated pixel data"):
+        png_decode(short)
+
+
+def test_null_payload_rows_pass_through_as_null(spark):
+    """A NULL payload row (modality image, real decoder) yields a NULL
+    feature / NULL resized payload instead of crashing the job with a
+    misleading corruption error — NULL means 'no content', matching
+    media_metadata's NULL content_hash."""
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        image_decode,
+        image_resize,
+        resize_images,
+    )
+
+    payload, _ = _checker_png()
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/png", payload, 2, 2, None),
+            (2, "image", "image/png", None, 2, 2, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    feats = {
+        r.media_id: r.feature
+        for r in extract_features(
+            df, decoder=image_decode, modalities=("image",)
+        ).collect()
+    }
+    assert feats[1] is not None and len(feats[1]) == FEATURE_DIM
+    assert feats[2] is None
+
+    resized = {
+        r.media_id: r.payload
+        for r in resize_images(df, 4, 4, resizer=image_resize).collect()
+    }
+    assert resized[1] is not None
+    assert resized[2] is None
+
+    with pytest.raises(ValueError, match="mime_type"):
+        decode_media(payload, None)
 
 
 def test_fake_decode_deterministic_shape():

@@ -63,12 +63,17 @@ def generate(dst: str = DST, src: str = SRC, copies: int = COPIES) -> None:
         c["doc_id"] = c["doc_id"] + k * KEY_OFFSET
         if k:
             suf = f"x{k}"
+            # preserve NULL text as NULL — rewriting it to "" would
+            # give copies 1..9 a different NULL/empty row mix than the
+            # source distribution the probe claims to replicate
             c["text"] = c["text"].map(
-                lambda s, suf=suf: " ".join(
-                    w + suf for w in (s or "").split()
-                )
+                lambda s, suf=suf: None
+                if s is None
+                else " ".join(w + suf for w in s.split())
             )
-            c["n_chars"] = c["text"].str.len()
+            # nullable Int64 keeps NULL-text rows NULL without
+            # upcasting the whole column to float64 on concat
+            c["n_chars"] = c["text"].str.len().astype("Int64")
         frames.append(c)
     pd.concat(frames, ignore_index=True).to_parquet(
         os.path.join(dst, "documents.parquet"), index=False
