@@ -269,7 +269,11 @@ def _q_dq_rules(spark, sf_dir):
 # code changes; rows re-greened here only need re-checks after their
 # next code change.
 _R7_FRONT = [
-    # --- block 1: round-7 entry/code changes ---
+    # --- block 1: round-7 entry/code changes (new entries first:
+    # never driver-checked) ---
+    "common_lines",
+    "strip_common_lines",
+    "normalize_text",
     "woo_flow_digest",
     "pca_project",
     # --- block 2: r2-era spill from round 6's budget (20) ---
@@ -616,6 +620,8 @@ def _q_rollup_merge(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from pyspark.sql import functions as F
+
     base: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # --- round-7 addition: the composed ingest flow, oracle-hashed
         # end-to-end (verdict item 6) ---
@@ -778,6 +784,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": lambda s, d: dedup.repeated_spans(_docs(s, d)),
         "strip_repeated_spans": lambda s, d: dedup.strip_repeated_spans(
             _docs(s, d)
+        ),
+        # LINE-level dedup (CCNet) over the docs_as_lines bridge — the
+        # synthetic texts are single-line, so the bridge rewraps tokens
+        # into 8-token lines (planted near-dups collide cross-doc)
+        "common_lines": lambda s, d: dedup.common_lines(
+            dedup.docs_as_lines(_docs(s, d))
+        ),
+        "strip_common_lines": lambda s, d: dedup.strip_common_lines(
+            dedup.docs_as_lines(_docs(s, d))
+        ),
+        # unicode/whitespace canonicalizer over deterministically
+        # messed-up text (decomposed accents, control chars, tab runs,
+        # newline stacks) so every rule is exercised, not vacuous
+        "normalize_text": lambda s, d: textstats.normalize_text(
+            _docs(s, d).select(
+                "doc_id",
+                F.concat(
+                    F.lit("  "),
+                    F.col("text"),
+                    F.lit(" caf"),
+                    F.lit("e\u0301"),  # decomposed; NFC composes it
+                    F.lit("\tx\x01\n\n\n"),
+                    F.lit("end  "),
+                ).alias("text"),
+            )
         ),
         "fill_missing_days_locf": lambda s, d: temporal.fill_missing_days_locf(
             _events(s, d)
@@ -3064,6 +3095,73 @@ SELECT n.doc_id, COALESCE(clean_text, '') AS clean_text,
        COALESCE(n_kept, 0) AS n_kept,
        _n - COALESCE(n_kept, 0) AS n_removed
 FROM n LEFT JOIN reb USING (doc_id)
+"""
+    # docs_as_lines bridge: nonempty normalized tokens rewrapped into
+    # 8-token newline-joined lines (docs with zero tokens dropped) —
+    # the SQL twin of dedup.docs_as_lines(width=8)
+    _LINES = f"""
+tk AS (SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
+       FROM documents),
+ln AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+              array_to_string(toks[(g.i*8+1):(g.i*8+8)], ' ') AS line
+       FROM tk,
+            UNNEST(generate_series(
+              0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1)) AS g(i)
+       WHERE len(toks) > 0)"""
+    out["common_lines"] = f"""
+WITH {_LINES}
+SELECT line,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM ln WHERE line <> ''
+GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+    out["strip_common_lines"] = f"""
+WITH {_LINES},
+common AS (SELECT line FROM ln WHERE line <> ''
+           GROUP BY line HAVING COUNT(DISTINCT doc_id) >= 2),
+kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+         ANTI JOIN common USING (line)
+         WHERE ln.line <> ''),
+reb AS (SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+        FROM kept GROUP BY doc_id),
+n AS (SELECT doc_id,
+             CAST(ceil(len(toks)/8.0) AS BIGINT) AS _n
+      FROM tk WHERE len(toks) > 0)
+SELECT n.doc_id, COALESCE(clean_text, '') AS clean_text,
+       COALESCE(n_lines_kept, 0) AS n_lines_kept,
+       _n - COALESCE(n_lines_kept, 0) AS n_lines_removed
+FROM n LEFT JOIN reb USING (doc_id)
+"""
+    # the Spark entry feeds normalize_text the same deterministic mess:
+    # two-space prefix, decomposed e+accent, tab run, control char,
+    # newline stack, trailing spaces
+    out["normalize_text"] = """
+WITH messy AS (
+  SELECT doc_id,
+         '  ' || text || ' caf' || 'e' || chr(769)
+           || chr(9) || 'x' || chr(1)
+           || chr(10) || chr(10) || chr(10) || 'end  ' AS text
+  FROM documents),
+norm AS (
+  SELECT doc_id, text,
+         CASE WHEN text IS NULL THEN NULL ELSE
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(
+               nfc_normalize(text),
+               '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+             '[ \\t]+', ' ', 'g'),
+             ' ?\\n ?', chr(10), 'g'),
+             '\\n{3,}', chr(10) || chr(10), 'g'),
+             '^[\\n ]+|[\\n ]+$', '', 'g')
+         END AS text_norm
+  FROM messy)
+SELECT doc_id, text_norm,
+       (text_norm IS DISTINCT FROM text) AS changed,
+       CAST(length(text_norm) AS BIGINT) AS n_chars_norm
+FROM norm
 """
     out["dsir_weights"] = f"""
 WITH occ AS (

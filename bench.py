@@ -67,6 +67,8 @@ HEADLINE = [
     "dau_sketch_rollup",
     "dsir_weights",
     "repeated_spans",
+    "strip_common_lines",
+    "normalize_text",
     "gopher_rules",
     "bigram_logprob",
     "source_divergence",

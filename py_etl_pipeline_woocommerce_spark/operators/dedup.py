@@ -1161,3 +1161,134 @@ def soft_dedup_weights(
         "cluster_size",
         F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("weight"),
     )
+
+
+def docs_as_lines(documents: DataFrame, width: int = 8) -> DataFrame:
+    """Deterministic doc→multi-line bridge for the LINE-level dedup
+    family (same role as ``multimodal.docs_as_media``): rewrap each
+    document's normalized tokens into fixed-``width`` newline-joined
+    lines, so a corpus whose synthetic texts are single-line still
+    exercises cross-document line collisions (planted near-dup docs
+    share aligned token runs, so their rewrapped lines collide).
+
+    SQL-expressible on both engines (tokens → generate_series slices
+    → string_agg), which is what makes ``common_lines`` /
+    ``strip_common_lines`` oracle-checkable on this testdata. Docs
+    with zero tokens are dropped — they have no lines to carry.
+    """
+    toks = F.filter(tokens_expr("text"), lambda t: t != "")
+    base = (
+        _spread(documents)
+        .select("doc_id", toks.alias("_tk"))
+        .filter(F.size("_tk") > 0)
+    )
+    n_lines = F.ceil(F.size("_tk") / F.lit(width)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i * width + 1, width)),
+    )
+    return base.select(
+        "doc_id", F.concat_ws("\n", lines).alias("text")
+    )
+
+
+def _doc_lines(documents: DataFrame) -> DataFrame:
+    """(doc_id, pos, line) — newline-split positions, blanks dropped.
+
+    Blank lines are structural, not content: they carry no dedup
+    signal and counting them would let a run of empty lines dominate
+    doc-frequency ranks.
+    """
+    return (
+        _spread(documents)
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+        )
+        .filter(F.col("line") != "")
+    )
+
+
+def common_lines(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """Line-frequency index: every text line appearing in at least
+    ``min_df`` DISTINCT documents, with its document frequency and
+    total occurrence count — the diagnostic half of CCNet-style
+    line-level dedup (Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", arXiv:1911.00359),
+    which targets boilerplate the document-level family can't see:
+    navigation chrome, cookie banners, and footer lines that repeat
+    across MANY documents while each document stays globally unique.
+
+    One explode + one groupBy(line) with map-side partial aggregation
+    — the shuffle carries each distinct line once per partition, and
+    the ``min_df`` HAVING cut keeps the output to the repeated tail.
+    Complements ``repeated_spans`` (token k-grams, position-aware):
+    lines are the newline-structural unit, cheap enough to run on
+    every ingest batch.
+    """
+    return (
+        _doc_lines(documents)
+        .groupBy("line")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+    )
+
+
+def strip_common_lines(documents: DataFrame, min_df: int = 2) -> DataFrame:
+    """Apply-side of ``common_lines``: the corpus with every line
+    appearing in ≥ ``min_df`` distinct documents removed from every
+    document (CCNet's paragraph-dedup policy — boilerplate lines
+    vanish corpus-wide; content lines, which are document-unique,
+    survive untouched).
+
+    The line-frequency cut is ONE corpus-wide groupBy; the strip is a
+    left_anti equi-join on the line string; reassembly is the same
+    sort_array-of-(pos, line)-structs fold ``strip_repeated_spans``
+    uses — deterministic under any partitioning, one doc-keyed
+    shuffle. Docs whose every line was boilerplate come back as empty
+    strings (kept, so downstream length filters decide their fate
+    explicitly). Blank lines are dropped during reassembly — they are
+    delimiter artifacts, not content.
+    """
+    # two consumers (the frequency agg + the anti-join probe) — pin
+    # the exploded frame or Catalyst re-runs the explode per consumer
+    lines = _doc_lines(documents).localCheckpoint(eager=False)
+    common = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("_df"))
+        .filter(F.col("_df") >= min_df)
+        .select("line")
+    )
+    kept = lines.join(common, "line", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    n_lines = documents.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split("text", "\n"), lambda l: l != "")
+        ).cast("long").alias("_n"),
+    )
+    return (
+        n_lines.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            (F.col("_n") - F.coalesce("n_lines_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

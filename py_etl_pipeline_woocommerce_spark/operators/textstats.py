@@ -9,6 +9,7 @@ twin for the DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -610,4 +611,61 @@ def lang_id_nb(documents: DataFrame, top_v: int = 4096) -> DataFrame:
             F.coalesce("lang_pred", F.lit("unknown")).alias("lang_pred"),
             F.coalesce("score", F.lit(0.0)).alias("score"),
         )
+    )
+
+
+def normalize_text(documents: DataFrame) -> DataFrame:
+    """Unicode + whitespace canonicalization of raw document text —
+    the first stage every web-crawl curation pipeline runs before any
+    hashing, tokenizing, or quality scoring sees the bytes:
+
+    1. Unicode NFC composition (``café`` as ``e`` + combining acute
+       becomes the single codepoint — without it the SAME rendered
+       string hashes to different dedup keys),
+    2. control characters stripped (C0 minus tab/newline, plus DEL),
+    3. runs of spaces/tabs collapsed to one space,
+    4. spaces trimmed around newlines,
+    5. runs of 3+ newlines collapsed to a paragraph break (2),
+    6. leading/trailing whitespace removed.
+
+    NFC is the one step Spark has no built-in for, so it runs as an
+    Arrow-batched pandas UDF (``unicodedata.normalize`` over string
+    batches — a per-batch C loop, not per-row Python); every other
+    step is a JVM ``regexp_replace`` stacked on top, and the DuckDB
+    oracle mirrors the exact same rule order with ``nfc_normalize``
+    + ``regexp_replace(..., 'g')``.
+
+    Output: (doc_id, text_norm, changed, n_chars_norm). NULL text
+    passes through as NULL with ``changed = false`` — absent content
+    is not "changed", and downstream NULL handling stays the caller's
+    policy. Unlike ``norm_text`` (the lossy lowercase-alnum dedup
+    key), this is a LOSSLESS canonical form meant to replace the
+    stored text.
+    """
+    @F.pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    t = _nfc(F.col("text"))
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " ?\\n ?", "\n")
+    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
+    t = F.regexp_replace(t, "^[\\n ]+|[\\n ]+$", "")
+    out = documents.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(t)
+        .alias("text_norm"),
+        "text",
+    )
+    return out.select(
+        "doc_id",
+        "text_norm",
+        (~F.col("text_norm").eqNullSafe(F.col("text"))).alias("changed"),
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
     )

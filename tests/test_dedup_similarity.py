@@ -443,3 +443,79 @@ def test_soft_dedup_weights_split_mass_across_cluster(spark):
     assert out[3].cluster_size == 1 and out[3].weight == 1.0
     # the cluster's total sampling mass equals one document
     assert sum(r.weight for r in out.values()) == 2.0
+
+
+def test_common_lines_ranks_cross_doc_boilerplate(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import common_lines
+
+    footer = "copyright acme corp all rights reserved"
+    docs = _docs(
+        spark,
+        [
+            (1, "en", f"unique first article body\n{footer}"),
+            (2, "en", f"another distinct second text\n{footer}\nextra tail"),
+            (3, "en", f"{footer}\nthird document content here"),
+            (4, "en", "no boilerplate in this one\n\nblank line above"),
+        ],
+    )
+    out = {r.line: r for r in common_lines(docs, min_df=2).collect()}
+    # only the footer crosses the min_df=2 threshold
+    assert set(out) == {footer}
+    assert out[footer].doc_freq == 3 and out[footer].n_occurrences == 3
+
+    # n_occurrences counts ALL occurrences, doc_freq distinct docs
+    docs2 = _docs(spark, [(1, "en", "dup\ndup"), (2, "en", "dup")])
+    row = common_lines(docs2, min_df=2).collect()[0]
+    assert row.doc_freq == 2 and row.n_occurrences == 3
+
+
+def test_strip_common_lines_preserves_order_and_counts(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        strip_common_lines,
+    )
+
+    footer = "copyright acme corp"
+    nav = "home about contact"
+    docs = _docs(
+        spark,
+        [
+            (1, "en", f"{nav}\nreal content line one\n{footer}"),
+            (2, "en", f"{nav}\ndifferent content here\n{footer}"),
+            (3, "en", f"{nav}\n{footer}"),          # pure boilerplate
+            (4, "en", "standalone document\n\nwith a blank line"),
+        ],
+    )
+    out = {r.doc_id: r for r in strip_common_lines(docs, min_df=2).collect()}
+    assert out[1].clean_text == "real content line one"
+    assert out[1].n_lines_kept == 1 and out[1].n_lines_removed == 2
+    assert out[2].clean_text == "different content here"
+    # a doc that was ALL boilerplate survives as an empty string
+    assert out[3].clean_text == "" and out[3].n_lines_kept == 0
+    assert out[3].n_lines_removed == 2
+    # blank lines are structural: dropped from reassembly, not counted
+    assert out[4].clean_text == "standalone document\nwith a blank line"
+    assert out[4].n_lines_kept == 2 and out[4].n_lines_removed == 0
+    # multi-line order is preserved through the (pos, line) sort
+    docs2 = _docs(spark, [(1, "en", "z last\na first\nm mid")])
+    row = strip_common_lines(docs2, min_df=2).collect()[0]
+    assert row.clean_text == "z last\na first\nm mid"
+
+
+def test_docs_as_lines_bridge_rewraps_tokens(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        docs_as_lines,
+    )
+
+    docs = _docs(
+        spark,
+        [
+            (1, "en", "One two THREE four five six seven eight nine ten"),
+            (2, "en", ""),                # zero tokens -> dropped
+        ],
+    )
+    rows = docs_as_lines(docs, width=8).collect()
+    assert [r.doc_id for r in rows] == [1]
+    # normalized tokens, 8 per line, remainder on the last line
+    assert rows[0].text == (
+        "one two three four five six seven eight\nnine ten"
+    )

@@ -88,3 +88,40 @@ def test_token_count_matches_duckdb(pairs):
     got, want = pairs
     for g, w in zip(got, want):
         assert g["n"] == w[3], f"case {g['i']}: {g['n']} != {w[3]}"
+
+
+def test_normalize_text_canonicalizes_unicode_and_whitespace(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        normalize_text,
+    )
+
+    rows = [
+        # NFC: e + combining acute composes to the single codepoint
+        (1, "café au lait"),
+        # control chars stripped, space/tab runs collapse
+        (2, "a\x01b\x07c  d\t\te \x7f f"),
+        # spaces trimmed around newlines, 3+ newlines -> paragraph
+        (3, "  lead \n  mid  \n\n\n\n tail  "),
+        (4, None),
+        (5, "already clean"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+
+    assert out[1].text_norm == "café au lait" and out[1].changed
+    assert out[2].text_norm == "abc d e f" and out[2].changed
+    assert out[3].text_norm == "lead\nmid\n\ntail" and out[3].changed
+    assert out[4].text_norm is None and not out[4].changed
+    assert out[4].n_chars_norm is None
+    assert out[5].text_norm == "already clean" and not out[5].changed
+    assert out[6].text_norm == "" and not out[6].changed
+
+    # idempotence: normalizing the normal form is the identity
+    again = normalize_text(
+        spark.createDataFrame(
+            [(k, r.text_norm) for k, r in out.items()],
+            "doc_id long, text string",
+        )
+    )
+    assert all(not r.changed for r in again.collect())
