@@ -805,7 +805,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("text"),
                     F.lit(" caf"),
                     F.lit("e\u0301"),  # decomposed; NFC composes it
-                    F.lit("\tx\x01\n\n\n"),
+                    # tab run, control char, lone CR, CRLF, LF stack
+                    F.lit("\tx\x01\rcr\r\ncrlf\n\n\n"),
                     F.lit("end  "),
                 ).alias("text"),
             )
@@ -3143,14 +3144,16 @@ WITH messy AS (
   SELECT doc_id,
          '  ' || text || ' caf' || 'e' || chr(769)
            || chr(9) || 'x' || chr(1)
+           || chr(13) || 'cr' || chr(13) || chr(10) || 'crlf'
            || chr(10) || chr(10) || chr(10) || 'end  ' AS text
   FROM documents),
 norm AS (
   SELECT doc_id, text,
          CASE WHEN text IS NULL THEN NULL ELSE
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(
+             regexp_replace(regexp_replace(
                nfc_normalize(text),
+               '\\r\\n?', chr(10), 'g'),
                '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
              '[ \\t]+', ' ', 'g'),
              ' ?\\n ?', chr(10), 'g'),

@@ -1219,12 +1219,14 @@ def common_lines(documents: DataFrame, min_df: int = 2) -> DataFrame:
     navigation chrome, cookie banners, and footer lines that repeat
     across MANY documents while each document stays globally unique.
 
-    One explode + one groupBy(line) with map-side partial aggregation
-    — the shuffle carries each distinct line once per partition, and
-    the ``min_df`` HAVING cut keeps the output to the repeated tail.
-    Complements ``repeated_spans`` (token k-grams, position-aware):
-    lines are the newline-structural unit, cheap enough to run on
-    every ingest batch.
+    One explode + one distinct-count aggregate: the countDistinct
+    plans as a two-phase agg keyed on (line, doc_id), so the shuffle
+    carries each distinct (line, doc_id) pair once per map partition
+    — for a footer in 1M docs that is ~1M shuffle rows, linear in the
+    corpus, not in raw occurrences. The ``min_df`` HAVING cut keeps
+    the OUTPUT to the repeated tail. Complements ``repeated_spans``
+    (token k-grams, position-aware): lines are the newline-structural
+    unit.
     """
     return (
         _doc_lines(documents)
@@ -1250,11 +1252,14 @@ def strip_common_lines(documents: DataFrame, min_df: int = 2) -> DataFrame:
     uses — deterministic under any partitioning, one doc-keyed
     shuffle. Docs whose every line was boilerplate come back as empty
     strings (kept, so downstream length filters decide their fate
-    explicitly). Blank lines are dropped during reassembly — they are
-    delimiter artifacts, not content.
+    explicitly); NULL text passes through as NULL with zero counts —
+    absent content has no lines, and the caller keeps NULL policy.
+    Blank lines are dropped during reassembly — they are delimiter
+    artifacts, not content.
     """
-    # two consumers (the frequency agg + the anti-join probe) — pin
-    # the exploded frame or Catalyst re-runs the explode per consumer
+    # three consumers (frequency agg, anti-join probe, per-doc line
+    # totals) — pin the exploded frame or Catalyst re-runs the
+    # explode per consumer
     lines = _doc_lines(documents).localCheckpoint(eager=False)
     common = (
         lines.groupBy("line")
@@ -1273,21 +1278,28 @@ def strip_common_lines(documents: DataFrame, min_df: int = 2) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
     )
-    n_lines = documents.select(
-        "doc_id",
-        F.size(
-            F.filter(F.split("text", "\n"), lambda l: l != "")
-        ).cast("long").alias("_n"),
+    # per-doc totals REUSE the checkpointed explode — recomputing them
+    # from `documents` would re-run the whole upstream subtree (at the
+    # driver entry that subtree is the docs_as_lines rewrap) twice
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
     )
+    base = documents.select("doc_id", F.col("text").isNull().alias("_null"))
     return (
-        n_lines.join(rebuilt, "doc_id", "left")
+        base.join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.when(F.col("_null"), F.lit(None).cast("string"))
+            .otherwise(F.coalesce("clean_text", F.lit("")))
+            .alias("clean_text"),
             F.coalesce("n_lines_kept", F.lit(0))
             .cast("long")
             .alias("n_lines_kept"),
-            (F.col("_n") - F.coalesce("n_lines_kept", F.lit(0)))
+            (
+                F.coalesce("_n", F.lit(0))
+                - F.coalesce("n_lines_kept", F.lit(0))
+            )
             .cast("long")
             .alias("n_lines_removed"),
         )

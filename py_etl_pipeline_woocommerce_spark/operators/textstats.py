@@ -622,17 +622,20 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     1. Unicode NFC composition (``café`` as ``e`` + combining acute
        becomes the single codepoint — without it the SAME rendered
        string hashes to different dedup keys),
-    2. control characters stripped (C0 minus tab/newline, plus DEL),
-    3. runs of spaces/tabs collapsed to one space,
-    4. spaces trimmed around newlines,
-    5. runs of 3+ newlines collapsed to a paragraph break (2),
-    6. leading/trailing whitespace removed.
+    2. line endings unified (CRLF and lone CR become LF — the LF and
+       CRLF variants of the same rendered document must hash alike),
+    3. control characters stripped (C0 minus tab/newline/CR — CR was
+       already consumed by step 2 — plus DEL),
+    4. runs of spaces/tabs collapsed to one space,
+    5. spaces trimmed around newlines,
+    6. runs of 3+ newlines collapsed to a paragraph break (2),
+    7. leading/trailing whitespace removed.
 
     NFC is the one step Spark has no built-in for, so it runs as an
-    Arrow-batched pandas UDF (``unicodedata.normalize`` over string
-    batches — a per-batch C loop, not per-row Python); every other
-    step is a JVM ``regexp_replace`` stacked on top, and the DuckDB
-    oracle mirrors the exact same rule order with ``nfc_normalize``
+    Arrow-batched pandas UDF (``Series.str.normalize`` — the pandas
+    C-dispatch path, null-safe); every other step is a JVM
+    ``regexp_replace`` stacked on top, and the DuckDB oracle mirrors
+    the exact same rule order with ``nfc_normalize``
     + ``regexp_replace(..., 'g')``.
 
     Output: (doc_id, text_norm, changed, n_chars_norm). NULL text
@@ -644,13 +647,10 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     """
     @F.pandas_udf("string")
     def _nfc(s: pd.Series) -> pd.Series:
-        import unicodedata
-
-        return s.map(
-            lambda t: None if t is None else unicodedata.normalize("NFC", t)
-        )
+        return s.str.normalize("NFC")
 
     t = _nfc(F.col("text"))
+    t = F.regexp_replace(t, "\\r\\n?", "\n")
     t = F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     t = F.regexp_replace(t, "[ \\t]+", " ")
     t = F.regexp_replace(t, " ?\\n ?", "\n")

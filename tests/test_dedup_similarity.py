@@ -483,6 +483,7 @@ def test_strip_common_lines_preserves_order_and_counts(spark):
             (2, "en", f"{nav}\ndifferent content here\n{footer}"),
             (3, "en", f"{nav}\n{footer}"),          # pure boilerplate
             (4, "en", "standalone document\n\nwith a blank line"),
+            (5, "en", None),                        # absent content
         ],
     )
     out = {r.doc_id: r for r in strip_common_lines(docs, min_df=2).collect()}
@@ -495,6 +496,9 @@ def test_strip_common_lines_preserves_order_and_counts(spark):
     # blank lines are structural: dropped from reassembly, not counted
     assert out[4].clean_text == "standalone document\nwith a blank line"
     assert out[4].n_lines_kept == 2 and out[4].n_lines_removed == 0
+    # NULL text passes through as NULL with zero counts, not ''/NULL
+    assert out[5].clean_text is None
+    assert out[5].n_lines_kept == 0 and out[5].n_lines_removed == 0
     # multi-line order is preserved through the (pos, line) sort
     docs2 = _docs(spark, [(1, "en", "z last\na first\nm mid")])
     row = strip_common_lines(docs2, min_df=2).collect()[0]

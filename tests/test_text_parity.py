@@ -105,6 +105,9 @@ def test_normalize_text_canonicalizes_unicode_and_whitespace(spark):
         (4, None),
         (5, "already clean"),
         (6, ""),
+        # CRLF and lone CR unify to LF BEFORE the newline rules, so
+        # the CRLF and LF variants of a document normalize identically
+        (7, "win\r\nline\r\r\n\r\n\r\nend\r"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in normalize_text(df).collect()}
@@ -116,6 +119,7 @@ def test_normalize_text_canonicalizes_unicode_and_whitespace(spark):
     assert out[4].n_chars_norm is None
     assert out[5].text_norm == "already clean" and not out[5].changed
     assert out[6].text_norm == "" and not out[6].changed
+    assert out[7].text_norm == "win\nline\n\nend" and out[7].changed
 
     # idempotence: normalizing the normal form is the identity
     again = normalize_text(
