@@ -267,7 +267,9 @@ def _q_dq_rules(spark, sf_dir):
 # rollup_merge, bm25/hybrid_search, corpus_prep_v2, split_leakage*,
 # soft_dedup_weights, repeated/strip_repeated_spans, ...) plus any r8
 # code changes; rows re-greened here only need re-checks after their
-# next code change.
+# next code change. The three late-r7 additions (common_lines,
+# strip_common_lines, normalize_text) lead block 1 below, so they
+# consume 3 budget slots — the r3 tail spill is that much larger.
 _R7_FRONT = [
     # --- block 1: round-7 entry/code changes (new entries first:
     # never driver-checked) ---

@@ -34,9 +34,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
-from .state_util import set_idle_timeout
+from .state_util import (
+    prepare_event_time,
+    set_idle_timeout,
+    timeout_conf,
+    validate_timeout,
+)
 
 GAP_MINUTES = 30
 
@@ -140,6 +145,7 @@ def sessionize_stream(
     events: DataFrame,
     gap_minutes: int = GAP_MINUTES,
     timeout: str = "processing",
+    lateness_minutes: int | None = None,
 ) -> DataFrame:
     """events (ts epoch-ns BIGINT) → per-user session rows; ``closed``
     marks finished sessions, open sessions re-emit on every update.
@@ -155,21 +161,27 @@ def sessionize_stream(
       the batch sessionizer applies, immune to source stalls. Idle
       users' sessions only close as other events advance the
       watermark (the standard event-time trade).
+
+    Event mode's watermark is ALSO Spark's late-row filter: an event
+    arriving more than ``lateness_minutes`` (default: the gap) behind
+    the stream's max event time is dropped BEFORE the sessionizer's
+    own one-gap-before-session-start rule runs, so a late in-horizon
+    event the batch twin would absorb can be missing from the session
+    totals. Raise ``lateness_minutes`` to widen the tolerated
+    disorder at the cost of proportionally later session closes (the
+    watermark lags the stream by that much).
     """
-    if timeout not in ("processing", "event"):
-        raise ValueError(
-            f"sessionize_stream: timeout must be 'processing' or "
-            f"'event', got {timeout!r}"
-        )
-    event_time = timeout == "event"
+    event_time = validate_timeout("sessionize_stream", timeout)
     gap_us = gap_minutes * 60_000_000
     prepared = events.select(
         "user_id", F.expr("ts div 1000").alias("t_us"), "value"
     )
     if event_time:
-        prepared = prepared.withColumn(
-            "evt_ts", F.timestamp_micros(F.col("t_us"))
-        ).withWatermark("evt_ts", f"{gap_minutes} minutes")
+        prepared = prepare_event_time(
+            prepared,
+            "t_us",
+            gap_minutes if lateness_minutes is None else lateness_minutes,
+        )
 
     def fn(key, pdfs, state):
         return _sessionize_user(key, pdfs, state, gap_us, event_time)
@@ -179,9 +191,5 @@ def sessionize_stream(
         outputStructType=SESSION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=(
-            GroupStateTimeout.EventTimeTimeout
-            if event_time
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout_conf(event_time),
     )

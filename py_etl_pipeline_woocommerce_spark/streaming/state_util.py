@@ -30,3 +30,40 @@ def set_idle_timeout(
         return
     base = (last_us // 1000 + idle_ms) if last_us is not None else idle_ms
     state.setTimeoutTimestamp(max(base, state.getCurrentWatermarkMs() + 1))
+
+
+def validate_timeout(op: str, timeout: str) -> bool:
+    """Parse the shared ``timeout=`` argument; True means event time."""
+    if timeout not in ("processing", "event"):
+        raise ValueError(
+            f"{op}: timeout must be 'processing' or 'event', got {timeout!r}"
+        )
+    return timeout == "event"
+
+
+def prepare_event_time(df, t_us_col: str, lateness_minutes: int):
+    """Attach ``evt_ts`` + the watermark event-time eviction reads.
+
+    The watermark is ALSO Spark's late-row filter for stateful
+    operators: any row more than ``lateness_minutes`` behind the
+    stream's max event time is dropped BEFORE the operator's own
+    drop rules ever see it. Callers must surface that horizon as an
+    explicit parameter (and document it as a batch-twin divergence)
+    rather than silently reusing the eviction horizon.
+    """
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "evt_ts", F.timestamp_micros(F.col(t_us_col))
+    ).withWatermark("evt_ts", f"{lateness_minutes} minutes")
+
+
+def timeout_conf(event_time: bool):
+    """The applyInPandasWithState timeoutConf for the chosen clock."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        GroupStateTimeout.EventTimeTimeout
+        if event_time
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )

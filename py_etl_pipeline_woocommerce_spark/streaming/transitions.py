@@ -36,9 +36,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.state import GroupState
 
-from .state_util import set_idle_timeout
+from .state_util import (
+    prepare_event_time,
+    set_idle_timeout,
+    timeout_conf,
+    validate_timeout,
+)
 
 TRANSITION_SCHEMA = T.StructType(
     [
@@ -105,6 +110,7 @@ def transitions_stream(
     events: DataFrame,
     idle_minutes: int = 24 * 60,
     timeout: str = "processing",
+    lateness_minutes: int | None = None,
 ) -> DataFrame:
     """events (ts epoch-ns BIGINT) → one row per consecutive-event
     transition per user, emitted exactly once (append semantics).
@@ -124,13 +130,18 @@ def transitions_stream(
       clock the batch twin's gap semantics read, immune to source
       stalls. Idle users are only forgotten as other events advance
       the watermark (the standard event-time trade).
+
+    Event mode's watermark is ALSO Spark's late-row filter: an event
+    arriving more than ``lateness_minutes`` (default: the idle
+    horizon) behind the stream's max event time is dropped BEFORE
+    this operator's own drop rule runs — the transition it would
+    have produced is missing, and the user's NEXT event chains
+    across the hole, emitting a pair the batch twin (which has no
+    lateness bound) never produces. Raise ``lateness_minutes`` to
+    widen the tolerated disorder at the cost of proportionally later
+    eviction (the watermark lags the stream by that much).
     """
-    if timeout not in ("processing", "event"):
-        raise ValueError(
-            f"transitions_stream: timeout must be 'processing' or "
-            f"'event', got {timeout!r}"
-        )
-    event_time = timeout == "event"
+    event_time = validate_timeout("transitions_stream", timeout)
     idle_ms = idle_minutes * 60_000
     prepared = events.select(
         "user_id",
@@ -139,9 +150,11 @@ def transitions_stream(
         "event_type",
     )
     if event_time:
-        prepared = prepared.withColumn(
-            "evt_ts", F.timestamp_micros(F.col("t_us"))
-        ).withWatermark("evt_ts", f"{idle_minutes} minutes")
+        prepared = prepare_event_time(
+            prepared,
+            "t_us",
+            idle_minutes if lateness_minutes is None else lateness_minutes,
+        )
 
     def fn(key, pdfs, state):
         return _transitions_user(key, pdfs, state, idle_ms, event_time)
@@ -151,9 +164,5 @@ def transitions_stream(
         outputStructType=TRANSITION_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.EventTimeTimeout
-            if event_time
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout_conf(event_time),
     )

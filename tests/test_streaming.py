@@ -1331,3 +1331,73 @@ def test_liveness_gaps_stream_recovers_from_checkpoint_restart(
             9 * 60 * 1_000_000,
         )
     ]
+
+
+def test_lateness_horizon_is_explicit_and_decoupled(spark):
+    """Event mode's watermark doubles as Spark's late-row filter; the
+    horizon must be a visible, independently tunable parameter — the
+    default mirrors the eviction horizon, and ``lateness_minutes``
+    overrides ONLY the watermark (eviction math is untouched)."""
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+    from py_etl_pipeline_woocommerce_spark.streaming.transitions import (
+        transitions_stream,
+    )
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .selectExpr(
+            "value AS user_id",
+            "value AS event_id",
+            "value * 1000000000 AS ts",
+            "'click' AS event_type",
+            "CAST(value AS DOUBLE) AS value",
+        )
+    )
+
+    def watermark_of(df):
+        """Watermark delay in minutes (Spark renders the interval in
+        normalized units — '120 minutes' prints as '2 hours')."""
+        plan = df._jdf.queryExecution().logical().toString()
+        import re
+
+        line = next(
+            (l for l in plan.splitlines() if "EventTimeWatermark" in l),
+            None,
+        )
+        if line is None:
+            return None
+        h = re.search(r"(\d+) hours?", line)
+        mn = re.search(r"(\d+) minutes?", line)
+        return int(h.group(1) if h else 0) * 60 + int(
+            mn.group(1) if mn else 0
+        )
+
+    assert watermark_of(
+        sessionize_stream(stream, gap_minutes=30, timeout="event")
+    ) == 30
+    assert watermark_of(
+        sessionize_stream(
+            stream, gap_minutes=30, timeout="event", lateness_minutes=120
+        )
+    ) == 120
+    assert watermark_of(
+        transitions_stream(stream, idle_minutes=45, timeout="event")
+    ) == 45
+    assert watermark_of(
+        transitions_stream(
+            stream, idle_minutes=45, timeout="event", lateness_minutes=240
+        )
+    ) == 240
+    # processing mode never attaches a watermark
+    assert watermark_of(
+        sessionize_stream(stream, gap_minutes=30)
+    ) is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sessionize_stream: timeout"):
+        sessionize_stream(stream, timeout="wall")
+    with _pytest.raises(ValueError, match="transitions_stream: timeout"):
+        transitions_stream(stream, timeout="wall")
