@@ -1268,6 +1268,21 @@ def strip_common_lines(documents: DataFrame, min_df: int = 2) -> DataFrame:
         .select("line")
     )
     kept = lines.join(common, "line", "left_anti")
+    return _rebuild_stripped(documents, lines, kept)
+
+
+def _rebuild_stripped(
+    documents: DataFrame, lines: DataFrame, kept: DataFrame
+) -> DataFrame:
+    """Shared tail of the line-strip family: reassemble surviving
+    (doc_id, pos, line) rows into clean text + kept/removed counts.
+
+    Per-doc totals REUSE the (checkpointed) exploded frame —
+    recomputing them from ``documents`` would re-run the whole
+    upstream subtree (at the driver entry that subtree is the
+    ``docs_as_lines`` rewrap) a second time. NULL text passes through
+    as NULL with zero counts.
+    """
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             "\n",
@@ -1278,9 +1293,6 @@ def strip_common_lines(documents: DataFrame, min_df: int = 2) -> DataFrame:
         ).alias("clean_text"),
         F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
     )
-    # per-doc totals REUSE the checkpointed explode — recomputing them
-    # from `documents` would re-run the whole upstream subtree (at the
-    # driver entry that subtree is the docs_as_lines rewrap) twice
     totals = lines.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
@@ -1304,3 +1316,83 @@ def strip_common_lines(documents: DataFrame, min_df: int = 2) -> DataFrame:
             .alias("n_lines_removed"),
         )
     )
+
+
+def write_line_index(
+    documents: DataFrame,
+    prefix: str,
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a batch's line-frequency partials to the stored
+    boilerplate index ``{prefix}_lines`` (bucketed on ``line_hash``)
+    — the production form of ``common_lines``'s corpus side: count
+    each ingest batch ONCE at ingest, then every daily drop strips
+    against the store without re-reading corpus text.
+
+    The table is APPEND-ONLY partial aggregates: each batch writes
+    one (line_hash, doc_freq, n_occurrences) row per distinct line,
+    and readers fold with a sum — exchange-free, because the table is
+    bucketed on the fold key. Counts ADD across batches because a
+    document belongs to exactly ONE ingest batch (the same
+    doc-disjointness contract as ``dedup_incremental``); re-staging
+    the same docs double-counts, exactly like re-inserting them would
+    anywhere else. Lines ride as md5 hashes — fixed 32-char join keys
+    instead of raw text, same trade as the k-gram index.
+    """
+    from ..sources.bucketing import write_bucketed
+
+    agg = (
+        _doc_lines(documents)
+        .groupBy(F.md5("line").alias("line_hash"))
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        )
+    )
+    write_bucketed(
+        agg, f"{prefix}_lines", ["line_hash"], n_buckets=n_buckets, mode=mode
+    )
+
+
+def strip_against_line_index(
+    new_docs: DataFrame, prefix: str, min_df: int = 2
+) -> DataFrame:
+    """``strip_common_lines`` for a NEW batch against the stored line
+    index (see ``write_line_index``): a line is boilerplate when its
+    stored corpus doc-frequency plus its doc-frequency within THIS
+    batch reaches ``min_df`` — so cross-batch boilerplate (a footer
+    seen once per daily drop, never twice in one) is caught, which
+    per-batch ``strip_common_lines`` structurally cannot do.
+
+    Per-drop cost is O(batch): only line hashes present in the batch
+    probe the index, the index side's fold is an exchange-free
+    bucketed groupBy, and the batch side ships 32-char hashes. The
+    batch itself is NOT folded into the store — call
+    ``write_line_index(..., mode="append")`` after the strip, keeping
+    count-then-strip ordering the caller's explicit choice.
+    """
+    spark = new_docs.sparkSession
+    # four consumers of the exploded batch (batch-df agg, anti-join
+    # probe, reassembly, totals) — checkpoint or each re-explodes
+    lines = (
+        _doc_lines(new_docs)
+        .withColumn("line_hash", F.md5("line"))
+        .localCheckpoint(eager=False)
+    )
+    stored = spark.table(f"{prefix}_lines").groupBy("line_hash").agg(
+        F.sum("doc_freq").alias("_stored_df")
+    )
+    batch_df = lines.groupBy("line_hash").agg(
+        F.countDistinct("doc_id").alias("_batch_df")
+    )
+    common = (
+        batch_df.join(stored, "line_hash", "left")
+        .filter(
+            F.coalesce("_stored_df", F.lit(0)) + F.col("_batch_df")
+            >= min_df
+        )
+        .select("line_hash")
+    )
+    kept = lines.join(common, "line_hash", "left_anti")
+    return _rebuild_stripped(new_docs, lines, kept)

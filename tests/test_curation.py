@@ -181,3 +181,81 @@ def test_corpus_prep_composes_all_gates(spark):
     # layout invariants hold on the survivors
     for r in out.values():
         assert r.n_packs_spanned == r.end_pack - r.start_pack + 1
+
+
+def test_line_index_catches_cross_batch_boilerplate(spark):
+    """The stored line index must (a) catch boilerplate whose
+    occurrences are split ACROSS doc-disjoint ingest batches — the
+    case per-batch strip_common_lines structurally misses, (b) fold
+    appended batch partials on read, and (c) keep the index-side fold
+    exchange-free (the bucketed-store win the docstring claims)."""
+    import contextlib
+    import io
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        strip_against_line_index,
+        strip_common_lines,
+        write_line_index,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import drop_table
+
+    footer = "copyright acme corp"
+    batch1 = spark.createDataFrame(
+        [(1, f"historic content one\n{footer}")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(2, f"fresh content two\n{footer}"),
+         (3, "batch internal dup\nunique tail three"),
+         (4, "batch internal dup\nunique tail four")],
+        "doc_id long, text string",
+    )
+    write_line_index(batch1, "t_li", n_buckets=4)
+    try:
+        # footer appears ONCE per batch: per-batch strip keeps it...
+        per_batch = {
+            r.doc_id: r.clean_text
+            for r in strip_common_lines(batch2, min_df=2).collect()
+        }
+        assert footer in per_batch[2]
+        # ...the index strip drops it (stored df 1 + batch df 1 >= 2)
+        # and still catches the batch-INTERNAL duplicate line
+        out = {
+            r.doc_id: r
+            for r in strip_against_line_index(
+                batch2, "t_li", min_df=2
+            ).collect()
+        }
+        assert out[2].clean_text == "fresh content two"
+        assert out[2].n_lines_removed == 1
+        assert out[3].clean_text == "unique tail three"
+        assert out[4].clean_text == "unique tail four"
+
+        # append mode folds on read: after staging batch2, a third
+        # sighting of a once-per-batch line crosses min_df=3
+        write_line_index(batch2, "t_li", n_buckets=4, mode="append")
+        stored = (
+            spark.table("t_li_lines")
+            .groupBy("line_hash")
+            .agg(F.sum("doc_freq").alias("df"))
+            .filter(F.col("df") >= 2)
+        )
+        assert stored.count() == 2  # footer (1+1) and the internal dup
+
+        # the index-side fold plans zero exchanges (bucketed table)
+        def n_exchanges(df) -> int:
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            return buf.getvalue().count("Exchange")
+
+        fold = spark.table("t_li_lines").groupBy("line_hash").agg(
+            F.sum("doc_freq")
+        )
+        assert n_exchanges(fold) == 0
+    finally:
+        drop_table(spark, "t_li_lines")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
