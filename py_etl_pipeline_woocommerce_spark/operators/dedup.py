@@ -1322,7 +1322,7 @@ def write_line_index(
     documents: DataFrame,
     prefix: str,
     n_buckets: int = 32,
-    mode: str = "overwrite",
+    mode: str = "append",
 ) -> None:
     """Persist a batch's line-frequency partials to the stored
     boilerplate index ``{prefix}_lines`` (bucketed on ``line_hash``)
@@ -1333,12 +1333,18 @@ def write_line_index(
     The table is APPEND-ONLY partial aggregates: each batch writes
     one (line_hash, doc_freq, n_occurrences) row per distinct line,
     and readers fold with a sum — exchange-free, because the table is
-    bucketed on the fold key. Counts ADD across batches because a
-    document belongs to exactly ONE ingest batch (the same
-    doc-disjointness contract as ``dedup_incremental``); re-staging
-    the same docs double-counts, exactly like re-inserting them would
-    anywhere else. Lines ride as md5 hashes — fixed 32-char join keys
-    instead of raw text, same trade as the k-gram index.
+    bucketed on the fold key. ``mode`` therefore DEFAULTS to append
+    (an accidental overwrite would silently reset every historic
+    count — the exact failure the store exists to prevent); pass
+    ``mode="overwrite"`` only for a from-scratch rebuild. Counts ADD
+    across batches because a document belongs to exactly ONE ingest
+    batch (the same doc-disjointness contract as
+    ``dedup_incremental``); re-staging the same docs double-counts,
+    exactly like re-inserting them would anywhere else. Lines ride as
+    md5 hashes — fixed 32-char join keys instead of raw text, same
+    trade as the k-gram index. Appends accumulate one row per
+    (batch, distinct line); ``compact_line_index`` folds them back to
+    one row per line when the partial tail grows long.
     """
     from ..sources.bucketing import write_bucketed
 
@@ -1355,6 +1361,39 @@ def write_line_index(
     )
 
 
+def compact_line_index(
+    spark, prefix: str, n_buckets: int = 32
+) -> None:
+    """Fold the append-only partials of ``{prefix}_lines`` back to
+    ONE row per line_hash, bounding the store-side scan every strip
+    pays (appends add a row per batch per line; after N drops a
+    daily footer costs N rows until compacted).
+
+    The merged aggregate is eagerly localCheckpointed BEFORE the
+    overwrite — the write must not depend on the very table files it
+    replaces. The checkpoint is index-aggregate-sized (one row per
+    distinct line), not corpus-sized.
+    """
+    merged = (
+        spark.table(f"{prefix}_lines")
+        .groupBy("line_hash")
+        .agg(
+            F.sum("doc_freq").cast("long").alias("doc_freq"),
+            F.sum("n_occurrences").cast("long").alias("n_occurrences"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    from ..sources.bucketing import write_bucketed
+
+    write_bucketed(
+        merged,
+        f"{prefix}_lines",
+        ["line_hash"],
+        n_buckets=n_buckets,
+        mode="overwrite",
+    )
+
+
 def strip_against_line_index(
     new_docs: DataFrame, prefix: str, min_df: int = 2
 ) -> DataFrame:
@@ -1365,11 +1404,13 @@ def strip_against_line_index(
     seen once per daily drop, never twice in one) is caught, which
     per-batch ``strip_common_lines`` structurally cannot do.
 
-    Per-drop cost is O(batch): only line hashes present in the batch
-    probe the index, the index side's fold is an exchange-free
-    bucketed groupBy, and the batch side ships 32-char hashes. The
-    batch itself is NOT folded into the store — call
-    ``write_line_index(..., mode="append")`` after the strip, keeping
+    Per-drop SHUFFLE is O(batch): only the drop's 32-char hashes move,
+    and the index side's fold is an exchange-free bucketed groupBy.
+    The store-side SCAN is linear in the index itself — distinct
+    lines plus appended partials, not corpus text — so run
+    ``compact_line_index`` periodically to keep that scan at one row
+    per line. The batch is NOT folded into the store by the strip —
+    call ``write_line_index(...)`` (append) after it, keeping
     count-then-strip ordering the caller's explicit choice.
     """
     spark = new_docs.sparkSession

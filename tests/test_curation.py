@@ -196,6 +196,7 @@ def test_line_index_catches_cross_batch_boilerplate(spark):
     from pyspark.sql import functions as F
 
     from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        compact_line_index,
         strip_against_line_index,
         strip_common_lines,
         write_line_index,
@@ -234,9 +235,10 @@ def test_line_index_catches_cross_batch_boilerplate(spark):
         assert out[3].clean_text == "unique tail three"
         assert out[4].clean_text == "unique tail four"
 
-        # append mode folds on read: after staging batch2, a third
-        # sighting of a once-per-batch line crosses min_df=3
-        write_line_index(batch2, "t_li", n_buckets=4, mode="append")
+        # default mode is APPEND (an accidental overwrite would reset
+        # every historic count): after staging batch2, partials fold
+        # on read and both repeated lines cross min_df=2
+        write_line_index(batch2, "t_li", n_buckets=4)
         stored = (
             spark.table("t_li_lines")
             .groupBy("line_hash")
@@ -245,17 +247,34 @@ def test_line_index_catches_cross_batch_boilerplate(spark):
         )
         assert stored.count() == 2  # footer (1+1) and the internal dup
 
-        # the index-side fold plans zero exchanges (bucketed table)
+        # compaction folds the appended partials to one row per line
+        # with identical totals
+        n_partials = spark.table("t_li_lines").count()
+        compact_line_index(spark, "t_li", n_buckets=4)
+        compacted = spark.table("t_li_lines")
+        assert compacted.count() < n_partials
+        assert compacted.groupBy("line_hash").count().filter(
+            F.col("count") > 1
+        ).count() == 0
+        assert compacted.filter(F.col("doc_freq") >= 2).count() == 2
+
+        # the exchange-free store-side fold must hold in the
+        # OPERATOR'S OWN plan, not just a hand-built fold: against an
+        # unbucketed copy of the same index the strip plans strictly
+        # more exchanges
         def n_exchanges(df) -> int:
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             return buf.getvalue().count("Exchange")
 
-        fold = spark.table("t_li_lines").groupBy("line_hash").agg(
-            F.sum("doc_freq")
+        spark.table("t_li_lines").write.mode("overwrite").saveAsTable(
+            "t_plain_lines"
         )
-        assert n_exchanges(fold) == 0
+        bucketed_plan = strip_against_line_index(batch2, "t_li", min_df=2)
+        plain_plan = strip_against_line_index(batch2, "t_plain", min_df=2)
+        assert n_exchanges(bucketed_plan) < n_exchanges(plain_plan)
     finally:
         drop_table(spark, "t_li_lines")
+        drop_table(spark, "t_plain_lines")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
