@@ -129,6 +129,13 @@ def probes():
         ),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(docs(s, d)),
         "corpus_prep_v2": lambda s, d: corpus.corpus_prep_v2(docs(s, d)),
+        # line dedup over the rewrap bridge: the per-copy token
+        # suffixes keep copies' lines disjoint, so common-line density
+        # per copy stays sf0.1-like while line space grows 10x — the
+        # same "more distinct docs, same distribution" shape as above
+        "strip_common_lines": lambda s, d: dedup.strip_common_lines(
+            dedup.docs_as_lines(docs(s, d))
+        ),
     }
 
 
@@ -144,8 +151,11 @@ def main() -> None:
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
 
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     out = {"sf_small": SRC, "sf_big": DST, "queries": {}}
     for name, fn in probes().items():
+        if only and name not in only:
+            continue
         # warm BOTH scales untimed so each timed pass sees the same
         # codegen/JIT/file-listing/page-cache state — a cold sf1 side
         # would inflate every ratio10 with first-run overhead the
