@@ -267,15 +267,17 @@ def _q_dq_rules(spark, sf_dir):
 # rollup_merge, bm25/hybrid_search, corpus_prep_v2, split_leakage*,
 # soft_dedup_weights, repeated/strip_repeated_spans, ...) plus any r8
 # code changes; rows re-greened here only need re-checks after their
-# next code change. The three late-r7 additions (common_lines,
-# strip_common_lines, normalize_text) lead block 1 below, so they
-# consume 3 budget slots — the r3 tail spill is that much larger.
+# next code change. The four late-r7 additions (common_lines,
+# strip_common_lines, normalize_text, weighted_sample_k) lead block 1
+# below, so they consume 4 budget slots — the r3 tail spill is that
+# much larger.
 _R7_FRONT = [
     # --- block 1: round-7 entry/code changes (new entries first:
     # never driver-checked) ---
     "common_lines",
     "strip_common_lines",
     "normalize_text",
+    "weighted_sample_k",
     "woo_flow_digest",
     "pca_project",
     # --- block 2: r2-era spill from round 6's budget (20) ---
@@ -910,6 +912,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_freq": lambda s, d: corpus.ngram_freq(_docs(s, d)),
         "stratified_sample": lambda s, d: corpus.stratified_sample(_docs(s, d)),
         "sample_exact_k": lambda s, d: corpus.sample_exact_k(_docs(s, d)),
+        "weighted_sample_k": lambda s, d: corpus.weighted_sample_k(
+            _docs(s, d), k=40
+        ),
         "corpus_stats": lambda s, d: corpus.corpus_stats(_docs(s, d)),
         # --- dedup / similarity (r2 driver-pass) ---
         "ann_topk": lambda s, d: similarity.ann_topk(_emb(s, d)),
@@ -2736,6 +2741,22 @@ r AS (
            AS sample_rank
   FROM h)
 SELECT doc_id, lang, source, sample_rank FROM r WHERE sample_rank <= 100
+""",
+        "weighted_sample_k": """
+WITH d AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+         pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
+                                  1, 8) AS BIGINT) + 1.0)
+               / 4294967297.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+r AS (
+  SELECT doc_id, source, weight,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY key DESC, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM d)
+SELECT doc_id, source, weight, sample_rank FROM r WHERE sample_rank <= 40
 """,
         "corpus_stats": f"""
 WITH t AS (

@@ -174,6 +174,85 @@ def sample_exact_k(
     ).select("doc_id", "lang", "source", "sample_rank")
 
 
+def weighted_sample_k(
+    documents: DataFrame,
+    k: int = 100,
+    by: str = "source",
+    weight: str = "n_chars",
+    seed: int = 42,
+) -> DataFrame:
+    """EXACTLY ``k`` rows per ``by`` group, sampled WITHOUT
+    replacement with probability proportional to ``weight`` — the
+    Efraimidis-Spirakis A-ES scheme ("Weighted random sampling with a
+    reservoir", IPL 2006): each row draws ``key = u^(1/w)`` and the k
+    LARGEST keys per group are the sample. This is the
+    statistically-correct consumer of the engine's weight producers
+    (``dsir_weights``, ``soft_dedup_weights``, quality scores):
+    ``dsir_select_threshold`` keeps the deterministic TOP of a weight
+    ranking, while this draws a proportional sample across the whole
+    weight range — rare-but-heavy docs are likely, light docs still
+    possible, and the choice is seeded, not random-at-runtime.
+
+    ``u`` is a seeded md5-derived uniform (identical hex in DuckDB,
+    so the oracle replays the exact draw); rows with NULL or
+    non-positive weight are excluded — zero weight means "never
+    sample", matching the A-ES limit. Groups with fewer than ``k``
+    eligible rows are kept whole.
+
+    Scale shape: same distributed order-statistic selection as
+    ``sample_exact_k`` — keys bucket by leading byte (descending key
+    = ascending bucket), per-bucket counts give running offsets, the
+    rank window partitions by (group, bucket), and only the ≤ k
+    selected rows per group enter the final ``sample_rank`` window —
+    no dominant group ever sorts on one task.
+    """
+    h = F.md5(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.lit(str(seed))
+        )
+    )
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 1.0) / F.lit(
+        4294967297.0
+    )
+    w = F.col(weight).cast("double")
+    d = (
+        documents.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
+        .select(
+            "doc_id",
+            by,
+            F.col(weight).cast("long").alias("weight"),
+            F.pow(u, F.lit(1.0) / w).alias("_key"),
+        )
+        .withColumn(
+            "_b",
+            F.least(
+                F.lit(255), F.floor((1.0 - F.col("_key")) * 256).cast("int")
+            ),
+        )
+    )
+    counts = d.groupBy(by, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    wo = (
+        Window.partitionBy(by)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = counts.select(
+        by,
+        "_b",
+        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_before"),
+    )
+    wb = Window.partitionBy(by, "_b").orderBy(F.col("_key").desc(), "doc_id")
+    sel = (
+        d.join(F.broadcast(off), [by, "_b"])
+        .withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_before") + F.col("_r") <= k)
+    )
+    ws = Window.partitionBy(by).orderBy(F.col("_key").desc(), "doc_id")
+    return sel.withColumn(
+        "sample_rank", F.row_number().over(ws).cast("long")
+    ).select("doc_id", by, "weight", "sample_rank")
+
+
 def corpus_stats(documents: DataFrame) -> DataFrame:
     """Per (lang, source) corpus statistics: doc count, token and char
     totals, mean document length.

@@ -683,3 +683,49 @@ def test_split_leakage_near_catches_paraphrase_across_boundary(spark):
         want = len(expected) if fam_train else 0
         assert r.n_leaked_docs == want
         assert r.n_docs == sum(1 for s in splits.values() if s == ev_split)
+
+
+def test_weighted_sample_k_is_proportional_and_deterministic(spark):
+    """A-ES sampling: seeded determinism, exactly-k per group under
+    pressure, whole groups below k, zero/NULL weights excluded, and
+    heavy rows selected far more often than light ones across seeds
+    (probability proportional to weight)."""
+    from py_etl_pipeline_woocommerce_spark.operators.corpus import (
+        weighted_sample_k,
+    )
+
+    rows = [(i, "big", 1000 if i % 10 == 0 else 1) for i in range(200)]
+    rows += [(1000, "tiny", 5), (1001, "tiny", 7)]
+    rows += [(2000, "dead", 0), (2001, "dead", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+
+    out = weighted_sample_k(df, k=20, by="source", weight="n_chars")
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, []).append(r)
+    # exactly k under pressure; whole group below k; no zero/NULL rows
+    assert len(by_src["big"]) == 20
+    assert sorted(r.sample_rank for r in by_src["big"]) == list(
+        range(1, 21)
+    )
+    assert len(by_src["tiny"]) == 2
+    assert "dead" not in by_src
+
+    # deterministic: same seed, same sample
+    again = weighted_sample_k(df, k=20, by="source", weight="n_chars")
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+    # proportionality: the 20 heavy docs (weight 1000 vs 1) should
+    # dominate the big group's sample across seeds — with weights this
+    # skewed each sample is ~all-heavy; demand a strong majority
+    heavy_share = []
+    for seed in (1, 2, 3, 4, 5):
+        s = weighted_sample_k(
+            df, k=20, by="source", weight="n_chars", seed=seed
+        ).filter("source = 'big'")
+        n_heavy = s.filter("weight = 1000").count()
+        heavy_share.append(n_heavy / 20)
+    assert sum(heavy_share) / len(heavy_share) > 0.75
