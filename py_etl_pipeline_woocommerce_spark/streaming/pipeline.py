@@ -184,6 +184,66 @@ def run_stream_dedup_against_index(
     return query, sink
 
 
+def run_stream_line_strip(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint_dir: str,
+    index_prefix: str,
+    schema,
+    min_df: int = 2,
+    fold_into_index: bool = True,
+    n_buckets: int = 32,
+) -> tuple:
+    """Streaming daily-drop boilerplate strip: each micro-batch is
+    stripped against the STORED line-frequency index
+    (``dedup.write_line_index`` — initialize it over the existing
+    corpus before starting the stream), and by default its own line
+    partials are then appended, making the store SELF-MAINTAINING: a
+    footer that appears once per daily drop crosses ``min_df`` after
+    enough drops and starts being stripped — the cross-drop detection
+    no per-batch strip can do. Per-batch cost is O(drop) (see
+    ``strip_against_line_index``); run ``compact_line_index``
+    periodically to bound the partial tail.
+
+    ``foreachBatch`` is the seam because the body is a batch plan
+    (joins against a warehouse table). The fold is at-least-once
+    under failure replay — a re-delivered micro-batch appends its
+    partials twice (the standard non-idempotent foreachBatch
+    side-effect caveat); when exact counts matter, rebuild the store
+    from bronze with ``write_line_index(..., mode="overwrite")``.
+
+    Returns (query, sink) where sink.rows maps (doc_id,) → stripped
+    row (clean_text + kept/removed counts).
+    """
+    from ..operators.dedup import strip_against_line_index, write_line_index
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(source_path)
+    )
+    sink = ForeachBatchUpserter(["doc_id"])
+
+    def strip_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink.batches_seen += 1
+        # strip BEFORE folding: the batch's own cross-doc repeats are
+        # already counted by strip_against_line_index's batch_df term,
+        # so folding first would double-count them for this batch
+        sink._merge(strip_against_line_index(batch_df, index_prefix, min_df))
+        if fold_into_index:
+            # n_buckets must match the store's spec — Spark rejects a
+            # mismatched append loudly (no silent bucket corruption)
+            write_line_index(batch_df, index_prefix, n_buckets=n_buckets)
+
+    query = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(strip_batch)
+        .start()
+    )
+    return query, sink
+
+
 def streaming_session_agg(
     stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

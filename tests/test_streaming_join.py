@@ -144,3 +144,82 @@ def test_streaming_drops_check_against_stored_index(spark, tmp_path):
         drop_table(spark, "t_stream_lsh_bands")
         drop_table(spark, "t_stream_lsh_shingles")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_streaming_drops_strip_against_self_maintaining_line_index(
+    spark, tmp_path
+):
+    """Drops stream in against the stored line index; with the
+    default fold, a footer seen ONCE PER DROP (never twice in one)
+    starts being stripped once enough drops accumulate — the
+    cross-drop boilerplate case per-batch stripping cannot catch."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        write_line_index,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import drop_table
+    from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+        run_stream_line_strip,
+    )
+
+    footer = "copyright acme corp"
+    promo = "todays promo banner line"
+    corpus = spark.createDataFrame(
+        [(1, f"historic body\n{footer}", "en", "s")],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    write_line_index(corpus, "t_stream_li", n_buckets=4, mode="overwrite")
+
+    src = tmp_path / "drops"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def _drop(path, rows):
+        pq_.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": pa.array([r[1] for r in rows], pa.string()),
+                    "lang": pa.array(["en"] * len(rows), pa.string()),
+                    "source": pa.array(["s"] * len(rows), pa.string()),
+                }
+            ),
+            path,
+        )
+
+    # drop 0: footer known from the corpus -> stripped immediately;
+    # the promo line is seen for the FIRST time -> kept
+    _drop(
+        f"{src}/drop-0.parquet",
+        [(10, f"fresh content ten\n{footer}\n{promo}")],
+    )
+    try:
+        query, sink = run_stream_line_strip(
+            spark, str(src), ckpt, "t_stream_li", corpus.schema, n_buckets=4
+        )
+        try:
+            query.processAllAvailable()
+            assert sink.rows[(10,)]["clean_text"] == (
+                f"fresh content ten\n{promo}"
+            )
+            assert sink.rows[(10,)]["n_lines_removed"] == 1
+
+            # drop 1: the promo line's SECOND drop — the fold made the
+            # store remember drop 0, so it is now boilerplate
+            _drop(
+                f"{src}/drop-1.parquet",
+                [(11, f"other content eleven\n{promo}")],
+            )
+            query.processAllAvailable()
+            assert sink.rows[(11,)]["clean_text"] == "other content eleven"
+            assert sink.rows[(11,)]["n_lines_removed"] == 1
+            assert sink.batches_seen >= 2
+        finally:
+            query.stop()
+    finally:
+        drop_table(spark, "t_stream_li_lines")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
