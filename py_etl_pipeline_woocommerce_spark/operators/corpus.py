@@ -194,17 +194,22 @@ def weighted_sample_k(
     possible, and the choice is seeded, not random-at-runtime.
 
     ``u`` is a seeded md5-derived uniform (identical hex in DuckDB,
-    so the oracle replays the exact draw); rows with NULL or
+    so the oracle replays the exact draw); rows with NULL, NaN, or
     non-positive weight are excluded — zero weight means "never
-    sample", matching the A-ES limit. Groups with fewer than ``k``
-    eligible rows are kept whole.
+    sample" (the A-ES limit) and a NaN key would otherwise sort ABOVE
+    every real key under DESC NULLS/NaN-last-is-first semantics and
+    hijack the sample. Groups with fewer than ``k`` eligible rows are
+    kept whole. The input weight value passes through unchanged.
 
-    Scale shape: same distributed order-statistic selection as
-    ``sample_exact_k`` — keys bucket by leading byte (descending key
-    = ascending bucket), per-bucket counts give running offsets, the
-    rank window partitions by (group, bucket), and only the ≤ k
-    selected rows per group enter the final ``sample_rank`` window —
-    no dominant group ever sorts on one task.
+    Scale shape: A-ES keys concentrate near 1.0 for realistic weights
+    (key = exp(ln(u)/w) ≥ 0.978 already at w = 1000), so bucketing on
+    the KEY would degenerate to one cell; instead rows split on an
+    independent uniform md5 byte purely as a SPLITTER. Any global
+    top-k row is also top-k within its hash cell, so per-(group,
+    cell) rank windows (each |group|/256) keep a ≤ 256·k superset,
+    and only that bounded superset enters the final ``sample_rank``
+    window — no dominant group ever sorts on one task, and the result
+    is exactly the plain per-group rank the DuckDB oracle computes.
     """
     h = F.md5(
         F.concat_ws(
@@ -214,43 +219,27 @@ def weighted_sample_k(
     u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") + 1.0) / F.lit(
         4294967297.0
     )
-    w = F.col(weight).cast("double")
-    d = (
-        documents.filter(F.col(weight).isNotNull() & (F.col(weight) > 0))
-        .select(
-            "doc_id",
-            by,
-            F.col(weight).cast("long").alias("weight"),
-            F.pow(u, F.lit(1.0) / w).alias("_key"),
-        )
-        .withColumn(
-            "_b",
-            F.least(
-                F.lit(255), F.floor((1.0 - F.col("_key")) * 256).cast("int")
-            ),
-        )
-    )
-    counts = d.groupBy(by, "_b").agg(F.count(F.lit(1)).alias("_c"))
-    wo = (
-        Window.partitionBy(by)
-        .orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    off = counts.select(
+    wd = F.col(weight).cast("double")
+    d = documents.filter(
+        F.col(weight).isNotNull() & ~F.isnan(wd) & (wd > 0)
+    ).select(
+        "doc_id",
         by,
-        "_b",
-        F.coalesce(F.sum("_c").over(wo), F.lit(0)).alias("_before"),
+        F.col(weight).alias("weight"),
+        F.pow(u, F.lit(1.0) / wd).alias("_key"),
+        F.conv(F.substring(h, 9, 2), 16, 10).cast("int").alias("_b"),
     )
     wb = Window.partitionBy(by, "_b").orderBy(F.col("_key").desc(), "doc_id")
     sel = (
-        d.join(F.broadcast(off), [by, "_b"])
-        .withColumn("_r", F.row_number().over(wb))
-        .filter(F.col("_before") + F.col("_r") <= k)
+        d.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= k)
     )
     ws = Window.partitionBy(by).orderBy(F.col("_key").desc(), "doc_id")
     return sel.withColumn(
         "sample_rank", F.row_number().over(ws).cast("long")
-    ).select("doc_id", by, "weight", "sample_rank")
+    ).filter(F.col("sample_rank") <= k).select(
+        "doc_id", by, "weight", "sample_rank"
+    )
 
 
 def corpus_stats(documents: DataFrame) -> DataFrame:

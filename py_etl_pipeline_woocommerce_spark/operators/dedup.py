@@ -1346,15 +1346,24 @@ def write_line_index(
     (batch, distinct line); ``compact_line_index`` folds them back to
     one row per line when the partial tail grows long.
     """
+    lines = _doc_lines(documents).withColumn("line_hash", F.md5("line"))
+    write_line_partials(lines, prefix, n_buckets=n_buckets, mode=mode)
+
+
+def write_line_partials(
+    lines: DataFrame, prefix: str, n_buckets: int = 32, mode: str = "append"
+) -> None:
+    """Fold an already-exploded (doc_id, line_hash) frame into the
+    store — the seam that lets ``run_stream_line_strip`` append the
+    SAME checkpointed frame the strip just consumed instead of
+    re-exploding and re-hashing the drop's text a second time (the
+    explode+md5 is the dominant per-batch cost for text-heavy drops).
+    """
     from ..sources.bucketing import write_bucketed
 
-    agg = (
-        _doc_lines(documents)
-        .groupBy(F.md5("line").alias("line_hash"))
-        .agg(
-            F.countDistinct("doc_id").cast("long").alias("doc_freq"),
-            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-        )
+    agg = lines.groupBy("line_hash").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
     )
     write_bucketed(
         agg, f"{prefix}_lines", ["line_hash"], n_buckets=n_buckets, mode=mode
@@ -1395,7 +1404,10 @@ def compact_line_index(
 
 
 def strip_against_line_index(
-    new_docs: DataFrame, prefix: str, min_df: int = 2
+    new_docs: DataFrame,
+    prefix: str,
+    min_df: int = 2,
+    lines_out: list | None = None,
 ) -> DataFrame:
     """``strip_common_lines`` for a NEW batch against the stored line
     index (see ``write_line_index``): a line is boilerplate when its
@@ -1421,6 +1433,13 @@ def strip_against_line_index(
         .withColumn("line_hash", F.md5("line"))
         .localCheckpoint(eager=False)
     )
+    if lines_out is not None:
+        # hand the checkpointed frame to the caller so a following
+        # write_line_partials fold reuses it instead of re-exploding
+        # the batch; its blocks are GC-managed like every other lazy
+        # localCheckpoint in the engine — dropping the reference after
+        # the fold is what frees them
+        lines_out.append(lines)
     stored = spark.table(f"{prefix}_lines").groupBy("line_hash").agg(
         F.sum("doc_freq").alias("_stored_df")
     )

@@ -215,7 +215,7 @@ def run_stream_line_strip(
     Returns (query, sink) where sink.rows maps (doc_id,) → stripped
     row (clean_text + kept/removed counts).
     """
-    from ..operators.dedup import strip_against_line_index, write_line_index
+    from ..operators.dedup import strip_against_line_index, write_line_partials
 
     stream = (
         spark.readStream.schema(schema)
@@ -226,14 +226,24 @@ def run_stream_line_strip(
 
     def strip_batch(batch_df: DataFrame, batch_id: int) -> None:
         sink.batches_seen += 1
+        frames: list = []
         # strip BEFORE folding: the batch's own cross-doc repeats are
         # already counted by strip_against_line_index's batch_df term,
         # so folding first would double-count them for this batch
-        sink._merge(strip_against_line_index(batch_df, index_prefix, min_df))
+        sink._merge(
+            strip_against_line_index(
+                batch_df, index_prefix, min_df, lines_out=frames
+            )
+        )
         if fold_into_index:
-            # n_buckets must match the store's spec — Spark rejects a
-            # mismatched append loudly (no silent bucket corruption)
-            write_line_index(batch_df, index_prefix, n_buckets=n_buckets)
+            # fold the SAME checkpointed exploded frame the strip just
+            # consumed — no second explode+md5 of the drop's text; the
+            # n_buckets must match the store's spec (Spark rejects a
+            # mismatched append loudly, no silent bucket corruption)
+            write_line_partials(frames[0], index_prefix, n_buckets=n_buckets)
+        # drop the reference: the checkpoint blocks are GC-managed,
+        # and a long-running stream must not accumulate one per batch
+        frames.clear()
 
     query = (
         stream.writeStream.outputMode("append")

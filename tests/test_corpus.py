@@ -694,11 +694,16 @@ def test_weighted_sample_k_is_proportional_and_deterministic(spark):
         weighted_sample_k,
     )
 
-    rows = [(i, "big", 1000 if i % 10 == 0 else 1) for i in range(200)]
-    rows += [(1000, "tiny", 5), (1001, "tiny", 7)]
-    rows += [(2000, "dead", 0), (2001, "dead", None)]
+    rows = [
+        (i, "big", 1000.0 if i % 10 == 0 else 1.0) for i in range(200)
+    ]
+    rows += [(1000, "tiny", 5.0), (1001, "tiny", 7.0)]
+    # zero, NULL, and NaN weights are all ineligible — NaN would
+    # otherwise pass (NaN > 0) and hijack rank 1 with a NaN key
+    rows += [(2000, "dead", 0.0), (2001, "dead", None)]
+    rows += [(3000, "big", float("nan"))]
     df = spark.createDataFrame(
-        rows, "doc_id long, source string, n_chars long"
+        rows, "doc_id long, source string, n_chars double"
     )
 
     out = weighted_sample_k(df, k=20, by="source", weight="n_chars")
@@ -713,6 +718,9 @@ def test_weighted_sample_k_is_proportional_and_deterministic(spark):
     )
     assert len(by_src["tiny"]) == 2
     assert "dead" not in by_src
+    assert all(r.doc_id != 3000 for r in by_src["big"])  # NaN excluded
+    # fractional weights pass through unchanged (no long truncation)
+    assert {r.weight for r in by_src["tiny"]} == {5.0, 7.0}
 
     # deterministic: same seed, same sample
     again = weighted_sample_k(df, k=20, by="source", weight="n_chars")
@@ -726,6 +734,6 @@ def test_weighted_sample_k_is_proportional_and_deterministic(spark):
         s = weighted_sample_k(
             df, k=20, by="source", weight="n_chars", seed=seed
         ).filter("source = 'big'")
-        n_heavy = s.filter("weight = 1000").count()
+        n_heavy = s.filter("weight = 1000.0").count()
         heavy_share.append(n_heavy / 20)
     assert sum(heavy_share) / len(heavy_share) > 0.75
