@@ -267,10 +267,10 @@ def _q_dq_rules(spark, sf_dir):
 # rollup_merge, bm25/hybrid_search, corpus_prep_v2, split_leakage*,
 # soft_dedup_weights, repeated/strip_repeated_spans, ...) plus any r8
 # code changes; rows re-greened here only need re-checks after their
-# next code change. The four late-r7 additions (common_lines,
-# strip_common_lines, normalize_text, weighted_sample_k) lead block 1
-# below, so they consume 4 budget slots — the r3 tail spill is that
-# much larger.
+# next code change. The five late-r7 additions (common_lines,
+# strip_common_lines, normalize_text, weighted_sample_k, strip_markup)
+# lead block 1 below, so they consume 5 budget slots — the r3 tail
+# spill is that much larger.
 _R7_FRONT = [
     # --- block 1: round-7 entry/code changes (new entries first:
     # never driver-checked) ---
@@ -278,6 +278,7 @@ _R7_FRONT = [
     "strip_common_lines",
     "normalize_text",
     "weighted_sample_k",
+    "strip_markup",
     "woo_flow_digest",
     "pca_project",
     # --- block 2: r2-era spill from round 6's budget (20) ---
@@ -797,6 +798,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "strip_common_lines": lambda s, d: dedup.strip_common_lines(
             dedup.docs_as_lines(_docs(s, d))
+        ),
+        # markup extraction over deterministically HTML-wrapped text:
+        # script/style/comment drop, block tags -> newlines, entity
+        # decode, whitespace canon — every rule exercised
+        "strip_markup": lambda s, d: textstats.strip_markup(
+            _docs(s, d).select(
+                "doc_id",
+                F.concat(
+                    F.lit(
+                        '<html><body><script type="text/javascript">'
+                        "var x = 1 &amp;&amp; 2;</script>"
+                        "<style>.c { color: red }</style>"
+                        '<!-- hidden comment --><p class="lead">'
+                    ),
+                    F.col("text"),
+                    F.lit(
+                        '</p><br><div id="t">tail &lt;b&gt;not a tag'
+                        "&lt;/b&gt; &amp; &quot;quoted&quot; &#39;s"
+                        "&nbsp;end</div></body></html>"
+                    ),
+                ).alias("text"),
+            )
         ),
         # unicode/whitespace canonicalizer over deterministically
         # messed-up text (decomposed accents, control chars, tab runs,
@@ -3188,6 +3211,41 @@ SELECT doc_id, text_norm,
        (text_norm IS DISTINCT FROM text) AS changed,
        CAST(length(text_norm) AS BIGINT) AS n_chars_norm
 FROM norm
+"""
+    out["strip_markup"] = r"""
+WITH messy AS (
+  SELECT doc_id,
+         '<html><body><script type="text/javascript">var x = 1 &amp;&amp; 2;</script><style>.c { color: red }</style><!-- hidden comment --><p class="lead">'
+         || text ||
+         '</p><br><div id="t">tail &lt;b&gt;not a tag&lt;/b&gt; &amp; &quot;quoted&quot; &#39;s&nbsp;end</div></body></html>'
+           AS text
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL THEN NULL ELSE
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(
+          text,
+          '(?is)<script\b.*?</script\s*>', '', 'g'),
+          '(?is)<style\b.*?</style\s*>', '', 'g'),
+          '(?s)<!--.*?-->', '', 'g'),
+          '(?i)<(br|/?p|/?div|/?li|/?tr|/?table|/?ul|/?ol|/?h[1-6])\b[^>]*>',
+          chr(10), 'g'),
+          '<[^>]*>', '', 'g'),
+        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        '&#39;', chr(39)), '&amp;', '&'),
+      '[ \t]+', ' ', 'g'),
+      ' ?\n ?', chr(10), 'g'),
+      '\n{3,}', chr(10) || chr(10), 'g'),
+      '^[\n ]+|[\n ]+$', '', 'g')
+    END AS text_clean,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE CAST(len(regexp_extract_all(text, '<[^>]*>')) AS BIGINT)
+    END AS n_tags
+  FROM messy)
+SELECT doc_id, text_clean, n_tags FROM c
 """
     out["dsir_weights"] = f"""
 WITH occ AS (

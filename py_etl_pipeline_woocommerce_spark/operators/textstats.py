@@ -669,3 +669,61 @@ def normalize_text(documents: DataFrame) -> DataFrame:
         (~F.col("text_norm").eqNullSafe(F.col("text"))).alias("changed"),
         F.length("text_norm").cast("long").alias("n_chars_norm"),
     )
+
+
+def strip_markup(documents: DataFrame) -> DataFrame:
+    """HTML/markup → text extraction — the stage every web-crawl
+    pipeline runs before quality scoring or dedup ever sees a
+    document (the regex tier of trafilatura/jusText-style extraction;
+    DOM-aware readability scoring is a deployment concern, this is
+    the deterministic, oracle-checkable core):
+
+    1. ``<script>``/``<style>`` elements dropped WITH their contents
+       (two separate patterns — RE2, which the DuckDB oracle uses,
+       has no backreferences, so ``</\\1>`` is not portable),
+    2. HTML comments dropped,
+    3. block-boundary tags (``br``, ``p``, ``div``, ``li``, ``tr``,
+       ``table``, ``ul``, ``ol``, ``h1``-``h6``) become newlines so
+       document structure survives as line structure (feeding
+       ``common_lines``/``strip_common_lines`` downstream),
+    4. every remaining tag is removed,
+    5. the six dominant entities decode (``&nbsp; &lt; &gt; &quot;
+       &#39; &amp;`` — ``&amp;`` LAST, or ``&amp;lt;`` would
+       double-decode),
+    6. whitespace canonicalizes with ``normalize_text``'s rules
+       (space/tab runs, newline trims, paragraph collapse, edges).
+
+    All JVM ``regexp_replace``/``replace`` stages in one codegen'd
+    scan — zero Python; the DuckDB twin mirrors the exact rule order.
+    Output: (doc_id, text_clean, n_tags) with ``n_tags`` counted on
+    the RAW text; NULL text passes through as NULL with NULL n_tags.
+    """
+    t = F.col("text")
+    t = F.regexp_replace(t, "(?is)<script\\b.*?</script\\s*>", "")
+    t = F.regexp_replace(t, "(?is)<style\\b.*?</style\\s*>", "")
+    t = F.regexp_replace(t, "(?s)<!--.*?-->", "")
+    t = F.regexp_replace(
+        t,
+        "(?i)<(br|/?p|/?div|/?li|/?tr|/?table|/?ul|/?ol|/?h[1-6])\\b[^>]*>",
+        "\n",
+    )
+    t = F.regexp_replace(t, "<[^>]*>", "")
+    t = F.replace(t, F.lit("&nbsp;"), F.lit(" "))
+    t = F.replace(t, F.lit("&lt;"), F.lit("<"))
+    t = F.replace(t, F.lit("&gt;"), F.lit(">"))
+    t = F.replace(t, F.lit("&quot;"), F.lit('"'))
+    t = F.replace(t, F.lit("&#39;"), F.lit("'"))
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
+    t = F.regexp_replace(t, "[ \\t]+", " ")
+    t = F.regexp_replace(t, " ?\\n ?", "\n")
+    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
+    t = F.regexp_replace(t, "^[\\n ]+|[\\n ]+$", "")
+    return documents.select(
+        "doc_id",
+        F.when(F.col("text").isNull(), F.lit(None).cast("string"))
+        .otherwise(t)
+        .alias("text_clean"),
+        F.regexp_count("text", F.lit("<[^>]*>"))
+        .cast("long")
+        .alias("n_tags"),
+    )

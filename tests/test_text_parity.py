@@ -129,3 +129,48 @@ def test_normalize_text_canonicalizes_unicode_and_whitespace(spark):
         )
     )
     assert all(not r.changed for r in again.collect())
+
+
+def test_strip_markup_extracts_text_from_html(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        strip_markup,
+    )
+
+    html = (
+        '<html><body><SCRIPT a="b">var x = 1 && 2;</script >'
+        "<style>.c { color: red }</style><!-- secret -->"
+        '<h1>Title</h1><p class="lead">hello   world</p>'
+        "<ul><li>one</li><li>two</li></ul>"
+        "<div>tail &lt;b&gt;not a tag&lt;/b&gt; &amp;amp; "
+        "&quot;q&quot; &#39;s&nbsp;end</div></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "plain text stays"), (3, None), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in strip_markup(df).collect()}
+
+    # script (case-insensitive, spaced close tag) and style contents
+    # are gone; block tags became line structure (adjacent closers +
+    # openers yield a paragraph break, capped at 2 newlines);
+    # entity-encoded pseudo-tags survive as TEXT; &amp; decodes LAST
+    # (no double-decode of &amp;amp;)
+    assert out[1].text_clean == (
+        "Title\n\nhello world\n\none\n\ntwo\n\n"
+        'tail <b>not a tag</b> &amp; "q" \'s end'
+    )
+    assert out[1].n_tags == 21
+    assert out[2].text_clean == "plain text stays" and out[2].n_tags == 0
+    assert out[3].text_clean is None and out[3].n_tags is None
+    assert out[4].text_clean == "" and out[4].n_tags == 0
+
+    # entity decode is one-level-per-pass BY DESIGN (like any entity
+    # decoder): a second pass decodes the &amp; that the first pass
+    # correctly left as the text encoding of &amp;amp; — and strips
+    # the <b> pseudo-tag that is now real markup. Markup-free text is
+    # a fixed point:
+    assert strip_markup(
+        spark.createDataFrame(
+            [(1, 'plain & "q" \'s end')], "doc_id long, text string"
+        )
+    ).collect()[0].text_clean == 'plain & "q" \'s end'
