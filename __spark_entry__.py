@@ -811,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         "var x = 1 &amp;&amp; 2;</script>"
                         "<style>.c { color: red }</style>"
                         '<!-- hidden comment --><p class="lead">'
+                        "source\r\nwrapped "  # CRLF source wrap
                     ),
                     F.col("text"),
                     F.lit(
@@ -3216,7 +3217,7 @@ FROM norm
 WITH messy AS (
   SELECT doc_id,
          '<html><body><script type="text/javascript">var x = 1 &amp;&amp; 2;</script><style>.c { color: red }</style><!-- hidden comment --><p class="lead">'
-         || text ||
+         || 'source' || chr(13) || chr(10) || 'wrapped ' || text ||
          '</p><br><div id="t">tail &lt;b&gt;not a tag&lt;/b&gt; &amp; &quot;quoted&quot; &#39;s&nbsp;end</div></body></html>'
            AS text
   FROM documents),
@@ -3226,11 +3227,12 @@ c AS (
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       replace(replace(replace(replace(replace(replace(
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(
+          regexp_replace(regexp_replace(
           text,
           '(?is)<script\b.*?</script\s*>', '', 'g'),
           '(?is)<style\b.*?</style\s*>', '', 'g'),
           '(?s)<!--.*?-->', '', 'g'),
+          '[ \t\r\n]+', ' ', 'g'),
           '(?i)<(br|/?p|/?div|/?li|/?tr|/?table|/?ul|/?ol|/?h[1-6])\b[^>]*>',
           chr(10), 'g'),
           '<[^>]*>', '', 'g'),

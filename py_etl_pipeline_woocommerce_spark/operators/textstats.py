@@ -614,6 +614,18 @@ def lang_id_nb(documents: DataFrame, top_v: int = 4096) -> DataFrame:
     )
 
 
+def _canon_whitespace(c):
+    """Shared whitespace canonicalization tail (normalize_text AND
+    strip_markup — one place to fix, mirrored once per oracle):
+    space/tab runs -> one space, spaces trimmed around newlines, 3+
+    newlines -> paragraph break, leading/trailing whitespace removed.
+    """
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    return F.regexp_replace(c, "^[\\n ]+|[\\n ]+$", "")
+
+
 def normalize_text(documents: DataFrame) -> DataFrame:
     """Unicode + whitespace canonicalization of raw document text —
     the first stage every web-crawl curation pipeline runs before any
@@ -652,10 +664,7 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     t = _nfc(F.col("text"))
     t = F.regexp_replace(t, "\\r\\n?", "\n")
     t = F.regexp_replace(t, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
-    t = F.regexp_replace(t, "[ \\t]+", " ")
-    t = F.regexp_replace(t, " ?\\n ?", "\n")
-    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
-    t = F.regexp_replace(t, "^[\\n ]+|[\\n ]+$", "")
+    t = _canon_whitespace(t)
     out = documents.select(
         "doc_id",
         F.when(F.col("text").isNull(), F.lit(None).cast("string"))
@@ -690,8 +699,16 @@ def strip_markup(documents: DataFrame) -> DataFrame:
     5. the six dominant entities decode (``&nbsp; &lt; &gt; &quot;
        &#39; &amp;`` — ``&amp;`` LAST, or ``&amp;lt;`` would
        double-decode),
-    6. whitespace canonicalizes with ``normalize_text``'s rules
-       (space/tab runs, newline trims, paragraph collapse, edges).
+    6. whitespace canonicalizes via the shared ``_canon_whitespace``
+       tail (space/tab runs, newline trims, paragraph collapse,
+       edges).
+
+    Source whitespace — including CR and source-wrap newlines — is
+    collapsed to single spaces BEFORE block tags become newlines
+    (step between 2 and 3): in HTML a line break in the source is
+    rendering-inert, so output line structure must reflect BLOCK
+    structure, not crawler wrapping, and no ``\r`` can survive to
+    poison the line-dedup family downstream.
 
     All JVM ``regexp_replace``/``replace`` stages in one codegen'd
     scan — zero Python; the DuckDB twin mirrors the exact rule order.
@@ -702,6 +719,14 @@ def strip_markup(documents: DataFrame) -> DataFrame:
     t = F.regexp_replace(t, "(?is)<script\\b.*?</script\\s*>", "")
     t = F.regexp_replace(t, "(?is)<style\\b.*?</style\\s*>", "")
     t = F.regexp_replace(t, "(?s)<!--.*?-->", "")
+    # HTML source whitespace — including source-wrap newlines and CR —
+    # is rendering-inert inter-word space; collapsing it BEFORE block
+    # tags become newlines means output line structure reflects BLOCK
+    # structure, not how the crawler happened to wrap the source (and
+    # CR can never leak into text_clean to poison line-level dedup).
+    # Consequence: do not run strip_markup on already-plain text whose
+    # newlines are meaningful — that is normalize_text's job.
+    t = F.regexp_replace(t, "[ \\t\\r\\n]+", " ")
     t = F.regexp_replace(
         t,
         "(?i)<(br|/?p|/?div|/?li|/?tr|/?table|/?ul|/?ol|/?h[1-6])\\b[^>]*>",
@@ -714,10 +739,7 @@ def strip_markup(documents: DataFrame) -> DataFrame:
     t = F.replace(t, F.lit("&quot;"), F.lit('"'))
     t = F.replace(t, F.lit("&#39;"), F.lit("'"))
     t = F.replace(t, F.lit("&amp;"), F.lit("&"))
-    t = F.regexp_replace(t, "[ \\t]+", " ")
-    t = F.regexp_replace(t, " ?\\n ?", "\n")
-    t = F.regexp_replace(t, "\\n{3,}", "\n\n")
-    t = F.regexp_replace(t, "^[\\n ]+|[\\n ]+$", "")
+    t = _canon_whitespace(t)
     return documents.select(
         "doc_id",
         F.when(F.col("text").isNull(), F.lit(None).cast("string"))

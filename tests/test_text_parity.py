@@ -137,9 +137,9 @@ def test_strip_markup_extracts_text_from_html(spark):
     )
 
     html = (
-        '<html><body><SCRIPT a="b">var x = 1 && 2;</script >'
-        "<style>.c { color: red }</style><!-- secret -->"
-        '<h1>Title</h1><p class="lead">hello   world</p>'
+        '<html><body><SCRIPT a="b">var x = 1 && 2;</script >\r\n'
+        "<style>.c { color: red }</style><!-- secret -->\n"
+        '<h1>Title</h1>\r\n<p class="lead">hello\nsource   wrapped</p>'
         "<ul><li>one</li><li>two</li></ul>"
         "<div>tail &lt;b&gt;not a tag&lt;/b&gt; &amp;amp; "
         "&quot;q&quot; &#39;s&nbsp;end</div></body></html>"
@@ -151,14 +151,17 @@ def test_strip_markup_extracts_text_from_html(spark):
     out = {r.doc_id: r for r in strip_markup(df).collect()}
 
     # script (case-insensitive, spaced close tag) and style contents
-    # are gone; block tags became line structure (adjacent closers +
-    # openers yield a paragraph break, capped at 2 newlines);
-    # entity-encoded pseudo-tags survive as TEXT; &amp; decodes LAST
-    # (no double-decode of &amp;amp;)
+    # are gone; SOURCE whitespace (CRLF wraps, mid-paragraph newlines)
+    # collapses to spaces BEFORE block tags become line structure, so
+    # output lines reflect BLOCK structure, never crawler wrapping and
+    # never a surviving \r; adjacent closers + openers yield a
+    # paragraph break capped at 2 newlines; entity-encoded pseudo-tags
+    # survive as TEXT; &amp; decodes LAST (no &amp;amp; double-decode)
     assert out[1].text_clean == (
-        "Title\n\nhello world\n\none\n\ntwo\n\n"
+        "Title\n\nhello source wrapped\n\none\n\ntwo\n\n"
         'tail <b>not a tag</b> &amp; "q" \'s end'
     )
+    assert "\r" not in out[1].text_clean
     assert out[1].n_tags == 21
     assert out[2].text_clean == "plain text stays" and out[2].n_tags == 0
     assert out[3].text_clean is None and out[3].n_tags is None
