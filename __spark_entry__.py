@@ -267,10 +267,10 @@ def _q_dq_rules(spark, sf_dir):
 # rollup_merge, bm25/hybrid_search, corpus_prep_v2, split_leakage*,
 # soft_dedup_weights, repeated/strip_repeated_spans, ...) plus any r8
 # code changes; rows re-greened here only need re-checks after their
-# next code change. The five late-r7 additions (common_lines,
-# strip_common_lines, normalize_text, weighted_sample_k, strip_markup)
-# lead block 1 below, so they consume 5 budget slots — the r3 tail
-# spill is that much larger.
+# next code change. The six late-r7 additions (common_lines,
+# strip_common_lines, normalize_text, weighted_sample_k, strip_markup,
+# extract_links) lead block 1 below, so they consume 6 budget slots —
+# the r3 tail spill is that much larger.
 _R7_FRONT = [
     # --- block 1: round-7 entry/code changes (new entries first:
     # never driver-checked) ---
@@ -279,6 +279,7 @@ _R7_FRONT = [
     "normalize_text",
     "weighted_sample_k",
     "strip_markup",
+    "extract_links",
     "woo_flow_digest",
     "pca_project",
     # --- block 2: r2-era spill from round 6's budget (20) ---
@@ -798,6 +799,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "strip_common_lines": lambda s, d: dedup.strip_common_lines(
             dedup.docs_as_lines(_docs(s, d))
+        ),
+        # link extraction over deterministic anchors (absolute +
+        # protocol-relative + relative, both quote styles)
+        "extract_links": lambda s, d: textstats.extract_links(
+            _docs(s, d).select(
+                "doc_id",
+                F.concat(
+                    F.lit('<a href="https://Example.com/doc/'),
+                    F.col("doc_id").cast("string"),
+                    F.lit('?q=1">'),
+                    F.col("text"),
+                    F.lit("</a><img src='//cdn.example.org/img/"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(".png'/><a href=\"/rel/path\">rel</a>"),
+                ).alias("text"),
+            )
         ),
         # markup extraction over deterministically HTML-wrapped text:
         # script/style/comment drop, block tags -> newlines, entity
@@ -3212,6 +3229,30 @@ SELECT doc_id, text_norm,
        (text_norm IS DISTINCT FROM text) AS changed,
        CAST(length(text_norm) AS BIGINT) AS n_chars_norm
 FROM norm
+"""
+    out["extract_links"] = r"""
+WITH messy AS (
+  SELECT doc_id,
+         '<a href="https://Example.com/doc/' || CAST(doc_id AS VARCHAR)
+         || '?q=1">' || text
+         || '</a><img src=''//cdn.example.org/img/'
+         || CAST(doc_id AS VARCHAR)
+         || '.png''/><a href="/rel/path">rel</a>' AS text
+  FROM documents),
+u AS (
+  SELECT doc_id,
+         regexp_extract_all(
+           text,
+           '(?i)\b(?:href|src)\s*=\s*["'']([^"''<>\s]+)["'']', 1
+         ) AS urls
+  FROM messy WHERE text IS NOT NULL)
+SELECT doc_id,
+       CAST(g.i AS BIGINT) - 1 AS link_pos,
+       urls[g.i] AS url,
+       lower(regexp_extract(
+         urls[g.i],
+         '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/:?#]+)', 1)) AS domain
+FROM u, UNNEST(generate_series(1, len(urls))) AS g(i)
 """
     out["strip_markup"] = r"""
 WITH messy AS (

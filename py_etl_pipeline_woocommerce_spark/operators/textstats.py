@@ -749,3 +749,43 @@ def strip_markup(documents: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_tags"),
     )
+
+
+def extract_links(documents: DataFrame) -> DataFrame:
+    """Outgoing links from raw HTML — the link-graph side of web
+    extraction, feeding the standard URL-level curation machinery:
+    domain blocklists, per-domain quotas (compose with
+    ``source_quota_sample`` on ``domain``), and link-graph features.
+
+    One row per ``href=``/``src=`` attribute value (both quote
+    styles), in document order: (doc_id, link_pos, url, domain).
+    ``domain`` is the lowercased host for absolute and
+    protocol-relative URLs and ``''`` for relative ones — scheme
+    parsing by regex on both engines (DuckDB has no parse_url, so the
+    oracle twin uses the identical pattern). Docs with no links emit
+    no rows; NULL text emits none (nothing to scan).
+
+    One codegen'd scan + a bounded explode (fan-out = links per doc);
+    the regex is deliberately attribute-anchored — bare URLs in text
+    are content, not links.
+    """
+    urls = F.regexp_extract_all(
+        F.col("text"),
+        F.lit("(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"'<>\\s]+)[\"']"),
+        1,
+    )
+    exploded = (
+        documents.filter(F.col("text").isNotNull())
+        .select("doc_id", F.posexplode(urls).alias("link_pos", "url"))
+    )
+    domain = F.lower(
+        F.regexp_extract(
+            F.col("url"), "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/:?#]+)", 1
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("link_pos").cast("long").alias("link_pos"),
+        "url",
+        domain.alias("domain"),
+    )

@@ -177,3 +177,33 @@ def test_strip_markup_extracts_text_from_html(spark):
             [(1, 'plain & "q" \'s end')], "doc_id long, text string"
         )
     ).collect()[0].text_clean == 'plain & "q" \'s end'
+
+
+def test_extract_links_attribute_anchored_with_domains(spark):
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        extract_links,
+    )
+
+    html = (
+        '<a HREF="https://Example.COM/p?q=1#f">x</a> '
+        "<img src='//cdn.ex.org/i.png'/> "
+        '<a href="/relative/path">y</a> '
+        '<script src="http://js.ex.org:8080/a.js"></script> '
+        "bare text https://not-a-link.example.com ignored"
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, "no links at all"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        extract_links(df).collect(), key=lambda r: (r.doc_id, r.link_pos)
+    )
+    got = [(r.doc_id, r.link_pos, r.url, r.domain) for r in rows]
+    # attribute-anchored only (the bare URL in text is content);
+    # domains lowercase; port excluded; relative -> ''
+    assert got == [
+        (1, 0, "https://Example.COM/p?q=1#f", "example.com"),
+        (1, 1, "//cdn.ex.org/i.png", "cdn.ex.org"),
+        (1, 2, "/relative/path", ""),
+        (1, 3, "http://js.ex.org:8080/a.js", "js.ex.org"),
+    ]
