@@ -812,7 +812,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("text"),
                     F.lit("</a><img src='//cdn.example.org/img/"),
                     F.col("doc_id").cast("string"),
-                    F.lit(".png'/><a href=\"/rel/path\">rel</a>"),
+                    F.lit(
+                        ".png'/><a href=https://plain.example.net/"
+                        'u?a=1&amp;b=2>u</a><a href="/rel/path">rel</a>'
+                    ),
                 ).alias("text"),
             )
         ),
@@ -3230,20 +3233,28 @@ SELECT doc_id, text_norm,
        CAST(length(text_norm) AS BIGINT) AS n_chars_norm
 FROM norm
 """
-    out["extract_links"] = r"""
+    out["extract_links"] = r'''
 WITH messy AS (
   SELECT doc_id,
          '<a href="https://Example.com/doc/' || CAST(doc_id AS VARCHAR)
          || '?q=1">' || text
-         || '</a><img src=''//cdn.example.org/img/'
+         || '</a><img src=__SQ__//cdn.example.org/img/'
          || CAST(doc_id AS VARCHAR)
-         || '.png''/><a href="/rel/path">rel</a>' AS text
+         || '.png__SQ__/><a href=https://plain.example.net/u?a=1&amp;b=2>u</a>'
+         || '<a href="/rel/path">rel</a>' AS text
   FROM documents),
 u AS (
   SELECT doc_id,
-         regexp_extract_all(
-           text,
-           '(?i)\b(?:href|src)\s*=\s*["'']([^"''<>\s]+)["'']', 1
+         list_transform(
+           regexp_extract_all(
+             text,
+             '(?i)\b(?:href|src)[ \t\n\f\r]*=[ \t\n\f\r]*("[^"<>]*"|__SQ__[^__SQ__<>]*__SQ__|[^"__SQ__<>=` \t\n\f\r][^<> \t\n\f\r]*)',
+             1),
+           x -> replace(replace(replace(replace(replace(replace(
+                  CASE WHEN x[1:1] IN ('"', chr(39))
+                       THEN x[2:len(x)-1] ELSE x END,
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
          ) AS urls
   FROM messy WHERE text IS NOT NULL)
 SELECT doc_id,
@@ -3251,9 +3262,10 @@ SELECT doc_id,
        urls[g.i] AS url,
        lower(regexp_extract(
          urls[g.i],
-         '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/:?#]+)', 1)) AS domain
+         '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#]*@)?(\[[^\]]*\]|[^/:?#]+)',
+         1)) AS domain
 FROM u, UNNEST(generate_series(1, len(urls))) AS g(i)
-"""
+'''.replace("__SQ__", chr(39) * 2).replace(chr(39) * 2 + chr(39) * 2, chr(39) * 2)
     out["strip_markup"] = r"""
 WITH messy AS (
   SELECT doc_id,

@@ -752,27 +752,61 @@ def strip_markup(documents: DataFrame) -> DataFrame:
 
 
 def extract_links(documents: DataFrame) -> DataFrame:
-    """Outgoing links from raw HTML — the link-graph side of web
+    r"""Outgoing links from raw HTML — the link-graph side of web
     extraction, feeding the standard URL-level curation machinery:
     domain blocklists, per-domain quotas (compose with
     ``source_quota_sample`` on ``domain``), and link-graph features.
 
-    One row per ``href=``/``src=`` attribute value (both quote
-    styles), in document order: (doc_id, link_pos, url, domain).
-    ``domain`` is the lowercased host for absolute and
-    protocol-relative URLs and ``''`` for relative ones — scheme
-    parsing by regex on both engines (DuckDB has no parse_url, so the
-    oracle twin uses the identical pattern). Docs with no links emit
-    no rows; NULL text emits none (nothing to scan).
+    One row per ``href=``/``src=`` attribute value in document order:
+    (doc_id, link_pos, url, domain). The attribute grammar follows
+    what browsers actually accept: double-quoted, single-quoted, AND
+    unquoted values (minified HTML), with quotes PAIRED — an
+    apostrophe inside a double-quoted URL (Wikipedia titles) stays in
+    the URL instead of truncating it. The six dominant entities
+    decode in extracted URLs (``&amp;`` last), so
+    ``...?x=1&amp;y=2`` joins against the real target
+    ``...?x=1&y=2`` in the link graph. Whitespace in the patterns is
+    the explicit class ``[ \t\n\f\r]`` — Java's ``\s`` includes
+    ``\x0B`` while RE2's (the oracle engine's) does not, and the two
+    sides must tokenize identically.
+
+    ``domain`` is the lowercased host with userinfo skipped
+    (``https://trusted.com@evil.com/`` is ``evil.com`` — the classic
+    blocklist-bypass shape) and IPv6 hosts kept bracketed
+    (``[2001:db8::1]``); relative URLs get ``''``. Scheme parsing by
+    regex on both engines (DuckDB has no parse_url). Docs with no
+    links emit no rows; NULL text emits none.
 
     One codegen'd scan + a bounded explode (fan-out = links per doc);
-    the regex is deliberately attribute-anchored — bare URLs in text
-    are content, not links.
+    the grammar is deliberately attribute-anchored — bare URLs in
+    text are content, not links.
     """
-    urls = F.regexp_extract_all(
-        F.col("text"),
-        F.lit("(?i)\\b(?:href|src)\\s*=\\s*[\"']([^\"'<>\\s]+)[\"']"),
-        1,
+    _ATTR = (
+        "(?i)\\b(?:href|src)[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*"
+        "(\"[^\"<>]*\"|'[^'<>]*'|[^\"'<>=` \\t\\n\\f\\r][^<> \\t\\n\\f\\r]*)"
+    )
+
+    def _clean(u):
+        # strip PAIRED quotes when present, then decode the six
+        # dominant entities (&amp; LAST — no double-decode), matching
+        # strip_markup's entity policy
+        unq = F.when(
+            F.substring(u, 1, 1).isin('"', "'"),
+            F.substring(u, F.lit(2), F.length(u) - 2),
+        ).otherwise(u)
+        for ent, ch in (
+            ("&nbsp;", " "),
+            ("&lt;", "<"),
+            ("&gt;", ">"),
+            ("&quot;", '"'),
+            ("&#39;", "'"),
+            ("&amp;", "&"),
+        ):
+            unq = F.replace(unq, F.lit(ent), F.lit(ch))
+        return unq
+
+    urls = F.transform(
+        F.regexp_extract_all(F.col("text"), F.lit(_ATTR), 1), _clean
     )
     exploded = (
         documents.filter(F.col("text").isNotNull())
@@ -780,7 +814,10 @@ def extract_links(documents: DataFrame) -> DataFrame:
     )
     domain = F.lower(
         F.regexp_extract(
-            F.col("url"), "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//([^/:?#]+)", 1
+            F.col("url"),
+            "^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#]*@)?"
+            "(\\[[^\\]]*\\]|[^/:?#]+)",
+            1,
         )
     )
     return exploded.select(

@@ -189,6 +189,14 @@ def test_extract_links_attribute_anchored_with_domains(spark):
         "<img src='//cdn.ex.org/i.png'/> "
         '<a href="/relative/path">y</a> '
         '<script src="http://js.ex.org:8080/a.js"></script> '
+        # apostrophe inside a double-quoted URL must NOT truncate
+        '<a href="https://en.wikipedia.org/wiki/It\'s_a_Life">w</a> '
+        # unquoted value (minified HTML) with an encoded query string
+        "<a href=https://plain.ex.net/u?a=1&amp;b=2>u</a> "
+        # userinfo is skipped for the domain (blocklist-bypass shape)
+        '<a href="https://trusted.com@evil.com/p">e</a> '
+        # IPv6 host stays bracketed, port excluded
+        '<a href="http://[2001:db8::1]:8080/x">v</a> '
         "bare text https://not-a-link.example.com ignored"
     )
     df = spark.createDataFrame(
@@ -200,10 +208,16 @@ def test_extract_links_attribute_anchored_with_domains(spark):
     )
     got = [(r.doc_id, r.link_pos, r.url, r.domain) for r in rows]
     # attribute-anchored only (the bare URL in text is content);
-    # domains lowercase; port excluded; relative -> ''
+    # domains lowercase; port excluded; relative -> ''; entities
+    # decode in URLs so the link graph joins against real targets
     assert got == [
         (1, 0, "https://Example.COM/p?q=1#f", "example.com"),
         (1, 1, "//cdn.ex.org/i.png", "cdn.ex.org"),
         (1, 2, "/relative/path", ""),
         (1, 3, "http://js.ex.org:8080/a.js", "js.ex.org"),
+        (1, 4, "https://en.wikipedia.org/wiki/It's_a_Life",
+         "en.wikipedia.org"),
+        (1, 5, "https://plain.ex.net/u?a=1&b=2", "plain.ex.net"),
+        (1, 6, "https://trusted.com@evil.com/p", "evil.com"),
+        (1, 7, "http://[2001:db8::1]:8080/x", "[2001:db8::1]"),
     ]
