@@ -174,7 +174,7 @@ def test_stateful_sessionize_stream_across_batches(spark, stream_dirs):
     # NOTE: processAllAvailable() never returns under
     # ProcessingTimeTimeout (the timeout timer keeps the engine busy),
     # so poll the memory sink with a deadline instead.
-    def wait_rows(pred, deadline_s=90):
+    def wait_rows(pred, deadline_s=300):
         import time
 
         t0 = time.time()
@@ -541,7 +541,7 @@ def test_stateful_transitions_stream_across_batches(spark, stream_dirs):
         .start()
     )
 
-    def wait_rows(pred, deadline_s=90):
+    def wait_rows(pred, deadline_s=300):
         import time
 
         t0 = time.time()
@@ -607,7 +607,7 @@ def test_liveness_gaps_stream_detects_cross_batch_outage(spark, stream_dirs):
         .start()
     )
 
-    def wait(pred, deadline_s=90):
+    def wait(pred, deadline_s=300):
         import time
 
         t0 = time.time()
@@ -804,7 +804,7 @@ def test_first_seen_store_split_invariant_and_stream_parity(spark, tmp_path):
     assert got == expect
 
 
-def _poll_parquet(spark, path, pred, deadline_s=120):
+def _poll_parquet(spark, path, pred, deadline_s=300):
     """Poll a parquet output dir (memory sinks cannot recover from a
     checkpoint, so restart tests write through foreachBatch)."""
     import time as _time
@@ -1008,7 +1008,7 @@ def test_sessionize_stream_drops_events_beyond_lateness_horizon(
         .start()
     )
 
-    def wait(pred, deadline_s=90):
+    def wait(pred, deadline_s=300):
         import time as _t
 
         t0 = _t.time()
@@ -1080,7 +1080,7 @@ def test_transitions_stream_cross_batch_tie_matches_batch_order(
         .start()
     )
 
-    def wait(pred, deadline_s=90):
+    def wait(pred, deadline_s=300):
         import time as _t
 
         t0 = _t.time()
@@ -1144,7 +1144,7 @@ def test_sessionize_stream_event_time_timeout_follows_watermark(
         .start()
     )
 
-    def wait(pred, deadline_s=120):
+    def wait(pred, deadline_s=300):
         import time as _t
 
         t0 = _t.time()
@@ -1214,7 +1214,7 @@ def test_transitions_stream_event_time_timeout_evicts_via_watermark(
         .start()
     )
 
-    def wait(pred, deadline_s=120):
+    def wait(pred, deadline_s=300):
         import time as _t
 
         t0 = _t.time()
