@@ -1594,10 +1594,8 @@ tot AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT d.doc_id,
        COALESCE(n_occ, 0) AS n_occ,
        COALESCE(df_sum, 0) AS df_sum,
-       COALESCE(CAST(df_sum AS DOUBLE) / (n_occ * n_docs), 0.0::DOUBLE)
-         AS commonness,
-       COALESCE(1.0::DOUBLE - CAST(df_sum AS DOUBLE) / (n_occ * n_docs),
-                0.0::DOUBLE) AS rarity
+       CAST(df_sum AS DOUBLE) / (n_occ * n_docs) AS commonness,
+       1.0::DOUBLE - CAST(df_sum AS DOUBLE) / (n_occ * n_docs) AS rarity
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id CROSS JOIN tot
 """,
         "dedup_incremental_near": f"""
@@ -2757,7 +2755,8 @@ s AS (SELECT lang,
              list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
                             i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS grams
       FROM t),
-g AS (SELECT lang, u.ngram FROM s, UNNEST(grams) AS u(ngram)),
+g AS (SELECT lang, u.ngram FROM s, UNNEST(grams) AS u(ngram)
+     WHERE u.ngram <> ''),
 c AS (SELECT lang, ngram, COUNT(*) AS freq FROM g GROUP BY 1, 2)
 SELECT lang, ngram, freq, freq_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
@@ -3683,7 +3682,7 @@ fp AS (SELECT doc_id, source, md5({_NORM}) AS fingerprint
        FROM documents),
 j AS (SELECT fp.doc_id, fp.source, fp.fingerprint, q.n_tokens,
              q.quality, g.gopher_pass,
-             li.lang_declared <> li.lang_pred AS mismatch
+             li.lang_declared IS DISTINCT FROM li.lang_pred AS mismatch
       FROM fp JOIN q USING (doc_id) JOIN g USING (doc_id)
               JOIN li USING (doc_id))
 SELECT source, COUNT(*) AS n_docs,

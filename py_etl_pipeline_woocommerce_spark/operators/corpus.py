@@ -51,7 +51,14 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
     toks = documents.select(
         "doc_id", F.explode(tokens_expr("text")).alias("term")
     ).filter(F.col("term") != "")
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf has TWO consumers (the df derivation and the scored join) —
+    # pin it or Catalyst re-runs the tokenize+explode+agg subtree per
+    # consumer and the "scanned once" claim below is false
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -73,9 +80,16 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
 def ngram_freq(documents: DataFrame, n: int = 2, topk: int = 20) -> DataFrame:
     """Top-``topk`` word ``n``-grams per language by frequency.
 
-    One explode + two-key agg; the per-language top-k is a window over
-    the (tiny) aggregated counts, not the raw corpus. Ties break on
-    the n-gram string so the cut is total-ordered.
+    One explode + two-key agg. The aggregated (lang, ngram) frame is
+    CORPUS-SCALE (n-gram type counts grow near-linearly with data),
+    so the per-language top-k is NOT one window over it — a dominant
+    language would sort its whole n-gram vocabulary on one task.
+    Instead the standard two-level cut: rank within (lang, md5-byte
+    cell) keeps a ≤ 256·topk superset (any global top-k gram is
+    top-k within its cell), and only that bounded superset enters the
+    final ranking window. Ties break on the n-gram string so the cut
+    is total-ordered. Empty shingles (token-less docs emit one) are
+    filtered like every other shingle consumer.
     """
     # stage tokens as a column: word_shingles re-evaluates its input
     # per element inside the transform lambda (no HOF CSE) — unstaged
@@ -84,12 +98,22 @@ def ngram_freq(documents: DataFrame, n: int = 2, topk: int = 20) -> DataFrame:
         "lang", tokens_expr("text").alias("_toks")
     ).select(
         "lang", F.explode(word_shingles(F.col("_toks"), n)).alias("ngram")
-    )
+    ).filter(F.col("ngram") != "")
     counts = grams.groupBy("lang", "ngram").agg(F.count(F.lit(1)).alias("freq"))
+    cell = F.conv(F.substring(F.md5("ngram"), 1, 2), 16, 10).cast("int")
+    wc = Window.partitionBy("lang", "_c").orderBy(
+        F.col("freq").desc(), F.col("ngram")
+    )
+    sel = (
+        counts.withColumn("_c", cell)
+        .withColumn("_r", F.row_number().over(wc))
+        .filter(F.col("_r") <= topk)
+    )
     w = Window.partitionBy("lang").orderBy(F.col("freq").desc(), F.col("ngram"))
     return (
-        counts.withColumn("freq_rank", F.row_number().over(w))
+        sel.withColumn("freq_rank", F.row_number().over(w))
         .filter(F.col("freq_rank") <= topk)
+        .select("lang", "ngram", "freq", "freq_rank")
     )
 
 
@@ -358,13 +382,7 @@ def corpus_pipeline(
     from ..functions.text import md5_hex, norm_text
     from .textstats import quality_score
 
-    hashed = documents.select(
-        "doc_id", md5_hex(norm_text("text")).alias("content_hash")
-    )
-    keepers = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
-    kept = documents.join(
-        keepers.select("doc_id"), "doc_id", "left_semi"
-    )
+    kept = documents.join(_exact_keepers(documents), "doc_id", "left_semi")
     q = quality_score(kept).filter(F.col("quality") >= quality_min)
     bucket = _hash_bucket(F.col("doc_id"))
     return (
@@ -373,6 +391,16 @@ def corpus_pipeline(
         .withColumn("bucket", bucket)
         .filter(F.col("bucket") < sample_pct)
     )
+
+
+def _exact_keepers(documents: DataFrame) -> DataFrame:
+    """Keeper doc_ids of exact dedup — delegates to ``dedup_exact`` so
+    the canonical normal form and keeper policy (min doc_id per
+    md5(norm_text)) can never diverge between the prep pipelines and
+    the dedup operators that define them."""
+    from .dedup import dedup_exact
+
+    return dedup_exact(documents).select(F.col("keep_id").alias("doc_id"))
 
 
 def mix_weights(
@@ -394,10 +422,13 @@ def mix_weights(
     (group space = number of languages), a 1-row corpus total
     broadcast back — no second scan, no skew, no Python.
     """
+    # per_lang is langs-sized but has TWO consumers (totals + the
+    # output join) — without the pin each re-runs the corpus token
+    # scan, falsifying the "no second scan" claim below
     per_lang = documents.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(token_count_expr("text")).alias("lang_tokens"),
-    )
+    ).localCheckpoint(eager=False)
     totals = per_lang.agg(
         F.sum("lang_tokens").alias("total_tokens"),
         F.count(F.lit(1)).alias("n_langs"),
@@ -439,9 +470,11 @@ def doc_rarity(documents: DataFrame) -> DataFrame:
     """
     from .dedup import _spread
 
+    # two consumers (the df aggregate and the per-doc join) — pin the
+    # exploded frame or the tokenize+explode re-runs per consumer
     occ = _spread(documents).select(
         "doc_id", F.explode(tokens_expr("text")).alias("term")
-    ).filter(F.col("term") != "")
+    ).filter(F.col("term") != "").localCheckpoint(eager=False)
     df_ = (
         occ.distinct()
         .groupBy("term")
@@ -464,8 +497,12 @@ def doc_rarity(documents: DataFrame) -> DataFrame:
             "doc_id",
             F.coalesce("n_occ", F.lit(0)).alias("n_occ"),
             F.coalesce("df_sum", F.lit(0)).alias("df_sum"),
-            F.coalesce(commonness, F.lit(0.0)).alias("commonness"),
-            F.coalesce(F.lit(1.0) - commonness, F.lit(0.0)).alias("rarity"),
+            # token-less docs: NULL for BOTH, never the contradictory
+            # (commonness=0 "maximally rare", rarity=0 "maximally
+            # common") pair the old coalesces produced — absent
+            # content has no rarity, the caller decides its fate
+            commonness.alias("commonness"),
+            (F.lit(1.0) - commonness).alias("rarity"),
         )
     )
 
@@ -555,12 +592,7 @@ def corpus_prep(
     from ..functions.text import md5_hex, norm_text
 
     gated = filter_pipeline(documents).filter(F.col("keep")).select("doc_id")
-    keepers = (
-        documents.select("doc_id", md5_hex(norm_text("text")).alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    keepers = _exact_keepers(documents)
     survivors = (
         documents.join(gated, "doc_id", "left_semi")
         .join(keepers, "doc_id", "left_semi")
@@ -745,13 +777,16 @@ def source_divergence(documents: DataFrame, top_v: int = 2000) -> DataFrame:
     w = Window.partitionBy("source").orderBy(
         F.col("c").desc(), F.col("term")
     )
+    # kept (≤ top_v × sources rows) feeds totals AND probs; probs
+    # feeds both join sides AND the source grid — pin each or the
+    # corpus explode+agg+rank re-runs up to five times
     kept = counts.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= top_v
-    )
+    ).localCheckpoint(eager=False)
     totals = kept.groupBy("source").agg(F.sum("c").alias("tot"))
     probs = kept.join(totals, "source").select(
         "source", "term", (F.col("c").cast("double") / F.col("tot")).alias("p")
-    )
+    ).localCheckpoint(eager=False)
     a = probs.select(
         F.col("source").alias("source_a"),
         "term",
@@ -884,7 +919,13 @@ def token_budget_sample(
     from .textstats import quality_score
 
     q = quality_score(documents).select("doc_id", "n_tokens", "quality")
-    d = documents.select("doc_id", "lang").join(q, "doc_id")
+    # d embeds the quality_score scan and has TWO consumers (the cut
+    # points + the bucketed join) — pin it or the scan re-runs
+    d = (
+        documents.select("doc_id", "lang")
+        .join(q, "doc_id")
+        .localCheckpoint(eager=False)
+    )
     if n_buckets < 2:
         # degenerate opt-out: one bucket == the naive per-language
         # window (callers accepting the single-task cost)
@@ -904,6 +945,8 @@ def token_budget_sample(
             "_b",
             F.size(F.filter("_cuts", lambda c: c > F.col("quality"))),
         )
+    # b feeds the within-bucket cumsum AND the offset aggregate
+    b = b.localCheckpoint(eager=False)
     wb = (
         Window.partitionBy("lang", "_b")
         .orderBy(F.col("quality").desc(), "doc_id")
@@ -1029,14 +1072,19 @@ def _dsir_scored(
                 F.lit(n_buckets),
             ),
         )
+        # TWO consumers (doc_b + b_stats) — pin the explode or the
+        # "one token explode" claim above is false at execution time
+        .localCheckpoint(eager=False)
     )
     doc_b = occ.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).alias("tf")
     )
+    # b_stats is n_buckets rows but ALSO has two consumers (totals +
+    # ratio), each otherwise re-aggregating the full occ frame
     b_stats = occ.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_n"),
         F.count(F.when(F.col("source") == target_source, 1)).alias("tgt_n"),
-    )
+    ).localCheckpoint(eager=False)
     totals = b_stats.agg(
         F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
     )
@@ -1157,7 +1205,10 @@ def dsir_score_with_model(docs: DataFrame, model: DataFrame) -> DataFrame:
     # filtered read, the pre-spine b_stats shape) would silently
     # re-bucket every token differently than at training time
     seen = [r["bucket"] for r in rows]
-    if seen != list(range(len(rows))):
+    # an EMPTY model passes the contiguity check ([] == range(0)) and
+    # would make pmod(hash, 0) NULL-bucket every token — the silent
+    # zero-survivors failure this validation exists to prevent
+    if not rows or seen != list(range(len(rows))):
         raise ValueError(
             "dsir model must hold exactly one row per contiguous "
             f"bucket 0..n-1; got {len(rows)} rows with ids "
@@ -1224,14 +1275,13 @@ def corpus_prep_v2(
     from .textstats import filter_pipeline
     from ..functions.text import md5_hex, norm_text
 
-    keepers = (
-        documents.select("doc_id", md5_hex(norm_text("text")).alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    keepers = _exact_keepers(documents)
     deduped = documents.join(keepers, "doc_id", "left_semi")
     stripped = strip_repeated_spans(deduped)
+    # docs2 embeds the whole strip_repeated_spans subtree (k-gram
+    # shuffle + reassembly) and has THREE consumers (gate, surv join,
+    # final join) — pin it or the most expensive stage of the cascade
+    # executes three times
     docs2 = (
         deduped.select("doc_id", "lang", "source")
         .join(
@@ -1239,6 +1289,7 @@ def corpus_prep_v2(
             "doc_id",
         )
         .withColumn("n_chars", F.length("text"))
+        .localCheckpoint(eager=False)
     )
     gated = filter_pipeline(docs2).filter(F.col("keep")).select("doc_id")
     surv = docs2.join(gated, "doc_id", "left_semi")
@@ -1554,7 +1605,12 @@ def corpus_report(documents: DataFrame) -> DataFrame:
     g = gopher_rules(documents).select("doc_id", "gopher_pass")
     li = lang_id(documents).select(
         "doc_id",
-        (F.col("lang_declared") != F.col("lang_pred")).alias("_mismatch"),
+        # null-safe: a NULL declared lang with a real prediction IS a
+        # metadata mismatch — plain != would NULL out and sum() would
+        # skip exactly the broken rows the health report must flag
+        (~F.col("lang_declared").eqNullSafe(F.col("lang_pred"))).alias(
+            "_mismatch"
+        ),
     )
     j = base.join(fp, "doc_id").join(q, "doc_id").join(g, "doc_id").join(
         li, "doc_id"
@@ -1607,9 +1663,13 @@ def hash_embed(documents: DataFrame, dim: int = 16) -> DataFrame:
         "doc_id", F.explode(tokens_expr("text")).alias("term")
     ).filter(F.col("term") != "")
     h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
+    # tb feeds the norm aggregate AND the output join — pin it or the
+    # "no second scan" claim is false at execution time
     tb = occ.select(
         "doc_id", (h.cast("bigint") % dim).alias("dim_idx")
-    ).groupBy("doc_id", "dim_idx").agg(F.count(F.lit(1)).alias("tf"))
+    ).groupBy("doc_id", "dim_idx").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=False)
     norms = tb.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("_nrm")
     )
@@ -1989,6 +2049,19 @@ def hybrid_search(
     )
 
 
+def _split_assign(bucket, train_pct: int, val_pct: int):
+    """bucket → split label, in ONE place: the leakage audits
+    (``split_leakage``/``split_leakage_near``) must apply the exact
+    rule ``corpus_split`` assigns with, or a drifted copy would
+    desynchronize the audit from the split it audits — the very
+    cross-split leak they exist to catch."""
+    return (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+
+
 def _split_bucket():
     """Salted [0, 100) split bucket from md5('split:' || doc_id) —
     portable to DuckDB as
@@ -2027,9 +2100,7 @@ def corpus_split(
     """
     h = _split_bucket()
     split = (
-        F.when(F.col("bucket") < train_pct, "train")
-        .when(F.col("bucket") < train_pct + val_pct, "val")
-        .otherwise("test")
+        _split_assign(F.col("bucket"), train_pct, val_pct)
     )
     return documents.select(
         "doc_id", "lang", "source", h.alias("bucket")
@@ -2059,9 +2130,7 @@ def split_leakage(
 
     h = _split_bucket()
     split = (
-        F.when(h < train_pct, "train")
-        .when(h < train_pct + val_pct, "val")
-        .otherwise("test")
+        _split_assign(h, train_pct, val_pct)
     )
     tagged = documents.select(
         "doc_id",
@@ -2111,9 +2180,7 @@ def split_leakage_near(
 
     h = _split_bucket()
     split = (
-        F.when(h < train_pct, "train")
-        .when(h < train_pct + val_pct, "val")
-        .otherwise("test")
+        _split_assign(h, train_pct, val_pct)
     )
     splits = documents.select("doc_id", split.alias("split"))
     pairs = minhash_lsh_pairs(documents, threshold=threshold)
