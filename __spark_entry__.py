@@ -876,7 +876,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d)
         ),
         "length_buckets": lambda s, d: corpus.length_buckets(_docs(s, d)),
-        "value_outliers": lambda s, d: temporal.value_outliers(_events(s, d)),
+        # exact=True pin: the oracle needs the exact percentile plan;
+        # the sketch is the production default (facade convention)
+        "value_outliers": lambda s, d: temporal.value_outliers(
+            _events(s, d), exact=True
+        ),
         "ann_rerank_topk": lambda s, d: similarity.ann_rerank_topk(_emb(s, d)),
         # approximate by construction (GK quantile cut) — rows-only
         "dsir_select_threshold": lambda s, d: corpus.dsir_select_threshold(
@@ -3027,7 +3031,8 @@ FROM (SELECT customer_id FROM y95 EXCEPT SELECT customer_id FROM y96)
 WITH daily AS (
   SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
          COUNT(*) AS n_events,
-         SUM(CAST(value AS DECIMAL(18,2))) AS val
+         COALESCE(SUM(CAST(value AS DECIMAL(18,2))),
+                  CAST(0 AS DECIMAL(18,2))) AS val
   FROM events GROUP BY 1, 2),
 bounds AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
 spine AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM bounds),
@@ -3086,7 +3091,8 @@ FROM rid GROUP BY doc_id, run_id
 daily AS (
   SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
          COUNT(*) AS n_events,
-         SUM(CAST(value AS DECIMAL(18,2))) AS val
+         COALESCE(SUM(CAST(value AS DECIMAL(18,2))),
+                  CAST(0 AS DECIMAL(18,2))) AS val
   FROM events GROUP BY 1, 2),
 bounds AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
 spine AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM bounds),
@@ -3911,11 +3917,16 @@ p AS (SELECT user_id, first_day + offset_days AS day_idx, offset_days
 j AS (SELECT p.offset_days,
              CASE WHEN e.day_idx IS NULL THEN 0 ELSE 1 END AS active
       FROM p LEFT JOIN e ON p.user_id = e.user_id
-                        AND p.day_idx = e.day_idx)
-SELECT offset_days, COUNT(*) AS n_eligible,
-       CAST(SUM(active) AS BIGINT) AS n_retained,
-       round(CAST(SUM(active) AS BIGINT) / COUNT(*), 6) AS retention
-FROM j GROUP BY 1
+                        AND p.day_idx = e.day_idx),
+agg AS (SELECT offset_days, COUNT(*) AS n_eligible,
+               CAST(SUM(active) AS BIGINT) AS n_retained
+        FROM j GROUP BY 1)
+SELECT o.offset_days,
+       COALESCE(n_eligible, 0) AS n_eligible,
+       COALESCE(n_retained, 0) AS n_retained,
+       round(COALESCE(n_retained, 0)
+             / NULLIF(COALESCE(n_eligible, 0), 0), 6) AS retention
+FROM o LEFT JOIN agg USING (offset_days)
 """
     out["corpus_split"] = """
 WITH b AS (SELECT doc_id, lang, source,

@@ -68,6 +68,11 @@ def asof_join(
     bounded variant costs nothing extra and shares the single-shuffle
     plan.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "asof_join: direction must be 'backward', 'forward', or "
+            f"'nearest', got {direction!r}"
+        )
     e = _ts_us(events)
     if direction == "nearest":
         right = e.filter(F.col("event_type") == right_type).select(
@@ -323,13 +328,21 @@ def _day_grid(events: DataFrame):
     broadcast into the left join against the daily aggregate. Gap
     filling never touches raw events twice."""
     e = _ts_us(events)
+    # THREE consumers (bounds, distinct types, the fill join) — pin or
+    # the raw-event aggregate re-runs per consumer. _val coalesces to
+    # 0 on OBSERVED days: a day whose events all carry NULL value is
+    # observed-with-zero-money, never "missing" — otherwise locf/
+    # interp would fabricate a value for a day the zero-fill variant
+    # reports as 0.0 (three fill policies disagreeing on observedness)
     daily = e.groupBy(
         (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec_money("value")).alias("_val"),
-    )
+        F.coalesce(
+            F.sum(dec_money("value")), F.lit(0).cast("decimal(18,2)")
+        ).alias("_val"),
+    ).localCheckpoint(eager=False)
     bounds = daily.agg(
         F.min("day_idx").alias("_lo"), F.max("day_idx").alias("_hi")
     )
@@ -657,19 +670,24 @@ def fill_missing_days_interp(events: DataFrame) -> DataFrame:
     )
 
 
-def value_outliers(events: DataFrame) -> DataFrame:
+def value_outliers(events: DataFrame, exact: bool = False) -> DataFrame:
     """Events whose value exceeds their type's p99 — the standard
     threshold-from-the-data anomaly flag (fraud review queues, SLO
-    breach detection) expressed as: exact per-type percentiles
-    (``value_percentiles``, a types-row frame) broadcast back over one
-    event scan. The comparison uses the ROUNDED p99 both engines agree
-    on, so the flagged set is engine-exact.
+    breach detection): per-type percentiles (a types-row frame)
+    broadcast back over one event scan. The comparison uses the
+    ROUNDED p99 both engines agree on, so with ``exact=True`` the
+    flagged set is engine-exact.
 
-    At scale the percentile side swaps for the GK sketch exactly as
-    ``event_value_summary`` does (same schema, so this composition is
-    precision-swappable too); the scan side is unchanged either way.
+    DEFAULTS TO THE SKETCH PATH via ``event_value_summary`` (the
+    exact/sketch facade convention): the exact single-buffer
+    percentile puts a type's every value in one aggregation buffer —
+    per-group OOM at the scale this module targets — so ``exact=True``
+    is for oracle verification and known-small groups only. Same
+    output schema either way; the scan side is unchanged.
     """
-    p99 = value_percentiles(events).select("event_type", "p99")
+    p99 = event_value_summary(events, exact=exact).select(
+        "event_type", "p99"
+    )
     e = _ts_us(events)
     return (
         e.join(F.broadcast(p99), "event_type")
@@ -936,6 +954,8 @@ def event_mix_drift(
         F.sum(before).alias("n_before"),
         F.sum(1 - before).alias("n_after"),
     )
+    # two consumers (totals + the share join) — pin the types-row agg
+    per_type = per_type.localCheckpoint(eager=False)
     totals = per_type.agg(
         F.sum("n_before").alias("_tb"), F.sum("n_after").alias("_ta")
     )
@@ -1068,7 +1088,11 @@ def seasonal_anomaly(
     daily = e.groupBy(
         "event_type", F.expr(f"t_us div {DAY_US}").alias("day_idx")
     ).agg(F.count(F.lit(1)).alias("n_events"))
-    daily = daily.withColumn("weekday", F.expr("(day_idx + 3) % 7"))
+    # two consumers (the weekday baseline + the flag join) — pin the
+    # (type, day) aggregate or the raw scan re-runs per consumer
+    daily = daily.withColumn(
+        "weekday", F.expr("(day_idx + 3) % 7")
+    ).localCheckpoint(eager=False)
     base = daily.groupBy("event_type", "weekday").agg(
         F.sum("n_events").alias("_tot"), F.count(F.lit(1)).alias("_days")
     )
@@ -1276,10 +1300,12 @@ def ks_drift(
     grid cell's mass.
     """
     e = _ts_us(events)
+    # two consumers (totals + the cumulative window) — pin or the
+    # raw-event scan re-runs per consumer
     per_value = e.groupBy("event_type", "value").agg(
         F.sum(F.when(F.col("t_us") < cut_us, 1).otherwise(0)).alias("d_b"),
         F.sum(F.when(F.col("t_us") < cut_us, 0).otherwise(1)).alias("d_a"),
-    )
+    ).localCheckpoint(eager=False)
     totals = per_value.groupBy("event_type").agg(
         F.sum("d_b").alias("n_before"), F.sum("d_a").alias("n_after")
     )
@@ -1299,10 +1325,14 @@ def ks_drift(
         .agg(
             F.first("n_before").alias("n_before"),
             F.first("n_after").alias("n_after"),
+            # DECIMAL(38,0): BIGINT c_b*n_after overflows past ~3e9
+            # events per side (ANSI crash / silent wrap) — the same
+            # guard m4_downsample applies to its bucket product
             F.max(
                 F.abs(
-                    F.col("c_b") * F.col("n_after")
-                    - F.col("c_a") * F.col("n_before")
+                    F.col("c_b").cast("decimal(38,0)") * F.col("n_after")
+                    - F.col("c_a").cast("decimal(38,0)")
+                    * F.col("n_before")
                 )
             ).alias("_num"),
         )
@@ -1349,9 +1379,11 @@ def dayn_retention(
     scalar rides a 1-row broadcast.
     """
     e = _ts_us(events)
+    # THREE consumers (firsts, max_day, the active probe join) — pin
+    # or the distinct scan re-runs per consumer
     days = e.select(
         "user_id", F.expr(f"t_us div {DAY_US}").alias("day_idx")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     firsts = days.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
     max_day = days.agg(F.max("day_idx").alias("max_day"))
     probes = (
@@ -1369,15 +1401,39 @@ def dayn_retention(
     )
     active = days.withColumn("active", F.lit(1))
     joined = probes.join(active, ["user_id", "day_idx"], "left")
-    return (
-        joined.groupBy("offset_days")
-        .agg(
-            F.count(F.lit(1)).alias("n_eligible"),
-            F.sum(F.coalesce("active", F.lit(0))).alias("n_retained"),
+    agg = joined.groupBy("offset_days").agg(
+        F.count(F.lit(1)).alias("n_eligible"),
+        F.sum(F.coalesce("active", F.lit(0))).alias("n_retained"),
+    )
+    # offsets SPINE: an offset no user is yet eligible for (data
+    # younger than D14) must come back as an n_eligible=0 row, not
+    # silently vanish from the curve — "one row per offset" is the
+    # contract a dashboard iterates
+    spine = (
+        events.sparkSession.range(1)
+        .select(
+            F.explode(F.array(*[F.lit(o) for o in offsets])).alias(
+                "offset_days"
+            )
         )
-        .withColumn(
-            "retention",
-            F.round(F.col("n_retained") / F.col("n_eligible"), 6),
+    )
+    return (
+        spine.join(agg, "offset_days", "left")
+        .select(
+            "offset_days",
+            F.coalesce("n_eligible", F.lit(0))
+            .cast("long")
+            .alias("n_eligible"),
+            F.coalesce("n_retained", F.lit(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.round(
+                F.try_divide(
+                    F.coalesce("n_retained", F.lit(0)),
+                    F.coalesce("n_eligible", F.lit(0)),
+                ),
+                6,
+            ).alias("retention"),
         )
     )
 
@@ -1410,6 +1466,9 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
         )
         .groupBy("event_type", "day_idx")
         .agg(F.sum(dec_money("value")).cast("decimal(28,2)").alias("x"))
+        # two consumers (totals + the cumulative select) — pin the
+        # aggregated frame or the raw scan re-runs per consumer
+        .localCheckpoint(eager=False)
     )
     totals = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
