@@ -372,20 +372,48 @@ def ivf_centroids(
         (F.row_number().over(Window.orderBy("centroid_id")) - 1).alias("centroid_id"),
         "centroid",
     )
+    grid = F.floor(F.col("v") * F.lit(1e9)).cast("decimal(38,0)")
     for _ in range(iterations):
         assigned = assign_to_centroids(embeddings, cents)
-        cents = (
+        # per-dim means on the 1e9 integer grid (label_centroids'
+        # trick): double avg depends on partition/summation order, so
+        # a task retry could flip a near-tied assignment next round —
+        # the grid sum is exact and associative, keeping the stated
+        # retry-safe/engine-reproducible contract true
+        means = (
             assigned.select(
-                "centroid_id", F.posexplode("embedding").alias("dim", "v")
+                "centroid_id",
+                F.posexplode(
+                    F.col("embedding").cast("array<double>")
+                ).alias("dim", "v"),
             )
             .groupBy("centroid_id", "dim")
-            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .agg(
+                (
+                    F.sum(grid).cast("double")
+                    / (F.count(F.lit(1)) * F.lit(1e9))
+                ).alias("m")
+            )
             .groupBy("centroid_id")
             .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm"))
             .select(
                 "centroid_id",
                 F.transform("dm", lambda s: s["m"]).alias("centroid"),
             )
+        )
+        # Lloyd keeps an EMPTIED cell's centroid where it was instead
+        # of silently returning < n_centroids rows (duplicate seeds
+        # tie-break to the lower id, starving the twin)
+        cents = (
+            cents.select("centroid_id", F.col("centroid").alias("_prev"))
+            .join(means, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("centroid", "_prev").alias("centroid"),
+            )
+            # truncate per-round lineage AND serve the two consumers
+            # of the final frame (assignment + query probes)
+            .localCheckpoint(eager=False)
         )
     return cents
 
@@ -406,11 +434,20 @@ def assign_to_centroids(embeddings: DataFrame, centroids: DataFrame) -> DataFram
         lambda acc, v: acc + v,
     )
     scored = embeddings.join(F.broadcast(centroids)).withColumn("_d", l2)
-    w = Window.partitionBy("vec_id").orderBy("_d", "centroid_id")
+    # min over (dist, id, emb) structs: map-side combinable, so the
+    # shuffle carries ONE row per vector instead of the n·k rows a
+    # rank window would move (k× the corpus at the default k=16);
+    # lexicographic struct order = the documented (dist, id) tie-break
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", "centroid_id")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("_d", "centroid_id", "embedding")).alias("_b")
+        )
+        .select(
+            "vec_id",
+            F.col("_b.embedding").alias("embedding"),
+            F.col("_b.centroid_id").alias("centroid_id"),
+        )
     )
 
 
@@ -454,7 +491,10 @@ def ann_ivf_topk(
         .filter(F.col("_rn") <= n_probe)
         .select("query_id", "q_emb", "q_nrm", "centroid_id")
     )
-    cand = probes.join(inverted, "centroid_id").filter(
+    # probes is n_queries × n_probe rows — broadcast it or Spark may
+    # shuffle the corpus-sized inverted list on a ≤ n_centroids-value
+    # key (the straggler shape the cluster-pruned scan exists to avoid)
+    cand = F.broadcast(probes).join(inverted, "centroid_id").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -531,7 +571,12 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     grid = F.floor(F.col("_v") * F.lit(1e9)).cast("bigint")
     return (
         e.groupBy("label", F.col("dim").cast("int").alias("dim"))
-        .agg(F.sum(grid).alias("_s"), F.count(F.lit(1)).alias("n_vecs"))
+        # DECIMAL(38,0): the bigint grid sum wraps past ~9e9 unit-scale
+        # rows per (label, dim) — silent garbage centroids at scale
+        .agg(
+            F.sum(grid.cast("decimal(38,0)")).alias("_s"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
         .select(
             "label",
             "dim",
@@ -644,7 +689,11 @@ def score_embeddings(
 
     Default weights are a deterministic expression of the dimension
     index (``((i % 7) - 3) / 7`` — reproducible by the SQL oracle);
-    real deployments pass the trained head.
+    real deployments pass the trained head. A head whose length does
+    not match the embedding dimensionality raises loudly per row:
+    ``zip_with`` would otherwise null-pad the shorter side and every
+    margin would silently become NULL (an arbitrary-looking but wrong
+    "top-k").
     """
     dim = 64
     if weights is None:
@@ -654,6 +703,21 @@ def score_embeddings(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).withColumn(
+        "emb",
+        F.when(
+            F.size("emb") == len(weights), F.col("emb")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"score_embeddings: weights has {len(weights)} "
+                        "dims but embedding has "
+                    ),
+                    F.size("emb").cast("string"),
+                )
+            )
+        ),
     )
     margin = F.aggregate(
         F.zip_with(F.col("emb"), w_arr, lambda x, w: x * w),
@@ -687,9 +751,11 @@ def ann_quantized_topk(
     )
     ranges = _dim_ranges(e)
     _mn_, _scale_, _code = _quant_fns(bits)
+    # coded feeds BOTH the query slice and the corpus side — pin it or
+    # the _dim_ranges aggregate + full-corpus quantization run twice
     coded = e.join(F.broadcast(ranges)).select(
         "vec_id", F.transform("emb", _code).alias("codes")
-    )
+    ).localCheckpoint(eager=False)
     q = coded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("codes").alias("q_codes")
     )
@@ -913,6 +979,12 @@ def mmr_topk(
             _dot(F.col("q_emb"), F.col("c_emb"))
             / (F.col("q_nrm") * F.col("c_nrm")),
         )
+        # a zero-norm vector yields NaN rel and NaN _unit components;
+        # one such row inside a candidate set would poison the greedy
+        # argmax (NaN wins numpy argmax) for the WHOLE query — drop it
+        # here, where the ann_topk family's NULL-sorts-last handling
+        # is not available
+        .filter(F.col("rel").isNotNull() & ~F.isnan("rel"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("rel").desc(), F.col("neighbor_id")
@@ -950,10 +1022,14 @@ def mmr_topk(
         for rank in range(1, min(k, n) + 1):
             mmr = lamb * rel - (1.0 - lamb) * red
             mmr[picked] = -np.inf
-            # argmax with neighbor_id tie-break: numpy argmax takes the
-            # first max, and rows are sorted by (rel desc, id asc) — a
-            # deterministic total order
-            best = int(np.argmax(np.round(mmr, 12)))
+            # ties on the 1e-12 rounded score break on neighbor_id —
+            # the documented contract; plain argmax would instead take
+            # the first row in (rel desc) order, i.e. higher relevance
+            # rather than lower id
+            m = np.round(mmr, 12)
+            tied = np.flatnonzero(m == m.max())
+            ids = pdf["neighbor_id"].to_numpy()[tied]
+            best = int(tied[np.argmin(ids)])
             out.append(
                 (
                     int(pdf["query_id"].iloc[best]),
