@@ -63,11 +63,35 @@ def scd2_apply(
     fp = _row_fingerprint(tracked)
     open_rows = current.filter(F.col("is_current"))
     closed_rows = current.filter(~F.col("is_current"))
-    upd = updates.select(
-        F.col(key),
-        *[F.col(c).alias(f"_new_{c}") for c in tracked],
-    ).withColumn("_new_fp", _row_fingerprint(tracked, prefix="_new_"))
-    joined = open_rows.withColumn("_fp", fp).join(upd, key, "full_outer")
+    # a batch carrying one key TWICE would fan the full-outer join out
+    # and write duplicate closed rows plus multiple open rows per key
+    # — corruption every later batch compounds. Guard lazily (a
+    # batch-sized window count) and raise loudly instead.
+    wk = Window.partitionBy(key)
+    upd = (
+        updates.withColumn("_kn", F.count(F.lit(1)).over(wk))
+        .select(
+            F.when(
+                F.col("_kn") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit("scd2_apply: duplicate key in updates "
+                              "batch: "),
+                        F.col(key).cast("string"),
+                    )
+                ),
+            ).otherwise(F.col(key)).alias(key),
+            *[F.col(c).alias(f"_new_{c}") for c in tracked],
+        )
+        .withColumn("_new_fp", _row_fingerprint(tracked, prefix="_new_"))
+    )
+    # joined feeds THREE filter branches — pin or the open⋈batch join
+    # and fingerprint hashing re-run per branch
+    joined = (
+        open_rows.withColumn("_fp", fp)
+        .join(upd, key, "full_outer")
+        .localCheckpoint(eager=False)
+    )
     # rows whose key has an update with different tracked values
     changed = F.col("_new_fp").isNotNull() & (
         F.col("_fp").isNull() | (F.col("_fp") != F.col("_new_fp"))
@@ -182,7 +206,9 @@ def dq_check(df: DataFrame, rules: dict[str, str]) -> DataFrame:
         )
     wide = df.agg(*aggs)
     pairs = ", ".join(
-        "'{}', _v{}".format(n.replace("'", "''"), i)
+        "'{}', _v{}".format(
+            n.replace("\\", "\\\\").replace("'", "\\'"), i
+        )
         for i, n in enumerate(names)
     )
     return (
@@ -231,7 +257,11 @@ def profile_table(df: DataFrame, exact: bool = False) -> DataFrame:
             F.min(F.col(c)).alias(f"_mn_{c}"),
             F.max(F.col(c)).alias(f"_mx_{c}"),
         ]
-    one = df.agg(*aggs)
+    # the 1-row aggregate is consumed by one union branch PER COLUMN;
+    # column pruning specializes each branch's aggregate to its own
+    # subset, defeating exchange reuse, so without the pin the table
+    # is scanned ~k times instead of once
+    one = df.agg(*aggs).localCheckpoint(eager=False)
 
     def _s(col, t):
         if t == "double":
@@ -305,8 +335,14 @@ def profile_drift(
         "n_rows_after",
         F.round(F.col("_nr_a") - F.col("_nr_b"), 6).alias("null_rate_delta"),
         (F.col("_nd_a") - F.col("_nd_b")).alias("n_distinct_delta"),
+        # presence ORed in: an added/dropped column whose min/max are
+        # NULL (all-NULL column, zero-row side) would otherwise pass
+        # eqNullSafe(NULL, NULL) and read bounds_changed=false — hiding
+        # the most drastic drift the report promises to surface
         (
-            ~(
+            F.col("_dt_a").isNull()
+            | F.col("_dt_b").isNull()
+            | ~(
                 F.col("_mn_a").eqNullSafe(F.col("_mn_b"))
                 & F.col("_mx_a").eqNullSafe(F.col("_mx_b"))
             )
@@ -366,7 +402,10 @@ def rollup_merge(existing: DataFrame, batch_events: DataFrame) -> DataFrame:
     )
 
 
-def merge_rollup_store(spark, store_path: str, batch_events: DataFrame) -> None:
+def merge_rollup_store(
+    spark, store_path: str, batch_events: DataFrame,
+    batch_id: int | None = None,
+) -> None:
     """Persist-side of ``rollup_merge``: fold a batch of raw events
     into an ON-DISK month-partitioned daily-rollup table, touching
     only the months the batch lands in. The existing side is read
@@ -387,6 +426,20 @@ def merge_rollup_store(spark, store_path: str, batch_events: DataFrame) -> None:
     # the optimizer inferred would drift the parquet schema between
     # partitions written in different rounds.
     _dec = "decimal(30,2)"
+    # batch-id marker: foreachBatch is at-least-once, and a SUM fold
+    # is not idempotent — a re-delivered micro-batch would double-count
+    # its events into the store permanently. The marker is written
+    # AFTER the partition overwrite, so re-delivery after a fully
+    # applied batch is a no-op; a crash exactly between the data write
+    # and the marker write can still double-apply (the residual window
+    # transactional table formats close — Delta/Iceberg MERGE is the
+    # production fix, this is the parquet-store analogue).
+    if batch_id is not None:
+        marker = os.path.join(store_path, "_applied", f"batch-{batch_id}")
+        if os.path.exists(marker):
+            return
+    # TWO consumers (the month list collect + the merge/write) — pin
+    # or the batch aggregation runs twice per fold
     batch = daily_rollup_partials(batch_events).select(
         "day_us",
         "event_type",
@@ -395,7 +448,7 @@ def merge_rollup_store(spark, store_path: str, batch_events: DataFrame) -> None:
         F.date_format(
             (F.col("day_us") / 1_000_000).cast("timestamp"), "yyyy-MM"
         ).alias("month"),
-    )
+    ).localCheckpoint(eager=False)
     if not os.path.exists(store_path):
         merged = batch
     else:
@@ -420,6 +473,12 @@ def merge_rollup_store(spark, store_path: str, batch_events: DataFrame) -> None:
         .partitionBy("month")
         .parquet(store_path)
     )
+    if batch_id is not None:
+        os.makedirs(os.path.join(store_path, "_applied"), exist_ok=True)
+        with open(
+            os.path.join(store_path, "_applied", f"batch-{batch_id}"), "w"
+        ):
+            pass
 
 
 def cdc_apply(
@@ -456,6 +515,28 @@ def cdc_apply(
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        # a NULL/unknown net op would pass `!= "D"` as NULL and the
+        # key — already anti-joined out of `kept` — would silently
+        # VANISH (a phantom delete). Malformed feeds must fail loudly.
+        .withColumn(
+            op_col,
+            F.when(
+                F.col(op_col).isin("I", "U", "D"), F.col(op_col)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("cdc_apply: op must be I/U/D, got "),
+                        F.coalesce(
+                            F.col(op_col).cast("string"), F.lit("NULL")
+                        ),
+                        F.lit(" for key "),
+                        F.col(key).cast("string"),
+                    )
+                )
+            ),
+        )
+        # two consumers (touched + upserts) — pin the drop-sized net
+        .localCheckpoint(eager=False)
     )
     touched = net.select(key).distinct()
     kept = current.join(F.broadcast(touched), key, "left_anti")
@@ -535,26 +616,38 @@ def numeric_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     nothing else moves. DECIMAL(18,6) inputs bound values to ~10¹²;
     widen the cast for larger magnitudes.
     """
+    if len(cols) < 2:
+        raise ValueError(
+            f"numeric_corr: need at least two columns, got {cols!r}"
+        )
+    # INDEX-based aggregate aliases: name-joined ones ("s_" + x + "_"
+    # + y) collide when a column name itself contains the delimiter
+    # (cols ["a", "b", "a_b"]: pair (a, b) and column a_b both alias
+    # s_a_b — duplicate agg names, AMBIGUOUS_REFERENCE downstream)
+    idx = {c: i for i, c in enumerate(cols)}
     dec = {c: F.col(c).cast("decimal(18,6)") for c in cols}
     aggs = [F.count(F.lit(1)).alias("n")]
     for i, x in enumerate(cols):
-        aggs.append(F.sum(dec[x]).cast("double").alias(f"s_{x}"))
+        aggs.append(F.sum(dec[x]).cast("double").alias(f"s_{i}"))
         for y in cols[i:]:
             aggs.append(
-                F.sum(dec[x] * dec[y]).cast("double").alias(f"s_{x}_{y}")
+                F.sum(dec[x] * dec[y])
+                .cast("double")
+                .alias(f"s_{i}_{idx[y]}")
             )
     one = df.agg(*aggs)
     pair_structs = []
     for i, x in enumerate(cols):
         for y in cols[i + 1 :]:
-            num = F.col("n") * F.col(f"s_{x}_{y}") - F.col(f"s_{x}") * F.col(
-                f"s_{y}"
+            j = idx[y]
+            num = F.col("n") * F.col(f"s_{i}_{j}") - F.col(f"s_{i}") * F.col(
+                f"s_{j}"
             )
-            vx = F.col("n") * F.col(f"s_{x}_{x}") - F.col(f"s_{x}") * F.col(
-                f"s_{x}"
+            vx = F.col("n") * F.col(f"s_{i}_{i}") - F.col(f"s_{i}") * F.col(
+                f"s_{i}"
             )
-            vy = F.col("n") * F.col(f"s_{y}_{y}") - F.col(f"s_{y}") * F.col(
-                f"s_{y}"
+            vy = F.col("n") * F.col(f"s_{j}_{j}") - F.col(f"s_{j}") * F.col(
+                f"s_{j}"
             )
             pair_structs.append(
                 F.struct(
@@ -627,7 +720,22 @@ def cdc_apply_store(
         .select(
             *payload,
             F.col(seq_col).alias("_seq"),
-            (F.col(op_col) == "D").alias("_deleted"),
+            # validate like cdc_apply: a NULL/unknown op would make
+            # _deleted NULL and the live view would silently drop the
+            # key (read_cdc_store filters on NOT _deleted)
+            F.when(
+                F.col(op_col).isin("I", "U", "D"),
+                F.col(op_col) == "D",
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("cdc_apply_store: op must be I/U/D, got "),
+                        F.coalesce(
+                            F.col(op_col).cast("string"), F.lit("NULL")
+                        ),
+                    )
+                ).cast("boolean")
+            ).alias("_deleted"),
         )
         .localCheckpoint(eager=True)
     )

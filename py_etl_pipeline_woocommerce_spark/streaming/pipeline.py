@@ -337,7 +337,12 @@ class RollupMergeSink:
         from ..operators.warehouse import merge_rollup_store
 
         self.batches_seen += 1
-        merge_rollup_store(batch_df.sparkSession, self.store_path, batch_df)
+        # batch_id makes re-delivered micro-batches no-ops (the SUM
+        # fold is not idempotent; see merge_rollup_store's marker note)
+        merge_rollup_store(
+            batch_df.sparkSession, self.store_path, batch_df,
+            batch_id=batch_id,
+        )
 
 
 def run_stream_rollup_merge(

@@ -300,3 +300,60 @@ def test_numeric_corr_zero_variance_yields_null(spark):
     )
     r = numeric_corr(df, ["x", "c"]).collect()[0]
     assert r.corr is None
+
+
+def test_warehouse_malformed_input_guards(spark):
+    """The review-wave guards fail LOUDLY instead of corrupting:
+    duplicate SCD2 batch keys, NULL CDC ops, hostile DQ rule names,
+    corr alias collisions, and the drift report's added-all-NULL
+    column case."""
+    import pytest as _pt
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        cdc_apply,
+        dq_check,
+        numeric_corr,
+        profile_drift,
+        scd2_apply,
+    )
+
+    # scd2: a key sent twice in one batch must raise, not fan out
+    cur = spark.createDataFrame(
+        [(1, "a", 0, None, True)],
+        "k long, v string, valid_from int, valid_to int, is_current boolean",
+    )
+    dup = spark.createDataFrame([(1, "x"), (1, "y")], "k long, v string")
+    with _pt.raises(Exception, match="duplicate key"):
+        scd2_apply(cur, dup, "k", ["v"], 1).collect()
+
+    # cdc: a NULL net op must raise, never phantom-delete the key
+    cur2 = spark.createDataFrame([(1, "a", 0, "I")],
+                                 "k long, v string, seq long, op string")
+    bad = spark.createDataFrame([(1, "b", 9, None)],
+                                "k long, v string, seq long, op string")
+    with _pt.raises(Exception, match="op must be I/U/D"):
+        cdc_apply(cur2, bad, "k").collect()
+
+    # dq_check: backslashes and quotes in rule names survive intact
+    df = spark.createDataFrame([(1,)], "x long")
+    rules = {"path\\check": "x >= 0", "it's fine": "x < 10",
+             "trail\\": "x > 0"}
+    got = {r["rule"] for r in dq_check(df, rules).collect()}
+    assert got == set(rules)
+
+    # numeric_corr: underscore column names no longer collide, and
+    # <2 columns raises a clear error
+    nc = spark.createDataFrame(
+        [(1.0, 2.0, 3.0), (2.0, 4.0, 5.0), (3.0, 7.0, 6.0)],
+        "a double, b double, a_b double",
+    )
+    rows = numeric_corr(nc, ["a", "b", "a_b"]).collect()
+    assert len(rows) == 3  # all pairs, no AMBIGUOUS_REFERENCE
+    with _pt.raises(ValueError, match="at least two"):
+        numeric_corr(nc, ["a"])
+
+    # profile_drift: an all-NULL column present only on one side must
+    # report bounds_changed (presence beats eqNullSafe(NULL, NULL))
+    before = spark.createDataFrame([(1, None)], "k long, notes string")
+    after = spark.createDataFrame([(1,)], "k long")
+    drift = {r["column"]: r for r in profile_drift(before, after).collect()}
+    assert drift["notes"]["bounds_changed"] is True
