@@ -257,11 +257,16 @@ def profile_table(df: DataFrame, exact: bool = False) -> DataFrame:
             F.min(F.col(c)).alias(f"_mn_{c}"),
             F.max(F.col(c)).alias(f"_mx_{c}"),
         ]
-    # the 1-row aggregate is consumed by one union branch PER COLUMN;
-    # column pruning specializes each branch's aggregate to its own
-    # subset, defeating exchange reuse, so without the pin the table
-    # is scanned ~k times instead of once
-    one = df.agg(*aggs).localCheckpoint(eager=False)
+    # DELIBERATELY NOT checkpointed: the per-column union branches let
+    # column pruning specialize each branch to ONE distinct aggregate.
+    # Pinning the combined 1-row aggregate forces all k exact
+    # count-distincts into a single plan, which Spark executes via an
+    # EXPAND (input × k) — measured 3.6x SLOWER than the k pruned
+    # branch scans at sf0.1 (bench 2026-08-15). The multi-consumer
+    # convention applies to frames whose subtree re-execution is the
+    # dominant cost; here the re-execution is what keeps each branch
+    # expand-free.
+    one = df.agg(*aggs)
 
     def _s(col, t):
         if t == "double":
