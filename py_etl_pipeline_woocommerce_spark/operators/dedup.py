@@ -1323,6 +1323,7 @@ def write_line_index(
     prefix: str,
     n_buckets: int = 32,
     mode: str = "append",
+    batch_id: int | None = None,
 ) -> None:
     """Persist a batch's line-frequency partials to the stored
     boilerplate index ``{prefix}_lines`` (bucketed on ``line_hash``)
@@ -1345,22 +1346,82 @@ def write_line_index(
     trade as the k-gram index. Appends accumulate one row per
     (batch, distinct line); ``compact_line_index`` folds them back to
     one row per line when the partial tail grows long.
+
+    Pass ``batch_id`` (e.g. the foreachBatch epoch) to make the
+    append IDEMPOTENT under at-least-once replay — see
+    ``write_line_partials``.
     """
     lines = _doc_lines(documents).withColumn("line_hash", F.md5("line"))
-    write_line_partials(lines, prefix, n_buckets=n_buckets, mode=mode)
+    write_line_partials(
+        lines, prefix, n_buckets=n_buckets, mode=mode, batch_id=batch_id
+    )
+
+
+def _line_index_marker_dir(spark, prefix: str) -> str:
+    """Filesystem directory holding the line index's applied-batch
+    markers: a SIBLING of the table directory (``_{table}_applied``
+    next to it in the warehouse), NOT inside it — ``saveAsTable``
+    overwrite and ``compact_line_index`` recreate the table directory,
+    and markers must survive compaction (a compacted batch is still
+    applied)."""
+    import os
+
+    row = [
+        r
+        for r in spark.sql(
+            f"DESCRIBE FORMATTED {prefix}_lines"
+        ).collect()
+        if r.col_name.strip() == "Location"
+    ][0]
+    loc = row.data_type.strip()
+    if loc.startswith("file:"):
+        loc = loc[len("file:"):]
+    loc = loc.rstrip("/")
+    return os.path.join(
+        os.path.dirname(loc), f"_{os.path.basename(loc)}_applied"
+    )
 
 
 def write_line_partials(
-    lines: DataFrame, prefix: str, n_buckets: int = 32, mode: str = "append"
+    lines: DataFrame,
+    prefix: str,
+    n_buckets: int = 32,
+    mode: str = "append",
+    batch_id: int | None = None,
 ) -> None:
     """Fold an already-exploded (doc_id, line_hash) frame into the
     store — the seam that lets ``run_stream_line_strip`` append the
     SAME checkpointed frame the strip just consumed instead of
     re-exploding and re-hashing the drop's text a second time (the
     explode+md5 is the dominant per-batch cost for text-heavy drops).
+
+    ``batch_id`` marker (same device as ``merge_rollup_store``,
+    operators/warehouse.py): foreachBatch is at-least-once and an
+    append-then-SUM fold is not idempotent — a re-delivered
+    micro-batch would permanently double-count doc_freq. With a
+    ``batch_id``, a marker file is written AFTER the append; a
+    re-delivery that finds its marker is a no-op. A crash exactly
+    between the append and the marker write can still double-apply —
+    the residual window a transactional table format closes.
+    Markers live beside the table (not inside it) so compaction
+    preserves them; a ``mode="overwrite"`` rebuild CLEARS them (the
+    rebuilt store's contents no longer correspond to the applied set
+    — restart the stream from a source position consistent with the
+    rebuild).
     """
+    import os
+    import shutil
+
     from ..sources.bucketing import write_bucketed
 
+    spark = lines.sparkSession
+    table_exists = spark.catalog.tableExists(f"{prefix}_lines")
+    if batch_id is not None and mode == "append" and table_exists:
+        marker = os.path.join(
+            _line_index_marker_dir(spark, prefix), f"batch-{batch_id}"
+        )
+        if os.path.exists(marker):
+            return
     agg = lines.groupBy("line_hash").agg(
         F.countDistinct("doc_id").cast("long").alias("doc_freq"),
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
@@ -1368,6 +1429,13 @@ def write_line_partials(
     write_bucketed(
         agg, f"{prefix}_lines", ["line_hash"], n_buckets=n_buckets, mode=mode
     )
+    if mode == "overwrite":
+        shutil.rmtree(_line_index_marker_dir(spark, prefix), ignore_errors=True)
+    if batch_id is not None and mode == "append":
+        mdir = _line_index_marker_dir(spark, prefix)
+        os.makedirs(mdir, exist_ok=True)
+        with open(os.path.join(mdir, f"batch-{batch_id}"), "w"):
+            pass
 
 
 def compact_line_index(

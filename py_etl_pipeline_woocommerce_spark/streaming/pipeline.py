@@ -206,11 +206,19 @@ def run_stream_line_strip(
     periodically to bound the partial tail.
 
     ``foreachBatch`` is the seam because the body is a batch plan
-    (joins against a warehouse table). The fold is at-least-once
-    under failure replay — a re-delivered micro-batch appends its
-    partials twice (the standard non-idempotent foreachBatch
-    side-effect caveat); when exact counts matter, rebuild the store
-    from bronze with ``write_line_index(..., mode="overwrite")``.
+    (joins against a warehouse table). The fold is REPLAY-SAFE: each
+    micro-batch's append is guarded by a per-batch-id applied marker
+    (``write_line_partials`` — the same device as
+    ``merge_rollup_store``), so an at-least-once re-delivery finds
+    its marker and skips the fold instead of double-counting
+    doc_freq. The re-delivered batch's STRIP still re-runs, against a
+    store that now already contains the batch's own partials — it can
+    strip strictly MORE lines than the first delivery (never fewer),
+    and the upsert sink keeps the re-run's rows; the store counts are
+    identical either way. The residual crash window (between the
+    append and its marker) is the transactional-format seam; a
+    from-scratch rebuild is ``write_line_index(...,
+    mode="overwrite")``, which also resets the markers.
 
     Returns (query, sink) where sink.rows maps (doc_id,) → stripped
     row (clean_text + kept/removed counts).
@@ -239,8 +247,13 @@ def run_stream_line_strip(
             # fold the SAME checkpointed exploded frame the strip just
             # consumed — no second explode+md5 of the drop's text; the
             # n_buckets must match the store's spec (Spark rejects a
-            # mismatched append loudly, no silent bucket corruption)
-            write_line_partials(frames[0], index_prefix, n_buckets=n_buckets)
+            # mismatched append loudly, no silent bucket corruption).
+            # batch_id makes the fold idempotent under replay (marker
+            # checked/written inside write_line_partials)
+            write_line_partials(
+                frames[0], index_prefix, n_buckets=n_buckets,
+                batch_id=batch_id,
+            )
         # drop the reference: the checkpoint blocks are GC-managed,
         # and a long-running stream must not accumulate one per batch
         frames.clear()

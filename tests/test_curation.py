@@ -278,3 +278,70 @@ def test_line_index_catches_cross_batch_boilerplate(spark):
         drop_table(spark, "t_li_lines")
         drop_table(spark, "t_plain_lines")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_line_index_replayed_batch_id_is_noop(spark):
+    """At-least-once replay safety (the rollup store's marker device
+    ported to the line index): re-delivering a micro-batch with the
+    same batch_id must not double-count doc_freq; markers survive
+    compaction; an overwrite rebuild resets the marker set."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        compact_line_index,
+        write_line_index,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import drop_table
+
+    batch1 = spark.createDataFrame(
+        [(1, "alpha\nfooter"), (2, "beta\nfooter")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, "gamma\nfooter")], "doc_id long, text string"
+    )
+
+    def store_counts() -> dict:
+        return {
+            r["line_hash"]: (r["df"], r["occ"])
+            for r in spark.table("t_replay_lines")
+            .groupBy("line_hash")
+            .agg(
+                F.sum("doc_freq").alias("df"),
+                F.sum("n_occurrences").alias("occ"),
+            )
+            .collect()
+        }
+
+    try:
+        write_line_index(batch1, "t_replay", n_buckets=4, batch_id=0)
+        after_b1 = store_counts()
+        # re-delivered batch 0 is a no-op
+        write_line_index(batch1, "t_replay", n_buckets=4, batch_id=0)
+        assert store_counts() == after_b1
+        # a NEW batch id folds normally
+        write_line_index(batch2, "t_replay", n_buckets=4, batch_id=1)
+        after_b2 = store_counts()
+        assert after_b2 != after_b1
+        footer = [
+            k for k, (df, _) in after_b2.items() if df == 3
+        ]
+        assert len(footer) == 1  # footer seen in docs 1, 2, 3
+        # replay of batch 1 after the fold: still a no-op
+        write_line_index(batch2, "t_replay", n_buckets=4, batch_id=1)
+        assert store_counts() == after_b2
+        # markers SURVIVE compaction — a compacted batch is applied
+        compact_line_index(spark, "t_replay", n_buckets=4)
+        assert store_counts() == after_b2
+        write_line_index(batch2, "t_replay", n_buckets=4, batch_id=1)
+        assert store_counts() == after_b2
+        # an overwrite rebuild clears markers: old ids apply again
+        write_line_index(batch1, "t_replay", n_buckets=4, mode="overwrite")
+        assert store_counts() == after_b1
+        write_line_index(batch2, "t_replay", n_buckets=4, batch_id=1)
+        assert store_counts() == after_b2
+    finally:
+        drop_table(spark, "t_replay_lines")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
