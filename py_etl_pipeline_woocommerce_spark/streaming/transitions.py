@@ -21,11 +21,13 @@ Checkpoint compatibility: the state row layout (``STATE_SCHEMA``) is
 part of the streaming checkpoint. Widening it — as round 6 did when
 ``last_id`` was added for the batch-twin tie-break — makes Spark's
 state-store schema check REJECT a restart from any checkpoint written
-by the older layout; there is no in-place migration. Upgrading a
-deployed transitions stream across a state-schema change therefore
-requires a fresh checkpoint directory, with history reconciled by the
-batch twin (``event_transitions`` over the full log) — the same
-recovery path the lateness drops already document.
+by the older layout; there is no in-place migration of the checkpoint
+files themselves. The TESTED upgrade path is
+``rebuild_state_from_batch``: seed a FRESH checkpoint from the
+historical event log so each user's "previous event" survives the
+schema change and the first post-upgrade event still chains across
+the boundary — no open transition is lost, and no historic
+transition is re-emitted.
 """
 
 from __future__ import annotations
@@ -166,3 +168,57 @@ def transitions_stream(
         outputMode="append",
         timeoutConf=timeout_conf(event_time),
     )
+
+
+def rebuild_state_from_batch(
+    history: DataFrame, idle_minutes: int | None = None
+) -> DataFrame:
+    """State-schema upgrade path for ``transitions_stream``: distill
+    the historical event log (bronze, SOURCE schema) down to each
+    user's LAST event — one seed row per user, in the batch twin's
+    (t_us, event_id) order — to be delivered as the FIRST micro-batch
+    of a stream restarted on a FRESH checkpoint.
+
+    Why this works: a user's first event through ``transitions_stream``
+    sets state without emitting (no predecessor), so replaying only
+    the last historic event per user rebuilds exactly the
+    (last_us, last_id, last_type) state row under the NEW
+    ``STATE_SCHEMA`` — zero historic transitions are re-emitted, and
+    the first genuinely new event still pairs with the last
+    pre-upgrade one. Procedure::
+
+        seed = rebuild_state_from_batch(spark.read.parquet(bronze))
+        seed.write.parquet(f"{source}/00-upgrade-seed.parquet")  # FIRST file
+        # restart transitions_stream with a NEW checkpoint dir; the
+        # seed file is the oldest source file, so it is micro-batch 0
+
+    ``idle_minutes`` mirrors the stream's eviction horizon: seed rows
+    whose last event is more than that far behind the log's max event
+    time are dropped — those users would have been evicted anyway,
+    and seeding them would chain a transition the pre-upgrade stream
+    would not have emitted. The per-user argmax is one map-side-
+    combinable ``max_by`` aggregate over bronze (no window, no sort) —
+    a single shuffle of one row per user at any log size.
+
+    Contrast with the reference's stateless rebuild
+    (``flow.py`` re-runs the whole pandas pipeline): here only the
+    KB-per-user tail is replayed, not the log.
+    """
+    cols = history.columns
+    order = F.struct(
+        F.expr("ts div 1000").alias("t_us"), F.col("event_id")
+    )
+    picked = history.groupBy("user_id").agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols]), order).alias("_last"),
+        F.max(F.expr("ts div 1000")).alias("_last_us"),
+    )
+    if idle_minutes is not None:
+        # one-row global max, broadcast — same device as hot_keys' totals
+        horizon = history.agg(
+            F.max(F.expr("ts div 1000")).alias("_max_us")
+        )
+        picked = picked.join(F.broadcast(horizon)).filter(
+            F.col("_last_us")
+            >= F.col("_max_us") - F.lit(idle_minutes * 60_000_000)
+        )
+    return picked.select(*[F.col(f"_last.{c}").alias(c) for c in cols])

@@ -1401,3 +1401,109 @@ def test_lateness_horizon_is_explicit_and_decoupled(spark):
         sessionize_stream(stream, timeout="wall")
     with _pytest.raises(ValueError, match="transitions_stream: timeout"):
         transitions_stream(stream, timeout="wall")
+
+
+def test_transitions_state_rebuild_preserves_open_transitions(
+    spark, stream_dirs, tmp_path
+):
+    """State-schema upgrade procedure: a STATE_SCHEMA change forces a
+    FRESH checkpoint (Spark rejects the old layout), and
+    rebuild_state_from_batch seeds it from bronze — each user's last
+    historic event replays as micro-batch 0, emitting NOTHING (a first
+    event has no predecessor) but restoring the per-user state, so the
+    first post-upgrade event still chains across the boundary."""
+    import time as _time
+
+    from py_etl_pipeline_woocommerce_spark.streaming.transitions import (
+        rebuild_state_from_batch,
+        transitions_stream,
+    )
+
+    src, ckpt = stream_dirs
+    out1 = str(tmp_path / "trans_v1_out")
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    _write_events(
+        f"{src}/b0.parquet",
+        [
+            (1, base, 7, "view", 1.0),
+            (2, base + MIN_NS, 7, "click", 2.0),
+            (3, base + MIN_NS // 2, 8, "add", 1.0),  # single event: no pair
+        ],
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q1 = (
+        transitions_stream(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(_foreach_parquet_append(out1))
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        _poll_parquet(spark, out1, lambda rows: len(rows) >= 1)
+    finally:
+        q1.stop()
+
+    # --- "upgrade": the old checkpoint is unusable after a schema
+    # change; seed a fresh source + checkpoint from bronze ---
+    src2 = str(tmp_path / "upgraded_src")
+    ckpt2 = str(tmp_path / "upgraded_ckpt")
+    out2 = str(tmp_path / "trans_v2_out")
+    seed_rows = rebuild_state_from_batch(spark.read.parquet(src)).collect()
+    assert len(seed_rows) == 2  # one row per user
+    import os as _os
+
+    _os.makedirs(src2, exist_ok=True)
+    _write_events(
+        f"{src2}/00-upgrade-seed.parquet",
+        [
+            (r["event_id"], r["ts"], r["user_id"], r["event_type"], r["value"])
+            for r in seed_rows
+        ],
+    )
+    _time.sleep(1.1)  # later mtime: the seed file must be batch 0
+    _write_events(
+        f"{src2}/b1.parquet",
+        [
+            (4, base + 2 * MIN_NS, 7, "purchase", 4.0),
+            (5, base + 3 * MIN_NS, 8, "click", 1.0),
+        ],
+    )
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src2)
+    )
+    q2 = (
+        transitions_stream(stream2)
+        .writeStream.outputMode("append")
+        .foreachBatch(_foreach_parquet_append(out2))
+        .option("checkpointLocation", ckpt2)
+        .start()
+    )
+    try:
+        rows = _poll_parquet(spark, out2, lambda rows: len(rows) >= 2)
+    finally:
+        q2.stop()
+
+    got = sorted(
+        (r["user_id"], r["from_type"], r["to_type"], r["gap_us"])
+        for r in rows
+    )
+    # ONLY the cross-upgrade pairs — open transitions survived, no
+    # historic transition was re-emitted
+    assert got == [
+        (7, "click", "purchase", 60_000_000),
+        (8, "add", "click", 150_000_000),
+    ]
+
+    # idle_minutes mirrors eviction: user 8's last event is 30s behind
+    # the log max; a 0-minute horizon keeps only the frontier user
+    frontier = rebuild_state_from_batch(
+        spark.read.parquet(src), idle_minutes=0
+    )
+    assert [r["user_id"] for r in frontier.collect()] == [7]
