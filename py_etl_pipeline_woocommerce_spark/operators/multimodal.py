@@ -6,10 +6,13 @@ Images/audio/video ride as ``binary`` columns with a ``modality`` tag
 built-in pure-stdlib PNG codec (PNG spec / RFC 2083 — 8-bit
 gray/RGB/RGBA, non-interlaced, all five filters), so
 ``extract_features``/``resize_images`` run real pixels through the
-Arrow path even in a deps-free container. Audio/video decode still
-needs libs (torchaudio / pyav) and remains the one documented
-``NotImplementedError`` seam; ``fake_decode`` stays as the
-deterministic stand-in for oracle-hashed driver queries.
+Arrow path even in a deps-free container. AUDIO decode is real for
+PCM WAV via the stdlib ``wave`` module (``wav_decode`` /
+``audio_decode`` — duration, rate, per-channel RMS features).
+VIDEO (and compressed audio codecs) still need libs (pyav /
+torchaudio) and remain the one documented ``NotImplementedError``
+seam; ``fake_decode`` stays as the deterministic stand-in for
+oracle-hashed driver queries.
 
 Scale notes: payloads are the widest column by far, so every
 metadata-only operation selects away ``payload`` first (column
@@ -173,14 +176,57 @@ def png_encode(rows: list) -> bytes:
     )
 
 
-def decode_media(payload: bytes, mime_type: str) -> tuple[int, int, list]:
-    """Decode a media payload to ``(width, height, rgba_rows)``.
+_WAV_MIMES = ("audio/wav", "audio/x-wav", "audio/wave")
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, "object"]:
+    """Decode a PCM WAV payload via the stdlib ``wave`` module — the
+    audio twin of ``png_decode``. Returns ``(n_channels, sample_rate,
+    frames)`` where ``frames`` is a float64 numpy array of shape
+    (n_frames, n_channels), samples normalized to [-1, 1).
+
+    Handles the integer PCM widths ``wave`` itself frames (8-bit
+    unsigned, 16/32-bit signed); 24-bit PCM and compressed codecs
+    raise ``NotImplementedError`` (the deps-enabled deployment seam —
+    torchaudio/soundfile read those)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch = w.getnchannels()
+        sampwidth = w.getsampwidth()
+        rate = w.getframerate()
+        raw = w.readframes(w.getnframes())
+    dtypes = {1: np.uint8, 2: np.int16, 4: np.int32}
+    if sampwidth not in dtypes:
+        raise NotImplementedError(
+            f"wav_decode: {8 * sampwidth}-bit PCM needs audio libs "
+            "not installed here (soundfile/torchaudio)"
+        )
+    a = np.frombuffer(raw, dtype=dtypes[sampwidth]).astype(np.float64)
+    if sampwidth == 1:
+        a = (a - 128.0) / 128.0
+    elif sampwidth == 2:
+        a = a / 32768.0
+    else:
+        a = a / 2147483648.0
+    n_frames = len(a) // nch if nch else 0
+    return nch, rate, a[: n_frames * nch].reshape(n_frames, nch)
+
+
+def decode_media(payload: bytes, mime_type: str):
+    """Decode a media payload; the return shape is per-modality:
+    images → ``(width, height, rgba_rows)``, audio →
+    ``(n_channels, sample_rate, frames)`` (see ``wav_decode``).
 
     Selection order: Pillow when importable (any image format PIL
-    reads), else the built-in pure-stdlib PNG codec for ``image/png``.
-    Audio/video (and non-PNG images in a Pillow-less container) raise
+    reads), else the built-in pure-stdlib PNG codec for ``image/png``;
+    PCM WAV via the stdlib ``wave`` module. Video, non-WAV audio, and
+    non-PNG images in a Pillow-less container raise
     ``NotImplementedError`` — the documented seam for a deps-enabled
-    deployment (torchaudio / pyav)."""
+    deployment (pyav / torchaudio)."""
     if mime_type is None:
         raise ValueError("decode_media: mime_type is NULL")
     if mime_type.startswith("image/"):
@@ -198,8 +244,15 @@ def decode_media(payload: bytes, mime_type: str) -> tuple[int, int, list]:
             f"decoding {mime_type} requires Pillow (not installed); "
             "only image/png decodes via the built-in codec"
         )
+    if mime_type.startswith("audio/"):
+        if mime_type in _WAV_MIMES:
+            return wav_decode(payload)
+        raise NotImplementedError(
+            f"decoding {mime_type} requires audio libs not installed "
+            "here; only PCM WAV decodes via the stdlib codec"
+        )
     raise NotImplementedError(
-        f"decoding {mime_type} requires audio/video libs not "
+        f"decoding {mime_type} requires video libs not "
         "installed here; use fake_decode for deterministic tests"
     )
 
@@ -212,6 +265,11 @@ def image_decode(payload: bytes, mime_type: str) -> list[float]:
     ``extract_features(..., modalities=("image",))`` on mixed-modality
     frames so audio/video rows get a NULL feature instead of a
     decoder crash."""
+    if mime_type is None or not mime_type.startswith("image/"):
+        raise NotImplementedError(
+            f"image_decode: {mime_type} is not an image; use "
+            "audio_decode for WAV or fake_decode for the stand-in"
+        )
     w, h, rows = decode_media(payload, mime_type)
     flat = [p for row in rows for p in row]
     n = len(flat) or 1
@@ -232,6 +290,37 @@ def image_decode(payload: bytes, mime_type: str) -> list[float]:
         mean_l,
         var_l ** 0.5,
         (w / h) if h else 0.0,
+    ]
+
+
+def audio_decode(payload: bytes, mime_type: str) -> list[float]:
+    """REAL audio feature extractor with ``fake_decode``'s
+    shape/dtype contract (FEATURE_DIM floats): duration, channel
+    count, sample rate, per-channel RMS loudness, peak, zero-crossing
+    rate, DC offset. Deterministic given the payload. Decodes PCM WAV
+    only — pair with ``extract_features(..., decoder=audio_decode,
+    modalities=("audio",))`` on mixed-modality frames so image/video
+    rows get a NULL feature instead of a decoder crash. The numpy
+    math is vectorized per payload; the Arrow batch shape around it
+    is ``extract_features``'s."""
+    import numpy as np
+
+    nch, rate, frames = decode_media(payload, mime_type)
+    n = frames.shape[0]
+    if n == 0:
+        return [0.0, float(nch), rate / 48000.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rms = np.sqrt(np.mean(frames**2, axis=0))
+    ch0 = frames[:, 0]
+    zc = float(np.mean(np.signbit(ch0[1:]) != np.signbit(ch0[:-1])))
+    return [
+        n / rate if rate else 0.0,
+        float(nch),
+        rate / 48000.0,
+        float(rms[0]),
+        float(rms[1]) if nch > 1 else 0.0,
+        float(np.max(np.abs(frames))),
+        zc,
+        float(np.mean(ch0)),
     ]
 
 

@@ -141,56 +141,76 @@ def hot_keys_approx(
     and the merge is an ordinary integer groupBy over ≤ counters ×
     n_partitions rows.
 
-    Caveat (diagnostic-grade): NULL keys are tracked by encoding them
-    as the reserved in-band token ``"\\x00<NULL>"`` before the Python
-    path. A genuine key whose string form equals that token (a NUL
-    byte followed by ``<NULL>``) would be merged into and reported as
-    the NULL group, and because the token sorts before all printable
-    strings it can reorder est_count TIES relative to exact
-    ``hot_keys``. Acceptable for a skew diagnostic; use ``hot_keys``
-    when exact tie order or adversarial key values matter.
+    NULL keys (often THE hot spot — missing user_id) ride
+    OUT-OF-BAND: the counter key is the pair (string form, is_null
+    flag), never a reserved token, so a hostile genuine key whose
+    string form looks like any encoding of NULL is counted and
+    reported as itself, distinct from the NULL group (pytest pins a
+    literal ``"\\x00<NULL>"`` key against genuine NULLs).
     """
     import pandas as pd
 
-    schema = "key_value string, cnt long, dec long"
+    schema = "key_value string, is_null boolean, cnt long, dec long"
 
     def mg(batches):
-        counts: dict[str, int] = {}
+        counts: dict[tuple, int] = {}
         dec_total = 0
         for pdf in batches:
-            for key, c in pdf["_k"].value_counts().items():
-                counts[key] = counts.get(key, 0) + int(c)
+            # NOT pdf[["_k","_isnull"]].value_counts(): pandas'
+            # factorize-based DataFrame grouping hashes object strings
+            # as C strings, so an embedded NUL terminates the key and
+            # "\x00<NULL>" COLLAPSES into "" (verified on pandas
+            # 2.2.2). Series.value_counts hashes PyObjects and is
+            # safe; the NULL group needs no string grouping at all —
+            # it is just the flag sum.
+            n_null = int(pdf["_isnull"].sum())
+            if n_null:
+                counts[("", True)] = counts.get(("", True), 0) + n_null
+            sub = pdf.loc[~pdf["_isnull"], "_k"]
+            for key, c in sub.value_counts().items():
+                k2 = (key, False)
+                counts[k2] = counts.get(k2, 0) + int(c)
             if len(counts) > counters:
                 m = sorted(counts.values(), reverse=True)[counters]
                 dec_total += m
                 counts = {k: v - m for k, v in counts.items() if v - m > 0}
         yield pd.DataFrame(
-            [(k, v, 0) for k, v in counts.items()] + [(None, 0, dec_total)],
-            columns=["key_value", "cnt", "dec"],
+            [(k, bool(isnull), v, 0) for (k, isnull), v in counts.items()]
+            # the per-partition decrement sentinel: is_null stays NULL
+            # so no real (key, flag) group can collide with it
+            + [(None, None, 0, dec_total)],
+            columns=["key_value", "is_null", "cnt", "dec"],
         )
 
     # NULL keys are often THE hot spot (missing user_id) and pandas
-    # value_counts drops NaN — encode NULL as a reserved token before
-    # the Python path and decode after the merge, so the approx report
-    # counts the NULL group exactly like `hot_keys` does (None in the
-    # output stays the per-partition dec sentinel, filtered below)
-    _NULL_TOKEN = "\x00<NULL>"
+    # value_counts drops NaN — carry an OUT-OF-BAND is_null flag
+    # through the Python path (the counter key is the (string, flag)
+    # pair; NULL rows count under ("", true), a genuine empty string
+    # under ("", false)), so the approx report counts the NULL group
+    # exactly like `hot_keys` does with zero reserved-token collisions
     # summaries has TWO consumers (merged counts + the err agg); a
     # lazy checkpoint runs the Misra-Gries scan once, and its size is
     # bounded at counters x partitions rows
     summaries = (
         df.select(
-            F.coalesce(
-                F.col(key_col).cast("string"), F.lit(_NULL_TOKEN)
-            ).alias("_k")
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")).alias("_k"),
+            F.col(key_col).isNull().alias("_isnull"),
         )
         .mapInPandas(mg, schema)
         .localCheckpoint(eager=False)
     )
     merged = (
-        summaries.filter(F.col("key_value").isNotNull())
-        .groupBy("key_value")
+        summaries.filter(F.col("is_null").isNotNull())
+        .groupBy("key_value", "is_null")
         .agg(F.sum("cnt").alias("est_count"))
+        # decode here so the rank/tie order below sorts the DECODED
+        # key exactly like exact hot_keys (NULLS FIRST on asc ties)
+        .select(
+            F.when(F.col("is_null"), F.lit(None).cast("string"))
+            .otherwise(F.col("key_value"))
+            .alias("key_value"),
+            "est_count",
+        )
     )
     err = summaries.agg(F.sum("dec").alias("err_bound"))
     top = merged.orderBy(F.col("est_count").desc(), "key_value").limit(topk)
@@ -198,12 +218,5 @@ def hot_keys_approx(
     return (
         top.join(F.broadcast(err))
         .withColumn("key_rank", F.row_number().over(w))
-        .select(
-            "key_rank",
-            F.when(F.col("key_value") == _NULL_TOKEN, F.lit(None))
-            .otherwise(F.col("key_value"))
-            .alias("key_value"),
-            "est_count",
-            "err_bound",
-        )
+        .select("key_rank", "key_value", "est_count", "err_bound")
     )

@@ -37,14 +37,19 @@ def media(spark):
 
 
 def test_decode_seams_and_loud_failures():
-    """Audio/video decode is the documented NotImplementedError seam;
-    image/png decodes for real (Pillow if importable, else the
-    built-in codec), so malformed PNG bytes fail LOUDLY, never
+    """Video and compressed-audio decode is the documented
+    NotImplementedError seam; image/png and PCM WAV decode for real
+    (stdlib codecs), so malformed bytes fail LOUDLY, never
     silently."""
+    import wave
+
     with pytest.raises(NotImplementedError):
-        decode_media(b"RIFF", "audio/wav")
+        decode_media(b"ID3", "audio/mpeg")  # compressed codec: seam
     with pytest.raises(NotImplementedError):
         decode_media(b"mp4", "video/mp4")
+    # PCM WAV decodes for real now — truncated bytes fail loudly
+    with pytest.raises((wave.Error, EOFError)):
+        decode_media(b"RIFF", "audio/wav")
     # pin the LOUD decode error precisely: a regression back to the
     # NotImplementedError stub (or any other exception type) must fail
     # this test, not slip through a catch-all Exception
@@ -177,6 +182,90 @@ def test_real_image_features_through_arrow_path(spark):
     assert f[3] == pytest.approx(0.5)
     assert f[4] == pytest.approx(0.5)
     assert f[7] == pytest.approx(1.0)  # aspect
+
+
+def _stereo_wav(n_frames=4000, rate=8000):
+    """A real 2-channel 16-bit PCM WAV: left alternates ±0.5 every
+    sample (RMS 0.5, zero-crossing rate 1, DC 0), right is silence."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n_frames):
+            left = 16384 if i % 2 == 0 else -16384
+            frames += struct.pack("<hh", left, 0)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_real_wav_features_through_arrow_path(spark):
+    """A generated 2-channel PCM WAV through the Arrow-batched
+    extract_features with the REAL audio decoder: duration, channel
+    count, rate, and per-channel RMS are exact; a mixed-modality
+    frame's image row gets a NULL feature (modality filter), not a
+    decoder crash."""
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        audio_decode,
+    )
+
+    wav = _stereo_wav()
+    png, _ = _checker_png()
+    df = spark.createDataFrame(
+        [
+            (1, "audio", "audio/wav", wav, None, None, 500),
+            (2, "image", "image/png", png, 2, 2, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r["media_id"]: r
+        for r in extract_features(
+            df, decoder=audio_decode, modalities=("audio",)
+        ).collect()
+    }
+    f = rows[1]["feature"]
+    assert len(f) == FEATURE_DIM
+    assert f[0] == pytest.approx(0.5)  # 4000 frames / 8000 Hz
+    assert f[1] == 2.0  # channels
+    assert f[2] == pytest.approx(8000 / 48000)
+    assert f[3] == pytest.approx(0.5)  # left RMS
+    assert f[4] == pytest.approx(0.0)  # right RMS (silence)
+    assert f[5] == pytest.approx(0.5)  # peak
+    assert f[6] == pytest.approx(1.0)  # zero-crossing rate
+    assert f[7] == pytest.approx(0.0)  # DC offset
+    # the image row passed through with metadata but NULL feature
+    assert rows[2]["feature"] is None
+    assert rows[2]["content_hash"] is not None
+
+
+def test_wav_decode_seams_stay_loud():
+    """24-bit PCM is beyond the stdlib decoder (NotImplementedError,
+    not garbage samples); image_decode refuses audio payloads with
+    the seam error instead of a confusing shape crash."""
+    import io
+    import wave
+
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        image_decode,
+        wav_decode,
+    )
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)  # 24-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00\x00" * 16)
+    with pytest.raises(NotImplementedError):
+        wav_decode(buf.getvalue())
+    with pytest.raises(NotImplementedError):
+        image_decode(_stereo_wav(), "audio/wav")
 
 
 def test_real_image_resize_through_arrow_path(spark):
@@ -469,6 +558,30 @@ def test_hot_keys_and_approx_count_null_group(spark):
     assert top["key_value"] is None
     # MG bound: est <= true <= est + err
     assert top["est_count"] <= 40 <= top["est_count"] + top["err_bound"]
+
+
+def test_hot_keys_approx_hostile_key_distinct_from_null(spark):
+    """The NULL flag rides out-of-band: a genuine key equal to any
+    NULL-looking string — including the literal reserved token an
+    in-band encoding would have used, and the empty string NULLs now
+    share a counter slot with — is reported as ITSELF, never merged
+    into (or splitting) the NULL group."""
+    from py_etl_pipeline_woocommerce_spark.operators.skew import (
+        hot_keys_approx,
+    )
+
+    hostile = "\x00<NULL>"
+    rows = [(None,)] * 30 + [(hostile,)] * 20 + [("",)] * 10 + [("a",)] * 5
+    df = spark.createDataFrame(rows, "k string").repartition(4)
+    got = {
+        r["key_value"]: r["est_count"]
+        for r in hot_keys_approx(df, "k", topk=5, counters=50).collect()
+    }
+    # counters > cardinality: MG is exact, every group distinct
+    assert got[None] == 30
+    assert got[hostile] == 20
+    assert got[""] == 10
+    assert got["a"] == 5
 
 
 def test_zorder_rejects_configs_past_63_bits(spark, tmp_path):
