@@ -248,92 +248,52 @@ def _q_dq_rules(spark, sf_dir):
 
 
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
-# ordering decides what gets (re-)verified each round. Round-7 front
+# ordering decides what gets (re-)verified each round. Round-8 front
 # block, in priority order:
-#   1. entries whose ENTRY/CODE/ORACLE changed in round 7 —
-#      woo_flow_digest (NEW: the composed ingest flow, oracle-hashed
-#      end-to-end) and pca_project (score-online whole-NULL guard);
-#   2. the 20 r2-era rows that spilled past round 6's ~50-entry budget
-#      (CORRECTNESS_r06 stopped at geo_rollup_bounded);
-#   3. the r3-era rows (text/corpus singles, sessions/funnels/windows,
-#      temporal basics, the dedup/ann families, the corpus capstones),
-#      cheapest first so the budget covers as many as possible.
-# ROUND-8 ROTATION NOTE: promote (a) whatever r3-era tail spilled past
-# round 7's ~50-entry budget (count CORRECTNESS_r07 rows against
-# block 3 below — the heavy dedup/ann/capstone tail is most likely to
-# spill), then (b) the remaining r4-era rows (wow_growth, repeat_rate,
-# fulfillment_latency, basket_pairs, user_streaks, dayn_retention,
-# time_gaps/merge_intervals/m4/ks_drift, cdc_apply, dq_referential,
-# rollup_merge, bm25/hybrid_search, corpus_prep_v2, split_leakage*,
-# soft_dedup_weights, repeated/strip_repeated_spans, ...) plus any r8
-# code changes; rows re-greened here only need re-checks after their
-# next code change. The six late-r7 additions (common_lines,
-# strip_common_lines, normalize_text, weighted_sample_k, strip_markup,
-# extract_links) lead block 1 below, so they consume 6 budget slots —
-# the r3 tail spill is that much larger.
-_R7_FRONT = [
-    # --- block 1: round-7 entry/code changes (new entries first:
-    # never driver-checked) ---
-    "common_lines",
-    "strip_common_lines",
-    "normalize_text",
-    "weighted_sample_k",
-    "strip_markup",
-    "extract_links",
-    "woo_flow_digest",
-    "pca_project",
-    # --- block 2: r2-era spill from round 6's budget (20) ---
-    "scd2_apply",
-    "snapshot_diff",
-    "dq_summary",
-    "supplier_percentiles",
-    "late_suppliers",
-    "customer_ltv",
-    "customer_order_gaps",
-    "ohlc_bars",
-    "value_histogram",
-    "dedup_incremental",
-    "knn_classify",
-    "mix_weights",
-    "pack_sequences",
-    "quantize_embeddings",
-    "resize_images",
-    "media_metadata",
-    "frame_sample",
-    "repetition_stats",
-    "filter_pipeline",
-    "doc_rarity",
-    # --- block 3: r3-era rows, cheapest first ---
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "pii_scrub",
-    "tfidf_top_terms",
-    "ngram_freq",
-    "stratified_sample",
-    "corpus_stats",
-    "sessionize",
-    "funnel_steps",
-    "event_window_agg",
-    "hopping_window_agg",
-    "event_props_typed",
-    "session_window_agg",
-    "asof_join",
-    "asof_join_tolerance",
-    "range_join_window",
-    "multires_rollup",
-    "value_percentiles",
-    "daily_active_users",
-    "fill_missing_days",
+#   1. entries whose CODE changed in round 8 — hot_keys_approx (NULL
+#      tracking moved to an out-of-band flag; rows-only by design);
+#   2. the 27 r3-stale rows (CORRECTNESS_r07's budget stopped at
+#      fill_missing_days, spilling the heavy dedup/ann/capstone tail);
+#   3. 22 of the r4-era rows, verdict-named first (wow_growth,
+#      repeat_rate, fulfillment_latency, basket_pairs,
+#      time_gaps/merge_intervals/m4/ks_drift, cdc_apply,
+#      dq_referential, bm25/hybrid_search, corpus_prep_v2,
+#      split_leakage*, repeated/strip_repeated_spans, dsir_weights)
+#      plus rollup_merge, soft_dedup_weights, user_streaks,
+#      dau_new_vs_returning.
+# ROUND-9 ROTATION NOTE: promote (a) any r9 code/oracle changes, then
+# (b) the 19 r4-era rows that spilled past round 8's ~50-entry budget:
+# asof_join_forward, corpus_split, cusum_changepoint,
+# daily_value_percentiles, dayn_retention, event_transitions,
+# event_value_summary, fill_missing_days_interp, fill_missing_days_locf,
+# funnel_steps_windowed, interarrival_stats, length_buckets,
+# linear_attribution, numeric_corr, seasonal_anomaly, session_stats,
+# source_quota_sample, user_overlap, value_outliers — then (c) the
+# oldest r5-era rows (41 entries: check CORRECTNESS_r05 keys minus
+# anything re-checked since). Rows re-greened in r8 only need
+# re-checks after their next code change.
+_R8_FRONT = [
+    # --- block 1: round-8 code changes ---
+    "hot_keys_approx",
+    # --- block 2: the 27 r3-stale rows (budget spill from r7) ---
     "rolling_active_users",
     "dq_rules",
     "decontaminate",
     "dedup_apply",
     "embedding_cosine_dup",
+    "embedding_scores",
     "label_centroids",
+    "linestatus_priority",
+    "dominant_suppliers",
+    "chunk_documents",
+    "vocab_drift",
+    "tokenizer_stats",
+    "daily_active_users_approx",
+    "value_percentiles_approx",
+    "dau_sketch_rollup",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "ann_quantized_topk",
     "dedup_simhash",
     "dedup_containment",
@@ -341,9 +301,31 @@ _R7_FRONT = [
     "dedup_clusters_star",
     "semdedup_apply",
     "dedup_incremental_near",
-    "tokenizer_stats",
     "corpus_prep",
     "corpus_pipeline",
+    # --- block 3: r4-era rows (verdict-named first) ---
+    "wow_growth",
+    "repeat_rate",
+    "fulfillment_latency",
+    "basket_pairs",
+    "time_gaps",
+    "merge_intervals",
+    "m4_downsample",
+    "ks_drift",
+    "cdc_apply",
+    "dq_referential",
+    "bm25_search",
+    "hybrid_search",
+    "corpus_prep_v2",
+    "split_leakage",
+    "split_leakage_near",
+    "repeated_spans",
+    "strip_repeated_spans",
+    "dsir_weights",
+    "rollup_merge",
+    "soft_dedup_weights",
+    "user_streaks",
+    "dau_new_vs_returning",
 ]
 
 
@@ -1067,7 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
     }
-    ordered = {k: base[k] for k in _R7_FRONT}
+    ordered = {k: base[k] for k in _R8_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 

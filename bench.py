@@ -124,6 +124,10 @@ HEADLINE = [
     "dau_new_vs_returning",
     "split_leakage_near",
     "interarrival_stats",
+    "strip_markup",
+    "extract_links",
+    "weighted_sample_k",
+    "common_lines",
 ]
 
 

@@ -139,6 +139,80 @@ def probes():
     }
 
 
+def store_probe(spark) -> dict:
+    """Stored-index daily-drop probe: the O(batch)-per-drop claim,
+    measured. The sf1 replica's 10 disjoint copies play 10 daily
+    drops of CONSTANT size; the store grows one drop per round.
+
+    - line index: drop 0 seeds `{prefix}_lines`, then each drop k is
+      STRIP-timed against the k-drop store and appended; flat strip
+      time across k is the claim (store-side work is the bucketed
+      exchange-free fold, batch-side work is constant). Compaction
+      then folds the partial tail and the last drop re-strips.
+    - LSH index: rebuilt at 1/5/9-copy sizes (the writer is one-shot
+      by design — ingest-time materialization), with copy 9 as the
+      fixed probe drop each time; flat check time is the claim
+      (banded equi-join touches only the probe's buckets).
+    """
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators import dedup
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import drop_table
+
+    docs = load_table(spark, DST, "documents")
+    copy_col = "doc_id div {off}".format(off=KEY_OFFSET)
+
+    def drop_k(k):
+        return docs.filter(f"({copy_col}) = {k}")
+
+    out: dict = {"line_strip_sec": [], "lsh_check_sec": {}}
+    prefix = "probe_store"
+    try:
+        lines0 = dedup.docs_as_lines(drop_k(0))
+        dedup.write_line_index(lines0, prefix, mode="overwrite")
+        # one untimed strip absorbs codegen/JIT so drop 1's timing is
+        # as warm as drop 9's
+        dedup.strip_against_line_index(
+            dedup.docs_as_lines(drop_k(1)), prefix
+        ).count()
+        for k in range(1, COPIES):
+            lines_k = dedup.docs_as_lines(drop_k(k))
+            spark.catalog.clearCache()
+            t0 = time.time()
+            dedup.strip_against_line_index(lines_k, prefix).count()
+            out["line_strip_sec"].append(round(time.time() - t0, 2))
+            dedup.write_line_index(lines_k, prefix, batch_id=k)
+        t0 = time.time()
+        dedup.compact_line_index(spark, prefix)
+        out["line_compaction_sec"] = round(time.time() - t0, 2)
+        t0 = time.time()
+        dedup.strip_against_line_index(
+            dedup.docs_as_lines(drop_k(COPIES - 1)), prefix
+        ).count()
+        out["line_strip_post_compaction_sec"] = round(time.time() - t0, 2)
+        first, last = out["line_strip_sec"][0], out["line_strip_sec"][-1]
+        out["line_flat_ratio"] = round(last / first, 3) if first else None
+
+        probe = drop_k(COPIES - 1)
+        # untimed warm check against the smallest store first
+        for n in (1, 5, 9):
+            corpus = docs.filter(f"({copy_col}) < {n}")
+            dedup.write_lsh_index(corpus, prefix)
+            if n == 1:
+                dedup.dedup_against_index(probe, prefix).count()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            dedup.dedup_against_index(probe, prefix).count()
+            out["lsh_check_sec"][f"store_{n}x"] = round(time.time() - t0, 2)
+        s = out["lsh_check_sec"]
+        out["lsh_flat_ratio"] = (
+            round(s["store_9x"] / s["store_1x"], 3) if s["store_1x"] else None
+        )
+    finally:
+        for t in (f"{prefix}_lines", f"{prefix}_bands", f"{prefix}_shingles"):
+            drop_table(spark, t)
+    return out
+
+
 def main() -> None:
     if "--regen" in sys.argv and os.path.exists(DST):
         shutil.rmtree(DST)
@@ -150,6 +224,11 @@ def main() -> None:
 
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--store" in sys.argv:
+        result = store_probe(spark)
+        print(json.dumps({"sf_big": DST, "store_probe": result}))
+        return
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     out = {"sf_small": SRC, "sf_big": DST, "queries": {}}
