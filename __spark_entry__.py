@@ -262,19 +262,23 @@ def _q_dq_rules(spark, sf_dir):
 #      plus rollup_merge, soft_dedup_weights, user_streaks,
 #      dau_new_vs_returning.
 # ROUND-9 ROTATION NOTE: promote (a) any r9 code/oracle changes, then
-# (b) the 19 r4-era rows that spilled past round 8's ~50-entry budget:
+# (b) the 20 r4-era rows that spilled past round 8's ~50-entry budget:
 # asof_join_forward, corpus_split, cusum_changepoint,
-# daily_value_percentiles, dayn_retention, event_transitions,
-# event_value_summary, fill_missing_days_interp, fill_missing_days_locf,
-# funnel_steps_windowed, interarrival_stats, length_buckets,
-# linear_attribution, numeric_corr, seasonal_anomaly, session_stats,
-# source_quota_sample, user_overlap, value_outliers — then (c) the
+# daily_value_percentiles, dau_new_vs_returning, dayn_retention,
+# event_transitions, event_value_summary, fill_missing_days_interp,
+# fill_missing_days_locf, funnel_steps_windowed, interarrival_stats,
+# length_buckets, linear_attribution, numeric_corr, seasonal_anomaly,
+# session_stats, source_quota_sample, user_overlap, value_outliers —
+# then (c) the
 # oldest r5-era rows (41 entries: check CORRECTNESS_r05 keys minus
 # anything re-checked since). Rows re-greened in r8 only need
 # re-checks after their next code change.
 _R8_FRONT = [
-    # --- block 1: round-8 code changes ---
+    # --- block 1: round-8 code changes (hot_keys_approx: out-of-band
+    # NULL flag; dedup_incremental: NULL-safe known-join, oracle in
+    # lockstep) ---
     "hot_keys_approx",
+    "dedup_incremental",
     # --- block 2: the 27 r3-stale rows (budget spill from r7) ---
     "rolling_active_users",
     "dq_rules",
@@ -325,7 +329,6 @@ _R8_FRONT = [
     "rollup_merge",
     "soft_dedup_weights",
     "user_streaks",
-    "dau_new_vs_returning",
 ]
 
 
@@ -2590,14 +2593,15 @@ FROM orders
 """,
         "dedup_incremental": f"""
 WITH known AS (
-  SELECT DISTINCT md5({_NORM}) AS content_hash
+  SELECT DISTINCT md5({_NORM}) AS content_hash, TRUE AS _known
   FROM documents WHERE doc_id % 2 = 0),
 batch AS (
   SELECT doc_id, md5({_NORM}) AS content_hash
   FROM documents WHERE doc_id % 2 = 1)
 SELECT b.doc_id, b.content_hash,
-       k.content_hash IS NOT NULL AS is_known_dup
-FROM batch b LEFT JOIN known k ON b.content_hash = k.content_hash
+       COALESCE(k._known, FALSE) AS is_known_dup
+FROM batch b LEFT JOIN known k
+  ON b.content_hash IS NOT DISTINCT FROM k.content_hash
 """,
         "late_suppliers": """
 WITH per_order AS (

@@ -108,13 +108,25 @@ def dedup_incremental(
     known = (
         existing.select(md5_hex(norm_text("text")).alias("content_hash"))
         .distinct()
+        .withColumnRenamed("content_hash", "_known_hash")
         .withColumn("_known", F.lit(True))
     )
     hashed = new_docs.select(
         "doc_id", md5_hex(norm_text("text")).alias("content_hash")
     )
+    # NULL-SAFE join: md5(norm_text(NULL)) is NULL, and dedup_exact's
+    # groupBy (like every SQL GROUP BY) treats all NULL-content docs
+    # as one group — a plain equi-join here would instead report a
+    # NULL-text batch doc as never-known even when the corpus already
+    # holds NULL-text docs, making the two exact-dedup entry points
+    # disagree about absent content. eqNullSafe is still a hash-join
+    # key, so the plan shape is unchanged.
     return (
-        hashed.join(known, "content_hash", "left")
+        hashed.join(
+            known,
+            F.col("content_hash").eqNullSafe(F.col("_known_hash")),
+            "left",
+        )
         .select(
             "doc_id",
             "content_hash",
@@ -297,7 +309,19 @@ def _simhash_bits(documents: DataFrame, bits: int = 32) -> DataFrame:
     Token t contributes +1/-1 to bit j according to whether nibble j
     of md5(t) ≥ 8; the fingerprint bit is sign(Σ contributions).
     Token multiplicity counts (standard weighted SimHash).
+
+    ``bits`` is capped at 32 — one signal bit per md5 hex nibble.
+    Beyond 32, ``substring`` would return '' for every row and the
+    extra bits would be CONSTANT: any band landing wholly above bit
+    32 would give every document the same band key, degenerating the
+    candidate equi-join into the full cross product the banding
+    exists to prevent. Raise loudly instead.
     """
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"simhash bits={bits} out of range: md5 provides 32 hex "
+            "nibbles, one signal bit each (1 <= bits <= 32)"
+        )
     # Explode tokens to rows and compute the 32 per-bit ±1 sums as 32
     # plain aggregate expressions: everything stays in whole-stage
     # codegen with map-side partial aggregation (a higher-order
@@ -418,8 +442,9 @@ def dedup_clusters(
     rounds of Kiveris et al. "Connected Components in MapReduce" —
     same join shape, logarithmic rounds.
     """
+    _own_frames: list = []
     if pairs is None:
-        pairs = minhash_lsh_pairs(documents)
+        pairs = minhash_lsh_pairs(documents, persisted_frames=_own_frames)
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
@@ -473,6 +498,23 @@ def dedup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    # labels were eagerly checkpointed every round, so nothing
+    # downstream re-reads the pair plan — release the minhash frames
+    # minhash_lsh_pairs persisted internally (a repeat caller would
+    # otherwise pin two corpus-scale frames per invocation)
+    for f in _own_frames:
+        f.unpersist()
+    if changed != 0:
+        # same refusal as dedup_clusters_star: labels that stopped
+        # mid-propagation split one component into several clusters —
+        # downstream keep-one would silently retain near-duplicates
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds "
+            f"({changed} labels still moving — a component with "
+            "diameter > max_iter; raise max_iter or use "
+            "dedup_clusters_star, whose star rounds converge in "
+            "O(log diameter))"
+        )
     return _attach_cluster_sizes(documents, labels, root_in_labels=True)
 
 
@@ -502,8 +544,9 @@ def dedup_clusters_star(
     no driver-side data. Per-round ``localCheckpoint`` truncates
     lineage exactly as in ``dedup_clusters``.
     """
+    _own_frames: list = []
     if pairs is None:
-        pairs = minhash_lsh_pairs(documents)
+        pairs = minhash_lsh_pairs(documents, persisted_frames=_own_frames)
     # canonical (hi, lo): hi > lo
     par = documents.sparkSession.sparkContext.defaultParallelism
     E = (
@@ -516,6 +559,10 @@ def dedup_clusters_star(
         .coalesce(par)
         .localCheckpoint(eager=True)
     )
+    # E is eagerly checkpointed — the pair plan is never re-read;
+    # release the frames minhash_lsh_pairs persisted internally
+    for f in _own_frames:
+        f.unpersist()
 
     def signature(e: DataFrame) -> tuple[int, int]:
         # bit_xor: order-insensitive and overflow-free under ANSI mode
@@ -697,8 +744,14 @@ def dedup_incremental_near(
     sh_b, bands_b = _band_frame(new_docs, "doc_id")
     if persisted_frames is not None:
         persisted_frames += [sh_c, sh_b]
+    # no F.broadcast hint: a drop-sized batch index is broadcast by
+    # AQE's runtime sizing anyway, while a forced hint on a LARGE
+    # batch (the existing=None split makes it 10% of the corpus)
+    # bypasses the 8 GB broadcast ceiling check and OOMs instead of
+    # degrading to the shuffle join — the same reason
+    # dedup_against_index omits the hint
     cand = (
-        bands_c.join(F.broadcast(bands_b), ["band", "band_hash"])
+        bands_c.join(bands_b, ["band", "band_hash"])
         .select("doc_id", "dup_of")
         .distinct()
     )
@@ -890,7 +943,10 @@ def containment_pairs(
 
 
 def repeated_spans(
-    documents: DataFrame, k: int = 5, min_count: int = 2
+    documents: DataFrame,
+    k: int = 5,
+    min_count: int = 2,
+    _toks: DataFrame | None = None,
 ) -> DataFrame:
     """Exact repeated-substring span detection: maximal token spans
     whose every ``k``-gram occurs at least ``min_count`` times across
@@ -915,12 +971,21 @@ def repeated_spans(
     keep first occurrence) composes on top. Note min_count counts ALL
     occurrences, so a phrase repeated twice in ONE document also
     qualifies — matching ExactSubstr.
+
+    ``_toks``: private seam for ``strip_repeated_spans`` — an
+    already-built (doc_id, tk) frame so the strip path tokenizes the
+    corpus once, not three times.
     """
     toks = (
-        _spread(documents)
-        .select("doc_id", tokens_expr("text").alias("tk"))
-        .filter(F.size("tk") >= k)
-    )
+        _spread(documents).select("doc_id", tokens_expr("text").alias("tk"))
+        if _toks is None
+        else _toks
+    ).filter(F.size("tk") >= k)
+    # grams has TWO consumers (gram-count agg + hits join) but stays
+    # UNPINNED deliberately: it is the corpus-scale exploded frame,
+    # and checkpointing it measured flat (2.41 -> 2.37 s) — the
+    # materialization costs as much as the recompute, the same
+    # raw-scale-frame rule as the profiler pin revert
     grams = toks.select(
         "doc_id",
         F.posexplode(
@@ -977,19 +1042,23 @@ def strip_repeated_spans(
     empty strings (kept, so downstream length filters decide their
     fate explicitly).
     """
-    spans = repeated_spans(documents, k=k, min_count=min_count)
+    # ONE tokenization for the whole strip: the (doc_id, tk) frame
+    # feeds the span detection (via repeated_spans' _toks seam), the
+    # position explode, and the total-token count — without the shared
+    # pin the corpus tokenizes three times (measured 0.7x after)
+    base = (
+        _spread(documents)
+        .select("doc_id", tokens_expr("text").alias("tk"))
+        .localCheckpoint(eager=False)
+    )
+    spans = repeated_spans(documents, k=k, min_count=min_count, _toks=base)
     covered = spans.select(
         "doc_id",
         F.explode(F.sequence("start_tok", "end_tok")).alias("pos"),
     ).distinct()
-    toks = (
-        _spread(documents)
-        .select("doc_id", tokens_expr("text").alias("tk"))
-        .select(
-            "doc_id", F.posexplode("tk").alias("pos", "term")
-        )
-        .filter(F.col("term") != "")
-    )
+    toks = base.select(
+        "doc_id", F.posexplode("tk").alias("pos", "term")
+    ).filter(F.col("term") != "")
     kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
@@ -1001,9 +1070,9 @@ def strip_repeated_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    n_tok = F.size(F.filter(tokens_expr("text"), lambda t: t != ""))
+    n_tok = F.size(F.filter(F.col("tk"), lambda t: t != ""))
     return (
-        documents.select("doc_id", n_tok.alias("_n"))
+        base.select("doc_id", n_tok.alias("_n"))
         .join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
@@ -1358,14 +1427,15 @@ def write_line_index(
 
 
 def _line_index_marker_dir(spark, prefix: str) -> str:
-    """Filesystem directory holding the line index's applied-batch
+    """URI of the directory holding the line index's applied-batch
     markers: a SIBLING of the table directory (``_{table}_applied``
     next to it in the warehouse), NOT inside it — ``saveAsTable``
     overwrite and ``compact_line_index`` recreate the table directory,
     and markers must survive compaction (a compacted batch is still
-    applied)."""
-    import os
-
+    applied). The scheme is PRESERVED (file:/hdfs:/s3a:) so markers
+    land on the warehouse filesystem, not the driver's local disk —
+    a driver restarted on another host (the main at-least-once replay
+    case) must still see them."""
     row = [
         r
         for r in spark.sql(
@@ -1373,13 +1443,18 @@ def _line_index_marker_dir(spark, prefix: str) -> str:
         ).collect()
         if r.col_name.strip() == "Location"
     ][0]
-    loc = row.data_type.strip()
-    if loc.startswith("file:"):
-        loc = loc[len("file:"):]
-    loc = loc.rstrip("/")
-    return os.path.join(
-        os.path.dirname(loc), f"_{os.path.basename(loc)}_applied"
-    )
+    loc = row.data_type.strip().rstrip("/")
+    parent, base = loc.rsplit("/", 1)
+    return f"{parent}/_{base}_applied"
+
+
+def _hadoop_fs(spark, uri: str):
+    """(FileSystem, Path) for a URI via the JVM Hadoop client — the
+    one filesystem API that resolves file:/hdfs:/s3a: alike, so the
+    marker protocol works wherever the warehouse lives."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(uri)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
 def write_line_partials(
@@ -1404,23 +1479,26 @@ def write_line_partials(
     between the append and the marker write can still double-apply —
     the residual window a transactional table format closes.
     Markers live beside the table (not inside it) so compaction
-    preserves them; a ``mode="overwrite"`` rebuild CLEARS them (the
-    rebuilt store's contents no longer correspond to the applied set
-    — restart the stream from a source position consistent with the
-    rebuild).
+    preserves them, and are read/written through the Hadoop
+    FileSystem client so they land on the WAREHOUSE filesystem
+    (file:/hdfs:/s3a: alike), not the driver's local disk. A
+    ``mode="overwrite"`` rebuild — or a first append to a table name
+    whose previous incarnation was dropped — CLEARS them: the fresh
+    store's contents no longer correspond to the old applied set, and
+    stale markers would silently skip a new stream's reused batch
+    ids. After a rebuild, restart the stream from a source position
+    consistent with the rebuilt store.
     """
-    import os
-    import shutil
-
     from ..sources.bucketing import write_bucketed
 
     spark = lines.sparkSession
     table_exists = spark.catalog.tableExists(f"{prefix}_lines")
     if batch_id is not None and mode == "append" and table_exists:
-        marker = os.path.join(
-            _line_index_marker_dir(spark, prefix), f"batch-{batch_id}"
+        fs, marker = _hadoop_fs(
+            spark,
+            f"{_line_index_marker_dir(spark, prefix)}/batch-{batch_id}",
         )
-        if os.path.exists(marker):
+        if fs.exists(marker):
             return
     agg = lines.groupBy("line_hash").agg(
         F.countDistinct("doc_id").cast("long").alias("doc_freq"),
@@ -1429,13 +1507,15 @@ def write_line_partials(
     write_bucketed(
         agg, f"{prefix}_lines", ["line_hash"], n_buckets=n_buckets, mode=mode
     )
-    if mode == "overwrite":
-        shutil.rmtree(_line_index_marker_dir(spark, prefix), ignore_errors=True)
+    if mode == "overwrite" or not table_exists:
+        fs, mdir = _hadoop_fs(spark, _line_index_marker_dir(spark, prefix))
+        fs.delete(mdir, True)  # no-op when absent
     if batch_id is not None and mode == "append":
-        mdir = _line_index_marker_dir(spark, prefix)
-        os.makedirs(mdir, exist_ok=True)
-        with open(os.path.join(mdir, f"batch-{batch_id}"), "w"):
-            pass
+        fs, marker = _hadoop_fs(
+            spark,
+            f"{_line_index_marker_dir(spark, prefix)}/batch-{batch_id}",
+        )
+        fs.create(marker, True).close()
 
 
 def compact_line_index(

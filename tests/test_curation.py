@@ -342,6 +342,15 @@ def test_line_index_replayed_batch_id_is_noop(spark):
         assert store_counts() == after_b1
         write_line_index(batch2, "t_replay", n_buckets=4, batch_id=1)
         assert store_counts() == after_b2
+        # dropping the table and rebuilding BY APPENDS (a fresh stream
+        # with batch ids restarting at 0) must not skip batches whose
+        # id was used by the previous incarnation — the first append
+        # to a fresh table resets the stale marker set
+        drop_table(spark, "t_replay_lines")
+        write_line_index(batch1, "t_replay", n_buckets=4, batch_id=0)
+        assert store_counts() == after_b1
+        write_line_index(batch2, "t_replay", n_buckets=4, batch_id=1)
+        assert store_counts() == after_b2
     finally:
         drop_table(spark, "t_replay_lines")
         shutil.rmtree("spark-warehouse", ignore_errors=True)

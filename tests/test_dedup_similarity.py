@@ -523,3 +523,57 @@ def test_docs_as_lines_bridge_rewraps_tokens(spark):
     assert rows[0].text == (
         "one two three four five six seven eight\nnine ten"
     )
+
+
+def test_dedup_clusters_raises_on_nonconvergence(spark):
+    """A component whose diameter exceeds max_iter must REFUSE, not
+    return labels that silently split one cluster into several — the
+    same policy dedup_clusters_star already enforces. The star rounds
+    resolve the identical chain in O(log diameter)."""
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_star,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", "en", "s") for i in range(25)],
+        "doc_id long, text string, lang string, source string",
+    )
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(24)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(docs, pairs=chain, max_iter=3)
+    # enough rounds: one component rooted at 0
+    ok = dedup_clusters(docs, pairs=chain, max_iter=30).collect()
+    assert {r.cluster_id for r in ok} == {0}
+    star = dedup_clusters_star(docs, pairs=chain).collect()
+    assert {r.cluster_id for r in star} == {0}
+    assert sorted((r.doc_id, r.cluster_size) for r in ok) == sorted(
+        (r.doc_id, r.cluster_size) for r in star
+    )
+
+
+def test_simhash_rejects_bits_past_md5_nibbles(spark):
+    """bits > 32 would make every bit past 32 constant (substring
+    returns '' beyond the 32 md5 nibbles) — bands above bit 32 would
+    give EVERY doc the same key and degenerate the candidate join to
+    a cross product; must raise instead."""
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    with _pytest.raises(ValueError, match="32 hex"):
+        simhash_pairs(docs, bits=64)
+    # bits=0 trips the existing bands-vs-bits check first — either
+    # way it raises before computing a degenerate fingerprint
+    with _pytest.raises(ValueError, match="bits"):
+        simhash_pairs(docs, bits=0)
