@@ -262,23 +262,36 @@ def _q_dq_rules(spark, sf_dir):
 #      plus rollup_merge, soft_dedup_weights, user_streaks,
 #      dau_new_vs_returning.
 # ROUND-9 ROTATION NOTE: promote (a) any r9 code/oracle changes, then
-# (b) the 20 r4-era rows that spilled past round 8's ~50-entry budget:
-# asof_join_forward, corpus_split, cusum_changepoint,
-# daily_value_percentiles, dau_new_vs_returning, dayn_retention,
-# event_transitions, event_value_summary, fill_missing_days_interp,
-# fill_missing_days_locf, funnel_steps_windowed, interarrival_stats,
-# length_buckets, linear_attribution, numeric_corr, seasonal_anomaly,
-# session_stats, source_quota_sample, user_overlap, value_outliers —
-# then (c) the
+# (b) the r4-era rows that spilled past round 8's ~50-entry budget:
+# corpus_prep_v2, split_leakage, split_leakage_near, dsir_weights,
+# rollup_merge, soft_dedup_weights, user_streaks, asof_join_forward,
+# corpus_split, cusum_changepoint, daily_value_percentiles,
+# dau_new_vs_returning, dayn_retention, event_value_summary,
+# fill_missing_days_interp, fill_missing_days_locf,
+# interarrival_stats, length_buckets, numeric_corr, seasonal_anomaly,
+# session_stats, source_quota_sample, value_outliers — then (c) the
 # oldest r5-era rows (41 entries: check CORRECTNESS_r05 keys minus
 # anything re-checked since). Rows re-greened in r8 only need
 # re-checks after their next code change.
 _R8_FRONT = [
     # --- block 1: round-8 code changes (hot_keys_approx: out-of-band
-    # NULL flag; dedup_incremental: NULL-safe known-join, oracle in
-    # lockstep) ---
+    # NULL flag; dedup_incremental: NULL-safe known-join + oracle;
+    # repeated/strip_repeated_spans: shared tokenization; events
+    # family: try_cast JSON extraction + oracles, checkpoint
+    # experiments, integer-div buckets) — the r8 review waves'
+    # remaining touched entries (dedup_clusters/star/simhash/
+    # incremental_near) are already in block 2 ---
     "hot_keys_approx",
     "dedup_incremental",
+    "repeated_spans",
+    "strip_repeated_spans",
+    "parse_event_props",
+    "event_props_typed",
+    "event_transitions",
+    "funnel_steps",
+    "funnel_steps_windowed",
+    "user_overlap",
+    "linear_attribution",
     # --- block 2: the 27 r3-stale rows (budget spill from r7) ---
     "rolling_active_users",
     "dq_rules",
@@ -307,7 +320,8 @@ _R8_FRONT = [
     "dedup_incremental_near",
     "corpus_prep",
     "corpus_pipeline",
-    # --- block 3: r4-era rows (verdict-named first) ---
+    # --- block 3: r4-era rows (verdict-named first; the tail that
+    # does not fit the ~50 budget is in the ROUND-9 note) ---
     "wow_growth",
     "repeat_rate",
     "fulfillment_latency",
@@ -320,15 +334,6 @@ _R8_FRONT = [
     "dq_referential",
     "bm25_search",
     "hybrid_search",
-    "corpus_prep_v2",
-    "split_leakage",
-    "split_leakage_near",
-    "repeated_spans",
-    "strip_repeated_spans",
-    "dsir_weights",
-    "rollup_merge",
-    "soft_dedup_weights",
-    "user_streaks",
 ]
 
 
@@ -2102,7 +2107,7 @@ FROM q GROUP BY 1
         "parse_event_props": """
 SELECT event_id, user_id, event_type,
        epoch_us(ts) AS ts_us, value,
-       CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS prop_k
+       TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS prop_k
 FROM events
 """,
         "enrich_categories": f"""
@@ -2990,7 +2995,7 @@ WHERE levenshtein(a.name, b.name) <= 3
 """,
         "event_props_typed": """
 SELECT event_id, event_type,
-       CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
 FROM events
 """,
         "revenue_pivot": f"""

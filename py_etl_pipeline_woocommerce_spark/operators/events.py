@@ -31,7 +31,15 @@ def parse_event_props(events: DataFrame) -> DataFrame:
         "event_type",
         F.expr("ts div 1000").alias("ts_us"),
         F.col("value"),
-        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint").alias("prop_k"),
+        # try_cast, not cast: a payload without a numeric "k" makes
+        # regexp_extract return '' and under ANSI a plain cast would
+        # abort the whole normalization job on ONE malformed row —
+        # exactly the input a JSON normalizer exists to tolerate
+        # (DuckDB TRY_CAST('' AS BIGINT) is NULL too, oracle in
+        # lockstep)
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+        .try_cast("bigint")
+        .alias("prop_k"),
     )
 
 
@@ -118,6 +126,13 @@ def funnel_steps(
         if max_gap_us is None
         else (lambda prev: F.col("t") <= F.col(prev) + max_gap_us)
     )
+    # views and clicks each feed TWO consumers (the next stage's join
+    # and their own stage() count), so stage(purchases) recomputes
+    # clicks recomputes views — 6 events scans instead of 3. Pinning
+    # them was tried and NOT kept: measured 1.36x SLOWER at sf0.1
+    # (0.85 -> 1.16 s, 5-pass median) — the per-user aggregates are
+    # small but each lazy checkpoint adds a materialization barrier
+    # that costs more than the filtered rescans it saves.
     views = (
         e.filter(F.col("event_type") == "view")
         .groupBy("user_id")
@@ -160,15 +175,21 @@ def event_props_typed(events: DataFrame) -> DataFrame:
     inside codegen), null-safe on malformed payloads, and prunes
     unreferenced fields at parse time at scale.
     """
+    # k is parsed as STRING then try_cast to int: a declared INT
+    # schema makes Jackson NULL the row for a QUOTED integer ('{"k":
+    # "7"}') and for values past 2^31 — both places the DuckDB twin
+    # (json_extract_string + CAST) disagrees. String-parse + try_cast
+    # gives identical semantics on both engines: quoted and unquoted
+    # integers extract, out-of-range and non-integral values are NULL.
     parsed = events.select(
         "event_id",
         "event_type",
-        F.from_json("props", "k INT").alias("_p"),
+        F.from_json("props", "k STRING").alias("_p"),
     )
     return parsed.select(
         "event_id",
         "event_type",
-        F.col("_p.k").cast("int").alias("prop_k"),
+        F.col("_p.k").try_cast("int").alias("prop_k"),
     )
 
 
@@ -221,8 +242,6 @@ def event_transitions(events: DataFrame) -> DataFrame:
     division per matrix cell against a broadcast per-from total,
     rounded to 6 dp — engine-exact at any partitioning.
     """
-    from pyspark.sql import Window
-
     e = events.select(
         "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("t_us")
     )
@@ -275,7 +294,14 @@ def user_overlap(events: DataFrame, exact: bool = False) -> DataFrame:
         6,
     )
     if exact:
-        ut = events.select("user_id", "event_type").distinct()
+        # ut feeds THREE consumers (sizes, both sides of the pair
+        # self-join) — an aggregated frame, so the pin runs "the only
+        # corpus-sized shuffle" the docstring promises exactly once
+        ut = (
+            events.select("user_id", "event_type")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
         sizes = ut.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n")
         )
@@ -416,7 +442,11 @@ def linear_attribution(
         F.col("user_id").alias("p_user"),
         F.col("event_type").alias("channel"),
         F.col("t_us").alias("p_t_us"),
-        (F.col("t_us") / F.lit(window_us)).cast("bigint").alias("p_bucket"),
+        # integer `div`, not double `/` + cast: exact at any epoch
+        # (double floor drifts past 2^53), the engine's integer-time
+        # convention; the bucket is join-blocking only — the exact
+        # range filter below is the semantic bound
+        F.expr(f"t_us div {window_us}").alias("p_bucket"),
     )
     cand = conv.select(
         "conv_id",
@@ -425,8 +455,8 @@ def linear_attribution(
         "conv_value",
         F.explode(
             F.array(
-                (F.col("conv_us") / F.lit(window_us)).cast("bigint"),
-                (F.col("conv_us") / F.lit(window_us)).cast("bigint") - 1,
+                F.expr(f"conv_us div {window_us}"),
+                F.expr(f"conv_us div {window_us}") - 1,
             )
         ).alias("bucket"),
     )
@@ -450,6 +480,11 @@ def linear_attribution(
         .cast("decimal(28,6)")
         .alias("share"),
     )
+    # shares feeds BOTH the touched-conversions anti-join and the
+    # final union, so the bucketed join + conv-keyed count window
+    # executes twice. Pinning it was tried and NOT kept: measured
+    # 1.17x SLOWER at sf0.1 (1.16 -> 1.36 s, 5-pass median) — the
+    # duplicated subtree is cheaper than materializing the share rows.
     touched = shares.select("conv_id").distinct()
     direct = conv.join(touched, "conv_id", "left_anti").select(
         "conv_id",
