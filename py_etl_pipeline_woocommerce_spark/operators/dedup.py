@@ -1448,15 +1448,6 @@ def _line_index_marker_dir(spark, prefix: str) -> str:
     return f"{parent}/_{base}_applied"
 
 
-def _hadoop_fs(spark, uri: str):
-    """(FileSystem, Path) for a URI via the JVM Hadoop client — the
-    one filesystem API that resolves file:/hdfs:/s3a: alike, so the
-    marker protocol works wherever the warehouse lives."""
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(uri)
-    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
-
-
 def write_line_partials(
     lines: DataFrame,
     prefix: str,
@@ -1489,16 +1480,14 @@ def write_line_partials(
     ids. After a rebuild, restart the stream from a source position
     consistent with the rebuilt store.
     """
+    from ..functions.fsutil import fs_delete, fs_exists, fs_touch
     from ..sources.bucketing import write_bucketed
 
     spark = lines.sparkSession
     table_exists = spark.catalog.tableExists(f"{prefix}_lines")
     if batch_id is not None and mode == "append" and table_exists:
-        fs, marker = _hadoop_fs(
-            spark,
-            f"{_line_index_marker_dir(spark, prefix)}/batch-{batch_id}",
-        )
-        if fs.exists(marker):
+        marker = f"{_line_index_marker_dir(spark, prefix)}/batch-{batch_id}"
+        if fs_exists(spark, marker):
             return
     agg = lines.groupBy("line_hash").agg(
         F.countDistinct("doc_id").cast("long").alias("doc_freq"),
@@ -1508,14 +1497,12 @@ def write_line_partials(
         agg, f"{prefix}_lines", ["line_hash"], n_buckets=n_buckets, mode=mode
     )
     if mode == "overwrite" or not table_exists:
-        fs, mdir = _hadoop_fs(spark, _line_index_marker_dir(spark, prefix))
-        fs.delete(mdir, True)  # no-op when absent
+        fs_delete(spark, _line_index_marker_dir(spark, prefix))
     if batch_id is not None and mode == "append":
-        fs, marker = _hadoop_fs(
+        fs_touch(
             spark,
             f"{_line_index_marker_dir(spark, prefix)}/batch-{batch_id}",
         )
-        fs.create(marker, True).close()
 
 
 def compact_line_index(

@@ -424,7 +424,7 @@ def merge_rollup_store(
     ``RollupMergeSink`` — the continuous aggregate is maintained by
     the identical code under both execution models.
     """
-    import os
+    from ..functions.fsutil import fs_exists, fs_touch
 
     # The stored measure type is PINNED at DECIMAL(30,2): Spark's sum
     # widens decimals per plan, and letting each merge write whatever
@@ -438,10 +438,13 @@ def merge_rollup_store(
     # applied batch is a no-op; a crash exactly between the data write
     # and the marker write can still double-apply (the residual window
     # transactional table formats close — Delta/Iceberg MERGE is the
-    # production fix, this is the parquet-store analogue).
+    # production fix, this is the parquet-store analogue). Existence
+    # probes and markers go through the Hadoop FS client (fsutil) so
+    # an hdfs://s3a:// store behaves like the local one — a driver-
+    # local os.path probe would read "absent" and OVERWRITE months.
     if batch_id is not None:
-        marker = os.path.join(store_path, "_applied", f"batch-{batch_id}")
-        if os.path.exists(marker):
+        marker = f"{store_path.rstrip('/')}/_applied/batch-{batch_id}"
+        if fs_exists(spark, marker):
             return
     # TWO consumers (the month list collect + the merge/write) — pin
     # or the batch aggregation runs twice per fold
@@ -454,7 +457,7 @@ def merge_rollup_store(
             (F.col("day_us") / 1_000_000).cast("timestamp"), "yyyy-MM"
         ).alias("month"),
     ).localCheckpoint(eager=False)
-    if not os.path.exists(store_path):
+    if not fs_exists(spark, store_path):
         merged = batch
     else:
         months = [r[0] for r in batch.select("month").distinct().collect()]
@@ -479,11 +482,7 @@ def merge_rollup_store(
         .parquet(store_path)
     )
     if batch_id is not None:
-        os.makedirs(os.path.join(store_path, "_applied"), exist_ok=True)
-        with open(
-            os.path.join(store_path, "_applied", f"batch-{batch_id}"), "w"
-        ):
-            pass
+        fs_touch(spark, f"{store_path.rstrip('/')}/_applied/batch-{batch_id}")
 
 
 def cdc_apply(
@@ -697,11 +696,11 @@ def cdc_apply_store(
     the body of the streaming ``CdcApplySink`` — one code path under
     both execution models.
     """
-    import os
+    from ..functions.fsutil import fs_exists
 
     payload = [c for c in changes.columns if c not in (seq_col, op_col)]
     incoming = changes.select(*payload, seq_col, op_col)
-    if os.path.exists(store_path):
+    if fs_exists(spark, store_path):
         stored = spark.read.parquet(store_path)
         # stores written before the tombstone change carry no
         # _deleted column — their rows are all live by construction
@@ -771,7 +770,7 @@ def merge_first_seen_store(spark, store_path: str, batch_events: DataFrame) -> N
     day's actives against this store — O(day + store keys), never a
     rescan of history.
     """
-    import os
+    from ..functions.fsutil import fs_exists
 
     batch = (
         batch_events.select(
@@ -782,7 +781,7 @@ def merge_first_seen_store(spark, store_path: str, batch_events: DataFrame) -> N
         .groupBy("user_id")
         .agg(F.min("first_day_us").alias("first_day_us"))
     )
-    if os.path.exists(store_path):
+    if fs_exists(spark, store_path):
         existing = spark.read.parquet(store_path)
         batch = (
             existing.unionByName(batch)

@@ -1,8 +1,14 @@
 """Stream-stream joins with watermark-bounded state.
 
 The attribution join every event pipeline eventually needs: match
-each conversion (purchase/click) to the user's preceding impression
-(view) within a lag window — both sides unbounded streams. Spark's
+conversions (purchase/click) to the user's preceding impressions
+(views) within a lag window — both sides unbounded streams. The
+join is MANY-TO-MANY by design (test-pinned): a click preceded by
+five in-window views emits five rows, each carrying the SAME
+click_id/click_value, so summing click_value over the raw output
+multi-counts conversions — aggregate per click_id (or reduce to
+last-touch with a per-click max(view_time)) first; the fractional
+split is ``operators.events.linear_attribution``'s job. Spark's
 stream-stream inner join keeps only the state the time-bound allows:
 the watermark + the join's time-range condition let the engine evict
 buffered rows once no future match is possible, so state is bounded

@@ -62,8 +62,23 @@ def gaps_stream(events: DataFrame, min_gap_us: int = 3_600_000_000) -> DataFrame
     """events (ts epoch-ns BIGINT) → one row per detected silence
     longer than ``min_gap_us``, per event type, emitted exactly once
     when the stream resumes (append semantics; parity with the batch
-    ``time_gaps`` asserted in tests)."""
-    prepared = events.select(
+    ``time_gaps`` asserted in tests for IN-ORDER streams).
+
+    Documented divergence (inherent to append mode): batch/stream
+    parity holds only while each type's events arrive in event-time
+    order across micro-batches. A DELAYED file whose events land
+    inside an already-emitted gap cannot retract the alert — the gap
+    row was final on emit, so it stands as a FALSE POSITIVE relative
+    to the batch twin over the full log (the reconciliation path).
+    Late events never corrupt state (the max() guard keeps the clock
+    monotone, so no duplicate or overlapping gap rows follow) —
+    out-of-order delivery can only over-alert, never under-alert or
+    double-alert."""
+    # a NULL ts row would fail the micro-batch (NaN reaches int() in
+    # the state fn) and wedge the stream on checkpoint replay —
+    # dropped up front; a heartbeat with no timestamp carries no
+    # liveness signal anyway
+    prepared = events.filter(F.col("ts").isNotNull()).select(
         "event_type", "event_id", F.expr("ts div 1000").alias("t_us")
     )
 

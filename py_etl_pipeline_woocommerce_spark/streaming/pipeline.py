@@ -22,15 +22,20 @@ from ..sources.schemas import EVENTS_SCHEMA
 
 
 def read_event_stream(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 4
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 4,
+    schema=None,
 ) -> DataFrame:
-    """File-source stream over an events directory (parquet drops).
+    """File-source stream over a parquet-drop directory (events by
+    default; pass ``schema`` for document/CDC drops — ONE place
+    defines the source plumbing so options can't drift per stream).
 
     Declared schema (no inference pass); ``maxFilesPerTrigger`` bounds
     micro-batch size so a backlog replay cannot OOM an executor.
     """
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA if schema is None else schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
@@ -156,10 +161,8 @@ def run_stream_dedup_against_index(
     """
     from ..operators.dedup import dedup_against_index
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_path)
+    stream = read_event_stream(
+        spark, source_path, max_files_per_trigger=1, schema=schema
     )
     sink = ForeachBatchUpserter(["doc_id"])
 
@@ -225,10 +228,8 @@ def run_stream_line_strip(
     """
     from ..operators.dedup import strip_against_line_index, write_line_partials
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_path)
+    stream = read_event_stream(
+        spark, source_path, max_files_per_trigger=1, schema=schema
     )
     sink = ForeachBatchUpserter(["doc_id"])
 
@@ -301,7 +302,7 @@ def streaming_session_agg(
 
 
 def streaming_daily_active_sketch(
-    events: DataFrame, watermark: str = "2 hours", rsd: float = 0.02
+    events: DataFrame, watermark: str = "2 hours", rsd: float = 0.05
 ) -> DataFrame:
     """Per-day approximate distinct users on a STREAM — the streaming
     twin of ``temporal.daily_active_users_approx``: HLL++
@@ -417,10 +418,8 @@ def run_stream_cdc_apply(
     maintenance; returns (query, sink). All state lives in the store
     (rows + their last applied seq) — restart-safe with zero
     streaming state beyond source offsets."""
-    stream = (
-        spark.readStream.schema(source_schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(source_path)
+    stream = read_event_stream(
+        spark, source_path, max_files_per_trigger=1, schema=source_schema
     )
     sink = CdcApplySink(store_path, key)
     query = (

@@ -57,16 +57,35 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-#: (session_seq, start_us, last_us, n_events, total_value)
+#: (session_seq, start_us, last_us, n_events, total_cents) — value
+#: accumulates as INTEGER CENTS (each event's value quantized to 2 dp
+#: half-up, the same rule as dec_money) so cross-batch summation is
+#: exact like the batch twin's DECIMAL sum; a float state field
+#: accumulated 0.1+0.2 drift the batch twin never shows. NOTE: the
+#: r8 double→long change makes Spark REJECT restarts from pre-r8
+#: checkpoints (loudly, by design — a silent reinterpretation would
+#: misread dollars as cents); rebuild on a fresh checkpoint.
 STATE_SCHEMA = T.StructType(
     [
         T.StructField("session_seq", T.LongType()),
         T.StructField("start_us", T.LongType()),
         T.StructField("last_us", T.LongType()),
         T.StructField("n_events", T.LongType()),
-        T.StructField("total_value", T.DoubleType()),
+        T.StructField("total_cents", T.LongType()),
     ]
 )
+
+
+def _cents(value: float) -> int:
+    """Quantize one event value to integer cents, HALF-UP on the
+    shortest decimal representation — bit-for-bit the rule Spark's
+    ``cast(double as decimal(18,2))`` (``dec_money``) applies, so the
+    stream's per-event rounding matches the batch twin's."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(
+        Decimal(repr(value)).quantize(Decimal("0.01"), ROUND_HALF_UP) * 100
+    )
 
 
 COUNTER_RETENTION_MS = 30 * 86_400_000
@@ -81,28 +100,30 @@ def _sessionize_user(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.hasTimedOut:
-        seq, start, last, n, tot = state.get
+        seq, start, last, n, cents = state.get
         if n == 0:
             # counter-only tombstone expired: the user stayed away
             # long past the retention horizon — forget the counter
             state.remove()
             return
-        # close the open session but KEEP the session counter in a
-        # counter-only state: a returning user continues at seq+1
-        # instead of restarting at 0 and overwriting historical
-        # (user, session_seq) rows in an upsert sink
-        state.update((seq + 1, None, None, 0, 0.0))
+        # close the open session but KEEP the session counter AND the
+        # closed session's end time in a counter-only tombstone: a
+        # returning user continues at seq+1 instead of restarting at
+        # 0, and `last` anchors the lateness horizon — without it an
+        # arbitrarily OLD late event after the timeout would be
+        # accepted as a fresh session that precedes seq in event time
+        state.update((seq + 1, None, last, 0, 0))
         set_idle_timeout(state, event_time, last, COUNTER_RETENTION_MS)
         yield pd.DataFrame(
-            [[user_id, seq, n, start, last, tot, True]],
+            [[user_id, seq, n, start, last, cents / 100.0, True]],
             columns=SESSION_SCHEMA.fieldNames(),
         )
         return
 
     if state.exists:
-        seq, start, last, n, tot = state.get
+        seq, start, last, n, cents = state.get
     else:
-        seq, start, last, n, tot = 0, None, None, 0, 0.0
+        seq, start, last, n, cents = 0, None, None, 0, 0
 
     out_rows = []
     events = pd.concat(list(pdfs))
@@ -118,9 +139,17 @@ def _sessionize_user(
             # sessionizer over the full log is the reconciliation
             # path for data that late).
             continue
-        if last is not None and t_us - last > gap_us:
-            out_rows.append([user_id, seq, n, start, last, tot, True])
-            seq, start, n, tot = seq + 1, t_us, 0, 0.0
+        if start is None and last is not None and t_us <= last:
+            # tombstone horizon: the user's previous session closed at
+            # `last` and was already emitted — an event at or before
+            # that belongs to the closed (or an earlier) session; a
+            # fresh session here would precede seq-1 in event time
+            continue
+        if last is not None and n > 0 and t_us - last > gap_us:
+            out_rows.append(
+                [user_id, seq, n, start, last, cents / 100.0, True]
+            )
+            seq, start, n, cents = seq + 1, t_us, 0, 0
         # late (cross-batch out-of-order) events within the horizon
         # may still precede the stored bounds: clamp so the clock
         # never runs backwards (a regressed `last` would fake a gap
@@ -130,14 +159,23 @@ def _sessionize_user(
         start = t_us if start is None else min(start, t_us)
         last = t_us if last is None else max(last, t_us)
         n += 1
-        tot += float(value) if value == value else 0.0  # NaN-safe
+        cents += _cents(float(value)) if value == value else 0  # NaN-safe
 
-    state.update((seq, start, last, n, tot))
+    state.update((seq, start, last, n, cents))
     # idle eviction: close the open session when the gap elapses —
-    # wall clock in processing-time mode, watermark in event-time mode
-    set_idle_timeout(state, event_time, last, gap_us // 1000)
+    # wall clock in processing-time mode, watermark in event-time
+    # mode; an all-dropped batch on a tombstone keeps the COUNTER
+    # retention clock, not the gap clock
+    set_idle_timeout(
+        state,
+        event_time,
+        last,
+        gap_us // 1000 if n > 0 else COUNTER_RETENTION_MS,
+    )
     if n > 0:
-        out_rows.append([user_id, seq, n, start, last, tot, False])
+        out_rows.append(
+            [user_id, seq, n, start, last, cents / 100.0, False]
+        )
     yield pd.DataFrame(out_rows, columns=SESSION_SCHEMA.fieldNames())
 
 
@@ -173,9 +211,15 @@ def sessionize_stream(
     """
     event_time = validate_timeout("sessionize_stream", timeout)
     gap_us = gap_minutes * 60_000_000
-    prepared = events.select(
-        "user_id", F.expr("ts div 1000").alias("t_us"), "value"
-    )
+    # rows with a NULL event time or user have no place on a user's
+    # timeline — and ONE such row would fail the micro-batch (NaN
+    # reaches int() in the pandas state fn) and wedge the stream
+    # forever: checkpoint replay retries the identical batch. Dropped
+    # up front (a documented divergence — the batch twin's window
+    # sorts NULLs instead).
+    prepared = events.filter(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    ).select("user_id", F.expr("ts div 1000").alias("t_us"), "value")
     if event_time:
         prepared = prepare_event_time(
             prepared,

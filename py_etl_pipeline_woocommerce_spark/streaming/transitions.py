@@ -145,7 +145,15 @@ def transitions_stream(
     """
     event_time = validate_timeout("transitions_stream", timeout)
     idle_ms = idle_minutes * 60_000
-    prepared = events.select(
+    # NULL ts/event_id/user_id rows are dropped up front: one would
+    # fail the micro-batch (NaN reaches int() in the state fn) and
+    # checkpoint replay would retry the same batch forever — the
+    # poison-pill failure mode of every stateful pandas operator
+    prepared = events.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "event_id",
         F.expr("ts div 1000").alias("t_us"),

@@ -384,6 +384,24 @@ def test_streaming_dau_sketch_matches_batch(spark, stream_dirs):
         for r in streaming_daily_active_sketch(batch_df).collect()
     }
     assert len(expected) == 2
+    # ...and against the ACTUAL batch op, not just the streaming
+    # function on a batch frame: same estimator + same DEFAULT rsd
+    # (they diverged at 0.02 vs 0.05 once) => identical estimates
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        daily_active_users_approx,
+    )
+
+    batch_op = {
+        r.day_us: (r.approx_users, r.n_events)
+        for r in daily_active_users_approx(batch_df).collect()
+    }
+    import calendar
+
+    streaming_as_us = {
+        calendar.timegm(d.timetuple()) * 1_000_000: v
+        for d, v in expected.items()
+    }
+    assert streaming_as_us == batch_op
 
     stream = spark.readStream.schema(batch_df.schema).parquet(src)
     q = (
@@ -1507,3 +1525,179 @@ def test_transitions_state_rebuild_preserves_open_transitions(
         spark.read.parquet(src), idle_minutes=0
     )
     assert [r["user_id"] for r in frontier.collect()] == [7]
+
+
+def test_stateful_streams_survive_null_rows(spark, stream_dirs):
+    """One NULL-ts (or NULL-id) row must NOT poison-pill a stateful
+    stream: int(NaN) in the pandas state fn would fail the
+    micro-batch and checkpoint replay would retry it forever. NULL
+    rows are dropped up front; the valid rows still process."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, None, 3, 4], pa.int64()),
+            "ts": pa.array([base, None, None, base + MIN_NS], pa.int64()),
+            "user_id": pa.array([7, 7, None, 7], pa.int64()),
+            "event_type": pa.array(["a", "b", "c", "d"], pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+            "props": pa.array(["{}"] * 4, pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{src}/b0.parquet")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("null_safe_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def wait(pred, deadline_s=300):
+        import time as _t
+
+        t0 = _t.time()
+        rows = []
+        while _t.time() - t0 < deadline_s:
+            rows = spark.sql("select * from null_safe_sink").collect()
+            if pred(rows):
+                return rows
+            _t.sleep(1)
+        raise AssertionError(f"sink never satisfied predicate; got {rows}")
+
+    try:
+        rows = wait(lambda rows: len(rows) >= 1)
+    finally:
+        q.stop()
+    (open_row,) = [r for r in rows if not r["closed"]]
+    # only events 1 and 4 (valid ts+user) count
+    assert open_row["n_events"] == 2
+    assert open_row["total_value"] == 5.0
+
+
+def test_sessionize_stream_money_decimal_exact(spark, stream_dirs):
+    """Session money accumulates as integer cents, so 0.1 + 0.2 is
+    exactly 0.3 — matching the batch twin's DECIMAL sum instead of
+    float64's 0.30000000000000004."""
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000
+    _write_events(
+        f"{src}/b0.parquet",
+        [(1, base, 7, "a", 0.1), (2, base + 1_000_000_000, 7, "b", 0.2)],
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cents_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def wait(pred, deadline_s=300):
+        import time as _t
+
+        t0 = _t.time()
+        rows = []
+        while _t.time() - t0 < deadline_s:
+            rows = spark.sql("select * from cents_sink").collect()
+            if pred(rows):
+                return rows
+            _t.sleep(1)
+        raise AssertionError(f"sink never satisfied predicate; got {rows}")
+
+    try:
+        rows = wait(lambda rows: any(r["n_events"] == 2 for r in rows))
+    finally:
+        q.stop()
+    (row,) = [r for r in rows if r["n_events"] == 2]
+    assert row["total_value"] == 0.3  # exact, no float drift
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for white-box state-fn tests (the
+    wall-clock ProcessingTimeTimeout cannot be forced in a unit
+    test)."""
+
+    def __init__(self, value=None, timed_out=False):
+        self._v = value
+        self.hasTimedOut = timed_out
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout_ms = ts
+
+
+def test_session_tombstone_keeps_lateness_horizon():
+    """After an idle timeout closes a session, the counter tombstone
+    keeps the closed session's end time: a LATE event at or before it
+    is dropped (it belongs to the already-emitted session), while a
+    genuinely newer event starts seq+1 — session seq order stays
+    time order across the timeout boundary."""
+    import pandas as pd
+
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        _sessionize_user,
+    )
+
+    H = 3_600_000_000  # one hour in us
+    gap_us = 30 * 60_000_000
+    # open session [10h, 10.5h] times out
+    st = _FakeGroupState(value=(0, 10 * H, 10 * H + H // 2, 3, 450), timed_out=True)
+    (closed,) = list(_sessionize_user((7,), iter([]), st, gap_us))
+    assert closed["closed"].tolist() == [True]
+    assert closed["total_value"].tolist() == [4.5]
+    assert st.get == (1, None, 10 * H + H // 2, 0, 0)
+    st.hasTimedOut = False  # subsequent calls deliver data, not timeouts
+
+    # a late event from BEFORE the closed session: dropped, tombstone intact
+    late = pd.DataFrame({"t_us": [8 * H], "value": [1.0]})
+    (out,) = list(_sessionize_user((7,), iter([late]), st, gap_us))
+    assert len(out) == 0
+    assert st.get == (1, None, 10 * H + H // 2, 0, 0)
+
+    # a genuinely newer event starts session seq=1 AFTER seq=0 in time
+    fresh = pd.DataFrame({"t_us": [11 * H], "value": [2.0]})
+    (out,) = list(_sessionize_user((7,), iter([fresh]), st, gap_us))
+    assert out["session_seq"].tolist() == [1]
+    assert out["start_us"].tolist() == [11 * H]
+    assert out["closed"].tolist() == [False]
