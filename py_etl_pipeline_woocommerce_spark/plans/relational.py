@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.money import dec_money, disc_price, gross_price
+from ..functions.money import dec_money, dec_rate, disc_price, gross_price
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -25,7 +25,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity")
-    base = F.col("l_extendedprice").cast("decimal(18,2)")
+    base = dec_money("l_extendedprice")
     agg = (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -69,7 +69,7 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )
@@ -114,7 +114,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region")
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )
@@ -171,7 +171,7 @@ def shipping_priority(spark: SparkSession, sf_dir: str, limit: int = 10) -> Data
     )
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+    ).join(customer, F.col("o_custkey") == customer.c_custkey)
     return (
         joined.groupBy(
             F.col("l_orderkey").alias("order_id"),
@@ -192,7 +192,7 @@ def discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Discount compares in DECIMAL so 0.05/0.07 are exact band edges.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
-    d = F.col("l_discount").cast("decimal(4,2)")
+    d = dec_rate("l_discount")
     lo = F.lit("0.05").cast("decimal(4,2)")
     hi = F.lit("0.07").cast("decimal(4,2)")
     filtered = lineitem.filter(
@@ -232,11 +232,16 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
     )
+    # global max as a 1-row aggregate broadcast back in — NOT an
+    # unpartitioned window: Window.partitionBy() funnels the whole
+    # supplier-grain frame into ONE task (the file's important_parts/
+    # idle_customers pattern; the exact DECIMAL compare keeps ties
+    # deterministic either way)
     rev = lineitem.groupBy("l_suppkey").agg(
         F.sum(disc_price()).alias("_rev_dec")
-    )
-    w = Window.partitionBy()
-    best = rev.withColumn("_max", F.max("_rev_dec").over(w)).filter(
+    ).localCheckpoint(eager=False)
+    gmax = rev.agg(F.max("_rev_dec").alias("_max"))
+    best = rev.join(F.broadcast(gmax)).filter(
         F.col("_rev_dec") == F.col("_max")
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -277,7 +282,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_cn_key"))
         .filter(pair)
     )
@@ -315,7 +320,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cn_key"))
         .join(F.broadcast(region), F.col("_cn_region") == region.r_regionkey)
         .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
@@ -378,7 +383,7 @@ def large_volume_orders(spark: SparkSession, sf_dir: str, min_qty: int = 300) ->
     )
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     joined = big.join(orders, big.l_orderkey == orders.o_orderkey).join(
-        F.broadcast(customer), F.col("o_custkey") == customer.c_custkey
+        customer, F.col("o_custkey") == customer.c_custkey
     )
     return joined.select(
         F.col("c_name").alias("customer_name"),
@@ -575,7 +580,7 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     joined = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+        .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
     )
     agg = joined.groupBy(
@@ -745,7 +750,7 @@ def segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = lineitem.join(
         orders, lineitem.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(customer), F.col("o_custkey") == customer.c_custkey)
+    ).join(customer, F.col("o_custkey") == customer.c_custkey)
     agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.sum(disc_price()).alias("_rev")
     )
@@ -1054,11 +1059,16 @@ def rfm_segments(
         F.col("o_custkey").isNotNull()
     )
     day = F.datediff("o_orderdate", F.lit("1970-01-01").cast("timestamp"))
+    # per_cust feeds BOTH the 1-row maxday aggregate and the feats
+    # join, and column pruning makes the two subtrees differ (the
+    # maxday branch drops frequency/spend) so exchange reuse cannot
+    # deduplicate them — the pin runs the orders scan + customer
+    # shuffle once (aggregated frame, the multi-consumer convention)
     per_cust = orders.groupBy(F.col("o_custkey").alias("cust_id")).agg(
         F.max(day).alias("_last_day"),
         F.count(F.lit(1)).alias("frequency"),
         F.sum(dec_money("o_totalprice")).alias("_spend"),
-    )
+    ).localCheckpoint(eager=False)
     maxday = per_cust.agg(F.max("_last_day").alias("_corpus_last"))
     feats = per_cust.join(F.broadcast(maxday)).select(
         "cust_id",
@@ -1171,9 +1181,13 @@ def basket_pairs(
             "n_both",
             F.round(F.col("n_both") / F.col("n_orders"), 6).alias("support"),
             F.round(F.col("n_both") / F.col("n_a"), 6).alias("conf_a_to_b"),
+            # double BEFORE the multiplies: bigint n_both x n_orders
+            # (and n_a x n_b) overflow int64 under ANSI at exactly the
+            # basket counts a 100 TB order log reaches — the hot_keys
+            # x_uniform guard, same class
             F.round(
-                (F.col("n_both") * F.col("n_orders"))
-                / (F.col("n_a") * F.col("n_b")),
+                (F.col("n_both").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
                 6,
             ).alias("lift"),
         )
@@ -1251,6 +1265,10 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     week_us = 7 * 86_400_000_000
+    # observed feeds BOTH the spine min/max aggregate and the left
+    # join, and pruning drops the revenue sum from the spine branch so
+    # exchange reuse can't deduplicate — the pin runs the orders scan
+    # + weekly shuffle once (aggregated ≤|weeks|-row frame)
     observed = (
         orders.select(
             F.expr(
@@ -1260,6 +1278,7 @@ def wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("week_idx")
         .agg(F.sum(dec_money("o_totalprice")).cast("double").alias("revenue"))
+        .localCheckpoint(eager=False)
     )
     spine = observed.agg(
         F.min("week_idx").alias("_lo"), F.max("week_idx").alias("_hi")
