@@ -249,42 +249,47 @@ def _q_dq_rules(spark, sf_dir):
 
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
 # ordering decides what gets (re-)verified each round. Round-8 front
-# block, in priority order:
-#   1. entries whose CODE changed in round 8 — hot_keys_approx (NULL
-#      tracking moved to an out-of-band flag; rows-only by design);
-#   2. the 27 r3-stale rows (CORRECTNESS_r07's budget stopped at
-#      fill_missing_days, spilling the heavy dedup/ann/capstone tail);
-#   3. 22 of the r4-era rows, verdict-named first (wow_growth,
-#      repeat_rate, fulfillment_latency, basket_pairs,
-#      time_gaps/merge_intervals/m4/ks_drift, cdc_apply,
-#      dq_referential, bm25/hybrid_search, corpus_prep_v2,
-#      split_leakage*, repeated/strip_repeated_spans, dsir_weights)
-#      plus rollup_merge, soft_dedup_weights, user_streaks,
-#      dau_new_vs_returning.
+# block (exactly 50), in priority order:
+#   1. entries whose CODE or ORACLE changed in round 8 — the review
+#      waves over dedup.py (NULL-safe incremental join + oracle,
+#      convergence raise, shared span tokenization), events.py
+#      (try_cast JSON extraction + both oracles, integer-div buckets,
+#      checkpoint experiments), relational.py (top_supplier's 1-row
+#      max, customer broadcast-hint removal — regional_revenue and
+#      market_share ride as sentinels for the 8-query hint change),
+#      packing.py (integer-div pack ids, _hash_bucket reuse), and
+#      skew.py (out-of-band NULL flag);
+#   2. the remaining r3-stale rows (the r7 budget spill — verdict
+#      item 1), all of which were ALSO pre-gated at sf0.01 this round.
 # ROUND-9 ROTATION NOTE: promote (a) any r9 code/oracle changes, then
-# (b) the r4-era rows that spilled past round 8's ~50-entry budget:
-# corpus_prep_v2, split_leakage, split_leakage_near, dsir_weights,
-# rollup_merge, soft_dedup_weights, user_streaks, asof_join_forward,
+# (b) the 8 values-identical r8 changes deferred past the budget
+# (pricing_summary, discount_revenue, sales_rollup, shipping_priority,
+# volume_shipping, large_volume_orders, returned_item_report,
+# segment_share — dec_money/dec_rate helper swaps and broadcast-hint
+# removals, re-gated at sf0.01 in r8), then (c) the r4-era tail:
 # corpus_split, cusum_changepoint, daily_value_percentiles,
 # dau_new_vs_returning, dayn_retention, event_value_summary,
-# fill_missing_days_interp, fill_missing_days_locf,
-# interarrival_stats, length_buckets, numeric_corr, seasonal_anomaly,
-# session_stats, source_quota_sample, value_outliers — then (c) the
-# oldest r5-era rows (41 entries: check CORRECTNESS_r05 keys minus
-# anything re-checked since). Rows re-greened in r8 only need
-# re-checks after their next code change.
+# fill_missing_days_interp, fill_missing_days_locf, interarrival_stats,
+# length_buckets, numeric_corr, seasonal_anomaly, session_stats,
+# source_quota_sample, user_streaks, value_outliers, asof_join_forward,
+# time_gaps, merge_intervals, m4_downsample, ks_drift, cdc_apply,
+# dq_referential, bm25_search, hybrid_search, split_leakage,
+# split_leakage_near, dsir_weights, repeat_rate, fulfillment_latency,
+# rollup_merge — then (d) the r5-era rows. Rows re-greened in r8 only
+# need re-checks after their next code change.
 _R8_FRONT = [
-    # --- block 1: round-8 code changes (hot_keys_approx: out-of-band
-    # NULL flag; dedup_incremental: NULL-safe known-join + oracle;
-    # repeated/strip_repeated_spans: shared tokenization; events
-    # family: try_cast JSON extraction + oracles, checkpoint
-    # experiments, integer-div buckets) — the r8 review waves'
-    # remaining touched entries (dedup_clusters/star/simhash/
-    # incremental_near) are already in block 2 ---
     "hot_keys_approx",
     "dedup_incremental",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_simhash",
+    "dedup_incremental_near",
     "repeated_spans",
     "strip_repeated_spans",
+    "dedup_apply",
+    "dup_cluster_histogram",
+    "soft_dedup_weights",
+    "dedup_audit",
     "parse_event_props",
     "event_props_typed",
     "event_transitions",
@@ -292,48 +297,37 @@ _R8_FRONT = [
     "funnel_steps_windowed",
     "user_overlap",
     "linear_attribution",
-    # --- block 2: the 27 r3-stale rows (budget spill from r7) ---
-    "rolling_active_users",
-    "dq_rules",
-    "decontaminate",
-    "dedup_apply",
-    "embedding_cosine_dup",
-    "embedding_scores",
-    "label_centroids",
-    "linestatus_priority",
-    "dominant_suppliers",
+    "top_supplier",
+    "regional_revenue",
+    "market_share",
+    "rfm_segments",
+    "wow_growth",
+    "basket_pairs",
+    "pack_sequences",
+    "pack_bins_bfd",
     "chunk_documents",
-    "vocab_drift",
-    "tokenizer_stats",
-    "daily_active_users_approx",
-    "value_percentiles_approx",
-    "dau_sketch_rollup",
+    "corpus_prep",
+    "corpus_prep_v2",
     "ann_topk",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "ann_quantized_topk",
-    "dedup_simhash",
-    "dedup_containment",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "semdedup_apply",
-    "dedup_incremental_near",
-    "corpus_prep",
     "corpus_pipeline",
-    # --- block 3: r4-era rows (verdict-named first; the tail that
-    # does not fit the ~50 budget is in the ROUND-9 note) ---
-    "wow_growth",
-    "repeat_rate",
-    "fulfillment_latency",
-    "basket_pairs",
-    "time_gaps",
-    "merge_intervals",
-    "m4_downsample",
-    "ks_drift",
-    "cdc_apply",
-    "dq_referential",
-    "bm25_search",
-    "hybrid_search",
+    "daily_active_users_approx",
+    "dau_sketch_rollup",
+    "decontaminate",
+    "dedup_containment",
+    "dominant_suppliers",
+    "dq_rules",
+    "embedding_cosine_dup",
+    "embedding_scores",
+    "label_centroids",
+    "linestatus_priority",
+    "rolling_active_users",
+    "semdedup_apply",
+    "tokenizer_stats",
+    "value_percentiles_approx",
+    "vocab_drift",
 ]
 
 

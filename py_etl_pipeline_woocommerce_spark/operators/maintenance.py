@@ -28,12 +28,55 @@ def compact_parquet(
     output file count and inherits input skew; ``repartition``'s
     round-robin exchange buys evenly-sized output files — the right
     trade for a maintenance job that runs off the hot path.
+
+    Hive-partitioned sources (``key=value`` dirs, e.g. an
+    ``export_shards`` tree) keep their layout: partition discovery
+    turns the dir keys into columns, and a flat rewrite would
+    silently COLLAPSE the directory structure — consumers mounting
+    one ``lang=`` subtree would find nothing and pruning would be
+    gone. Detected partition levels are re-written with
+    ``partitionBy`` (clustered repartition on the keys, so compaction
+    lands ~one file per partition value rather than files × values).
     """
     df = spark.read.parquet(src_dir)
     n_rows = df.count()
     n_files = max(1, math.ceil(n_rows / target_rows_per_file))
-    df.repartition(n_files).write.mode("overwrite").parquet(dest_dir)
+    part_cols = _partition_columns(spark, src_dir)
+    if part_cols:
+        from pyspark.sql import functions as F
+
+        (
+            df.repartition(n_files, *[F.col(c) for c in part_cols])
+            .write.mode("overwrite")
+            .partitionBy(*part_cols)
+            .parquet(dest_dir)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(dest_dir)
     return n_files
+
+
+def _partition_columns(spark, src_dir: str) -> list[str]:
+    """Hive partition keys of a parquet tree, outermost first —
+    detected from the ``key=value`` directory names (the same
+    structure Spark's partition discovery reads), via the Hadoop FS
+    client so any warehouse scheme works."""
+    from ..functions.fsutil import hadoop_fs
+
+    fs, path = hadoop_fs(spark, src_dir)
+    cols: list[str] = []
+    while True:
+        subdirs = [
+            s.getPath()
+            for s in fs.listStatus(path)
+            if s.isDirectory() and "=" in s.getPath().getName()
+        ]
+        keys = {p.getName().split("=", 1)[0] for p in subdirs}
+        if len(keys) != 1:
+            break
+        cols.append(keys.pop())
+        path = subdirs[0]
+    return cols
 
 
 def ensure_columns(df, columns: dict[str, str]):

@@ -41,28 +41,33 @@ def pack_sequences(
     - ``pack_offset`` — offset inside ``start_pack``,
     - ``n_packs_spanned`` — boundary crossings + 1.
     """
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
-    n_tok = token_count_expr("text")
+    from .corpus import _hash_bucket  # lazy: corpus imports packing lazily too
+
     staged = documents.select(
         "doc_id",
-        (h.cast("bigint") % buckets).alias("bucket"),
-        n_tok.alias("n_tokens"),
+        _hash_bucket(F.col("doc_id"), buckets),
+        token_count_expr("text").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cum_end = F.sum("n_tokens").over(w)
-    stream_start = (cum_end - F.col("n_tokens")).alias("stream_start")
-    start_pack = F.floor((cum_end - F.col("n_tokens")) / budget)
-    end_pack = F.floor((cum_end - 1) / budget)
-    return staged.select(
+    # integer `div`, not floor(double /): bigint/bigint in Spark is
+    # DOUBLE, which loses low-order bits past 2^53 cumulative tokens —
+    # silently wrong pack ids at exactly the stream sizes the packing
+    # layout targets. Operands are non-negative, so div == floor.
+    cum = staged.withColumn("_cum_end", F.sum("n_tokens").over(w))
+    start_pack = F.expr(f"(_cum_end - n_tokens) div {budget}")
+    end_pack = F.expr(f"(_cum_end - 1) div {budget}")
+    return cum.select(
         "doc_id",
         "bucket",
         "n_tokens",
-        stream_start,
+        (F.col("_cum_end") - F.col("n_tokens")).alias("stream_start"),
         start_pack.alias("start_pack"),
         end_pack.alias("end_pack"),
-        ((cum_end - F.col("n_tokens")) % budget).alias("pack_offset"),
+        ((F.col("_cum_end") - F.col("n_tokens")) % budget).alias(
+            "pack_offset"
+        ),
         (end_pack - start_pack + 1).alias("n_packs_spanned"),
     )
 
@@ -80,7 +85,18 @@ def chunk_documents(
     the chunk grid is a ``sequence`` + ``explode`` fan-out (bounded by
     len/stride), and each chunk's text is a JVM-side slice+join. No
     shuffle at all — the op scales with the scan.
+
+    ``stride`` must be in ``(0, max_tokens]``: a stride past the
+    window would silently DROP the tokens between consecutive windows
+    (and emit empty trailing chunks) — refused loudly instead, the
+    zorder-bits style guard.
     """
+    if not 0 < stride <= max_tokens:
+        raise ValueError(
+            f"chunk_documents: stride={stride} must be in (0, "
+            f"max_tokens={max_tokens}] — a larger stride silently "
+            "drops the tokens between consecutive windows"
+        )
     from ..functions.text import tokens_expr
 
     staged = documents.select(
@@ -133,9 +149,15 @@ def pack_bins_bfd(
     (same determinism trick as ``pack_sequences``); each bucket's BFD
     runs in a grouped ``applyInPandas``: sort by (n_tokens desc,
     doc_id), place each doc into the open pack with the SMALLEST
-    remaining capacity that fits (heap; ties → oldest pack), else
-    open a new pack. O(n log n) per bucket, buckets ≈ cluster width
-    at 100 TB. Fully deterministic ⇒ re-runs reproduce the layout.
+    remaining capacity that fits (bisect over a sorted list; ties →
+    oldest pack), else open a new pack. Honest cost: the bisect FIND
+    is O(log n) but each list insert/remove is an O(open packs)
+    memmove, so a bucket degenerates to O(n × open-packs) when most
+    packs stay open — a heap cannot fix this (best-fit needs
+    "smallest remaining ≥ size", not the global min). The knob is
+    ``buckets``: kernel size is docs/buckets, so size buckets to keep
+    each kernel in the low millions and the memmove constant small.
+    Fully deterministic ⇒ re-runs reproduce the layout.
 
     Greedy set-conditioned assignment is not SQL-expressible →
     rows-only driver check; pytest asserts capacity, determinism
@@ -144,12 +166,11 @@ def pack_bins_bfd(
     """
     import pandas as pd
 
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
-    )
+    from .corpus import _hash_bucket  # the canonical md5 bucket helper
+
     staged = documents.select(
         "doc_id",
-        (h.cast("bigint") % buckets).alias("bucket"),
+        _hash_bucket(F.col("doc_id"), buckets),
         token_count_expr("text").alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
 
@@ -193,8 +214,9 @@ def pack_bins_bfd(
             else:
                 packs.append(size)
                 idx = len(packs) - 1
-                if budget - size > 0:
-                    bisect.insort(by_remaining, (budget - size, idx))
+                # size < budget here (>= budget continued above), so
+                # the new pack always has remaining capacity
+                bisect.insort(by_remaining, (budget - size, idx))
                 assign.append(idx)
             truncated.append(False)
         fills = [packs[i] for i in assign]

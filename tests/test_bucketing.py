@@ -84,3 +84,45 @@ def test_compact_parquet_bounds_file_count(spark, sf_dir, tmp_path):
     written = glob.glob(f"{dest}/part-*.parquet")
     assert len(written) == n_files < 20
     assert spark.read.parquet(dest).count() == orders.count()
+
+
+def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
+    """Compacting a key=value-partitioned tree must keep the layout:
+    a flat rewrite would silently collapse the directories consumers
+    mount (export_shards' documented use) and kill pruning."""
+    import glob
+
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "parts_src")
+    dest = str(tmp_path / "parts_dest")
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", f"text {i}") for i in range(100)],
+        "doc_id long, lang string, text string",
+    )
+    df.write.partitionBy("lang").parquet(src)
+    compact_parquet(spark, src, dest, target_rows_per_file=1000)
+    assert sorted(
+        p.rsplit("/", 1)[-1] for p in glob.glob(f"{dest}/lang=*")
+    ) == ["lang=de", "lang=en"]
+    back = spark.read.parquet(dest)
+    assert back.count() == 100
+    assert back.filter("lang = 'en'").count() == 50
+
+
+def test_chunk_documents_rejects_gapping_stride(spark):
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b c")], "doc_id long, lang string, text string"
+    )
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, max_tokens=64, stride=100)
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(docs, max_tokens=64, stride=0)
