@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.logging import get_logger
-from ..operators.upsert import upsert_df
+from ..operators.upsert import upsert_df, upsert_partitioned_parquet
 from ..sources import rest
 from ..sources.state import WatermarkStore
 
@@ -117,6 +117,16 @@ def build_facts(
             "net_after_refunds", F.col("net_total") - F.col("refund_total")
         )
     )
+    # refund totals aggregate at (order, product, variation) grain,
+    # but an order can carry the SAME grain on two separate lines —
+    # a plain left join would copy the full refunded amount onto BOTH
+    # rows (double-counted in any item-grain sum, the reference's
+    # pandas merge included). Apply each grain's refund to exactly ONE
+    # deterministic line (lowest line_id), zero on the others.
+    line_rank = F.row_number().over(
+        Window.partitionBy("order_id", "product_id", "variation_id")
+        .orderBy("line_id")
+    )
     items = (
         items.withColumn(
             "variation_id", F.coalesce("variation_id", F.lit(0))
@@ -126,12 +136,22 @@ def build_facts(
             ["order_id", "product_id", "variation_id"],
             "left",
         )
+        .withColumn("_line_rank", line_rank)
+        .withColumn(
+            "refunded_quantity",
+            F.when(F.col("_line_rank") == 1, F.col("refunded_quantity")),
+        )
+        .withColumn(
+            "refunded_total",
+            F.when(F.col("_line_rank") == 1, F.col("refunded_total")),
+        )
         .withColumn(
             "refunded_quantity", F.coalesce("refunded_quantity", F.lit(0))
         )
         .withColumn(
             "refunded_total", F.coalesce("refunded_total", F.lit(0.0))
         )
+        .drop("_line_rank", "line_id")
     )
     return orders, items
 
@@ -172,7 +192,7 @@ def _upsert_table(
         if not assume_immutable_partition:
             batch_keys = batch.select(*keys).distinct()
             moved = (
-                table.filter(~F.col(PARTITION_COL).isin(months))
+                table.filter(~_month_in(months))
                 .select(*keys, PARTITION_COL)
                 .join(F.broadcast(batch_keys), keys, "left_semi")
                 .select(PARTITION_COL)
@@ -180,19 +200,40 @@ def _upsert_table(
                 .collect()
             )
             months += [r[0] for r in moved]
-        existing = table.filter(F.col(PARTITION_COL).isin(months))
+        existing = table.filter(_month_in(months))
         # localCheckpoint breaks the file lineage so the dynamic
         # overwrite below can rewrite the same partitions the merged
         # plan read; only touched-partition rows materialize.
         merged = upsert_df(existing, batch, keys).localCheckpoint(eager=True)
     else:
+        # first creation: an all-empty batch would materialize a
+        # directory with no data files, and the NEXT run's
+        # spark.read.parquet dies on it ("unable to infer schema") —
+        # an AnalysisException incremental_run deliberately never
+        # retries. Nothing to write, nothing to create.
+        if batch.isEmpty():
+            return
         merged = batch
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(PARTITION_COL)
-        .parquet(path)
+    upsert_partitioned_parquet(spark, merged, path, PARTITION_COL)
+
+
+def _month_in(months: list) -> F.Column:
+    """NULL-SAFE partition membership: ``isin`` is never true for a
+    NULL month (a malformed order date lands in
+    ``__HIVE_DEFAULT_PARTITION__``), so a plain filter would EXCLUDE
+    the existing NULL-month rows from the merge while the dynamic
+    overwrite still replaces that directory — previously loaded
+    NULL-month orders would be silently deleted. Same rule on the
+    moved-keys probe (its negation must still see NULL rows)."""
+    non_null = [m for m in months if m is not None]
+    cond = (
+        F.coalesce(F.col(PARTITION_COL).isin(non_null), F.lit(False))
+        if non_null
+        else F.lit(False)
     )
+    if None in months:
+        cond = cond | F.col(PARTITION_COL).isNull()
+    return cond
 
 
 def _with_month(df: DataFrame) -> DataFrame:
@@ -209,12 +250,21 @@ def incremental_run(
     before_iso: str | None = None,
     retries: int = 0,
     retry_delay_sec: float = 30.0,
+    overlap_minutes: int = 0,
 ) -> dict:
     """One incremental cycle (flow.py incremental_flow): returns run
     stats. Idempotent: re-running with an unmoved watermark rewrites
     the same keys (delete+insert), so retries are safe.
     ``before_iso`` bounds the extract above (the backfill-window
     case); a normal incremental run leaves it open.
+
+    ``overlap_minutes`` selects the watermark-advance rule: 0
+    (default) is REFERENCE PARITY — flow.py's t_advance_watermark
+    skips the minute after the last ingested order, permanently
+    losing any order created inside it (state.py module docstring).
+    Pass 1+ for the gap-free rule (max − overlap): the boundary
+    window re-reads every run, which the idempotent delete+insert
+    upsert makes free — the setting production deployments want.
 
     ``retries``/``retry_delay_sec`` mirror the reference's
     ``@task(retries=2, retry_delay_seconds=30)`` on order fetching
@@ -250,6 +300,7 @@ def incremental_run(
                 state,
                 warehouse_dir,
                 before_iso,
+                overlap_minutes,
             )
         except AnalysisException:
             raise
@@ -274,6 +325,7 @@ def _incremental_run_once(
     state: WatermarkStore,
     warehouse_dir: str,
     before_iso: str | None = None,
+    overlap_minutes: int = 0,
 ) -> dict:
     since = state.get_since()
     log.info("incremental run since=%s", since)
@@ -308,14 +360,19 @@ def _incremental_run_once(
                 os.path.join(warehouse_dir, "fct_orders"),
                 ["order_id"],
             )
+            # items upsert at ORDER grain (reference parity:
+            # duckdb_client.py:55 deletes by order_id unconditionally)
+            # — a line item the merchant REMOVED from an order between
+            # runs must not survive as a stale row, which a
+            # (order, product, variation)-keyed anti-join would allow
             _upsert_table(
                 spark,
                 items,
                 os.path.join(warehouse_dir, "fct_order_items"),
-                ["order_id", "product_id", "variation_id"],
+                ["order_id"],
             )
             max_date = orders.agg(F.max("order_date")).first()[0]
-            nxt = WatermarkStore.advance_from(max_date)
+            nxt = WatermarkStore.advance_from(max_date, overlap_minutes)
             if nxt:
                 state.set_since(nxt)
                 log.info("watermark advanced to %s", nxt)
@@ -388,12 +445,7 @@ def re_enrich_run(
         .select(*items.columns)
         .localCheckpoint(eager=True)  # break file lineage pre-overwrite
     )
-    (
-        updated.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(PARTITION_COL)
-        .parquet(path)
-    )
+    upsert_partitioned_parquet(spark, updated, path, PARTITION_COL)
     log.info(
         "re-enrich: rewrote %d month partition(s), force_all=%s",
         len(months),
@@ -467,12 +519,7 @@ def purge_keys(
     kept_months = {r[0] for r in kept.select(PARTITION_COL).distinct().collect()}
     emptied = [m for m in touched if m not in kept_months]
     if kept_months:
-        (
-            kept.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(PARTITION_COL)
-            .parquet(path)
-        )
+        upsert_partitioned_parquet(spark, kept, path, PARTITION_COL)
     for m in emptied:
         shutil.rmtree(
             os.path.join(path, f"{PARTITION_COL}={m}"), ignore_errors=True

@@ -36,6 +36,18 @@ except ImportError:  # pragma: no cover
 RETRYABLE_STATUSES = frozenset({429, 500, 502, 503, 504})
 
 
+def _redact_credentials(text: str) -> str:
+    """Strip WooCommerce API credential VALUES from error text. The
+    query string (consumer_key/consumer_secret) rides in every URL,
+    and both requests' exception messages and some server error
+    bodies echo the URL back."""
+    import re
+
+    return re.sub(
+        r"(consumer_(?:key|secret)=)[^&\s'\"]+", r"\1***", text or ""
+    )
+
+
 class WooHttpError(RuntimeError):
     """GET failed terminally (non-retryable status, or retries exhausted).
 
@@ -147,7 +159,14 @@ class WooHttpTransport:
                     exc, requests.RequestException
                 ):
                     raise
-                last_status, last_body = -1, f"{type(exc).__name__}: {exc}"
+                # REDACT before storing: requests embeds the full URL
+                # (query string INCLUDING consumer_key/consumer_secret)
+                # in connection-error text — unredacted it would land
+                # in driver logs, Spark UI failure messages, and
+                # notify emails via WooHttpError below
+                last_status, last_body = -1, _redact_credentials(
+                    f"{type(exc).__name__}: {exc}"
+                )
                 if attempt == self.max_retries:
                     break
                 self._sleep(self._delay(attempt, None))
@@ -166,4 +185,4 @@ class WooHttpTransport:
             if status not in RETRYABLE_STATUSES or attempt == self.max_retries:
                 break
             self._sleep(self._delay(attempt, resp.headers.get("Retry-After")))
-        raise WooHttpError(path, last_status, last_body)
+        raise WooHttpError(path, last_status, _redact_credentials(last_body))

@@ -158,6 +158,15 @@ def fetch_paged(
         # Unknown total (no X-WP-TotalPages): a short first page means
         # done, else probe optimistically (wc_client.py:41-48 loop).
         total_pages = 1 if len(first) < per_page else max_unknown_pages
+    if known_total and total_pages > 1 and not first:
+        # the executor path refuses this exact inconsistency (below);
+        # swallowing it on the DRIVER would silently drop pages 2..N
+        # and let the caller advance its watermark past the gap
+        raise RuntimeError(
+            f"fetch_paged: page 1 of {path} came back empty but "
+            f"X-WP-TotalPages reported {total_pages} pages — refusing "
+            "to silently drop the remaining pages"
+        )
     if total_pages <= 1 or not first:
         return spark.createDataFrame(first_rows or [], RAW_SCHEMA)
     last_probe_page = total_pages
@@ -234,9 +243,19 @@ def fetch_orders_since(
 
 
 def parse_orders(raw: DataFrame) -> DataFrame:
-    """raw JSON rows -> typed order structs (one row per order)."""
+    """raw JSON rows -> typed order structs (one row per order).
+
+    Malformed JSON FAILS LOUDLY (the module doctrine): the default
+    PERMISSIVE mode would turn a corrupt record into an all-NULL
+    order row — order_id NULL, money coerced to 0.0 — that the keyed
+    upsert can never delete (NULL never equi-joins), breaking
+    idempotence one corrupt record at a time. FAILFAST raises on the
+    record instead.
+    """
     return raw.select(
-        F.from_json("raw", ORDER_JSON_SCHEMA).alias("o")
+        F.from_json("raw", ORDER_JSON_SCHEMA, {"mode": "FAILFAST"}).alias(
+            "o"
+        )
     ).select("o.*")
 
 
@@ -281,13 +300,20 @@ def orders_frame(parsed: DataFrame) -> DataFrame:
 
 def items_frame(parsed: DataFrame) -> DataFrame:
     """Line-item grain frame (normalize_orders.py:51-69): explode the
-    nested array — one shuffle-free narrow op per order row."""
+    nested array — one shuffle-free narrow op per order row.
+
+    ``line_id`` (Woo's ``li.id``) rides along as the line's identity:
+    an order can carry the SAME (product_id, variation_id) on two
+    separate lines, and without the id there is no deterministic way
+    to apply a refund to exactly one of them (``build_facts`` drops
+    it from the warehouse row after the refund join)."""
     li = parsed.select(
         F.col("id").alias("order_id"),
         F.explode("line_items").alias("li"),
     )
     return li.select(
         "order_id",
+        F.col("li.id").alias("line_id"),
         F.col("li.product_id").alias("product_id"),
         F.col("li.variation_id").alias("variation_id"),
         F.col("li.sku").alias("sku"),
@@ -374,10 +400,27 @@ def fetch_refunds_for_orders(
             for oid in pdf["order_id"].dropna():
                 oid = int(oid)
                 try:
-                    body, _ = transport(
-                        f"orders/{oid}/refunds", {"per_page": 100}
-                    )
-                    recs = _records(body)
+                    # page EXHAUSTIVELY: a subscription/marketplace
+                    # order can exceed one page of refunds, and
+                    # stopping at page 1 silently understates
+                    # refund_total (the truncation fetch_paged never
+                    # allows itself)
+                    page, recs = 1, []
+                    while True:
+                        body, total_pages = transport(
+                            f"orders/{oid}/refunds",
+                            {"per_page": 100, "page": page},
+                        )
+                        batch = _records(body)
+                        recs.extend(batch)
+                        done = (
+                            page >= total_pages
+                            if total_pages >= 0
+                            else len(batch) < 100
+                        )
+                        if done:
+                            break
+                        page += 1
                 except WooHttpError as exc:
                     # refunds.py:26-28: a MISSING order -> no refunds.
                     # Only 404 qualifies — swallowing auth failures or

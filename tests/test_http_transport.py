@@ -224,3 +224,28 @@ def test_malformed_total_pages_header_degrades_to_unknown():
     )
     body, pages = transport("orders", {})
     assert pages == -1
+
+
+def test_error_messages_redact_credentials():
+    """Connection-error text from requests embeds the full URL —
+    query string INCLUDING the API credentials. The raised
+    WooHttpError (which lands in driver logs and notify emails) must
+    carry the redacted form."""
+    import requests as _requests
+
+    transport, _ = _flaky(
+        [
+            _requests.ConnectionError(
+                "Max retries exceeded with url: /wp-json/wc/v3/orders"
+                "?after=x&consumer_key=ck_SECRET1&consumer_secret=cs_SECRET2"
+            )
+        ]
+        * 2,
+        [],
+        max_retries=1,
+    )
+    with pytest.raises(WooHttpError) as ei:
+        transport("orders", {})
+    msg = str(ei.value)
+    assert "ck_SECRET1" not in msg and "cs_SECRET2" not in msg
+    assert "consumer_key=***" in msg and "consumer_secret=***" in msg

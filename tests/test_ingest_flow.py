@@ -530,3 +530,137 @@ def test_watermark_store_recovers_from_corrupt_state(tmp_path):
     # and the store still writes (atomically) afterwards
     state.set_since("2024-07-01T00:00:00")
     assert state.get_since() == "2024-07-01T00:00:00"
+
+
+def test_deleted_line_item_removed_on_rerun(spark, tmp_path):
+    """The reference deletes items by order_id unconditionally
+    (duckdb_client.py:55): a line the merchant removed from an order
+    between runs must NOT survive as a stale warehouse row."""
+    wh = str(tmp_path / "wh_del")
+    state = WatermarkStore(str(tmp_path / "wm_del.json"))
+    state.set_since("2023-01-01T00:00:00")
+    run1 = [
+        _order(1, "2024-01-01T10:00:00", 30.0, 3.0, [(11, 2, 10.0), (12, 1, 10.0)])
+    ]
+    incremental_run(spark, make_fake_transport(run1, PRODUCTS, {}), state, wh)
+    assert spark.read.parquet(f"{wh}/fct_order_items").count() == 2
+    # the merchant edits the order, deleting the product-12 line; the
+    # edited order re-lands in a later extraction window
+    run2 = [_order(1, "2024-01-05T10:00:00", 20.0, 2.0, [(11, 2, 10.0)])]
+    incremental_run(spark, make_fake_transport(run2, PRODUCTS, {}), state, wh)
+    rows = spark.read.parquet(f"{wh}/fct_order_items").collect()
+    assert [(r["order_id"], r["product_id"]) for r in rows] == [(1, 11)]
+
+
+def test_duplicate_grain_refund_applied_once(spark):
+    """An order carrying the SAME (product, variation) on two lines:
+    the refund joins at that grain and a plain copy would double-count
+    it — it must land on exactly one deterministic line."""
+    from py_etl_pipeline_woocommerce_spark.plans.woo_flow import build_facts
+
+    o = _order(
+        1, "2024-01-01T10:00:00", 30.0, 3.0, [(11, 1, 10.0), (11, 2, 10.0)]
+    )
+    refunds = {
+        1: [
+            {
+                "amount": "10.00",
+                "line_items": [
+                    {
+                        "product_id": 11,
+                        "variation_id": 0,
+                        "quantity": 1,
+                        "total": "-10.00",
+                    }
+                ],
+            }
+        ]
+    }
+    t = make_fake_transport([o], PRODUCTS, refunds)
+    _orders, items = build_facts(spark, t, "2023-01-01T00:00:00")
+    got = sorted(r["refunded_total"] for r in items.collect())
+    assert got == [-10.0, 0.0]  # once, not copied onto both lines
+
+
+def test_null_month_rows_survive_later_null_month_upsert(spark, tmp_path):
+    """isin() is never true for NULL, so a naive month filter would
+    exclude existing NULL-month rows from the merge while the dynamic
+    overwrite still replaces __HIVE_DEFAULT_PARTITION__ — previously
+    loaded rows must survive."""
+    from py_etl_pipeline_woocommerce_spark.plans.woo_flow import (
+        PARTITION_COL,
+        _upsert_table,
+    )
+
+    p = str(tmp_path / "nullmonth")
+    schema = f"order_id long, v string, {PARTITION_COL} string"
+    _upsert_table(
+        spark, spark.createDataFrame([(1, "a", None)], schema), p, ["order_id"]
+    )
+    _upsert_table(
+        spark,
+        spark.createDataFrame([(2, "b", None), (3, "c", "2024-01")], schema),
+        p,
+        ["order_id"],
+    )
+    got = {r["order_id"] for r in spark.read.parquet(p).collect()}
+    assert got == {1, 2, 3}
+
+
+def test_empty_first_batch_does_not_brick_the_table(spark, tmp_path):
+    """Writing an all-empty batch at first creation would leave a
+    dataless directory that the NEXT run's read dies on (an
+    AnalysisException incremental_run never retries)."""
+    from py_etl_pipeline_woocommerce_spark.plans.woo_flow import (
+        PARTITION_COL,
+        _upsert_table,
+    )
+
+    p = str(tmp_path / "emptyfirst")
+    schema = f"order_id long, {PARTITION_COL} string"
+    _upsert_table(spark, spark.createDataFrame([], schema), p, ["order_id"])
+    _upsert_table(
+        spark, spark.createDataFrame([(1, "2024-01")], schema), p, ["order_id"]
+    )
+    assert spark.read.parquet(p).count() == 1
+
+
+def test_fetch_paged_refuses_empty_first_page_inconsistency(spark):
+    """An empty page 1 with X-WP-TotalPages > 1 is the replica-lag/WAF
+    inconsistency the executor path already refuses — the driver path
+    must not silently return an empty frame (the caller would advance
+    its watermark past the gap)."""
+
+    def t(path, params):
+        return "[]", 5
+
+    with pytest.raises(RuntimeError, match="page 1"):
+        rest.fetch_paged(spark, t, "orders", {})
+
+
+def test_fetch_refunds_pages_exhaustively(spark):
+    """An order with more refunds than one page: every page must be
+    drained (stopping at page 1 silently understates refund_total)."""
+    refs = [
+        {"amount": "1.00", "line_items": []} for _ in range(150)
+    ]
+
+    def t(path, params):
+        assert path == "orders/1/refunds"
+        page = int(params.get("page", 1))
+        return json.dumps(refs[(page - 1) * 100 : page * 100]), 2
+
+    ids = spark.createDataFrame([(1,)], "order_id long")
+    assert rest.fetch_refunds_for_orders(spark, t, ids).count() == 150
+
+
+def test_watermark_overlap_rule_selected_per_run(spark, transport, tmp_path):
+    """overlap_minutes=1 selects state.py's gap-free advance rule
+    (max - 1 minute) instead of the reference-parity skip-a-minute
+    default — the boundary minute re-reads instead of being lost."""
+    wh = str(tmp_path / "wh_ovl")
+    state = WatermarkStore(str(tmp_path / "wm_ovl.json"))
+    state.set_since("2023-01-01T00:00:00")
+    incremental_run(spark, transport, state, wh, overlap_minutes=1)
+    # max order_date is 2024-01-03T12:00:00 -> watermark 11:59:00
+    assert state.get_since() == "2024-01-03T11:59:00"
