@@ -262,11 +262,17 @@ def _q_dq_rules(spark, sf_dir):
 #   2. the remaining r3-stale rows (the r7 budget spill — verdict
 #      item 1), all of which were ALSO pre-gated at sf0.01 this round.
 # ROUND-9 ROTATION NOTE: promote (a) any r9 code/oracle changes, then
-# (b) the 8 values-identical r8 changes deferred past the budget
-# (pricing_summary, discount_revenue, sales_rollup, shipping_priority,
-# volume_shipping, large_volume_orders, returned_item_report,
-# segment_share — dec_money/dec_rate helper swaps and broadcast-hint
-# removals, re-gated at sf0.01 in r8), then (c) the r4-era tail:
+# (b) the values-identical / behavior-identical r8 changes deferred
+# past the budget, all re-gated at sf0.01 in r8: pricing_summary,
+# discount_revenue, sales_rollup, shipping_priority, volume_shipping,
+# large_volume_orders, returned_item_report, segment_share
+# (helper/broadcast-hint swaps), dup_cluster_histogram,
+# soft_dedup_weights, dedup_audit (internal unpersist only),
+# market_share (hint sentinel), rfm_segments, wow_growth (checkpoint
+# pins), event_transitions (dead import), revenue_timeseries +
+# revenue_timeseries_bounded (IS-DISTINCT-FROM _NETLINE, value-
+# identical), top_products_bounded, category_mix_bounded (same change
+# as their driver-checked unbounded twins), then (c) the r4-era tail:
 # corpus_split, cusum_changepoint, daily_value_percentiles,
 # dau_new_vs_returning, dayn_retention, event_value_summary,
 # fill_missing_days_interp, fill_missing_days_locf, interarrival_stats,
@@ -278,6 +284,13 @@ def _q_dq_rules(spark, sf_dir):
 # rollup_merge — then (d) the r5-era rows. Rows re-greened in r8 only
 # need re-checks after their next code change.
 _R8_FRONT = [
+    "kpis",
+    "kpis_bounded",
+    "geo_rollup",
+    "geo_rollup_bounded",
+    "top_products",
+    "category_mix",
+    "dashboard_payload",
     "hot_keys_approx",
     "dedup_incremental",
     "dedup_clusters",
@@ -287,21 +300,14 @@ _R8_FRONT = [
     "repeated_spans",
     "strip_repeated_spans",
     "dedup_apply",
-    "dup_cluster_histogram",
-    "soft_dedup_weights",
-    "dedup_audit",
     "parse_event_props",
     "event_props_typed",
-    "event_transitions",
     "funnel_steps",
     "funnel_steps_windowed",
     "user_overlap",
     "linear_attribution",
     "top_supplier",
     "regional_revenue",
-    "market_share",
-    "rfm_segments",
-    "wow_growth",
     "basket_pairs",
     "pack_sequences",
     "pack_bins_bfd",
@@ -1067,7 +1073,10 @@ _DISC = (
 )
 _GROSS = f"({_DISC}) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))"
 _TAXAMT = f"({_DISC}) * CAST(l_tax AS DECIMAL(4,2))"
-_NETLINE = f"CASE WHEN l_returnflag <> 'R' THEN {_DISC} ELSE {_DEC0} END"
+_NETLINE = (
+    f"CASE WHEN l_returnflag IS DISTINCT FROM 'R' THEN {_DISC} "
+    f"ELSE {_DEC0} END"
+)
 _REFLINE = f"CASE WHEN l_returnflag = 'R' THEN {_DISC} ELSE {_DEC0} END"
 
 _NORM = (
@@ -1518,14 +1527,20 @@ ORDER BY 1, 2
 """,
         "kpis_bounded": f"""
 WITH k AS (SELECT o_orderkey FROM orders WHERE {_BOUNDS}),
+o AS (SELECT COUNT(*) AS orders_cnt FROM k),
 l AS (SELECT l_orderkey, {_DISC} AS net, l_returnflag
-      FROM lineitem JOIN k ON l_orderkey = o_orderkey)
-SELECT COUNT(DISTINCT l_orderkey) AS orders_cnt,
-       CAST(SUM(net) AS DOUBLE) AS net_before_refunds,
-       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END) AS DOUBLE) AS refunds,
-       CAST(SUM(net) - SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END) AS DOUBLE) AS net_after_refunds,
-       CAST(SUM(net) AS DOUBLE) / COUNT(DISTINCT l_orderkey) AS aov
-FROM l
+      FROM lineitem JOIN k ON l_orderkey = o_orderkey),
+s AS (SELECT COALESCE(SUM(net), 0) AS net,
+             COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END), 0) AS ref
+      FROM l)
+SELECT o.orders_cnt,
+       CAST(s.net AS DOUBLE) AS net_before_refunds,
+       CAST(s.ref AS DOUBLE) AS refunds,
+       CAST(s.net - s.ref AS DOUBLE) AS net_after_refunds,
+       CASE WHEN o.orders_cnt > 0
+            THEN CAST(s.net AS DOUBLE) / o.orders_cnt
+            ELSE 0.0 END AS aov
+FROM s, o
 """,
         "revenue_timeseries_bounded": f"""
 SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, CAST(SUM({_NETLINE}) AS DOUBLE) AS net
@@ -1537,20 +1552,21 @@ GROUP BY 1
 WITH k AS (SELECT o_orderkey FROM orders WHERE {_BOUNDS}),
 agg AS (
   SELECT p_name AS name, SUM({_NETLINE}) AS _rev,
-         CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_sold
+         CAST(SUM(CASE WHEN l_returnflag IS DISTINCT FROM 'R' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_sold
   FROM lineitem
   JOIN k ON l_orderkey = o_orderkey
-  JOIN part ON l_partkey = p_partkey GROUP BY 1)
+  LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1)
 SELECT name, CAST(_rev AS DOUBLE) AS revenue, qty_sold
-FROM agg ORDER BY _rev DESC, name LIMIT 15
+FROM agg ORDER BY _rev DESC, name NULLS FIRST LIMIT 15
 """,
         "category_mix_bounded": f"""
 WITH k AS (SELECT o_orderkey FROM orders WHERE {_BOUNDS}),
 agg AS (
-  SELECT p_type AS category, SUM({_NETLINE}) AS _rev
+  SELECT COALESCE(NULLIF(TRIM(p_type), ''), 'Uncategorized') AS category,
+         SUM({_NETLINE}) AS _rev
   FROM lineitem
   JOIN k ON l_orderkey = o_orderkey
-  JOIN part ON l_partkey = p_partkey GROUP BY 1)
+  LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1)
 SELECT category, CAST(_rev AS DOUBLE) AS revenue
 FROM agg ORDER BY _rev DESC, category LIMIT 15
 """,
@@ -1558,8 +1574,9 @@ FROM agg ORDER BY _rev DESC, category LIMIT 15
 WITH per_order AS (
   SELECT l_orderkey AS o_orderkey, SUM({_NETLINE}) AS _order_net
   FROM lineitem GROUP BY 1),
-g AS (SELECT r_name AS region, n_name AS country, _order_net
-      FROM per_order JOIN (SELECT * FROM orders WHERE {_BOUNDS}) USING (o_orderkey)
+g AS (SELECT r_name AS region, n_name AS country,
+             COALESCE(_order_net, {_DEC0}) AS _order_net
+      FROM (SELECT * FROM orders WHERE {_BOUNDS}) LEFT JOIN per_order USING (o_orderkey)
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey),
@@ -2166,13 +2183,19 @@ SELECT MIN(CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS min_d, MAX(CAST(CAST(o
 FROM orders
 """,
         "kpis": f"""
-WITH l AS (SELECT l_orderkey, {_DISC} AS net, l_returnflag FROM lineitem)
-SELECT COUNT(DISTINCT l_orderkey) AS orders_cnt,
-       CAST(SUM(net) AS DOUBLE) AS net_before_refunds,
-       CAST(SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END) AS DOUBLE) AS refunds,
-       CAST(SUM(net) - SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END) AS DOUBLE) AS net_after_refunds,
-       CAST(SUM(net) AS DOUBLE) / COUNT(DISTINCT l_orderkey) AS aov
-FROM l
+WITH o AS (SELECT COUNT(*) AS orders_cnt FROM orders),
+l AS (SELECT l_orderkey, {_DISC} AS net, l_returnflag FROM lineitem),
+s AS (SELECT COALESCE(SUM(net), 0) AS net,
+             COALESCE(SUM(CASE WHEN l_returnflag = 'R' THEN net ELSE {_DEC0} END), 0) AS ref
+      FROM l)
+SELECT o.orders_cnt,
+       CAST(s.net AS DOUBLE) AS net_before_refunds,
+       CAST(s.ref AS DOUBLE) AS refunds,
+       CAST(s.net - s.ref AS DOUBLE) AS net_after_refunds,
+       CASE WHEN o.orders_cnt > 0
+            THEN CAST(s.net AS DOUBLE) / o.orders_cnt
+            ELSE 0.0 END AS aov
+FROM s, o
 """,
         "revenue_timeseries": f"""
 SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d, CAST(SUM({_NETLINE}) AS DOUBLE) AS net
@@ -2182,15 +2205,16 @@ GROUP BY 1
         "top_products": f"""
 WITH agg AS (
   SELECT p_name AS name, SUM({_NETLINE}) AS _rev,
-         CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_sold
-  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+         CAST(SUM(CASE WHEN l_returnflag IS DISTINCT FROM 'R' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_sold
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1)
 SELECT name, CAST(_rev AS DOUBLE) AS revenue, qty_sold
-FROM agg ORDER BY _rev DESC, name LIMIT 15
+FROM agg ORDER BY _rev DESC, name NULLS FIRST LIMIT 15
 """,
         "category_mix": f"""
 WITH agg AS (
-  SELECT p_type AS category, SUM({_NETLINE}) AS _rev
-  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1)
+  SELECT COALESCE(NULLIF(TRIM(p_type), ''), 'Uncategorized') AS category,
+         SUM({_NETLINE}) AS _rev
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1)
 SELECT category, CAST(_rev AS DOUBLE) AS revenue
 FROM agg ORDER BY _rev DESC, category LIMIT 15
 """,
@@ -2198,8 +2222,9 @@ FROM agg ORDER BY _rev DESC, category LIMIT 15
 WITH per_order AS (
   SELECT l_orderkey AS o_orderkey, SUM({_NETLINE}) AS _order_net
   FROM lineitem GROUP BY 1),
-g AS (SELECT r_name AS region, n_name AS country, _order_net
-      FROM per_order JOIN orders USING (o_orderkey)
+g AS (SELECT r_name AS region, n_name AS country,
+             COALESCE(_order_net, {_DEC0}) AS _order_net
+      FROM orders LEFT JOIN per_order USING (o_orderkey)
       JOIN customer ON o_custkey = c_custkey
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey),

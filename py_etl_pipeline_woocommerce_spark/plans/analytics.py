@@ -28,10 +28,16 @@ from ..operators.refunds import REFUND_FLAG
 
 # Net revenue of a line, zero for refunded lines — the lineitem-grain
 # equivalent of app.py's `total - COALESCE(refunded_total, 0)`.
+# NULL-SAFE: only an explicit 'R' refunds; a NULL l_returnflag counts
+# as KEPT revenue, the same policy kpis' refunds column (== 'R')
+# applies — a bare != would zero NULL-flag lines and make the
+# dashboard payload disagree with its own KPI total (the engine's
+# documented NULL-comparison bug class).
 def _net_line():
-    return F.when(F.col("l_returnflag") != REFUND_FLAG, disc_price()).otherwise(
-        F.lit(0).cast("decimal(18,2)")
-    )
+    return F.when(
+        F.col("l_returnflag").eqNullSafe(REFUND_FLAG),
+        F.lit(0).cast("decimal(18,2)"),
+    ).otherwise(disc_price())
 
 
 def _bound_orders(orders: DataFrame, d1: str | None, d2: str | None) -> DataFrame:
@@ -51,6 +57,16 @@ def _bound_orders(orders: DataFrame, d1: str | None, d2: str | None) -> DataFram
     only saves decode, partition pruning saves the listing and I/O
     entirely (plan-guarded in test_plan_guards.py).
     """
+    # BOTH bounds parse through date.fromisoformat and the month
+    # partition slice derives from the PARSED (zero-padded) date: a
+    # sloppy '1995-1-01' would pass Spark's row-level timestamp cast
+    # but its raw [:7] slice ('1995-1') sorts ABOVE every real
+    # 'YYYY-MM' value lexicographically — pruning away every
+    # partition and returning a silently empty dashboard.
+    if d1 is not None:
+        d1 = date.fromisoformat(d1).isoformat()
+    if d2 is not None:
+        d2 = date.fromisoformat(d2).isoformat()
     if "o_month" in orders.columns:
         if d1 is not None:
             orders = orders.filter(F.col("o_month") >= d1[:7])
@@ -97,21 +113,23 @@ def kpis(
     """Headline KPIs (app.py:24-45 ``load_kpis``): order count, net
     before refunds, refund total, net after refunds, AOV.
 
-    Computed at line grain (sums are associative, so Σ_orders Σ_lines
-    = Σ_lines) — unbounded it is one scan, no join. With a date range
-    the line scan is restricted to in-range orders via a key join
-    against the date-filtered (scan-pushed) orders projection; AQE
-    broadcasts the key set when the window is narrow. AOV is exact-net
-    / order-count in double (deterministic given exact inputs).
+    Money sums at line grain (associative, so Σ_orders Σ_lines =
+    Σ_lines); the ORDER COUNT comes from the orders table itself —
+    app.py's COUNT(*) over fct_orders — so a zero-line order (fully
+    cancelled, items purged) still counts and AOV's denominator
+    matches the reference. Empty windows return 0s, not NULLs
+    (app.py COALESCEs every KPI). With a date range the line scan is
+    restricted to in-range orders via a key join against the
+    date-filtered (scan-pushed) orders projection; the order count is
+    a second 1-row aggregate of the same pruned scan, broadcast in.
     """
+    orders = _bound_orders(load_table(spark, sf_dir, "orders"), d1, d2)
     lineitem = load_table(spark, sf_dir, "lineitem")
     if d1 is not None or d2 is not None:
-        keys = _bound_orders(
-            load_table(spark, sf_dir, "orders"), d1, d2
-        ).select(F.col("o_orderkey").alias("l_orderkey"))
+        keys = orders.select(F.col("o_orderkey").alias("l_orderkey"))
         lineitem = lineitem.join(keys, "l_orderkey", "left_semi")
+    o_cnt = orders.agg(F.count(F.lit(1)).alias("orders_cnt"))
     agg = lineitem.agg(
-        F.countDistinct("l_orderkey").alias("orders_cnt"),
         F.sum(disc_price()).alias("_net"),
         F.sum(
             F.when(F.col("l_returnflag") == REFUND_FLAG, disc_price()).otherwise(
@@ -119,12 +137,20 @@ def kpis(
             )
         ).alias("_ref"),
     )
-    return agg.select(
+    dec0 = F.lit(0).cast("decimal(24,4)")
+    net = F.coalesce("_net", dec0)
+    ref = F.coalesce("_ref", dec0)
+    return agg.join(F.broadcast(o_cnt)).select(
         F.col("orders_cnt"),
-        F.col("_net").cast("double").alias("net_before_refunds"),
-        F.col("_ref").cast("double").alias("refunds"),
-        (F.col("_net") - F.col("_ref")).cast("double").alias("net_after_refunds"),
-        (F.col("_net").cast("double") / F.col("orders_cnt")).alias("aov"),
+        net.cast("double").alias("net_before_refunds"),
+        ref.cast("double").alias("refunds"),
+        (net - ref).cast("double").alias("net_after_refunds"),
+        F.when(
+            F.col("orders_cnt") > 0,
+            net.cast("double") / F.col("orders_cnt"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("aov"),
     )
 
 
@@ -171,9 +197,15 @@ def top_products(
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_name").alias("name")
     )
-    not_ref = F.col("l_returnflag") != REFUND_FLAG
+    not_ref = ~F.col("l_returnflag").eqNullSafe(REFUND_FLAG)
+    # LEFT join (app.py reads the item fact, where an unresolved
+    # product keeps its revenue): a line whose l_partkey has no part
+    # row must not silently vanish from the report — it groups under
+    # the NULL name
     agg = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left"
+        )
         .groupBy("name")
         .agg(
             F.sum(_net_line()).alias("_rev"),
@@ -208,9 +240,19 @@ def category_mix(
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey"), F.col("p_type").alias("category")
     )
+    # LEFT join + 'Uncategorized' bucket: app.py's
+    # COALESCE(NULLIF(TRIM(category_snapshot),''),'Uncategorized')
+    # retains lines whose product lookup failed (enrich leaves the
+    # snapshot NULL for unknown products) — an inner join would make
+    # their revenue vanish from the mix
+    cat = F.coalesce(
+        F.nullif(F.trim("category"), F.lit("")), F.lit("Uncategorized")
+    )
     agg = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .groupBy("category")
+        lineitem.join(
+            F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left"
+        )
+        .groupBy(cat.alias("category"))
         .agg(F.sum(_net_line()).alias("_rev"))
     )
     return (
@@ -230,9 +272,13 @@ def geo_rollup(
     """Orders + net by geography (app.py:101-119 ``load_geo``) —
     country/city become nation/region in the star schema.
 
-    customer/nation/region are broadcast; the only shuffle is the
-    lineitem->order-key aggregation. The optional date window filters
-    the orders scan directly (pushed predicate).
+    ORDERS-grain: app.py's COUNT(*) runs over fct_orders, so a
+    zero-line order still counts toward its geography (the per-order
+    net left-joins in as 0). nation/region are broadcast; customer is
+    AQE-sized (it grows with SF — the catalog broadcast contract);
+    the only fixed shuffle is the lineitem->order-key aggregation.
+    The optional date window filters the orders scan directly
+    (pushed predicate).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = _bound_orders(load_table(spark, sf_dir, "orders"), d1, d2).select(
@@ -245,15 +291,20 @@ def geo_rollup(
     per_order = lineitem.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
         F.sum(_net_line()).alias("_order_net")
     )
-    geo = per_order.join(orders, "o_orderkey")
+    geo = orders.join(per_order, "o_orderkey", "left")
     geo = (
-        geo.join(F.broadcast(customer), geo.o_custkey == customer.c_custkey)
+        geo.join(customer, geo.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )
     agg = geo.groupBy(
         F.col("r_name").alias("region"), F.col("n_name").alias("country")
-    ).agg(F.count(F.lit(1)).alias("orders"), F.sum("_order_net").alias("_net"))
+    ).agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.sum(
+            F.coalesce("_order_net", F.lit(0).cast("decimal(24,4)"))
+        ).alias("_net"),
+    )
     return (
         agg.orderBy(F.col("_net").desc(), F.col("region"), F.col("country"))
         .limit(limit)

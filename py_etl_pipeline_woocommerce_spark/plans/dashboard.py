@@ -1,14 +1,17 @@
 """Dashboard serving facade: the reference's Streamlit page assembly
 (``/root/reference/src/dashboard/app.py``) minus the UI widgets.
 
-``app.py`` builds one page from seven cached queries (date bounds,
+``app.py`` builds one page from six cached queries (date bounds,
 KPI header, revenue timeseries, top products, category mix, geo
-rollup, cohort retention), each parameterized by the sidebar's
-(d1, d2) date window. ``dashboard_payload`` is that assembly as an
-engine surface: ONE call returns every frame a dashboard page needs,
-lazily — a serving layer (Streamlit, a REST endpoint, a notebook)
-just collects the frames it renders. Defaulting the window from
-``date_bounds`` mirrors ``app.py``'s sidebar initialization.
+rollup), the five loaders parameterized by the sidebar's (d1, d2)
+date window. ``dashboard_payload`` is that assembly as an engine
+surface — plus ``cohort_retention``, an ENGINE EXTENSION with no
+app.py twin, deliberately unbounded (a cohort matrix windowed to 30
+days would be a single column): ONE call returns every frame a
+dashboard page needs, lazily — a serving layer (Streamlit, a REST
+endpoint, a notebook) just collects the frames it renders.
+Defaulting the window from ``date_bounds`` mirrors ``app.py``'s
+sidebar initialization.
 
 Scale note: each frame stays an independent Catalyst plan, so a
 server can materialize them concurrently; the shared (d1, d2)
@@ -44,6 +47,7 @@ def dashboard_payload(
     d2 from the data's max order date, d1 = max(min_d, max_d − 30d)
     — so a user comparing default pages sees the same numbers.
     """
+    bounds_frame = date_bounds(spark, sf_dir)
     if d1 is None or d2 is None:
         from datetime import date, timedelta
 
@@ -58,8 +62,18 @@ def dashboard_payload(
                 date.fromisoformat(d2) - timedelta(days=30)
             ).isoformat()
             d1 = min(max(row["min_d"], back30), d2)
+        # the bounds were just materialized for the defaults — reuse
+        # them as literals so a caller collecting the payload's
+        # date_bounds frame does not pay the min/max orders scan a
+        # SECOND time
+        from pyspark.sql import functions as F
+
+        bounds_frame = spark.range(1).select(
+            F.lit(row["min_d"]).alias("min_d"),
+            F.lit(row["max_d"]).alias("max_d"),
+        )
     return {
-        "date_bounds": date_bounds(spark, sf_dir),
+        "date_bounds": bounds_frame,
         "kpis": kpis(spark, sf_dir, d1, d2),
         "revenue_timeseries": revenue_timeseries(spark, sf_dir, d1, d2),
         "top_products": top_products(spark, sf_dir, d1=d1, d2=d2),

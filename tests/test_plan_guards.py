@@ -54,6 +54,11 @@ SCALAR_BROADCAST = {
     "doc_rarity",
     # two 1-row aggregates joined (global counters × dup counter)
     "dq_summary",
+    # 1-row orders count × 1-row line sums (r8: the KPI order count
+    # comes from fct_orders like the reference, not from lineitem)
+    "kpis",
+    "kpis_bounded",
+    "dashboard_payload",
     # 1-row corpus-total broadcast over the per-(doc,term) frame
     "unigram_logprob",
     # 1-row (raw_tot, tgt_tot) broadcast over the n_buckets-row stats
