@@ -271,8 +271,13 @@ def _q_dq_rules(spark, sf_dir):
 # market_share (hint sentinel), rfm_segments, wow_growth (checkpoint
 # pins), event_transitions (dead import), revenue_timeseries +
 # revenue_timeseries_bounded (IS-DISTINCT-FROM _NETLINE, value-
-# identical), top_products_bounded, category_mix_bounded (same change
-# as their driver-checked unbounded twins), then (c) the r4-era tail:
+# identical), top_products_bounded, category_mix_bounded,
+# funnel_steps_windowed, geo_rollup_bounded (same change as their
+# driver-checked twins), apply_refunds_items, enrich_categories,
+# normalize_*, incremental_watermark + the part/supplier-hint
+# relational rows (plan-only hint removals; top_products /
+# category_mix / top_supplier ride in front as the class sentinels),
+# then (c) the r4-era tail:
 # corpus_split, cusum_changepoint, daily_value_percentiles,
 # dau_new_vs_returning, dayn_retention, event_value_summary,
 # fill_missing_days_interp, fill_missing_days_locf, interarrival_stats,
@@ -284,10 +289,11 @@ def _q_dq_rules(spark, sf_dir):
 # rollup_merge — then (d) the r5-era rows. Rows re-greened in r8 only
 # need re-checks after their next code change.
 _R8_FRONT = [
+    "apply_refunds_orders",
+    "re_enrich_categories",
     "kpis",
     "kpis_bounded",
     "geo_rollup",
-    "geo_rollup_bounded",
     "top_products",
     "category_mix",
     "dashboard_payload",
@@ -303,7 +309,6 @@ _R8_FRONT = [
     "parse_event_props",
     "event_props_typed",
     "funnel_steps",
-    "funnel_steps_windowed",
     "user_overlap",
     "linear_attribution",
     "top_supplier",
@@ -1115,9 +1120,13 @@ WITH agg AS (
 SELECT o_orderkey AS order_id, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
        o_orderstatus AS status, o_custkey AS customer_id,
        o_orderpriority AS order_priority,
-       gross_total, total_tax, net_total, refund_total,
-       net_total - refund_total AS net_after_refunds, n_items
-FROM orders JOIN agg ON o_orderkey = agg.order_id
+       COALESCE(gross_total, 0) AS gross_total,
+       COALESCE(total_tax, 0) AS total_tax,
+       COALESCE(net_total, 0) AS net_total,
+       COALESCE(refund_total, 0) AS refund_total,
+       COALESCE(net_total, 0) - COALESCE(refund_total, 0) AS net_after_refunds,
+       COALESCE(n_items, 0) AS n_items
+FROM orders LEFT JOIN agg ON o_orderkey = agg.order_id
 """
 
 _SHINGLES = (

@@ -26,10 +26,14 @@ TABLES = (
     "embeddings",
 )
 
-#: Dimension tables small enough to broadcast at ANY scale factor
-#: (region=5 rows, nation=25 always; part/supplier grow with SF but
-#: stay dim-sized relative to the facts).
-BROADCAST_DIMS = ("region", "nation", "part", "supplier")
+#: Dimension tables small enough to FORCE-broadcast at ANY scale
+#: factor: region=5 rows and nation=25 rows, constant by the schema.
+#: part/supplier/customer GROW with SF (200k/10k/150k rows per SF) —
+#: dim-sized relative to the facts, but a forced F.broadcast hint on
+#: them bypasses the 8 GB broadcast ceiling and OOMs at large SF, so
+#: they are joined UNHINTED and AQE broadcasts them whenever they
+#: actually fit (which at small/mid SF they always do).
+BROADCAST_DIMS = ("region", "nation")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

@@ -25,7 +25,10 @@ def enrich_items_with_categories(items: DataFrame, part: DataFrame) -> DataFrame
         F.col("p_type").alias("category_snapshot"),
         F.col("p_brand").alias("brand"),
     )
-    return items.join(F.broadcast(cats), "product_id", "left")
+    # no F.broadcast hint: part GROWS with SF (200k rows/SF — larger
+    # than customer, whose forced broadcasts were removed for the
+    # 8 GB ceiling); AQE broadcasts it whenever it actually fits
+    return items.join(cats, "product_id", "left")
 
 
 def re_enrich_missing_categories(
@@ -56,11 +59,16 @@ def re_enrich_missing_categories(
     if force_all:
         take_fresh = F.col("product_id").isNotNull()
     else:
-        take_fresh = F.col("category_snapshot").isNull() | (
-            F.trim(F.col("category_snapshot")) == ""
+        # the isNotNull guard keeps the docstring's promise: a row
+        # with NULL product_id and a BLANK snapshot must stay "" —
+        # the reference's UPDATE join on product_id never matches
+        # NULL, so overwriting it to NULL here would drift
+        take_fresh = F.col("product_id").isNotNull() & (
+            F.col("category_snapshot").isNull()
+            | (F.trim(F.col("category_snapshot")) == "")
         )
     return (
-        items.join(F.broadcast(fresh), "product_id", "left")
+        items.join(fresh, "product_id", "left")
         .withColumn(
             "category_snapshot",
             F.when(take_fresh, F.col("_fresh_category")).otherwise(

@@ -18,7 +18,16 @@ from pyspark.sql import functions as F
 
 
 def filter_since(df: DataFrame, ts_col: str, watermark_iso: str) -> DataFrame:
-    """Rows strictly after the watermark (run.py's ``after=since_iso``)."""
+    """Rows strictly after the watermark (run.py's ``after=since_iso``).
+
+    The watermark VALIDATES on the driver first: a corrupted state
+    file ('2024-13-01...') would otherwise cast to NULL, the
+    predicate would be NULL for every row, and the incremental run
+    would "succeed" with zero rows forever — the reference's
+    pendulum parse raises, and so does this."""
+    from datetime import datetime
+
+    datetime.fromisoformat(watermark_iso)  # raises on malformed input
     return df.filter(F.col(ts_col) > F.lit(watermark_iso).cast("timestamp"))
 
 

@@ -32,10 +32,11 @@ def upsert_df(existing: DataFrame, batch: DataFrame, keys: list[str]) -> DataFra
 
 
 def upsert_partitioned_parquet(
-    spark, batch: DataFrame, path: str, partition_col: str
+    batch: DataFrame, path: str, partition_col: str
 ) -> None:
-    """Replace only the partitions present in the batch (needs
-    ``spark.sql.sources.partitionOverwriteMode=dynamic``)."""
+    """Replace only the partitions present in the batch. The dynamic
+    overwrite mode rides as a WRITER option (below), which takes
+    precedence over any session conf — no session setup needed."""
     (
         batch.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

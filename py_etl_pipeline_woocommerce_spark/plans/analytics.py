@@ -204,7 +204,7 @@ def top_products(
     # the NULL name
     agg = (
         lineitem.join(
-            F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left"
+            part, lineitem.l_partkey == part.p_partkey, "left"
         )
         .groupBy("name")
         .agg(
@@ -250,7 +250,7 @@ def category_mix(
     )
     agg = (
         lineitem.join(
-            F.broadcast(part), lineitem.l_partkey == part.p_partkey, "left"
+            part, lineitem.l_partkey == part.p_partkey, "left"
         )
         .groupBy(cat.alias("category"))
         .agg(F.sum(_net_line()).alias("_rev"))

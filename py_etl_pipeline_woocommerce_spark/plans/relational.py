@@ -246,7 +246,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return best.join(
-        F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey
+        supplier, best.l_suppkey == supplier.s_suppkey
     ).select(
         F.col("s_suppkey").alias("supplier_id"),
         "s_name",
@@ -279,7 +279,7 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     joined = (
-        lineitem.join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .join(customer, F.col("o_custkey") == customer.c_custkey)
@@ -323,7 +323,7 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(customer, F.col("o_custkey") == customer.c_custkey)
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("_cn_key"))
         .join(F.broadcast(region), F.col("_cn_region") == region.r_regionkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("_sn_key"))
     )
     target = F.when(F.col("supp_nation") == "NATION_3", disc_price()).otherwise(
@@ -351,7 +351,7 @@ def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp"))
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     promo = F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(
         F.lit(0).cast("decimal(18,2)")
     )
@@ -407,7 +407,7 @@ def supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_brand") != "Brand#9"
     ).select("p_partkey", "p_brand", "p_type")
-    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     return (
         joined.groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("part_type"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -482,14 +482,14 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str, max_size: int = 10) -> D
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", dec_money("l_extendedprice").alias("_price")
     )
-    small = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    small = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     w = Window.partitionBy("l_partkey")
     best = small.withColumn("_min", F.min("_price").over(w)).filter(
         F.col("_price") == F.col("_min")
     )
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        best.join(F.broadcast(supplier), best.l_suppkey == supplier.s_suppkey)
+        best.join(supplier, best.l_suppkey == supplier.s_suppkey)
         .select(
             F.col("l_partkey").alias("part_id"),
             F.col("p_name").alias("part_name"),
@@ -545,8 +545,8 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.lit("0.6").cast("decimal(2,1)")
     )
     joined = (
-        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
-        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        lineitem.join(part, lineitem.l_partkey == part.p_partkey)
+        .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
         .join(orders, lineitem.l_orderkey == orders.o_orderkey)
     )
@@ -637,7 +637,7 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str, brand: str = "Brand#1") 
         F.col("l_quantity").cast("bigint").alias("_qty"),
         dec_money("l_extendedprice").alias("_price"),
     )
-    small = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    small = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     w = Window.partitionBy("l_partkey")
     flagged = small.withColumn("_sum_q", F.sum("_qty").over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(w)
@@ -666,7 +666,7 @@ def disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & qty.between(10, 20))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & qty.between(20, 30))
     )
-    joined = lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+    joined = lineitem.join(part, lineitem.l_partkey == part.p_partkey)
     return joined.filter(cond).agg(
         F.sum(disc_price()).cast("double").alias("revenue")
     )
@@ -699,7 +699,7 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("_n_supp")
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return dominant.join(
-        F.broadcast(supplier), dominant.l_suppkey == supplier.s_suppkey
+        supplier, dominant.l_suppkey == supplier.s_suppkey
     ).select(
         F.col("l_partkey").alias("part_id"),
         F.col("l_suppkey").alias("supplier_id"),
@@ -907,7 +907,7 @@ def late_suppliers(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFra
     )
     agg = blamed.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("numwait"))
     return (
-        agg.join(F.broadcast(supplier), agg.l_suppkey == supplier.s_suppkey)
+        agg.join(supplier, agg.l_suppkey == supplier.s_suppkey)
         .orderBy(F.col("numwait").desc(), F.col("supplier_name"))
         .limit(limit)
         .select("supplier_name", "numwait")
@@ -1009,7 +1009,7 @@ def supplier_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(disc_price()).alias("_rev_dec")
     )
     joined = (
-        rev.join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
+        rev.join(supplier, rev.l_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
     )
     w = Window.partitionBy("n_name").orderBy("_rev_dec")

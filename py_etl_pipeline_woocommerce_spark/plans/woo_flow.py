@@ -214,7 +214,7 @@ def _upsert_table(
         if batch.isEmpty():
             return
         merged = batch
-    upsert_partitioned_parquet(spark, merged, path, PARTITION_COL)
+    upsert_partitioned_parquet(merged, path, PARTITION_COL)
 
 
 def _month_in(months: list) -> F.Column:
@@ -445,7 +445,7 @@ def re_enrich_run(
         .select(*items.columns)
         .localCheckpoint(eager=True)  # break file lineage pre-overwrite
     )
-    upsert_partitioned_parquet(spark, updated, path, PARTITION_COL)
+    upsert_partitioned_parquet(updated, path, PARTITION_COL)
     log.info(
         "re-enrich: rewrote %d month partition(s), force_all=%s",
         len(months),
@@ -519,7 +519,7 @@ def purge_keys(
     kept_months = {r[0] for r in kept.select(PARTITION_COL).distinct().collect()}
     emptied = [m for m in touched if m not in kept_months]
     if kept_months:
-        upsert_partitioned_parquet(spark, kept, path, PARTITION_COL)
+        upsert_partitioned_parquet(kept, path, PARTITION_COL)
     for m in emptied:
         shutil.rmtree(
             os.path.join(path, f"{PARTITION_COL}={m}"), ignore_errors=True

@@ -41,15 +41,15 @@ def order_money_aggregates(lineitem: DataFrame) -> DataFrame:
     fields (normalize_orders.py:36-43) + refunds map
     (refunds.py:49-56). One scan, one shuffle, map-side combined.
     """
-    is_ref = (F.col("l_returnflag") == REFUND_FLAG).cast("int")
     net = disc_price()
+    refunded = F.when(
+        F.col("l_returnflag") == REFUND_FLAG, net
+    ).otherwise(F.lit(0).cast("decimal(18,2)"))
     return lineitem.groupBy(F.col("l_orderkey").alias("order_id")).agg(
         money(F.sum(gross_price())).alias("gross_total"),
         money(F.sum(tax_amount())).alias("total_tax"),
         money(F.sum(net)).alias("net_total"),
-        money(F.sum(F.when(is_ref == 1, net).otherwise(F.lit(0).cast("decimal(18,2)")))).alias(
-            "refund_total"
-        ),
+        money(F.sum(refunded)).alias("refund_total"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -65,7 +65,17 @@ def fct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")
     headers = normalize_orders(orders).drop("gross_total", "net_total", "refund_total")
     agg = order_money_aggregates(lineitem)
-    return headers.join(agg, "order_id", "inner").withColumn(
+    # LEFT join: the reference emits EVERY order header (its own
+    # payload totals ride along regardless of items), so an order with
+    # zero line items must appear with 0 money / n_items=0 — an inner
+    # join would silently drop it and undercount every order-grain
+    # consumer (oracle in lockstep)
+    joined = headers.join(agg, "order_id", "left")
+    for c in ("gross_total", "total_tax", "net_total", "refund_total"):
+        joined = joined.withColumn(c, F.coalesce(c, F.lit(0.0)))
+    return joined.withColumn(
+        "n_items", F.coalesce("n_items", F.lit(0).cast("long"))
+    ).withColumn(
         "net_after_refunds", F.col("net_total") - F.col("refund_total")
     )
 

@@ -34,11 +34,22 @@ def get_spark(
     # partitions both fail at startup)
     if not cpus.isdigit() or int(cpus) < 1:
         cpus = "32"
-    if shuffle_partitions is None:
-        shuffle_partitions = int(cpus)
+    active = SparkSession.getActiveSession()
+    builder = SparkSession.builder.appName(app_name)
+    if shuffle_partitions is not None or active is None:
+        # only pin shuffle partitions on a session WE create or when
+        # the caller asked explicitly: getOrCreate applies modifiable
+        # confs to an EXISTING session, and silently resetting a host
+        # cluster's (say) 2000 shuffle partitions down to the local
+        # CPU count would cap every big shuffle at 32 multi-TB tasks —
+        # AQE can only coalesce DOWN from the configured count, never
+        # raise it
+        builder = builder.config(
+            "spark.sql.shuffle.partitions",
+            str(int(cpus) if shuffle_partitions is None else shuffle_partitions),
+        )
     builder = (
-        SparkSession.builder.appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        builder
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -53,7 +64,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    if not SparkSession.getActiveSession():
+    if active is None:
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )

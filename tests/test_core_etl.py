@@ -267,3 +267,44 @@ def test_repeat_rate_hand_computed(spark, tmp_path):
     sk = repeat_rate(spark, str(d)).collect()[0]
     assert (sk.n_customers, sk.n_repeat) == (3, 2)
     assert sk.p50_gap_days in (2.0, 10.0)
+
+
+def test_re_enrich_null_product_id_blank_snapshot_untouched(spark):
+    """The reference's UPDATE joins on product_id, which never matches
+    NULL — a row with NULL product_id and a blank snapshot must stay
+    blank, not be overwritten to NULL by the missing-only rule."""
+    from py_etl_pipeline_woocommerce_spark.operators.enrich import (
+        re_enrich_missing_categories,
+    )
+
+    items = spark.createDataFrame(
+        [(1, 10, ""), (2, None, ""), (3, 11, None)],
+        "order_id long, product_id long, category_snapshot string",
+    )
+    part = spark.createDataFrame(
+        [(10, "TYPE-A"), (11, "TYPE-B")], "p_partkey long, p_type string"
+    )
+    got = {
+        r["order_id"]: r["category_snapshot"]
+        for r in re_enrich_missing_categories(items, part).collect()
+    }
+    assert got[1] == "TYPE-A"   # blank + resolvable -> filled
+    assert got[2] == ""          # NULL product_id -> untouched
+    assert got[3] == "TYPE-B"    # NULL snapshot + resolvable -> filled
+
+
+def test_filter_since_rejects_malformed_watermark(spark):
+    """A corrupted watermark must raise, not cast to NULL and
+    silently filter every row out forever."""
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.operators.incremental import (
+        filter_since,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00")], "id long, ts string"
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"))
+    with _pytest.raises(ValueError):
+        filter_since(df, "ts", "2024-13-01T00:00:00")
+    assert filter_since(df, "ts", "2023-12-31T00:00:00").count() == 1

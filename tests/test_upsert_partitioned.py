@@ -33,7 +33,7 @@ def test_partition_overwrite_replaces_only_touched_days(spark, tmp_path):
         [(1, "2024-01-01", 11.0), (4, "2024-01-03", 40.0)],
         "order_id long, order_date string, total double",
     )
-    upsert_partitioned_parquet(spark, batch, path, "order_date")
+    upsert_partitioned_parquet(batch, path, "order_date")
 
     out = {
         # partition values type-infer to DATE on read-back
