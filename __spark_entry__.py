@@ -276,8 +276,12 @@ def _q_dq_rules(spark, sf_dir):
 # driver-checked twins), apply_refunds_items, enrich_categories,
 # normalize_*, incremental_watermark + the part/supplier-hint
 # relational rows (plan-only hint removals; top_products /
-# category_mix / top_supplier ride in front as the class sentinels),
-# then (c) the r4-era tail:
+# category_mix ride in front as the class sentinels), top_supplier,
+# user_overlap, linear_attribution, pack_bins_bfd, basket_pairs,
+# pack_sequences (plan-only / values-identical r8 changes, each
+# re-gated at sf0.01 — displaced by the textstats semantic fixes),
+# lang_confusion, corpus_report (consumers re-gated alongside their
+# changed producers), then (c) the r4-era tail:
 # corpus_split, cusum_changepoint, daily_value_percentiles,
 # dau_new_vs_returning, dayn_retention, event_value_summary,
 # fill_missing_days_interp, fill_missing_days_locf, interarrival_stats,
@@ -290,6 +294,12 @@ def _q_dq_rules(spark, sf_dir):
 # need re-checks after their next code change.
 _R8_FRONT = [
     "apply_refunds_orders",
+    "pii_scrub",
+    "gopher_rules",
+    "lang_id_nb",
+    "strip_markup",
+    "quality_score",
+    "filter_pipeline",
     "re_enrich_categories",
     "kpis",
     "kpis_bounded",
@@ -309,13 +319,7 @@ _R8_FRONT = [
     "parse_event_props",
     "event_props_typed",
     "funnel_steps",
-    "user_overlap",
-    "linear_attribution",
-    "top_supplier",
     "regional_revenue",
-    "basket_pairs",
-    "pack_sequences",
-    "pack_bins_bfd",
     "chunk_documents",
     "corpus_prep",
     "corpus_prep_v2",
@@ -1216,7 +1220,7 @@ def _lsh_sig_sql(vec: str, n_planes: int = 8) -> str:
 _QUALITY_SQL = f"""
 WITH n AS (SELECT doc_id, text, {_NORM} AS norm FROM documents),
 t AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks,
-             CASE WHEN length(norm) = 0 THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tok
+             CASE WHEN norm IS NULL OR length(norm) = 0 THEN 0 ELSE len(string_split(norm, ' ')) END AS n_tok
       FROM n)
 SELECT doc_id,
   CAST(n_tok AS BIGINT) AS n_tokens,
@@ -2742,7 +2746,7 @@ s3 AS (SELECT *, regexp_replace(t2,
          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
          '<IP>', 'g') AS t3 FROM s2)
 SELECT doc_id,
-       regexp_replace(t3, '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g')
+       regexp_replace(t3, '\+?[0-9][0-9()\- \t]{7,}[0-9]', '<PHONE>', 'g')
          AS text_scrubbed,
        len(regexp_extract_all(t0,
          '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS n_email,
@@ -2751,7 +2755,7 @@ SELECT doc_id,
        len(regexp_extract_all(t2,
          '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n_ip,
        len(regexp_extract_all(t3,
-         '\+?[0-9][0-9()\-\s]{7,}[0-9]')) AS n_phone
+         '\+?[0-9][0-9()\- \t]{7,}[0-9]')) AS n_phone
 FROM s3
 """,
         "tfidf_top_terms": f"""
@@ -3304,10 +3308,11 @@ c AS (
     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
       replace(replace(replace(replace(replace(replace(
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-          regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(regexp_replace(
           text,
           '(?is)<script\b.*?</script\s*>', '', 'g'),
           '(?is)<style\b.*?</style\s*>', '', 'g'),
+          '(?is)<(?:script|style)\b[^>]*>.*$', '', 'g'),
           '(?s)<!--.*?-->', '', 'g'),
           '[ \t\r\n]+', ' ', 'g'),
           '(?i)<(br|/?p|/?div|/?li|/?tr|/?table|/?ul|/?ol|/?h[1-6])\b[^>]*>',
@@ -3505,13 +3510,16 @@ FROM c
     out["event_value_summary"] = out["value_percentiles"]
     out["dashboard_payload"] = _dashboard_digest_oracle(out)
     out["gopher_rules"] = r"""
-WITH a AS (
+WITH n AS (
+  SELECT doc_id, regexp_replace(text, '\r\n?', chr(10), 'g') AS text
+  FROM documents),
+a AS (
   SELECT doc_id, text,
-         list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')
+         list_filter(regexp_split_to_array(text, '[ \t\n\f\r]+'), w -> w <> '')
            AS words,
          list_filter(list_transform(string_split(text, chr(10)),
                                     l -> trim(l)), l -> l <> '') AS lines
-  FROM documents),
+  FROM n),
 m AS (
   SELECT doc_id,
          CAST(len(words) AS BIGINT) AS n_words,
@@ -3732,7 +3740,8 @@ occ AS (SELECT doc_id, lang, g.gram
                                               i -> substr(n, i, 3))
                           ELSE CAST([] AS VARCHAR[]) END AS grams
               FROM st), UNNEST(grams) AS g(gram)),
-lg AS (SELECT lang, gram, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+lg AS (SELECT lang, gram, COUNT(*) AS c FROM occ
+       WHERE lang IS NOT NULL GROUP BY 1, 2),
 vocab AS (SELECT gram FROM (
             SELECT gram,
                    ROW_NUMBER() OVER (ORDER BY SUM(c) DESC, gram) AS r

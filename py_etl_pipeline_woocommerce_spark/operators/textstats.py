@@ -70,7 +70,13 @@ def quality_score(documents: DataFrame) -> DataFrame:
         "_n_chars",
         "_alpha_chars",
         "_norm",
-        F.when(F.length("_norm") == 0, F.lit(0))
+        # NULL text counts 0 tokens, not NULL: under ANSI size(NULL)
+        # is NULL, and a NULL n_tokens made filter_pipeline's
+        # too_short branch (NULL < min) silently fall through to a
+        # WRONG audit reason while every ratio column read 0.0
+        F.when(
+            F.col("_norm").isNull() | (F.length("_norm") == 0), F.lit(0)
+        )
         .otherwise(F.size("_toks"))
         .cast("bigint")
         .alias("_n_tok"),
@@ -227,7 +233,11 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     ("card", r"\b[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}[ -]?[0-9]{4}\b", "<CARD>"),
     ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
-    ("phone", r"\+?[0-9][0-9()\-\s]{7,}[0-9]", "<PHONE>"),
+    # explicit [ \t] inside the run, NOT \s: Java's \s matches \x0B
+    # where the RE2 oracle's does not (the extract_links rule), and a
+    # newline-crossing \s let one "phone" swallow unrelated digit runs
+    # on adjacent lines — a phone number never spans lines
+    ("phone", r"\+?[0-9][0-9()\- \t]{7,}[0-9]", "<PHONE>"),
 )
 
 
@@ -287,15 +297,21 @@ def gopher_rules(
     engine-exact against the DuckDB twin at any partitioning.
     """
     stops = list(GOPHER_STOPWORDS)
-    # Stage the two splits ONCE as real columns — Catalyst does not
-    # CSE duplicated non-cheap subtrees (see quality_score), so an
-    # un-staged version would re-split the text per signal (~7x).
+    # CRLF-normalize FIRST: Java's $ matches before a trailing \r
+    # while the RE2 oracle's does not (live-verified), and a bare \r
+    # keeps blank lines "nonempty" past trim — both would skew the
+    # bullet/ellipsis ratios on CRLF documents. Words split on the
+    # EXPLICIT class, not \s+: Java \s matches \x0B, RE2 \s does not
+    # (the extract_links rule).
     arrays = documents.select(
         "doc_id",
+        F.regexp_replace(F.col("text"), r"\r\n?", "\n").alias("text"),
+    ).select(
+        "doc_id",
         "text",
-        F.filter(F.split(F.col("text"), "\\s+"), lambda w: w != "").alias(
-            "_words"
-        ),
+        F.filter(
+            F.split(F.col("text"), "[ \t\n\f\r]+"), lambda w: w != ""
+        ).alias("_words"),
         F.filter(
             F.transform(F.split(F.col("text"), "\n"), F.trim),
             lambda l: l != "",
@@ -523,9 +539,21 @@ def lang_id_nb(documents: DataFrame, top_v: int = 4096) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # lg itself has THREE consumers (vocab, totals, matrix) — without
-    # a checkpoint each re-runs the corpus-sized tf⋈lang join + agg
+    # a checkpoint each re-runs the corpus-sized tf⋈lang join + agg.
+    # TRAIN ON LABELED DOCS ONLY: a NULL declared lang would otherwise
+    # become a phantom class — it enters totals (floor only, since the
+    # matrix join drops NULL keys) and the doc×lang grid, where its
+    # all-OOV floor score can beat every real language for OOV-heavy
+    # docs and the NULLS-FIRST tie-break prefers it. Unlabeled docs
+    # are still SCORED (tf covers the whole corpus), just never
+    # trained on.
     lg = (
-        tf.join(staged.select("doc_id", "lang"), "doc_id")
+        tf.join(
+            staged.select("doc_id", "lang").filter(
+                F.col("lang").isNotNull()
+            ),
+            "doc_id",
+        )
         .groupBy("lang", "gram")
         .agg(F.sum("tf").alias("c"))
         .localCheckpoint(eager=False)
@@ -680,6 +708,27 @@ def normalize_text(documents: DataFrame) -> DataFrame:
     )
 
 
+#: The six dominant HTML entities, decode order SIGNIFICANT:
+#: ``&amp;`` must be LAST or ``&amp;lt;`` would double-decode. ONE
+#: table for both strip_markup's text and extract_links' URLs — the
+#: two must stay in sync or extracted links stop joining against
+#: extracted text domains.
+HTML_ENTITIES: tuple[tuple[str, str], ...] = (
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+)
+
+
+def _decode_entities(col):
+    for ent, ch in HTML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def strip_markup(documents: DataFrame) -> DataFrame:
     """HTML/markup → text extraction — the stage every web-crawl
     pipeline runs before quality scoring or dedup ever sees a
@@ -718,6 +767,13 @@ def strip_markup(documents: DataFrame) -> DataFrame:
     t = F.col("text")
     t = F.regexp_replace(t, "(?is)<script\\b.*?</script\\s*>", "")
     t = F.regexp_replace(t, "(?is)<style\\b.*?</style\\s*>", "")
+    # UNCLOSED script/style backstop: a crawl-truncated page whose
+    # closing tag never arrives would otherwise leak its entire
+    # JS/CSS body into text_clean (the paired pattern above requires
+    # the closer; the generic tag pass below strips only the opening
+    # tag). Anything still opening a script/style here has no closer
+    # by construction — drop through end-of-document.
+    t = F.regexp_replace(t, "(?is)<(?:script|style)\\b[^>]*>.*$", "")
     t = F.regexp_replace(t, "(?s)<!--.*?-->", "")
     # HTML source whitespace — including source-wrap newlines and CR —
     # is rendering-inert inter-word space; collapsing it BEFORE block
@@ -733,12 +789,7 @@ def strip_markup(documents: DataFrame) -> DataFrame:
         "\n",
     )
     t = F.regexp_replace(t, "<[^>]*>", "")
-    t = F.replace(t, F.lit("&nbsp;"), F.lit(" "))
-    t = F.replace(t, F.lit("&lt;"), F.lit("<"))
-    t = F.replace(t, F.lit("&gt;"), F.lit(">"))
-    t = F.replace(t, F.lit("&quot;"), F.lit('"'))
-    t = F.replace(t, F.lit("&#39;"), F.lit("'"))
-    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
+    t = _decode_entities(t)
     t = _canon_whitespace(t)
     return documents.select(
         "doc_id",
@@ -780,6 +831,15 @@ def extract_links(documents: DataFrame) -> DataFrame:
     One codegen'd scan + a bounded explode (fan-out = links per doc);
     the grammar is deliberately attribute-anchored — bare URLs in
     text are content, not links.
+
+    RECALL-LEANING BY POLICY: the ``\\b(?:href|src)`` anchor also
+    matches suffixed attributes (``data-src=`` — real lazy-load URLs)
+    and attribute-lookalikes inside comments or script bodies
+    (RE2, the oracle engine, has no lookbehind to anchor harder). A
+    curation link graph prefers over-collection to silent misses;
+    consumers needing browser-exact link sets should strip
+    comments/scripts first (``strip_markup`` order) — parity holds
+    either way since the oracle shares the pattern.
     """
     _ATTR = (
         "(?i)\\b(?:href|src)[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*"
@@ -794,16 +854,7 @@ def extract_links(documents: DataFrame) -> DataFrame:
             F.substring(u, 1, 1).isin('"', "'"),
             F.substring(u, F.lit(2), F.length(u) - 2),
         ).otherwise(u)
-        for ent, ch in (
-            ("&nbsp;", " "),
-            ("&lt;", "<"),
-            ("&gt;", ">"),
-            ("&quot;", '"'),
-            ("&#39;", "'"),
-            ("&amp;", "&"),
-        ):
-            unq = F.replace(unq, F.lit(ent), F.lit(ch))
-        return unq
+        return _decode_entities(unq)
 
     urls = F.transform(
         F.regexp_extract_all(F.col("text"), F.lit(_ATTR), 1), _clean

@@ -221,3 +221,79 @@ def test_extract_links_attribute_anchored_with_domains(spark):
         (1, 6, "https://trusted.com@evil.com/p", "evil.com"),
         (1, 7, "http://[2001:db8::1]:8080/x", "[2001:db8::1]"),
     ]
+
+
+def test_strip_markup_unclosed_script_does_not_leak(spark):
+    """A crawl-truncated page whose </script> never arrives must not
+    leak its JS body into text_clean (the paired pattern needs the
+    closer; the backstop drops the unclosed element to end-of-doc)."""
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        strip_markup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "<p>keep me</p><script>var secret = 1; window.x("),
+            (2, "<p>a</p><style>.c{color:red}</style><p>b</p>"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text_clean"] for r in strip_markup(docs).collect()}
+    assert got[1] == "keep me"
+    assert "secret" not in got[1]
+    assert got[2] == "a\n\nb"  # </p><p> = paragraph break (two \n)
+
+
+def test_pii_phone_does_not_cross_lines(spark):
+    """Two short digit runs on adjacent lines are NOT one phone: the
+    old \\s-based run swallowed the newline and destructively merged
+    unrelated numbers into one <PHONE>."""
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        pii_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "Invoice 1234\n5678 Main St"), (2, "call +30 210 123 4567 now")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert got[1]["n_phone"] == 0
+    assert "1234\n5678" in got[1]["text_scrubbed"]
+    assert got[2]["n_phone"] == 1
+    assert "<PHONE>" in got[2]["text_scrubbed"]
+
+
+def test_lang_id_nb_ignores_null_declared_lang_in_training(spark):
+    """Docs with NULL declared lang must not train a phantom class
+    that out-floors every real language for OOV-heavy docs."""
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        lang_id_nb,
+    )
+
+    rows = [(i, "the cat sat on the mat and the dog", "en") for i in range(8)]
+    rows += [(100 + i, "der hund und die katze und das haus", "de") for i in range(8)]
+    # unlabeled docs: must be SCORED but never trained on
+    rows += [(200, "zzz qqq xxx vvv", None), (201, "the dog and the cat", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["lang_pred"] for r in lang_id_nb(docs).collect()}
+    assert set(got.values()) <= {"en", "de"}  # no NULL/phantom class
+    assert got[201] == "en"
+
+
+def test_quality_score_null_text_counts_zero_tokens(spark):
+    """NULL text is 0 tokens (not NULL), so filter_pipeline's audit
+    reason reads too_short rather than falling through to a ratio
+    rule."""
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        filter_pipeline,
+        quality_score,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "the cat sat")],
+        "doc_id long, text string",
+    )
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[1]["n_tokens"] == 0
+    f = {r["doc_id"]: r for r in filter_pipeline(docs).collect()}
+    assert f[1]["reason"] == "too_short"
