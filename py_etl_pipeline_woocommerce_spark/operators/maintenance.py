@@ -35,8 +35,16 @@ def compact_parquet(
     silently COLLAPSE the directory structure — consumers mounting
     one ``lang=`` subtree would find nothing and pruning would be
     gone. Detected partition levels are re-written with
-    ``partitionBy`` (clustered repartition on the keys, so compaction
-    lands ~one file per partition value rather than files × values).
+    ``partitionBy`` on a (keys, salt) repartition: clustering on the
+    keys alone would funnel EVERY row of one partition value into a
+    single task — a hot partition (one month holding half the table)
+    would produce one giant file regardless of ``target_rows_per_file``
+    and single-thread that partition's rewrite. The salt modulus is
+    computed PER VALUE (``ceil(value_rows / target)`` from one
+    map-side-combinable count agg, broadcast back), so a hot value
+    splits into target-sized slices while a cold value keeps modulus 1
+    — one bucket, one file — instead of being sprayed over ``n_files``
+    small files, which is the very problem compaction exists to fix.
     """
     df = spark.read.parquet(src_dir)
     n_rows = df.count()
@@ -45,8 +53,31 @@ def compact_parquet(
     if part_cols:
         from pyspark.sql import functions as F
 
+        per_value_files = (
+            df.groupBy(*part_cols)
+            .count()
+            .select(
+                *part_cols,
+                F.greatest(
+                    F.lit(1),
+                    F.ceil(F.col("count") / F.lit(target_rows_per_file)),
+                ).alias("_files_v"),
+            )
+        )
+        salted = df.join(
+            F.broadcast(per_value_files), on=part_cols, how="left"
+        ).withColumn(
+            "_salt",
+            F.pmod(
+                F.xxhash64(F.monotonically_increasing_id()),
+                F.coalesce(F.col("_files_v"), F.lit(1)),
+            ),
+        )
         (
-            df.repartition(n_files, *[F.col(c) for c in part_cols])
+            salted.repartition(
+                n_files, *[F.col(c) for c in part_cols], F.col("_salt")
+            )
+            .drop("_files_v", "_salt")
             .write.mode("overwrite")
             .partitionBy(*part_cols)
             .parquet(dest_dir)

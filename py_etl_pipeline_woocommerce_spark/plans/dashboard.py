@@ -68,9 +68,12 @@ def dashboard_payload(
         # SECOND time
         from pyspark.sql import functions as F
 
+        # explicit string casts: date_bounds' columns are strings, and
+        # F.lit(None) would otherwise type these VOID, silently
+        # changing the reused frame's schema vs the real date_bounds
         bounds_frame = spark.range(1).select(
-            F.lit(row["min_d"]).alias("min_d"),
-            F.lit(row["max_d"]).alias("max_d"),
+            F.lit(row["min_d"]).cast("string").alias("min_d"),
+            F.lit(row["max_d"]).cast("string").alias("max_d"),
         )
     return {
         "date_bounds": bounds_frame,

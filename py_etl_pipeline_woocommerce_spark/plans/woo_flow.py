@@ -123,6 +123,13 @@ def build_facts(
     # rows (double-counted in any item-grain sum, the reference's
     # pandas merge included). Apply each grain's refund to exactly ONE
     # deterministic line (lowest line_id), zero on the others.
+    # REFERENCE-PARITY WAIVED (deliberately): for orders carrying the
+    # same (product, variation) grain on two lines, fct_order_items
+    # rows diverge from the reference's output — the reference copies
+    # the full refund onto BOTH lines and over-counts; order-grain
+    # totals agree either way. Any row-for-row parity check or oracle
+    # over fct_order_items must encode THIS single-line policy
+    # (test-pinned in tests/test_woo_flow.py).
     line_rank = F.row_number().over(
         Window.partitionBy("order_id", "product_id", "variation_id")
         .orderBy("line_id")

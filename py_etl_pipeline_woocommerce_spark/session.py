@@ -48,23 +48,33 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(int(cpus) if shuffle_partitions is None else shuffle_partitions),
         )
-    builder = (
-        builder
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        # events.parquet stores TIMESTAMP(NANOS) which Spark has no
-        # native type for; read as BIGINT nanoseconds and do exact
-        # integer time arithmetic (also removes any µs-vs-ns ambiguity
-        # against other engines).
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.ui.enabled", "false")
-        .config("spark.ui.showConsoleProgress", "false")
-    )
     if active is None:
+        # the full conf block only applies to a session WE create:
+        # getOrCreate silently applies runtime-modifiable confs to a
+        # pre-existing session too, and flipping (say) the session
+        # timezone to UTC on a shared host session would alter
+        # timestamp results for the host's OTHER workloads — the same
+        # silent-override class the shuffle-partition guard above
+        # avoids. Reusing an active session means inheriting its
+        # timezone/AQE/broadcast settings; callers that need this
+        # engine's defaults on a host session pass them via
+        # ``extra_conf`` (an explicit request, always applied).
+        builder = (
+            builder
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+            # events.parquet stores TIMESTAMP(NANOS) which Spark has no
+            # native type for; read as BIGINT nanoseconds and do exact
+            # integer time arithmetic (also removes any µs-vs-ns
+            # ambiguity against other engines).
+            .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+        )
         builder = builder.master(f"local[{cpus}]").config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )

@@ -196,9 +196,18 @@ def rebuild_state_from_batch(
     pre-upgrade one. Procedure::
 
         seed = rebuild_state_from_batch(spark.read.parquet(bronze))
-        seed.write.parquet(f"{source}/00-upgrade-seed.parquet")  # FIRST file
-        # restart transitions_stream with a NEW checkpoint dir; the
-        # seed file is the oldest source file, so it is micro-batch 0
+        seed.write.parquet(f"{source}/00-upgrade-seed.parquet")
+        # restart transitions_stream with a NEW checkpoint dir
+
+    REQUIREMENT: the restarted stream's source directory must contain
+    NO other unprocessed files when it starts — archive or point past
+    the already-consumed drops, so the seed parquet is the SOLE file
+    the fresh checkpoint discovers (micro-batch 0). A fresh checkpoint
+    rediscovers every file still in the directory (the file source
+    orders by modification time, so the just-written seed would be the
+    NEWEST file, historic drops would replay first, and historic
+    transitions would be re-emitted). In practice: seed into a new
+    drop directory and switch the stream's source path to it.
 
     ``idle_minutes`` mirrors the stream's eviction horizon: seed rows
     whose last event is more than that far behind the log's max event

@@ -112,6 +112,34 @@ def test_compact_parquet_preserves_hive_partitions(spark, tmp_path):
     assert back.filter("lang = 'en'").count() == 50
 
 
+def test_compact_parquet_splits_hot_partition_value(spark, tmp_path):
+    """A hot partition value (here ~96% of rows) must be rewritten as
+    multiple target-sized files, while a cold value stays at ONE file
+    — the per-value salt modulus must neither single-thread the hot
+    value nor spray the cold one into n_files shards."""
+    import glob
+
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    src = str(tmp_path / "hot_src")
+    dest = str(tmp_path / "hot_dest")
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 25 else "cold", f"text {i}") for i in range(5000)],
+        "doc_id long, lang string, text string",
+    )
+    df.write.partitionBy("lang").parquet(src)
+    compact_parquet(spark, src, dest, target_rows_per_file=1000)
+    hot_files = glob.glob(f"{dest}/lang=hot/*.parquet")
+    cold_files = glob.glob(f"{dest}/lang=cold/*.parquet")
+    assert len(hot_files) >= 2  # 4800 rows / 1000 target → split
+    assert len(cold_files) == 1  # 200 rows → exactly one file
+    back = spark.read.parquet(dest)
+    assert back.count() == 5000
+    assert back.filter("lang = 'cold'").count() == 200
+
+
 def test_chunk_documents_rejects_gapping_stride(spark):
     import pytest as _pytest
 

@@ -49,3 +49,36 @@ def test_get_logger_idempotent_handlers():
     b = get_logger("woo_test_logger")
     assert a is b
     assert len(a.handlers) == 1
+
+
+def test_get_spark_does_not_mutate_active_session_confs(spark):
+    """Reusing an active session must not silently override its
+    runtime-modifiable confs (timezone, broadcast threshold, AQE) —
+    changing the timezone of a shared host session would alter
+    timestamp results for the host's other workloads. Only an
+    explicit ``extra_conf`` request may mutate a reused session."""
+    from py_etl_pipeline_woocommerce_spark.session import get_spark
+
+    original_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Chicago")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "12m")
+    try:
+        reused = get_spark("tz-guard-check")
+        assert reused is spark
+        assert (
+            reused.conf.get("spark.sql.session.timeZone")
+            == "America/Chicago"
+        )
+        assert (
+            reused.conf.get("spark.sql.autoBroadcastJoinThreshold")
+            == "12m"
+        )
+        # an explicit request still lands
+        explicit = get_spark(
+            "tz-guard-check",
+            extra_conf={"spark.sql.session.timeZone": "UTC"},
+        )
+        assert explicit.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", original_tz)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
