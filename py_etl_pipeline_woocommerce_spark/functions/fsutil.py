@@ -37,3 +37,35 @@ def fs_delete(spark, uri: str) -> None:
     """Recursive delete; a no-op when the path is absent."""
     fs, p = hadoop_fs(spark, uri)
     fs.delete(p, True)
+
+
+def fs_mkdirs(spark, uri: str) -> None:
+    """Create a directory (and parents); a no-op when present."""
+    fs, p = hadoop_fs(spark, uri)
+    fs.mkdirs(p)
+
+
+def fs_rename(spark, src: str, dst: str) -> bool:
+    """Hadoop ``rename`` — atomic within one directory on HDFS and
+    the local filesystem (the staged-commit promotion primitive).
+    On S3A, rename is a non-atomic copy+delete: the staged-commit
+    stores remain replay-CORRECT there (recovery re-promotes what is
+    still staged) but a reader can observe a partially-copied object
+    listing mid-rename; a transactional table format (Delta/Iceberg)
+    is the production fix for S3 readers. The destination's parent is
+    created first (Hadoop rename fails, rather than creates, missing
+    parents). Returns the filesystem's success boolean."""
+    fs, src_p = hadoop_fs(spark, src)
+    _, dst_p = hadoop_fs(spark, dst)
+    parent = dst_p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    return fs.rename(src_p, dst_p)
+
+
+def fs_list_names(spark, uri: str) -> list[str]:
+    """Child entry NAMES of a directory ([] when absent)."""
+    fs, p = hadoop_fs(spark, uri)
+    if not fs.exists(p):
+        return []
+    return [s.getPath().getName() for s in fs.listStatus(p)]

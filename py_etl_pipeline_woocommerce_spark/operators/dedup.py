@@ -1426,6 +1426,19 @@ def write_line_index(
     )
 
 
+def _line_index_location(spark, prefix: str) -> str:
+    """Warehouse URI of the ``{prefix}_lines`` table directory, scheme
+    preserved (file:/hdfs:/s3a:)."""
+    row = [
+        r
+        for r in spark.sql(
+            f"DESCRIBE FORMATTED {prefix}_lines"
+        ).collect()
+        if r.col_name.strip() == "Location"
+    ][0]
+    return row.data_type.strip().rstrip("/")
+
+
 def _line_index_marker_dir(spark, prefix: str) -> str:
     """URI of the directory holding the line index's applied-batch
     markers: a SIBLING of the table directory (``_{table}_applied``
@@ -1436,16 +1449,18 @@ def _line_index_marker_dir(spark, prefix: str) -> str:
     land on the warehouse filesystem, not the driver's local disk —
     a driver restarted on another host (the main at-least-once replay
     case) must still see them."""
-    row = [
-        r
-        for r in spark.sql(
-            f"DESCRIBE FORMATTED {prefix}_lines"
-        ).collect()
-        if r.col_name.strip() == "Location"
-    ][0]
-    loc = row.data_type.strip().rstrip("/")
+    loc = _line_index_location(spark, prefix)
     parent, base = loc.rsplit("/", 1)
     return f"{parent}/_{base}_applied"
+
+
+def _line_index_staged_dir(spark, prefix: str, batch_id: int) -> str:
+    """Staging URI for one batch's partials: ``_{table}_staged/
+    batch-{id}`` beside the table, same sibling convention (and same
+    rationale) as the marker directory."""
+    loc = _line_index_location(spark, prefix)
+    parent, base = loc.rsplit("/", 1)
+    return f"{parent}/_{base}_staged/batch-{batch_id}"
 
 
 def write_line_partials(
@@ -1461,48 +1476,116 @@ def write_line_partials(
     re-exploding and re-hashing the drop's text a second time (the
     explode+md5 is the dominant per-batch cost for text-heavy drops).
 
-    ``batch_id`` marker (same device as ``merge_rollup_store``,
-    operators/warehouse.py): foreachBatch is at-least-once and an
-    append-then-SUM fold is not idempotent — a re-delivered
-    micro-batch would permanently double-count doc_freq. With a
-    ``batch_id``, a marker file is written AFTER the append; a
-    re-delivery that finds its marker is a no-op. A crash exactly
-    between the append and the marker write can still double-apply —
-    the residual window a transactional table format closes.
+    ``batch_id`` marker + STAGED COMMIT (same device as
+    ``merge_rollup_store``, operators/warehouse.py): foreachBatch is
+    at-least-once and an append-then-SUM fold is not idempotent — a
+    re-delivered micro-batch would permanently double-count doc_freq.
+    With a ``batch_id``, the batch's partials are first written as a
+    bucketed EXTERNAL table at a staging path beside the store, the
+    marker file is the commit point, and the staged bucket files are
+    then renamed into the live table directory (bucket ids ride in
+    the file names, so a moved file keeps its bucket). A re-delivery
+    that finds the marker COMPLETES any interrupted promotion and is
+    otherwise a no-op — a crash between the append and the marker can
+    no longer double-apply (the r8 residual window): before the
+    marker the live table is untouched and staging is recomputed;
+    after it, promotion is idempotent (moved files are gone from
+    staging). HDFS/local rename is atomic; on S3A replay stays
+    correct but mid-promotion readers can see a partial batch.
     Markers live beside the table (not inside it) so compaction
-    preserves them, and are read/written through the Hadoop
-    FileSystem client so they land on the WAREHOUSE filesystem
-    (file:/hdfs:/s3a: alike), not the driver's local disk. A
-    ``mode="overwrite"`` rebuild — or a first append to a table name
-    whose previous incarnation was dropped — CLEARS them: the fresh
-    store's contents no longer correspond to the old applied set, and
-    stale markers would silently skip a new stream's reused batch
-    ids. After a rebuild, restart the stream from a source position
-    consistent with the rebuilt store.
+    preserves them, and everything goes through the Hadoop FileSystem
+    client so it lands on the WAREHOUSE filesystem (file:/hdfs:/s3a:
+    alike), not the driver's local disk. A ``mode="overwrite"``
+    rebuild — or a first append to a table name whose previous
+    incarnation was dropped — CLEARS them: the fresh store's contents
+    no longer correspond to the old applied set, and stale markers
+    would silently skip a new stream's reused batch ids. After a
+    rebuild, restart the stream from a source position consistent
+    with the rebuilt store.
     """
     from ..functions.fsutil import fs_delete, fs_exists, fs_touch
     from ..sources.bucketing import write_bucketed
 
     spark = lines.sparkSession
-    table_exists = spark.catalog.tableExists(f"{prefix}_lines")
-    if batch_id is not None and mode == "append" and table_exists:
-        marker = f"{_line_index_marker_dir(spark, prefix)}/batch-{batch_id}"
-        if fs_exists(spark, marker):
-            return
+    table = f"{prefix}_lines"
+    table_exists = spark.catalog.tableExists(table)
     agg = lines.groupBy("line_hash").agg(
         F.countDistinct("doc_id").cast("long").alias("doc_freq"),
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
     )
-    write_bucketed(
-        agg, f"{prefix}_lines", ["line_hash"], n_buckets=n_buckets, mode=mode
-    )
-    if mode == "overwrite" or not table_exists:
-        fs_delete(spark, _line_index_marker_dir(spark, prefix))
-    if batch_id is not None and mode == "append":
-        fs_touch(
-            spark,
-            f"{_line_index_marker_dir(spark, prefix)}/batch-{batch_id}",
+    if batch_id is None or mode != "append":
+        # rebuilds and unmarked appends keep the direct one-step write
+        write_bucketed(
+            agg, table, ["line_hash"], n_buckets=n_buckets, mode=mode
         )
+        if mode == "overwrite" or not table_exists:
+            fs_delete(spark, _line_index_marker_dir(spark, prefix))
+        return
+    if not table_exists:
+        # materialize the store EMPTY first so even the first marked
+        # append runs through the staged path (a direct first write
+        # would re-open the crash-between-append-and-marker window for
+        # batch 0), then reset any stale marker set from a dropped
+        # previous incarnation.
+        write_bucketed(
+            agg.limit(0), table, ["line_hash"],
+            n_buckets=n_buckets, mode="overwrite",
+        )
+        fs_delete(spark, _line_index_marker_dir(spark, prefix))
+    marker = f"{_line_index_marker_dir(spark, prefix)}/batch-{batch_id}"
+    staged_dir = _line_index_staged_dir(spark, prefix, batch_id)
+    if fs_exists(spark, marker):
+        # committed: finish any interrupted promotion, then no-op
+        _promote_staged_bucket_files(spark, staged_dir, prefix)
+        return
+    # stage: a bucketed external table at the staging path, identical
+    # bucket spec to the store — its part files are directly
+    # promotable. Metadata is dropped immediately (files stay), so
+    # recovery never depends on a catalog entry surviving a crash.
+    staged_table = f"{prefix}_lines_staged_b{batch_id}"
+    spark.sql(f"DROP TABLE IF EXISTS {staged_table}")
+    fs_delete(spark, staged_dir)
+    (
+        agg.repartition(n_buckets, agg["line_hash"])
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, "line_hash")
+        .sortBy("line_hash")
+        .option("path", staged_dir)
+        .saveAsTable(staged_table)
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {staged_table}")
+    fs_touch(spark, marker)
+    _promote_staged_bucket_files(spark, staged_dir, prefix)
+
+
+def _promote_staged_bucket_files(spark, staged_dir: str, prefix: str) -> None:
+    """Move every staged bucket file still under ``staged_dir`` into
+    the live ``{prefix}_lines`` table directory, then drop the staging
+    directory and refresh the table's file listing. Idempotent under
+    replay: a file already moved no longer exists under staging (part
+    file names embed a per-job UUID, so staged names never collide
+    with files already in the table). No-op when staging is absent."""
+    from ..functions.fsutil import (
+        fs_delete,
+        fs_exists,
+        fs_list_names,
+        fs_rename,
+    )
+
+    if not fs_exists(spark, staged_dir):
+        return
+    table_loc = _line_index_location(spark, prefix)
+    for name in fs_list_names(spark, staged_dir):
+        if not name.startswith("part-"):
+            continue
+        if not fs_rename(spark, f"{staged_dir}/{name}", f"{table_loc}/{name}"):
+            raise RuntimeError(
+                f"staged-commit promotion failed renaming {name} into "
+                f"{table_loc} — staging left intact for replay"
+            )
+    fs_delete(spark, staged_dir)
+    spark.catalog.refreshTable(f"{prefix}_lines")
 
 
 def compact_line_index(

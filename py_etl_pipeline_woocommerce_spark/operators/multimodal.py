@@ -185,10 +185,12 @@ def wav_decode(payload: bytes) -> tuple[int, int, "object"]:
     frames)`` where ``frames`` is a float64 numpy array of shape
     (n_frames, n_channels), samples normalized to [-1, 1).
 
-    Handles the integer PCM widths ``wave`` itself frames (8-bit
-    unsigned, 16/32-bit signed); 24-bit PCM and compressed codecs
-    raise ``NotImplementedError`` (the deps-enabled deployment seam —
-    torchaudio/soundfile read those)."""
+    Handles every integer PCM width: 8-bit unsigned, 16/32-bit signed
+    via numpy view, and 24-bit signed by vectorized byte-shifting the
+    raw 3-byte little-endian frames (``wave`` hands the bytes through
+    untouched; no audio lib needed). Only COMPRESSED codecs (mp3/ogg/
+    flac/…) remain the deps-enabled deployment seam — torchaudio/
+    soundfile read those."""
     import io
     import wave
 
@@ -199,19 +201,30 @@ def wav_decode(payload: bytes) -> tuple[int, int, "object"]:
         sampwidth = w.getsampwidth()
         rate = w.getframerate()
         raw = w.readframes(w.getnframes())
-    dtypes = {1: np.uint8, 2: np.int16, 4: np.int32}
-    if sampwidth not in dtypes:
-        raise NotImplementedError(
-            f"wav_decode: {8 * sampwidth}-bit PCM needs audio libs "
-            "not installed here (soundfile/torchaudio)"
-        )
-    a = np.frombuffer(raw, dtype=dtypes[sampwidth]).astype(np.float64)
-    if sampwidth == 1:
-        a = (a - 128.0) / 128.0
-    elif sampwidth == 2:
-        a = a / 32768.0
+    if sampwidth == 3:
+        # 24-bit: sign-extend each little-endian byte triple into
+        # int32 (the high byte viewed int8 carries the sign)
+        b = np.frombuffer(raw, dtype=np.uint8)
+        b = b[: (len(b) // 3) * 3].reshape(-1, 3)
+        a = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].view(np.int8).astype(np.int32) << 16)
+        ).astype(np.float64) / 8388608.0
     else:
-        a = a / 2147483648.0
+        dtypes = {1: np.uint8, 2: np.int16, 4: np.int32}
+        if sampwidth not in dtypes:
+            raise NotImplementedError(
+                f"wav_decode: {8 * sampwidth}-bit PCM needs audio "
+                "libs not installed here (soundfile/torchaudio)"
+            )
+        a = np.frombuffer(raw, dtype=dtypes[sampwidth]).astype(np.float64)
+        if sampwidth == 1:
+            a = (a - 128.0) / 128.0
+        elif sampwidth == 2:
+            a = a / 32768.0
+        else:
+            a = a / 2147483648.0
     n_frames = len(a) // nch if nch else 0
     return nch, rate, a[: n_frames * nch].reshape(n_frames, nch)
 

@@ -431,20 +431,31 @@ def merge_rollup_store(
     # the optimizer inferred would drift the parquet schema between
     # partitions written in different rounds.
     _dec = "decimal(30,2)"
-    # batch-id marker: foreachBatch is at-least-once, and a SUM fold
-    # is not idempotent — a re-delivered micro-batch would double-count
-    # its events into the store permanently. The marker is written
-    # AFTER the partition overwrite, so re-delivery after a fully
-    # applied batch is a no-op; a crash exactly between the data write
-    # and the marker write can still double-apply (the residual window
-    # transactional table formats close — Delta/Iceberg MERGE is the
-    # production fix, this is the parquet-store analogue). Existence
-    # probes and markers go through the Hadoop FS client (fsutil) so
-    # an hdfs://s3a:// store behaves like the local one — a driver-
-    # local os.path probe would read "absent" and OVERWRITE months.
+    # batch-id marker + STAGED COMMIT: foreachBatch is at-least-once,
+    # and a SUM fold is not idempotent — a re-delivered micro-batch
+    # would double-count its events into the store permanently. The
+    # merged months are first written to a SIBLING staging directory
+    # (never the live store), the marker is the commit point, and
+    # promotion then swaps each staged month directory into place via
+    # Hadoop rename. Every crash window is covered:
+    #   before the marker  -> live store untouched; replay recomputes
+    #                         the merge from it and overwrites staging;
+    #   after the marker   -> replay finds the marker and COMPLETES the
+    #                         promotion from whatever is still staged
+    #                         (months already swapped are gone from
+    #                         staging, so re-promotion is idempotent).
+    # This closes the double-count window the r8 marker-only scheme
+    # left open. HDFS/local rename is per-directory atomic; on S3A
+    # (copy+delete) replay stays correct but mid-promotion readers can
+    # see a partial month — Delta/Iceberg is the production fix there.
+    # All probes/markers/renames go through the Hadoop FS client
+    # (fsutil) so hdfs://s3a:// stores behave like local ones.
+    staged_dir = _rollup_staged_dir(store_path, batch_id)
     if batch_id is not None:
         marker = f"{store_path.rstrip('/')}/_applied/batch-{batch_id}"
         if fs_exists(spark, marker):
+            # committed: finish any interrupted promotion, then no-op
+            _promote_staged_months(spark, staged_dir, store_path)
             return
     # TWO consumers (the month list collect + the merge/write) — pin
     # or the batch aggregation runs twice per fold
@@ -475,14 +486,64 @@ def merge_rollup_store(
             )
             .localCheckpoint(eager=True)
         )
-    (
-        merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("month")
-        .parquet(store_path)
+    if batch_id is None:
+        # direct (non-replayed) drops keep the one-step dynamic
+        # partition overwrite — there is no marker to stage against
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("month")
+            .parquet(store_path)
+        )
+        return
+    # staged commit: stage -> marker (commit point) -> promote
+    merged.write.mode("overwrite").partitionBy("month").parquet(staged_dir)
+    fs_touch(spark, f"{store_path.rstrip('/')}/_applied/batch-{batch_id}")
+    _promote_staged_months(spark, staged_dir, store_path)
+
+
+def _rollup_staged_dir(store_path: str, batch_id: int | None) -> str:
+    """Staging directory for one batch's merged months: a SIBLING of
+    the store (``_{base}_staged/batch-{id}`` next to it), never inside
+    it — a staged write inside the store would make the first-write
+    existence probe read "present" on an empty store and break the
+    pruned read with a data-file-less directory."""
+    base = store_path.rstrip("/")
+    if "/" not in base:
+        return f"_{base}_staged/batch-{batch_id}"
+    parent, name = base.rsplit("/", 1)
+    return f"{parent}/_{name}_staged/batch-{batch_id}"
+
+
+def _promote_staged_months(spark, staged_dir: str, store_path: str) -> None:
+    """Swap every ``month=`` directory still under ``staged_dir`` into
+    the live store (delete target, rename staged into place), then
+    drop the staging directory. Idempotent under replay: a month
+    already promoted no longer exists under staging and is skipped, so
+    a crash mid-promotion is completed by the next call. A no-op when
+    the staging directory is absent (fully promoted earlier)."""
+    from ..functions.fsutil import (
+        fs_delete,
+        fs_exists,
+        fs_list_names,
+        fs_mkdirs,
+        fs_rename,
     )
-    if batch_id is not None:
-        fs_touch(spark, f"{store_path.rstrip('/')}/_applied/batch-{batch_id}")
+
+    if not fs_exists(spark, staged_dir):
+        return
+    store = store_path.rstrip("/")
+    fs_mkdirs(spark, store)
+    for name in fs_list_names(spark, staged_dir):
+        if not name.startswith("month="):
+            continue
+        fs_delete(spark, f"{store}/{name}")
+        if not fs_rename(spark, f"{staged_dir}/{name}", f"{store}/{name}"):
+            raise RuntimeError(
+                f"staged-commit promotion failed renaming {name} into "
+                f"{store} — staging left intact for replay"
+            )
+    fs_delete(spark, staged_dir)
 
 
 def cdc_apply(

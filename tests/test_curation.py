@@ -354,3 +354,93 @@ def test_line_index_replayed_batch_id_is_noop(spark):
     finally:
         drop_table(spark, "t_replay_lines")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_line_index_staged_commit_survives_both_crash_windows(
+    spark, monkeypatch
+):
+    """Line-index twin of the rollup store's staged-commit test: a
+    crash on either side of the marker leaves doc_freq either fully
+    applied + marked or fully untouched, and replay lands the batch
+    exactly once — including for the FIRST batch, which now also runs
+    through staging (against an empty pre-created table)."""
+    import shutil
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.functions import fsutil
+    from py_etl_pipeline_woocommerce_spark.operators import dedup as dd
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import drop_table
+
+    batch1 = spark.createDataFrame(
+        [(1, "alpha\nfooter"), (2, "beta\nfooter")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, "gamma\nfooter")], "doc_id long, text string"
+    )
+
+    def store_counts() -> dict:
+        return {
+            r["line_hash"]: (r["df"], r["occ"])
+            for r in spark.table("t_crash_lines")
+            .groupBy("line_hash")
+            .agg(
+                F.sum("doc_freq").alias("df"),
+                F.sum("n_occurrences").alias("occ"),
+            )
+            .collect()
+        }
+
+    real_touch = fsutil.fs_touch
+
+    def crash_on_marker(spark_, uri):
+        if uri.endswith("_applied/batch-0"):
+            raise RuntimeError("injected crash before marker")
+        return real_touch(spark_, uri)
+
+    try:
+        # WINDOW A on the FIRST batch: staged but unmarked — the store
+        # exists (created empty) and holds nothing; replay applies once
+        monkeypatch.setattr(fsutil, "fs_touch", crash_on_marker)
+        with _pytest.raises(RuntimeError, match="injected"):
+            dd.write_line_index(batch1, "t_crash", n_buckets=4, batch_id=0)
+        monkeypatch.setattr(fsutil, "fs_touch", real_touch)
+        assert store_counts() == {}  # fully absent
+        dd.write_line_index(batch1, "t_crash", n_buckets=4, batch_id=0)
+        after_b1 = store_counts()
+        assert sorted(df for df, _ in after_b1.values()) == [1, 1, 2]
+        dd.write_line_index(batch1, "t_crash", n_buckets=4, batch_id=0)
+        assert store_counts() == after_b1  # exactly once
+
+        # WINDOW B: marker written, promotion crashed — replay
+        # completes it, still exactly once
+        real_promote = dd._promote_staged_bucket_files
+        monkeypatch.setattr(
+            dd,
+            "_promote_staged_bucket_files",
+            lambda *a: (_ for _ in ()).throw(
+                RuntimeError("injected crash before promotion")
+            ),
+        )
+        with _pytest.raises(RuntimeError, match="injected"):
+            dd.write_line_index(batch2, "t_crash", n_buckets=4, batch_id=1)
+        monkeypatch.setattr(
+            dd, "_promote_staged_bucket_files", real_promote
+        )
+        assert store_counts() == after_b1  # marked but not promoted
+        dd.write_line_index(batch2, "t_crash", n_buckets=4, batch_id=1)
+        after_b2 = store_counts()
+        footer = [k for k, (df, _) in after_b2.items() if df == 3]
+        assert len(footer) == 1  # footer counted once per doc, 3 docs
+        dd.write_line_index(batch2, "t_crash", n_buckets=4, batch_id=1)
+        assert store_counts() == after_b2
+        # staging directory fully cleaned up
+        staged = dd._line_index_staged_dir(spark, "t_crash", 1).rsplit(
+            "/batch-", 1
+        )[0]
+        assert fsutil.fs_list_names(spark, staged) == []
+    finally:
+        drop_table(spark, "t_crash_lines")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)

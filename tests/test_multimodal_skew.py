@@ -184,9 +184,10 @@ def test_real_image_features_through_arrow_path(spark):
     assert f[7] == pytest.approx(1.0)  # aspect
 
 
-def _stereo_wav(n_frames=4000, rate=8000):
-    """A real 2-channel 16-bit PCM WAV: left alternates ±0.5 every
-    sample (RMS 0.5, zero-crossing rate 1, DC 0), right is silence."""
+def _stereo_wav(n_frames=4000, rate=8000, sampwidth=2):
+    """A real 2-channel PCM WAV (16- or 24-bit): left alternates ±0.5
+    every sample (RMS 0.5, zero-crossing rate 1, DC 0), right is
+    silence."""
     import io
     import struct
     import wave
@@ -194,27 +195,33 @@ def _stereo_wav(n_frames=4000, rate=8000):
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(2)
-        w.setsampwidth(2)
+        w.setsampwidth(sampwidth)
         w.setframerate(rate)
         frames = bytearray()
         for i in range(n_frames):
-            left = 16384 if i % 2 == 0 else -16384
-            frames += struct.pack("<hh", left, 0)
+            if sampwidth == 2:
+                left = 16384 if i % 2 == 0 else -16384
+                frames += struct.pack("<hh", left, 0)
+            else:  # 24-bit: ±0.5 = ±4194304, 3-byte little-endian
+                left = 4194304 if i % 2 == 0 else -4194304
+                frames += (left & 0xFFFFFF).to_bytes(3, "little")
+                frames += b"\x00\x00\x00"
         w.writeframes(bytes(frames))
     return buf.getvalue()
 
 
-def test_real_wav_features_through_arrow_path(spark):
-    """A generated 2-channel PCM WAV through the Arrow-batched
-    extract_features with the REAL audio decoder: duration, channel
-    count, rate, and per-channel RMS are exact; a mixed-modality
-    frame's image row gets a NULL feature (modality filter), not a
-    decoder crash."""
+@pytest.mark.parametrize("sampwidth", [2, 3])
+def test_real_wav_features_through_arrow_path(spark, sampwidth):
+    """A generated 2-channel PCM WAV (16- AND 24-bit) through the
+    Arrow-batched extract_features with the REAL audio decoder:
+    duration, channel count, rate, and per-channel RMS are exact; a
+    mixed-modality frame's image row gets a NULL feature (modality
+    filter), not a decoder crash."""
     from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
         audio_decode,
     )
 
-    wav = _stereo_wav()
+    wav = _stereo_wav(sampwidth=sampwidth)
     png, _ = _checker_png()
     df = spark.createDataFrame(
         [
@@ -245,11 +252,15 @@ def test_real_wav_features_through_arrow_path(spark):
 
 
 def test_wav_decode_seams_stay_loud():
-    """24-bit PCM is beyond the stdlib decoder (NotImplementedError,
-    not garbage samples); image_decode refuses audio payloads with
-    the seam error instead of a confusing shape crash."""
+    """Only COMPRESSED audio remains beyond the stdlib decoder
+    (24-bit PCM now decodes): non-WAV audio mimes raise the seam
+    error, and image_decode refuses audio payloads with the seam
+    error instead of a confusing shape crash. 24-bit sign extension
+    is exact at both extremes (full-scale negative and positive)."""
     import io
     import wave
+
+    import numpy as np
 
     from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
         image_decode,
@@ -261,9 +272,19 @@ def test_wav_decode_seams_stay_loud():
         w.setnchannels(1)
         w.setsampwidth(3)  # 24-bit
         w.setframerate(8000)
-        w.writeframes(b"\x00\x00\x00" * 16)
+        # full-scale min (-8388608), full-scale max (8388607), zero
+        w.writeframes(
+            (-8388608 & 0xFFFFFF).to_bytes(3, "little")
+            + (8388607).to_bytes(3, "little")
+            + b"\x00\x00\x00"
+        )
+    nch, rate, frames = wav_decode(buf.getvalue())
+    assert (nch, rate) == (1, 8000)
+    assert np.allclose(
+        frames[:, 0], [-1.0, 8388607 / 8388608.0, 0.0]
+    )
     with pytest.raises(NotImplementedError):
-        wav_decode(buf.getvalue())
+        decode_media(_stereo_wav(), "audio/mpeg")
     with pytest.raises(NotImplementedError):
         image_decode(_stereo_wav(), "audio/wav")
 

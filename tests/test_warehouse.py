@@ -357,3 +357,85 @@ def test_warehouse_malformed_input_guards(spark):
     after = spark.createDataFrame([(1,)], "k long")
     drift = {r["column"]: r for r in profile_drift(before, after).collect()}
     assert drift["notes"]["bounds_changed"] is True
+
+
+def test_rollup_store_staged_commit_survives_both_crash_windows(
+    spark, tmp_path, monkeypatch
+):
+    """Staged-commit protocol: a crash on EITHER side of the marker
+    must leave the store either fully applied + marked or fully
+    untouched — never half-applied, and never double-counted on
+    replay (the window the r8 marker-only scheme left open)."""
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.functions import fsutil
+    from py_etl_pipeline_woocommerce_spark.operators import warehouse as wh
+
+    store = str(tmp_path / "rollup_crash")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    base = 1_700_006_400_000_000_000
+    day_ns = 86_400_000_000_000
+    ev = lambda i, d: (i, base + d * day_ns, 10 + i, "click", 1.0, "{}")
+    b0 = spark.createDataFrame([ev(1, 0), ev(2, 0)], schema)
+    b1 = spark.createDataFrame([ev(3, 0), ev(4, 40)], schema)
+    b2 = spark.createDataFrame([ev(5, 0)], schema)
+
+    def snapshot() -> dict:
+        return {
+            (r["day_us"], r["event_type"]): (
+                r["n_events"],
+                r["total_value_dec"],
+            )
+            for r in spark.read.parquet(store).collect()
+        }
+
+    wh.merge_rollup_store(spark, store, b0, batch_id=0)
+    after_b0 = snapshot()
+
+    # WINDOW A: crash between the staged write and the marker — the
+    # live store must be untouched, and replay must apply ONCE.
+    real_touch = fsutil.fs_touch
+
+    def crash_on_marker(spark_, uri):
+        if uri.endswith("_applied/batch-1"):
+            raise RuntimeError("injected crash before marker")
+        return real_touch(spark_, uri)
+
+    monkeypatch.setattr(fsutil, "fs_touch", crash_on_marker)
+    with _pytest.raises(RuntimeError, match="injected"):
+        wh.merge_rollup_store(spark, store, b1, batch_id=1)
+    monkeypatch.setattr(fsutil, "fs_touch", real_touch)
+    assert snapshot() == after_b0  # fully absent
+    wh.merge_rollup_store(spark, store, b1, batch_id=1)  # replay
+    after_b1 = snapshot()
+    assert after_b1 != after_b0
+    wh.merge_rollup_store(spark, store, b1, batch_id=1)  # re-delivery
+    assert snapshot() == after_b1  # exactly once
+
+    # WINDOW B: crash between the marker and the promotion — replay
+    # must COMPLETE the promotion, still exactly once.
+    real_promote = wh._promote_staged_months
+    monkeypatch.setattr(
+        wh,
+        "_promote_staged_months",
+        lambda *a: (_ for _ in ()).throw(
+            RuntimeError("injected crash before promotion")
+        ),
+    )
+    with _pytest.raises(RuntimeError, match="injected"):
+        wh.merge_rollup_store(spark, store, b2, batch_id=2)
+    monkeypatch.setattr(wh, "_promote_staged_months", real_promote)
+    assert snapshot() == after_b1  # marked but not yet promoted
+    wh.merge_rollup_store(spark, store, b2, batch_id=2)  # replay
+    after_b2 = snapshot()
+    d0 = (base // 1_000 - (base // 1_000) % 86_400_000_000, "click")
+    assert after_b2[d0][0] == 4  # events 1,2,3,5 on day 0 — no doubles
+    wh.merge_rollup_store(spark, store, b2, batch_id=2)
+    assert snapshot() == after_b2
+    # staging fully cleaned up after promotion
+    assert fsutil.fs_list_names(
+        spark, str(tmp_path / "_rollup_crash_staged")
+    ) == []
