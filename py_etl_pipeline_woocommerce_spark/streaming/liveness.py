@@ -26,6 +26,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .state_util import (
+    VERSIONED_STATE_SCHEMA,
+    decode_state,
+    encode_state,
+)
+
 GAP_SCHEMA = T.StructType(
     [
         T.StructField("event_type", T.StringType()),
@@ -35,8 +41,12 @@ GAP_SCHEMA = T.StructType(
     ]
 )
 
-#: (last_us,)
-STATE_SCHEMA = T.StructType([T.StructField("last_us", T.LongType())])
+#: Logical state (last_us,) — physically the opaque VERSIONED
+#: (version, payload) row since r9, so future widenings are
+#: non-breaking (see state_util.decode_state).
+STATE_VERSION = 1
+STATE_DEFAULTS = {"last_us": None}
+STATE_SCHEMA = VERSIONED_STATE_SCHEMA
 
 
 def _gaps_type(
@@ -46,7 +56,7 @@ def _gaps_type(
     min_gap_us: int,
 ) -> Iterator[pd.DataFrame]:
     (event_type,) = key
-    (last_us,) = state.get if state.exists else (None,)
+    last_us = decode_state(state, STATE_VERSION, STATE_DEFAULTS)["last_us"]
     events = pd.concat(list(pdfs)).sort_values(["t_us", "event_id"])
     out = []
     for t_us in events["t_us"]:
@@ -54,7 +64,7 @@ def _gaps_type(
         if last_us is not None and t_us - last_us > min_gap_us:
             out.append([event_type, last_us, t_us, t_us - last_us])
         last_us = max(t_us, last_us) if last_us is not None else t_us
-    state.update((last_us,))
+    state.update(encode_state(STATE_VERSION, {"last_us": last_us}))
     yield pd.DataFrame(out, columns=GAP_SCHEMA.fieldNames())
 
 

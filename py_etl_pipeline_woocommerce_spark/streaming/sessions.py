@@ -37,6 +37,9 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
 from .state_util import (
+    VERSIONED_STATE_SCHEMA,
+    decode_state,
+    encode_state,
     prepare_event_time,
     set_idle_timeout,
     timeout_conf,
@@ -57,23 +60,27 @@ SESSION_SCHEMA = T.StructType(
     ]
 )
 
-#: (session_seq, start_us, last_us, n_events, total_cents) — value
-#: accumulates as INTEGER CENTS (each event's value quantized to 2 dp
-#: half-up, the same rule as dec_money) so cross-batch summation is
-#: exact like the batch twin's DECIMAL sum; a float state field
-#: accumulated 0.1+0.2 drift the batch twin never shows. NOTE: the
-#: r8 double→long change makes Spark REJECT restarts from pre-r8
-#: checkpoints (loudly, by design — a silent reinterpretation would
-#: misread dollars as cents); rebuild on a fresh checkpoint.
-STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("session_seq", T.LongType()),
-        T.StructField("start_us", T.LongType()),
-        T.StructField("last_us", T.LongType()),
-        T.StructField("n_events", T.LongType()),
-        T.StructField("total_cents", T.LongType()),
-    ]
-)
+#: Logical state (session_seq, start_us, last_us, n_events,
+#: total_cents) — value accumulates as INTEGER CENTS (each event's
+#: value quantized to 2 dp half-up, the same rule as dec_money) so
+#: cross-batch summation is exact like the batch twin's DECIMAL sum;
+#: a float state field accumulated 0.1+0.2 drift the batch twin never
+#: shows. Physically the row is the opaque VERSIONED (version,
+#: payload) pair since r9: the NEXT logical widening adds a key +
+#: default here and bumps STATE_VERSION — prior-version rows read
+#: through the decode shim without a checkpoint reset (pytest-pinned).
+#: Pre-r9 checkpoints (typed-struct layout, incl. the r8 double→long
+#: cents change) still REJECT loudly, by design; rebuild on a fresh
+#: checkpoint.
+STATE_VERSION = 1
+STATE_DEFAULTS = {
+    "session_seq": 0,
+    "start_us": None,
+    "last_us": None,
+    "n_events": 0,
+    "total_cents": 0,
+}
+STATE_SCHEMA = VERSIONED_STATE_SCHEMA
 
 
 def _cents(value: float) -> int:
@@ -97,10 +104,18 @@ def _sessionize_user(
     state: GroupState,
     gap_us: int,
     event_time: bool = False,
+    version: int | None = None,
+    defaults: dict | None = None,
 ) -> Iterator[pd.DataFrame]:
+    version = STATE_VERSION if version is None else version
+    defaults = STATE_DEFAULTS if defaults is None else defaults
     (user_id,) = key
     if state.hasTimedOut:
-        seq, start, last, n, cents = state.get
+        st = decode_state(state, version, defaults)
+        seq, start, last, n, cents = (
+            st["session_seq"], st["start_us"], st["last_us"],
+            st["n_events"], st["total_cents"],
+        )
         if n == 0:
             # counter-only tombstone expired: the user stayed away
             # long past the retention horizon — forget the counter
@@ -112,7 +127,19 @@ def _sessionize_user(
         # 0, and `last` anchors the lateness horizon — without it an
         # arbitrarily OLD late event after the timeout would be
         # accepted as a fresh session that precedes seq in event time
-        state.update((seq + 1, None, last, 0, 0))
+        state.update(
+            encode_state(
+                version,
+                {
+                    **defaults,
+                    "session_seq": seq + 1,
+                    "start_us": None,
+                    "last_us": last,
+                    "n_events": 0,
+                    "total_cents": 0,
+                },
+            )
+        )
         set_idle_timeout(state, event_time, last, COUNTER_RETENTION_MS)
         yield pd.DataFrame(
             [[user_id, seq, n, start, last, cents / 100.0, True]],
@@ -120,10 +147,11 @@ def _sessionize_user(
         )
         return
 
-    if state.exists:
-        seq, start, last, n, cents = state.get
-    else:
-        seq, start, last, n, cents = 0, None, None, 0, 0
+    st = decode_state(state, version, defaults)
+    seq, start, last, n, cents = (
+        st["session_seq"], st["start_us"], st["last_us"],
+        st["n_events"], st["total_cents"],
+    )
 
     out_rows = []
     events = pd.concat(list(pdfs))
@@ -161,7 +189,19 @@ def _sessionize_user(
         n += 1
         cents += _cents(float(value)) if value == value else 0  # NaN-safe
 
-    state.update((seq, start, last, n, cents))
+    state.update(
+        encode_state(
+            version,
+            {
+                **defaults,
+                "session_seq": seq,
+                "start_us": start,
+                "last_us": last,
+                "n_events": n,
+                "total_cents": cents,
+            },
+        )
+    )
     # idle eviction: close the open session when the gap elapses —
     # wall clock in processing-time mode, watermark in event-time
     # mode; an all-dropped batch on a tombstone keeps the COUNTER
@@ -184,6 +224,8 @@ def sessionize_stream(
     gap_minutes: int = GAP_MINUTES,
     timeout: str = "processing",
     lateness_minutes: int | None = None,
+    state_version: int | None = None,
+    state_defaults: dict | None = None,
 ) -> DataFrame:
     """events (ts epoch-ns BIGINT) → per-user session rows; ``closed``
     marks finished sessions, open sessions re-emit on every update.
@@ -208,6 +250,15 @@ def sessionize_stream(
     totals. Raise ``lateness_minutes`` to widen the tolerated
     disorder at the cost of proportionally later session closes (the
     watermark lags the stream by that much).
+
+    ``state_version`` / ``state_defaults`` override the module's
+    logical state layout — the WIDENING seam: a deployment rolling
+    out a wider layout (new keys with defaults, a higher version)
+    restarts on the SAME checkpoint, and prior-version state rows
+    read through the ``decode_state`` shim with the new keys at their
+    defaults (pytest-pinned; the physical schema is the fixed
+    (version, payload) pair either way). Production widenings should
+    land in ``STATE_VERSION``/``STATE_DEFAULTS`` themselves.
     """
     event_time = validate_timeout("sessionize_stream", timeout)
     gap_us = gap_minutes * 60_000_000
@@ -228,7 +279,10 @@ def sessionize_stream(
         )
 
     def fn(key, pdfs, state):
-        return _sessionize_user(key, pdfs, state, gap_us, event_time)
+        return _sessionize_user(
+            key, pdfs, state, gap_us, event_time,
+            version=state_version, defaults=state_defaults,
+        )
 
     return prepared.groupBy("user_id").applyInPandasWithState(
         fn,

@@ -67,3 +67,59 @@ def timeout_conf(event_time: bool):
         if event_time
         else GroupStateTimeout.ProcessingTimeTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# Versioned state rows
+#
+# The physical state layout of an applyInPandasWithState operator is
+# baked into its checkpoint; Spark's state-store schema check REJECTS a
+# restart after ANY physical widening, and checkpoint files have no
+# in-place migration. Storing the logical fields inside ONE opaque
+# (version, payload-JSON) row fixes the physical schema forever: a
+# future widening adds a key to the op's defaults dict and bumps its
+# version — an old checkpoint's rows read through `decode_state`, the
+# missing key takes its default, and the stream continues WITHOUT a
+# checkpoint reset. (Converting TO this layout is itself the last
+# physical change: pre-r9 checkpoints rebuild once via
+# `rebuild_state_from_batch`, as every prior widening did.)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as _T
+
+VERSIONED_STATE_SCHEMA = _T.StructType(
+    [
+        _T.StructField("version", _T.IntegerType()),
+        _T.StructField("payload", _T.StringType()),
+    ]
+)
+
+
+def encode_state(version: int, fields: dict) -> tuple:
+    """Pack logical state fields into the fixed physical row."""
+    import json
+
+    return (version, json.dumps(fields, separators=(",", ":")))
+
+
+def decode_state(state: GroupState, version: int, defaults: dict) -> dict:
+    """Read-path shim: unpack a versioned state row into the CURRENT
+    logical layout. Keys absent from an older version's payload get
+    their registered default (the widening shim); keys the current
+    layout no longer declares are dropped. A payload written by a
+    NEWER version raises — silently reinterpreting fields written by
+    a future layout is the corruption this scheme exists to prevent.
+    Absent state returns a copy of the defaults."""
+    import json
+
+    if not state.exists:
+        return dict(defaults)
+    row_version, payload = state.get
+    if row_version > version:
+        raise ValueError(
+            f"state row version {row_version} is newer than this "
+            f"reader (version {version}) — upgrade the operator "
+            "before restarting this checkpoint"
+        )
+    stored = json.loads(payload)
+    return {k: stored.get(k, v) for k, v in defaults.items()}

@@ -17,17 +17,19 @@ stream length. The eviction clock is wall time by default and the
 watermark in ``timeout="event"`` mode (same trade as
 ``sessionize_stream``).
 
-Checkpoint compatibility: the state row layout (``STATE_SCHEMA``) is
-part of the streaming checkpoint. Widening it — as round 6 did when
-``last_id`` was added for the batch-twin tie-break — makes Spark's
-state-store schema check REJECT a restart from any checkpoint written
-by the older layout; there is no in-place migration of the checkpoint
-files themselves. The TESTED upgrade path is
+Checkpoint compatibility: the PHYSICAL state row is the opaque
+versioned (version, payload) pair from ``state_util`` — fixed
+forever, so Spark's state-store schema check accepts restarts across
+LOGICAL widenings: add a key + default to ``STATE_DEFAULTS``, bump
+``STATE_VERSION``, and prior-version rows read through the
+``decode_state`` shim without a checkpoint reset (pytest-pinned).
+Converting a PRE-versioned checkpoint (r8 and earlier, whose layout
+was a typed struct) is the one remaining rebuild; the TESTED path is
 ``rebuild_state_from_batch``: seed a FRESH checkpoint from the
 historical event log so each user's "previous event" survives the
-schema change and the first post-upgrade event still chains across
-the boundary — no open transition is lost, and no historic
-transition is re-emitted.
+change and the first post-upgrade event still chains across the
+boundary — no open transition is lost, and no historic transition is
+re-emitted.
 """
 
 from __future__ import annotations
@@ -41,6 +43,9 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
 from .state_util import (
+    VERSIONED_STATE_SCHEMA,
+    decode_state,
+    encode_state,
     prepare_event_time,
     set_idle_timeout,
     timeout_conf,
@@ -56,17 +61,17 @@ TRANSITION_SCHEMA = T.StructType(
     ]
 )
 
-#: (last_us, last_id, last_type) — the event_id rides along so the
-#: cross-batch tie-break matches the batch twin's (t_us, event_id)
-#: window order. NOTE: changing this layout invalidates existing
-#: checkpoints (see module docstring).
-STATE_SCHEMA = T.StructType(
-    [
-        T.StructField("last_us", T.LongType()),
-        T.StructField("last_id", T.LongType()),
-        T.StructField("last_type", T.StringType()),
-    ]
-)
+#: Logical state (last_us, last_id, last_type) — the event_id rides
+#: along so the cross-batch tie-break matches the batch twin's
+#: (t_us, event_id) window order. Physically the row is the opaque
+#: VERSIONED (version, payload) pair since r9, so the NEXT logical
+#: widening is non-breaking: add the key + default here, bump
+#: STATE_VERSION, and old checkpoints read through the decode shim
+#: without a reset (see state_util; converting pre-r9 checkpoints is
+#: the one remaining rebuild, via ``rebuild_state_from_batch``).
+STATE_VERSION = 1
+STATE_DEFAULTS = {"last_us": None, "last_id": None, "last_type": None}
+STATE_SCHEMA = VERSIONED_STATE_SCHEMA
 
 
 def _transitions_user(
@@ -82,8 +87,9 @@ def _transitions_user(
         yield pd.DataFrame(columns=TRANSITION_SCHEMA.fieldNames())
         return
 
+    st = decode_state(state, STATE_VERSION, STATE_DEFAULTS)
     last_us, last_id, last_type = (
-        state.get if state.exists else (None, None, None)
+        st["last_us"], st["last_id"], st["last_type"],
     )
     events = pd.concat(list(pdfs)).sort_values(["t_us", "event_id"])
     out = []
@@ -103,7 +109,16 @@ def _transitions_user(
         if last_type is not None:
             out.append([user_id, last_type, etype, t_us - last_us])
         last_us, last_id, last_type = t_us, eid, etype
-    state.update((last_us, last_id, last_type))
+    state.update(
+        encode_state(
+            STATE_VERSION,
+            {
+                "last_us": last_us,
+                "last_id": last_id,
+                "last_type": last_type,
+            },
+        )
+    )
     set_idle_timeout(state, event_time, last_us, idle_ms)
     yield pd.DataFrame(out, columns=TRANSITION_SCHEMA.fieldNames())
 

@@ -1679,21 +1679,44 @@ def test_session_tombstone_keeps_lateness_horizon():
         _sessionize_user,
     )
 
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        STATE_VERSION,
+    )
+    from py_etl_pipeline_woocommerce_spark.streaming.state_util import (
+        encode_state,
+    )
+
     H = 3_600_000_000  # one hour in us
     gap_us = 30 * 60_000_000
+
+    def session_state(seq, start, last, n, cents):
+        return encode_state(
+            STATE_VERSION,
+            {
+                "session_seq": seq,
+                "start_us": start,
+                "last_us": last,
+                "n_events": n,
+                "total_cents": cents,
+            },
+        )
+
     # open session [10h, 10.5h] times out
-    st = _FakeGroupState(value=(0, 10 * H, 10 * H + H // 2, 3, 450), timed_out=True)
+    st = _FakeGroupState(
+        value=session_state(0, 10 * H, 10 * H + H // 2, 3, 450),
+        timed_out=True,
+    )
     (closed,) = list(_sessionize_user((7,), iter([]), st, gap_us))
     assert closed["closed"].tolist() == [True]
     assert closed["total_value"].tolist() == [4.5]
-    assert st.get == (1, None, 10 * H + H // 2, 0, 0)
+    assert st.get == session_state(1, None, 10 * H + H // 2, 0, 0)
     st.hasTimedOut = False  # subsequent calls deliver data, not timeouts
 
     # a late event from BEFORE the closed session: dropped, tombstone intact
     late = pd.DataFrame({"t_us": [8 * H], "value": [1.0]})
     (out,) = list(_sessionize_user((7,), iter([late]), st, gap_us))
     assert len(out) == 0
-    assert st.get == (1, None, 10 * H + H // 2, 0, 0)
+    assert st.get == session_state(1, None, 10 * H + H // 2, 0, 0)
 
     # a genuinely newer event starts session seq=1 AFTER seq=0 in time
     fresh = pd.DataFrame({"t_us": [11 * H], "value": [2.0]})
@@ -1701,3 +1724,109 @@ def test_session_tombstone_keeps_lateness_horizon():
     assert out["session_seq"].tolist() == [1]
     assert out["start_us"].tolist() == [11 * H]
     assert out["closed"].tolist() == [False]
+
+
+def test_versioned_state_shim_unit():
+    """decode_state fills keys a PRIOR version's payload lacks with
+    their registered defaults (the widening shim), drops keys the
+    current layout no longer declares, and refuses a payload written
+    by a NEWER version instead of silently misreading it."""
+    from py_etl_pipeline_woocommerce_spark.streaming.state_util import (
+        decode_state,
+        encode_state,
+    )
+
+    v1_row = encode_state(1, {"last_us": 42, "last_type": "click"})
+    st = _FakeGroupState(value=v1_row)
+    # v2 reader: widened with a default-bearing key
+    got = decode_state(
+        st, 2, {"last_us": None, "last_type": None, "bonus": 0}
+    )
+    assert got == {"last_us": 42, "last_type": "click", "bonus": 0}
+    # narrowed layout: undeclared stored keys are dropped
+    assert decode_state(st, 2, {"last_us": None}) == {"last_us": 42}
+    # a FUTURE version's row is refused loudly
+    st2 = _FakeGroupState(value=encode_state(3, {"last_us": 1}))
+    with pytest.raises(ValueError, match="newer"):
+        decode_state(st2, 2, {"last_us": None})
+    # absent state returns a COPY of the defaults
+    empty = _FakeGroupState()
+    d = {"last_us": None}
+    out = decode_state(empty, 1, d)
+    out["last_us"] = 9
+    assert d == {"last_us": None}
+
+
+def test_sessionize_widened_state_restarts_on_same_checkpoint(
+    spark, stream_dirs, tmp_path
+):
+    """The versioned-state upgrade path: batch 1 runs under the v1
+    layout, then the stream restarts ON THE SAME CHECKPOINT with a
+    WIDENED v2 layout (an extra default-bearing key). The physical
+    (version, payload) schema is unchanged, so Spark accepts the
+    restart; the v1 state row reads through the decode shim — the
+    post-restart event extends the PRE-restart session (no checkpoint
+    reset, no state loss, no double-emit)."""
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        STATE_DEFAULTS,
+        sessionize_stream,
+    )
+
+    src, ckpt = stream_dirs
+    out = str(tmp_path / "sess_widen_out")
+    base = 1_700_000_000_000_000_000
+    MIN_NS = 60 * 1_000_000_000
+    _write_events(
+        f"{src}/b0.parquet",
+        [(1, base, 7, "click", 1.0), (2, base + 5 * MIN_NS, 7, "view", 2.0)],
+    )
+
+    def start(state_version=None, state_defaults=None):
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            sessionize_stream(
+                stream,
+                gap_minutes=30,
+                state_version=state_version,
+                state_defaults=state_defaults,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(_foreach_parquet_append(out))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q1 = start()  # v1
+    try:
+        _poll_parquet(spark, out, lambda rows: len(rows) >= 1)
+    finally:
+        q1.stop()  # redeploy boundary: the widened build takes over
+
+    _write_events(
+        f"{src}/b1.parquet",
+        [
+            (3, base + 15 * MIN_NS, 7, "click", 4.0),
+            (4, base + 80 * MIN_NS, 7, "purchase", 8.0),
+        ],
+    )
+    widened = {**STATE_DEFAULTS, "quality_flags": 0}  # the NEXT widening
+    q2 = start(state_version=2, state_defaults=widened)
+    try:
+        rows = _poll_parquet(
+            spark, out, lambda rows: any(r["closed"] for r in rows)
+        )
+    finally:
+        q2.stop()
+
+    closed = [r for r in rows if r["closed"]]
+    assert len(closed) == 1
+    c = closed[0]
+    # events 1,2 (v1 state) + 3 (read through the v2 shim) — one
+    # session spanning the layout change
+    assert c["session_seq"] == 0 and c["n_events"] == 3
+    assert c["start_us"] == base // 1000
+    assert c["total_value"] == pytest.approx(7.0)
