@@ -248,101 +248,106 @@ def _q_dq_rules(spark, sf_dir):
 
 
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
-# ordering decides what gets (re-)verified each round. Round-8 front
-# block (exactly 50), in priority order:
-#   1. entries whose CODE or ORACLE changed in round 8 — the review
-#      waves over dedup.py (NULL-safe incremental join + oracle,
-#      convergence raise, shared span tokenization), events.py
-#      (try_cast JSON extraction + both oracles, integer-div buckets,
-#      checkpoint experiments), relational.py (top_supplier's 1-row
-#      max, customer broadcast-hint removal — regional_revenue and
-#      market_share ride as sentinels for the 8-query hint change),
-#      packing.py (integer-div pack ids, _hash_bucket reuse), and
-#      skew.py (out-of-band NULL flag);
-#   2. the remaining r3-stale rows (the r7 budget spill — verdict
-#      item 1), all of which were ALSO pre-gated at sf0.01 this round.
-# ROUND-9 ROTATION NOTE: promote (a) any r9 code/oracle changes, then
-# (b) the values-identical / behavior-identical r8 changes deferred
-# past the budget, all re-gated at sf0.01 in r8: pricing_summary,
-# discount_revenue, sales_rollup, shipping_priority, volume_shipping,
-# large_volume_orders, returned_item_report, segment_share
-# (helper/broadcast-hint swaps), dup_cluster_histogram,
-# soft_dedup_weights, dedup_audit (internal unpersist only),
-# market_share (hint sentinel), rfm_segments, wow_growth (checkpoint
-# pins), event_transitions (dead import), revenue_timeseries +
-# revenue_timeseries_bounded (IS-DISTINCT-FROM _NETLINE, value-
-# identical), top_products_bounded, category_mix_bounded,
-# funnel_steps_windowed, geo_rollup_bounded (same change as their
-# driver-checked twins), apply_refunds_items, enrich_categories,
-# normalize_*, incremental_watermark + the part/supplier-hint
-# relational rows (plan-only hint removals; top_products /
-# category_mix ride in front as the class sentinels), top_supplier,
-# user_overlap, linear_attribution, pack_bins_bfd, basket_pairs,
-# pack_sequences (plan-only / values-identical r8 changes, each
-# re-gated at sf0.01 — displaced by the textstats semantic fixes),
-# lang_confusion, corpus_report (consumers re-gated alongside their
-# changed producers), then (c) the r4-era tail:
-# corpus_split, cusum_changepoint, daily_value_percentiles,
-# dau_new_vs_returning, dayn_retention, event_value_summary,
-# fill_missing_days_interp, fill_missing_days_locf, interarrival_stats,
-# length_buckets, numeric_corr, seasonal_anomaly, session_stats,
-# source_quota_sample, user_streaks, value_outliers, asof_join_forward,
-# time_gaps, merge_intervals, m4_downsample, ks_drift, cdc_apply,
-# dq_referential, bm25_search, hybrid_search, split_leakage,
-# split_leakage_near, dsir_weights, repeat_rate, fulfillment_latency,
-# rollup_merge — then (d) the r5-era rows. Rows re-greened in r8 only
-# need re-checks after their next code change.
-_R8_FRONT = [
-    "apply_refunds_orders",
-    "pii_scrub",
-    "gopher_rules",
-    "lang_id_nb",
-    "strip_markup",
-    "quality_score",
-    "filter_pipeline",
-    "re_enrich_categories",
-    "kpis",
-    "kpis_bounded",
-    "geo_rollup",
-    "top_products",
-    "category_mix",
+# ordering decides what gets (re-)verified each round. Round-9 front
+# block — the first 50 execute the r8 verdict's rotation item:
+#   1. dashboard_payload — the one r9 code change touching a driver
+#      entry so far (default-bounds literals cast to string);
+#   2. eleven deferred r8 changes with BEHAVIOR-adjacent edits
+#      (apply_refunds_items' single-line refund grain, the
+#      _NETLINE IS-DISTINCT-FROM revenue_timeseries twins, the
+#      *_bounded dashboard family, top_supplier's 1-row max,
+#      incremental_watermark's malformed-watermark raise,
+#      pricing_summary, dedup_audit, dup_cluster_histogram);
+#   3. the ENTIRE 38-row r4-era tail ("nothing older than r5-stale
+#      afterward" — the verdict's done-criterion for this rotation).
+# Entries 51+ shape the order past the budget cut: the remaining
+# value-identical r8 deferrals (plan-only hint swaps, checkpoint-pin
+# reverts — each re-gated at sf0.01 in r8), then dict order (r5-era
+# onward).
+# ROUND-10 ROTATION NOTE: promote (a) any r10 code/oracle changes,
+# then (b) the r5-era rows (34: ann_rerank_topk asof_join_nearest
+# backfill_windows bigram_logprob cluster_stats conversion_latency
+# corpus_report date_bounds dedup_audit* doc_similarity_topk
+# dsir_select_threshold dup_cluster_histogram* equidepth_histogram
+# event_mix_drift ewma_daily hash_embed incremental_watermark*
+# lang_confusion mmr_topk normalize_orders pack_bins_bfd pmi_terms
+# profile_drift_orders profile_orders quality_percentile_by_source
+# revenue_timeseries* rfm_segments sample_exact_k seasonal_profile
+# session_paths source_divergence token_budget_sample trend_fit
+# value_outliers_mad — entries marked * were re-checked in r9's
+# front and only need re-checks after their next code change), then
+# (c) the still-deferred value-identical r8 tail (discount_revenue
+# sales_rollup shipping_priority volume_shipping large_volume_orders
+# returned_item_report segment_share market_share rfm_segments
+# enrich_categories normalize_* lang_confusion corpus_report
+# pack_bins_bfd pack_sequences), then (d) r6-era rows.
+_R9_FRONT = [
     "dashboard_payload",
-    "hot_keys_approx",
-    "dedup_incremental",
-    "dedup_clusters",
-    "dedup_clusters_star",
-    "dedup_simhash",
-    "dedup_incremental_near",
-    "repeated_spans",
-    "strip_repeated_spans",
-    "dedup_apply",
-    "parse_event_props",
-    "event_props_typed",
-    "funnel_steps",
-    "regional_revenue",
-    "chunk_documents",
-    "corpus_prep",
-    "corpus_prep_v2",
-    "ann_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_quantized_topk",
-    "corpus_pipeline",
-    "daily_active_users_approx",
-    "dau_sketch_rollup",
-    "decontaminate",
-    "dedup_containment",
-    "dominant_suppliers",
-    "dq_rules",
-    "embedding_cosine_dup",
-    "embedding_scores",
-    "label_centroids",
-    "linestatus_priority",
-    "rolling_active_users",
-    "semdedup_apply",
-    "tokenizer_stats",
-    "value_percentiles_approx",
-    "vocab_drift",
+    "apply_refunds_items",
+    "revenue_timeseries",
+    "revenue_timeseries_bounded",
+    "top_products_bounded",
+    "category_mix_bounded",
+    "geo_rollup_bounded",
+    "top_supplier",
+    "incremental_watermark",
+    "pricing_summary",
+    "dedup_audit",
+    "dup_cluster_histogram",
+    "asof_join_forward",
+    "basket_pairs",
+    "bm25_search",
+    "cdc_apply",
+    "corpus_split",
+    "cusum_changepoint",
+    "daily_value_percentiles",
+    "dau_new_vs_returning",
+    "dayn_retention",
+    "dq_referential",
+    "dsir_weights",
+    "event_transitions",
+    "event_value_summary",
+    "fill_missing_days_interp",
+    "fill_missing_days_locf",
+    "fulfillment_latency",
+    "funnel_steps_windowed",
+    "hybrid_search",
+    "interarrival_stats",
+    "ks_drift",
+    "length_buckets",
+    "linear_attribution",
+    "m4_downsample",
+    "merge_intervals",
+    "numeric_corr",
+    "repeat_rate",
+    "rollup_merge",
+    "seasonal_anomaly",
+    "session_stats",
+    "soft_dedup_weights",
+    "source_quota_sample",
+    "split_leakage",
+    "split_leakage_near",
+    "time_gaps",
+    "user_overlap",
+    "user_streaks",
+    "value_outliers",
+    "wow_growth",
+    "discount_revenue",
+    "sales_rollup",
+    "shipping_priority",
+    "volume_shipping",
+    "large_volume_orders",
+    "returned_item_report",
+    "segment_share",
+    "market_share",
+    "rfm_segments",
+    "enrich_categories",
+    "normalize_orders",
+    "normalize_items",
+    "lang_confusion",
+    "corpus_report",
+    "pack_bins_bfd",
+    "pack_sequences",
 ]
 
 
@@ -1066,7 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
     }
-    ordered = {k: base[k] for k in _R8_FRONT}
+    ordered = {k: base[k] for k in _R9_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 

@@ -100,6 +100,16 @@ def generate(dst: str = DST, src: str = SRC, copies: int = COPIES) -> None:
         os.path.join(dst, "orders.parquet"), index=False
     )
 
+    # dimension tables ride along VERBATIM (o_custkey is not offset,
+    # so the 10x orders join the same customers — the "facts grew 10x,
+    # dims didn't" shape a real scale-up has, and what the r9 probe
+    # queries kpis/geo_rollup/apply_refunds_orders need)
+    for dim in ("customer", "nation", "region"):
+        shutil.copyfile(
+            os.path.join(src, f"{dim}.parquet"),
+            os.path.join(dst, f"{dim}.parquet"),
+        )
+
 
 def probes():
     from py_etl_pipeline_woocommerce_spark.catalog import load_table
@@ -108,11 +118,19 @@ def probes():
         dedup,
         graph,
     )
+    from py_etl_pipeline_woocommerce_spark.plans import analytics, woo_model
 
     def docs(s, d):
         return load_table(s, d, "documents")
 
     return {
+        # r9: the three shapes the r8 semantic moves changed —
+        # orders-grain COUNT(*) kpis, orders-grain geo with the
+        # LEFT-joined money aggregate, and fct_orders itself — none
+        # existed when the r7 sf1 probe ran
+        "kpis": lambda s, d: analytics.kpis(s, d),
+        "geo_rollup": lambda s, d: analytics.geo_rollup(s, d),
+        "apply_refunds_orders": lambda s, d: woo_model.fct_orders(s, d),
         "part_pagerank": lambda s, d: graph.part_pagerank(s, d),
         "dedup_audit_sampled": lambda s, d: dedup.dedup_audit(
             docs(s, d), sample_frac=0.2
@@ -213,12 +231,107 @@ def store_probe(spark) -> dict:
     return out
 
 
+def skew_probe(spark) -> dict:
+    """Skew-resilience measurement — the one scale claim that was
+    plan-asserted only until r9: time the salted shapes against their
+    naive twins on a UNIFORM key and on a SKEWED key (one hot key
+    holding ~30% of rows), same row counts both ways.
+
+    - agg: ``salted_sum`` (returnflag_totals' two-phase device) vs a
+      plain groupBy-sum. Spark's map-side partial aggregation already
+      collapses hot SUM keys per partition, so the naive agg is
+      EXPECTED to stay flat too — recorded to show salting costs
+      nothing, not to manufacture a win.
+    - join: ``salted_join`` vs a plain shuffle join (dim carries a
+      merge hint — the "too big to broadcast" case salting exists
+      for; a broadcastable dim never skews). The naive skewed join is
+      timed twice: with AQE's skew-join splitting ON (the session
+      default) and OFF — the OFF number is the raw straggler cost a
+      pre-AQE engine (or a shape AQE can't split) pays, the ON number
+      shows AQE handling it, and the salted number must sit near the
+      uniform baseline either way.
+
+    Timing follows the module convention: one untimed warm pass per
+    shape, clearCache between timed passes.
+    """
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.skew import (
+        salted_join,
+        salted_sum,
+    )
+
+    N_FACT = 20_000_000
+    N_KEYS = 200_000
+    uniform = spark.range(N_FACT).select(
+        F.pmod(F.xxhash64("id"), F.lit(N_KEYS)).alias("key"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    # ~30% of rows land on key 0, the rest stay uniform
+    skewed = spark.range(N_FACT).select(
+        F.when(F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10)) < 3, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(N_KEYS)))
+        .alias("key"),
+        (F.col("id") % 1000).cast("double").alias("v"),
+    )
+    dim = spark.range(N_KEYS).select(
+        F.col("id").alias("key"),
+        F.repeat(F.lit("x"), 64).alias("payload"),
+    )
+
+    def timed(fn):
+        fn()  # warm: codegen/JIT
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn()
+        return round(time.time() - t0, 2)
+
+    out: dict = {"n_fact": N_FACT, "n_keys": N_KEYS, "agg": {}, "join": {}}
+    for label, fact in (("uniform", uniform), ("skewed", skewed)):
+        out["agg"][f"naive_{label}"] = timed(
+            lambda: fact.groupBy("key").agg(F.sum("v")).count()
+        )
+        out["agg"][f"salted_{label}"] = timed(
+            lambda: salted_sum(fact, ["key"], "v", n_salts=32).count()
+        )
+        out["join"][f"naive_{label}"] = timed(
+            lambda: fact.join(dim.hint("merge"), "key").count()
+        )
+        out["join"][f"salted_{label}"] = timed(
+            lambda: salted_join(fact, dim.hint("merge"), ["key"], 32).count()
+        )
+    aqe_key = "spark.sql.adaptive.skewJoin.enabled"
+    prior = spark.conf.get(aqe_key)
+    try:
+        spark.conf.set(aqe_key, "false")
+        out["join"]["naive_skewed_noaqe"] = timed(
+            lambda: skewed.join(dim.hint("merge"), "key").count()
+        )
+    finally:
+        spark.conf.set(aqe_key, prior)
+    for section in ("agg", "join"):
+        s = out[section]
+        s["salted_skew_ratio"] = (
+            round(s["salted_skewed"] / s["salted_uniform"], 3)
+            if s["salted_uniform"]
+            else None
+        )
+    return out
+
+
 def main() -> None:
     if "--regen" in sys.argv and os.path.exists(DST):
         shutil.rmtree(DST)
     if not os.path.exists(os.path.join(DST, "orders.parquet")):
         print("generating sf1 replica ...", file=sys.stderr)
         generate()
+    # a replica generated before r9 lacks the dimension tables the
+    # dashboard probes read — backfill them without a full regen
+    for dim in ("customer", "nation", "region"):
+        p = os.path.join(DST, f"{dim}.parquet")
+        srcp = os.path.join(SRC, f"{dim}.parquet")
+        if not os.path.exists(p) and os.path.exists(srcp):
+            shutil.copyfile(srcp, p)
 
     from py_etl_pipeline_woocommerce_spark.session import get_spark
 
@@ -228,6 +341,10 @@ def main() -> None:
     if "--store" in sys.argv:
         result = store_probe(spark)
         print(json.dumps({"sf_big": DST, "store_probe": result}))
+        return
+
+    if "--skew" in sys.argv:
+        print(json.dumps({"skew_probe": skew_probe(spark)}))
         return
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
