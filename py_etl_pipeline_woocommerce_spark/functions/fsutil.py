@@ -69,3 +69,40 @@ def fs_list_names(spark, uri: str) -> list[str]:
     if not fs.exists(p):
         return []
     return [s.getPath().getName() for s in fs.listStatus(p)]
+
+
+def promote_staged(
+    spark,
+    staged_dir: str,
+    dst_dir: str,
+    name_prefix: str,
+) -> None:
+    """Shared staged-commit promotion: move every child of
+    ``staged_dir`` whose name starts with ``name_prefix`` into
+    ``dst_dir`` (delete-target-then-rename), then drop the staging
+    directory. ONE implementation for both replay-safe stores so
+    their crash-window behavior cannot diverge.
+
+    Idempotent under replay: an entry already promoted no longer
+    exists under staging and is skipped, so a crash mid-promotion is
+    completed by the next call. The target is deleted BEFORE each
+    rename — on S3A (copy+delete rename) a crash between the copy and
+    the source delete leaves the entry at BOTH paths, and a bare
+    rename would then return false forever, wedging replay; deleting
+    the stale target first makes the re-rename succeed. A no-op when
+    the staging directory is absent (fully promoted earlier).
+    """
+    if not fs_exists(spark, staged_dir):
+        return
+    dst = dst_dir.rstrip("/")
+    fs_mkdirs(spark, dst)
+    for name in fs_list_names(spark, staged_dir):
+        if not name.startswith(name_prefix):
+            continue
+        fs_delete(spark, f"{dst}/{name}")
+        if not fs_rename(spark, f"{staged_dir}/{name}", f"{dst}/{name}"):
+            raise RuntimeError(
+                f"staged-commit promotion failed renaming {name} into "
+                f"{dst} — staging left intact for replay"
+            )
+    fs_delete(spark, staged_dir)

@@ -1532,6 +1532,19 @@ def write_line_partials(
             n_buckets=n_buckets, mode="overwrite",
         )
         fs_delete(spark, _line_index_marker_dir(spark, prefix))
+    live_buckets = _line_index_n_buckets(spark, prefix)
+    if live_buckets is not None and live_buckets != n_buckets:
+        # the r8 direct append went through saveAsTable, which raises
+        # on a mismatched bucket spec; the staged file-promotion path
+        # must keep that validation — renaming files bucketed mod
+        # n_buckets into a live mod-live_buckets table would silently
+        # corrupt every exchange-free read against it
+        raise ValueError(
+            f"write_line_partials: n_buckets={n_buckets} does not "
+            f"match the existing {prefix}_lines table "
+            f"(bucketed {live_buckets}) — pass the store's bucket "
+            "count or rebuild with mode='overwrite'"
+        )
     marker = f"{_line_index_marker_dir(spark, prefix)}/batch-{batch_id}"
     staged_dir = _line_index_staged_dir(spark, prefix, batch_id)
     if fs_exists(spark, marker):
@@ -1561,31 +1574,27 @@ def write_line_partials(
 
 def _promote_staged_bucket_files(spark, staged_dir: str, prefix: str) -> None:
     """Move every staged bucket file still under ``staged_dir`` into
-    the live ``{prefix}_lines`` table directory, then drop the staging
-    directory and refresh the table's file listing. Idempotent under
-    replay: a file already moved no longer exists under staging (part
-    file names embed a per-job UUID, so staged names never collide
-    with files already in the table). No-op when staging is absent."""
-    from ..functions.fsutil import (
-        fs_delete,
-        fs_exists,
-        fs_list_names,
-        fs_rename,
-    )
+    the live ``{prefix}_lines`` table directory via the shared
+    ``fsutil.promote_staged`` protocol (idempotent under replay, S3A
+    partial-rename safe — part file names embed a per-job UUID, so a
+    staged name colliding with a live file can only be THIS batch's
+    own interrupted copy, which delete-then-rename re-lands), then
+    refresh the table's file listing."""
+    from ..functions.fsutil import promote_staged
 
-    if not fs_exists(spark, staged_dir):
-        return
-    table_loc = _line_index_location(spark, prefix)
-    for name in fs_list_names(spark, staged_dir):
-        if not name.startswith("part-"):
-            continue
-        if not fs_rename(spark, f"{staged_dir}/{name}", f"{table_loc}/{name}"):
-            raise RuntimeError(
-                f"staged-commit promotion failed renaming {name} into "
-                f"{table_loc} — staging left intact for replay"
-            )
-    fs_delete(spark, staged_dir)
+    promote_staged(
+        spark, staged_dir, _line_index_location(spark, prefix), "part-"
+    )
     spark.catalog.refreshTable(f"{prefix}_lines")
+
+
+def _line_index_n_buckets(spark, prefix: str) -> int | None:
+    """Bucket count of the live ``{prefix}_lines`` table, from the
+    catalog (None when the table is somehow unbucketed)."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {prefix}_lines").collect():
+        if r.col_name.strip() == "Num Buckets":
+            return int(r.data_type.strip())
+    return None
 
 
 def compact_line_index(

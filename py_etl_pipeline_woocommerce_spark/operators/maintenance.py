@@ -21,7 +21,11 @@ def compact_parquet(
     target_rows_per_file: int = 1_000_000,
 ) -> int:
     """Rewrite ``src_dir`` parquet into ``dest_dir`` with file count
-    sized by row count. Returns the file count written.
+    sized by row count. Returns the file count actually written
+    (counted from the destination — for a partitioned tree the
+    per-value salting writes ceil(value_rows/target) files per value,
+    which exceeds the flat ceil(total/target) whenever values do not
+    divide evenly).
 
     Row count comes from parquet footers (a metadata read, no scan).
     ``coalesce`` would avoid a shuffle but caps parallelism at the
@@ -84,7 +88,22 @@ def compact_parquet(
         )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(dest_dir)
-    return n_files
+    return _count_parquet_files(spark, dest_dir)
+
+
+def _count_parquet_files(spark, path: str) -> int:
+    """Data files actually written under a parquet tree (recursive,
+    via the warehouse filesystem — bookkeeping files excluded)."""
+    from ..functions.fsutil import hadoop_fs
+
+    fs, p = hadoop_fs(spark, path)
+    n = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        name = it.next().getPath().getName()
+        if name.endswith(".parquet"):
+            n += 1
+    return n
 
 
 def _partition_columns(spark, src_dir: str) -> list[str]:

@@ -464,11 +464,22 @@ def merge_rollup_store(
         "event_type",
         "n_events",
         F.col("total_value_dec").cast(_dec).alias("total_value_dec"),
+        # month via DATE arithmetic, not a timestamp render: this op
+        # takes caller DataFrames (never load_table, which pins the
+        # session to UTC), so date_format over a timestamp would
+        # shift rows into neighboring month= partitions under a
+        # non-UTC host session — and the next merge would prune the
+        # WRONG months. Epoch-day integer math is timezone-free.
         F.date_format(
-            (F.col("day_us") / 1_000_000).cast("timestamp"), "yyyy-MM"
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("day_us") / F.lit(86_400_000_000))
+                .cast("int"),
+            ),
+            "yyyy-MM",
         ).alias("month"),
     ).localCheckpoint(eager=False)
-    if not fs_exists(spark, store_path):
+    if not _store_has_months(spark, store_path):
         merged = batch
     else:
         months = [r[0] for r in batch.select("month").distinct().collect()]
@@ -503,47 +514,37 @@ def merge_rollup_store(
 
 
 def _rollup_staged_dir(store_path: str, batch_id: int | None) -> str:
-    """Staging directory for one batch's merged months: a SIBLING of
-    the store (``_{base}_staged/batch-{id}`` next to it), never inside
-    it — a staged write inside the store would make the first-write
-    existence probe read "present" on an empty store and break the
-    pruned read with a data-file-less directory."""
-    base = store_path.rstrip("/")
-    if "/" not in base:
-        return f"_{base}_staged/batch-{batch_id}"
-    parent, name = base.rsplit("/", 1)
-    return f"{parent}/_{name}_staged/batch-{batch_id}"
+    """Staging directory for one batch's merged months: INSIDE the
+    store at ``_staged/batch-{id}`` — underscore-prefixed children are
+    invisible to Spark's data-file listing, and an inside-the-store
+    path works for ANY store URI (a sibling of a bucket-root store
+    like ``s3a://rollups`` would mangle the authority). The store
+    existence probe is month-aware (``_store_has_months``) precisely
+    so staging/marker dirs never make an empty store read "present"."""
+    return f"{store_path.rstrip('/')}/_staged/batch-{batch_id}"
 
 
 def _promote_staged_months(spark, staged_dir: str, store_path: str) -> None:
     """Swap every ``month=`` directory still under ``staged_dir`` into
-    the live store (delete target, rename staged into place), then
-    drop the staging directory. Idempotent under replay: a month
-    already promoted no longer exists under staging and is skipped, so
-    a crash mid-promotion is completed by the next call. A no-op when
-    the staging directory is absent (fully promoted earlier)."""
-    from ..functions.fsutil import (
-        fs_delete,
-        fs_exists,
-        fs_list_names,
-        fs_mkdirs,
-        fs_rename,
-    )
+    the live store — the shared ``fsutil.promote_staged`` protocol
+    (delete-target-then-rename per entry, idempotent under replay,
+    S3A partial-rename safe, no-op when staging is absent)."""
+    from ..functions.fsutil import promote_staged
 
-    if not fs_exists(spark, staged_dir):
-        return
-    store = store_path.rstrip("/")
-    fs_mkdirs(spark, store)
-    for name in fs_list_names(spark, staged_dir):
-        if not name.startswith("month="):
-            continue
-        fs_delete(spark, f"{store}/{name}")
-        if not fs_rename(spark, f"{staged_dir}/{name}", f"{store}/{name}"):
-            raise RuntimeError(
-                f"staged-commit promotion failed renaming {name} into "
-                f"{store} — staging left intact for replay"
-            )
-    fs_delete(spark, staged_dir)
+    promote_staged(spark, staged_dir, store_path, "month=")
+
+
+def _store_has_months(spark, store_path: str) -> bool:
+    """True when the store holds at least one ``month=`` partition —
+    the existence probe the merge path needs. A bare directory-exists
+    check would read "present" once the ``_staged``/``_applied``
+    bookkeeping dirs are created and then crash the pruned read on a
+    data-file-less directory."""
+    from ..functions.fsutil import fs_list_names
+
+    return any(
+        n.startswith("month=") for n in fs_list_names(spark, store_path)
+    )
 
 
 def cdc_apply(

@@ -56,9 +56,14 @@ def get_spark(
         # timestamp results for the host's OTHER workloads — the same
         # silent-override class the shuffle-partition guard above
         # avoids. Reusing an active session means inheriting its
-        # timezone/AQE/broadcast settings; callers that need this
-        # engine's defaults on a host session pass them via
-        # ``extra_conf`` (an explicit request, always applied).
+        # AQE/broadcast/arrow PREFERENCES; the two LOAD-BEARING confs
+        # (UTC session timezone, parquet nanosAsLong) are re-pinned by
+        # ``catalog.load_table`` on every call — documented there as
+        # deliberate session-global side effects — so every
+        # catalog-fed path stays correct on a host session too.
+        # Callers needing the full defaults on a host session pass
+        # them via ``extra_conf`` (an explicit request, always
+        # applied).
         builder = (
             builder
             .config("spark.sql.adaptive.enabled", "true")

@@ -10,10 +10,14 @@ stream RESUMES (same observability semantics as the batch twin: a
 silence is only measurable once the next event lands), final on emit
 → APPEND output mode.
 
-State is one BIGINT per event type — bounded by the type vocabulary,
-the smallest state of any stateful operator here. No idle eviction:
-evicting a type's state would un-detect exactly the outage this
-operator exists to catch.
+State is one logical BIGINT per event type — bounded by the type
+vocabulary, the smallest state of any stateful operator here —
+stored physically as the shared versioned (version, payload) row
+since r9, so future logical widenings are checkpoint-compatible
+(see ``state_util``; pre-r9 typed-struct checkpoints REJECT restart
+loudly and rebuild once, same as the other stateful ops). No idle
+eviction: evicting a type's state would un-detect exactly the outage
+this operator exists to catch.
 """
 
 from __future__ import annotations

@@ -444,3 +444,32 @@ def test_line_index_staged_commit_survives_both_crash_windows(
     finally:
         drop_table(spark, "t_crash_lines")
         shutil.rmtree("spark-warehouse", ignore_errors=True)
+
+
+def test_line_index_staged_append_rejects_bucket_mismatch(spark):
+    """The staged file-promotion path must keep the loud bucket-spec
+    validation the direct saveAsTable append had: renaming files
+    bucketed mod 16 into a mod-32 table would silently corrupt every
+    exchange-free read against the store."""
+    import shutil
+
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        write_line_index,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import drop_table
+
+    batch = spark.createDataFrame(
+        [(1, "alpha\nfooter")], "doc_id long, text string"
+    )
+    try:
+        write_line_index(batch, "t_bmismatch", n_buckets=4, batch_id=0)
+        with _pytest.raises(ValueError, match="does not match"):
+            write_line_index(batch, "t_bmismatch", n_buckets=8, batch_id=1)
+        # an overwrite rebuild MAY change the bucket count
+        write_line_index(batch, "t_bmismatch", n_buckets=8, mode="overwrite")
+        write_line_index(batch, "t_bmismatch", n_buckets=8, batch_id=0)
+    finally:
+        drop_table(spark, "t_bmismatch_lines")
+        shutil.rmtree("spark-warehouse", ignore_errors=True)
