@@ -249,51 +249,51 @@ def _q_dq_rules(spark, sf_dir):
 
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
 # ordering decides what gets (re-)verified each round. Round-9 front
-# block — the first 50 execute the r8 verdict's rotation item:
-#   1. dashboard_payload — the one r9 code change touching a driver
-#      entry so far (default-bounds literals cast to string);
-#   2. eleven deferred r8 changes with BEHAVIOR-adjacent edits
-#      (apply_refunds_items' single-line refund grain, the
-#      _NETLINE IS-DISTINCT-FROM revenue_timeseries twins, the
-#      *_bounded dashboard family, top_supplier's 1-row max,
-#      incremental_watermark's malformed-watermark raise,
-#      pricing_summary, dedup_audit, dup_cluster_histogram);
-#   3. the ENTIRE 38-row r4-era tail ("nothing older than r5-stale
-#      afterward" — the verdict's done-criterion for this rotation).
-# Entries 51+ shape the order past the budget cut: the remaining
-# value-identical r8 deferrals (plan-only hint swaps, checkpoint-pin
-# reverts — each re-gated at sf0.01 in r8), then dict order (r5-era
-# onward).
+# block — the first 50 are exactly:
+#   1. dashboard_payload + the seven entries whose CODE or ORACLE
+#      changed in round 9 (tfidf_top_terms / doc_rarity /
+#      weighted_sample_k / length_buckets: int64-product and
+#      int32-shift widenings + round-before-rank, oracles in
+#      lockstep; decontaminate / doc_similarity_topk (+ bm25_search,
+#      hybrid_search riding in the r4 block): growing-side broadcast
+#      hints removed; pmi_terms / vocab_drift: measured checkpoint
+#      pins) — every r9 change is driver-checked this round;
+#   2. the ENTIRE 38-row r4-era tail ("nothing older than r5-stale
+#      afterward" — the r8 verdict's done-criterion);
+#   3. four behavior-adjacent r8 deferrals (apply_refunds_items'
+#      single-line refund grain, revenue_timeseries' _NETLINE policy,
+#      top_supplier's 1-row max, incremental_watermark's validation).
+# All 50 are sf0.01-pre-gated green this round (front pre-gate log +
+# per-entry re-gates after each wave). Entries 51+ shape the order
+# past the budget cut: the remaining value-identical r8 deferrals,
+# then dict order.
 # ROUND-10 ROTATION NOTE: promote (a) any r10 code/oracle changes,
-# then (b) the r5-era rows (34: ann_rerank_topk asof_join_nearest
-# backfill_windows bigram_logprob cluster_stats conversion_latency
-# corpus_report date_bounds dedup_audit* doc_similarity_topk
-# dsir_select_threshold dup_cluster_histogram* equidepth_histogram
-# event_mix_drift ewma_daily hash_embed incremental_watermark*
-# lang_confusion mmr_topk normalize_orders pack_bins_bfd pmi_terms
-# profile_drift_orders profile_orders quality_percentile_by_source
-# revenue_timeseries* rfm_segments sample_exact_k seasonal_profile
-# session_paths source_divergence token_budget_sample trend_fit
-# value_outliers_mad — entries marked * were re-checked in r9's
-# front and only need re-checks after their next code change), then
-# (c) the still-deferred value-identical r8 tail (discount_revenue
-# sales_rollup shipping_priority volume_shipping large_volume_orders
+# then (b) the remaining value-identical r8 deferrals that sat past
+# this round's cut (revenue_timeseries_bounded top_products_bounded
+# category_mix_bounded geo_rollup_bounded pricing_summary dedup_audit
+# dup_cluster_histogram discount_revenue sales_rollup
+# shipping_priority volume_shipping large_volume_orders
 # returned_item_report segment_share market_share rfm_segments
 # enrich_categories normalize_* lang_confusion corpus_report
-# pack_bins_bfd pack_sequences), then (d) r6-era rows.
+# pack_bins_bfd pack_sequences — all plan-only/value-identical,
+# each re-gated at sf0.01 in r8 AND re-verified by r9's sf0.1
+# full-surface gate), then (c) the r5-era rows (ann_rerank_topk
+# asof_join_nearest backfill_windows bigram_logprob cluster_stats
+# conversion_latency date_bounds dsir_select_threshold
+# equidepth_histogram event_mix_drift ewma_daily hash_embed mmr_topk
+# profile_drift_orders profile_orders quality_percentile_by_source
+# sample_exact_k seasonal_profile session_paths source_divergence
+# token_budget_sample trend_fit value_outliers_mad), then (d) r6-era.
 _R9_FRONT = [
     "dashboard_payload",
-    "apply_refunds_items",
-    "revenue_timeseries",
-    "revenue_timeseries_bounded",
-    "top_products_bounded",
-    "category_mix_bounded",
-    "geo_rollup_bounded",
-    "top_supplier",
-    "incremental_watermark",
-    "pricing_summary",
-    "dedup_audit",
-    "dup_cluster_histogram",
+    "tfidf_top_terms",
+    "doc_rarity",
+    "weighted_sample_k",
+    "decontaminate",
+    "doc_similarity_topk",
+    "pmi_terms",
+    "vocab_drift",
+    "length_buckets",
     "asof_join_forward",
     "basket_pairs",
     "bm25_search",
@@ -314,7 +314,6 @@ _R9_FRONT = [
     "hybrid_search",
     "interarrival_stats",
     "ks_drift",
-    "length_buckets",
     "linear_attribution",
     "m4_downsample",
     "merge_intervals",
@@ -332,6 +331,17 @@ _R9_FRONT = [
     "user_streaks",
     "value_outliers",
     "wow_growth",
+    "apply_refunds_items",
+    "revenue_timeseries",
+    "top_supplier",
+    "incremental_watermark",
+    "revenue_timeseries_bounded",
+    "top_products_bounded",
+    "category_mix_bounded",
+    "geo_rollup_bounded",
+    "pricing_summary",
+    "dedup_audit",
+    "dup_cluster_histogram",
     "discount_revenue",
     "sales_rollup",
     "shipping_priority",
@@ -1617,8 +1627,10 @@ tot AS (SELECT COUNT(*) AS n_docs FROM documents)
 SELECT d.doc_id,
        COALESCE(n_occ, 0) AS n_occ,
        COALESCE(df_sum, 0) AS df_sum,
-       CAST(df_sum AS DOUBLE) / (n_occ * n_docs) AS commonness,
-       1.0::DOUBLE - CAST(df_sum AS DOUBLE) / (n_occ * n_docs) AS rarity
+       CAST(df_sum AS DOUBLE) / (CAST(n_occ AS DOUBLE) * n_docs)
+         AS commonness,
+       1.0::DOUBLE - CAST(df_sum AS DOUBLE)
+         / (CAST(n_occ AS DOUBLE) * n_docs) AS rarity
 FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id CROSS JOIN tot
 """,
         "dedup_incremental_near": f"""
@@ -2773,7 +2785,7 @@ df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
 n AS (SELECT COUNT(*) AS n_docs FROM documents),
 scored AS (
   SELECT doc_id, term, tf, df,
-         CAST(tf * n_docs AS DOUBLE) / df AS score
+         CAST(tf AS DOUBLE) * n_docs / df AS score
   FROM tf JOIN df USING (term) CROSS JOIN n)
 SELECT doc_id, term, tf, df, score, term_rank
 FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
@@ -2820,10 +2832,10 @@ SELECT doc_id, lang, source, sample_rank FROM r WHERE sample_rank <= 100
         "weighted_sample_k": """
 WITH d AS (
   SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
-         pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'),
-                                  1, 8) AS BIGINT) + 1.0)
-               / 4294967297.0,
-             1.0 / CAST(n_chars AS DOUBLE)) AS key
+         round(pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                        || ':42'), 1, 8) AS BIGINT) + 1.0)
+                     / 4294967297.0,
+                   1.0 / CAST(n_chars AS DOUBLE)), 12) AS key
   FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
 r AS (
   SELECT doc_id, source, weight,
@@ -3387,7 +3399,7 @@ b AS (SELECT n_tokens,
                   ELSE CAST(length(bin(n_tokens - 1)) AS BIGINT)
              END AS bucket
       FROM pd),
-c AS (SELECT *, least(CAST(1 << bucket AS BIGINT), 512) AS bucket_cap
+c AS (SELECT *, least(CAST(1 AS BIGINT) << bucket, 512) AS bucket_cap
       FROM b)
 SELECT bucket, bucket_cap, COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,

@@ -66,7 +66,11 @@ def tfidf_top_terms(documents: DataFrame, k: int = 5) -> DataFrame:
         .join(F.broadcast(n_docs))
         .withColumn(
             "score",
-            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("df"),
+            # tf widens to DOUBLE before the multiply: the raw BIGINT
+            # product tf*n_docs overflows int64 at corpus scale
+            # (1e7-token doc x 1e12 docs) — wrapped garbage in
+            # non-ANSI, a crash in ANSI (oracle in lockstep)
+            F.col("tf").cast("double") * F.col("n_docs") / F.col("df"),
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
@@ -250,7 +254,13 @@ def weighted_sample_k(
         "doc_id",
         by,
         F.col(weight).alias("weight"),
-        F.pow(u, F.lit(1.0) / wd).alias("_key"),
+        # round-before-rank (module convention): Math.pow and
+        # DuckDB's libm pow differ in the last ulp, and an unrounded
+        # transcendental rank key lets a 1-ulp divergence flip the
+        # boundary doc between engines. 12 dp keeps A-ES keys (which
+        # concentrate near 1.0 at large weights) distinct in
+        # practice; genuine ties break on doc_id in both windows.
+        F.round(F.pow(u, F.lit(1.0) / wd), 12).alias("_key"),
         F.conv(F.substring(h, 9, 2), 16, 10).cast("int").alias("_b"),
     )
     wb = Window.partitionBy(by, "_b").orderBy(F.col("_key").desc(), "doc_id")
@@ -331,7 +341,12 @@ def decontaminate(
         .filter(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
         .distinct()
     )
-    hits = doc_shingles.join(F.broadcast(bench_shingles), "shingle").groupBy(
+    # NO forced broadcast: a real benchmark set is broadcast-sized
+    # and AQE broadcasts it on its own, but the benchmark=None
+    # self-decontamination default makes bench_shingles a CORPUS-SCALE
+    # 5% shingle slice — a forced hint would bypass the size ceiling
+    # and OOM the driver at SF (the r8 growing-table hint rule)
+    hits = doc_shingles.join(bench_shingles, "shingle").groupBy(
         "doc_id"
     ).agg(F.count(F.lit(1)).alias("n_hits"))
     return (
@@ -382,6 +397,11 @@ def corpus_pipeline(
     from ..functions.text import md5_hex, norm_text
     from .textstats import quality_score
 
+    # kept is deliberately NOT pinned: it is a RAW-scale frame
+    # (full corpus text), and materializing it costs more at SF than
+    # the dedup subtree rescan its two consumers pay (convention: pin
+    # aggregated multi-consumer frames only; local measurement
+    # inconclusive at 1.30-1.37 pinned vs 1.40 unpinned, r9)
     kept = documents.join(_exact_keepers(documents), "doc_id", "left_semi")
     q = quality_score(kept).filter(F.col("quality") >= quality_min)
     bucket = _hash_bucket(F.col("doc_id"))
@@ -486,8 +506,10 @@ def doc_rarity(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occ"), F.sum("df").alias("df_sum"))
     )
     n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    # n_occ widens to DOUBLE before the multiply: the BIGINT product
+    # n_occ*n_docs overflows int64 at corpus scale (oracle in lockstep)
     commonness = F.col("df_sum").cast("double") / (
-        F.col("n_occ") * F.col("n_docs")
+        F.col("n_occ").cast("double") * F.col("n_docs")
     )
     return (
         documents.select("doc_id")
@@ -528,7 +550,11 @@ def vocab_drift(
         .select("source", F.explode(tokens_expr("text")).alias("term"))
         .filter(F.col("term") != "")
     )
-    counts = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    counts = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
     totals = counts.groupBy("source").agg(F.sum("c").alias("total"))
     shares = (
         counts.join(F.broadcast(totals), "source")
@@ -1147,7 +1173,7 @@ def dsir_model(
     b_stats = occ.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("raw_n"),
         F.count(F.when(F.col("source") == target_source, 1)).alias("tgt_n"),
-    )
+    ).localCheckpoint(eager=False)
     totals = b_stats.agg(
         F.sum("raw_n").alias("raw_tot"), F.sum("tgt_n").alias("tgt_tot")
     )
@@ -1364,8 +1390,13 @@ def length_buckets(documents: DataFrame, max_seq: int = 512) -> DataFrame:
     ).withColumn(
         "bucket_cap",
         # shiftleft with a COLUMN bit count only exists in SQL form
+        # the shifted literal must be BIGINT: an INT 1 uses Java's
+        # mod-32 shift count, so bucket 31 yields -2^31 and bucket 32
+        # wraps to 1 — a >2^30-token crawl blob would report a
+        # negative cap (BIGINT is safe through bucket 62, far past
+        # any real document; oracle in lockstep)
         F.least(
-            F.expr("CAST(shiftleft(1, CAST(bucket AS INT)) AS BIGINT)"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))"),
             F.lit(max_seq).cast("long"),
         ),
     )
@@ -1531,7 +1562,13 @@ def pmi_terms(
     pres = documents.select(
         "doc_id",
         F.explode(F.array_distinct(tokens_expr("text"))).alias("term"),
-    ).filter(F.col("term") != "")
+    ).filter(F.col("term") != "").localCheckpoint(eager=False)
+    # pres is raw-scale (one row per doc x distinct term) but feeds
+    # BOTH the df aggregate and the pv join — the pin halves the
+    # dominant tokenize+explode stage and MEASURED 0.78x median-of-5
+    # (1.29 vs 1.64 s at sf0.1, r9); the strip_repeated_spans shared-
+    # tokenization precedent. Trade: executor disk holds the exploded
+    # frame once instead of computing it twice.
     df_ = pres.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # distributed TakeOrdered vocab cut (corpus vocabulary is
     # unbounded — a rank window over it would be a one-task sort)
@@ -1848,8 +1885,10 @@ def _sparse_cosine_topk(e: DataFrame, query_pred, k: int) -> DataFrame:
         "dim_idx",
         F.col("weight").alias("q_w"),
     )
+    # no forced broadcast — the query-vector side grows with the
+    # corpus under default sampling; AQE sizes it (see bm25_search)
     scored = (
-        e.join(F.broadcast(q), "dim_idx")
+        e.join(q, "dim_idx")
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum(F.col("q_w") * F.col("weight")), 6).alias("cos"))
@@ -1944,8 +1983,12 @@ def bm25_search(
     # broadcast term set keeps the df aggregate's shuffle at
     # |matching postings|, not vocab-wide (df values are still full
     # corpus counts: the semi-filter keeps every doc's row per term)
+    # query joins carry no forced broadcast: under the default
+    # every=97 sampling the query set GROWS with the corpus, and a
+    # forced hint would bypass the size ceiling (AQE still broadcasts
+    # the serving-mode query_ids shape on its own)
     df_ = (
-        tf.join(F.broadcast(queries.select("term").distinct()), "term")
+        tf.join(queries.select("term").distinct(), "term")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
     )
@@ -1953,7 +1996,7 @@ def bm25_search(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("_tok_total")
     )
     scored = (
-        tf.join(F.broadcast(queries), "term")
+        tf.join(queries, "term")
         .join(df_, "term")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))
