@@ -258,8 +258,19 @@ def _q_dq_rules(spark, sf_dir):
 #      hybrid_search riding in the r4 block): growing-side broadcast
 #      hints removed; pmi_terms / vocab_drift: measured checkpoint
 #      pins) — every r9 change is driver-checked this round;
-#   2. the ENTIRE 38-row r4-era tail ("nothing older than r5-stale
-#      afterward" — the r8 verdict's done-criterion);
+#   1b. the temporal-wave r9 changes (ewma_daily /
+#      equidepth_histogram / ks_drift / value_histogram /
+#      event_mix_drift / m4_downsample: NULL-and-NaN lockstep
+#      semantics; the _day_idx integer-div refactor riding through
+#      daily_active_users / multires_rollup / rolling_active_users /
+#      fill_missing_days* / dau sketch ops) — changed code outranks
+#      stale-but-unchanged rows;
+#   2. the r4-era tail in priority order — 28 of its 38 rows fit
+#      inside the 50-cut after the two r9 change-waves; the ~10 that
+#      spill past it (split_leakage_near, time_gaps, user_overlap,
+#      user_streaks, value_outliers, wow_growth, …) were still
+#      re-verified TWICE this round (sf0.01 front pre-gate + the
+#      sf0.1 FULL-surface gate) and lead the ROUND-10 front;
 #   3. four behavior-adjacent r8 deferrals (apply_refunds_items'
 #      single-line refund grain, revenue_timeseries' _NETLINE policy,
 #      top_supplier's 1-row max, incremental_watermark's validation).
@@ -268,7 +279,8 @@ def _q_dq_rules(spark, sf_dir):
 # past the budget cut: the remaining value-identical r8 deferrals,
 # then dict order.
 # ROUND-10 ROTATION NOTE: promote (a) any r10 code/oracle changes,
-# then (b) the remaining value-identical r8 deferrals that sat past
+# then (a2) the r4-era rows this round's 50-cut spilled (read the
+# r9 CORRECTNESS file for the exact boundary), then (b) the remaining value-identical r8 deferrals that sat past
 # this round's cut (revenue_timeseries_bounded top_products_bounded
 # category_mix_bounded geo_rollup_bounded pricing_summary dedup_audit
 # dup_cluster_histogram discount_revenue sales_rollup
@@ -289,6 +301,16 @@ _R9_FRONT = [
     "tfidf_top_terms",
     "doc_rarity",
     "weighted_sample_k",
+    "ewma_daily",
+    "equidepth_histogram",
+    "value_histogram",
+    "event_mix_drift",
+    "daily_active_users",
+    "multires_rollup",
+    "rolling_active_users",
+    "fill_missing_days",
+    "daily_active_users_approx",
+    "dau_sketch_rollup",
     "decontaminate",
     "doc_similarity_topk",
     "pmi_terms",
@@ -2080,14 +2102,16 @@ SELECT event_type, bar_start_us,
 FROM r GROUP BY 1, 2
 """,
         "value_histogram": """
-WITH e AS (SELECT event_type, value FROM events)
-SELECT event_type,
-       CAST(floor(value / 5.0::DOUBLE) AS BIGINT) AS bin,
+WITH e AS (SELECT event_type, value,
+         CASE WHEN NOT isnan(value)
+              THEN CAST(floor(value / 5.0::DOUBLE) AS BIGINT) END AS bin
+       FROM events)
+SELECT event_type, bin,
        COUNT(*) AS n_events,
        MIN(value) AS min_value,
        MAX(value) AS max_value,
-       CAST(floor(value / 5.0::DOUBLE) AS BIGINT) * 5.0::DOUBLE AS bin_low
-FROM e GROUP BY 1, 2, 6
+       bin * 5.0::DOUBLE AS bin_low
+FROM e GROUP BY 1, 2
 """,
         "mix_weights": f"""
 WITH nt AS (SELECT lang, CASE WHEN length({_NORM}) = 0 THEN 0
@@ -4348,7 +4372,8 @@ SELECT event_type, bucket, COUNT(*) AS n_events,
 FROM r GROUP BY 1, 2
 """
     out["ks_drift"] = """
-WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events
+           WHERE value IS NOT NULL),
 pv AS (SELECT event_type, value,
          CAST(SUM(CASE WHEN t_us < 1705363200000000 THEN 1 ELSE 0 END)
               AS BIGINT) AS d_b,
@@ -4482,7 +4507,8 @@ SELECT doc_id, dim_idx, CAST(tf AS BIGINT) AS tf,
 FROM tb JOIN n USING (doc_id)
 """
     out["ewma_daily"] = """
-WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
+WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events
+           WHERE value IS NOT NULL),
 d AS (SELECT event_type,
              (t_us // 86400000000) * 86400000000 AS day_us,
              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
@@ -4529,7 +4555,7 @@ WITH b AS (SELECT event_type, value,
                   CAST(ntile(10) OVER (PARTITION BY event_type
                                        ORDER BY value, event_id) AS INT)
                     AS bin
-           FROM events)
+           FROM events WHERE value IS NOT NULL)
 SELECT event_type, bin, COUNT(*) AS n_events,
        round(MIN(value), 6) AS lo, round(MAX(value), 6) AS hi
 FROM b GROUP BY 1, 2

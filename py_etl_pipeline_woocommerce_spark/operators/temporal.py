@@ -24,6 +24,16 @@ HOUR_US = 3_600_000_000
 DAY_US = 86_400_000_000
 
 
+def _day_idx_col():
+    """Canonical epoch-day index: exact INTEGER division of t_us.
+    The once-common ``(t_us / DAY_US).cast('bigint')`` double-division
+    form is exact only while t_us < 2^53 (~year 2255 in µs — but ns
+    inputs wander close); integer ``div`` matches DuckDB ``//`` trunc
+    semantics at every magnitude, and ONE helper keeps all day-bucket
+    operators on the same grain."""
+    return F.expr(f"t_us div {DAY_US}")
+
+
 def _ts_us(events: DataFrame) -> DataFrame:
     return events.select(
         "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("t_us"), "value"
@@ -256,7 +266,7 @@ def multires_rollup(events: DataFrame) -> DataFrame:
     e = _ts_us(events)
     bucketed = e.select(
         "event_type",
-        ((F.col("t_us") / DAY_US).cast("bigint") * DAY_US).alias("day_us"),
+        (_day_idx_col() * DAY_US).alias("day_us"),
         ((F.col("t_us") / HOUR_US).cast("bigint") * HOUR_US).alias("hour_us"),
         "value",
     )
@@ -309,7 +319,7 @@ def daily_active_users(events: DataFrame) -> DataFrame:
     — kept exact here so the SQL oracle matches bit-for-bit.
     """
     e = _ts_us(events)
-    day = ((F.col("t_us") / DAY_US).cast("bigint") * DAY_US).alias("day_us")
+    day = (_day_idx_col() * DAY_US).alias("day_us")
     return e.groupBy(day).agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
@@ -335,7 +345,7 @@ def _day_grid(events: DataFrame):
     # interp would fabricate a value for a day the zero-fill variant
     # reports as 0.0 (three fill policies disagreeing on observedness)
     daily = e.groupBy(
-        (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"),
+        _day_idx_col().alias("day_idx"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -396,9 +406,14 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     e = _ts_us(events)
     du = (
         e.select(
-            (F.col("t_us") / DAY_US).cast("bigint").alias("day_idx"), "user_id"
+            _day_idx_col().alias("day_idx"), "user_id"
         )
         .distinct()
+        # two consumers (contrib explode + observed) of an AGGREGATED
+        # distinct frame — the dayn_retention convention; measured
+        # flat locally (0.88 vs 0.90 median-of-5, r9) and halves the
+        # distinct shuffle at SF
+        .localCheckpoint(eager=False)
     )
     contrib = du.select(
         F.explode(
@@ -427,7 +442,7 @@ def daily_active_users_approx(events: DataFrame, rsd: float = 0.05) -> DataFrame
     """
     e = _ts_us(events)
     return e.groupBy(
-        ((F.col("t_us") / DAY_US).cast("bigint") * DAY_US).alias("day_us")
+        (_day_idx_col() * DAY_US).alias("day_us")
     ).agg(
         F.approx_count_distinct("user_id", rsd).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
@@ -524,7 +539,15 @@ def value_histogram(events: DataFrame, bin_width: float = 5.0) -> DataFrame:
     output is engine-exact despite double values.
     """
     e = _ts_us(events)
-    bin_id = F.floor(F.col("value") / F.lit(bin_width)).cast("bigint")
+    # NaN gets a NULL bin explicitly: Spark's floor(NaN).cast('bigint')
+    # silently lands on bin 0 (inflating it and making its max NaN)
+    # while DuckDB CRASHES casting NaN to BIGINT — with the guard both
+    # engines collect NaN (and NULL) values under one NULL-bin row
+    # (oracle in lockstep)
+    bin_id = F.when(
+        ~F.isnan(F.col("value")),
+        F.floor(F.col("value") / F.lit(bin_width)),
+    ).cast("bigint")
     return (
         e.groupBy("event_type", bin_id.alias("bin"))
         .agg(
@@ -556,7 +579,7 @@ def dau_sketch_rollup(events: DataFrame, days_per_window: int = 7) -> DataFrame:
     estimate against exact distincts. Rows-only driver check.
     """
     e = _ts_us(events)
-    day_idx = (F.col("t_us") / DAY_US).cast("bigint")
+    day_idx = _day_idx_col()
     # ONE sketch aggregation per day; the daily estimate derives from
     # the already-built sketch column (a second hll_sketch_agg in the
     # same agg would double the aggregation state and CPU)
@@ -802,11 +825,18 @@ def ewma_daily(events: DataFrame, alpha: float = 0.2) -> DataFrame:
     type's day-prefix (O(days²) per type in memory terms), bounded by
     the calendar, not the data.
     """
-    e = _ts_us(events)
+    # NULL-value events carry no observation: a day whose events
+    # were ALL NULL would aggregate total_value NULL, which Spark's
+    # collect_list silently skips while DuckDB's list() keeps —
+    # poisoning the oracle's fold NULL from that day on. Excluding
+    # them up front makes a value-less day simply ABSENT from the
+    # daily series (like a day with no events at all), identically
+    # on both engines (oracle in lockstep).
+    e = _ts_us(events).filter(F.col("value").isNotNull())
     daily = (
         e.select(
             "event_type",
-            ((F.col("t_us") / DAY_US).cast("bigint") * DAY_US).alias(
+            (_day_idx_col() * DAY_US).alias(
                 "day_us"
             ),
             "value",
@@ -949,10 +979,14 @@ def event_mix_drift(
     2024-01-16 UTC, the midpoint of the testdata's event range.
     """
     e = _ts_us(events)
-    before = (F.col("t_us") < cut_us).cast("bigint")
+    # when/otherwise, not a bare boolean cast: (NULL < cut) is NULL,
+    # and sum would then count a NULL-ts event in NEITHER side while
+    # the oracle's CASE ELSE routes it to "after" — counts and shares
+    # would silently diverge (the ks_drift idiom, applied here too)
+    before = F.when(F.col("t_us") < cut_us, 1).otherwise(0)
     per_type = e.groupBy("event_type").agg(
         F.sum(before).alias("n_before"),
-        F.sum(1 - before).alias("n_after"),
+        F.sum(F.lit(1) - before).alias("n_after"),
     )
     # two consumers (totals + the share join) — pin the types-row agg
     per_type = per_type.localCheckpoint(eager=False)
@@ -1036,7 +1070,12 @@ def equidepth_histogram(
     oracle verification or types known to fit one task; the per-type
     ntile window is a per-type sort. Same output schema either way.
     """
-    e = _ts_us(events)
+    # NULL values are excluded: they have no place on the value
+    # axis, and the exact path's ntile would put them in bin 1 on
+    # Spark (NULLS FIRST) but the LAST bin on DuckDB (NULLS LAST),
+    # shifting every bucket boundary by the NULL count (oracle in
+    # lockstep)
+    e = _ts_us(events).filter(F.col("value").isNotNull())
     if exact:
         w = Window.partitionBy("event_type").orderBy("value", "event_id")
         binned = e.select(
@@ -1260,7 +1299,17 @@ def m4_downsample(events: DataFrame, n_buckets: int = 100) -> DataFrame:
     )
     first_s = F.min(F.struct("t_us", "event_id", "value"))
     last_s = F.max(F.struct("t_us", "event_id", "value"))
-    vmin_s = F.min(F.struct("value", "event_id", "t_us"))
+    # NULL-value rows are excluded from the min candidate set: a
+    # struct min would rank (NULL, ...) FIRST (Spark sorts struct
+    # fields nulls-first asc) and return v_min = NULL for any bucket
+    # containing one NULL value, while the oracle's MIN(value)
+    # ignores NULLs — the chart would silently lose its true low.
+    vmin_s = F.min(
+        F.when(
+            F.col("value").isNotNull(),
+            F.struct("value", "event_id", "t_us"),
+        )
+    )
     vmax_s = F.max(F.struct("value", "event_id", "t_us"))
     return binned.groupBy("event_type", "bucket").agg(
         F.count(F.lit(1)).alias("n_events"),
@@ -1299,7 +1348,13 @@ def ks_drift(
     pre-quantize values to a fixed grid — D changes by at most one
     grid cell's mass.
     """
-    e = _ts_us(events)
+    # NULL values carry no position on the value axis — and the two
+    # engines would ORDER them to opposite ends of the cumulative
+    # window (Spark NULLS FIRST asc, DuckDB NULLS LAST), silently
+    # shifting every prefix and the statistic. Excluded on BOTH
+    # sides (oracle in lockstep); NULL-ts rows still count as
+    # "after", matching the oracle's CASE ELSE.
+    e = _ts_us(events).filter(F.col("value").isNotNull())
     # two consumers (totals + the cumulative window) — pin or the
     # raw-event scan re-runs per consumer
     per_value = e.groupBy("event_type", "value").agg(
@@ -1650,6 +1705,13 @@ def interarrival_stats(
     ``percentile_approx`` per type (fixed group state for a hot
     type); ``exact=True`` keeps the interpolating percentile for the
     oracle gate, identical schema.
+
+    SCALE NOTE (same trade ``time_gaps`` documents): the lag window
+    partitions by event_type only, so one hot type's events sort in
+    one task. For billions-of-rows-per-type streams, pre-aggregate to
+    a coarse time grid first (``time_gaps(coarse_us=...)`` is the
+    gap-flag path) or sessionize per user — a raw per-type total
+    order is inherently single-task per type.
     """
     pctl = (
         (lambda c, p: F.percentile(c, p))
