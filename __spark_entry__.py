@@ -329,6 +329,18 @@ _R9_FRONT = [
     "mmr_topk",
     "cluster_stats",
     "pca_project",
+    "token_count",
+    "strip_markup",
+    "lang_id",
+    "lang_id_nb",
+    "lang_confusion",
+    "corpus_report",
+    "quality_score",
+    "gopher_rules",
+    "tokenizer_stats",
+    "corpus_stats",
+    "filter_pipeline",
+    "chunk_documents",
     "decontaminate",
     "doc_similarity_topk",
     "pmi_terms",
@@ -394,8 +406,6 @@ _R9_FRONT = [
     "enrich_categories",
     "normalize_orders",
     "normalize_items",
-    "lang_confusion",
-    "corpus_report",
     "pack_bins_bfd",
     "pack_sequences",
 ]
@@ -1456,7 +1466,8 @@ h AS (SELECT doc_id, lang,
         len(list_filter(toks, tk -> tk IN ('el','los','las','y'))) AS h_es
       FROM t)
 SELECT doc_id, lang AS lang_declared,
-  CASE WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'unknown'
+  CASE WHEN greatest(h_en, h_fr, h_de, h_es) IS NULL THEN 'unknown'
+       WHEN greatest(h_en, h_fr, h_de, h_es) = 0 THEN 'unknown'
        WHEN h_en = greatest(h_en, h_fr, h_de, h_es) THEN 'en'
        WHEN h_fr = greatest(h_en, h_fr, h_de, h_es) THEN 'fr'
        WHEN h_de = greatest(h_en, h_fr, h_de, h_es) THEN 'de'
@@ -2802,7 +2813,7 @@ WHERE knn_rank <= 5
         "token_count": f"""
 WITH n AS (SELECT doc_id, text, {_NORM} AS norm FROM documents)
 SELECT doc_id,
-       CAST(CASE WHEN length(norm) = 0 THEN 0
+       CAST(CASE WHEN norm IS NULL OR length(norm) = 0 THEN 0
                  ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars
 FROM n
@@ -2910,7 +2921,7 @@ SELECT doc_id, source, weight, sample_rank FROM r WHERE sample_rank <= 40
 WITH t AS (
   SELECT lang, source, text, {_NORM} AS norm FROM documents)
 SELECT lang, source, COUNT(*) AS n_docs,
-       CAST(SUM(CAST(CASE WHEN length(norm) = 0 THEN 0
+       CAST(SUM(CAST(CASE WHEN norm IS NULL OR length(norm) = 0 THEN 0
                      ELSE len(string_split(norm, ' ')) END AS BIGINT)) AS BIGINT)
          AS total_tokens,
        CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
@@ -3389,8 +3400,8 @@ c AS (
         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
           regexp_replace(regexp_replace(regexp_replace(
           text,
-          '(?is)<script\b.*?</script\s*>', '', 'g'),
-          '(?is)<style\b.*?</style\s*>', '', 'g'),
+          '(?is)<script\b.*?</script[ \t\n\f\r]*>', '', 'g'),
+          '(?is)<style\b.*?</style[ \t\n\f\r]*>', '', 'g'),
           '(?is)<(?:script|style)\b[^>]*>.*$', '', 'g'),
           '(?s)<!--.*?-->', '', 'g'),
           '[ \t\r\n]+', ' ', 'g'),

@@ -56,10 +56,14 @@ def fs_rename(spark, src: str, dst: str) -> bool:
     created first (Hadoop rename fails, rather than creates, missing
     parents). Returns the filesystem's success boolean."""
     fs, src_p = hadoop_fs(spark, src)
-    _, dst_p = hadoop_fs(spark, dst)
+    # the parent probe/create must run on the DESTINATION's
+    # filesystem — with a cross-filesystem pair (file:/ staging,
+    # s3a:// table) the source FS would throw Wrong-FS or create a
+    # bogus local directory instead of the real parent
+    dst_fs, dst_p = hadoop_fs(spark, dst)
     parent = dst_p.getParent()
-    if parent is not None and not fs.exists(parent):
-        fs.mkdirs(parent)
+    if parent is not None and not dst_fs.exists(parent):
+        dst_fs.mkdirs(parent)
     return fs.rename(src_p, dst_p)
 
 

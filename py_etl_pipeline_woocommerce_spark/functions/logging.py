@@ -26,5 +26,8 @@ def get_logger(name: str, level: int = logging.INFO) -> logging.Logger:
         handler.setFormatter(logging.Formatter(_FORMAT, datefmt=_DATEFMT))
         logger.addHandler(handler)
         logger.propagate = False
-    logger.setLevel(level)
+        # level is set ONCE, at creation: a later library call with
+        # the INFO default must not silently downgrade a logger the
+        # application configured at DEBUG (true idempotence)
+        logger.setLevel(level)
     return logger

@@ -33,10 +33,15 @@ def tokens_expr(col: Column | str) -> Column:
 
 
 def token_count_expr(col: Column | str) -> Column:
-    """Number of whitespace-separated tokens (0 for empty text)."""
+    """Number of whitespace-separated tokens — 0 for empty AND for
+    NULL text: a NULL count would silently drop the row from BOTH
+    sides of any downstream ``n_tokens`` threshold (the quality_score
+    contract, made uniform here in r9; oracle in lockstep)."""
     n = F.size(tokens_expr(col))
     empty = F.length(norm_text(col)) == 0
-    return F.when(empty, F.lit(0)).otherwise(n).cast("bigint")
+    return (
+        F.when(empty.isNull() | empty, F.lit(0)).otherwise(n).cast("bigint")
+    )
 
 
 def word_shingles(tokens: Column, n: int) -> Column:

@@ -582,6 +582,11 @@ def lang_id_nb(documents: DataFrame, top_v: int = 4096) -> DataFrame:
                 "floor_logp"
             ),
         )
+        # two consumers (matrix + the doc x lang grid) of a
+        # |langs|-row aggregate — pin or the vocab join + per-lang
+        # aggregate re-run per consumer (measured flat locally at
+        # sf0.1, r9; the halved vocab join is the SF payoff)
+        .localCheckpoint(eager=False)
     )
     matrix = (
         lg.join(vocab, "gram")
@@ -765,8 +770,14 @@ def strip_markup(documents: DataFrame) -> DataFrame:
     the RAW text; NULL text passes through as NULL with NULL n_tags.
     """
     t = F.col("text")
-    t = F.regexp_replace(t, "(?is)<script\\b.*?</script\\s*>", "")
-    t = F.regexp_replace(t, "(?is)<style\\b.*?</style\\s*>", "")
+    # explicit whitespace class, NOT \s: Java \s matches \x0B but
+    # RE2's does not, so a '</script\x0B>' closer would be paired on
+    # Spark while DuckDB's backstop deleted to end-of-document — the
+    # same divergence every other oracle-mirrored pattern in this
+    # file already fixed (with the explicit class, both engines
+    # consistently treat that closer as unclosed)
+    t = F.regexp_replace(t, "(?is)<script\\b.*?</script[ \\t\\n\\f\\r]*>", "")
+    t = F.regexp_replace(t, "(?is)<style\\b.*?</style[ \\t\\n\\f\\r]*>", "")
     # UNCLOSED script/style backstop: a crawl-truncated page whose
     # closing tag never arrives would otherwise leak its entire
     # JS/CSS body into text_clean (the paired pattern above requires
