@@ -341,6 +341,16 @@ _R9_FRONT = [
     "corpus_stats",
     "filter_pipeline",
     "chunk_documents",
+    "numeric_corr",
+    "profile_orders",
+    "profile_drift_orders",
+    "cdc_apply",
+    "scd2_apply",
+    "snapshot_diff",
+    "hot_keys",
+    "hot_keys_approx",
+    "pack_sequences",
+    "pack_bins_bfd",
     "decontaminate",
     "doc_similarity_topk",
     "pmi_terms",
@@ -349,7 +359,6 @@ _R9_FRONT = [
     "asof_join_forward",
     "basket_pairs",
     "bm25_search",
-    "cdc_apply",
     "corpus_split",
     "cusum_changepoint",
     "daily_value_percentiles",
@@ -369,7 +378,6 @@ _R9_FRONT = [
     "linear_attribution",
     "m4_downsample",
     "merge_intervals",
-    "numeric_corr",
     "repeat_rate",
     "rollup_merge",
     "seasonal_anomaly",
@@ -406,8 +414,6 @@ _R9_FRONT = [
     "enrich_categories",
     "normalize_orders",
     "normalize_items",
-    "pack_bins_bfd",
-    "pack_sequences",
 ]
 
 
@@ -3884,7 +3890,10 @@ LEFT JOIN (SELECT doc_id, lang_pred, score FROM best WHERE r = 1) b
 
     def _prof_str(expr: str, t: str) -> str:
         if t == "double":
-            return f"CAST(CAST({expr} AS DECIMAL(28,6)) AS VARCHAR)"
+            # TRY_CAST in lockstep with the operator: one
+            # NaN/Infinity/|v|>=1e22 row renders NULL instead of
+            # aborting the profile on either engine
+            return f"CAST(TRY_CAST({expr} AS DECIMAL(28,6)) AS VARCHAR)"
         if t.startswith("timestamp"):
             return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
         return f"CAST({expr} AS VARCHAR)"
@@ -3989,27 +3998,40 @@ FROM s
     _corr_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
     def _corr_sql() -> str:
-        """Mirror numeric_corr's naming and EXACT operation order."""
+        """Mirror numeric_corr's naming and EXACT operation order —
+        PAIRWISE-COMPLETE moments conditioned on both columns
+        non-NULL, variances clamped at 0 before the sqrt (lockstep
+        with the r9 operator)."""
         # 19,6 not 18,6: DuckDB widens 19-wide products to DECIMAL(38,12)
         # but overflows 18-wide ones in place; both widths are exact for
         # these ≤2-dp inputs, so the DOUBLE boundary values are identical.
-        dec = {c: f"CAST({c} AS DECIMAL(19,6))" for c in _corr_cols}
-        sums = ["COUNT(*) AS n"]
+        sums = []
         for i, x in enumerate(_corr_cols):
-            sums.append(f"CAST(SUM({dec[x]}) AS DOUBLE) AS s_{x}")
-            for y in _corr_cols[i:]:
-                sums.append(
-                    f"CAST(SUM({dec[x]} * {dec[y]}) AS DOUBLE) AS s_{x}_{y}"
+            for y in _corr_cols[i + 1 :]:
+                both = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+                dx = f"CASE WHEN {both} THEN CAST({x} AS DECIMAL(19,6)) END"
+                dy = f"CASE WHEN {both} THEN CAST({y} AS DECIMAL(19,6)) END"
+                sums.extend(
+                    [
+                        f"CAST(SUM(CASE WHEN {both} THEN 1 ELSE 0 END)"
+                        f" AS BIGINT) AS n_{x}_{y}",
+                        f"CAST(SUM({dx}) AS DOUBLE) AS a_{x}_{y}",
+                        f"CAST(SUM({dy}) AS DOUBLE) AS b_{x}_{y}",
+                        f"CAST(SUM(({dx}) * ({dx})) AS DOUBLE) AS xx_{x}_{y}",
+                        f"CAST(SUM(({dy}) * ({dy})) AS DOUBLE) AS yy_{x}_{y}",
+                        f"CAST(SUM(({dx}) * ({dy})) AS DOUBLE) AS xy_{x}_{y}",
+                    ]
                 )
         rows = []
         for i, x in enumerate(_corr_cols):
             for y in _corr_cols[i + 1 :]:
-                num = f"(n * s_{x}_{y} - s_{x} * s_{y})"
-                vx = f"(n * s_{x}_{x} - s_{x} * s_{x})"
-                vy = f"(n * s_{y}_{y} - s_{y} * s_{y})"
+                num = f"(n_{x}_{y} * xy_{x}_{y} - a_{x}_{y} * b_{x}_{y})"
+                vx = f"greatest(n_{x}_{y} * xx_{x}_{y} - a_{x}_{y} * a_{x}_{y}, 0)"
+                vy = f"greatest(n_{x}_{y} * yy_{x}_{y} - b_{x}_{y} * b_{x}_{y}, 0)"
                 rows.append(
-                    f"SELECT '{x}' AS col_x, '{y}' AS col_y, n,\n"
-                    f"       round({num} / sqrt({vx} * {vy}), 6) AS corr\n"
+                    f"SELECT '{x}' AS col_x, '{y}' AS col_y, n_{x}_{y} AS n,\n"
+                    f"       round({num} / NULLIF(sqrt({vx} * {vy}), 0), 6)"
+                    " AS corr\n"
                     "FROM a"
                 )
         body = ",\n  ".join(sums)
@@ -4734,11 +4756,13 @@ WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key_value,
            FROM events GROUP BY 1),
 t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total, COUNT(*) AS n_keys
       FROM c),
-top AS (SELECT * FROM c ORDER BY n_rows DESC, key_value LIMIT 20)
+top AS (SELECT * FROM c ORDER BY n_rows DESC, key_value NULLS FIRST
+        LIMIT 20)
 SELECT key_value, n_rows,
        round(n_rows / total, 6) AS share,
        round((n_rows * n_keys) / total, 6) AS x_uniform,
-       CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC, key_value) AS INT)
+       CAST(ROW_NUMBER() OVER (ORDER BY n_rows DESC,
+                               key_value NULLS FIRST) AS INT)
          AS key_rank
 FROM top CROSS JOIN t
 """

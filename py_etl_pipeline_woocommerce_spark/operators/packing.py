@@ -43,6 +43,15 @@ def pack_sequences(
     """
     from .corpus import _hash_bucket  # lazy: corpus imports packing lazily too
 
+    if budget < 1 or buckets < 1:
+        # budget is interpolated into SQL: 0 would ANSI-crash mid-job
+        # with an opaque div-by-zero and a NEGATIVE value would run to
+        # completion emitting negative pack ids — a silently wrong
+        # layout (the chunk_documents stride-guard policy)
+        raise ValueError(
+            f"pack_sequences: budget and buckets must be >= 1, got "
+            f"budget={budget}, buckets={buckets}"
+        )
     staged = documents.select(
         "doc_id",
         _hash_bucket(F.col("doc_id"), buckets),
@@ -168,6 +177,13 @@ def pack_bins_bfd(
 
     from .corpus import _hash_bucket  # the canonical md5 bucket helper
 
+    if budget < 1 or buckets < 1:
+        # same loud guard as pack_sequences: a non-positive budget
+        # would quietly mark EVERY doc truncated / alone-in-pack
+        raise ValueError(
+            f"pack_bins_bfd: budget and buckets must be >= 1, got "
+            f"budget={budget}, buckets={buckets}"
+        )
     staged = documents.select(
         "doc_id",
         _hash_bucket(F.col("doc_id"), buckets),

@@ -93,8 +93,16 @@ def hot_keys(df: DataFrame, key_col: str, topk: int = 20) -> DataFrame:
         F.sum("n_rows").alias("_total"),
         F.count(F.lit(1)).alias("_n_keys"),
     )
-    top = counts.orderBy(F.col("n_rows").desc(), "key_value").limit(topk)
-    w = Window.orderBy(F.col("n_rows").desc(), "key_value")
+    # explicit NULLS FIRST on the tie-break (the Spark asc default,
+    # PINNED so the oracle can mirror it — DuckDB defaults NULLS
+    # LAST, and a NULL key group tying at the cut would otherwise
+    # rank differently per engine; NULL keys are often THE hot spot)
+    top = counts.orderBy(
+        F.col("n_rows").desc(), F.col("key_value").asc_nulls_first()
+    ).limit(topk)
+    w = Window.orderBy(
+        F.col("n_rows").desc(), F.col("key_value").asc_nulls_first()
+    )
     return (
         top.join(F.broadcast(totals))
         .select(

@@ -80,7 +80,18 @@ def scd2_apply(
                         F.col(key).cast("string"),
                     )
                 ),
-            ).otherwise(F.col(key)).alias(key),
+            )
+            # NULL keys fail loudly too: the full-outer equi-join
+            # never matches NULL to NULL, so a NULL-key update would
+            # keep the existing open row AND open a second concurrent
+            # one — corruption every later batch compounds
+            .when(
+                F.col(key).isNull(),
+                F.raise_error(
+                    F.lit("scd2_apply: NULL key in updates batch")
+                ),
+            )
+            .otherwise(F.col(key)).alias(key),
             *[F.col(c).alias(f"_new_{c}") for c in tracked],
         )
         .withColumn("_new_fp", _row_fingerprint(tracked, prefix="_new_"))
@@ -133,8 +144,28 @@ def snapshot_diff(
     the change kind plus both fingerprints for audit. Linear, one
     shuffle, no skew (keys are unique per side).
     """
-    b = before.select(F.col(key), _row_fingerprint(compare).alias("fp_before"))
-    a = after.select(F.col(key), _row_fingerprint(compare).alias("fp_after"))
+    def _guarded(df: DataFrame, side: str, alias: str) -> DataFrame:
+        # a key appearing twice on either side fans the full-outer
+        # join out and the audit report itself becomes corrupt —
+        # exactly what a diff tool runs to catch, so fail loudly
+        # (scd2_apply's window-count guard, applied to both sides)
+        wk = Window.partitionBy(key)
+        return df.withColumn("_kn", F.count(F.lit(1)).over(wk)).select(
+            F.when(
+                F.col("_kn") > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"snapshot_diff: duplicate key in "
+                              f"{side} snapshot: "),
+                        F.col(key).cast("string"),
+                    )
+                ),
+            ).otherwise(F.col(key)).alias(key),
+            _row_fingerprint(compare).alias(alias),
+        )
+
+    b = _guarded(before, "before", "fp_before")
+    a = _guarded(after, "after", "fp_after")
     j = b.join(a, key, "full_outer")
     kind = (
         F.when(F.col("fp_before").isNull(), F.lit("added"))
@@ -270,7 +301,10 @@ def profile_table(df: DataFrame, exact: bool = False) -> DataFrame:
 
     def _s(col, t):
         if t == "double":
-            return col.cast("decimal(28,6)").cast("string")
+            # try_cast: one NaN/Infinity/|v|>=1e22 row must not crash
+            # the whole landing profile under ANSI — it renders NULL
+            # (the oracle twin TRY_CASTs in lockstep)
+            return col.try_cast("decimal(28,6)").cast("string")
         if t.startswith("timestamp"):
             return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
         return col.cast("string")
@@ -584,6 +618,17 @@ def cdc_apply(
         # a NULL/unknown net op would pass `!= "D"` as NULL and the
         # key — already anti-joined out of `kept` — would silently
         # VANISH (a phantom delete). Malformed feeds must fail loudly.
+        # a NULL key can neither anti-join out of `kept` nor
+        # delete/replace anything — a net 'D' would silently fail to
+        # delete and an I/U would duplicate. Malformed keys fail loudly
+        # (same policy as the op validation below).
+        .withColumn(
+            key,
+            F.when(
+                F.col(key).isNull(),
+                F.raise_error(F.lit("cdc_apply: NULL key in feed")),
+            ).otherwise(F.col(key)),
+        )
         .withColumn(
             op_col,
             F.when(
@@ -605,7 +650,11 @@ def cdc_apply(
         .localCheckpoint(eager=False)
     )
     touched = net.select(key).distinct()
-    kept = current.join(F.broadcast(touched), key, "left_anti")
+    # no forced broadcast: `touched` is FEED-sized, and a backfill
+    # feed grows with the table — a hint would bypass the size
+    # ceiling and OOM where AQE would have picked a sensible join
+    # (drop-sized feeds still auto-broadcast under the threshold)
+    kept = current.join(touched, key, "left_anti")
     upserts = net.filter(F.col(op_col) != "D").select(*payload)
     return kept.unionByName(upserts)
 
@@ -677,10 +726,16 @@ def numeric_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     crash.
 
     Scale shape: one scan, one 1-row partial aggregate carrying
-    k + k(k+1)/2 decimal sums (k = len(cols)); the pair matrix is
+    6·k(k−1)/2 decimal sums (k = len(cols)); the pair matrix is
     projected off that single row via a literal struct explode —
     nothing else moves. DECIMAL(18,6) inputs bound values to ~10¹²;
     widen the cast for larger magnitudes.
+
+    PAIRWISE-COMPLETE: each pair's ``n`` and moments count only rows
+    where BOTH columns are non-NULL (the statistic every stats engine
+    reports); variances are clamped at 0 before the sqrt so float
+    cancellation on a constant column yields the documented NULL
+    instead of NaN (Spark) or an abort (DuckDB).
     """
     if len(cols) < 2:
         raise ValueError(
@@ -692,41 +747,125 @@ def numeric_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     # s_a_b — duplicate agg names, AMBIGUOUS_REFERENCE downstream)
     idx = {c: i for i, c in enumerate(cols)}
     dec = {c: F.col(c).cast("decimal(18,6)") for c in cols}
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # PAIRWISE-COMPLETE moments: each pair's n and sums condition on
+    # BOTH columns being non-NULL. The old shared per-column sums
+    # skipped NULLs while n counted every row — silently reporting
+    # the Pearson of zero-imputed data (missingness read as signal).
+    aggs = []
     for i, x in enumerate(cols):
-        aggs.append(F.sum(dec[x]).cast("double").alias(f"s_{i}"))
-        for y in cols[i:]:
-            aggs.append(
-                F.sum(dec[x] * dec[y])
-                .cast("double")
-                .alias(f"s_{i}_{idx[y]}")
+        for y in cols[i + 1 :]:
+            j = idx[y]
+            both = F.col(x).isNotNull() & F.col(y).isNotNull()
+            dx = F.when(both, dec[x])
+            dy = F.when(both, dec[y])
+            aggs.extend(
+                [
+                    F.sum(F.when(both, 1).otherwise(0))
+                    .cast("bigint")
+                    .alias(f"n_{i}_{j}"),
+                    F.sum(dx).cast("double").alias(f"a_{i}_{j}"),
+                    F.sum(dy).cast("double").alias(f"b_{i}_{j}"),
+                    F.sum(dx * dx).cast("double").alias(f"xx_{i}_{j}"),
+                    F.sum(dy * dy).cast("double").alias(f"yy_{i}_{j}"),
+                    F.sum(dx * dy).cast("double").alias(f"xy_{i}_{j}"),
+                ]
             )
     one = df.agg(*aggs)
     pair_structs = []
     for i, x in enumerate(cols):
         for y in cols[i + 1 :]:
             j = idx[y]
-            num = F.col("n") * F.col(f"s_{i}_{j}") - F.col(f"s_{i}") * F.col(
-                f"s_{j}"
+            n_ij = F.col(f"n_{i}_{j}")
+            num = n_ij * F.col(f"xy_{i}_{j}") - F.col(
+                f"a_{i}_{j}"
+            ) * F.col(f"b_{i}_{j}")
+            # GREATEST clamp: float cancellation can land a
+            # zero-variance column at -1e-15, and sqrt of that is NaN
+            # on Spark but an ABORT on DuckDB — clamped in lockstep,
+            # the zero-variance case stays the documented NULL
+            vx = F.greatest(
+                n_ij * F.col(f"xx_{i}_{j}")
+                - F.col(f"a_{i}_{j}") * F.col(f"a_{i}_{j}"),
+                F.lit(0.0),
             )
-            vx = F.col("n") * F.col(f"s_{i}_{i}") - F.col(f"s_{i}") * F.col(
-                f"s_{i}"
-            )
-            vy = F.col("n") * F.col(f"s_{j}_{j}") - F.col(f"s_{j}") * F.col(
-                f"s_{j}"
+            vy = F.greatest(
+                n_ij * F.col(f"yy_{i}_{j}")
+                - F.col(f"b_{i}_{j}") * F.col(f"b_{i}_{j}"),
+                F.lit(0.0),
             )
             pair_structs.append(
                 F.struct(
                     F.lit(x).alias("col_x"),
                     F.lit(y).alias("col_y"),
+                    n_ij.alias("n"),
                     F.round(
                         F.try_divide(num, F.sqrt(vx * vy)), 6
                     ).alias("corr"),
                 )
             )
     return one.select(
-        "n", F.explode(F.array(*pair_structs)).alias("p")
-    ).select("p.col_x", "p.col_y", "n", "p.corr")
+        F.explode(F.array(*pair_structs)).alias("p")
+    ).select("p.col_x", "p.col_y", "p.n", "p.corr")
+
+
+
+def _store_sibling(store_path: str, suffix: str) -> str:
+    """Sibling bookkeeping dir of a current-state store
+    (``_{name}_{suffix}`` next to it). Root-level stores (e.g. a bare
+    bucket ``s3a://state``) have no sibling slot — raise instead of
+    mangling the authority."""
+    base = store_path.rstrip("/")
+    if "/" not in base.replace("://", ""):
+        raise ValueError(
+            f"current-state store {store_path!r} sits at a filesystem "
+            "root — place it in a directory so the staged swap has a "
+            "sibling slot"
+        )
+    parent, name = base.rsplit("/", 1)
+    return f"{parent}/_{name}_{suffix}"
+
+
+def _recover_current_store(spark, store_path: str) -> None:
+    """Complete an interrupted current-state swap BEFORE reading the
+    store: a crash between "live → trash" and "staged → live" leaves
+    the live dir absent while the fully-written staged state (gated
+    on its _SUCCESS marker) holds the truth — without this, the next
+    fold would read "store absent" and silently rebuild from one
+    batch, losing all history. A staged dir WITHOUT _SUCCESS is a
+    torn write and is ignored (the live dir, or absence, stands)."""
+    from ..functions.fsutil import fs_delete, fs_exists, fs_rename
+
+    staged = _store_sibling(store_path, "staged")
+    trash = _store_sibling(store_path, "trash")
+    if not fs_exists(spark, store_path) and fs_exists(
+        spark, f"{staged}/_SUCCESS"
+    ):
+        fs_rename(spark, staged, store_path)
+    fs_delete(spark, trash)
+
+
+def _swap_in_staged(spark, store_path: str) -> None:
+    """Atomically-enough promote the fully-written staged state over
+    the live store: live → trash, staged → live, drop trash. Each
+    step is a single Hadoop rename; every crash point is recovered by
+    ``_recover_current_store`` at the next fold (the fold itself is
+    idempotent — max-seq / MIN are replay-stable — so no applied
+    marker is needed, only swap atomicity)."""
+    from ..functions.fsutil import fs_delete, fs_exists, fs_rename
+
+    staged = _store_sibling(store_path, "staged")
+    trash = _store_sibling(store_path, "trash")
+    fs_delete(spark, trash)
+    if fs_exists(spark, store_path):
+        if not fs_rename(spark, store_path, trash):
+            raise RuntimeError(
+                f"store swap failed moving {store_path} aside"
+            )
+    if not fs_rename(spark, staged, store_path):
+        raise RuntimeError(
+            f"store swap failed promoting staged state into {store_path}"
+        )
+    fs_delete(spark, trash)
 
 
 def cdc_apply_store(
@@ -760,6 +899,7 @@ def cdc_apply_store(
     """
     from ..functions.fsutil import fs_exists
 
+    _recover_current_store(spark, store_path)
     payload = [c for c in changes.columns if c not in (seq_col, op_col)]
     incoming = changes.select(*payload, seq_col, op_col)
     if fs_exists(spark, store_path):
@@ -803,9 +943,19 @@ def cdc_apply_store(
                 ).cast("boolean")
             ).alias("_deleted"),
         )
-        .localCheckpoint(eager=True)
     )
-    merged.write.mode("overwrite").parquet(store_path)
+    # STAGED swap, never an in-place overwrite: mode('overwrite')
+    # deletes the live store before the job commits, so a crash
+    # mid-write would permanently destroy the current-state table
+    # and the next fold would silently rebuild it from one batch
+    # (the r9 rollup-store lesson applied to the whole-table stores).
+    # Writing to the staging sibling leaves the live store readable
+    # while merged computes from it — the eager checkpoint the old
+    # in-place overwrite needed is gone with it.
+    merged.write.mode("overwrite").parquet(
+        _store_sibling(store_path, "staged")
+    )
+    _swap_in_staged(spark, store_path)
 
 
 def read_cdc_store(spark, store_path: str) -> DataFrame:
@@ -834,6 +984,7 @@ def merge_first_seen_store(spark, store_path: str, batch_events: DataFrame) -> N
     """
     from ..functions.fsutil import fs_exists
 
+    _recover_current_store(spark, store_path)
     batch = (
         batch_events.select(
             "user_id",
@@ -850,6 +1001,9 @@ def merge_first_seen_store(spark, store_path: str, batch_events: DataFrame) -> N
             .groupBy("user_id")
             .agg(F.min("first_day_us").alias("first_day_us"))
         )
-    batch.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        store_path
+    # staged swap (see cdc_apply_store): never in-place overwrite a
+    # current-state store
+    batch.write.mode("overwrite").parquet(
+        _store_sibling(store_path, "staged")
     )
+    _swap_in_staged(spark, store_path)

@@ -439,3 +439,114 @@ def test_rollup_store_staged_commit_survives_both_crash_windows(
     assert fsutil.fs_list_names(
         spark, str(tmp_path / "_rollup_crash_staged")
     ) == []
+
+
+def test_cdc_store_swap_survives_crash_mid_swap(spark, tmp_path, monkeypatch):
+    """Current-state stores must never be destroyed by a crash during
+    their rewrite: the staged swap leaves the live store intact until
+    the staged state is fully written, and an interrupted swap is
+    completed by the next fold's recovery — no history loss, no
+    silent one-batch rebuild."""
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.functions import fsutil
+    from py_etl_pipeline_woocommerce_spark.operators import warehouse as wh
+
+    store = str(tmp_path / "cdc_state")
+    schema = "k long, v string, seq long, op string"
+    b1 = spark.createDataFrame([(1, "a", 1, "I"), (2, "b", 1, "I")], schema)
+    b2 = spark.createDataFrame([(2, "b2", 2, "U"), (3, "c", 2, "I")], schema)
+
+    wh.cdc_apply_store(spark, store, b1, "k")
+    assert {
+        (r.k, r.v) for r in wh.read_cdc_store(spark, store).collect()
+    } == {(1, "a"), (2, "b")}
+
+    # crash between "live -> trash" and "staged -> live": the second
+    # rename raises once, leaving live ABSENT and staged complete
+    real_rename = fsutil.fs_rename
+    state = {"n": 0}
+
+    def crashy(spark_, src, dst):
+        state["n"] += 1
+        if state["n"] == 2:  # first rename = live->trash, second = staged->live
+            raise RuntimeError("injected crash mid-swap")
+        return real_rename(spark_, src, dst)
+
+    monkeypatch.setattr(fsutil, "fs_rename", crashy)
+    with _pytest.raises(RuntimeError, match="injected"):
+        wh.cdc_apply_store(spark, store, b2, "k")
+    monkeypatch.setattr(fsutil, "fs_rename", real_rename)
+    assert not fsutil.fs_exists(spark, store)  # mid-swap state
+
+    # next fold recovers the swap FIRST, then applies its own batch —
+    # all three keys present, batch-2 update applied exactly once
+    b3 = spark.createDataFrame([(4, "d", 3, "I")], schema)
+    wh.cdc_apply_store(spark, store, b3, "k")
+    got = {(r.k, r.v) for r in wh.read_cdc_store(spark, store).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c"), (4, "d")}
+
+
+def test_warehouse_loud_guards_r9(spark):
+    """NULL keys and duplicate snapshot keys fail loudly instead of
+    silently corrupting the dimension/diff (full-outer equi-joins
+    never match NULL to NULL; duplicate keys fan the join out)."""
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        cdc_apply,
+        scd2_apply,
+        snapshot_diff,
+    )
+
+    cur = spark.createDataFrame(
+        [(1, "x", 0, None, True)],
+        "k long, val string, valid_from int, valid_to int, is_current boolean",
+    )
+    upd_null = spark.createDataFrame([(None, "y")], "k long, val string")
+    with _pytest.raises(Exception, match="NULL key"):
+        scd2_apply(cur, upd_null, "k", ["val"], 1).collect()
+
+    table = spark.createDataFrame([(1, "x")], "k long, val string")
+    feed = spark.createDataFrame(
+        [(None, "y", 1, "U")], "k long, val string, seq long, op string"
+    )
+    with _pytest.raises(Exception, match="NULL key"):
+        cdc_apply(table, feed, "k").collect()
+
+    before = spark.createDataFrame([(1, "a"), (1, "b")], "k long, v string")
+    after = spark.createDataFrame([(1, "a")], "k long, v string")
+    with _pytest.raises(Exception, match="duplicate key"):
+        snapshot_diff(before, after, "k", ["v"]).collect()
+
+
+def test_numeric_corr_pairwise_complete_and_clamped(spark):
+    """Pairwise-complete Pearson: rows where either column is NULL
+    contribute to NEITHER n nor the moments (the old shared sums
+    zero-imputed them); a constant column yields NULL, never NaN."""
+    import math
+
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import (
+        numeric_corr,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1.0, 2.0, 5.0),
+            (2.0, 4.0, 5.0),
+            (3.0, 6.0, 5.0),
+            (4.0, None, 5.0),  # pairwise-incomplete for (x, y)
+        ],
+        "x double, y double, c double",
+    )
+    rows = {
+        (r.col_x, r.col_y): r for r in numeric_corr(df, ["x", "y", "c"]).collect()
+    }
+    xy = rows[("x", "y")]
+    assert xy.n == 3  # NULL row excluded from the pair
+    assert xy.corr == 1.0  # y = 2x exactly on the complete rows
+    xc = rows[("x", "c")]
+    assert xc.n == 4 and xc.corr is None  # constant column -> NULL
+    assert all(
+        r.corr is None or not math.isnan(r.corr) for r in rows.values()
+    )
