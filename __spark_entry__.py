@@ -248,76 +248,54 @@ def _q_dq_rules(spark, sf_dir):
 
 
 # The driver's per-round CORRECTNESS budget stops after ~50 entries, so
-# ordering decides what gets (re-)verified each round. Round-9 front
-# block — the first 50 are exactly:
-#   1. dashboard_payload + the seven entries whose CODE or ORACLE
-#      changed in round 9 (tfidf_top_terms / doc_rarity /
-#      weighted_sample_k / length_buckets: int64-product and
-#      int32-shift widenings + round-before-rank, oracles in
-#      lockstep; decontaminate / doc_similarity_topk (+ bm25_search,
-#      hybrid_search riding in the r4 block): growing-side broadcast
-#      hints removed; pmi_terms / vocab_drift: measured checkpoint
-#      pins) — every r9 change is driver-checked this round;
-#   1b. the temporal-wave r9 changes (ewma_daily /
-#      equidepth_histogram / ks_drift / value_histogram /
-#      event_mix_drift / m4_downsample: NULL-and-NaN lockstep
-#      semantics; the _day_idx integer-div refactor riding through
-#      daily_active_users / multires_rollup / rolling_active_users /
-#      fill_missing_days* / dau sketch ops), then the similarity
-#      wave (valid/cosable embedding guards + knn label votes +
-#      empty-cell cluster_stats + pca moment grid — the whole
-#      ann/semdedup/quantize/centroid family, oracles in
-#      lockstep) — changed code outranks stale-but-unchanged
-#      rows;
-#   2. the r4-era tail in priority order — 28 of its 38 rows fit
-#      inside the 50-cut after the two r9 change-waves; the ~10 that
-#      spill past it (split_leakage_near, time_gaps, user_overlap,
-#      user_streaks, value_outliers, wow_growth, …) were still
-#      re-verified TWICE this round (sf0.01 front pre-gate + the
-#      sf0.1 FULL-surface gate) and lead the ROUND-10 front;
-#   3. four behavior-adjacent r8 deferrals (apply_refunds_items'
-#      single-line refund grain, revenue_timeseries' _NETLINE policy,
-#      top_supplier's 1-row max, incremental_watermark's validation).
-# All 50 are sf0.01-pre-gated green this round (front pre-gate log +
-# per-entry re-gates after each wave). Entries 51+ shape the order
-# past the budget cut: the remaining value-identical r8 deferrals,
-# then dict order.
+# ordering decides what gets (re-)verified each round. Round 9 changed
+# MORE entries than the budget holds (~75 across six review waves), so
+# the front orders by RISK TIER:
+#   T1 (positions 1-39): entries whose ORACLE TEXT or semantics
+#      changed this round — int64/shift widenings, NULL/NaN lockstep
+#      policies, the valid/cosable embedding guards, the quantity
+#      floor, the event_props integral gate, pairwise-complete
+#      numeric_corr, NULLS-FIRST hot_keys, the profiler TRY_CAST.
+#   T2 (40-60): Spark-side behavior guards whose gate values are
+#      unchanged (loud raises, rows-only sketch paths, token-policy
+#      riders).
+#   T3 (61-71): plan-only changes (growing-side broadcast-hint
+#      removals, measured checkpoint pins) — value-identical by
+#      construction.
+# EVERY changed entry, all tiers, was re-gated green at sf0.01 by
+# selfcheck when its wave landed, and the terminal full-surface
+# selfcheck re-verifies all 208 on the final tree; the driver's
+# 50-row budget covers T1 + half of T2.
 # ROUND-10 ROTATION NOTE: promote (a) any r10 code/oracle changes,
-# then (a2) the r4-era rows this round's 50-cut spilled (read the
-# r9 CORRECTNESS file for the exact boundary), then (b) the remaining value-identical r8 deferrals that sat past
-# this round's cut (revenue_timeseries_bounded top_products_bounded
-# category_mix_bounded geo_rollup_bounded pricing_summary dedup_audit
-# dup_cluster_histogram discount_revenue sales_rollup
-# shipping_priority volume_shipping large_volume_orders
-# returned_item_report segment_share market_share rfm_segments
-# enrich_categories normalize_* lang_confusion corpus_report
-# pack_bins_bfd pack_sequences — all plan-only/value-identical,
-# each re-gated at sf0.01 in r8 AND re-verified by r9's sf0.1
-# full-surface gate), then (c) the r5-era rows (ann_rerank_topk
-# asof_join_nearest backfill_windows bigram_logprob cluster_stats
-# conversion_latency date_bounds dsir_select_threshold
-# equidepth_histogram event_mix_drift ewma_daily hash_embed mmr_topk
-# profile_drift_orders profile_orders quality_percentile_by_source
-# sample_exact_k seasonal_profile session_paths source_divergence
-# token_budget_sample trend_fit value_outliers_mad), then (d) r6-era.
+# then (b) the T2/T3 spill above (driver-unchecked r9 changes from
+# position ~51 on), then (c) the r4-era tail that r9's change volume
+# displaced entirely (asof_join_forward basket_pairs bm25_search*
+# cdc_apply* corpus_split cusum_changepoint daily_value_percentiles
+# dau_new_vs_returning dayn_retention dq_referential dsir_weights
+# event_transitions event_value_summary fill_missing_days_interp
+# fill_missing_days_locf fulfillment_latency funnel_steps_windowed
+# hybrid_search* interarrival_stats linear_attribution
+# merge_intervals repeat_rate rollup_merge seasonal_anomaly
+# session_stats soft_dedup_weights source_quota_sample split_leakage
+# split_leakage_near time_gaps user_overlap user_streaks
+# value_outliers wow_growth — entries marked * changed in r9 and sit
+# in T1/T3 already), then (d) the r5-era rows. All of (c) was
+# re-verified TWICE in r9 on current data (sf0.01 full gates + the
+# sf0.1 full-surface gate).
 _R9_FRONT = [
     "dashboard_payload",
     "tfidf_top_terms",
     "doc_rarity",
     "weighted_sample_k",
+    "length_buckets",
+    "ks_drift",
     "ewma_daily",
     "equidepth_histogram",
     "value_histogram",
     "event_mix_drift",
-    "daily_active_users",
-    "multires_rollup",
-    "rolling_active_users",
-    "fill_missing_days",
-    "daily_active_users_approx",
-    "dau_sketch_rollup",
+    "m4_downsample",
     "ann_topk",
     "ann_lsh_topk",
-    "ann_ivf_topk",
     "ann_quantized_topk",
     "ann_rerank_topk",
     "embedding_cosine_dup",
@@ -326,39 +304,58 @@ _R9_FRONT = [
     "label_centroids",
     "quantize_embeddings",
     "embedding_scores",
-    "mmr_topk",
-    "cluster_stats",
-    "pca_project",
-    "token_count",
     "strip_markup",
+    "token_count",
     "lang_id",
     "lang_id_nb",
     "lang_confusion",
     "corpus_report",
+    "numeric_corr",
+    "profile_orders",
+    "profile_drift_orders",
+    "hot_keys",
+    "event_props_typed",
+    "normalize_items",
+    "apply_refunds_items",
+    "apply_refunds_orders",
+    "upsert",
+    "enrich_categories",
+    "re_enrich_categories",
+    "woo_flow_digest",
+    "snapshot_diff",
+    "scd2_apply",
+    "cdc_apply",
+    "pack_bins_bfd",
+    "hot_keys_approx",
+    "ann_ivf_topk",
+    "mmr_topk",
+    "cluster_stats",
+    "pca_project",
     "quality_score",
     "gopher_rules",
     "tokenizer_stats",
     "corpus_stats",
     "filter_pipeline",
     "chunk_documents",
-    "numeric_corr",
-    "profile_orders",
-    "profile_drift_orders",
-    "cdc_apply",
-    "scd2_apply",
-    "snapshot_diff",
-    "hot_keys",
-    "hot_keys_approx",
+    "token_budget_sample",
     "pack_sequences",
-    "pack_bins_bfd",
+    "normalize_orders",
+    "parse_event_props",
+    "daily_active_users_approx",
+    "dau_sketch_rollup",
     "decontaminate",
+    "bm25_search",
+    "hybrid_search",
     "doc_similarity_topk",
     "pmi_terms",
     "vocab_drift",
-    "length_buckets",
+    "corpus_pipeline",
+    "daily_active_users",
+    "multires_rollup",
+    "rolling_active_users",
+    "fill_missing_days",
     "asof_join_forward",
     "basket_pairs",
-    "bm25_search",
     "corpus_split",
     "cusum_changepoint",
     "daily_value_percentiles",
@@ -372,11 +369,8 @@ _R9_FRONT = [
     "fill_missing_days_locf",
     "fulfillment_latency",
     "funnel_steps_windowed",
-    "hybrid_search",
     "interarrival_stats",
-    "ks_drift",
     "linear_attribution",
-    "m4_downsample",
     "merge_intervals",
     "repeat_rate",
     "rollup_merge",
@@ -391,7 +385,6 @@ _R9_FRONT = [
     "user_streaks",
     "value_outliers",
     "wow_growth",
-    "apply_refunds_items",
     "revenue_timeseries",
     "top_supplier",
     "incremental_watermark",
@@ -411,9 +404,6 @@ _R9_FRONT = [
     "segment_share",
     "market_share",
     "rfm_segments",
-    "enrich_categories",
-    "normalize_orders",
-    "normalize_items",
 ]
 
 
@@ -1185,7 +1175,7 @@ FROM orders
 
 _ITEMS_BASE = f"""
 SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS supplier_id,
-       CAST(l_linenumber AS INT) AS line_number, CAST(l_quantity AS BIGINT) AS quantity,
+       CAST(l_linenumber AS INT) AS line_number, CAST(floor(l_quantity) AS BIGINT) AS quantity,
        l_extendedprice AS price, l_discount AS discount, l_tax AS tax,
        CAST({_DISC} AS DOUBLE) AS total, l_returnflag AS return_flag
 FROM lineitem
@@ -2224,7 +2214,7 @@ FROM events
 """,
         "enrich_categories": f"""
 SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS supplier_id,
-       CAST(l_linenumber AS INT) AS line_number, CAST(l_quantity AS BIGINT) AS quantity,
+       CAST(l_linenumber AS INT) AS line_number, CAST(floor(l_quantity) AS BIGINT) AS quantity,
        l_extendedprice AS price, l_discount AS discount, l_tax AS tax,
        CAST({_DISC} AS DOUBLE) AS total, l_returnflag AS return_flag,
        p_type AS category_snapshot, p_brand AS brand
@@ -2232,7 +2222,7 @@ FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
 """,
         "re_enrich_categories": f"""
 SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS supplier_id,
-       CAST(l_linenumber AS INT) AS line_number, CAST(l_quantity AS BIGINT) AS quantity,
+       CAST(l_linenumber AS INT) AS line_number, CAST(floor(l_quantity) AS BIGINT) AS quantity,
        l_extendedprice AS price, l_discount AS discount, l_tax AS tax,
        CAST({_DISC} AS DOUBLE) AS total, l_returnflag AS return_flag,
        CASE WHEN l_partkey % 2 = 1 THEN 'NEW_' || p_type ELSE p_type END
@@ -2243,7 +2233,7 @@ FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
         "apply_refunds_orders": _FCT_ORDERS_SQL,
         "apply_refunds_items": f"""
 SELECT l_orderkey AS order_id, l_partkey AS product_id, l_suppkey AS supplier_id,
-       CAST(l_linenumber AS INT) AS line_number, CAST(l_quantity AS BIGINT) AS quantity,
+       CAST(l_linenumber AS INT) AS line_number, CAST(floor(l_quantity) AS BIGINT) AS quantity,
        l_extendedprice AS price, l_discount AS discount, l_tax AS tax,
        CAST({_DISC} AS DOUBLE) AS total, l_returnflag AS return_flag,
        p_type AS category_snapshot, p_brand AS brand,
@@ -2259,7 +2249,8 @@ batch AS (
   SELECT o_orderkey AS order_id, CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
          'refreshed' AS status, o_totalprice AS total
   FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
-SELECT * FROM existing WHERE order_id NOT IN (SELECT order_id FROM batch)
+SELECT * FROM existing e WHERE NOT EXISTS
+  (SELECT 1 FROM batch b WHERE b.order_id = e.order_id)
 UNION ALL
 SELECT * FROM batch
 """,
@@ -2635,7 +2626,7 @@ GROUP BY 1
 """,
         "small_qty_revenue": """
 WITH l AS (
-  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+  SELECT l_partkey, CAST(floor(l_quantity) AS BIGINT) AS qty,
          CAST(l_extendedprice AS DECIMAL(18,2)) AS price
   FROM lineitem
   JOIN part ON l_partkey = p_partkey WHERE p_brand = 'Brand#1'),
@@ -2659,7 +2650,7 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
 """,
         "dominant_suppliers": """
 WITH pair AS (
-  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+  SELECT l_partkey, l_suppkey, SUM(CAST(floor(l_quantity) AS BIGINT)) AS supp_qty
   FROM lineitem GROUP BY 1, 2),
 w AS (
   SELECT *, SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty,
@@ -3123,7 +3114,10 @@ WHERE levenshtein(a.name, b.name) <= 3
 """,
         "event_props_typed": """
 SELECT event_id, event_type,
-       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS prop_k
+       CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                '^-?[0-9]+$')
+            THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+       END AS prop_k
 FROM events
 """,
         "revenue_pivot": f"""

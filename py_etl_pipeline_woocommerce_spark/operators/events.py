@@ -186,10 +186,16 @@ def event_props_typed(events: DataFrame) -> DataFrame:
         "event_type",
         F.from_json("props", "k STRING").alias("_p"),
     )
+    # integral-REGEX gate before the cast: Spark's try_cast NULLs a
+    # non-integral string ('1.5') but DuckDB's TRY_CAST ROUNDS it to
+    # 2 — the one try_cast dialect seam left. Validating the shape
+    # first makes both engines NULL non-integral payloads identically
+    # (oracle in lockstep).
+    intish = F.col("_p.k").rlike(r"^-?[0-9]+$")
     return parsed.select(
         "event_id",
         "event_type",
-        F.col("_p.k").try_cast("int").alias("prop_k"),
+        F.when(intish, F.col("_p.k").try_cast("int")).alias("prop_k"),
     )
 
 

@@ -57,7 +57,11 @@ def normalize_items(lineitem: DataFrame) -> DataFrame:
         F.col("l_partkey").alias("product_id"),
         F.col("l_suppkey").alias("supplier_id"),
         F.col("l_linenumber").cast("int").alias("line_number"),
-        F.col("l_quantity").cast("bigint").alias("quantity"),
+        # explicit floor: a bare DOUBLE->BIGINT cast TRUNCATES on
+        # Spark but ROUNDS (half-even) on DuckDB — floor is identical
+        # on both engines, and a fractional weight-based quantity
+        # lands deterministically (oracle in lockstep)
+        F.floor("l_quantity").cast("bigint").alias("quantity"),
         F.col("l_extendedprice").alias("price"),
         F.col("l_discount").alias("discount"),
         F.col("l_tax").alias("tax"),

@@ -37,7 +37,8 @@ def refund_aggregates(lineitem: DataFrame) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("order_id"))
         .agg(
             money(F.sum(disc_price())).alias("refund_total"),
-            F.sum(F.col("l_quantity").cast("bigint")).alias("refunded_quantity"),
+            # floor, not a bare cast: Spark truncates, DuckDB rounds
+            F.sum(F.floor("l_quantity").cast("bigint")).alias("refunded_quantity"),
         )
     )
 

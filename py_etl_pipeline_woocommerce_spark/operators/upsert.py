@@ -27,7 +27,10 @@ def upsert_df(existing: DataFrame, batch: DataFrame, keys: list[str]) -> DataFra
     ``batch`` (exact delete+insert semantics, duckdb_client.py:61-66).
     """
     batch_keys = batch.select(*keys).distinct()
-    kept = existing.join(F.broadcast(batch_keys), keys, "left_anti")
+    # no forced broadcast: a backfill batch grows with the table, and
+    # the hint would bypass the 8 GB ceiling (the repo's growing-input
+    # rule); AQE still broadcasts genuinely drop-sized key sets
+    kept = existing.join(batch_keys, keys, "left_anti")
     return kept.unionByName(batch)
 
 
