@@ -22,11 +22,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def upsert_df(existing: DataFrame, batch: DataFrame, keys: list[str]) -> DataFrame:
+def upsert_df(
+    existing: DataFrame,
+    batch: DataFrame,
+    keys: list[str],
+    delete_keys: DataFrame | None = None,
+) -> DataFrame:
     """Rows of ``existing`` whose key is NOT in ``batch``, plus all of
     ``batch`` (exact delete+insert semantics, duckdb_client.py:61-66).
-    """
-    batch_keys = batch.select(*keys).distinct()
+    ``delete_keys`` widens the delete set beyond the batch's own keys
+    (the order-grain item upsert: an extracted order with zero
+    remaining line items must still delete its old rows)."""
+    batch_keys = (
+        batch.select(*keys).distinct()
+        if delete_keys is None
+        else delete_keys.select(*keys).distinct()
+    )
     # no forced broadcast: a backfill batch grows with the table, and
     # the hint would bypass the 8 GB ceiling (the repo's growing-input
     # rule); AQE still broadcasts genuinely drop-sized key sets

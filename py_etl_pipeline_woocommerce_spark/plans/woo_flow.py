@@ -138,6 +138,12 @@ def build_facts(
         items.withColumn(
             "variation_id", F.coalesce("variation_id", F.lit(0))
         )
+        # product_id too: the refund side coalesces NULL product ids
+        # to 0 (rest.py item_refund_totals), so a custom/fee line with
+        # product_id=NULL would never equi-join its refund and the
+        # item grain would silently show zero refunds while the order
+        # grain shows them
+        .withColumn("product_id", F.coalesce("product_id", F.lit(0)))
         .join(
             F.broadcast(item_ref),
             ["order_id", "product_id", "variation_id"],
@@ -169,12 +175,19 @@ def _upsert_table(
     path: str,
     keys: list[str],
     assume_immutable_partition: bool = False,
+    delete_keys: DataFrame | None = None,
 ) -> None:
     """Partition-local delete+insert upsert into a month-partitioned
     parquet table (the local-mode stand-in for MERGE INTO an
     Iceberg/Delta table; duckdb_client.py semantics).
 
-    ``batch`` must carry ``PARTITION_COL``. Cost is O(touched
+    ``delete_keys`` (keys + ``PARTITION_COL``) widens the delete set
+    beyond the batch's own rows — the items fact passes the ORDERS
+    batch here, so an extracted order whose line items were ALL
+    removed still deletes its stale item rows (the items batch itself
+    has no row for that order, and its months alone would not even
+    touch the right partition). ``batch`` must carry
+    ``PARTITION_COL``. Cost is O(touched
     partitions + one key-column probe), never O(full-width table):
     the touched months are a driver-side handful of strings (a drop
     spans days, not decades), so the existing-side scan is statically
@@ -193,11 +206,21 @@ def _upsert_table(
     partition value derives from an immutable-per-key field can pass
     ``assume_immutable_partition=True`` to skip the probe entirely.
     """
-    if os.path.exists(path):
-        months = [r[0] for r in batch.select(PARTITION_COL).distinct().collect()]
+    from ..functions.fsutil import fs_exists
+
+    # Hadoop-FS probe, never os.path: a driver-local probe reads
+    # "absent" for hdfs://s3a:// warehouses and the no-merge branch
+    # would dynamic-overwrite each touched month with ONLY the batch
+    # rows — silently deleting prior history (the r8 store-probe
+    # lesson, which this call site had missed)
+    if fs_exists(spark, path):
+        key_src = batch if delete_keys is None else delete_keys
+        months = [
+            r[0] for r in key_src.select(PARTITION_COL).distinct().collect()
+        ]
         table = spark.read.parquet(path)
+        batch_keys = key_src.select(*keys).distinct()
         if not assume_immutable_partition:
-            batch_keys = batch.select(*keys).distinct()
             moved = (
                 table.filter(~_month_in(months))
                 .select(*keys, PARTITION_COL)
@@ -211,7 +234,9 @@ def _upsert_table(
         # localCheckpoint breaks the file lineage so the dynamic
         # overwrite below can rewrite the same partitions the merged
         # plan read; only touched-partition rows materialize.
-        merged = upsert_df(existing, batch, keys).localCheckpoint(eager=True)
+        merged = upsert_df(
+            existing, batch, keys, delete_keys=batch_keys
+        ).localCheckpoint(eager=True)
     else:
         # first creation: an all-empty batch would materialize a
         # directory with no data files, and the NEXT run's
@@ -377,6 +402,7 @@ def _incremental_run_once(
                 items,
                 os.path.join(warehouse_dir, "fct_order_items"),
                 ["order_id"],
+                delete_keys=orders.select("order_id", PARTITION_COL),
             )
             max_date = orders.agg(F.max("order_date")).first()[0]
             nxt = WatermarkStore.advance_from(max_date, overlap_minutes)
@@ -416,8 +442,10 @@ def re_enrich_run(
     directories, not the table; force_all is the one legitimately
     table-wide pass.
     """
+    from ..functions.fsutil import fs_exists
+
     path = os.path.join(warehouse_dir, "fct_order_items")
-    if not os.path.exists(path):
+    if not fs_exists(spark, path):  # Hadoop-FS probe (see _upsert_table)
         log.info("re-enrich: no item fact at %s", path)
         return {"re_enriched_months": 0}
     items = spark.read.parquet(path)
@@ -436,7 +464,11 @@ def re_enrich_run(
     fresh = rest.fetch_products_by_ids(
         spark, transport, id_scope.select("product_id")
     ).select("product_id", F.col("category_snapshot").alias("_fresh"))
-    scope = items.filter(F.col(PARTITION_COL).isin(months))
+    # NULL-SAFE month scope: plain isin() is never true for the NULL
+    # month, so missing snapshots living in __HIVE_DEFAULT_PARTITION__
+    # would be silently skipped forever while the audit count claimed
+    # the month was rewritten
+    scope = items.filter(_month_in(months))
     take_fresh = (
         F.col("product_id").isNotNull() if force_all else missing
     )
@@ -515,7 +547,12 @@ def purge_keys(
     ]
     if not touched:
         return {"rows_purged": 0, "partitions_rewritten": 0}
-    existing = table.filter(F.col(PARTITION_COL).isin(touched))
+    # NULL-SAFE month filter: a purge-requested row whose month is
+    # NULL (the __HIVE_DEFAULT_PARTITION__ directory) must be
+    # rewritten too — plain isin() would silently RETAIN it while the
+    # audit dict reported the partition as handled (a compliance
+    # failure, not just a correctness bug)
+    existing = table.filter(_month_in(touched))
     kept = existing.join(F.broadcast(purge_set), keys, "left_anti")
     n_before = existing.count()
     kept = kept.localCheckpoint(eager=True)
@@ -527,10 +564,15 @@ def purge_keys(
     emptied = [m for m in touched if m not in kept_months]
     if kept_months:
         upsert_partitioned_parquet(kept, path, PARTITION_COL)
+    from ..functions.fsutil import fs_delete
+
     for m in emptied:
-        shutil.rmtree(
-            os.path.join(path, f"{PARTITION_COL}={m}"), ignore_errors=True
-        )
+        # Hadoop-FS delete on the WAREHOUSE filesystem (a local rmtree
+        # silently no-ops on hdfs/s3a and the fully-purged month would
+        # survive), with the NULL month mapped to its actual Hive
+        # directory name
+        dirname = "__HIVE_DEFAULT_PARTITION__" if m is None else m
+        fs_delete(spark, os.path.join(path, f"{PARTITION_COL}={dirname}"))
     return {
         "rows_purged": n_before - n_after,
         "partitions_rewritten": len(touched),

@@ -346,16 +346,28 @@ def fetch_products_by_ids(
             raws: list[str] = []
             for i in range(0, len(ids), 100):
                 chunk = ids[i : i + 100]
-                body, _ = transport(
-                    "products",
-                    {
-                        "include": ",".join(str(x) for x in chunk),
-                        "per_page": 100,
-                        "status": "any",
-                        "context": "edit",
-                    },
-                )
-                raws.extend(_records(body))
+                # paginate each include= chunk exhaustively: a host
+                # that clamps per_page (WAF/plugin caps) returns fewer
+                # rows plus total_pages > 1, and ignoring that header
+                # silently NULLs the category snapshot for 90% of the
+                # chunk — the truncation fetch_paged never allows
+                # (same exhaustive loop as fetch_refunds_for_orders)
+                page = 1
+                while True:
+                    body, total_pages = transport(
+                        "products",
+                        {
+                            "include": ",".join(str(x) for x in chunk),
+                            "per_page": 100,
+                            "page": page,
+                            "status": "any",
+                            "context": "edit",
+                        },
+                    )
+                    raws.extend(_records(body))
+                    if page >= max(int(total_pages or 1), 1):
+                        break
+                    page += 1
             yield pd.DataFrame({"page": [0] * len(raws), "raw": raws})
 
     raw = (

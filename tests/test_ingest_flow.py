@@ -664,3 +664,30 @@ def test_watermark_overlap_rule_selected_per_run(spark, transport, tmp_path):
     incremental_run(spark, transport, state, wh, overlap_minutes=1)
     # max order_date is 2024-01-03T12:00:00 -> watermark 11:59:00
     assert state.get_since() == "2024-01-03T11:59:00"
+
+
+def test_order_with_all_items_removed_deletes_stale_rows(spark, tmp_path):
+    """An extracted order whose line items were ALL removed: the items
+    batch carries no row for it (explode of an empty list), so the
+    delete set must come from the ORDERS batch — otherwise the old
+    item rows survive forever and the item grain silently overstates
+    revenue while the order grain shows the edit."""
+    wh = str(tmp_path / "wh_allgone")
+    state = WatermarkStore(str(tmp_path / "wm_allgone.json"))
+    state.set_since("2023-01-01T00:00:00")
+    run1 = [
+        _order(1, "2024-01-01T10:00:00", 30.0, 3.0, [(11, 2, 10.0), (12, 1, 10.0)]),
+        _order(2, "2024-01-01T11:00:00", 10.0, 1.0, [(13, 1, 10.0)]),
+    ]
+    incremental_run(spark, make_fake_transport(run1, PRODUCTS, {}), state, wh)
+    assert spark.read.parquet(f"{wh}/fct_order_items").count() == 3
+    # order 1 re-lands with ZERO line items (all removed)
+    run2 = [_order(1, "2024-01-05T10:00:00", 0.0, 0.0, [])]
+    incremental_run(spark, make_fake_transport(run2, PRODUCTS, {}), state, wh)
+    rows = spark.read.parquet(f"{wh}/fct_order_items").collect()
+    assert [(r["order_id"], r["product_id"]) for r in rows] == [(2, 13)]
+    # the order header itself survives with the edit applied
+    hdr = {
+        r["order_id"] for r in spark.read.parquet(f"{wh}/fct_orders").collect()
+    }
+    assert hdr == {1, 2}
