@@ -69,6 +69,34 @@ def _events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
+def _linky_docs(spark, sf_dir):
+    """documents wrapped in deterministic anchors with per-doc domain
+    variety (doc_id % 5 picks the host, plus one shared CDN and a
+    relative href) — the synthetic corpus has no markup, so the link
+    census / blocklist entries plant their own, exactly like the
+    extract_links entry does."""
+    from pyspark.sql import functions as F
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<a href="https://www.site'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                "</a><img src='//cdn.shared.org/i.png'/>"
+                '<a href="/rel">r</a>'
+            ),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
 def _q_upsert(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -283,6 +311,17 @@ def _q_dq_rules(spark, sf_dir):
 # re-verified TWICE in r9 on current data (sf0.01 full gates + the
 # sf0.1 full-surface gate).
 _R9_FRONT = [
+    # round-9b NEW operators — never driver-verified, take the budget
+    # first (readability, entropy, link census/blocklist, zipf,
+    # novelty, curriculum, embedding outliers)
+    "readability",
+    "char_entropy",
+    "link_domains",
+    "filter_blocked_domains",
+    "zipf_fit",
+    "ngram_novelty",
+    "curriculum_order",
+    "embedding_outliers",
     "dashboard_payload",
     "tfidf_top_terms",
     "doc_rarity",
@@ -1126,6 +1165,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        # --- round-9b corpus-curation breadth ---
+        "readability": lambda s, d: textstats.readability(_docs(s, d)),
+        "char_entropy": lambda s, d: textstats.char_entropy(_docs(s, d)),
+        "link_domains": lambda s, d: textstats.link_domains(
+            _linky_docs(s, d)
+        ),
+        "filter_blocked_domains": lambda s, d: textstats.filter_blocked_domains(
+            _linky_docs(s, d), ["site1.com", "site3.com"]
+        ),
+        "zipf_fit": lambda s, d: corpus.zipf_fit(_docs(s, d)),
+        "ngram_novelty": lambda s, d: corpus.ngram_novelty(
+            _docs(s, d).filter(F.col("source") != "src0"),
+            _docs(s, d).filter(F.col("source") == "src0"),
+        ),
+        "curriculum_order": lambda s, d: corpus.curriculum_order(_docs(s, d)),
+        "embedding_outliers": lambda s, d: similarity.embedding_outliers(
+            _emb(s, d)
+        ),
     }
     ordered = {k: base[k] for k in _R9_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -4759,5 +4816,201 @@ SELECT key_value, n_rows,
                                key_value NULLS FIRST) AS INT)
          AS key_rank
 FROM top CROSS JOIN t
+"""
+    # ---- round-9b corpus-curation breadth ----
+    out["readability"] = f"""
+WITH n AS (SELECT doc_id, text, {_NORM} AS norm FROM documents),
+c AS (SELECT doc_id,
+        CAST(CASE WHEN norm IS NULL OR length(norm) = 0 THEN 0
+                  ELSE len(string_split(norm, ' ')) END AS BIGINT) AS n_words,
+        CAST(COALESCE(len(regexp_extract_all(text, '[.!?]+')), 0)
+             AS BIGINT) AS sent_runs,
+        CAST(COALESCE(len(regexp_extract_all(lower(text), '[aeiouy]+')), 0)
+             AS BIGINT) AS n_syllables
+      FROM n),
+s AS (SELECT doc_id, n_words,
+        CASE WHEN n_words > 0 THEN greatest(sent_runs, 1)
+             ELSE sent_runs END AS n_sentences,
+        n_syllables FROM c)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+  CASE WHEN n_words > 0
+       THEN round(CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE), 6)
+  END AS words_per_sentence,
+  CASE WHEN n_words > 0
+       THEN round(CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+  END AS syllables_per_word,
+  CASE WHEN n_words > 0
+       THEN round(206.835
+                  - 1.015 * (CAST(n_words AS DOUBLE)
+                             / CAST(n_sentences AS DOUBLE))
+                  - 84.6 * (CAST(n_syllables AS DOUBLE)
+                            / CAST(n_words AS DOUBLE)), 6)
+  END AS flesch
+FROM s
+"""
+    # entropy fold mirrors the pandas kernel: counts in sorted-char
+    # order (binary collation == python codepoint sort on UTF-8),
+    # shared in-container libm log2, HALF-UP round at the end
+    out["char_entropy"] = """
+WITH ch AS (
+  SELECT doc_id, t.c
+  FROM (SELECT doc_id,
+               list_transform(range(1, length(text) + 1),
+                              i -> substring(text, CAST(i AS INT), 1)) AS cs
+        FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+       UNNEST(cs) AS t(c)),
+cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k
+        FROM ch GROUP BY 1, 2),
+ent AS (SELECT doc_id,
+               round(log2(CAST(SUM(k) AS DOUBLE))
+                     - SUM(k * log2(CAST(k AS DOUBLE)) ORDER BY c)
+                       / CAST(SUM(k) AS DOUBLE), 6) AS entropy,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+        FROM cnt GROUP BY doc_id)
+SELECT d.doc_id, e.entropy,
+       COALESCE(e.n_distinct_chars, CAST(0 AS BIGINT)) AS n_distinct_chars
+FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
+"""
+    _LINKY_MESSY = """
+messy AS (
+  SELECT doc_id,
+         '<a href="https://www.site' || CAST(doc_id % 5 AS VARCHAR)
+         || '.com/p/' || CAST(doc_id AS VARCHAR) || '">'
+         || COALESCE(text, '')
+         || '</a><img src=__SQ__//cdn.shared.org/i.png__SQ__/><a href="/rel">r</a>'
+           AS text
+  FROM documents),
+u AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(
+             text,
+             '(?i)\\b(?:href|src)[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*("[^"<>]*"|__SQ__[^__SQ__<>]*__SQ__|[^"__SQ__<>=` \\t\\n\\f\\r][^<> \\t\\n\\f\\r]*)',
+             1),
+           x -> replace(replace(replace(replace(replace(replace(
+                  CASE WHEN x[1:1] IN ('"', chr(39))
+                       THEN x[2:len(x)-1] ELSE x END,
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
+         ) AS urls
+  FROM messy WHERE text IS NOT NULL),
+l AS (
+  SELECT doc_id,
+         lower(regexp_extract(
+           t.x,
+           '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#]*@)?(\\[[^\\]]*\\]|[^/:?#]+)',
+           1)) AS domain
+  FROM u, UNNEST(urls) AS t(x)),
+f AS (SELECT doc_id, regexp_replace(domain, '^www\\.', '') AS domain
+      FROM l WHERE domain IS NOT NULL AND domain <> '')
+""".replace("__SQ__", chr(39) * 2).replace(chr(39) * 4, chr(39) * 2)
+    out["link_domains"] = f"""
+WITH {_LINKY_MESSY},
+per AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_links,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM f GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_links) AS DOUBLE) AS t FROM per)
+SELECT domain, n_links, n_docs,
+       CAST(n_links AS DOUBLE) / t AS link_share
+FROM per CROSS JOIN tot
+"""
+    out["filter_blocked_domains"] = f"""
+WITH {_LINKY_MESSY},
+bad AS (SELECT DISTINCT doc_id FROM f
+        WHERE domain = 'site1.com' OR domain LIKE '%.site1.com'
+           OR domain = 'site3.com' OR domain LIKE '%.site3.com')
+SELECT m.doc_id, m.text, d.lang, d.source, d.n_chars
+FROM messy m
+JOIN documents d ON m.doc_id = d.doc_id
+LEFT JOIN bad b ON m.doc_id = b.doc_id
+WHERE b.doc_id IS NULL
+"""
+    out["zipf_fit"] = f"""
+WITH occ AS (SELECT source, t.term
+             FROM (SELECT source, {_TOKS} AS tk FROM documents),
+                  UNNEST(tk) AS t(term)
+             WHERE t.term <> ''),
+c AS (SELECT source, term, COUNT(*) AS c FROM occ GROUP BY 1, 2),
+v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab_size
+      FROM c GROUP BY 1),
+k AS (SELECT source,
+             log2(CAST(rnk AS DOUBLE)) AS x, log2(CAST(c AS DOUBLE)) AS y
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                         ORDER BY c DESC, term) AS rnk
+            FROM c)
+      WHERE rnk <= 500),
+s AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM k GROUP BY 1)
+SELECT s.source, CAST(n AS BIGINT) AS n_terms, vocab_size,
+  CASE WHEN n * sxx - sx * sx > 0
+       THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+  END AS zipf_slope,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+       THEN round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+  END AS zipf_r2
+FROM s JOIN v ON s.source = v.source
+"""
+    out["ngram_novelty"] = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, source, {_SHINGLES} AS sh FROM t),
+ref AS (SELECT DISTINCT u.gram FROM s, UNNEST(sh) AS u(gram)
+        WHERE source = 'src0'),
+ds AS (SELECT doc_id, u.gram FROM s, UNNEST(sh) AS u(gram)
+       WHERE source <> 'src0'),
+per AS (SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN r.gram IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM ds LEFT JOIN ref r ON ds.gram = r.gram
+        GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, CAST(0 AS BIGINT)) AS n_grams,
+       COALESCE(p.n_novel, CAST(0 AS BIGINT)) AS n_novel,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN CAST(p.n_novel AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+       END AS novelty
+FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+    # the oracle derives curriculum_pos from the global SORT
+    # definition — independently verifying the engine's arithmetic
+    # (counts-fold) construction against the spec it implements
+    out["curriculum_order"] = f"""
+WITH q AS ({_QUALITY_SQL}),
+j AS (SELECT d.doc_id, d.source, q.quality
+      FROM documents d JOIN q ON d.doc_id = q.doc_id),
+r AS (SELECT doc_id, source, quality,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY quality DESC, doc_id)
+                  AS BIGINT) AS source_rank
+      FROM j)
+SELECT doc_id, source, quality, source_rank,
+       CAST(ROW_NUMBER() OVER (ORDER BY source_rank, source, doc_id)
+            AS BIGINT) AS curriculum_pos
+FROM r
+"""
+    out["embedding_outliers"] = f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE {_EMB_VALID}),
+c AS (SELECT CAST(i.range AS INT) AS dim,
+             CAST(SUM(CAST(floor(
+               CAST(embedding[CAST(i.range AS INT) + 1] AS DOUBLE)
+               * 1000000000.0) AS BIGINT)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE) * 1000000000.0) AS mu
+      FROM e CROSS JOIN range(0, 64) i GROUP BY 1),
+m AS (SELECT list(mu ORDER BY dim) AS mu FROM c),
+d AS (SELECT vec_id,
+             sqrt(list_sum(list_transform(range(1, 65),
+               i -> (CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                     - mu[CAST(i AS INT)])
+                  * (CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                     - mu[CAST(i AS INT)])))) AS dist
+      FROM e CROSS JOIN m)
+SELECT vec_id, round(dist, 6) AS dist,
+       round(percent_rank() OVER (ORDER BY dist, vec_id), 6)
+         AS dist_pct_rank,
+       (percent_rank() OVER (ORDER BY dist, vec_id)) >= 0.99 AS is_outlier
+FROM d
 """
     return out

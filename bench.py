@@ -128,6 +128,14 @@ HEADLINE = [
     "extract_links",
     "weighted_sample_k",
     "common_lines",
+    "readability",
+    "char_entropy",
+    "link_domains",
+    "filter_blocked_domains",
+    "zipf_fit",
+    "ngram_novelty",
+    "curriculum_order",
+    "embedding_outliers",
 ]
 
 

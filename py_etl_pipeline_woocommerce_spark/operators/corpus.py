@@ -2266,3 +2266,225 @@ def split_leakage_near(
             F.coalesce("n_leaked_docs", F.lit(0)) / F.col("n_docs"), 6
         ).alias("leak_rate"),
     )
+
+
+def zipf_fit(documents: DataFrame, top_v: int = 500) -> DataFrame:
+    """Per-source Zipf power-law fit over the term-frequency ranking —
+    the corpus-health diagnostic that flags a source whose frequency
+    curve is NOT Zipfian (slope ≫ −1 and a collapsing r² mean
+    template spam or mode collapse in synthetic data; natural text
+    sits near slope −1).
+
+    Fit: least squares of ``log2(count)`` against ``log2(rank)`` over
+    each source's top-``top_v`` terms (rank-cut so a 100 TB source
+    contributes a bounded, aggregated vocabulary to the fit — the
+    regression runs on ≤ top_v rows per source, never on the corpus).
+    Slope and r² are base-invariant, so log2 is used for the
+    cross-engine determinism the log-family ops here standardize on
+    (round-6 outputs, oracle in lockstep). The slope/r² algebra is
+    spelled out from raw Σx/Σy/Σxy/Σxx/Σyy sums rather than
+    ``regr_slope`` so both engines run the SAME formula — the builtin
+    regression aggregates use different one-pass co-moment updates
+    per engine and drift past the rounding grid.
+
+    Scale shape: explode → (source, term) count agg (map-side
+    combinable, high-cardinality key) → per-source rank window over
+    the SMALL aggregated vocab → one tiny per-source aggregate.
+    Output: (source, n_terms, vocab_size, zipf_slope, zipf_r2).
+    """
+    occ = documents.select(
+        "source", F.explode(tokens_expr("text")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = occ.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("term"))
+    vocab = counts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab_size")
+    )
+    kept = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_v)
+        .select(
+            "source",
+            F.log2(F.col("rnk").cast("double")).alias("x"),
+            F.log2(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    sums = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    cov_n = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    # a single-term or constant-count vocabulary has no defined slope
+    slope = F.when(var_x > 0, cov_n / var_x)
+    r2 = F.when(
+        (var_x > 0) & (var_y > 0), (cov_n * cov_n) / (var_x * var_y)
+    )
+    return sums.join(vocab, "source").select(
+        "source",
+        F.col("n").cast("bigint").alias("n_terms"),
+        "vocab_size",
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(r2, 6).alias("zipf_r2"),
+    )
+
+
+def ngram_novelty(
+    documents: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+) -> DataFrame:
+    """Fraction of each document's distinct word n-grams that are
+    ABSENT from a reference corpus — the novelty/memorization signal
+    run before adding a new crawl to a training mix (novelty ≈ 0
+    means the "new" source is already in the corpus; it is also the
+    doc-grain view of eval decontamination).
+
+    Scale shape: both sides explode to DISTINCT (key, gram) rows —
+    per-doc distinct on the scored side, corpus-distinct on the
+    reference side (the reference gram set is aggregated once,
+    however many times larger the reference corpus is) — then ONE
+    equi-join on the gram key counts matches, and the doc-grain
+    ratio is exact-integer division (deterministic double, no
+    rounding seam). Docs with fewer than ``n`` tokens have no grams:
+    ``n_grams = 0`` with NULL novelty (nothing to be novel — 0.0
+    would alias "all seen before").
+
+    Output: (doc_id, n_grams, n_novel, novelty).
+    """
+    # STAGE the token array before shingling: word_shingles' slice
+    # lambda references its input once PER GRAM, and Catalyst does not
+    # CSE non-cheap subtrees — an un-staged tokens_expr re-ran the
+    # whole regex pipeline per shingle index (measured 15s -> ~2s at
+    # sf0.1). _spread keeps a single-split corpus parallel through
+    # the explode.
+    grams = (
+        _spread_docs(documents)
+        .select("doc_id", tokens_expr("text").alias("_toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(word_shingles(F.col("_toks"), n))
+            ).alias("gram"),
+        )
+    )
+    ref_grams = (
+        _spread_docs(reference)
+        .select(tokens_expr("text").alias("_toks"))
+        .select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col("_toks"), n))
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    matched = grams.join(
+        ref_grams.withColumn("_seen", F.lit(1)), "gram", "left"
+    )
+    per_doc = matched.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).alias(
+            "n_novel"
+        ),
+    )
+    # left join back so gram-less docs keep a row (the caller's
+    # too-short policy stays the caller's, not a silent drop)
+    return (
+        documents.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("n_novel").cast("double")
+                / F.col("n_grams").cast("double"),
+            ).alias("novelty"),
+        )
+    )
+
+
+def curriculum_order(documents: DataFrame) -> DataFrame:
+    """Deterministic curriculum position for every document:
+    quality-descending WITHIN each source, sources interleaved
+    round-robin — the standard "best of every source first, no
+    source starves the head of training" ordering, computed without
+    any global sort over the raw corpus.
+
+    Position algebra: rank docs per source by (quality desc, doc_id)
+    — a source-partitioned window — then compute the GLOBAL position
+    arithmetically instead of sorting the corpus: for a doc at rank
+    ``r`` in source ``s``,
+
+        pos = Σ_{s'} min(r−1, c_{s'})                (earlier rounds)
+            + |{s' < s : c_{s'} ≥ r}| + 1            (this round)
+
+    where ``c_{s'}`` are the per-source doc counts — a
+    sources-bounded frame collected once (KB-sized, same contract as
+    the PCA/DSIR models) and folded per row as a literal array. No
+    global window, no single-task sort: at 100 TB the only serial
+    artifact is the #sources-row count vector. The quality signal is
+    ``quality_score`` (exact-integer-ratio determinism carries over;
+    equal scores tie-break on doc_id, so the curriculum is
+    engine-reproducible). Output: (doc_id, source, quality,
+    source_rank, curriculum_pos).
+    """
+    from .textstats import quality_score
+
+    scored = documents.select("doc_id", "source").join(
+        quality_score(documents).select("doc_id", "quality"), "doc_id"
+    )
+    per_src = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), "doc_id"
+    )
+    ranked = scored.withColumn(
+        "source_rank", F.row_number().over(per_src).cast("bigint")
+    )
+    # sources are a bounded dimension (a corpus has tens of sources,
+    # not millions) — the counts collect is the documented KB-model
+    # exception to the no-collect rule
+    counts = sorted(
+        (r["source"], r["c"])
+        for r in documents.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    cnt_arr = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("s"), F.lit(int(c)).cast("bigint").alias("c")
+            )
+            for s, c in counts
+        ]
+    )
+    r = F.col("source_rank")
+    zero = F.lit(0).cast("bigint")
+    earlier_rounds = F.aggregate(
+        cnt_arr, zero, lambda acc, e: acc + F.least(r - 1, e["c"])
+    )
+    this_round = F.aggregate(
+        cnt_arr,
+        zero,
+        lambda acc, e: acc
+        + F.when(
+            (e["c"] >= r) & (e["s"] < F.col("source")), F.lit(1).cast("bigint")
+        ).otherwise(zero),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "quality",
+        "source_rank",
+        (earlier_rounds + this_round + F.lit(1).cast("bigint")).alias(
+            "curriculum_pos"
+        ),
+    )

@@ -1184,3 +1184,99 @@ def cluster_stats(
         "mean_dist",
         F.round(F.col("n_vectors") / F.col("_total"), 6).alias("size_share"),
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame, outlier_pct: float = 0.99
+) -> DataFrame:
+    """Distance-to-centroid outlier flags over the embedding corpus —
+    the cheap embedding-space hygiene pass run before clustering or
+    semantic dedup (mis-encoded rows, wrong-modality strays, and
+    collapsed-encoder zero-neighborhoods all land in the far tail).
+
+    The global centroid uses the engine's grid-mean idiom
+    (``label_centroids``): per-dim ``floor(v·1e9)`` bigint sums are
+    exact and associative, so the centroid — and therefore every
+    distance — is bit-identical on any cluster layout and to the
+    DuckDB oracle. Distances are positional double folds
+    (``zip_with`` + ``aggregate``, no UDF); the tail flag is the
+    exact percent-rank over (distance, vec_id) — an exact-integer
+    ratio, not a float mean/stddev whose summation order differs per
+    engine. ``valid_embedding`` guards participation (NaN distances
+    would sort into the tail and crown garbage as "outliers").
+
+    The global rank is TWO-PHASE, never a corpus-wide single-task
+    window: distances bucket to a ``floor(dist·1000)`` grid, the
+    bucket histogram (an aggregated, value-spread-bounded frame)
+    carries the cumulative below-count, and a bucket-PARTITIONED
+    window ranks within each bucket — rank = below(bucket) +
+    row_number-in-bucket. The one unpartitioned window in the plan
+    runs over the bucket histogram, not the corpus (the
+    bounded-by-construction class the plan guards baseline).
+
+    Scale shape: one posexplode agg for the 64-row centroid, one
+    codegen'd distance scan, one bucket-keyed window. Output:
+    (vec_id, dist round-6, dist_pct_rank round-6, is_outlier).
+    """
+    e = embeddings.filter(valid_embedding()).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    grid = F.floor(F.col("v") * F.lit(1e9)).cast("decimal(38,0)")
+    cent = (
+        e.select(F.posexplode("emb").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum(grid).alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "dim",
+            (
+                F.col("_s").cast("double")
+                / (F.col("_n").cast("double") * F.lit(1e9))
+            ).alias("mu"),
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dim", "mu"))
+            ).alias("_cm")
+        )
+        .select(F.transform("_cm", lambda s: s["mu"]).alias("centroid"))
+    )
+    dist_sq = F.aggregate(
+        F.zip_with(
+            F.col("emb"),
+            F.col("centroid"),
+            lambda x, m: (x - m) * (x - m),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = e.join(F.broadcast(cent)).select(
+        "vec_id", F.sqrt(dist_sq).alias("_dist")
+    )
+    with_b = scored.withColumn(
+        "_b", F.floor(F.col("_dist") * F.lit(1000.0)).cast("bigint")
+    )
+    hist = with_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
+    wcum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    hist = hist.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(wcum), F.lit(0)).alias("_below"),
+    )
+    total = with_b.groupBy().agg(F.count(F.lit(1)).alias("_N"))
+    win = Window.partitionBy("_b").orderBy("_dist", "vec_id")
+    ranked = (
+        with_b.join(F.broadcast(hist), "_b")
+        .join(F.broadcast(total))
+        .withColumn("_rank", F.col("_below") + F.row_number().over(win))
+    )
+    pct = F.when(
+        F.col("_N") > 1,
+        (F.col("_rank") - 1).cast("double")
+        / (F.col("_N") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
+        "vec_id",
+        F.round("_dist", 6).alias("dist"),
+        F.round(pct, 6).alias("dist_pct_rank"),
+        (pct >= F.lit(outlier_pct)).alias("is_outlier"),
+    )

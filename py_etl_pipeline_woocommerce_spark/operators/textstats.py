@@ -888,3 +888,174 @@ def extract_links(documents: DataFrame) -> DataFrame:
         "url",
         domain.alias("domain"),
     )
+
+
+def readability(documents: DataFrame) -> DataFrame:
+    """Flesch reading-ease approximation per document — the classic
+    surface readability signal corpus-quality filters bucket on
+    (too-easy boilerplate at one end, OCR shred at the other).
+
+    Counts are deliberately cheap proxies that stay inside one
+    codegen'd JVM scan (no NLP deps at 100 TB):
+
+    - ``n_words``: whitespace tokens of the normalized text (the
+      engine-wide ``token_count`` policy — 0 for NULL/empty),
+    - ``n_sentences``: runs of terminal punctuation ``[.!?]+`` in the
+      RAW text, floored at 1 whenever the doc has words (a headline
+      with no period is one sentence, not a division by zero),
+    - ``n_syllables``: vowel-group runs ``[aeiouy]+`` of the lowercased
+      raw text — the standard one-pass syllable proxy.
+
+    ``flesch = 206.835 − 1.015·(words/sentence) − 84.6·(syllables/word)``
+    rounded to 6; NULL when the doc has no words (no prose to grade —
+    a 0.0 would alias "unreadable" with "empty"). Both regexes use
+    only literal character classes, identical under Java regex and
+    RE2 (the dialect seam gopher_rules documents).
+    """
+    counted = documents.select(
+        "doc_id",
+        token_count_expr("text").alias("n_words"),
+        F.coalesce(F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(0))
+        .cast("bigint")
+        .alias("_sent_runs"),
+        F.coalesce(
+            F.regexp_count(F.lower(F.col("text")), F.lit("[aeiouy]+")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_syllables"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.when(F.col("n_words") > 0, F.greatest("_sent_runs", F.lit(1)))
+        .otherwise(F.col("_sent_runs"))
+        .alias("n_sentences"),
+        "n_syllables",
+    )
+    words = F.col("n_words").cast("double")
+    wps = words / F.col("n_sentences").cast("double")
+    spw = F.col("n_syllables").cast("double") / words
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    nonempty = F.col("n_words") > 0
+    return counted.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(nonempty, F.round(wps, 6)).alias("words_per_sentence"),
+        F.when(nonempty, F.round(spw, 6)).alias("syllables_per_word"),
+        F.when(nonempty, F.round(flesch, 6)).alias("flesch"),
+    )
+
+
+def char_entropy(documents: DataFrame) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution
+    (bits/char) plus the distinct-character count — the gibberish/
+    boilerplate detector that catches what token ratios miss: base64
+    blobs and minified JS sit far ABOVE prose entropy, repeated
+    padding and template spam far BELOW it.
+
+    Runs as ONE Arrow-batched pandas UDF (a per-char explode would
+    blow every 100 TB row into ~10³ shuffle rows; here the histogram
+    never leaves the executor). The fold is ``log2(n) − Σ c·log2(c)/n``
+    accumulated in SORTED character order so the float summation
+    order is deterministic and matches the oracle's ordered
+    aggregate; libm ``log2`` is shared by both engines in-container.
+    The round-6 happens JVM-side (``F.round``) — Python's ``round``
+    is half-EVEN while Spark's and DuckDB's are half-up, and a
+    boundary value would hash-diverge. NULL/empty text → NULL entropy
+    with 0 distinct chars (no distribution to measure — 0.0 would
+    alias "empty" with "single-char padding").
+    """
+    import collections
+    import math
+
+    @F.pandas_udf("entropy double, n_distinct_chars bigint")
+    def _ent(texts: pd.Series) -> pd.DataFrame:
+        ents: list[float | None] = []
+        dist: list[int] = []
+        for s in texts:
+            if s is None or len(s) == 0:
+                ents.append(None)
+                dist.append(0)
+                continue
+            cnt = collections.Counter(s)
+            n = len(s)
+            tot = 0.0
+            for ch in sorted(cnt):
+                c = cnt[ch]
+                tot += c * math.log2(c)
+            ents.append(math.log2(n) - tot / n)
+            dist.append(len(cnt))
+        return pd.DataFrame({"entropy": ents, "n_distinct_chars": dist})
+
+    return documents.select(
+        "doc_id", _ent(F.col("text")).alias("_e")
+    ).select(
+        "doc_id",
+        F.round(F.col("_e.entropy"), 6).alias("entropy"),
+        F.col("_e.n_distinct_chars").alias("n_distinct_chars"),
+    )
+
+
+def link_domains(documents: DataFrame) -> DataFrame:
+    """Per-domain link census over the corpus — the frame a crawl
+    curator reads before writing a blocklist: which hosts dominate
+    the outlink graph and how many documents cite them.
+
+    Aggregates ``extract_links`` (grammar + entity policy documented
+    there) by lowercased registrable host with the ``www.`` prefix
+    folded; links whose URL has no authority (relative hrefs,
+    ``mailto:`` without ``//``) are excluded — they have no domain to
+    govern. Output: (domain, n_links, n_docs, link_share) with the
+    share an exact-integer ratio (deterministic double).
+    """
+    links = extract_links(documents).filter(
+        F.col("domain").isNotNull() & (F.col("domain") != "")
+    )
+    dom = F.regexp_replace(F.col("domain"), "^www\\.", "")
+    per = links.select(dom.alias("domain"), "doc_id").groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    total = per.groupBy().agg(F.sum("n_links").alias("_tot"))
+    return per.join(F.broadcast(total)).select(
+        "domain",
+        "n_links",
+        "n_docs",
+        (F.col("n_links").cast("double") / F.col("_tot").cast("double")).alias(
+            "link_share"
+        ),
+    )
+
+
+def filter_blocked_domains(
+    documents: DataFrame, blocked: list[str]
+) -> DataFrame:
+    """Drop every document that links to a blocked domain — the
+    blocklist gate a crawl pipeline runs right after link extraction
+    (spam/SEO farms poison a corpus through their outlinks long
+    before a quality score notices).
+
+    A document is blocked when ANY of its links' domains equals a
+    blocklist entry or is a subdomain of one (``ads.example.com``
+    matches ``example.com``); matching is on the lowercased host with
+    ``www.`` folded, so the blocklist is written in registrable form.
+    The blocklist is a driver-side list (KB-sized in practice) turned
+    into one literal predicate — no join, no shuffle; the whole gate
+    is a codegen'd scan + one left-anti semi-join on doc_id. Output:
+    the surviving documents, full schema, plus nothing else — the
+    contract is "same table, fewer rows".
+    """
+    if not blocked:
+        return documents
+    canon = sorted({b.strip().lower().lstrip(".") for b in blocked if b.strip()})
+    links = extract_links(documents).filter(
+        F.col("domain").isNotNull() & (F.col("domain") != "")
+    )
+    dom = F.regexp_replace(F.col("domain"), "^www\\.", "")
+    hit = F.lit(False)
+    for b in canon:
+        hit = hit | (dom == b) | dom.endswith("." + b)
+    bad = links.filter(hit).select("doc_id").distinct()
+    return documents.join(bad, "doc_id", "left_anti")

@@ -80,6 +80,11 @@ SCALAR_BROADCAST = {
     "dedup_audit",
     # 1-row before/after totals broadcast over the per-type frame
     "event_mix_drift",
+    # 1-row corpus link total broadcast over the per-domain frame
+    "link_domains",
+    # 1-row collected centroid + 1-row corpus count broadcast over
+    # the distance scan (the rank itself is bucket-partitioned)
+    "embedding_outliers",
     # 1-row corpus length stats (n_docs, token total) broadcast
     "bm25_search",
     # inherits bm25_search's 1-row stats broadcast in its lexical stage
@@ -119,6 +124,10 @@ SCALAR_BROADCAST = {
 #:     partition by type/source so they never appear here)
 UNPARTITIONED_WINDOW_BASELINES = {
     "ann_ivf_topk",
+    # embedding_outliers' cumulative below-count runs over the
+    # AGGREGATED distance-bucket histogram (bounded by value spread),
+    # never the corpus — the per-row rank window is bucket-partitioned
+    "embedding_outliers",
     "basket_pairs",
     "cluster_stats",
     "embedding_scores",
