@@ -1264,6 +1264,32 @@ _SHINGLES = (
     "i -> array_to_string(list_slice(toks, i, i + 2), ' ')))"
 )
 
+# ONE oracle-side copy of extract_links' URL grammar (attr regex +
+# paired-quote strip + entity decode) and of the domain parse —
+# shared by the extract_links, link_domains and filter_blocked_domains
+# oracles so a grammar fix lands in every oracle at once (the Spark
+# side already has a single source: textstats.extract_links). Expects
+# a CTE named ``messy`` with (doc_id, text); yields (doc_id, urls).
+_URL_GRAMMAR_SQL = r'''
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(
+             text,
+             '(?i)\b(?:href|src)[ \t\n\f\r]*=[ \t\n\f\r]*("[^"<>]*"|__SQ__[^__SQ__<>]*__SQ__|[^"__SQ__<>=` \t\n\f\r][^<> \t\n\f\r]*)',
+             1),
+           x -> replace(replace(replace(replace(replace(replace(
+                  CASE WHEN x[1:1] IN ('"', chr(39))
+                       THEN x[2:len(x)-1] ELSE x END,
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
+         ) AS urls
+  FROM messy WHERE text IS NOT NULL
+'''.replace("__SQ__", chr(39) * 2)
+
+_DOMAIN_RE_SQL = (
+    r"'^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#]*@)?(\[[^\]]*\]|[^/:?#]+)'"
+)
+
 _JACCARD_SQL = f"""
 WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
 s AS (SELECT doc_id, lang, {_SHINGLES} AS sh FROM t)
@@ -3408,7 +3434,8 @@ SELECT doc_id, text_norm,
        CAST(length(text_norm) AS BIGINT) AS n_chars_norm
 FROM norm
 """
-    out["extract_links"] = r'''
+    out["extract_links"] = (
+        r'''
 WITH messy AS (
   SELECT doc_id,
          '<a href="https://Example.com/doc/' || CAST(doc_id AS VARCHAR)
@@ -3418,29 +3445,16 @@ WITH messy AS (
          || '.png__SQ__/><a href=https://plain.example.net/u?a=1&amp;b=2>u</a>'
          || '<a href="/rel/path">rel</a>' AS text
   FROM documents),
-u AS (
-  SELECT doc_id,
-         list_transform(
-           regexp_extract_all(
-             text,
-             '(?i)\b(?:href|src)[ \t\n\f\r]*=[ \t\n\f\r]*("[^"<>]*"|__SQ__[^__SQ__<>]*__SQ__|[^"__SQ__<>=` \t\n\f\r][^<> \t\n\f\r]*)',
-             1),
-           x -> replace(replace(replace(replace(replace(replace(
-                  CASE WHEN x[1:1] IN ('"', chr(39))
-                       THEN x[2:len(x)-1] ELSE x END,
-                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
-         ) AS urls
-  FROM messy WHERE text IS NOT NULL)
+u AS ({URL_GRAMMAR})
 SELECT doc_id,
        CAST(g.i AS BIGINT) - 1 AS link_pos,
        urls[g.i] AS url,
-       lower(regexp_extract(
-         urls[g.i],
-         '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#]*@)?(\[[^\]]*\]|[^/:?#]+)',
-         1)) AS domain
+       lower(regexp_extract(urls[g.i], {DOMAIN_RE}, 1)) AS domain
 FROM u, UNNEST(generate_series(1, len(urls))) AS g(i)
-'''.replace("__SQ__", chr(39) * 2).replace(chr(39) * 2 + chr(39) * 2, chr(39) * 2)
+'''.replace("__SQ__", chr(39) * 2)
+        .replace("{URL_GRAMMAR}", _URL_GRAMMAR_SQL)
+        .replace("{DOMAIN_RE}", _DOMAIN_RE_SQL)
+    )
     out["strip_markup"] = r"""
 WITH messy AS (
   SELECT doc_id,
@@ -4871,7 +4885,8 @@ SELECT d.doc_id, e.entropy,
        COALESCE(e.n_distinct_chars, CAST(0 AS BIGINT)) AS n_distinct_chars
 FROM documents d LEFT JOIN ent e ON d.doc_id = e.doc_id
 """
-    _LINKY_MESSY = """
+    _LINKY_MESSY = (
+        r'''
 messy AS (
   SELECT doc_id,
          '<a href="https://www.site' || CAST(doc_id % 5 AS VARCHAR)
@@ -4880,30 +4895,17 @@ messy AS (
          || '</a><img src=__SQ__//cdn.shared.org/i.png__SQ__/><a href="/rel">r</a>'
            AS text
   FROM documents),
-u AS (
-  SELECT doc_id,
-         list_transform(
-           regexp_extract_all(
-             text,
-             '(?i)\\b(?:href|src)[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*("[^"<>]*"|__SQ__[^__SQ__<>]*__SQ__|[^"__SQ__<>=` \\t\\n\\f\\r][^<> \\t\\n\\f\\r]*)',
-             1),
-           x -> replace(replace(replace(replace(replace(replace(
-                  CASE WHEN x[1:1] IN ('"', chr(39))
-                       THEN x[2:len(x)-1] ELSE x END,
-                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&')
-         ) AS urls
-  FROM messy WHERE text IS NOT NULL),
+u AS ({URL_GRAMMAR}),
 l AS (
   SELECT doc_id,
-         lower(regexp_extract(
-           t.x,
-           '^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//(?:[^/?#]*@)?(\\[[^\\]]*\\]|[^/:?#]+)',
-           1)) AS domain
+         lower(regexp_extract(t.x, {DOMAIN_RE}, 1)) AS domain
   FROM u, UNNEST(urls) AS t(x)),
-f AS (SELECT doc_id, regexp_replace(domain, '^www\\.', '') AS domain
+f AS (SELECT doc_id, regexp_replace(domain, '^www\.', '') AS domain
       FROM l WHERE domain IS NOT NULL AND domain <> '')
-""".replace("__SQ__", chr(39) * 2).replace(chr(39) * 4, chr(39) * 2)
+'''.replace("__SQ__", chr(39) * 2)
+        .replace("{URL_GRAMMAR}", _URL_GRAMMAR_SQL)
+        .replace("{DOMAIN_RE}", _DOMAIN_RE_SQL)
+    )
     out["link_domains"] = f"""
 WITH {_LINKY_MESSY},
 per AS (SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_links,
