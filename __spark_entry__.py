@@ -69,6 +69,46 @@ def _events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
+# Planted encoding-damage prefixes, shared by the Spark wrappers and
+# the DuckDB oracles (ONE source — the linky-grammar lesson). The
+# score wrapper exercises all four artifact classes; the fix wrapper
+# only the two REPAIRABLE ones (a replacement char / raw C1 byte
+# fails the strict UTF-8 round trip and correctly pins the whole doc
+# unchanged — that's the all-or-nothing contract, not a fixture).
+_MOJI_SCORE_PREFIX = "caf\u00c3\u00a9 it\u00e2\u20ac\u2122s \ufffd \u0080 "
+_MOJI_FIX_PREFIX = "caf\u00c3\u00a9 it\u00e2\u20ac\u2122s "
+_MOJI_FIXED_PREFIX = "caf\u00e9 it\u2019s "
+#: sentence wrapper: planted boundaries + tab/newline trim exercise
+_SENT_PREFIX = "First sentence. \t"
+_SENT_SUFFIX = "! Tail one?\nEnd"
+
+
+def _moji_docs(spark, sf_dir, prefix):
+    from pyspark.sql import functions as F
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.lit(prefix), F.col("text")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
+def _senty_docs(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit(_SENT_PREFIX), F.col("text"), F.lit(_SENT_SUFFIX)
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
 def _linky_docs(spark, sf_dir):
     """documents wrapped in deterministic anchors with per-doc domain
     variety (doc_id % 5 picks the host, plus one shared CDN and a
@@ -322,6 +362,10 @@ _R9_FRONT = [
     "ngram_novelty",
     "curriculum_order",
     "embedding_outliers",
+    "mojibake_score",
+    "fix_mojibake",
+    "split_sentences",
+    "bpe_merge_candidates",
     "dashboard_payload",
     "tfidf_top_terms",
     "doc_rarity",
@@ -1182,6 +1226,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": lambda s, d: corpus.curriculum_order(_docs(s, d)),
         "embedding_outliers": lambda s, d: similarity.embedding_outliers(
             _emb(s, d)
+        ),
+        "mojibake_score": lambda s, d: textstats.mojibake_score(
+            _moji_docs(s, d, _MOJI_SCORE_PREFIX)
+        ),
+        "fix_mojibake": lambda s, d: textstats.fix_mojibake(
+            _moji_docs(s, d, _MOJI_FIX_PREFIX)
+        ),
+        "split_sentences": lambda s, d: textstats.split_sentences(
+            _senty_docs(s, d)
+        ),
+        "bpe_merge_candidates": lambda s, d: corpus.bpe_merge_candidates(
+            _docs(s, d)
         ),
     }
     ordered = {k: base[k] for k in _R9_FRONT}
@@ -5014,5 +5070,89 @@ SELECT vec_id, round(dist, 6) AS dist,
          AS dist_pct_rank,
        (percent_rank() OVER (ORDER BY dist, vec_id)) >= 0.99 AS is_outlier
 FROM d
+"""
+    # ---- round-9b wave 2: encoding damage, sentences, BPE ----
+    # regex classes come from the textstats module constants — ONE
+    # source for both engines (the linky-grammar lesson)
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        _C1_RE,
+        _MOJI2_RE,
+        _MOJI3_RE,
+    )
+
+    out["mojibake_score"] = f"""
+WITH messy AS (SELECT doc_id, '{_MOJI_SCORE_PREFIX}' || text AS text
+               FROM documents),
+c AS (SELECT doc_id,
+        CAST(COALESCE(len(regexp_extract_all(text, '{_MOJI2_RE}')), 0)
+             AS BIGINT) AS n_mojibake2,
+        CAST(COALESCE(len(regexp_extract_all(text, '{_MOJI3_RE}')), 0)
+             AS BIGINT) AS n_mojibake3,
+        CAST(COALESCE(len(regexp_extract_all(text, '\ufffd')), 0)
+             AS BIGINT) AS n_replacement,
+        CAST(COALESCE(len(regexp_extract_all(text, '{_C1_RE}')), 0)
+             AS BIGINT) AS n_c1_controls,
+        CAST(length(text) AS BIGINT) AS n_chars
+      FROM messy)
+SELECT doc_id, n_mojibake2, n_mojibake3, n_replacement, n_c1_controls,
+       CASE WHEN n_chars > 0
+            THEN round(CAST(n_mojibake2 + n_mojibake3 + n_replacement
+                            + n_c1_controls AS DOUBLE)
+                       / CAST(n_chars AS DOUBLE) * 1000, 6)
+       END AS mojibake_per_kchar
+FROM c
+"""
+    # the corpus is pure ASCII (verified), so the repaired text is
+    # exactly the FIXED prefix + body; the NULL branches mirror the
+    # kernel's NULL contract
+    out["fix_mojibake"] = f"""
+SELECT doc_id,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE '{_MOJI_FIXED_PREFIX}' || text END AS text_fixed,
+       text IS NOT NULL AS changed,
+       CASE WHEN text IS NULL THEN NULL
+            ELSE CAST(length('{_MOJI_FIXED_PREFIX}' || text) AS BIGINT)
+       END AS n_chars_fixed
+FROM documents
+"""
+    out["split_sentences"] = f"""
+WITH messy AS (SELECT doc_id,
+                      '{_SENT_PREFIX}' || text || '{_SENT_SUFFIX}' AS text
+               FROM documents),
+s AS (SELECT doc_id, string_split_regex(text, '[.!?]+') AS segs
+      FROM messy WHERE text IS NOT NULL),
+e AS (SELECT doc_id, g.i AS raw_pos,
+             regexp_replace(segs[g.i],
+                            '^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$',
+                            '', 'g') AS sentence
+      FROM s, UNNEST(generate_series(1, len(segs))) AS g(i))
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY raw_pos) - 1
+            AS BIGINT) AS sent_pos,
+       sentence,
+       CAST(length(sentence) AS BIGINT) AS n_chars_sent
+FROM e WHERE length(sentence) > 0
+"""
+    out["bpe_merge_candidates"] = f"""
+WITH occ AS (SELECT t.term AS token
+             FROM (SELECT {_TOKS} AS tk FROM documents),
+                  UNNEST(tk) AS t(term)
+             WHERE t.term <> ''),
+v AS (SELECT token, COUNT(*) AS tok_count FROM occ GROUP BY 1),
+p AS (SELECT tok_count, u.pair
+      FROM (SELECT tok_count,
+                   list_transform(range(1, length(token)),
+                                  i -> substring(token, CAST(i AS INT), 2))
+                     AS prs
+            FROM v),
+           UNNEST(prs) AS u(pair)),
+a AS (SELECT pair, CAST(SUM(tok_count) AS BIGINT) AS n_occurrences
+      FROM p GROUP BY 1),
+top AS (SELECT * FROM a ORDER BY n_occurrences DESC, pair LIMIT 50)
+SELECT substring(pair, 1, 1) AS "left", substring(pair, 2, 1) AS "right",
+       n_occurrences,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS INT)
+         AS pair_rank
+FROM top
 """
     return out

@@ -136,6 +136,10 @@ HEADLINE = [
     "ngram_novelty",
     "curriculum_order",
     "embedding_outliers",
+    "mojibake_score",
+    "fix_mojibake",
+    "split_sentences",
+    "bpe_merge_candidates",
 ]
 
 

@@ -2488,3 +2488,56 @@ def curriculum_order(documents: DataFrame) -> DataFrame:
             "curriculum_pos"
         ),
     )
+
+
+def bpe_merge_candidates(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k adjacent-character-pair counts over the corpus — the
+    candidate table for the FIRST byte-pair-encoding merge (Sennrich
+    et al. 2016): the pair a tokenizer trainer would merge next, with
+    occurrence counts.
+
+    Scale shape is the standard BPE trick: pair counting runs over
+    the AGGREGATED (token, count) vocabulary, never the raw corpus —
+    a 100 TB corpus explodes once to token counts (map-side
+    combinable), then every token contributes its within-token
+    adjacent pairs (overlapping, the BPE definition: ``aaa`` yields
+    ``(a,a)`` twice) weighted by its corpus count. The pair frame is
+    bounded by vocabulary size × token length, not corpus size. The
+    final rank is a TakeOrdered cut (orderBy + limit over the
+    aggregated pair counts) with a window only over the ≤k survivors
+    — the hot_keys pattern. Ties break (count desc, left, right).
+
+    Output: (left, right, n_occurrences, pair_rank).
+    """
+    vocab = (
+        documents.select(F.explode(tokens_expr("text")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tok_count"))
+    )
+    # within-token adjacent pairs: substring windows over the token
+    # string; sequence() DESCENDS when stop < start, so short tokens
+    # need the explicit empty-array guard (the word_shingles idiom)
+    n_pairs = F.length("token") - 1
+    idx = F.when(n_pairs >= 1, F.sequence(F.lit(1), n_pairs)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pairs = vocab.select(
+        "tok_count",
+        F.explode(
+            F.transform(idx, lambda i: F.col("token").substr(i, F.lit(2)))
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("tok_count").alias("n_occurrences")
+    )
+    top = agg.orderBy(
+        F.col("n_occurrences").desc(), F.col("pair")
+    ).limit(k)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair"))
+    return top.select(
+        F.substring("pair", 1, 1).alias("left"),
+        F.substring("pair", 2, 1).alias("right"),
+        "n_occurrences",
+        F.row_number().over(w).cast("int").alias("pair_rank"),
+    )

@@ -1059,3 +1059,162 @@ def filter_blocked_domains(
         hit = hit | (dom == b) | dom.endswith("." + b)
     bad = links.filter(hit).select("doc_id").distinct()
     return documents.join(bad, "doc_id", "left_anti")
+
+
+#: The classic UTF-8-read-as-cp1252 artifact classes. Lead chars
+#: \u00c2/\u00c3 are what 2-byte UTF-8 lead bytes 0xC2/0xC3 display
+#: as under cp1252; the trail class is cp1252's rendering of bytes
+#: 0x80-0xBF (the euro/quote/dash punctuation block plus
+#: U+00A0-U+00BF). Literal character classes only -- identical under
+#: Java regex and RE2. Escapes resolve at import, so BOTH engines see
+#: the same literal class text.
+_MOJI_TRAIL = (
+    "\u20ac\u201a\u0192\u201e\u2026\u2020\u2021\u02c6\u2030\u0160"
+    "\u2039\u0152\u017d\u2018\u2019\u201c\u201d\u2022\u2013\u2014"
+    "\u02dc\u2122\u0161\u203a\u0153\u017e\u0178\u00a0-\u00bf"
+)
+_MOJI2_RE = f"[\u00c2\u00c3][{_MOJI_TRAIL}]"
+_MOJI3_RE = f"[\u00e0-\u00ef][{_MOJI_TRAIL}][{_MOJI_TRAIL}]"
+_C1_RE = "[\u0080-\u009f]"
+
+
+def mojibake_score(documents: DataFrame) -> DataFrame:
+    """Encoding-damage census per document -- the signal a crawl
+    pipeline buckets on before deciding to repair or drop: classic
+    UTF-8-decoded-as-cp1252 artifacts (``caf\u00c3\u00a9``,
+    ``\u00e2\u20ac\u2122``), U+FFFD replacement characters (a
+    decoder already gave up upstream), and stray C1 control
+    codepoints (raw 0x80-0x9F bytes that survived a latin-1 decode).
+    One codegen'd scan of literal-class regex counts;
+    ``mojibake_per_kchar`` is an exact-int ratio scaled by 1000,
+    round-6. NULL text -> zero counts with NULL rate (absent content
+    is not "clean").
+    """
+    two = F.coalesce(F.regexp_count(F.col("text"), F.lit(_MOJI2_RE)), F.lit(0))
+    three = F.coalesce(F.regexp_count(F.col("text"), F.lit(_MOJI3_RE)), F.lit(0))
+    repl = F.coalesce(
+        F.regexp_count(F.col("text"), F.lit("\ufffd")), F.lit(0)
+    )
+    c1 = F.coalesce(F.regexp_count(F.col("text"), F.lit(_C1_RE)), F.lit(0))
+    counted = documents.select(
+        "doc_id",
+        two.cast("bigint").alias("n_mojibake2"),
+        three.cast("bigint").alias("n_mojibake3"),
+        repl.cast("bigint").alias("n_replacement"),
+        c1.cast("bigint").alias("n_c1_controls"),
+        F.length("text").cast("bigint").alias("_n_chars"),
+    )
+    total = (
+        F.col("n_mojibake2")
+        + F.col("n_mojibake3")
+        + F.col("n_replacement")
+        + F.col("n_c1_controls")
+    )
+    return counted.select(
+        "doc_id",
+        "n_mojibake2",
+        "n_mojibake3",
+        "n_replacement",
+        "n_c1_controls",
+        F.when(
+            F.col("_n_chars") > 0,
+            F.round(
+                total.cast("double") / F.col("_n_chars").cast("double") * 1000,
+                6,
+            ),
+        ).alias("mojibake_per_kchar"),
+    )
+
+
+def fix_mojibake(documents: DataFrame) -> DataFrame:
+    """Repair UTF-8-decoded-as-cp1252 mojibake
+    (``caf\u00c3\u00a9`` -> ``caf\u00e9``) -- the ftfy-class fix
+    run between extraction and dedup (the damaged and clean spellings
+    of the same document must hash alike).
+
+    The repair is the cp1252 round trip, ALL-OR-NOTHING per document:
+    re-encode every char through cp1252 (falling back to latin-1 when
+    a char has no cp1252 byte -- the C1 block browsers render for the
+    five cp1252 holes), then strictly re-decode as UTF-8. If any char
+    has no byte under either codec (the text can't have been a
+    cp1252/latin-1 mis-display) or the bytes aren't valid UTF-8 (the
+    text wasn't UTF-8 underneath), the document returns UNCHANGED --
+    clean text round-trips to itself or fails the decode, so the pass
+    is idempotent and never corrupts a healthy document. Runs as one
+    Arrow-batched pandas kernel (pure per-row codec work, no JVM
+    equivalent). Output: (doc_id, text_fixed, changed, n_chars_fixed);
+    NULL text passes through NULL with changed = false.
+    """
+
+    @F.pandas_udf("string")
+    def _fix(texts: pd.Series) -> pd.Series:
+        def repair(s):
+            if s is None:
+                return None
+            try:
+                b = s.encode("cp1252", errors="strict")
+            except UnicodeEncodeError:
+                try:
+                    b = s.encode("latin-1", errors="strict")
+                except UnicodeEncodeError:
+                    return s
+            try:
+                return b.decode("utf-8", errors="strict")
+            except UnicodeDecodeError:
+                return s
+
+        return texts.map(repair)
+
+    return documents.select(
+        "doc_id",
+        F.col("text").alias("_orig"),
+        _fix(F.col("text")).alias("text_fixed"),
+    ).select(
+        "doc_id",
+        "text_fixed",
+        F.coalesce(F.col("text_fixed") != F.col("_orig"), F.lit(False)).alias(
+            "changed"
+        ),
+        F.length("text_fixed").cast("bigint").alias("n_chars_fixed"),
+    )
+
+
+def split_sentences(documents: DataFrame) -> DataFrame:
+    """Sentence segmentation: one row per sentence in document order --
+    the grain chunkers, per-sentence dedup, and context-window packing
+    operate on.
+
+    Boundaries are terminal-punctuation runs ``[.!?]+`` (the same
+    proxy ``readability`` counts, so the two agree on what a sentence
+    is); segments are trimmed of explicit whitespace
+    (``[ \\t\\n\\f\\r]`` -- never ``\\s``, the Java/RE2
+    ``\\x0B`` seam) and empty segments drop. ``sent_pos`` numbers
+    the KEPT sentences 0..n-1 per doc via a doc-partitioned window.
+    One scan + bounded explode. Output: (doc_id, sent_pos, sentence,
+    n_chars_sent).
+    """
+    from pyspark.sql import Window
+
+    segs = (
+        documents.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), "[.!?]+")).alias(
+                "_raw_pos", "_seg"
+            ),
+        )
+        .select(
+            "doc_id",
+            "_raw_pos",
+            F.regexp_replace(
+                F.col("_seg"), "^[ \\t\\n\\f\\r]+|[ \\t\\n\\f\\r]+$", ""
+            ).alias("sentence"),
+        )
+        .filter(F.length("sentence") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("_raw_pos")
+    return segs.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("bigint").alias("sent_pos"),
+        "sentence",
+        F.length("sentence").cast("bigint").alias("n_chars_sent"),
+    )

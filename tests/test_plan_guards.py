@@ -124,6 +124,9 @@ SCALAR_BROADCAST = {
 #:     partition by type/source so they never appear here)
 UNPARTITIONED_WINDOW_BASELINES = {
     "ann_ivf_topk",
+    # rank-the-survivors: TakeOrdered(50) runs first, the window sees
+    # <=k aggregated pair rows (the hot_keys pattern)
+    "bpe_merge_candidates",
     # embedding_outliers' cumulative below-count runs over the
     # AGGREGATED distance-bucket histogram (bounded by value spread),
     # never the corpus — the per-row rank window is bucket-partitioned

@@ -287,3 +287,115 @@ def test_embedding_outliers_deterministic_centroid(spark):
     a = sorted(similarity.embedding_outliers(e.repartition(1)).collect())
     b = sorted(similarity.embedding_outliers(e.repartition(7)).collect())
     assert a == b
+
+
+# ------------------------------------------------------------------ #
+# mojibake_score / fix_mojibake
+# ------------------------------------------------------------------ #
+
+MOJI2 = "caf\u00c3\u00a9"          # UTF-8 'caf\u00e9' read as cp1252
+MOJI3 = "it\u00e2\u20ac\u2122s"   # UTF-8 right-quote read as cp1252
+
+
+def test_mojibake_score_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (MOJI2 + " ok", "a"),            # one 2-byte artifact
+            (MOJI3, "a"),                     # one 3-byte artifact
+            ("bad \ufffd char \u0080", "a"),  # replacement + C1
+            ("clean ascii text.", "a"),
+            (None, "a"),
+        ],
+    )
+    out = {r.doc_id: r for r in textstats.mojibake_score(docs).collect()}
+    assert out[0].n_mojibake2 == 1 and out[0].n_mojibake3 == 0
+    assert out[1].n_mojibake3 == 1 and out[1].n_mojibake2 == 0
+    assert out[2].n_replacement == 1 and out[2].n_c1_controls == 1
+    assert out[3].n_mojibake2 == 0 and out[3].mojibake_per_kchar == 0.0
+    assert out[4].n_mojibake2 == 0 and out[4].mojibake_per_kchar is None
+    # rate: 1 artifact over len(MOJI2 + ' ok') chars * 1000, round 6
+    n = len(MOJI2 + " ok")
+    assert out[0].mojibake_per_kchar == pytest.approx(
+        round(1 / n * 1000, 6), abs=1e-9
+    )
+
+
+def test_fix_mojibake_repairs_and_is_idempotent(spark):
+    docs = _docs(
+        spark,
+        [
+            (MOJI2, "a"),
+            (MOJI3, "a"),
+            ("caf\u00e9 already clean", "a"),   # round-trip fails utf-8
+            ("plain ascii", "a"),                 # round-trips to itself
+            ("\u65e5\u672c", "a"),              # not byte-mappable
+            (None, "a"),
+        ],
+    )
+    out = {r.doc_id: r for r in textstats.fix_mojibake(docs).collect()}
+    assert out[0].text_fixed == "caf\u00e9" and out[0].changed
+    assert out[1].text_fixed == "it\u2019s" and out[1].changed
+    assert out[2].text_fixed == "caf\u00e9 already clean" and not out[2].changed
+    assert out[3].text_fixed == "plain ascii" and not out[3].changed
+    assert out[4].text_fixed == "\u65e5\u672c" and not out[4].changed
+    assert out[5].text_fixed is None and not out[5].changed
+    # idempotent: a second pass changes nothing
+    fixed_docs = _docs(spark, [(out[0].text_fixed, "a")])
+    again = textstats.fix_mojibake(fixed_docs).collect()[0]
+    assert again.text_fixed == "caf\u00e9" and not again.changed
+
+
+# ------------------------------------------------------------------ #
+# split_sentences
+# ------------------------------------------------------------------ #
+
+
+def test_split_sentences_order_and_trim(spark):
+    docs = _docs(
+        spark,
+        [
+            ("One two. Three!  Four? \t trailing", "a"),
+            ("no terminal punct", "a"),
+            ("...", "a"),     # only boundaries -> no sentences
+            ("", "a"),
+            (None, "a"),
+        ],
+    )
+    rows = textstats.split_sentences(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.sent_pos, r.sentence))
+    assert sorted(by_doc[0]) == [
+        (0, "One two"), (1, "Three"), (2, "Four"), (3, "trailing")
+    ]
+    assert by_doc[1] == [(0, "no terminal punct")]
+    assert 2 not in by_doc and 3 not in by_doc and 4 not in by_doc
+    n = {r.sentence: r.n_chars_sent for r in rows if r.doc_id == 0}
+    assert n["One two"] == 7
+
+
+# ------------------------------------------------------------------ #
+# bpe_merge_candidates
+# ------------------------------------------------------------------ #
+
+
+def test_bpe_merge_candidates_weighted_overlapping(spark):
+    # vocab: aa x2, bb x1, aaa x1 -> pairs: 'aa' from aa (1 pair x2)
+    # + from aaa (2 overlapping pairs x1) = 4; 'bb' = 1
+    docs = _docs(spark, [("aa bb aa", "s"), ("aaa", "s")])
+    rows = corpus.bpe_merge_candidates(docs).collect()
+    by_pair = {(r.left, r.right): r for r in rows}
+    assert by_pair[("a", "a")].n_occurrences == 4
+    assert by_pair[("a", "a")].pair_rank == 1
+    assert by_pair[("b", "b")].n_occurrences == 1
+    assert by_pair[("b", "b")].pair_rank == 2
+
+
+def test_bpe_merge_candidates_k_cut_and_ties(spark):
+    # ab, cd, ef each once -> tie on count, rank breaks on pair text
+    docs = _docs(spark, [("ab cd ef", "s")])
+    rows = corpus.bpe_merge_candidates(docs, k=2).collect()
+    assert [(r.left, r.right, r.pair_rank) for r in rows] == [
+        ("a", "b", 1), ("c", "d", 2)
+    ]
