@@ -83,26 +83,16 @@ _SENT_PREFIX = "First sentence. \t"
 _SENT_SUFFIX = "! Tail one?\nEnd"
 
 
-def _moji_docs(spark, sf_dir, prefix):
+def _wrapped_docs(spark, sf_dir, prefix, suffix=""):
+    """documents with deterministic planted text around the body —
+    one wrapper for the mojibake and sentence entries (same column
+    list as _docs, so the oracles' ``prefix || text || suffix``
+    construction stays the single other copy)."""
     from pyspark.sql import functions as F
 
     return _docs(spark, sf_dir).select(
         "doc_id",
-        F.concat(F.lit(prefix), F.col("text")).alias("text"),
-        "lang",
-        "source",
-        "n_chars",
-    )
-
-
-def _senty_docs(spark, sf_dir):
-    from pyspark.sql import functions as F
-
-    return _docs(spark, sf_dir).select(
-        "doc_id",
-        F.concat(
-            F.lit(_SENT_PREFIX), F.col("text"), F.lit(_SENT_SUFFIX)
-        ).alias("text"),
+        F.concat(F.lit(prefix), F.col("text"), F.lit(suffix)).alias("text"),
         "lang",
         "source",
         "n_chars",
@@ -1228,13 +1218,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d)
         ),
         "mojibake_score": lambda s, d: textstats.mojibake_score(
-            _moji_docs(s, d, _MOJI_SCORE_PREFIX)
+            _wrapped_docs(s, d, _MOJI_SCORE_PREFIX)
         ),
         "fix_mojibake": lambda s, d: textstats.fix_mojibake(
-            _moji_docs(s, d, _MOJI_FIX_PREFIX)
+            _wrapped_docs(s, d, _MOJI_FIX_PREFIX)
         ),
         "split_sentences": lambda s, d: textstats.split_sentences(
-            _senty_docs(s, d)
+            _wrapped_docs(s, d, _SENT_PREFIX, _SENT_SUFFIX)
         ),
         "bpe_merge_candidates": lambda s, d: corpus.bpe_merge_candidates(
             _docs(s, d)

@@ -1135,22 +1135,42 @@ def fix_mojibake(documents: DataFrame) -> DataFrame:
     The repair is the cp1252 round trip, ALL-OR-NOTHING per document:
     re-encode every char through cp1252 (falling back to latin-1 when
     a char has no cp1252 byte -- the C1 block browsers render for the
-    five cp1252 holes), then strictly re-decode as UTF-8. If any char
-    has no byte under either codec (the text can't have been a
-    cp1252/latin-1 mis-display) or the bytes aren't valid UTF-8 (the
-    text wasn't UTF-8 underneath), the document returns UNCHANGED --
-    clean text round-trips to itself or fails the decode, so the pass
-    is idempotent and never corrupts a healthy document. Runs as one
-    Arrow-batched pandas kernel (pure per-row codec work, no JVM
-    equivalent). Output: (doc_id, text_fixed, changed, n_chars_fixed);
-    NULL text passes through NULL with changed = false.
+    five cp1252 holes), then strictly re-decode as UTF-8 -- and the
+    rewrite is ARTIFACT-GATED: it applies only when the original text
+    actually shows cp1252 artifacts (the ``mojibake_score`` classes)
+    AND the rewrite strictly reduces their count. The gate is what
+    makes the pass safe for ordinary accented text: an UNGATED round
+    trip rewrites ANY text whose cp1252 bytes coincidentally form
+    valid UTF-8, while gated, artifact-free text (``caf\\u00e9 au
+    lait`` -- accented chars NOT followed by trail-class chars) is
+    untouched by construction. Repeated application peels one
+    encoding layer per pass (double-encoded mojibake needs two) and
+    stops at clean text -- convergent, each pass a strict artifact
+    reduction. The honest residual is the inherently AMBIGUOUS case:
+    an accented char followed by two cp1252-trail chars (e.g.
+    ``\\u00e9\\u00a7\\u00a7``) is byte-for-byte indistinguishable
+    from real 3-byte mojibake, and the fixer sides with "damaged" --
+    the same call every round-trip fixer makes short of a
+    language-model segmenter. Runs as one Arrow-batched pandas kernel
+    (pure per-row
+    codec work, no JVM equivalent). Output: (doc_id, text_fixed,
+    changed, n_chars_fixed); NULL text passes through NULL with
+    changed = false.
     """
+    import re as _re
+
+    artifact_re = _re.compile(
+        f"{_MOJI2_RE}|{_MOJI3_RE}|{_C1_RE}|�"
+    )
 
     @F.pandas_udf("string")
     def _fix(texts: pd.Series) -> pd.Series:
         def repair(s):
             if s is None:
                 return None
+            n_art = len(artifact_re.findall(s))
+            if n_art == 0:
+                return s
             try:
                 b = s.encode("cp1252", errors="strict")
             except UnicodeEncodeError:
@@ -1159,9 +1179,10 @@ def fix_mojibake(documents: DataFrame) -> DataFrame:
                 except UnicodeEncodeError:
                     return s
             try:
-                return b.decode("utf-8", errors="strict")
+                fixed = b.decode("utf-8", errors="strict")
             except UnicodeDecodeError:
                 return s
+            return fixed if len(artifact_re.findall(fixed)) < n_art else s
 
         return texts.map(repair)
 

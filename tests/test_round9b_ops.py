@@ -399,3 +399,26 @@ def test_bpe_merge_candidates_k_cut_and_ties(spark):
     assert [(r.left, r.right, r.pair_rank) for r in rows] == [
         ("a", "b", 1), ("c", "d", 2)
     ]
+
+
+def test_fix_mojibake_artifact_gate(spark):
+    # ordinary accented text (accents NOT followed by cp1252-trail
+    # chars) shows no artifacts -> the gate leaves it untouched, even
+    # though its cp1252 bytes would round-trip
+    healthy = "caf\u00e9 au lait"
+    # double-encoded mojibake peels one layer per pass and converges
+    double = "\u00c3\u0192\u00c2\u00a9"  # 'é' UTF-8-encoded twice
+    docs = _docs(spark, [(healthy, "a"), (double, "a")])
+    out = {r.doc_id: r for r in textstats.fix_mojibake(docs).collect()}
+    assert out[0].text_fixed == healthy and not out[0].changed
+    assert out[1].text_fixed == "\u00c3\u00a9" and out[1].changed
+    # second pass finishes the peel
+    again = textstats.fix_mojibake(
+        _docs(spark, [(out[1].text_fixed, "a")])
+    ).collect()[0]
+    assert again.text_fixed == "\u00e9" and again.changed
+    # third pass: clean, untouched
+    third = textstats.fix_mojibake(
+        _docs(spark, [(again.text_fixed, "a")])
+    ).collect()[0]
+    assert third.text_fixed == "\u00e9" and not third.changed
