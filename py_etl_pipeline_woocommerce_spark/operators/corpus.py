@@ -2458,6 +2458,17 @@ def curriculum_order(documents: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )
+    if not counts:
+        # empty corpus: a zero-element F.array() types as VOID and
+        # breaks the fold's struct access — the curriculum of nothing
+        # is the (correctly-typed) empty frame
+        return ranked.select(
+            "doc_id",
+            "source",
+            "quality",
+            "source_rank",
+            F.lit(0).cast("bigint").alias("curriculum_pos"),
+        )
     cnt_arr = F.array(
         *[
             F.struct(

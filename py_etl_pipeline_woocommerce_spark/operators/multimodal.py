@@ -78,7 +78,10 @@ def png_decode(payload: bytes) -> tuple[int, int, list]:
         raise ValueError("png_decode: not a PNG signature")
     w = h = None
     ctype = None
-    idat = b""
+    # accumulate IDAT chunks in a list: encoders emit thousands of
+    # small chunks for big images, and bytes += copies the whole
+    # buffer each time (quadratic); one join is linear
+    idat_parts: list[bytes] = []
     for t, c in _png_chunks(payload):
         if t == b"IHDR":
             if len(c) != 13:
@@ -92,14 +95,14 @@ def png_decode(payload: bytes) -> tuple[int, int, list]:
                     "non-interlaced PNGs supported"
                 )
         elif t == b"IDAT":
-            idat += c
+            idat_parts.append(c)
         elif t == b"IEND":
             break
     if w is None:
         raise ValueError("png_decode: missing IHDR")
     nch = {0: 1, 2: 3, 6: 4}[ctype]
     try:
-        raw = zlib.decompress(idat)
+        raw = zlib.decompress(b"".join(idat_parts))
     except zlib.error as e:  # keep the documented ValueError contract
         raise ValueError(f"png_decode: corrupt IDAT stream ({e})") from e
     stride = w * nch
@@ -196,11 +199,17 @@ def wav_decode(payload: bytes) -> tuple[int, int, "object"]:
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        nch = w.getnchannels()
-        sampwidth = w.getsampwidth()
-        rate = w.getframerate()
-        raw = w.readframes(w.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            nch = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            rate = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError) as e:
+        # non-RIFF or truncated bytes: keep the module's documented
+        # ValueError-on-corruption contract (png_decode does the same
+        # for zlib.error) so callers' error paths catch it
+        raise ValueError(f"wav_decode: corrupt or non-WAV bytes ({e})") from e
     if sampwidth == 3:
         # 24-bit: sign-extend each little-endian byte triple into
         # int32 (the high byte viewed int8 carries the sign)
@@ -421,9 +430,14 @@ def extract_features(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
+            # a NULL mime_type also yields a NULL feature: the
+            # modality gate alone would pass the row to a real
+            # decoder, which raises on an unidentifiable payload and
+            # fails the whole job on one malformed row
             feats = [
                 decoder(p, m)
                 if p is not None
+                and m is not None
                 and (modalities is None or mod in modalities)
                 else None
                 for p, m, mod in zip(
@@ -434,8 +448,11 @@ def extract_features(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
+                    # NULL payload -> NULL length (NOT 0, the length
+                    # of b""), agreeing with media_metadata's
+                    # F.length and the NULL content_hash below
                     "n_bytes": pdf["payload"].map(
-                        lambda b: len(b) if b is not None else 0
+                        lambda b: len(b) if b is not None else None
                     ),
                     # NULL payload -> NULL hash (NOT md5 of b"") so
                     # this column agrees with dedup_media_exact's
@@ -506,17 +523,34 @@ def resize_images(
         for pdf in it:
             out = pdf.copy()
             # NULL payload passes through as NULL — no content to
-            # resize, and a real resizer would crash on b""
+            # resize, and a real resizer would crash on b""; its
+            # box metadata stays AS-IS too (stamping the target box
+            # on a payload-less row would describe a thumbnail that
+            # does not exist)
+            resized_flags = [p is not None for p in pdf["payload"]]
             out["payload"] = [
-                None if p is None else resizer(p, m, width, height)
-                for p, m in zip(pdf["payload"], pdf["mime_type"])
+                resizer(p, m, width, height) if done else None
+                for p, m, done in zip(
+                    pdf["payload"], pdf["mime_type"], resized_flags
+                )
             ]
-            out["width"] = width
-            out["height"] = height
+            out["width"] = [
+                width if done else w0
+                for w0, done in zip(pdf["width"], resized_flags)
+            ]
+            out["height"] = [
+                height if done else h0
+                for h0, done in zip(pdf["height"], resized_flags)
+            ]
             yield out
 
     images = media.filter(F.col("modality") == "image")
-    others = media.filter(F.col("modality") != "image")
+    # NULL-modality rows belong to NEITHER disjoint filter (NULL
+    # comparisons are false on both sides) — route them through the
+    # pass-through branch or they silently vanish from the output
+    others = media.filter(
+        (F.col("modality") != "image") | F.col("modality").isNull()
+    )
     resized = images.mapInPandas(batches, schema=media.schema)
     return resized.unionByName(others)
 
@@ -525,19 +559,22 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode a frame-timestamp grid
     from duration metadata (decode of each frame is the stubbed
     step). Pure JVM ``sequence``+``explode`` — the expensive decode
-    fan-out is expressed as rows so Spark parallelizes it."""
+    fan-out is expressed as rows so Spark parallelizes it. A video
+    with NULL or zero duration samples NO frames (greatest() skips
+    NULLs, so the old floor-at-0 emitted a phantom frame_ts 0 for
+    exactly the rows that have nothing to decode — and diverged from
+    the oracle's empty range())."""
+    grid = F.when(
+        F.col("duration_ms").isNotNull() & (F.col("duration_ms") > 0),
+        F.sequence(
+            F.lit(0).cast("bigint"),
+            (F.col("duration_ms") - 1).cast("bigint"),
+            F.lit(every_ms).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
     return (
         media.filter(F.col("modality") == "video")
-        .select(
-            "media_id",
-            F.explode(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(F.col("duration_ms") - 1, F.lit(0)),
-                    F.lit(every_ms),
-                )
-            ).alias("frame_ts_ms"),
-        )
+        .select("media_id", F.explode(grid).alias("frame_ts_ms"))
     )
 
 

@@ -28,11 +28,15 @@ def _tag_sessions(events: DataFrame, gap_minutes: int) -> DataFrame:
     surfaces can never silently diverge.
 
     Integer-microsecond arithmetic: ``ts`` arrives as epoch-ns longs
-    (see session.py nanosAsLong), floor-divided to µs so gap
-    comparison and session bounds are exact integer ops. Returns the
-    event-grain frame with ``ts_us`` and ``session_seq`` stamped —
-    one user-keyed sort, both windows sharing it."""
-    e = events.withColumn("ts_us", F.expr("ts div 1000"))
+    (see session.py nanosAsLong), FLOOR-divided to µs so gap
+    comparison and session bounds are exact integer ops — ``div``
+    alone truncates toward zero, which for a pre-1970 timestamp with
+    sub-µs residue lands one µs above the true floor and can split a
+    threshold-straddling session differently from an epoch_us oracle;
+    ``(ts - pmod(ts, 1000)) div 1000`` floors for either sign.
+    Returns the event-grain frame with ``ts_us`` and ``session_seq``
+    stamped — one user-keyed sort, both windows sharing it."""
+    e = events.withColumn("ts_us", F.expr("(ts - pmod(ts, 1000)) div 1000"))
     order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag("ts_us").over(order)

@@ -47,8 +47,10 @@ def test_decode_seams_and_loud_failures():
         decode_media(b"ID3", "audio/mpeg")  # compressed codec: seam
     with pytest.raises(NotImplementedError):
         decode_media(b"mp4", "video/mp4")
-    # PCM WAV decodes for real now — truncated bytes fail loudly
-    with pytest.raises((wave.Error, EOFError)):
+    # PCM WAV decodes for real now — truncated bytes fail loudly with
+    # the module's documented ValueError contract (raw wave.Error
+    # escaping would miss callers' error paths, like png's zlib.error)
+    with pytest.raises(ValueError):
         decode_media(b"RIFF", "audio/wav")
     # pin the LOUD decode error precisely: a regression back to the
     # NotImplementedError stub (or any other exception type) must fail
@@ -638,3 +640,96 @@ def test_write_bucketed_emits_one_file_per_bucket(spark):
     finally:
         drop_table(spark, "bucket_filecount_probe")
         shutil.rmtree("spark-warehouse/bucket_filecount_probe", ignore_errors=True)
+
+
+def test_null_modality_rows_survive_resize(spark):
+    """A NULL-modality row lands in NEITHER disjoint filter branch
+    (NULL comparisons are false both ways) — the pass-through branch
+    must route it or the row silently vanishes."""
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/png", b"img", 64, 64, None),
+            (2, None, None, b"mystery", 10, 20, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(df, 8, 8).collect()}
+    assert set(out) == {1, 2}
+    # the NULL-modality row passes through completely untouched
+    assert out[2].payload == b"mystery" and out[2].width == 10
+
+
+def test_resize_keeps_box_on_null_payload(spark):
+    """A payload-less image row is NOT resized, so its width/height
+    must stay as-is — stamping the target box would describe a
+    thumbnail that does not exist."""
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/png", b"img", 64, 48, None),
+            (2, "image", "image/png", None, 100, 200, None),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r.media_id: r for r in resize_images(df, 8, 8).collect()}
+    assert (out[1].width, out[1].height) == (8, 8)
+    assert out[2].payload is None
+    assert (out[2].width, out[2].height) == (100, 200)
+
+
+def test_frame_sample_plan_null_and_zero_duration(spark):
+    """NULL/zero-duration videos sample NO frames — the old
+    greatest()-floor emitted a phantom frame 0 for exactly the rows
+    with nothing to decode (and diverged from the oracle's empty
+    range())."""
+    df = spark.createDataFrame(
+        [
+            (1, "video", "video/mp4", b"v", None, None, None),
+            (2, "video", "video/mp4", b"v", None, None, 0),
+            (3, "video", "video/mp4", b"v", None, None, 1),
+            (4, "video", "video/mp4", b"v", None, None, 2_500),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = frame_sample_plan(df, every_ms=1000).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.media_id, []).append(r.frame_ts_ms)
+    assert 1 not in got and 2 not in got
+    assert sorted(got[3]) == [0]
+    assert sorted(got[4]) == [0, 1000, 2000]
+
+
+def test_extract_features_null_mime_and_null_nbytes(spark):
+    """NULL mime_type -> NULL feature (not a job-killing decoder
+    raise); NULL payload -> NULL n_bytes (0 is the length of b"" and
+    must not alias 'missing')."""
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        image_decode,
+    )
+
+    payload, _ = _checker_png()
+    df = spark.createDataFrame(
+        [
+            (1, "image", "image/png", payload, 2, 2, None),
+            (2, "image", None, payload, 2, 2, None),     # NULL mime
+            (3, "image", "image/png", None, 2, 2, None),  # NULL payload
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {
+        r.media_id: r
+        for r in extract_features(
+            df, decoder=image_decode, modalities=("image",)
+        ).collect()
+    }
+    assert out[1].feature is not None and out[1].n_bytes == len(payload)
+    assert out[2].feature is None          # gated, no decoder crash
+    assert out[3].n_bytes is None and out[3].content_hash is None
