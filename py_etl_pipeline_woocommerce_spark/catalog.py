@@ -32,7 +32,9 @@ TABLES = (
 #: dim-sized relative to the facts, but a forced F.broadcast hint on
 #: them bypasses the 8 GB broadcast ceiling and OOMs at large SF, so
 #: they are joined UNHINTED and AQE broadcasts them whenever they
-#: actually fit (which at small/mid SF they always do).
+#: actually fit (which at small/mid SF they always do). ENFORCED by
+#: tests/test_plan_guards.py::test_constant_dims_never_shuffle, which
+#: fails any driver query whose plan hash-exchanges these dims.
 BROADCAST_DIMS = ("region", "nation")
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -104,9 +106,16 @@ def register_model_views(
     ``ddl.sql`` defines) plus the six dashboard marts — so a SQL user
     can ``spark.sql("SELECT … FROM fct_orders WHERE …")`` exactly as
     they query the reference warehouse today. Views are lazy logical
-    plans: registering costs nothing, every query through them gets
-    full Catalyst pushdown/pruning, and a filter on a view prunes the
-    underlying parquet scan like the hand-built DataFrame would.
+    plans: every query through them gets full Catalyst
+    pushdown/pruning, and a filter on a view prunes the underlying
+    parquet scan like the hand-built DataFrame would.
+
+    Cost note: registration ITSELF performs ~20 base-table loads
+    (each mart builder calls load_table, and a parquet load eagerly
+    lists files + reads footers) — a one-time per-session cost that
+    is trivial here but visible on a lake with thousands of files per
+    table; if that ever matters, thread ``load_all``'s dict through
+    the mart builders instead of the (spark, sf_dir) pair.
     """
     from .plans import analytics, woo_model
 

@@ -68,12 +68,19 @@ def read_jsonl_quarantine(
     well-formed: good rows flow on, corrupt raw lines are preserved
     for triage instead of killing the job or vanishing.
 
-    ``persisted_frames`` is accepted for backward compatibility and
-    no longer needed: the shared scan is a lazy ``localCheckpoint``
-    rather than a ``cache()``, so its blocks are released by Spark's
-    ContextCleaner once the returned frames go out of scope instead
-    of pinning one copy per call for the session's lifetime.
+    Pass ``persisted_frames`` (a list) to receive the shared
+    materialized frame for deterministic release: call
+    ``f.unpersist()`` on it when both branches are consumed. Without
+    it the persisted scan stays in the session's cache until the
+    session ends — the documented cost of the SPARK-21610 unblock.
+    The materialization is ``persist(MEMORY_AND_DISK)``, NOT a
+    ``localCheckpoint``: checkpoint blocks are non-recomputable, so
+    on a real cluster one lost executor (spot nodes, dynamic
+    allocation) would make BOTH branches permanently unreadable,
+    while a persisted frame just recomputes from the files.
     """
+    from pyspark.storagelevel import StorageLevel
+
     with_corrupt = T.StructType(
         list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())]
     )
@@ -84,8 +91,8 @@ def read_jsonl_quarantine(
         # Spark disallows filtering raw file scans on the corrupt
         # column alone (SPARK-21610); materializing the parsed frame
         # is the documented unblock — and both branches reuse the one
-        # scan. Lazy checkpoint, not cache: GC-managed lifetime.
-        .localCheckpoint(eager=False)
+        # scan.
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if persisted_frames is not None:
         persisted_frames.append(raw)
@@ -110,11 +117,15 @@ def read_orc(
     """
     df = spark.read.options(**options).orc(path)
     if schema is not None:
-        # Full positional contract: name, type, nullability, in
-        # declared order. A dict compare would let reordered columns
-        # or nullability drift slip through the "fails loudly" claim.
-        got = [(f.name, f.dataType, f.nullable) for f in df.schema.fields]
-        want = [(f.name, f.dataType, f.nullable) for f in schema.fields]
+        # Positional contract: name and type, in declared order (a
+        # dict compare would let reordered columns slip through).
+        # Nullability is deliberately EXCLUDED: Spark file-source
+        # reads report every column nullable=True regardless of the
+        # file, so comparing it can never catch real drift — it only
+        # false-fails any contract schema that declares a required
+        # field (MEDIA_SCHEMA, FCT_ORDERS_SCHEMA all do).
+        got = [(f.name, f.dataType) for f in df.schema.fields]
+        want = [(f.name, f.dataType) for f in schema.fields]
         if got != want:
             raise ValueError(
                 f"ORC schema drift at {path}: got {got}, expected {want}"
@@ -135,15 +146,16 @@ def read_binary_dir(
 ) -> DataFrame:
     """Raw-asset ingestion via Spark's built-in ``binaryFile`` source:
     one row per file with (path, modificationTime, length, content) —
-    the landing step that feeds the multimodal pipeline
-    (``operators/multimodal.py`` expects exactly this binary-column
-    shape). Images/audio/video land as opaque bytes; decode happens
+    the landing step BEFORE the multimodal pipeline; adapt to the
+    MEDIA_SCHEMA the operators consume with ``binary_to_media``.
+    Images/audio/video land as opaque bytes; decode happens
     downstream in Arrow-batched UDFs, never here.
 
     ``glob`` filters by pattern at the LISTING level
     (``pathGlobFilter`` — unmatched files are never opened);
-    ``max_bytes`` pushes a length predicate that skips oversized
-    assets from the file footer stats. At 100 TB the directory is
+    ``max_bytes`` filters on the file-status ``length`` (binary files
+    have no footers — the skip comes from directory metadata, so
+    oversized assets are never read). At 100 TB the directory is
     millions of objects: listing parallelizes across the cluster, and
     each file is one task-local read — no shuffle at all.
     """
@@ -156,6 +168,59 @@ def read_binary_dir(
     return df
 
 
+#: extension → (modality, mime) for the binary→media adapter; the
+#: deliberate subset a curation pipeline actually routes (anything
+#: else lands modality NULL and is the caller's policy to keep/drop).
+_EXT_MEDIA = {
+    "png": ("image", "image/png"),
+    "jpg": ("image", "image/jpeg"),
+    "jpeg": ("image", "image/jpeg"),
+    "gif": ("image", "image/gif"),
+    "webp": ("image", "image/webp"),
+    "wav": ("audio", "audio/wav"),
+    "mp3": ("audio", "audio/mpeg"),
+    "flac": ("audio", "audio/flac"),
+    "ogg": ("audio", "audio/ogg"),
+    "mp4": ("video", "video/mp4"),
+    "mkv": ("video", "video/x-matroska"),
+    "webm": ("video", "video/webm"),
+}
+
+
+def binary_to_media(binary_df: DataFrame) -> DataFrame:
+    """Adapt a ``read_binary_dir`` frame to the MEDIA_SCHEMA shape
+    the multimodal operators consume (media_id, modality, mime_type,
+    payload, width, height, duration_ms): media_id is a deterministic
+    md5-derived bigint of the file path (stable across runs and
+    cluster layouts — never ``monotonically_increasing_id``, whose
+    values depend on partitioning), modality/mime come from the
+    extension map, and box/duration metadata start NULL — they are
+    decode outputs (``media_metadata``), not listing facts. Unknown
+    extensions keep their rows with NULL modality/mime: dropping at
+    the adapter would silently lose assets the caller may still want
+    to route.
+    """
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([A-Za-z0-9]+)$", 1))
+    modality = F.lit(None).cast("string")
+    mime = F.lit(None).cast("string")
+    for e, (mod, mt) in sorted(_EXT_MEDIA.items()):
+        modality = F.when(ext == e, F.lit(mod)).otherwise(modality)
+        mime = F.when(ext == e, F.lit(mt)).otherwise(mime)
+    media_id = (
+        F.conv(F.substring(F.md5(F.col("path")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    return binary_df.select(
+        media_id.alias("media_id"),
+        modality.alias("modality"),
+        mime.alias("mime_type"),
+        F.col("content").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
 def read_text_docs(
     spark: SparkSession,
     path: str,
@@ -165,8 +230,19 @@ def read_text_docs(
     ``whole_file=False`` maps one LINE per document row (the JSONL-
     adjacent "one doc per line" crawl export), ``whole_file=True``
     maps one FILE per document (book/article dumps). Output is
-    (doc_path, text) ready for ``doc_fingerprint``/``corpus_prep``;
-    a stable doc_id comes from the existing md5 helpers downstream.
+    (doc_path, text) — NO doc_id: the text source exposes no line
+    numbers, so line mode has no stable positional identity to mint
+    (a path-derived id would collide across every line of a file);
+    assign one downstream at a grain you control (whole-file mode:
+    md5 of doc_path; line mode: after an explicit ordering or from
+    content where collisions are the point, as in dedup).
+
+    Empty lines are KEPT: "one doc per line" means row count equals
+    the file's line count (sidecar indexes and positional joins
+    depend on it), and an empty document is the caller's policy to
+    drop — silently filtering here contradicted the module's
+    loud-failure contract and diverged from whole-file mode, which
+    keeps empty files.
 
     Pure scan, no shuffle; line mode splits large files across tasks,
     whole-file mode is one task per file (bounded by the largest
@@ -174,13 +250,10 @@ def read_text_docs(
     """
     # NOTE: must be the .text() kwarg — DataFrameReader.text() passes
     # its own wholetext default, which overrides a prior .option().
-    df = (
+    return (
         spark.read.text(path, wholetext=whole_file)
         .select(
             F.input_file_name().alias("doc_path"),
             F.col("value").alias("text"),
         )
     )
-    if not whole_file:
-        df = df.filter(F.length("text") > 0)
-    return df

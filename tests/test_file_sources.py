@@ -244,10 +244,71 @@ def test_read_text_docs_line_and_whole_file_modes(spark, tmp_path):
     (tmp_path / "d1.txt").write_text("first doc\nsecond doc\n\nthird doc\n")
     (tmp_path / "d2.txt").write_text("whole file doc\nwith two lines\n")
     lines = read_text_docs(spark, str(tmp_path)).collect()
+    # empty lines are KEPT: row count == the files' line count, so
+    # sidecar indexes / positional joins stay aligned; dropping empty
+    # docs is the caller's policy, not the reader's
     assert sorted(r.text for r in lines) == sorted(
-        ["first doc", "second doc", "third doc", "whole file doc", "with two lines"]
-    )  # empty line dropped
+        ["first doc", "second doc", "", "third doc",
+         "whole file doc", "with two lines"]
+    )
     whole = read_text_docs(spark, str(tmp_path), whole_file=True).collect()
     texts = {r.doc_path.rsplit("/", 1)[-1]: r.text for r in whole}
     assert texts["d2.txt"] == "whole file doc\nwith two lines\n"
     assert len(whole) == 2
+
+
+def test_orc_contract_accepts_non_nullable_schema(spark, tmp_path, sf_dir):
+    """File-source reads report every column nullable=True, so a
+    contract schema declaring required fields must still PASS the
+    drift check (nullability is excluded from the compare — it could
+    only ever false-fail, never catch real drift)."""
+    from pyspark.sql import types as T
+
+    from py_etl_pipeline_woocommerce_spark.sources.files import (
+        read_orc,
+        write_orc,
+    )
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, name string")
+    out = str(tmp_path / "orc_nn")
+    write_orc(df, out)
+    contract = T.StructType(
+        [
+            T.StructField("id", T.LongType(), nullable=False),
+            T.StructField("name", T.StringType(), nullable=True),
+        ]
+    )
+    got = read_orc(spark, out, schema=contract)
+    assert got.count() == 1
+
+
+def test_binary_to_media_adapter(spark, tmp_path):
+    """read_binary_dir -> binary_to_media -> media_metadata is the
+    landing-to-operators path: deterministic path-derived media_id,
+    extension-mapped modality/mime, unknown extensions kept with
+    NULL modality."""
+    from py_etl_pipeline_woocommerce_spark.operators.multimodal import (
+        media_metadata,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.files import (
+        binary_to_media,
+        read_binary_dir,
+    )
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-ish")
+    (tmp_path / "b.WAV").write_bytes(b"RIFF-ish")
+    (tmp_path / "c.xyz").write_bytes(b"mystery")
+    media = binary_to_media(read_binary_dir(spark, str(tmp_path)))
+    rows = {r.mime_type: r for r in media.collect()}
+    assert rows["image/png"].modality == "image"
+    assert rows["audio/wav"].modality == "audio"  # extension case-folded
+    assert rows[None].modality is None            # unknown ext kept
+    assert all(r.width is None and r.duration_ms is None
+               for r in rows.values())
+    # media_id is stable across two scans (pure function of path)
+    again = {r.mime_type: r.media_id
+             for r in binary_to_media(
+                 read_binary_dir(spark, str(tmp_path))).collect()}
+    assert {m: r.media_id for m, r in rows.items()} == again
+    # and the frame flows straight into the operators
+    assert media_metadata(media).count() == 3

@@ -272,6 +272,30 @@ def test_dim_joins_broadcast(plans):
     assert plans["regional_revenue"].count("BroadcastHashJoin") >= 3
 
 
+def test_constant_dims_never_shuffle(plans):
+    """The catalog's BROADCAST_DIMS policy, ENFORCED: region and
+    nation are constant-size (5/25 rows at any SF), so no plan that
+    scans them may hash-exchange them — a sort-merge join on a 25-row
+    dim means AQE was defeated and the fact side pays a shuffle for
+    nothing. This is the consumer of catalog.BROADCAST_DIMS: the
+    policy constant and the guard move together."""
+    from py_etl_pipeline_woocommerce_spark.catalog import BROADCAST_DIMS
+
+    assert set(BROADCAST_DIMS) == {"region", "nation"}
+    offenders = []
+    for name, plan in plans.items():
+        for dim in BROADCAST_DIMS:
+            if f"{dim}.parquet" not in plan:
+                continue
+            # a hash exchange keyed on the dim's own key column right
+            # after its scan marks a shuffled dim join
+            for key in (f"{dim[0]}_regionkey", f"{dim[0]}_nationkey"):
+                if f"hashpartitioning({key}" in plan:
+                    offenders.append((name, dim))
+                    break
+    assert not offenders, f"constant dims shuffled in: {offenders}"
+
+
 def test_filters_push_down_to_parquet(plans):
     p = plans["discount_revenue"]
     assert "PushedFilters" in p
