@@ -2465,7 +2465,8 @@ FROM orders o JOIN f USING (o_custkey)
 GROUP BY 1, 2
 """,
         "funnel_steps": """
-WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 v AS (SELECT user_id, MIN(t) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
 c AS (SELECT e.user_id, MIN(t) AS t_click
       FROM e JOIN v USING (user_id)
@@ -3649,7 +3650,8 @@ SELECT event_id, user_id, t_us, asof_event_id, asof_t_us,
 FROM carried WHERE kind = 1
 """
     out["funnel_steps_windowed"] = """
-WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 v AS (SELECT user_id, MIN(t) AS t_view FROM e WHERE event_type = 'view' GROUP BY 1),
 c AS (SELECT e.user_id, MIN(t) AS t_click
       FROM e JOIN v USING (user_id)
@@ -4264,7 +4266,8 @@ FROM m
 """
     out["linear_attribution"] = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
-                  value FROM events),
+                  value FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 conv AS (SELECT event_id AS conv_id, user_id, t_us AS conv_us,
                 CAST(value AS DECIMAL(18,2)) AS conv_value
          FROM e WHERE event_type = 'purchase'),
@@ -4764,7 +4767,9 @@ FROM r
 """
     out["event_transitions"] = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
-           FROM events),
+           FROM events
+           WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             AND event_id IS NOT NULL),
 p AS (SELECT event_type AS from_type,
              lead(event_type) OVER (PARTITION BY user_id
                                     ORDER BY t_us, event_id) AS to_type
@@ -4778,7 +4783,8 @@ SELECT from_type, to_type, n_transitions,
 FROM c JOIN t USING (from_type)
 """
     out["user_overlap"] = """
-WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events
+            WHERE user_id IS NOT NULL),
 s AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
 b AS (SELECT a.event_type AS type_a, c.event_type AS type_b,
              COUNT(*) AS n_both

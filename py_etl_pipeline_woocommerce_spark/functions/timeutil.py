@@ -26,6 +26,17 @@ from pyspark.sql import functions as F
 DEFAULT_APP_TZ = "Europe/Athens"
 
 
+#: epoch-ns BIGINT -> epoch-us as a TRUE floor (SQL expr over a
+#: column named ``ts``): plain ``ts div 1000`` truncates toward zero,
+#: which for a pre-1970 timestamp with genuine sub-us residue lands
+#: one us ABOVE the floor and can flip a window/session boundary
+#: against an epoch_us oracle. Used by the epoch_us-convention family
+#: (events ops + their streaming twins); the temporal/warehouse day
+#: indexes deliberately keep ``div`` to match their DuckDB ``//``
+#: trunc-convention oracles.
+TS_US_FLOOR = "(ts - pmod(ts, 1000)) div 1000"
+
+
 def app_tz() -> str:
     """The configured display timezone (``APP_TZ`` env, IANA name)."""
     return os.getenv("APP_TZ", DEFAULT_APP_TZ)

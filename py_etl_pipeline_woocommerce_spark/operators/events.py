@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import dec_money
+from ..functions.timeutil import TS_US_FLOOR as _TS_US_FLOOR
 
 
 def parse_event_props(events: DataFrame) -> DataFrame:
@@ -23,13 +24,12 @@ def parse_event_props(events: DataFrame) -> DataFrame:
     twin byte-for-byte portable.
     """
     # ts arrives as epoch-ns BIGINT (session.py nanosAsLong); emit
-    # epoch-µs (integer floor-div — engines that read this parquet
-    # type as µs-truncated timestamps agree exactly).
+    # epoch-µs (true integer FLOOR — see _TS_US_FLOOR).
     return events.select(
         "event_id",
         "user_id",
         "event_type",
-        F.expr("ts div 1000").alias("ts_us"),
+        F.expr(_TS_US_FLOOR).alias("ts_us"),
         F.col("value"),
         # try_cast, not cast: a payload without a numeric "k" makes
         # regexp_extract return '' and under ANSI a plain cast would
@@ -50,10 +50,13 @@ def event_window_agg(events: DataFrame) -> DataFrame:
     truncation + groupBy is a single map-side-combined shuffle.
     """
     hour_us = 3_600_000_000
-    ts_us = F.expr("ts div 1000")
+    ts_us = F.expr(_TS_US_FLOOR)
+    # pmod, not %: the remainder operator follows the dividend's sign,
+    # so a negative timestamp would anchor to a window STARTING AFTER
+    # the event; pmod floors the anchor for either sign
     return (
         events.groupBy(
-            (ts_us - (ts_us % hour_us)).alias("window_start_us"),
+            (ts_us - F.pmod(ts_us, F.lit(hour_us))).alias("window_start_us"),
             "event_type",
         )
         .agg(
@@ -82,8 +85,9 @@ def hopping_window_agg(
     of scale: the standard streaming-SQL hopping-window plan.
     """
     n = -(-window_us // hop_us)  # ceil
-    ts_us = F.expr("ts div 1000")
-    anchor = ts_us - (ts_us % hop_us)
+    ts_us = F.expr(_TS_US_FLOOR)
+    # pmod (not %) so negative timestamps anchor at-or-below the event
+    anchor = ts_us - F.pmod(ts_us, F.lit(int(hop_us)))
     starts = F.sequence(
         F.lit(0).cast("bigint"), F.lit(int(n - 1)).cast("bigint")
     )
@@ -120,7 +124,13 @@ def funnel_steps(
     constraint is a filter on the already-joined frame — plan shape
     unchanged.
     """
-    e = events.select("user_id", "event_type", F.expr("ts div 1000").alias("t"))
+    # NULL user_id / NULL ts rows are unattributable: the NULL group
+    # would count as a stage-1 "user" that no equi-join can ever
+    # convert, inflating the funnel top (and the streaming twins
+    # drop exactly these rows)
+    e = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select("user_id", "event_type", F.expr(_TS_US_FLOOR).alias("t"))
     within = (
         (lambda prev: F.lit(True))
         if max_gap_us is None
@@ -214,7 +224,7 @@ def session_window_agg(
     """
     e = events.select(
         "user_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        F.timestamp_micros(F.expr(_TS_US_FLOOR)).alias("event_time"),
         "value",
     )
     return (
@@ -248,8 +258,16 @@ def event_transitions(events: DataFrame) -> DataFrame:
     division per matrix cell against a broadcast per-from total,
     rounded to 6 dp — engine-exact at any partitioning.
     """
-    e = events.select(
-        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("t_us")
+    # anonymous (NULL-user) events would collapse into ONE pseudo-user
+    # whose consecutive pairs are fabricated transitions (and a giant
+    # skewed window partition); NULL ts/event_id rows have no place in
+    # the total order — the streaming twin drops all three identically
+    e = events.filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+    ).select(
+        "event_id", "user_id", "event_type", F.expr(_TS_US_FLOOR).alias("t_us")
     )
     w = Window.partitionBy("user_id").orderBy("t_us", "event_id")
     pairs = (
@@ -303,8 +321,13 @@ def user_overlap(events: DataFrame, exact: bool = False) -> DataFrame:
         # ut feeds THREE consumers (sizes, both sides of the pair
         # self-join) — an aggregated frame, so the pin runs "the only
         # corpus-sized shuffle" the docstring promises exactly once
+        # NULL users are not an audience member: they would inflate
+        # n_a/n_b (the self-join can never match NULL, so n_both is
+        # unaffected) and diverge from the sketch path, whose
+        # approx_count_distinct ignores NULLs by definition
         ut = (
-            events.select("user_id", "event_type")
+            events.filter(F.col("user_id").isNotNull())
+            .select("user_id", "event_type")
             .distinct()
             .localCheckpoint(eager=False)
         )
@@ -343,15 +366,23 @@ def user_overlap(events: DataFrame, exact: bool = False) -> DataFrame:
                 jaccard.alias("jaccard"),
             )
         )
-    e = events.select("user_id", "event_type")
-    types = e.select("event_type").distinct()
+    e = events.filter(F.col("user_id").isNotNull()).select(
+        "user_id", "event_type"
+    )
+    # ONE corpus scan feeds both the per-type sizes and the type list
+    # for the pair grid (a separate .distinct() re-scanned the whole
+    # events frame just to enumerate ~4 types); the KB aggregate is
+    # pinned because it has three consumers
+    sizes = (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    types = sizes.select("event_type")
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
         .join(types.select(F.col("event_type").alias("type_b")))
         .filter(F.col("type_a") < F.col("type_b"))
-    )
-    sizes = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("n")
     )
     unions = (
         e.join(
@@ -431,11 +462,17 @@ def linear_attribution(
     Scale shape: one (user, bucket) equi-join + one conversion-keyed
     window + one |channels|-row aggregate.
     """
-    e = events.select(
+    # NULL user_id / NULL ts rows are unattributable BY CONSTRUCTION
+    # (the user/bucket equi-join can never match NULL), so keeping
+    # them would silently credit every anonymous conversion's full
+    # value to the 'direct' channel — exclusion is the honest policy
+    e = events.filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
         "event_id",
         "user_id",
         "event_type",
-        F.expr("ts div 1000").alias("t_us"),
+        F.expr(_TS_US_FLOOR).alias("t_us"),
         "value",
     )
     conv = e.filter(F.col("event_type") == conversion_type).select(

@@ -62,12 +62,26 @@ def _gaps_type(
     (event_type,) = key
     last_us = decode_state(state, STATE_VERSION, STATE_DEFAULTS)["last_us"]
     events = pd.concat(list(pdfs)).sort_values(["t_us", "event_id"])
+    # Walk the MERGED sorted sequence of (state clock ∪ batch events)
+    # and emit every consecutive pair further apart than min_gap. The
+    # old walk compared each event only against the monotone clock,
+    # so a late batch landing ENTIRELY below the clock was silently
+    # swallowed — an under-alert the docstring forbade: a real outage
+    # visible inside the late file itself never alerted. Merging the
+    # clock in as just another point keeps the cross-batch gap
+    # emission identical for in-order streams while late batches now
+    # surface their internal gaps (as refining sub-gaps of an
+    # already-emitted super-gap — over-alerting, the allowed side).
+    points = [int(t) for t in events["t_us"]]
+    if last_us is not None:
+        points.append(int(last_us))
+    points.sort()
     out = []
-    for t_us in events["t_us"]:
-        t_us = int(t_us)
-        if last_us is not None and t_us - last_us > min_gap_us:
-            out.append([event_type, last_us, t_us, t_us - last_us])
-        last_us = max(t_us, last_us) if last_us is not None else t_us
+    for prev, t_us in zip(points, points[1:]):
+        if t_us - prev > min_gap_us:
+            out.append([event_type, prev, t_us, t_us - prev])
+    if points:
+        last_us = points[-1] if last_us is None else max(last_us, points[-1])
     state.update(encode_state(STATE_VERSION, {"last_us": last_us}))
     yield pd.DataFrame(out, columns=GAP_SCHEMA.fieldNames())
 
@@ -83,11 +97,14 @@ def gaps_stream(events: DataFrame, min_gap_us: int = 3_600_000_000) -> DataFrame
     order across micro-batches. A DELAYED file whose events land
     inside an already-emitted gap cannot retract the alert — the gap
     row was final on emit, so it stands as a FALSE POSITIVE relative
-    to the batch twin over the full log (the reconciliation path).
-    Late events never corrupt state (the max() guard keeps the clock
-    monotone, so no duplicate or overlapping gap rows follow) —
-    out-of-order delivery can only over-alert, never under-alert or
-    double-alert."""
+    to the batch twin over the full log (the reconciliation path);
+    the late batch's OWN internal gaps are additionally emitted as
+    refining sub-rows (overlapping the earlier super-gap — dedupe in
+    the reconciliation). The invariant is one-sided by construction:
+    every real silence in the full log is CONTAINED in some emitted
+    row (never under-alerts), while late delivery can only add
+    refinements or boundary super-gaps. State stays one monotone
+    clock per type — bounded regardless of lateness."""
     # a NULL ts row would fail the micro-batch (NaN reaches int() in
     # the state fn) and wedge the stream on checkpoint replay —
     # dropped up front; a heartbeat with no timestamp carries no

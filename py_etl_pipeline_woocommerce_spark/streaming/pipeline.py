@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import TS_US_FLOOR
+
 from ..functions.money import dec_money
 from ..sources.schemas import EVENTS_SCHEMA
 
@@ -42,9 +44,16 @@ def read_event_stream(
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """epoch-ns BIGINT → TIMESTAMP event-time column for watermarking."""
-    return events.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    """epoch-ns BIGINT → TIMESTAMP event-time column for watermarking.
+
+    NULL-ts rows are DROPPED here, for every consumer at once: a NULL
+    event_time never matches a stream-stream join condition but also
+    never satisfies the watermark eviction predicate, so such rows
+    accumulate in join/aggregation state FOREVER on a long-running
+    stream (the same poison-pill class the stateful ops filter; a row
+    with no timestamp carries no event-time signal anyway)."""
+    return events.filter(F.col("ts").isNotNull()).withColumn(
+        "event_time", F.timestamp_micros(F.expr(TS_US_FLOOR))
     )
 
 
@@ -281,7 +290,7 @@ def streaming_session_agg(
     """
     e = stream.select(
         "user_id",
-        F.timestamp_micros(F.expr("ts div 1000")).alias("event_time"),
+        F.timestamp_micros(F.expr(TS_US_FLOOR)).alias("event_time"),
         "value",
     )
     return (

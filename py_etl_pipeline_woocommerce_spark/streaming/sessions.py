@@ -33,6 +33,8 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.timeutil import TS_US_FLOOR
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
@@ -270,7 +272,7 @@ def sessionize_stream(
     # sorts NULLs instead).
     prepared = events.filter(
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
-    ).select("user_id", F.expr("ts div 1000").alias("t_us"), "value")
+    ).select("user_id", F.expr(TS_US_FLOOR).alias("t_us"), "value")
     if event_time:
         prepared = prepare_event_time(
             prepared,

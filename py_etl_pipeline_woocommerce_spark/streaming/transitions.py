@@ -39,6 +39,8 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.timeutil import TS_US_FLOOR
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState
 
@@ -171,7 +173,7 @@ def transitions_stream(
     ).select(
         "user_id",
         "event_id",
-        F.expr("ts div 1000").alias("t_us"),
+        F.expr(TS_US_FLOOR).alias("t_us"),
         "event_type",
     )
     if event_time:
@@ -238,16 +240,16 @@ def rebuild_state_from_batch(
     """
     cols = history.columns
     order = F.struct(
-        F.expr("ts div 1000").alias("t_us"), F.col("event_id")
+        F.expr(TS_US_FLOOR).alias("t_us"), F.col("event_id")
     )
     picked = history.groupBy("user_id").agg(
         F.max_by(F.struct(*[F.col(c) for c in cols]), order).alias("_last"),
-        F.max(F.expr("ts div 1000")).alias("_last_us"),
+        F.max(F.expr(TS_US_FLOOR)).alias("_last_us"),
     )
     if idle_minutes is not None:
         # one-row global max, broadcast — same device as hot_keys' totals
         horizon = history.agg(
-            F.max(F.expr("ts div 1000")).alias("_max_us")
+            F.max(F.expr(TS_US_FLOOR)).alias("_max_us")
         )
         picked = picked.join(F.broadcast(horizon)).filter(
             F.col("_last_us")

@@ -1830,3 +1830,94 @@ def test_sessionize_widened_state_restarts_on_same_checkpoint(
     assert c["session_seq"] == 0 and c["n_events"] == 3
     assert c["start_us"] == base // 1000
     assert c["total_value"] == pytest.approx(7.0)
+
+
+def test_liveness_gaps_stream_surfaces_late_batch_internal_gaps(
+    spark, stream_dirs
+):
+    """A delayed file landing ENTIRELY below the state clock must
+    still alert the gaps visible inside it — the old clock-only walk
+    swallowed them (an under-alert the docstring forbids). The merged
+    walk emits the late batch's internal gap plus the boundary gap up
+    to the clock (a refining sub-gap of nothing here: no prior gap was
+    emitted because batch 1 had one event)."""
+    from py_etl_pipeline_woocommerce_spark.streaming.liveness import (
+        gaps_stream,
+    )
+
+    src, ckpt = stream_dirs
+    base = 1_700_000_000_000_000_000
+    GAP_US = 1_000  # 1 ms in us
+    # batch 1: single event at base+10ms -> clock set, nothing emitted
+    _write_events(f"{src}/b0.parquet", [(1, base + 10_000_000, 7, "hb", 1.0)])
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    query = (
+        gaps_stream(stream, min_gap_us=GAP_US)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("gaps_late_test")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+
+    def wait(pred, deadline_s=300):
+        import time as _t
+
+        t0 = _t.time()
+        rows = []
+        while _t.time() - t0 < deadline_s:
+            rows = spark.sql("select * from gaps_late_test").collect()
+            if pred(rows):
+                return rows
+            _t.sleep(1)
+        raise AssertionError(f"sink never satisfied predicate; last: {rows}")
+
+    try:
+        query.processAllAvailable()
+        assert spark.sql("select * from gaps_late_test").count() == 0
+        # late batch, entirely below the clock: events at +0.1ms, +5ms
+        _write_events(
+            f"{src}/b1.parquet",
+            [(2, base + 100_000, 7, "hb", 1.0), (3, base + 5_000_000, 7, "hb", 1.0)],
+        )
+        rows = wait(lambda rs: len(rs) >= 2)
+        got = sorted((r.gap_start_us, r.gap_end_us) for r in rows)
+        b_us = base // 1000
+        assert got == [
+            (b_us + 100, b_us + 5_000),     # the late file's internal gap
+            (b_us + 5_000, b_us + 10_000),  # boundary up to the clock
+        ]
+    finally:
+        query.stop()
+
+
+def test_with_event_time_drops_null_ts(spark, stream_dirs):
+    """NULL-ts rows never satisfy a watermark eviction predicate, so
+    they would pin stream-stream join state forever — with_event_time
+    drops them for every consumer at once."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from py_etl_pipeline_woocommerce_spark.streaming.pipeline import (
+        with_event_time,
+    )
+
+    src, _ = stream_dirs
+    tbl = _pa.table(
+        {
+            "event_id": _pa.array([1, 2], _pa.int64()),
+            "ts": _pa.array([1_700_000_000_000_000_000, None], _pa.int64()),
+            "user_id": _pa.array([7, 7], _pa.int64()),
+            "event_type": _pa.array(["view", "view"], _pa.string()),
+            "value": _pa.array([1.0, 1.0], _pa.float64()),
+            "props": _pa.array(["{}", "{}"], _pa.string()),
+        }
+    )
+    _pq.write_table(tbl, f"{src}/nulls.parquet")
+    out = with_event_time(spark.read.parquet(src)).collect()
+    assert [r.event_id for r in out] == [1]
+    assert out[0].event_time is not None
