@@ -51,8 +51,6 @@ def compact_parquet(
     small files, which is the very problem compaction exists to fix.
     """
     df = spark.read.parquet(src_dir)
-    n_rows = df.count()
-    n_files = max(1, math.ceil(n_rows / target_rows_per_file))
     part_cols = _partition_columns(spark, src_dir)
     if part_cols:
         from pyspark.sql import functions as F
@@ -62,14 +60,32 @@ def compact_parquet(
             .count()
             .select(
                 *part_cols,
+                F.col("count").alias("_rows_v"),
                 F.greatest(
                     F.lit(1),
                     F.ceil(F.col("count") / F.lit(target_rows_per_file)),
                 ).alias("_files_v"),
             )
         )
-        salted = df.join(
-            F.broadcast(per_value_files), on=part_cols, how="left"
+        # ONE pass: the per-value counts already hold the total (the
+        # old unconditional df.count() re-scanned the whole table)
+        tot = per_value_files.groupBy().agg(
+            F.sum("_rows_v").alias("_rows"), F.sum("_files_v").alias("_g")
+        ).first()
+        n_rows = int(tot["_rows"] or 0)
+        n_groups = int(tot["_g"] or 1)
+        per_value_files = per_value_files.drop("_rows_v")
+        # eqNullSafe, NOT on=: SQL equality never matches NULL keys,
+        # so a NULL partition value (__HIVE_DEFAULT_PARTITION__) got
+        # _files_v NULL -> salt modulus 1 — the hot-partition
+        # single-task problem this salt exists to fix, resurrected
+        # for exactly the NULL bucket
+        cond = None
+        for c in part_cols:
+            e = df[c].eqNullSafe(per_value_files[c])
+            cond = e if cond is None else (cond & e)
+        salted = df.join(F.broadcast(per_value_files), cond, "left").drop(
+            *[per_value_files[c] for c in part_cols]
         ).withColumn(
             "_salt",
             F.pmod(
@@ -77,17 +93,34 @@ def compact_parquet(
                 F.coalesce(F.col("_files_v"), F.lit(1)),
             ),
         )
+        # The shuffle spreads (value, salt) groups for PARALLELISM —
+        # 2x the group count so same-value groups rarely share a task
+        # — while maxRecordsPerFile ENFORCES the per-file size
+        # contract exactly: even when two salt groups of one value
+        # collide into a task, the writer rolls a new file at the
+        # cap instead of emitting one oversized file (hash collisions
+        # made the old ceil(value_rows/target) promise probabilistic).
         (
             salted.repartition(
-                n_files, *[F.col(c) for c in part_cols], F.col("_salt")
+                max(1, 2 * n_groups),
+                *[F.col(c) for c in part_cols],
+                F.col("_salt"),
             )
             .drop("_files_v", "_salt")
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(target_rows_per_file))
             .partitionBy(*part_cols)
             .parquet(dest_dir)
         )
     else:
-        df.repartition(n_files).write.mode("overwrite").parquet(dest_dir)
+        n_rows = df.count()
+        n_files = max(1, math.ceil(n_rows / target_rows_per_file))
+        (
+            df.repartition(n_files)
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", str(target_rows_per_file))
+            .parquet(dest_dir)
+        )
     return _count_parquet_files(spark, dest_dir)
 
 
@@ -174,10 +207,10 @@ def export_shards(
         .partitionBy(*partition_by)
         .parquet(dest_dir)
     )
+    from ..functions.fsutil import hadoop_fs
+
     spark = df.sparkSession
-    jvm = spark._jvm
-    jpath = jvm.org.apache.hadoop.fs.Path(dest_dir)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs, jpath = hadoop_fs(spark, dest_dir)
     base = fs.makeQualified(jpath).toString().rstrip("/")
     shards: dict[str, int] = {}
     it = fs.listFiles(jpath, True)  # recursive
@@ -270,10 +303,14 @@ def zorder_cluster(
             "bits of a signed long — lower bits or cluster fewer columns"
         )
     num_cols = [f"_zv{i}" for i in range(len(cols))]
+    # try_cast: under ANSI a plain cast on a non-numeric string aborts
+    # the percentile job with a raw NumberFormatException; try_cast
+    # funnels every non-numeric shape into the NULL-edges ValueError
+    # below, which names the offending column
     staged = df.select(
         "*",
         *[
-            F.col(c).cast("double").alias(v)
+            F.col(c).try_cast("double").alias(v)
             for c, v in zip(cols, num_cols)
         ],
     )
@@ -286,16 +323,37 @@ def zorder_cluster(
             for i, v in enumerate(num_cols)
         ]
     )
-    bucketed = staged.join(F.broadcast(edges))
+    # Collect the 1-row edges (KB — (2^bits − 1) doubles per column)
+    # and VALIDATE before keying: a column that casts to all-NULL
+    # doubles (non-numeric, or empty input) yields NULL edges, NULL
+    # bucket ids, and a key with ZERO locality on that dimension —
+    # the caller would believe the table is clustered while every
+    # scan reads everything. Misconfiguration raises, like the bits
+    # overflow above. The collected literals also spare the plan a
+    # second percentile aggregate (the old broadcast-join recomputed
+    # the agg inside the join).
+    edges_row = edges.first()
+    edge_lits = {}
+    for i, c in enumerate(cols):
+        vals = edges_row[f"_edges{i}"]
+        if vals is None:
+            raise ValueError(
+                f"zorder_cluster: column {c!r} produced no numeric "
+                "values (non-numeric type or all-NULL/empty input) — "
+                "its dimension would silently contribute a constant "
+                "to the Morton key; drop it from cols or fix the data"
+            )
+        edge_lits[i] = F.array(*[F.lit(float(e)) for e in vals])
+    bucketed = staged
     z = F.lit(0).cast("long")
 
-    def _bucket_of(edges_col: str, value_col: str):
+    def _bucket_of(edges_arr, value_col: str):
         return F.size(
-            F.filter(edges_col, lambda e: e <= F.col(value_col))
+            F.filter(edges_arr, lambda e: e <= F.col(value_col))
         ).cast("long")
 
     for i, v in enumerate(num_cols):
-        bucketed = bucketed.withColumn(f"_b{i}", _bucket_of(f"_edges{i}", v))
+        bucketed = bucketed.withColumn(f"_b{i}", _bucket_of(edge_lits[i], v))
     # disjoint bit positions, so integer addition == bitwise OR
     for bit in range(bits):
         for i in range(len(cols)):
@@ -307,8 +365,7 @@ def zorder_cluster(
     (
         keyed.repartitionByRange(n_files, "_zkey")
         .sortWithinPartitions("_zkey")
-        .drop("_zkey", *num_cols, *[f"_b{i}" for i in range(len(cols))],
-              *[f"_edges{i}" for i in range(len(cols))])
+        .drop("_zkey", *num_cols, *[f"_b{i}" for i in range(len(cols))])
         .write.mode("overwrite")
         .parquet(dest_dir)
     )

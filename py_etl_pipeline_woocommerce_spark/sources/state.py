@@ -39,11 +39,17 @@ class WatermarkStore:
             try:
                 with open(self.path, encoding="utf-8") as f:
                     stored = json.load(f).get("since_iso")
-            except (json.JSONDecodeError, OSError) as exc:
+            except (ValueError, OSError, AttributeError) as exc:
                 # a crash mid-write can leave a truncated file; the
                 # idempotent upsert makes re-ingesting the lookback
                 # window safe, so degrade to first-run semantics
-                # loudly instead of bricking every subsequent run
+                # loudly instead of bricking every subsequent run.
+                # ValueError covers BOTH JSONDecodeError and the
+                # UnicodeDecodeError a torn multi-byte write raises;
+                # AttributeError covers a file holding valid JSON
+                # that is not an object ('null', '[1]') where .get
+                # does not exist — every shape a corrupt state file
+                # can take, not just the syntactically-invalid one
                 log.warning(
                     "watermark state %s is unreadable (%s); falling "
                     "back to the first-run lookback",

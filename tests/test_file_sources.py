@@ -312,3 +312,92 @@ def test_binary_to_media_adapter(spark, tmp_path):
     assert {m: r.media_id for m, r in rows.items()} == again
     # and the frame flows straight into the operators
     assert media_metadata(media).count() == 3
+
+
+def test_compact_parquet_splits_null_partition_value(spark, tmp_path):
+    """A NULL-valued hive partition (__HIVE_DEFAULT_PARTITION__) must
+    get the same per-value salting as any other hot value — SQL
+    equality joins never match NULL keys, so the old join gave the
+    NULL bucket salt modulus 1 and one oversized single-task file."""
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    df = spark.range(3000).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0, None).otherwise(F.lit("en")).alias("lang"),
+    )
+    src = str(tmp_path / "null_part_src")
+    df.write.mode("overwrite").partitionBy("lang").parquet(src)
+    dest = str(tmp_path / "null_part_dest")
+    compact_parquet(spark, src, dest, target_rows_per_file=300)
+    out = spark.read.parquet(dest)
+    assert out.count() == 3000
+    # the NULL partition holds 1000 rows at target 300 -> >= 2 files
+    import glob
+
+    null_files = glob.glob(f"{dest}/lang=__HIVE_DEFAULT_PARTITION__/*.parquet")
+    assert len(null_files) >= 2, null_files
+    # and no written file exceeds the target row cap
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(f"{dest}/*/*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 300, f
+
+
+def test_compact_parquet_enforces_row_cap_per_file(spark, tmp_path):
+    """maxRecordsPerFile enforces the per-file size contract exactly
+    even when salt groups collide into one task."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        compact_parquet,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id"), F.lit("hot").alias("lang")
+    )
+    src = str(tmp_path / "hot_src")
+    df.write.mode("overwrite").partitionBy("lang").parquet(src)
+    dest = str(tmp_path / "hot_dest")
+    compact_parquet(spark, src, dest, target_rows_per_file=1000)
+    for f in glob.glob(f"{dest}/*/*.parquet"):
+        assert pq.ParquetFile(f).metadata.num_rows <= 1000, f
+
+
+def test_zorder_cluster_rejects_non_numeric_dimension(spark, tmp_path, sf_dir):
+    import pytest as _pytest
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        zorder_cluster,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    with _pytest.raises(ValueError, match="no numeric values"):
+        zorder_cluster(
+            orders, str(tmp_path / "zbad"), ["o_totalprice", "o_orderstatus"]
+        )
+
+
+def test_watermark_store_survives_every_corrupt_shape(tmp_path):
+    """Truncated JSON, non-UTF-8 bytes, and valid-JSON-non-object all
+    degrade to first-run lookback instead of bricking the run."""
+    from py_etl_pipeline_woocommerce_spark.sources.state import (
+        WatermarkStore,
+    )
+
+    for i, payload in enumerate(
+        [b'{"since_iso": "2', b"\xff\xfe\x00bad", b"null", b"[1, 2]"]
+    ):
+        p = tmp_path / f"state{i}.json"
+        p.write_bytes(payload)
+        store = WatermarkStore(str(p), lookback_days=7)
+        since = store.get_since()
+        assert since and since.startswith("20")  # lookback ISO, no crash
