@@ -99,6 +99,33 @@ def _wrapped_docs(spark, sf_dir, prefix, suffix=""):
     )
 
 
+def _anchory_docs(spark, sf_dir):
+    """documents wrapped in deterministic anchors exercising every
+    anchor_texts rule: entity decode in the label, whitespace
+    collapse/trim, unquoted href, and a nested-markup label."""
+    from pyspark.sql import functions as F
+
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit('<a href="https://www.site'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('.com/p/'),
+            F.col("doc_id").cast("string"),
+            F.lit('">t &amp; '),
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(
+                "</a> <a href='//cdn.x.org/i' rel=nofollow>\tpad  "
+                "label\n</a><a href=/un?a=1&amp;b=2>u</a>"
+                '<a href="/rel">nested <b>x</b></a>'
+            ),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+
+
 def _linky_docs(spark, sf_dir):
     """documents wrapped in deterministic anchors with per-doc domain
     variety (doc_id % 5 picks the host, plus one shared CDN and a
@@ -356,6 +383,8 @@ _R9_FRONT = [
     "fix_mojibake",
     "split_sentences",
     "bpe_merge_candidates",
+    "anchor_texts",
+    "skipgram_pairs",
     "dashboard_payload",
     "tfidf_top_terms",
     "doc_rarity",
@@ -1229,6 +1258,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_candidates": lambda s, d: corpus.bpe_merge_candidates(
             _docs(s, d)
         ),
+        "anchor_texts": lambda s, d: textstats.anchor_texts(
+            _anchory_docs(s, d)
+        ),
+        "skipgram_pairs": lambda s, d: corpus.skipgram_pairs(_docs(s, d)),
     }
     ordered = {k: base[k] for k in _R9_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -5148,6 +5181,71 @@ top AS (SELECT * FROM a ORDER BY n_occurrences DESC, pair LIMIT 50)
 SELECT substring(pair, 1, 1) AS "left", substring(pair, 2, 1) AS "right",
        n_occurrences,
        CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS INT)
+         AS pair_rank
+FROM top
+"""
+    # anchor grammar shared from the textstats constant (ONE source);
+    # single quotes in the SQL literal doubled
+    from py_etl_pipeline_woocommerce_spark.operators.textstats import (
+        _ANCHOR_RE,
+    )
+
+    _anchor_re_sql = _ANCHOR_RE.replace(chr(39), chr(39) * 2)
+    _decode_sql = (
+        "replace(replace(replace(replace(replace(replace({X}, "
+        "'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), "
+        "'&quot;', '\"'), '&#39;', chr(39)), '&amp;', '&')"
+    )
+    _url_clean = _decode_sql.replace(
+        "{X}",
+        "CASE WHEN x[1:1] IN ('\"', chr(39)) THEN x[2:len(x)-1] ELSE x END",
+    )
+    _lbl_clean = (
+        "regexp_replace(regexp_replace("
+        + _decode_sql.replace("{X}", "x")
+        + ", '[ \\t\\n\\f\\r]+', ' ', 'g'), '^ +| +$', '', 'g')"
+    )
+    out["anchor_texts"] = f"""
+WITH messy AS (
+  SELECT doc_id,
+         '<a href="https://www.site' || CAST(doc_id % 5 AS VARCHAR)
+         || '.com/p/' || CAST(doc_id AS VARCHAR) || '">t &amp; '
+         || COALESCE(text, '')
+         || '</a> <a href=' || chr(39) || '//cdn.x.org/i' || chr(39)
+         || ' rel=nofollow>' || chr(9) || 'pad  label' || chr(10)
+         || '</a><a href=/un?a=1&amp;b=2>u</a>'
+         || '<a href="/rel">nested <b>x</b></a>' AS text
+  FROM documents),
+u AS (SELECT doc_id,
+             list_transform(
+               regexp_extract_all(text, '{_anchor_re_sql}', 1),
+               x -> {_url_clean}) AS urls,
+             list_transform(
+               regexp_extract_all(text, '{_anchor_re_sql}', 2),
+               x -> {_lbl_clean}) AS labels
+      FROM messy WHERE text IS NOT NULL)
+SELECT doc_id, CAST(g.i AS BIGINT) - 1 AS link_pos,
+       urls[g.i] AS url, labels[g.i] AS anchor_text
+FROM u, UNNEST(generate_series(1, len(urls))) AS g(i)
+"""
+    out["skipgram_pairs"] = f"""
+WITH t AS (SELECT {_TOKS} AS toks FROM documents),
+p AS (SELECT u.pair
+      FROM (SELECT flatten(list_transform(
+                     range(1, greatest(len(toks) - 1, 0) + 1),
+                     i -> list_transform(
+                       range(1, least(2, len(toks) - i) + 1),
+                       j -> toks[CAST(i AS INT)] || ' '
+                            || toks[CAST(i + j AS INT)]))) AS prs
+            FROM t),
+           UNNEST(prs) AS u(pair)
+      WHERE NOT regexp_matches(u.pair, '^ | $|^$')),
+a AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1),
+top AS (SELECT * FROM a ORDER BY n_pairs DESC, pair LIMIT 50)
+SELECT split_part(pair, ' ', 1) AS center,
+       split_part(pair, ' ', 2) AS context,
+       n_pairs,
+       CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair) AS INT)
          AS pair_rank
 FROM top
 """

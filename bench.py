@@ -140,6 +140,8 @@ HEADLINE = [
     "fix_mojibake",
     "split_sentences",
     "bpe_merge_candidates",
+    "anchor_texts",
+    "skipgram_pairs",
 ]
 
 

@@ -2552,3 +2552,59 @@ def bpe_merge_candidates(documents: DataFrame, k: int = 50) -> DataFrame:
         "n_occurrences",
         F.row_number().over(w).cast("int").alias("pair_rank"),
     )
+
+
+def skipgram_pairs(
+    documents: DataFrame, window: int = 2, k: int = 50
+) -> DataFrame:
+    """Top-k skip-gram co-occurrence pairs (Mikolov et al. 2013):
+    for every token, its FORWARD neighbors within ``window``
+    positions — the (center, context) pair counts a word2vec-style
+    embedding trainer consumes (symmetric-window counts are exactly
+    these with the roles swapped, so forward-only counting loses
+    nothing and halves the pair volume).
+
+    Scale shape: the pair emission is a per-row higher-order flatten
+    over the STAGED token array (bounded fan-out: ``window`` pairs
+    per token, one codegen'd scan — never a positional self-join,
+    which would shuffle the corpus once per window offset), then one
+    map-side-combinable count agg and a TakeOrdered cut with the rank
+    window over the ≤k survivors (the hot_keys pattern). Pair keys
+    are '<center> <context>' strings — tokens are space-free by the
+    norm contract, so the separator is unambiguous. Ties break
+    (count desc, center, context).
+
+    Output: (center, context, n_pairs, pair_rank).
+    """
+    staged = _spread_docs(documents).select(
+        tokens_expr("text").alias("_toks")
+    )
+    n = F.size("_toks")
+    centers = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    pair_lists = F.transform(
+        centers,
+        lambda i: F.transform(
+            F.sequence(
+                F.lit(1), F.least(F.lit(window), n - i)
+            ),
+            lambda j: F.concat_ws(
+                " ",
+                F.element_at(F.col("_toks"), i),
+                F.element_at(F.col("_toks"), i + j),
+            ),
+        ),
+    )
+    pairs = staged.select(
+        F.explode(F.flatten(pair_lists)).alias("pair")
+    ).filter(~F.col("pair").rlike("^ | $|^$"))
+    agg = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_pairs"))
+    top = agg.orderBy(F.col("n_pairs").desc(), F.col("pair")).limit(k)
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("pair"))
+    return top.select(
+        F.substring_index("pair", " ", 1).alias("center"),
+        F.substring_index("pair", " ", -1).alias("context"),
+        "n_pairs",
+        F.row_number().over(w).cast("int").alias("pair_rank"),
+    )

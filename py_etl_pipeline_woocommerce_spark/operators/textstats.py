@@ -1239,3 +1239,72 @@ def split_sentences(documents: DataFrame) -> DataFrame:
         "sentence",
         F.length("sentence").cast("bigint").alias("n_chars_sent"),
     )
+
+
+#: href-value grammar of an <a> tag with its inner text — the
+#: extract_links attribute grammar (quoted both ways + unquoted)
+#: anchored inside an anchor element, with the label captured as the
+#: text run IMMEDIATELY after the opening tag (group 2), up to the
+#: first ``<``. Recall-leaning like extract_links: requiring a
+#: literal ``</a>`` would SKIP every anchor whose label contains
+#: nested markup (``<a ...>nested <b>bold</b></a>``) — this grammar
+#: keeps them with the pre-markup prefix as the label (the regex
+#: tier's standard approximation; a DOM parser is the deps-enabled
+#: upgrade). No backreferences — identical under Java regex and RE2.
+_ANCHOR_RE = (
+    "(?i)<a\\b[^>]*?href[ \\t\\n\\f\\r]*=[ \\t\\n\\f\\r]*"
+    "(\"[^\"<>]*\"|'[^'<>]*'|[^\"'<>=` \\t\\n\\f\\r][^<> \\t\\n\\f\\r]*)"
+    "[^>]*>([^<]*)"
+)
+
+
+def anchor_texts(documents: DataFrame) -> DataFrame:
+    """Anchor-text extraction: one row per ``<a href=...>text</a>``
+    element with the link target AND its visible label — the
+    link-graph EDGE LABELS (``extract_links`` gives the edges).
+    Anchor text is the classic relevance signal (what the linking
+    page calls the target) and doubles as alt-text-style weak
+    supervision for retrieval training pairs.
+
+    Same value grammar + entity policy as extract_links (paired-quote
+    strip, six-entity decode, &amp; last); the label is additionally
+    whitespace-collapsed and trimmed with explicit classes (never
+    ``\\s`` — the Java/RE2 ``\\x0B`` seam). Alignment note: the url
+    and label come from group 1 and 2 of the SAME regex pass, so the
+    two extract_all arrays always line up. One codegen'd scan +
+    bounded explode. Output: (doc_id, link_pos, url, anchor_text).
+    """
+    urls_raw = F.regexp_extract_all(F.col("text"), F.lit(_ANCHOR_RE), 1)
+    labels_raw = F.regexp_extract_all(F.col("text"), F.lit(_ANCHOR_RE), 2)
+
+    def _clean_url(u):
+        unq = F.when(
+            F.substring(u, 1, 1).isin('"', "'"),
+            F.substring(u, F.lit(2), F.length(u) - 2),
+        ).otherwise(u)
+        return _decode_entities(unq)
+
+    def _clean_label(t):
+        t = _decode_entities(t)
+        t = F.regexp_replace(t, "[ \\t\\n\\f\\r]+", " ")
+        return F.regexp_replace(t, "^ +| +$", "")
+
+    exploded = (
+        documents.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.zip_with(
+                    F.transform(urls_raw, _clean_url),
+                    F.transform(labels_raw, _clean_label),
+                    lambda u, t: F.struct(u.alias("u"), t.alias("t")),
+                )
+            ).alias("link_pos", "_p"),
+        )
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("link_pos").cast("long").alias("link_pos"),
+        F.col("_p.u").alias("url"),
+        F.col("_p.t").alias("anchor_text"),
+    )

@@ -127,6 +127,7 @@ UNPARTITIONED_WINDOW_BASELINES = {
     # rank-the-survivors: TakeOrdered(50) runs first, the window sees
     # <=k aggregated pair rows (the hot_keys pattern)
     "bpe_merge_candidates",
+    "skipgram_pairs",
     # embedding_outliers' cumulative below-count runs over the
     # AGGREGATED distance-bucket histogram (bounded by value spread),
     # never the corpus — the per-row rank window is bucket-partitioned

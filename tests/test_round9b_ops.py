@@ -422,3 +422,56 @@ def test_fix_mojibake_artifact_gate(spark):
         _docs(spark, [(again.text_fixed, "a")])
     ).collect()[0]
     assert third.text_fixed == "\u00e9" and not third.changed
+
+
+# ------------------------------------------------------------------ #
+# anchor_texts / skipgram_pairs
+# ------------------------------------------------------------------ #
+
+
+def test_anchor_texts_extracts_url_and_label(spark):
+    docs = _docs(
+        spark,
+        [
+            ('pre <a href="https://a.com/x">First &amp; label</a> mid '
+             "<a href='https://b.com/y' rel=nofollow>  spaced\t label </a> "
+             '<a href=https://c.com/z>unquoted</a> '
+             '<img src="https://noanchor.com/i.png">'
+             '<a href="/rel">nested <b>bold</b></a>', "a"),
+            (None, "a"),
+        ],
+    )
+    rows = textstats.anchor_texts(docs).collect()
+    by_pos = {r.link_pos: r for r in rows if r.doc_id == 0}
+    assert by_pos[0].url == "https://a.com/x"
+    assert by_pos[0].anchor_text == "First & label"   # entity decoded
+    assert by_pos[1].url == "https://b.com/y"
+    assert by_pos[1].anchor_text == "spaced label"    # ws collapsed+trim
+    assert by_pos[2].url == "https://c.com/z"
+    assert by_pos[2].anchor_text == "unquoted"
+    # img src is not an anchor; the nested-markup anchor is KEPT
+    # (recall-leaning grammar) with the pre-markup prefix as label
+    assert len(by_pos) == 4
+    assert by_pos[3].url == "/rel" and by_pos[3].anchor_text == "nested"
+
+
+def test_skipgram_pairs_window_counts(spark):
+    # "a b c a b": forward pairs window=2:
+    # (a,b)x2 [pos1,pos4], (a,c)x1, (b,c)x1, (b,a)x1, (c,a)x1, (c,b)x1
+    docs = _docs(spark, [("a b c a b", "s")])
+    rows = corpus.skipgram_pairs(docs, window=2).collect()
+    got = {(r.center, r.context): r.n_pairs for r in rows}
+    assert got == {
+        ("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1,
+        ("b", "a"): 1, ("c", "a"): 1, ("c", "b"): 1,
+    }
+    ranks = {(r.center, r.context): r.pair_rank for r in rows}
+    assert ranks[("a", "b")] == 1  # highest count
+    assert ranks[("a", "c")] == 2  # ties break on pair text
+
+
+def test_skipgram_pairs_short_docs_and_k_cut(spark):
+    docs = _docs(spark, [("solo", "s"), ("", "s"), (None, "s"),
+                          ("x y", "s")])
+    rows = corpus.skipgram_pairs(docs, window=3, k=1).collect()
+    assert [(r.center, r.context, r.n_pairs) for r in rows] == [("x", "y", 1)]

@@ -100,6 +100,16 @@ def generate(dst: str = DST, src: str = SRC, copies: int = COPIES) -> None:
         os.path.join(dst, "orders.parquet"), index=False
     )
 
+    emb = pq.read_table(os.path.join(src, "embeddings.parquet")).to_pandas()
+    frames = []
+    for k in range(copies):
+        c = emb.copy()
+        c["vec_id"] = c["vec_id"] + k * KEY_OFFSET
+        frames.append(c)
+    pd.concat(frames, ignore_index=True).to_parquet(
+        os.path.join(dst, "embeddings.parquet"), index=False
+    )
+
     # dimension tables ride along VERBATIM (o_custkey is not offset,
     # so the 10x orders join the same customers — the "facts grew 10x,
     # dims didn't" shape a real scale-up has, and what the r9 probe
@@ -112,18 +122,42 @@ def generate(dst: str = DST, src: str = SRC, copies: int = COPIES) -> None:
 
 
 def probes():
+    from pyspark.sql import functions as F
+
     from py_etl_pipeline_woocommerce_spark.catalog import load_table
     from py_etl_pipeline_woocommerce_spark.operators import (
         corpus,
         dedup,
         graph,
+        similarity,
     )
     from py_etl_pipeline_woocommerce_spark.plans import analytics, woo_model
 
     def docs(s, d):
         return load_table(s, d, "documents")
 
+    def embs(s, d):
+        return load_table(s, d, "embeddings")
+
     return {
+        # r9b additions: the corpus-curation breadth wave's heavier
+        # shapes — both novelty sides grow 10x (explode + one
+        # broadcastable-ref join), the curriculum's counts-fold must
+        # stay source-bounded, the BPE/zipf vocab aggregates grow with
+        # the suffixed token space, and the outlier op's two-phase
+        # rank must not regress to a corpus-wide sort
+        "ngram_novelty": lambda s, d: corpus.ngram_novelty(
+            docs(s, d).filter(F.col("source") != "src0"),
+            docs(s, d).filter(F.col("source") == "src0"),
+        ),
+        "curriculum_order": lambda s, d: corpus.curriculum_order(docs(s, d)),
+        "bpe_merge_candidates": lambda s, d: corpus.bpe_merge_candidates(
+            docs(s, d)
+        ),
+        "zipf_fit": lambda s, d: corpus.zipf_fit(docs(s, d)),
+        "embedding_outliers": lambda s, d: similarity.embedding_outliers(
+            embs(s, d)
+        ),
         # r9: the three shapes the r8 semantic moves changed —
         # orders-grain COUNT(*) kpis, orders-grain geo with the
         # LEFT-joined money aggregate, and fct_orders itself — none
@@ -332,6 +366,23 @@ def main() -> None:
         srcp = os.path.join(SRC, f"{dim}.parquet")
         if not os.path.exists(p) and os.path.exists(srcp):
             shutil.copyfile(srcp, p)
+    # a replica generated before r9b lacks the 10x embeddings the
+    # outlier probe reads — backfill with the same offset scheme
+    if not os.path.exists(os.path.join(DST, "embeddings.parquet")):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        emb = pq.read_table(
+            os.path.join(SRC, "embeddings.parquet")
+        ).to_pandas()
+        frames = []
+        for k in range(COPIES):
+            c = emb.copy()
+            c["vec_id"] = c["vec_id"] + k * KEY_OFFSET
+            frames.append(c)
+        pd.concat(frames, ignore_index=True).to_parquet(
+            os.path.join(DST, "embeddings.parquet"), index=False
+        )
 
     from py_etl_pipeline_woocommerce_spark.session import get_spark
 
