@@ -172,7 +172,12 @@ def calibration(spark, passes: int = 3) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", os.path.basename(sf_dir.rstrip("/")))
+    # non-greedy digits + optional fraction: the old [0-9.]+ captured
+    # a trailing dot from names like sf0.1.bak and float() crashed —
+    # defeating the "unknown layout, still run" fallback
+    m = re.search(
+        r"sf([0-9]+(?:\.[0-9]+)?)", os.path.basename(sf_dir.rstrip("/"))
+    )
     sf = float(m.group(1)) if m else 0.0  # 0.0 = unknown layout, still run
     spark = get_spark("bench")
     qs = entrymod.queries()
@@ -182,7 +187,7 @@ def main() -> None:
 
     calibration_sec = calibration(spark)
 
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     times: dict[str, float] = {}
     for name in HEADLINE:
         # Warmup pass amortizes one-time codegen/JIT of the query's

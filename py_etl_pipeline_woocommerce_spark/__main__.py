@@ -114,18 +114,29 @@ def _backfill(
     window_days,
     retries: int = 0,
     retry_delay_sec: float = 30.0,
+    force_all: bool = False,
 ) -> dict:
     """run.py:99-130: advance a cursor through [d1, d2), one
     incremental cycle per window; the cursor jumps by max ingested
     date + 1 minute when data lands, else by the window size."""
+    if window_days <= 0:
+        # window_end would never move past the cursor: an infinite
+        # loop hammering the API and rewriting state.json forever
+        raise ValueError(
+            f"--window-days must be positive, got {window_days}"
+        )
     cursor, end = _parse_iso(d1), _parse_iso(d2)
-    # a HISTORICAL backfill must never rewind the production
-    # watermark: remember it and restore the max at the end — in a
-    # finally, because retry exhaustion inside a window is a designed
-    # exit path and must not leave state.json rewound to the
-    # historical cursor (the next routine incremental run would
-    # re-extract everything since it)
+    # The production watermark must survive the backfill in BOTH
+    # directions: never REWOUND to the historical cursor (the next
+    # incremental run would re-extract everything since it), and
+    # never OVERSHOT into the future by trailing EMPTY windows (a d2
+    # past the newest order would park the watermark years ahead and
+    # every later incremental run would silently skip all new
+    # orders). The loop stamps set_since(cursor) per window for the
+    # extract's `after` bound; the finally settles the FINAL value to
+    # max(prior watermark, newest actually-INGESTED advance).
     prior_since = state.get_since()
+    max_ingested_since = None
     total_orders = total_items = windows = 0
     try:
         while cursor < end:
@@ -152,16 +163,26 @@ def _backfill(
             total_orders += stats["orders"]
             total_items += stats["items"]
             advanced = state.get_since()
-            cursor = (
-                advanced
-                if stats["orders"] and advanced > cursor
-                else window_end
-            )
+            if stats["orders"] and advanced > cursor:
+                cursor = advanced
+                if (
+                    max_ingested_since is None
+                    or advanced > max_ingested_since
+                ):
+                    max_ingested_since = advanced
+            else:
+                cursor = window_end
     finally:
-        if state.get_since() < prior_since:
-            state.set_since(prior_since)
-    # final missing-only re-enrich pass (run.py:128-130)
-    enrich_stats = woo_flow.re_enrich_run(spark, transport, warehouse)
+        final = prior_since
+        if max_ingested_since is not None and max_ingested_since > final:
+            final = max_ingested_since
+        if state.get_since() != final:
+            state.set_since(final)
+    # final re-enrich pass (run.py:128-130); --force-all reaches the
+    # backfill path too instead of being silently dropped
+    enrich_stats = woo_flow.re_enrich_run(
+        spark, transport, warehouse, force_all=force_all
+    )
     return {
         "mode": "backfill",
         "windows": windows,
@@ -197,6 +218,7 @@ def main(argv: list[str] | None = None, spark=None, transport=None) -> dict:
             args.window_days,
             retries=args.retries,
             retry_delay_sec=args.retry_delay_sec,
+            force_all=args.force_all,
         )
     else:
         stats = woo_flow.incremental_run(
@@ -223,4 +245,6 @@ def main(argv: list[str] | None = None, spark=None, transport=None) -> dict:
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() is not None else 1)
+    # main() returns a dict or raises (the interpreter already exits
+    # non-zero on an exception) — no failure-as-None protocol exists
+    main()

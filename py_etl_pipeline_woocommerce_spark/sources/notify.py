@@ -14,6 +14,10 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+from ..functions.logging import get_logger
+
+log = get_logger(__name__)
+
 #: transport(subject, body, to) -> None
 Transport = Callable[[str, str, str], None]
 
@@ -44,7 +48,16 @@ def notify(
     never fail the run that is trying to report a failure.
     """
     to = os.environ.get("NOTIFY_TO")
-    configured = bool(to and os.environ.get("SMTP_USER") and os.environ.get("SMTP_PASS"))
+    # SMTP_HOST belongs in the guard: without it smtplib.SMTP("")
+    # never connects, the starttls error is swallowed below, and the
+    # caller is told an alert was attempted against NOTHING — the
+    # exact silent misconfiguration the configured-check exists for
+    configured = bool(
+        to
+        and os.environ.get("SMTP_USER")
+        and os.environ.get("SMTP_PASS")
+        and os.environ.get("SMTP_HOST")
+    )
     if transport is None:
         if not configured:
             return False
@@ -55,5 +68,7 @@ def notify(
     try:
         transport(subject, text, to)
     except Exception as exc:  # noqa: BLE001 — alerting must not raise
-        print(f"notify failed: {exc}")
+        # through the shared logger, never stdout: the CLI's stdout
+        # contract is one parseable JSON line
+        log.warning("notify failed: %s", exc)
     return True

@@ -286,3 +286,70 @@ def test_retry_restages_bronze_and_replay_matches_loaded_facts(
     }
     assert replayed[3]["net_total"] == pytest.approx(23.0)
     assert set(replayed) == set(loaded)
+
+
+def test_cli_backfill_never_parks_watermark_in_the_future(spark, tmp_path):
+    """Trailing EMPTY windows of a backfill whose d2 reaches past the
+    newest order must not leave the watermark at the far cursor — the
+    old finally only guarded REWIND, so a generous d2 parked the
+    watermark years ahead and every later incremental run silently
+    skipped all newly created orders."""
+    wh = str(tmp_path / "wh")
+    state_path = os.path.join(wh, "state.json")
+    transport = make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS)
+    # seed: plain backfill over the data range establishes the prior
+    main(
+        ["--warehouse", wh, "--backfill", "2024-01-01", "2024-02-01"],
+        spark=spark,
+        transport=transport,
+    )
+    prior = json.load(open(state_path))["since_iso"]
+
+    # backfill again with d2 far in the future: all data re-ingests in
+    # the first window, the trailing windows are empty
+    main(
+        [
+            "--warehouse", wh,
+            "--backfill", "2024-01-01", "2031-01-01",
+            "--window-days", "700",
+        ],
+        spark=spark,
+        transport=make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS),
+    )
+    final = json.load(open(state_path))["since_iso"]
+    # settled to max(prior, ingested max + 1min) = prior (the 2024
+    # ingest advance sits far below the first-run lookback watermark)
+    # — NOT the 2031-adjacent cursor the empty tail walked to
+    assert final == prior
+
+
+def test_cli_backfill_rejects_nonpositive_window(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    with pytest.raises(ValueError, match="window-days must be positive"):
+        main(
+            [
+                "--warehouse", wh,
+                "--backfill", "2024-01-01", "2024-02-01",
+                "--window-days", "0",
+            ],
+            spark=spark,
+            transport=make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS),
+        )
+
+
+def test_cli_backfill_force_all_reaches_re_enrich(spark, tmp_path):
+    """--force-all combined with --backfill used to be silently
+    dropped; it must route into the final re-enrich pass."""
+    wh = str(tmp_path / "wh")
+    transport = make_fake_transport(list(ORDERS), PRODUCTS, REFUNDS)
+    out = main(
+        [
+            "--warehouse", wh,
+            "--backfill", "2024-01-01", "2024-02-01",
+            "--force-all",
+        ],
+        spark=spark,
+        transport=transport,
+    )
+    # force_all re-enriches every month present, not just missing ones
+    assert out["re_enriched_months"] >= 1

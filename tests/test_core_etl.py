@@ -308,3 +308,20 @@ def test_filter_since_rejects_malformed_watermark(spark):
     with _pytest.raises(ValueError):
         filter_since(df, "ts", "2024-13-01T00:00:00")
     assert filter_since(df, "ts", "2023-12-31T00:00:00").count() == 1
+
+
+def test_notify_requires_smtp_host(monkeypatch):
+    """NOTIFY_TO/USER/PASS without SMTP_HOST is NOT configured:
+    smtplib.SMTP("") never connects, the error would be swallowed,
+    and the caller would believe alerts are being delivered."""
+    from py_etl_pipeline_woocommerce_spark.sources import notify as n
+
+    monkeypatch.setenv("NOTIFY_TO", "ops@example.com")
+    monkeypatch.setenv("SMTP_USER", "u")
+    monkeypatch.setenv("SMTP_PASS", "p")
+    monkeypatch.delenv("SMTP_HOST", raising=False)
+    assert n.notify("boom", "error") is False
+    monkeypatch.setenv("SMTP_HOST", "mail.example.com")
+    sent = []
+    assert n.notify("boom", "error", transport=lambda s, b, t: sent.append(t))
+    assert sent == ["ops@example.com"]

@@ -130,7 +130,12 @@ def compare(name: str, spark_df, duck_df) -> str:
         # find first differing cell for diagnostics
         for c in s.columns:
             if not s[c].equals(d[c]):
-                neq = s[c] != d[c]
+                # NaN != NaN is True, so a plain != would point the
+                # diagnostic at an EQUAL NaN/NaN cell instead of the
+                # real divergence — mask both-NaN rows out first
+                neq = (s[c] != d[c]) & ~(s[c].isna() & d[c].isna())
+                if not neq.any():
+                    continue
                 i = neq.idxmax()
                 return (
                     f"VALUE MISMATCH col={c} row={i} "
