@@ -351,22 +351,23 @@ def _q_dq_rules(spark, sf_dir):
 # selfcheck when its wave landed, and the terminal full-surface
 # selfcheck re-verifies all 208 on the final tree; the driver's
 # 50-row budget covers T1 + half of T2.
-# ROUND-10 ROTATION NOTE: promote (a) any r10 code/oracle changes,
-# then (b) the T2/T3 spill above (driver-unchecked r9 changes from
-# position ~51 on), then (c) the r4-era tail that r9's change volume
-# displaced entirely (asof_join_forward basket_pairs bm25_search*
-# cdc_apply* corpus_split cusum_changepoint daily_value_percentiles
-# dau_new_vs_returning dayn_retention dq_referential dsir_weights
-# event_transitions event_value_summary fill_missing_days_interp
-# fill_missing_days_locf fulfillment_latency funnel_steps_windowed
-# hybrid_search* interarrival_stats linear_attribution
-# merge_intervals repeat_rate rollup_merge seasonal_anomaly
-# session_stats soft_dedup_weights source_quota_sample split_leakage
-# split_leakage_near time_gaps user_overlap user_streaks
-# value_outliers wow_growth — entries marked * changed in r9 and sit
-# in T1/T3 already), then (d) the r5-era rows. All of (c) was
-# re-verified TWICE in r9 on current data (sf0.01 full gates + the
-# sf0.1 full-surface gate).
+# ROUND-10 ROTATION NOTE (updated after the r9b session): the front
+# below leads with (a) the 14 NEVER-verified r9b operators
+# (readability char_entropy link_domains filter_blocked_domains
+# zipf_fit ngram_novelty curriculum_order embedding_outliers
+# mojibake_score fix_mojibake split_sentences bpe_merge_candidates
+# anchor_texts skipgram_pairs — all selfchecked hash-green at sf0.01
+# AND sf0.1 when added, plus a mid-session full-surface 220/220), then
+# (b) the r9b ORACLE-CHANGED event family (NULL-policy + floor-division
+# lockstep moves: funnel_steps[_windowed] event_transitions
+# user_overlap linear_attribution parse_event_props event_props_typed
+# event_window_agg hopping_window_agg session_window_agg sessionize
+# session_paths session_stats — each re-gated per-entry at sf0.01 in
+# the same wave), then (c) the original r9 T1 risk tier. For r10:
+# promote any r10 changes first, then the T2/T3 spill (position ~51
+# on), then the r4-era tail enumerated in the git history of this
+# note. Entries re-verified TWICE in r9 on current data (sf0.01 +
+# sf0.1 full gates) carry the lowest risk.
 _R9_FRONT = [
     # round-9b NEW operators — never driver-verified, take the budget
     # first (readability, entropy, link census/blocklist, zipf,
@@ -385,6 +386,19 @@ _R9_FRONT = [
     "bpe_merge_candidates",
     "anchor_texts",
     "skipgram_pairs",
+    # r9b oracle-changed event family (NULL policy + floor division)
+    "funnel_steps",
+    "funnel_steps_windowed",
+    "event_transitions",
+    "user_overlap",
+    "linear_attribution",
+    "parse_event_props",
+    "event_window_agg",
+    "hopping_window_agg",
+    "session_window_agg",
+    "sessionize",
+    "session_paths",
+    "session_stats",
     "dashboard_payload",
     "tfidf_top_terms",
     "doc_rarity",
@@ -1662,15 +1676,12 @@ def _dashboard_digest_oracle(frames: dict[str, str]) -> str:
     use their *_bounded oracles with the fixed test window swapped
     for the data-derived DEFAULT window (last 30 days of data), the
     same bounds ``dashboard_payload`` resolves when called bare."""
-    digest_col = {
-        "date_bounds": None,
-        "kpis": "net_after_refunds",
-        "revenue_timeseries": "net",
-        "top_products": "revenue",
-        "category_mix": "revenue",
-        "geo_rollup": "net",
-        "cohort_retention": "n_orders",
-    }
+    # ONE source for the frame->headline-column map (the
+    # linky-grammar lesson): a frame rename in dashboard.py must not
+    # leave this oracle silently verifying the old shape
+    from py_etl_pipeline_woocommerce_spark.plans.dashboard import (
+        _DIGEST_COL as digest_col,
+    )
     src_key = {
         "kpis": "kpis_bounded",
         "revenue_timeseries": "revenue_timeseries_bounded",
@@ -1797,7 +1808,10 @@ GROUP BY 1
 WITH k AS (SELECT o_orderkey FROM orders WHERE {_BOUNDS}),
 agg AS (
   SELECT p_name AS name, SUM({_NETLINE}) AS _rev,
-         CAST(SUM(CASE WHEN l_returnflag IS DISTINCT FROM 'R' THEN l_quantity ELSE 0 END) AS BIGINT) AS qty_sold
+         CAST(floor(SUM(CASE WHEN l_returnflag IS DISTINCT FROM 'R'
+                         THEN CAST(l_quantity AS DECIMAL(18,2))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END)) AS BIGINT)
+           AS qty_sold
   FROM lineitem
   JOIN k ON l_orderkey = o_orderkey
   LEFT JOIN part ON l_partkey = p_partkey GROUP BY 1)
@@ -2476,12 +2490,13 @@ FROM agg ORDER BY _rev DESC, category LIMIT 15
 WITH per_order AS (
   SELECT l_orderkey AS o_orderkey, SUM({_NETLINE}) AS _order_net
   FROM lineitem GROUP BY 1),
-g AS (SELECT r_name AS region, n_name AS country,
+g AS (SELECT COALESCE(r_name, '—') AS region,
+             COALESCE(n_name, '—') AS country,
              COALESCE(_order_net, {_DEC0}) AS _order_net
       FROM orders LEFT JOIN per_order USING (o_orderkey)
-      JOIN customer ON o_custkey = c_custkey
-      JOIN nation ON c_nationkey = n_nationkey
-      JOIN region ON n_regionkey = r_regionkey),
+      LEFT JOIN customer ON o_custkey = c_custkey
+      LEFT JOIN nation ON c_nationkey = n_nationkey
+      LEFT JOIN region ON n_regionkey = r_regionkey),
 agg AS (SELECT region, country, COUNT(*) AS orders, SUM(_order_net) AS _net
         FROM g GROUP BY 1, 2)
 SELECT region, country, orders, CAST(_net AS DOUBLE) AS net

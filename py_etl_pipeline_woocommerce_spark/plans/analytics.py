@@ -63,10 +63,12 @@ def _bound_orders(orders: DataFrame, d1: str | None, d2: str | None) -> DataFram
     # but its raw [:7] slice ('1995-1') sorts ABOVE every real
     # 'YYYY-MM' value lexicographically — pruning away every
     # partition and returning a silently empty dashboard.
+    d2_obj = None
     if d1 is not None:
         d1 = date.fromisoformat(d1).isoformat()
     if d2 is not None:
-        d2 = date.fromisoformat(d2).isoformat()
+        d2_obj = date.fromisoformat(d2)
+        d2 = d2_obj.isoformat()
     if "o_month" in orders.columns:
         if d1 is not None:
             orders = orders.filter(F.col("o_month") >= d1[:7])
@@ -77,7 +79,7 @@ def _bound_orders(orders: DataFrame, d1: str | None, d2: str | None) -> DataFram
             F.col("o_orderdate") >= F.lit(f"{d1} 00:00:00").cast("timestamp")
         )
     if d2 is not None:
-        nxt = (date.fromisoformat(d2) + timedelta(days=1)).isoformat()
+        nxt = (d2_obj + timedelta(days=1)).isoformat()
         orders = orders.filter(
             F.col("o_orderdate") < F.lit(f"{nxt} 00:00:00").cast("timestamp")
         )
@@ -209,8 +211,17 @@ def top_products(
         .groupBy("name")
         .agg(
             F.sum(_net_line()).alias("_rev"),
-            F.sum(
-                F.when(not_ref, F.col("l_quantity")).otherwise(F.lit(0.0))
+            # decimal sum + floor, not a double sum cast to bigint:
+            # fractional (weight-based) quantities would make the
+            # double fold order-dependent AND hit the Spark-truncates
+            # vs DuckDB-rounds bigint-cast dialect seam (the
+            # normalize.py quantity-floor policy, applied at the agg)
+            F.floor(
+                F.sum(
+                    F.when(
+                        not_ref, F.col("l_quantity").cast("decimal(18,2)")
+                    ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                )
             ).cast("bigint").alias("qty_sold"),
         )
     )
@@ -274,16 +285,27 @@ def geo_rollup(
 
     ORDERS-grain: app.py's COUNT(*) runs over fct_orders, so a
     zero-line order still counts toward its geography (the per-order
-    net left-joins in as 0). nation/region are broadcast; customer is
-    AQE-sized (it grows with SF — the catalog broadcast contract);
-    the only fixed shuffle is the lineitem->order-key aggregation.
-    The optional date window filters the orders scan directly
-    (pushed predicate).
+    net left-joins in as 0) — and EVERY in-window order counts, even
+    one whose customer/nation/region cannot be resolved: app.py
+    buckets blank geography under '\u2014' (COALESCE(NULLIF(...),
+    '\u2014')), so the geography chain is LEFT joins with the same
+    em-dash bucket, keeping this frame's order total equal to the
+    kpis header (an inner join silently shrank it on dangling keys).
+    nation/region are broadcast; customer is AQE-sized (it grows
+    with SF — the catalog broadcast contract); the only fixed
+    shuffle is the lineitem->order-key aggregation, and with a date
+    window set the line scan is first semi-join-restricted to the
+    bounded order keys like every other windowed frame (the full-fact
+    aggregate would shuffle 100% of lineitem to keep the window's
+    slice).
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = _bound_orders(load_table(spark, sf_dir, "orders"), d1, d2).select(
         "o_orderkey", "o_custkey"
     )
+    if d1 is not None or d2 is not None:
+        keys = orders.select(F.col("o_orderkey").alias("l_orderkey"))
+        lineitem = lineitem.join(keys, "l_orderkey", "left_semi")
     customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
     region = load_table(spark, sf_dir, "region")
@@ -293,12 +315,22 @@ def geo_rollup(
     )
     geo = orders.join(per_order, "o_orderkey", "left")
     geo = (
-        geo.join(customer, geo.o_custkey == customer.c_custkey)
-        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
-        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        geo.join(customer, geo.o_custkey == customer.c_custkey, "left")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == nation.n_nationkey,
+            "left",
+        )
+        .join(
+            F.broadcast(region),
+            F.col("n_regionkey") == region.r_regionkey,
+            "left",
+        )
     )
+    dash = "\u2014"
     agg = geo.groupBy(
-        F.col("r_name").alias("region"), F.col("n_name").alias("country")
+        F.coalesce(F.col("r_name"), F.lit(dash)).alias("region"),
+        F.coalesce(F.col("n_name"), F.lit(dash)).alias("country"),
     ).agg(
         F.count(F.lit(1)).alias("orders"),
         F.sum(

@@ -51,9 +51,15 @@ def dashboard_payload(
     if d1 is None or d2 is None:
         from datetime import date, timedelta
 
-        row = date_bounds(spark, sf_dir).first()
+        row = bounds_frame.first()
         if d2 is None:
             d2 = row["max_d"]
+        else:
+            # normalize BEFORE the lexicographic clamp: fromisoformat
+            # accepts non-canonical forms ('19900101') whose raw text
+            # sorts wrongly against ISO dates ('-' < '0'), which would
+            # recreate the inverted-empty-window this branch prevents
+            d2 = date.fromisoformat(d2).isoformat()
         if d1 is None:
             # anchor the 30-day default to the EFFECTIVE d2 (caller-
             # provided or data max), never past it — else an explicit

@@ -88,3 +88,50 @@ def test_dashboard_default_window_is_last_30_days(spark, sf_dir):
         frames["kpis"].first()["orders_cnt"]
         == explicit["kpis"].first()["orders_cnt"]
     )
+
+
+def test_geo_rollup_keeps_unresolvable_customers(spark, tmp_path, sf_dir):
+    """app.py buckets blank geography under the em-dash and counts
+    EVERY in-window order — an order whose customer is purged (or
+    NULL) must land in the dash bucket, not vanish (the geo total
+    must keep matching the kpis header)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.catalog import load_table
+    from py_etl_pipeline_woocommerce_spark.plans import analytics
+
+    wh = str(tmp_path / "geo_wh")
+    os.makedirs(wh, exist_ok=True)
+    orders = load_table(spark, sf_dir, "orders")
+    # clone the warehouse, pointing one order at a purged customer
+    orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") == orders.first()["o_orderkey"],
+               F.lit(-999)).otherwise(F.col("o_custkey")),
+    ).write.parquet(os.path.join(wh, "orders.parquet"))
+    for t in ("lineitem", "customer", "nation", "region"):
+        load_table(spark, sf_dir, t).write.parquet(
+            os.path.join(wh, f"{t}.parquet")
+        )
+    out = analytics.geo_rollup(spark, wh, limit=10_000).collect()
+    total = sum(r.orders for r in out)
+    assert total == orders.count()
+    dash_rows = [r for r in out if r.region == "\u2014"]
+    assert dash_rows and dash_rows[0].country == "\u2014"
+    assert dash_rows[0].orders == 1
+
+
+def test_dashboard_payload_normalizes_noncanonical_d2(spark, sf_dir):
+    """A non-canonical-but-parseable d2 ('YYYYMMDD') must clamp
+    correctly: raw text sorts wrongly against ISO dates and used to
+    invert the default window into an empty page."""
+    from py_etl_pipeline_woocommerce_spark.plans.dashboard import (
+        dashboard_payload,
+    )
+
+    frames = dashboard_payload(spark, sf_dir, None, "19980801")
+    # the window is non-empty: the kpis frame reports orders
+    kp = frames["kpis"].collect()[0]
+    assert kp["orders_cnt"] > 0
