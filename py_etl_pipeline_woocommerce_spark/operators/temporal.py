@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.stats import pctl_fn
+
 from ..functions.money import dec_money
 
 HOUR_US = 3_600_000_000
@@ -1713,11 +1715,7 @@ def interarrival_stats(
     gap-flag path) or sessionize per user — a raw per-type total
     order is inherently single-task per type.
     """
-    pctl = (
-        (lambda c, p: F.percentile(c, p))
-        if exact
-        else (lambda c, p: F.percentile_approx(c, p).cast("double"))
-    )
+    pctl = pctl_fn(exact)
     e = _ts_us(events)
     w = Window.partitionBy("event_type").orderBy("t_us", "event_id")
     deltas = e.select(

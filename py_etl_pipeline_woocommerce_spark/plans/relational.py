@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.stats import pctl_fn
+
 from ..catalog import load_table
 from ..functions.money import dec_money, dec_rate, disc_price, gross_price
 
@@ -55,7 +57,8 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q5-style: 1995 net revenue by region/nation of the customer.
 
     lineitem⋈orders is the one big shuffle (AQE may turn it
-    shuffle-hash); customer/nation/region broadcast. The orderdate
+    shuffle-hash); nation/region broadcast, customer AQE-sized (it
+    grows with SF — the catalog contract). The orderdate
     range filter prunes at the orders scan before the join.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
@@ -150,7 +153,8 @@ def shipping_priority(spark: SparkSession, sf_dir: str, limit: int = 10) -> Data
     """Q3-style shipping priority: top unshipped-revenue orders for one
     market segment as of a cutoff date.
 
-    customer is broadcast after the segment filter; the orderdate /
+    customer is AQE-broadcast after the segment filter when it fits;
+    the orderdate /
     shipdate range predicates push down to both fact scans before the
     lineitem⋈orders shuffle. LIMIT has a total order (revenue desc,
     order id) so the top-N is unique.
@@ -202,7 +206,7 @@ def discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return filtered.agg(
-        F.sum(F.col("l_extendedprice").cast("decimal(18,2)") * d)
+        F.sum(dec_money("l_extendedprice") * d)
         .cast("double")
         .alias("revenue")
     )
@@ -259,7 +263,8 @@ def volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     by ship year, both directions.
 
     lineitem⋈orders is the single fact-fact shuffle; supplier,
-    customer and both nation copies broadcast. The nation-pair filter
+    both nation copies broadcast, supplier/customer AQE-sized. The
+    nation-pair filter
     is applied right after the broadcast joins so the big shuffle
     carries only matching rows.
     """
@@ -343,7 +348,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14-style promo revenue percentage for one ship-quarter.
 
-    part broadcast; shipdate range pushes to the lineitem scan. The
+    part AQE-broadcast when it fits; shipdate range pushes to the
+    lineitem scan. The
     percent is one double division of two exact decimal sums.
     """
     lineitem = load_table(spark, sf_dir, "lineitem").filter(
@@ -370,7 +376,8 @@ def large_volume_orders(spark: SparkSession, sf_dir: str, min_qty: int = 300) ->
 
     The HAVING prunes before the orders/customer joins, so only the
     tiny qualifying set rides the joins (orders join keyed, customer
-    broadcast). Total order: totalprice desc, order id.
+    AQE-broadcast when small). Total order: totalprice desc,
+    order id.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     big = (
@@ -399,7 +406,8 @@ def supplier_part_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q16-style: distinct suppliers shipping each (brand, type) combo,
     excluding one brand.
 
-    part broadcast onto lineitem, then a two-column distinct count —
+    part AQE-broadcast onto lineitem when it fits, then a
+    two-column distinct count —
     Spark plans it as partial distinct + final agg (expand + two-stage
     shuffle), no driver-side work.
     """
@@ -450,7 +458,7 @@ def idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     side only carries recent keys.
     """
     customer = load_table(spark, sf_dir, "customer")
-    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    bal = dec_money("c_acctbal")
     pos = customer.filter(bal > 0).agg(
         F.sum(bal).alias("_sum"), F.count(F.lit(1)).alias("_n")
     )
@@ -474,11 +482,11 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str, max_size: int = 10) -> D
     The per-part minimum is a window over the (already part-filtered)
     lineitem — one shuffle on partkey; the equality filter keeps exact
     DECIMAL ties like the reference's correlated subquery. part and
-    supplier broadcast.
+    supplier AQE-sized (it grows with SF).
     """
     part = load_table(spark, sf_dir, "part").filter(
         F.col("p_size") <= max_size
-    ).select("p_partkey", "p_name", "p_size")
+    ).select("p_partkey", "p_name")
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", dec_money("l_extendedprice").alias("_price")
     )
@@ -528,7 +536,8 @@ def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     The testdata has no partsupp, so unit cost is modeled as
     0.6 × p_retailprice (exact decimal — the cost basis is a constant
     factor, which preserves Q9's join/agg shape). part and supplier
-    broadcast; lineitem⋈orders is the one fact-fact shuffle.
+    AQE-broadcast when they fit; lineitem⋈orders is the one
+    fact-fact shuffle.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
@@ -564,7 +573,8 @@ def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Return-flag and date filters push to the two scans, so the
     lineitem⋈orders shuffle carries only returned lines of one
-    quarter; customer and nation broadcast. Total order: revenue
+    quarter; nation broadcast, customer AQE-sized. Total order:
+    revenue
     desc, customer id.
     """
     lineitem = load_table(spark, sf_dir, "lineitem").filter(
@@ -624,7 +634,8 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str, brand: str = "Brand#1") 
     one brand's parts.
 
     The per-part mean is a window over the brand-filtered lineitem
-    (part broadcast prunes before the shuffle). The "qty < 0.2×avg"
+    (the part filter prunes before the shuffle; AQE broadcasts the
+    filtered dim when it fits). The "qty < 0.2×avg"
     compare is integerized to ``5·qty·n < sum`` — exact, so both
     engines cut the same rows. Output is one row; /7.0 happens in
     double at the boundary.
@@ -646,6 +657,10 @@ def small_qty_revenue(spark: SparkSession, sf_dir: str, brand: str = "Brand#1") 
         F.col("_qty") * 5 * F.col("_n") < F.col("_sum_q")
     )
     return kept.agg(
+        # the divisor is TPC-H Q17's FIXED constant (the benchmark's
+        # 7-year data span), kept verbatim for query parity — it is
+        # NOT derived from this corpus's actual shipdate span, so
+        # read avg_yearly as the Q17 metric, not a true per-year mean
         (F.sum("_price").cast("double") / F.lit(7.0)).alias("avg_yearly")
     )
 
@@ -681,7 +696,8 @@ def dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pre-aggregating to (part, supplier) before the per-part window
     shrinks the window input from N rows to distinct pairs; the
-    ``supp·n > 2·total`` compare is integer-exact. supplier broadcast
+    ``supp·n > 2·total`` compare is integer-exact. supplier
+    AQE-sized
     at the end, onto the small qualifying set.
     """
     lineitem = load_table(spark, sf_dir, "lineitem").select(
@@ -719,7 +735,7 @@ def supplier_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     same partitioning.
     """
     supplier = load_table(spark, sf_dir, "supplier")
-    bal = F.col("s_acctbal").cast("decimal(18,2)")
+    bal = dec_money("s_acctbal")
     w = Window.partitionBy("s_nationkey").orderBy(bal, F.col("s_suppkey"))
     tiled = supplier.withColumn("quartile", F.ntile(4).over(w))
     return (
@@ -879,7 +895,7 @@ def late_suppliers(spark: SparkSession, sf_dir: str, limit: int = 20) -> DataFra
     predicates — blamed lines join it on orderkey (n_supp > 1,
     n_fail = 1 ⇒ the failing supplier is this line's). One lineitem
     shuffle on orderkey, orders filter pushed to its scan, supplier
-    dim broadcast.
+    dim AQE-broadcast when it fits.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     orders = (
@@ -1142,7 +1158,7 @@ def basket_pairs(
     Shape: one lineitem scan → distinct (order, part) — the only
     corpus-sized shuffle; the pair join is per-ORDER, so fan-out is
     C(items-per-order, 2), a basket-sized constant at any scale
-    (never part×part). Per-part order counts broadcast back into the
+    (never part×part). Per-part order counts join back into the
     pair frame. The support cut is an integer compare BEFORE any
     float; lift is one rounded division, ranked with part-id
     tie-breaks — engine-exact. (The a-priori candidate-pruning
@@ -1171,9 +1187,14 @@ def basket_pairs(
     nb = per_part.select(
         F.col("l_partkey").alias("part_b"), F.col("n_part").alias("n_b")
     )
+    # na/nb are PER-PART aggregates — they GROW with SF (the
+    # catalog broadcast contract allows forced hints only on
+    # constant-size region/nation): unhinted, AQE broadcasts them
+    # while they fit and falls back to a shuffle join past the 8 GB
+    # ceiling instead of failing the job
     scored = (
-        pairs.join(F.broadcast(na), "part_a")
-        .join(F.broadcast(nb), "part_b")
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
         .join(F.broadcast(n_orders))
         .select(
             "part_a",
@@ -1218,11 +1239,7 @@ def fulfillment_latency(
     state); ``exact=True`` keeps the interpolating percentile for the
     oracle gate, identical schema (approx result cast to double).
     """
-    pctl = (
-        (lambda c, p: F.percentile(c, p))
-        if exact
-        else (lambda c, p: F.percentile_approx(c, p).cast("double"))
-    )
+    pctl = pctl_fn(exact)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000").alias("ship_day"),
@@ -1334,11 +1351,7 @@ def repeat_rate(
         F.min(F.when(F.col("rn") == 2, F.col("day"))).alias("second_day"),
     )
     gap = F.col("second_day") - F.col("first_day")
-    pctl = (
-        (lambda c, p: F.percentile(c, p))
-        if exact
-        else (lambda c, p: F.percentile_approx(c, p).cast("double"))
-    )
+    pctl = pctl_fn(exact)
     return per_cust.agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(F.col("second_day").isNotNull().cast("bigint")).alias(
