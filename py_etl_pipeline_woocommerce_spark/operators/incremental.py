@@ -54,9 +54,26 @@ def assign_backfill_windows(
 ) -> DataFrame:
     """Tag each row with its backfill window index (run.py:113-129
     marches ``cursor += window_days``); lets one job plan all windows
-    instead of a driver loop of sequential fetches."""
+    instead of a driver loop of sequential fetches.
+
+    ``start_iso`` validates on the DRIVER (the filter_since rule): a
+    corrupted value would cast to NULL and tag every row's window
+    NULL — a backfill that "succeeds" empty forever. Rows BEFORE the
+    start clamp into window 0 instead of going negative: a planner
+    iterating windows 0..N would silently never process a negative
+    index, losing late-arriving rows with no error.
+    """
+    from datetime import datetime
+
+    datetime.fromisoformat(start_iso)  # raises on malformed input
+    if window_days <= 0:
+        raise ValueError(
+            f"window_days must be positive, got {window_days}"
+        )
     start = F.lit(start_iso).cast("timestamp")
     # NTZ-safe epoch seconds: NTZ -> TIMESTAMP uses the UTC session tz.
     secs = F.col(ts_col).cast("timestamp").cast("long")
     idx = F.floor((secs - start.cast("long")) / (window_days * 86400))
-    return df.withColumn("backfill_window", idx.cast("bigint"))
+    return df.withColumn(
+        "backfill_window", F.greatest(idx, F.lit(0)).cast("bigint")
+    )

@@ -15,18 +15,23 @@ SALT_COL = "__salt"
 
 
 def add_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
-    """Uniform salt mixing the row's content hash with the
-    partition-local row ordinal. Content hash alone maps IDENTICAL
-    duplicate rows (millions of repeated bot/filler events — exactly
-    the data that creates hot keys) to ONE salt, defeating the
-    spread; the ordinal disambiguates them. Not ``rand()``: for
-    deterministic scans (parquet file splits) a retried task re-reads
-    the same rows in the same order, so output is retry-stable — the
-    same guarantee ``monotonically_increasing_id`` itself carries."""
+    """Uniform salt from the partition-local row ordinal. A
+    content-based salt maps IDENTICAL duplicate rows (millions of
+    repeated bot/filler events — exactly the data that creates hot
+    keys) to ONE salt, defeating the spread; the ordinal is distinct
+    per row by construction. Not ``rand()``: for deterministic scans
+    (parquet file splits) a retried task re-reads the same rows in
+    the same order, so output is retry-stable — the same guarantee
+    ``monotonically_increasing_id`` itself carries."""
+    # hash of the partition-local ordinal ONLY — never the row
+    # content: the ordinal already disambiguates duplicates, hashing
+    # every column burns per-row CPU on wide facts for zero extra
+    # uniformity, and F.hash rejects MapType columns outright (the
+    # wide event tables this helper targets routinely carry maps)
     return df.withColumn(
         SALT_COL,
         F.pmod(
-            F.hash(*df.columns, F.monotonically_increasing_id()),
+            F.hash(F.monotonically_increasing_id()),
             F.lit(n_salts),
         ).cast("int"),
     )

@@ -30,13 +30,17 @@ def upsert_df(
 ) -> DataFrame:
     """Rows of ``existing`` whose key is NOT in ``batch``, plus all of
     ``batch`` (exact delete+insert semantics, duckdb_client.py:61-66).
-    ``delete_keys`` widens the delete set beyond the batch's own keys
+    ``delete_keys`` WIDENS the delete set beyond the batch's own keys
     (the order-grain item upsert: an extracted order with zero
-    remaining line items must still delete its old rows)."""
+    remaining line items must still delete its old rows) — widens,
+    never replaces: a delete_keys frame missing some batch key must
+    not leave that key's old rows alongside its new ones."""
     batch_keys = (
         batch.select(*keys).distinct()
         if delete_keys is None
-        else delete_keys.select(*keys).distinct()
+        else batch.select(*keys)
+        .unionByName(delete_keys.select(*keys))
+        .distinct()
     )
     # no forced broadcast: a backfill batch grows with the table, and
     # the hint would bypass the 8 GB ceiling (the repo's growing-input

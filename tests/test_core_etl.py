@@ -325,3 +325,60 @@ def test_notify_requires_smtp_host(monkeypatch):
     sent = []
     assert n.notify("boom", "error", transport=lambda s, b, t: sent.append(t))
     assert sent == ["ops@example.com"]
+
+
+def test_upsert_delete_keys_widens_not_replaces(spark):
+    """delete_keys missing a batch key must not leave that key's old
+    rows alongside its new ones — the delete set is the UNION of
+    batch keys and delete_keys."""
+    from pyspark.sql import Row
+
+    from py_etl_pipeline_woocommerce_spark.operators.upsert import upsert_df
+
+    existing = spark.createDataFrame(
+        [Row(order_id=5, v="old5"), Row(order_id=7, v="old7"),
+         Row(order_id=9, v="old9")]
+    )
+    batch = spark.createDataFrame([Row(order_id=5, v="new5")])
+    # delete_keys carries ONLY the zero-item order 7, not batch key 5
+    dk = spark.createDataFrame([Row(order_id=7)])
+    out = {(r.order_id, r.v) for r in
+           upsert_df(existing, batch, ["order_id"], delete_keys=dk).collect()}
+    assert out == {(5, "new5"), (9, "old9")}
+
+
+def test_assign_backfill_windows_validates_and_clamps(spark):
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from py_etl_pipeline_woocommerce_spark.operators.incremental import (
+        assign_backfill_windows,
+    )
+
+    df = spark.createDataFrame(
+        [Row(ts="1991-12-30 00:00:00"), Row(ts="1992-01-15 00:00:00")]
+    )
+    with _pytest.raises(ValueError):
+        assign_backfill_windows(df, "ts", "1992-13-01T00:00:00")
+    with _pytest.raises(ValueError):
+        assign_backfill_windows(df, "ts", "1992-01-01T00:00:00", 0)
+    out = {r.ts: r.backfill_window for r in
+           assign_backfill_windows(df, "ts", "1992-01-01T00:00:00", 30).collect()}
+    # a late-arriving pre-start row clamps into window 0, never -1
+    assert out["1991-12-30 00:00:00"] == 0
+    assert out["1992-01-15 00:00:00"] == 0
+
+
+def test_add_salt_handles_map_columns(spark):
+    """The salt must not hash row content: F.hash rejects MapType,
+    and the wide event tables the skew helpers target carry maps."""
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.skew import add_salt
+
+    df = spark.range(200).select(
+        "id", F.create_map(F.lit("k"), F.col("id").cast("string")).alias("m")
+    )
+    out = add_salt(df, n_salts=8)
+    vals = {r["__salt"] for r in out.collect()}
+    assert vals <= set(range(8)) and len(vals) >= 4  # spread, no crash
