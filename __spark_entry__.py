@@ -5081,7 +5081,7 @@ LEFT JOIN per p ON d.doc_id = p.doc_id
     # (counts-fold) construction against the spec it implements
     out["curriculum_order"] = f"""
 WITH q AS ({_QUALITY_SQL}),
-j AS (SELECT d.doc_id, d.source, q.quality
+j AS (SELECT d.doc_id, COALESCE(d.source, '') AS source, q.quality
       FROM documents d JOIN q ON d.doc_id = q.doc_id),
 r AS (SELECT doc_id, source, quality,
              CAST(ROW_NUMBER() OVER (PARTITION BY source

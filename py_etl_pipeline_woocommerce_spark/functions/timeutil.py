@@ -30,10 +30,11 @@ DEFAULT_APP_TZ = "Europe/Athens"
 #: column named ``ts``): plain ``ts div 1000`` truncates toward zero,
 #: which for a pre-1970 timestamp with genuine sub-us residue lands
 #: one us ABOVE the floor and can flip a window/session boundary
-#: against an epoch_us oracle. Used by the epoch_us-convention family
-#: (events ops + their streaming twins); the temporal/warehouse day
-#: indexes deliberately keep ``div`` to match their DuckDB ``//``
-#: trunc-convention oracles.
+#: against an epoch_us oracle. EVERY oracle derives t_us as
+#: epoch_us(ts) (exact microseconds = the floor), so every ns->us
+#: conversion engine-side uses this constant; only the DAY-INDEX
+#: layer on top (``t_us div DAY_US`` / ``%``) keeps trunc semantics,
+#: matching the oracles' ``//`` and ``%`` on both engines.
 TS_US_FLOOR = "(ts - pmod(ts, 1000)) div 1000"
 
 

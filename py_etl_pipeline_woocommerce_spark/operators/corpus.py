@@ -2440,9 +2440,15 @@ def curriculum_order(documents: DataFrame) -> DataFrame:
     """
     from .textstats import quality_score
 
-    scored = documents.select("doc_id", "source").join(
-        quality_score(documents).select("doc_id", "quality"), "doc_id"
-    )
+    # NULL source buckets under '' (sorts before every named source
+    # in both the interleave tie-break and the counts fold) — the
+    # raw NULL would poison the literal-array comparisons with
+    # three-valued logic AND crash the driver-side sort on
+    # (None < str); applied ONCE here so window, counts and fold all
+    # see the same bucketing
+    scored = documents.select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("")).alias("source")
+    ).join(quality_score(documents).select("doc_id", "quality"), "doc_id")
     per_src = Window.partitionBy("source").orderBy(
         F.col("quality").desc(), "doc_id"
     )
@@ -2454,7 +2460,7 @@ def curriculum_order(documents: DataFrame) -> DataFrame:
     # exception to the no-collect rule
     counts = sorted(
         (r["source"], r["c"])
-        for r in documents.groupBy("source")
+        for r in scored.groupBy("source")
         .agg(F.count(F.lit(1)).alias("c"))
         .collect()
     )

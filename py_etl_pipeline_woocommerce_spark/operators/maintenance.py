@@ -67,12 +67,12 @@ def compact_parquet(
                 ).alias("_files_v"),
             )
         )
-        # ONE pass: the per-value counts already hold the total (the
-        # old unconditional df.count() re-scanned the whole table)
+        # ONE pass over the aggregated counts — the old unconditional
+        # df.count() re-scanned the whole table; only the group count
+        # is needed (maxRecordsPerFile owns the per-file size)
         tot = per_value_files.groupBy().agg(
-            F.sum("_rows_v").alias("_rows"), F.sum("_files_v").alias("_g")
+            F.sum("_files_v").alias("_g")
         ).first()
-        n_rows = int(tot["_rows"] or 0)
         n_groups = int(tot["_g"] or 1)
         per_value_files = per_value_files.drop("_rows_v")
         # eqNullSafe, NOT on=: SQL equality never matches NULL keys,

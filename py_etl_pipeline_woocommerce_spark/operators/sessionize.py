@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import TS_US_FLOOR
+
 from ..functions.money import dec_money
 
 GAP_MINUTES = 30
@@ -36,7 +38,7 @@ def _tag_sessions(events: DataFrame, gap_minutes: int) -> DataFrame:
     ``(ts - pmod(ts, 1000)) div 1000`` floors for either sign.
     Returns the event-grain frame with ``ts_us`` and ``session_seq``
     stamped — one user-keyed sort, both windows sharing it."""
-    e = events.withColumn("ts_us", F.expr("(ts - pmod(ts, 1000)) div 1000"))
+    e = events.withColumn("ts_us", F.expr(TS_US_FLOOR))
     order = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     gap_us = gap_minutes * 60 * 1_000_000
     prev = F.lag("ts_us").over(order)

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import TS_US_FLOOR
+
 from ..functions.stats import pctl_fn
 
 from ..functions.money import dec_money
@@ -37,8 +39,16 @@ def _day_idx_col():
 
 
 def _ts_us(events: DataFrame) -> DataFrame:
+    # TS_US_FLOOR, not `div`: every temporal oracle derives t_us via
+    # epoch_us(ts) — exact microseconds, i.e. the FLOOR of ns/1000 —
+    # while the DAY-INDEX layer below (`t_us div DAY_US`) stays
+    # trunc-convention to match the oracles' `//`
     return events.select(
-        "event_id", "user_id", "event_type", F.expr("ts div 1000").alias("t_us"), "value"
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(TS_US_FLOOR).alias("t_us"),
+        "value",
     )
 
 

@@ -1049,7 +1049,17 @@ def filter_blocked_domains(
     """
     if not blocked:
         return documents
-    canon = sorted({b.strip().lower().lstrip(".") for b in blocked if b.strip()})
+    # fold 'www.' on the BLOCKLIST too: link domains are www-folded
+    # before matching, so a 'www.example.com' entry would otherwise
+    # match nothing — a silent no-op blocklist line
+    canon = sorted(
+        {
+            b2[4:] if b2.startswith("www.") else b2
+            for b in blocked
+            if b.strip()
+            for b2 in [b.strip().lower().lstrip(".")]
+        }
+    )
     links = extract_links(documents).filter(
         F.col("domain").isNotNull() & (F.col("domain") != "")
     )

@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import TS_US_FLOOR
+
 def _row_fingerprint(cols: list[str], prefix: str = "") -> "F.Column":
     """md5 over tracked columns, each column hashed SEPARATELY first.
 
@@ -397,7 +399,7 @@ def daily_rollup_partials(events: DataFrame) -> DataFrame:
     operator here ever needs the raw history again."""
     from ..functions.money import dec_money
 
-    ts_us = F.expr("ts div 1000")
+    ts_us = F.expr(TS_US_FLOOR)
     day_us = 86_400_000_000
     return events.groupBy(
         (ts_us - (ts_us % day_us)).alias("day_us"),
@@ -994,7 +996,7 @@ def merge_first_seen_store(spark, store_path: str, batch_events: DataFrame) -> N
     batch = (
         batch_events.select(
             "user_id",
-            (F.expr("ts div 1000") - F.expr("ts div 1000") % 86_400_000_000)
+            (F.expr(TS_US_FLOOR) - F.expr(TS_US_FLOOR) % 86_400_000_000)
             .alias("first_day_us"),
         )
         .groupBy("user_id")

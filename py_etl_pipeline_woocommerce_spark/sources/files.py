@@ -73,6 +73,11 @@ def read_jsonl_quarantine(
     ``f.unpersist()`` on it when both branches are consumed. Without
     it the persisted scan stays in the session's cache until the
     session ends — the documented cost of the SPARK-21610 unblock.
+    Spark's CacheManager dedupes identical plans, so repeated calls
+    over the SAME path reuse one entry; a long-lived loop reading a
+    NEW path per cycle (landing-zone ingestion) MUST pass
+    persisted_frames and unpersist per cycle or the cached parsed
+    frames accumulate unboundedly.
     The materialization is ``persist(MEMORY_AND_DISK)``, NOT a
     ``localCheckpoint``: checkpoint blocks are non-recomputable, so
     on a real cluster one lost executor (spot nodes, dynamic

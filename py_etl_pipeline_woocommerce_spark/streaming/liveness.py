@@ -27,6 +27,8 @@ from typing import Any, Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.timeutil import TS_US_FLOOR
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -110,7 +112,7 @@ def gaps_stream(events: DataFrame, min_gap_us: int = 3_600_000_000) -> DataFrame
     # dropped up front; a heartbeat with no timestamp carries no
     # liveness signal anyway
     prepared = events.filter(F.col("ts").isNotNull()).select(
-        "event_type", "event_id", F.expr("ts div 1000").alias("t_us")
+        "event_type", "event_id", F.expr(TS_US_FLOOR).alias("t_us")
     )
 
     def fn(key, pdfs, state):

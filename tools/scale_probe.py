@@ -50,6 +50,23 @@ COPIES = 10
 KEY_OFFSET = 100_000_000
 
 
+def _replicate_embeddings(dst: str, src: str, copies: int = COPIES) -> None:
+    """10x embeddings with vec_id offset per copy — ONE definition for
+    generate() and main()'s backfill so the two paths cannot drift."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    emb = pq.read_table(os.path.join(src, "embeddings.parquet")).to_pandas()
+    frames = []
+    for k in range(copies):
+        c = emb.copy()
+        c["vec_id"] = c["vec_id"] + k * KEY_OFFSET
+        frames.append(c)
+    pd.concat(frames, ignore_index=True).to_parquet(
+        os.path.join(dst, "embeddings.parquet"), index=False
+    )
+
+
 def generate(dst: str = DST, src: str = SRC, copies: int = COPIES) -> None:
     import pandas as pd
     import pyarrow.parquet as pq
@@ -100,15 +117,7 @@ def generate(dst: str = DST, src: str = SRC, copies: int = COPIES) -> None:
         os.path.join(dst, "orders.parquet"), index=False
     )
 
-    emb = pq.read_table(os.path.join(src, "embeddings.parquet")).to_pandas()
-    frames = []
-    for k in range(copies):
-        c = emb.copy()
-        c["vec_id"] = c["vec_id"] + k * KEY_OFFSET
-        frames.append(c)
-    pd.concat(frames, ignore_index=True).to_parquet(
-        os.path.join(dst, "embeddings.parquet"), index=False
-    )
+    _replicate_embeddings(dst, src, copies)
 
     # dimension tables ride along VERBATIM (o_custkey is not offset,
     # so the 10x orders join the same customers — the "facts grew 10x,
@@ -369,20 +378,7 @@ def main() -> None:
     # a replica generated before r9b lacks the 10x embeddings the
     # outlier probe reads — backfill with the same offset scheme
     if not os.path.exists(os.path.join(DST, "embeddings.parquet")):
-        import pandas as pd
-        import pyarrow.parquet as pq
-
-        emb = pq.read_table(
-            os.path.join(SRC, "embeddings.parquet")
-        ).to_pandas()
-        frames = []
-        for k in range(COPIES):
-            c = emb.copy()
-            c["vec_id"] = c["vec_id"] + k * KEY_OFFSET
-            frames.append(c)
-        pd.concat(frames, ignore_index=True).to_parquet(
-            os.path.join(DST, "embeddings.parquet"), index=False
-        )
+        _replicate_embeddings(DST, SRC)
 
     from py_etl_pipeline_woocommerce_spark.session import get_spark
 
