@@ -368,110 +368,28 @@ def _q_dq_rules(spark, sf_dir):
 # on), then the r4-era tail enumerated in the git history of this
 # note. Entries re-verified TWICE in r9 on current data (sf0.01 +
 # sf0.1 full gates) carry the lowest risk.
-_R9_FRONT = [
-    # round-9b NEW operators — never driver-verified, take the budget
-    # first (readability, entropy, link census/blocklist, zipf,
-    # novelty, curriculum, embedding outliers)
-    "readability",
-    "char_entropy",
-    "link_domains",
-    "filter_blocked_domains",
-    "zipf_fit",
-    "ngram_novelty",
-    "curriculum_order",
-    "embedding_outliers",
-    "mojibake_score",
-    "fix_mojibake",
-    "split_sentences",
-    "bpe_merge_candidates",
-    "anchor_texts",
-    "skipgram_pairs",
-    # r9b oracle-changed event family (NULL policy + floor division)
-    "funnel_steps",
-    "funnel_steps_windowed",
-    "event_transitions",
-    "user_overlap",
-    "linear_attribution",
-    "parse_event_props",
+# ROUND-10 ROTATION (VERDICT r9 item #1: drain the driver-staleness
+# tail). CORRECTNESS_r01..r09 say 59 entries were last driver-checked
+# in r4/r5; the front below leads with NEW-IN-R10 entries (never
+# driver-verified; selfchecked hash-green at sf0.01+sf0.1 when added),
+# then ALL 30 r4-stale entries, then the 29 r5-stale entries — so the
+# ~50-row budget re-proves the stalest half of the surface and nothing
+# older than r5 remains after this round. Every entry outside the
+# budget was re-verified by the terminal full-surface selfcheck
+# (sf0.01 AND sf0.1) on this round's final tree. Any operator whose
+# oracle text changes later in r10 gets promoted into the NEW block.
+_R10_FRONT = [
+    # new-in-r10 entries (never driver-verified)
+    # oracle-text changed in r10 (floor-anchored pre-1970 window mod;
+    # value-identical on post-1970 data)
     "event_window_agg",
     "hopping_window_agg",
-    "session_window_agg",
-    "sessionize",
-    "session_paths",
-    "session_stats",
-    "dashboard_payload",
-    "tfidf_top_terms",
-    "doc_rarity",
-    "weighted_sample_k",
-    "length_buckets",
-    "ks_drift",
-    "ewma_daily",
-    "equidepth_histogram",
-    "value_histogram",
-    "event_mix_drift",
-    "m4_downsample",
-    "ann_topk",
-    "ann_lsh_topk",
-    "ann_quantized_topk",
-    "ann_rerank_topk",
-    "embedding_cosine_dup",
-    "semdedup_apply",
-    "knn_classify",
-    "label_centroids",
-    "quantize_embeddings",
-    "embedding_scores",
-    "strip_markup",
-    "token_count",
-    "lang_id",
-    "lang_id_nb",
-    "lang_confusion",
-    "corpus_report",
-    "numeric_corr",
-    "profile_orders",
-    "profile_drift_orders",
-    "hot_keys",
-    "event_props_typed",
-    "normalize_items",
-    "apply_refunds_items",
-    "apply_refunds_orders",
-    "upsert",
-    "enrich_categories",
-    "re_enrich_categories",
-    "woo_flow_digest",
-    "snapshot_diff",
-    "scd2_apply",
-    "cdc_apply",
-    "pack_bins_bfd",
-    "hot_keys_approx",
-    "ann_ivf_topk",
-    "mmr_topk",
-    "cluster_stats",
-    "pca_project",
-    "quality_score",
-    "gopher_rules",
-    "tokenizer_stats",
-    "corpus_stats",
-    "filter_pipeline",
-    "chunk_documents",
-    "token_budget_sample",
-    "pack_sequences",
-    "normalize_orders",
-    "parse_event_props",
-    "daily_active_users_approx",
-    "dau_sketch_rollup",
-    "decontaminate",
-    "bm25_search",
-    "hybrid_search",
-    "doc_similarity_topk",
-    "pmi_terms",
-    "vocab_drift",
-    "corpus_pipeline",
-    "daily_active_users",
-    "multires_rollup",
-    "rolling_active_users",
-    "fill_missing_days",
+
+    # r4-stale tail (last driver-checked in round 4)
     "asof_join_forward",
     "basket_pairs",
+    "bm25_search",
+    "cdc_apply",
     "corpus_split",
     "cusum_changepoint",
     "daily_value_percentiles",
@@ -479,47 +397,56 @@ _R9_FRONT = [
     "dayn_retention",
     "dq_referential",
     "dsir_weights",
-    "event_transitions",
     "event_value_summary",
     "fill_missing_days_interp",
     "fill_missing_days_locf",
     "fulfillment_latency",
-    "funnel_steps_windowed",
+    "hybrid_search",
     "interarrival_stats",
-    "linear_attribution",
     "merge_intervals",
+    "numeric_corr",
     "repeat_rate",
     "rollup_merge",
     "seasonal_anomaly",
-    "session_stats",
     "soft_dedup_weights",
     "source_quota_sample",
     "split_leakage",
     "split_leakage_near",
     "time_gaps",
-    "user_overlap",
     "user_streaks",
     "value_outliers",
     "wow_growth",
-    "revenue_timeseries",
-    "top_supplier",
-    "incremental_watermark",
-    "revenue_timeseries_bounded",
-    "top_products_bounded",
-    "category_mix_bounded",
-    "geo_rollup_bounded",
-    "pricing_summary",
+
+    # r5-stale tail (last driver-checked in round 5)
+    "asof_join_nearest",
+    "backfill_windows",
+    "bigram_logprob",
+    "cluster_stats",
+    "conversion_latency",
+    "corpus_report",
+    "date_bounds",
     "dedup_audit",
+    "doc_similarity_topk",
+    "dsir_select_threshold",
     "dup_cluster_histogram",
-    "discount_revenue",
-    "sales_rollup",
-    "shipping_priority",
-    "volume_shipping",
-    "large_volume_orders",
-    "returned_item_report",
-    "segment_share",
-    "market_share",
+    "hash_embed",
+    "incremental_watermark",
+    "lang_confusion",
+    "mmr_topk",
+    "normalize_orders",
+    "pack_bins_bfd",
+    "pmi_terms",
+    "profile_drift_orders",
+    "profile_orders",
+    "quality_percentile_by_source",
+    "revenue_timeseries",
     "rfm_segments",
+    "sample_exact_k",
+    "seasonal_profile",
+    "source_divergence",
+    "token_budget_sample",
+    "trend_fit",
+    "value_outliers_mad",
 ]
 
 
@@ -1277,7 +1204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "skipgram_pairs": lambda s, d: corpus.skipgram_pairs(_docs(s, d)),
     }
-    ordered = {k: base[k] for k in _R9_FRONT}
+    ordered = {k: base[k] for k in _R10_FRONT if k in base}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 
@@ -2946,7 +2873,8 @@ WHERE rn = 1
         "hopping_window_agg": """
 WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
 x AS (SELECT event_type, value, ts_us,
-             (ts_us - ts_us % 1800000000) - k.range * 1800000000 AS window_start_us
+             (ts_us - ((ts_us % 1800000000 + 1800000000) % 1800000000))
+               - k.range * 1800000000 AS window_start_us
       FROM e CROSS JOIN range(0, 2) k)
 SELECT window_start_us, event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
@@ -3131,7 +3059,9 @@ SELECT label, dim,
 FROM e GROUP BY 1, 2
 """,
         "event_window_agg": """
-SELECT epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,
+SELECT epoch_us(ts)
+         - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)
+         AS window_start_us,
        event_type, COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2

@@ -60,7 +60,6 @@ def compact_parquet(
             .count()
             .select(
                 *part_cols,
-                F.col("count").alias("_rows_v"),
                 F.greatest(
                     F.lit(1),
                     F.ceil(F.col("count") / F.lit(target_rows_per_file)),
@@ -74,7 +73,6 @@ def compact_parquet(
             F.sum("_files_v").alias("_g")
         ).first()
         n_groups = int(tot["_g"] or 1)
-        per_value_files = per_value_files.drop("_rows_v")
         # eqNullSafe, NOT on=: SQL equality never matches NULL keys,
         # so a NULL partition value (__HIVE_DEFAULT_PARTITION__) got
         # _files_v NULL -> salt modulus 1 — the hot-partition

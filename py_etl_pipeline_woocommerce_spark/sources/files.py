@@ -22,6 +22,10 @@ from pyspark.sql import types as T
 
 CORRUPT_COL = "_corrupt_record"
 
+# Paths already warned about by read_jsonl_quarantine's no-handle
+# branch (warn once per path, not per call).
+_QUARANTINE_CACHED_PATHS: set[str] = set()
+
 
 def read_csv(
     spark: SparkSession,
@@ -101,6 +105,20 @@ def read_jsonl_quarantine(
     )
     if persisted_frames is not None:
         persisted_frames.append(raw)
+    elif path not in _QUARANTINE_CACHED_PATHS:
+        # Without a release handle this cache entry lives until the
+        # session ends; a per-path ingestion loop that forgets the
+        # handle accumulates one pinned frame per distinct path.
+        # Warn once per path so the leak is visible, not silent.
+        _QUARANTINE_CACHED_PATHS.add(path)
+        from ..functions.logging import get_logger
+
+        get_logger(__name__).warning(
+            "read_jsonl_quarantine(%s): caching parsed frame for the "
+            "session's lifetime; pass persisted_frames=[] and "
+            "unpersist() it after consuming both branches to release",
+            path,
+        )
     good = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad
