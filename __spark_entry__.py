@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from py_etl_pipeline_woocommerce_spark.catalog import load_table
 from py_etl_pipeline_woocommerce_spark.operators import (
+    bpe,
     corpus,
     dedup,
     events,
@@ -380,6 +381,8 @@ def _q_dq_rules(spark, sf_dir):
 # oracle text changes later in r10 gets promoted into the NEW block.
 _R10_FRONT = [
     # new-in-r10 entries (never driver-verified)
+    "bpe_merge_table",
+    "bpe_token_count",
     # oracle-text changed in r10 (floor-anchored pre-1970 window mod;
     # value-identical on post-1970 data)
     "event_window_agg",
@@ -1203,6 +1206,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _anchory_docs(s, d)
         ),
         "skipgram_pairs": lambda s, d: corpus.skipgram_pairs(_docs(s, d)),
+        "bpe_merge_table": lambda s, d: bpe.bpe_train(
+            _docs(s, d), n_merges=8
+        ),
+        "bpe_token_count": lambda s, d: bpe.bpe_token_count(
+            _docs(s, d), n_merges=8
+        ),
     }
     ordered = {k: base[k] for k in _R10_FRONT if k in base}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -1636,6 +1645,79 @@ def _dashboard_digest_oracle(frames: dict[str, str]) -> str:
             f"FROM ({inner})"
         )
     return "\nUNION ALL\n".join(parts)
+
+
+def _bpe_rounds_sql(n: int) -> str:
+    """Unrolled DuckDB twin of bpe.train_merges_py: n merge rounds
+    over the aggregated vocabulary. Every CTE is MATERIALIZED —
+    inlined CTEs re-expand v{i-1} twice per round, which is 2^n
+    vocabulary scans by round n. Per round: pair counts from adjacent
+    symbols, deterministic argmax (count desc, left, right), then
+    left-to-right NON-OVERLAPPING apply via the run-parity pick: in a
+    run of consecutive match positions (only possible when left =
+    right), the greedy scan merges exactly the even offsets."""
+    parts = [f"""occ AS MATERIALIZED (SELECT t.term AS token
+             FROM (SELECT {_TOKS} AS tk FROM documents),
+                  UNNEST(tk) AS t(term)
+             WHERE t.term <> ''),
+v0 AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS tok_count,
+              string_split(token, '') AS syms
+       FROM occ GROUP BY token)"""]
+    for i in range(1, n + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (SELECT syms[g.j] AS lft, syms[g.j+1] AS rgt,
+                CAST(SUM(tok_count) AS BIGINT) AS cnt
+         FROM v{i-1}, UNNEST(generate_series(1, len(syms)-1)) AS g(j)
+         GROUP BY 1, 2),
+m{i} AS MATERIALIZED (SELECT lft, rgt, cnt FROM p{i}
+         ORDER BY cnt DESC, lft, rgt LIMIT 1),
+x{i} AS MATERIALIZED (SELECT token, tok_count, syms, g.j AS j,
+                CASE WHEN syms[g.j] = m.lft
+                      AND syms[g.j+1] = m.rgt THEN 1 ELSE 0 END AS hit
+         FROM v{i-1}, m{i} m,
+              UNNEST(generate_series(1, len(syms))) AS g(j)),
+h{i} AS MATERIALIZED (SELECT token, j,
+                ROW_NUMBER() OVER (PARTITION BY token ORDER BY j) AS rn
+         FROM x{i} WHERE hit = 1),
+k{i} AS MATERIALIZED (SELECT token, j FROM
+           (SELECT token, j, rn,
+                   MIN(rn) OVER (PARTITION BY token, j - rn) AS rn0
+            FROM h{i})
+         WHERE (rn - rn0) % 2 = 0),
+v{i} AS MATERIALIZED (SELECT x.token, x.tok_count,
+                list(CASE WHEN p.j IS NOT NULL
+                          THEN x.syms[x.j] || x.syms[x.j+1]
+                          ELSE x.syms[x.j] END ORDER BY x.j) AS syms
+         FROM x{i} x
+         LEFT JOIN k{i} p ON x.token = p.token AND x.j = p.j
+         LEFT JOIN k{i} q ON x.token = q.token AND x.j = q.j + 1
+         WHERE q.j IS NULL
+         GROUP BY 1, 2)""")
+    return "WITH " + ",\n".join(parts)
+
+
+def _bpe_merge_table_sql(n: int = 8) -> str:
+    u = "\nUNION ALL\n".join(
+        f'SELECT CAST({i} AS INT) AS merge_rank, lft AS "left", '
+        f'rgt AS "right", cnt AS n_occurrences FROM m{i}'
+        for i in range(1, n + 1)
+    )
+    return _bpe_rounds_sql(n) + "\n" + u
+
+
+def _bpe_token_count_sql(n: int = 8) -> str:
+    # the final round's vocabulary state IS every distinct token's
+    # segmentation, so applying the merges to the corpus is one join
+    return _bpe_rounds_sql(n) + f""",
+docc AS MATERIALIZED (SELECT doc_id, t.term AS token
+         FROM (SELECT doc_id, {_TOKS} AS tk FROM documents),
+              UNNEST(tk) AS t(term)
+         WHERE t.term <> ''),
+pd AS MATERIALIZED (SELECT d.doc_id, COUNT(*) AS ws, SUM(len(v.syms)) AS bpe
+       FROM docc d JOIN v{n} v USING (token) GROUP BY 1)
+SELECT documents.doc_id,
+       CAST(COALESCE(ws, 0) AS BIGINT) AS n_tokens_ws,
+       CAST(COALESCE(bpe, 0) AS BIGINT) AS n_tokens_bpe
+FROM documents LEFT JOIN pd USING (doc_id)"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5194,4 +5276,6 @@ SELECT split_part(pair, ' ', 1) AS center,
          AS pair_rank
 FROM top
 """
+    out["bpe_merge_table"] = _bpe_merge_table_sql(8)
+    out["bpe_token_count"] = _bpe_token_count_sql(8)
     return out

@@ -142,6 +142,8 @@ HEADLINE = [
     "bpe_merge_candidates",
     "anchor_texts",
     "skipgram_pairs",
+    "bpe_merge_table",
+    "bpe_token_count",
 ]
 
 
