@@ -383,6 +383,9 @@ _R10_FRONT = [
     # new-in-r10 entries (never driver-verified)
     "bpe_merge_table",
     "bpe_token_count",
+    "purge_digest",
+    "export_shards_digest",
+    "zorder_digest",
     # oracle-text changed in r10 (floor-anchored pre-1970 window mod;
     # value-identical on post-1970 data)
     "event_window_agg",
@@ -625,6 +628,187 @@ def _q_woo_flow_digest(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_purge_digest(spark, sf_dir):
+    """END-TO-END erasure gate for purge_keys (the GDPR delete path):
+    build a month-partitioned fact table from orders, purge every
+    key divisible by 97 through the real partition-pruned rewrite,
+    then digest the SURVIVING warehouse per month with the audit
+    numbers attached. The oracle replays the deletion in pure SQL
+    (WHERE o_orderkey % 97 <> 0), so the driver hash proves rows were
+    erased from disk — and ONLY those rows."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.plans.woo_flow import (
+        purge_keys,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="purge_digest_")
+    try:
+        path = os.path.join(tmp, "fct")
+        fct = orders.select(
+            F.col("o_orderkey").alias("order_id"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_totalprice").alias("total"),
+        )
+        fct.write.partitionBy("order_month").parquet(path)
+        purge = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+            F.col("o_orderkey").alias("order_id")
+        )
+        audit = purge_keys(spark, path, purge, keys=["order_id"])
+        after = spark.read.parquet(path)
+        digest = (
+            after.groupBy("order_month")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.round(F.sum("total"), 2).alias("total_sum"),
+            )
+            .select(
+                F.col("order_month").cast("string").alias("order_month"),
+                "n_rows",
+                "total_sum",
+                F.lit(int(audit["rows_purged"]))
+                .cast("bigint")
+                .alias("rows_purged"),
+                F.lit(int(audit["partitions_rewritten"]))
+                .cast("bigint")
+                .alias("partitions_rewritten"),
+            )
+            .orderBy("order_month")
+        )
+        rows = digest.collect()
+        return spark.createDataFrame(rows, digest.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_export_shards_digest(spark, sf_dir):
+    """Shard-manifest gate for export_shards: write the corpus as
+    lang-partitioned training shards capped at 40 records/file, then
+    digest (partition_dir, n_shards, n_rows) with the shard counts
+    from the FILESYSTEM listing and the row counts from re-reading
+    the written shards. One upstream repartition on the stratum key
+    puts each lang in exactly one write task, so the file count per
+    directory is ceil(rows/cap) — which the oracle predicts straight
+    from the documents table."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        export_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    tmp = tempfile.mkdtemp(prefix="export_shards_digest_")
+    try:
+        dest = os.path.join(tmp, "shards")
+        manifest = export_shards(
+            docs.repartition("lang"),
+            dest,
+            partition_by=("lang",),
+            max_records_per_file=40,
+        )
+        mdf = spark.createDataFrame(
+            sorted(manifest.items()),
+            "partition_dir string, n_shards bigint",
+        )
+        written = (
+            spark.read.parquet(dest)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .select(
+                F.concat(
+                    F.lit("lang="),
+                    F.coalesce(
+                        F.col("lang"), F.lit("__HIVE_DEFAULT_PARTITION__")
+                    ),
+                ).alias("partition_dir"),
+                "n_rows",
+            )
+        )
+        digest = mdf.join(written, "partition_dir").orderBy(
+            "partition_dir"
+        )
+        rows = digest.collect()
+        return spark.createDataFrame(rows, digest.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_zorder_digest(spark, sf_dir):
+    """Layout gate for zorder_cluster: rewrite orders Morton-ordered
+    on (o_totalprice, o_custkey), ASSERT from the real parquet
+    footers that every clustered dimension's mean per-row-group
+    coverage shrank (raises loudly on a lost layout — the
+    dedup_clusters non-convergence pattern), then digest the
+    rewritten table per status. The file boundaries themselves are
+    range-partitioner-sampled (not oracle-predictable), so the SQL
+    oracle pins what IS deterministic: the rewrite preserved the
+    table as an exact multiset."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.maintenance import (
+        zorder_cluster,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    tmp = tempfile.mkdtemp(prefix="zorder_digest_")
+    try:
+        dest = os.path.join(tmp, "orders_z")
+        zorder_cluster(
+            orders, dest, ["o_totalprice", "o_custkey"], n_files=16
+        )
+        import pyarrow.parquet as pq
+
+        for col in ("o_totalprice", "o_custkey"):
+            spans, glo, ghi = [], None, None
+            for f in _glob.glob(f"{dest}/*.parquet"):
+                md = pq.ParquetFile(f).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx[col]).statistics
+                    spans.append((st.min, st.max))
+                    glo = st.min if glo is None else min(glo, st.min)
+                    ghi = st.max if ghi is None else max(ghi, st.max)
+            width = (ghi - glo) or 1
+            cov = sum((hi - lo) / width for lo, hi in spans) / len(spans)
+            if cov >= 0.8:
+                raise RuntimeError(
+                    f"zorder_digest: {col} mean row-group coverage "
+                    f"{cov:.2f} — Morton layout lost its locality"
+                )
+        after = spark.read.parquet(dest)
+        digest = (
+            after.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("o_orderkey").alias("n_keys"),
+                F.round(F.sum("o_totalprice"), 2).alias("price_sum"),
+                F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .orderBy("o_orderstatus")
+        )
+        rows = digest.collect()
+        return spark.createDataFrame(rows, digest.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_profile_drift(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -738,6 +922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 addition: the composed ingest flow, oracle-hashed
         # end-to-end (verdict item 6) ---
         "woo_flow_digest": _q_woo_flow_digest,
+        "purge_digest": _q_purge_digest,
+        "export_shards_digest": _q_export_shards_digest,
+        "zorder_digest": _q_zorder_digest,
         # --- round-4b additions (this rework of the round): never
         # driver-verified, take the budget first ---
         "daily_value_percentiles": (
@@ -5275,6 +5462,36 @@ SELECT split_part(pair, ' ', 1) AS center,
        CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair) AS INT)
          AS pair_rank
 FROM top
+"""
+    out["purge_digest"] = """
+WITH kept AS (SELECT * FROM orders WHERE o_orderkey % 97 <> 0),
+aud AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_purged,
+               CAST(COUNT(DISTINCT strftime(CAST(o_orderdate AS DATE),
+                                            '%Y-%m')) AS BIGINT)
+                 AS partitions_rewritten
+        FROM orders WHERE o_orderkey % 97 = 0)
+SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(o_totalprice), 2) AS total_sum,
+       aud.rows_purged, aud.partitions_rewritten
+FROM kept, aud
+GROUP BY 1, aud.rows_purged, aud.partitions_rewritten
+"""
+    out["export_shards_digest"] = """
+SELECT 'lang=' || COALESCE(lang, '__HIVE_DEFAULT_PARTITION__')
+         AS partition_dir,
+       CAST(CEIL(COUNT(*) / 40.0) AS BIGINT) AS n_shards,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM documents GROUP BY 1
+"""
+    out["zorder_digest"] = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       ROUND(SUM(o_totalprice), 2) AS price_sum,
+       CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders GROUP BY 1
 """
     out["bpe_merge_table"] = _bpe_merge_table_sql(8)
     out["bpe_token_count"] = _bpe_token_count_sql(8)
