@@ -1469,6 +1469,7 @@ def write_line_partials(
     n_buckets: int = 32,
     mode: str = "append",
     batch_id: int | None = None,
+    delta_path: str | None = None,
 ) -> None:
     """Fold an already-exploded (doc_id, line_hash) frame into the
     store — the seam that lets ``run_stream_line_strip`` append the
@@ -1503,6 +1504,28 @@ def write_line_partials(
     rebuild, restart the stream from a source position consistent
     with the rebuilt store.
     """
+    if delta_path is not None:
+        # ACID route (dep-gated): idempotent Delta append — the
+        # txnAppId/txnVersion writer options replace the staged
+        # external-table + marker + rename protocol below. The caller
+        # addresses the store by PATH (Delta) instead of catalog
+        # table name (bucketed parquet).
+        from ..sources.table_format import append_partials_delta
+
+        partials = (
+            lines.groupBy("line_hash")
+            .agg(
+                F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            )
+        )
+        append_partials_delta(
+            partials,
+            delta_path,
+            app_id=f"line-index-{prefix}",
+            batch_id=batch_id,
+        )
+        return
     from ..functions.fsutil import fs_delete, fs_exists, fs_touch
     from ..sources.bucketing import write_bucketed
 

@@ -50,11 +50,27 @@ def upsert_df(
 
 
 def upsert_partitioned_parquet(
-    batch: DataFrame, path: str, partition_col: str
+    batch: DataFrame, path: str, partition_col: str,
+    table_format: str = "parquet",
 ) -> None:
     """Replace only the partitions present in the batch. The dynamic
     overwrite mode rides as a WRITER option (below), which takes
-    precedence over any session conf — no session setup needed."""
+    precedence over any session conf — no session setup needed.
+
+    ``table_format="delta"`` (dep-gated; see sources/table_format.py)
+    routes to an atomic ``replaceWhere`` commit instead — same
+    touched-partitions-only contract, ACID under concurrent readers.
+    """
+    if table_format == "delta":
+        from ..sources.table_format import upsert_partitioned_delta
+
+        upsert_partitioned_delta(batch, path, partition_col)
+        return
+    if table_format != "parquet":
+        raise ValueError(
+            f"unknown table_format {table_format!r}; "
+            "expected 'parquet' or 'delta'"
+        )
     (
         batch.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -446,6 +446,7 @@ def rollup_merge(existing: DataFrame, batch_events: DataFrame) -> DataFrame:
 def merge_rollup_store(
     spark, store_path: str, batch_events: DataFrame,
     batch_id: int | None = None,
+    table_format: str = "parquet",
 ) -> None:
     """Persist-side of ``rollup_merge``: fold a batch of raw events
     into an ON-DISK month-partitioned daily-rollup table, touching
@@ -486,6 +487,43 @@ def merge_rollup_store(
     # see a partial month — Delta/Iceberg is the production fix there.
     # All probes/markers/renames go through the Hadoop FS client
     # (fsutil) so hdfs://s3a:// stores behave like local ones.
+    if table_format == "delta":
+        # ACID route (dep-gated): one MERGE folds the batch partials
+        # into matching (day, type) rows, pruned to the batch's
+        # months; Delta's log + txnAppId/txnVersion replace the whole
+        # staged-commit/marker replay protocol below.
+        from ..sources.table_format import merge_rollup_delta
+
+        dec = "decimal(30,2)"
+        dbatch = daily_rollup_partials(batch_events).select(
+            "day_us",
+            "event_type",
+            "n_events",
+            F.col("total_value_dec").cast(dec).alias("total_value_dec"),
+            F.date_format(
+                F.date_add(
+                    F.lit("1970-01-01").cast("date"),
+                    (F.col("day_us") / F.lit(86_400_000_000)).cast("int"),
+                ),
+                "yyyy-MM",
+            ).alias("month"),
+        )
+        merge_rollup_delta(
+            spark,
+            store_path,
+            dbatch,
+            keys=["day_us", "event_type"],
+            sum_cols=["n_events", "total_value_dec"],
+            partition_col="month",
+            batch_id=batch_id,
+            app_id="rollup-merge",
+        )
+        return
+    if table_format != "parquet":
+        raise ValueError(
+            f"unknown table_format {table_format!r}; "
+            "expected 'parquet' or 'delta'"
+        )
     staged_dir = _rollup_staged_dir(store_path, batch_id)
     if batch_id is not None:
         marker = f"{store_path.rstrip('/')}/_applied/batch-{batch_id}"

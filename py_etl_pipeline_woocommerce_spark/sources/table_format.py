@@ -1,0 +1,179 @@
+"""Dep-gated Delta Lake routing for the warehouse stores.
+
+The parquet stores are correct but hand-rolled: dynamic partition
+overwrite for keyed upserts, and a staged-commit + batch-id-marker
+replay protocol for the streaming rollup fold (the crash windows are
+enumerated and tested in ``operators/warehouse.merge_rollup_store``).
+A production deployment puts an ACID table format under those paths
+instead — the transaction log IS the commit point, concurrent
+readers never see a partial month, and S3A loses its rename caveat.
+
+This module is the routing seam: every function degrades loudly (a
+clear ImportError naming the missing package), nothing here imports
+``delta`` at module load, and the parquet paths remain the default
+everywhere — ``table_format="delta"`` is opt-in per call. Parity
+with the parquet routes is asserted by ``tests/test_table_format.py``
+(skipped when delta-spark is not installed, like the other dep-gated
+seams).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def delta_available() -> bool:
+    """True when delta-spark is importable in this environment."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _require_delta():
+    try:
+        from delta.tables import DeltaTable
+
+        return DeltaTable
+    except ImportError as e:  # pragma: no cover - exercised via route
+        raise ImportError(
+            "table_format='delta' requires the delta-spark package "
+            "(and a SparkSession built with "
+            "delta.sql.DeltaSparkSessionExtension); install it or use "
+            "the default table_format='parquet'"
+        ) from e
+
+
+def _sql_str_literal(v) -> str:
+    """Single-quoted SQL literal for a partition value (NULL-safe)."""
+    if v is None:
+        return "NULL"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def upsert_partitioned_delta(
+    batch: DataFrame, path: str, partition_col: str
+) -> None:
+    """Delta twin of ``upsert_partitioned_parquet``: one ACID commit
+    replaces ONLY the partitions present in the batch via
+    ``replaceWhere`` — the delete+insert of every touched partition
+    happens atomically in the transaction log, so concurrent readers
+    see either the old partition or the new one, never a half-written
+    directory (the parquet route's S3A caveat).
+
+    The touched-partition list is collected (a batch spans a handful
+    of partitions regardless of table age — the same bounded-probe
+    argument as the parquet route).
+    """
+    _require_delta()
+    vals = [
+        r[0] for r in batch.select(partition_col).distinct().collect()
+    ]
+    non_null = [v for v in vals if v is not None]
+    preds = []
+    if non_null:
+        preds.append(
+            f"{partition_col} IN ("
+            + ", ".join(_sql_str_literal(v) for v in non_null)
+            + ")"
+        )
+    if len(non_null) != len(vals):
+        preds.append(f"{partition_col} IS NULL")
+    (
+        batch.write.format("delta")
+        .mode("overwrite")
+        .option("replaceWhere", " OR ".join(preds) or "false")
+        .partitionBy(partition_col)
+        .save(path)
+    )
+
+
+def merge_rollup_delta(
+    spark: SparkSession,
+    store_path: str,
+    batch: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    partition_col: str | None = None,
+    batch_id: int | None = None,
+    app_id: str = "rollup-merge",
+) -> None:
+    """Delta twin of the rollup fold: one MERGE adds the batch's
+    associative partials into matching key rows and inserts new keys
+    — retiring the staged-commit/marker replay machinery on this
+    route (Delta's log is the commit point).
+
+    At-least-once replay protection (the reason the parquet route
+    needs markers at all) uses Delta's idempotent-write contract:
+    when ``batch_id`` is given, the session-level
+    ``txnAppId``/``txnVersion`` pair makes a re-delivered micro-batch
+    a no-op instead of a double-count.
+
+    ``partition_col`` (when the store is partitioned, e.g. month)
+    is added to the merge condition so the MERGE prunes to the
+    batch's partitions instead of scanning the table.
+    """
+    DeltaTable = _require_delta()
+    if batch_id is not None:
+        spark.conf.set("spark.databricks.delta.write.txnAppId", app_id)
+        spark.conf.set(
+            "spark.databricks.delta.write.txnVersion", str(batch_id)
+        )
+    if not DeltaTable.isDeltaTable(spark, store_path):
+        w = batch.write.format("delta").mode("overwrite")
+        if partition_col:
+            w = w.partitionBy(partition_col)
+        w.save(store_path)
+        return
+    tgt = DeltaTable.forPath(spark, store_path)
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+    if partition_col:
+        vals = [
+            r[0]
+            for r in batch.select(partition_col).distinct().collect()
+        ]
+        non_null = [v for v in vals if v is not None]
+        parts = []
+        if non_null:
+            parts.append(
+                f"t.{partition_col} IN ("
+                + ", ".join(_sql_str_literal(v) for v in non_null)
+                + ")"
+            )
+        if len(non_null) != len(vals):
+            parts.append(f"t.{partition_col} IS NULL")
+        if parts:
+            cond += " AND (" + " OR ".join(parts) + ")"
+    upd = {c: F.expr(f"t.{c} + s.{c}") for c in sum_cols}
+    (
+        tgt.alias("t")
+        .merge(batch.alias("s"), cond)
+        .whenMatchedUpdate(set=upd)
+        .whenNotMatchedInsertAll()
+        .execute()
+    )
+
+
+def append_partials_delta(
+    batch: DataFrame,
+    path: str,
+    app_id: str,
+    batch_id: int | None = None,
+) -> None:
+    """Delta twin of the line-index partial append: an ACID append
+    whose ``txnAppId``/``txnVersion`` writer options make re-delivered
+    micro-batches no-ops — the transaction log replaces the staged
+    external-table + marker + rename protocol wholesale. (Delta has
+    no Spark bucketing; the exchange-free fold property instead comes
+    from the reader's AQE shuffle on the fold key, or OPTIMIZE ZORDER
+    on ``line_hash`` at maintenance time.)"""
+    _require_delta()
+    w = batch.write.format("delta").mode("append")
+    if batch_id is not None:
+        w = w.option("txnAppId", app_id).option(
+            "txnVersion", str(batch_id)
+        )
+    w.save(path)

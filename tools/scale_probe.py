@@ -178,6 +178,18 @@ def probes():
         "dedup_audit_sampled": lambda s, d: dedup.dedup_audit(
             docs(s, d), sample_frac=0.2
         ),
+        # r10: the EXACT pair-join auditors (VERDICT r9 #3) — the
+        # prefix-filter candidate joins the bench flags as the
+        # slowest sf0.1 queries. On this replica (disjoint shingle
+        # space per copy, per-bucket density held at sf0.1) the
+        # candidate count grows ~linearly; on a REAL corpus whose
+        # shingle reuse grows with size these are the first operators
+        # to go superlinear, hence the sampled/bounded default above
+        # the size threshold (see dedup.exact_audit_bounded).
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            docs(s, d)
+        ),
+        "dedup_audit_exact": lambda s, d: dedup.dedup_audit(docs(s, d)),
         "dedup_containment": lambda s, d: dedup.containment_pairs(
             docs(s, d)
         ),
