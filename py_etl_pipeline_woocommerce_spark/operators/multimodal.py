@@ -47,6 +47,24 @@ def _try_pillow():
         return None
 
 
+def _try_soundfile():
+    try:  # optional public dependency — never required
+        import soundfile
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _try_av():
+    try:  # optional public dependency — never required
+        import av
+
+        return av
+    except ImportError:
+        return None
+
+
 def _png_chunks(data: bytes):
     pos = 8
     while pos + 8 <= len(data):
@@ -238,6 +256,48 @@ def wav_decode(payload: bytes) -> tuple[int, int, "object"]:
     return nch, rate, a[: n_frames * nch].reshape(n_frames, nch)
 
 
+def _av_audio_decode(avmod, payload: bytes):
+    """Compressed-audio decode through pyav (ffmpeg): concatenate the
+    stream's frames into the same ``(n_channels, sample_rate,
+    float64 frames)`` contract as ``wav_decode``. Integer sample
+    formats normalize by their width; planar/packed layouts both
+    reduce to (n_frames, n_channels)."""
+    import io
+
+    import numpy as np
+
+    with avmod.open(io.BytesIO(payload)) as container:
+        stream = next(
+            (st for st in container.streams if st.type == "audio"), None
+        )
+        if stream is None:
+            raise ValueError("no audio stream in payload")
+        rate = stream.rate or 0
+        nch = stream.channels or 1
+        chunks = []
+        for frame in container.decode(stream):
+            a = frame.to_ndarray()
+            if a.ndim == 1:
+                a = a.reshape(1, -1)
+            if a.shape[0] == nch:  # planar: (channels, samples)
+                a = a.T
+            else:  # packed: (1, samples*channels) interleaved
+                a = a.reshape(-1, nch)
+            if np.issubdtype(a.dtype, np.integer):
+                a = a.astype(np.float64) / float(
+                    np.iinfo(a.dtype).max + 1
+                )
+            else:
+                a = a.astype(np.float64)
+            chunks.append(a)
+    frames = (
+        np.concatenate(chunks, axis=0)
+        if chunks
+        else np.zeros((0, nch), dtype=np.float64)
+    )
+    return nch, rate, frames
+
+
 def decode_media(payload: bytes, mime_type: str):
     """Decode a media payload; the return shape is per-modality:
     images → ``(width, height, rgba_rows)``, audio →
@@ -269,9 +329,19 @@ def decode_media(payload: bytes, mime_type: str):
     if mime_type.startswith("audio/"):
         if mime_type in _WAV_MIMES:
             return wav_decode(payload)
+        sf = _try_soundfile()
+        if sf is not None:
+            import io
+
+            data, rate = sf.read(io.BytesIO(payload), always_2d=True)
+            return data.shape[1], rate, data
+        avmod = _try_av()
+        if avmod is not None:
+            return _av_audio_decode(avmod, payload)
         raise NotImplementedError(
             f"decoding {mime_type} requires audio libs not installed "
-            "here; only PCM WAV decodes via the stdlib codec"
+            "here (soundfile or pyav); only PCM WAV decodes via the "
+            "stdlib codec"
         )
     raise NotImplementedError(
         f"decoding {mime_type} requires video libs not "
@@ -392,11 +462,89 @@ def fake_decode(payload: bytes, mime_type: str) -> list[float]:
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
-def media_metadata(media: DataFrame) -> DataFrame:
-    """Metadata-only projection — never touches ``payload`` bytes
-    except for length, so the scan prunes the heavy column when the
-    source stores byte-length as metadata (iceberg/delta stats)."""
-    return media.select(
+#: (hex magic prefix at offset 0, container format) — longest first so
+#: e.g. ID3 wins before the bare mp3 frame-sync prefixes
+_MAGIC_PREFIXES = (
+    ("89504E47", "png"),
+    ("47494638", "gif"),
+    ("664C6143", "flac"),
+    ("4F676753", "ogg"),
+    ("1A45DFA3", "webm"),
+    ("FFD8FF", "jpeg"),
+    ("494433", "mp3"),
+    ("FFFB", "mp3"),
+    ("FFF3", "mp3"),
+    ("FFF2", "mp3"),
+)
+
+#: mime substrings → the sniffed format they should carry
+_MIME_FORMATS = (
+    ("png", "png"),
+    ("jpeg", "jpeg"),
+    ("jpg", "jpeg"),
+    ("gif", "gif"),
+    ("flac", "flac"),
+    ("ogg", "ogg"),
+    ("mpeg", "mp3"),
+    ("mp3", "mp3"),
+    ("webm", "webm"),
+    ("matroska", "webm"),
+    ("wav", "wav"),
+    ("mp4", "mp4"),
+    ("quicktime", "mp4"),
+    ("avi", "avi"),
+)
+
+
+def sniff_format_expr(payload_col) -> "F.Column":
+    """Container format from the payload's magic bytes — a chained
+    JVM CASE over the hex of the first 12 bytes (no Python, no full
+    payload read: parquet still prunes to the column but a format
+    census only decodes 12 bytes per row). Unknown bytes report
+    'unknown' instead of raising — the census is how a pipeline
+    FINDS the rows decode_media would refuse."""
+    h = F.hex(F.substring(payload_col, 1, 12))
+    expr = F.lit("unknown")
+    # RIFF containers disambiguate on bytes 9-12
+    riff = h.startswith("52494646")
+    expr = (
+        F.when(riff & (F.substring(h, 17, 8) == F.lit("57415645")), "wav")
+        .when(riff & (F.substring(h, 17, 8) == F.lit("41564920")), "avi")
+        .otherwise(expr)
+    )
+    # ISO base-media (mp4/mov): 'ftyp' at bytes 5-8
+    expr = F.when(F.substring(h, 9, 8) == F.lit("66747970"), "mp4").otherwise(
+        expr
+    )
+    for prefix, fmt in _MAGIC_PREFIXES:
+        expr = F.when(h.startswith(prefix), fmt).otherwise(expr)
+    return F.when(payload_col.isNull(), F.lit(None).cast("string")).otherwise(
+        expr
+    )
+
+
+def _mime_format_expr(mime_col) -> "F.Column":
+    m = F.lower(mime_col)
+    expr = F.lit(None).cast("string")
+    for needle, fmt in reversed(_MIME_FORMATS):
+        expr = F.when(m.contains(needle), fmt).otherwise(expr)
+    return expr
+
+
+def media_metadata(media: DataFrame, sniff: bool = False) -> DataFrame:
+    """Metadata-only projection — by default never touches
+    ``payload`` bytes except for length, so the scan prunes the heavy
+    column when the source stores byte-length as metadata
+    (iceberg/delta stats).
+
+    ``sniff=True`` adds a magic-byte format census: ``sniffed_format``
+    (container detected from the payload's first 12 bytes — 'unknown'
+    for unrecognized bytes, never a raise) and ``mime_agrees``
+    (declared mime vs sniffed container; NULL when either side is
+    indeterminate). This is the triage surface in front of
+    ``decode_media``'s loud per-row errors: find the mislabeled and
+    the undecodable WITHOUT decoding."""
+    cols = [
         "media_id",
         "modality",
         "mime_type",
@@ -404,7 +552,22 @@ def media_metadata(media: DataFrame) -> DataFrame:
         "width",
         "height",
         "duration_ms",
-    )
+    ]
+    if sniff:
+        sniffed = sniff_format_expr(F.col("payload"))
+        expected = _mime_format_expr(F.col("mime_type"))
+        cols.append(sniffed.alias("sniffed_format"))
+        cols.append(
+            F.when(
+                sniffed.isNull()
+                | expected.isNull()
+                | (sniffed == F.lit("unknown")),
+                F.lit(None).cast("boolean"),
+            )
+            .otherwise(sniffed == expected)
+            .alias("mime_agrees")
+        )
+    return media.select(*cols)
 
 
 def extract_features(
