@@ -383,6 +383,7 @@ _R10_FRONT = [
     # new-in-r10 entries (never driver-verified)
     "bpe_merge_table",
     "bpe_token_count",
+    "bpe_segment_vocab",
     "purge_digest",
     "export_shards_digest",
     "zorder_digest",
@@ -626,6 +627,28 @@ def _q_woo_flow_digest(spark, sf_dir):
         return spark.createDataFrame(rows, digest.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_bpe_segment_vocab(spark, sf_dir):
+    """Every distinct corpus token with its trained-BPE segmentation
+    — the direct surface of the JVM fold-chain segmenter (the oracle
+    is the trainer's own final vocabulary state, so the fold chain is
+    hash-proven equal to 8 rounds of left-to-right non-overlapping
+    merge application on every token)."""
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators import (
+        bpe as _bpe,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = _bpe.merges_from_df(_bpe.bpe_train(docs, n_merges=8))
+    toks = _bpe.vocab_counts(docs).select("token")
+    return _bpe.segment_tokens(toks, merges).select(
+        "token",
+        F.concat_ws("\u001f", "symbols").alias("segmentation"),
+        "n_symbols",
+    )
 
 
 def _q_purge_digest(spark, sf_dir):
@@ -1399,6 +1422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": lambda s, d: bpe.bpe_token_count(
             _docs(s, d), n_merges=8
         ),
+        "bpe_segment_vocab": _q_bpe_segment_vocab,
     }
     ordered = {k: base[k] for k in _R10_FRONT if k in base}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -5494,5 +5518,10 @@ SELECT o_orderstatus,
 FROM orders GROUP BY 1
 """
     out["bpe_merge_table"] = _bpe_merge_table_sql(8)
+    out["bpe_segment_vocab"] = _bpe_rounds_sql(8) + """
+SELECT token, list_aggr(syms, 'string_agg', chr(31)) AS segmentation,
+       CAST(len(syms) AS BIGINT) AS n_symbols
+FROM v8
+"""
     out["bpe_token_count"] = _bpe_token_count_sql(8)
     return out

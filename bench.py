@@ -144,6 +144,7 @@ HEADLINE = [
     "skipgram_pairs",
     "bpe_merge_table",
     "bpe_token_count",
+    "bpe_segment_vocab",
 ]
 
 

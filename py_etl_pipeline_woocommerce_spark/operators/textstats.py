@@ -26,13 +26,33 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def token_count(documents: DataFrame) -> DataFrame:
+def token_count(
+    documents: DataFrame, mode: str = "ws", bpe_merges=None
+) -> DataFrame:
     """doc_id, n_tokens (whitespace tokens of normalized text),
-    n_chars (raw length)."""
-    return documents.select(
+    n_chars (raw length).
+
+    ``mode="bpe"`` adds ``n_tokens_bpe`` — the EXACT token budget
+    under a trained BPE merge table (``operators/bpe.bpe_train``),
+    replacing the whitespace proxy where budgets must be exact.
+    ``bpe_merges`` is the trained merge DataFrame; None trains an
+    8-merge table from this corpus (the self-contained form)."""
+    base = documents.select(
         "doc_id",
         token_count_expr("text").alias("n_tokens"),
         F.length("text").cast("bigint").alias("n_chars"),
+    )
+    if mode == "ws":
+        return base
+    if mode != "bpe":
+        raise ValueError(
+            f"token_count: unknown mode {mode!r}; expected 'ws' or 'bpe'"
+        )
+    from . import bpe as _bpe
+
+    counts = _bpe.bpe_token_count(documents, merges_df=bpe_merges)
+    return base.join(
+        counts.select("doc_id", "n_tokens_bpe"), "doc_id"
     )
 
 

@@ -137,3 +137,25 @@ def test_segment_plan_stays_jvm(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_token_count_bpe_mode(spark):
+    from py_etl_pipeline_woocommerce_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, None)],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_tokens_bpe"])
+        for r in textstats.token_count(docs, mode="bpe").collect()
+    }
+    assert out[2] == (0, 0)
+    ws, bp = out[1]
+    assert ws == 3 and bp >= ws
+    # default output unchanged
+    assert "n_tokens_bpe" not in textstats.token_count(docs).columns
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        textstats.token_count(docs, mode="chars")
