@@ -1424,7 +1424,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bpe_segment_vocab": _q_bpe_segment_vocab,
     }
-    ordered = {k: base[k] for k in _R10_FRONT if k in base}
+    unknown_front = [k for k in _R10_FRONT if k not in base]
+    if unknown_front:
+        # the rotation's whole purpose is priority: a typo'd name
+        # must fail loudly, not silently fall outside the driver's
+        # verification budget
+        raise KeyError(
+            f"_R10_FRONT names not in queries(): {unknown_front}"
+        )
+    ordered = {k: base[k] for k in _R10_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 
@@ -1866,7 +1874,13 @@ def _bpe_rounds_sql(n: int) -> str:
     symbols, deterministic argmax (count desc, left, right), then
     left-to-right NON-OVERLAPPING apply via the run-parity pick: in a
     run of consecutive match positions (only possible when left =
-    right), the greedy scan merges exactly the even offsets."""
+    right), the greedy scan merges exactly the even offsets. The
+    m{i} attach is a LEFT JOIN ON TRUE, not a cross join: when the
+    vocabulary exhausts its pairs before round n, m{i} is EMPTY and a
+    cross join would annihilate v{i}..v{n} — the left join passes the
+    vocabulary through unchanged instead, matching the Python
+    trainer's early break (and the merge-table UNION naturally
+    yields fewer rows)."""
     parts = [f"""occ AS MATERIALIZED (SELECT t.term AS token
              FROM (SELECT {_TOKS} AS tk FROM documents),
                   UNNEST(tk) AS t(term)
@@ -1884,7 +1898,7 @@ m{i} AS MATERIALIZED (SELECT lft, rgt, cnt FROM p{i}
 x{i} AS MATERIALIZED (SELECT token, tok_count, syms, g.j AS j,
                 CASE WHEN syms[g.j] = m.lft
                       AND syms[g.j+1] = m.rgt THEN 1 ELSE 0 END AS hit
-         FROM v{i-1}, m{i} m,
+         FROM v{i-1} LEFT JOIN m{i} m ON TRUE,
               UNNEST(generate_series(1, len(syms))) AS g(j)),
 h{i} AS MATERIALIZED (SELECT token, j,
                 ROW_NUMBER() OVER (PARTITION BY token ORDER BY j) AS rn

@@ -1524,6 +1524,7 @@ def write_line_partials(
             delta_path,
             app_id=f"line-index-{prefix}",
             batch_id=batch_id,
+            mode=mode,
         )
         return
     from ..functions.fsutil import fs_delete, fs_exists, fs_touch

@@ -272,7 +272,12 @@ def _av_audio_decode(avmod, payload: bytes):
         )
         if stream is None:
             raise ValueError("no audio stream in payload")
-        rate = stream.rate or 0
+        rate = stream.rate
+        if not rate:
+            raise ValueError(
+                "av audio stream reports no sample rate — refusing to "
+                "emit 0 Hz frames"
+            )
         nch = stream.channels or 1
         chunks = []
         for frame in container.decode(stream):
@@ -283,7 +288,13 @@ def _av_audio_decode(avmod, payload: bytes):
                 a = a.T
             else:  # packed: (1, samples*channels) interleaved
                 a = a.reshape(-1, nch)
-            if np.issubdtype(a.dtype, np.integer):
+            if np.issubdtype(a.dtype, np.unsignedinteger):
+                # unsigned PCM is offset-binary: center before
+                # scaling, like wav_decode's 8-bit path — plain
+                # division would leave a +0.5 DC offset
+                half = float(np.iinfo(a.dtype).max + 1) / 2.0
+                a = (a.astype(np.float64) - half) / half
+            elif np.issubdtype(a.dtype, np.integer):
                 a = a.astype(np.float64) / float(
                     np.iinfo(a.dtype).max + 1
                 )
@@ -330,12 +341,25 @@ def decode_media(payload: bytes, mime_type: str):
         if mime_type in _WAV_MIMES:
             return wav_decode(payload)
         sf = _try_soundfile()
+        avmod = _try_av()
         if sf is not None:
             import io
 
-            data, rate = sf.read(io.BytesIO(payload), always_2d=True)
-            return data.shape[1], rate, data
-        avmod = _try_av()
+            try:
+                data, rate = sf.read(
+                    io.BytesIO(payload), always_2d=True
+                )
+                return data.shape[1], rate, data
+            except Exception as e:
+                # libsndfile doesn't know this codec (or the bytes
+                # are corrupt) — fall through to pyav when present,
+                # else keep the module's ValueError-on-corruption
+                # contract instead of leaking LibsndfileError
+                if avmod is None:
+                    raise ValueError(
+                        f"decode_media: soundfile could not decode "
+                        f"{mime_type} payload ({e})"
+                    ) from e
         if avmod is not None:
             return _av_audio_decode(avmod, payload)
         raise NotImplementedError(
@@ -502,22 +526,22 @@ def sniff_format_expr(payload_col) -> "F.Column":
     payload read: parquet still prunes to the column but a format
     census only decodes 12 bytes per row). Unknown bytes report
     'unknown' instead of raising — the census is how a pipeline
-    FINDS the rows decode_media would refuse."""
+    FINDS the rows decode_media would refuse.
+
+    Built as ONE .when chain so evaluation order IS textual order
+    (first match wins): the RIFF/ftyp structural checks first, then
+    _MAGIC_PREFIXES as listed, longest/most-specific before the bare
+    mp3 frame-sync bytes."""
     h = F.hex(F.substring(payload_col, 1, 12))
-    expr = F.lit("unknown")
-    # RIFF containers disambiguate on bytes 9-12
     riff = h.startswith("52494646")
-    expr = (
-        F.when(riff & (F.substring(h, 17, 8) == F.lit("57415645")), "wav")
-        .when(riff & (F.substring(h, 17, 8) == F.lit("41564920")), "avi")
-        .otherwise(expr)
-    )
+    expr = F.when(
+        riff & (F.substring(h, 17, 8) == F.lit("57415645")), "wav"
+    ).when(riff & (F.substring(h, 17, 8) == F.lit("41564920")), "avi")
     # ISO base-media (mp4/mov): 'ftyp' at bytes 5-8
-    expr = F.when(F.substring(h, 9, 8) == F.lit("66747970"), "mp4").otherwise(
-        expr
-    )
+    expr = expr.when(F.substring(h, 9, 8) == F.lit("66747970"), "mp4")
     for prefix, fmt in _MAGIC_PREFIXES:
-        expr = F.when(h.startswith(prefix), fmt).otherwise(expr)
+        expr = expr.when(h.startswith(prefix), fmt)
+    expr = expr.otherwise(F.lit("unknown"))
     return F.when(payload_col.isNull(), F.lit(None).cast("string")).otherwise(
         expr
     )

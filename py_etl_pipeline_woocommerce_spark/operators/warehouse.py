@@ -443,6 +443,35 @@ def rollup_merge(existing: DataFrame, batch_events: DataFrame) -> DataFrame:
     )
 
 
+def _rollup_batch_frame(batch_events: DataFrame) -> DataFrame:
+    """Shared batch projection for BOTH rollup-store routes (parquet
+    staged-commit and Delta MERGE): daily partials with the measure
+    type PINNED at DECIMAL(30,2) — Spark widens decimal sums per
+    plan, and letting each merge write whatever the optimizer
+    inferred would drift the store schema between rounds — plus the
+    month partition key via DATE arithmetic, not a timestamp render:
+    this op takes caller DataFrames (never load_table, which pins the
+    session to UTC), so date_format over a timestamp would shift rows
+    into neighboring month= partitions under a non-UTC host session —
+    and the next merge would prune the WRONG months. Epoch-day
+    integer math is timezone-free."""
+    return daily_rollup_partials(batch_events).select(
+        "day_us",
+        "event_type",
+        "n_events",
+        F.col("total_value_dec")
+        .cast("decimal(30,2)")
+        .alias("total_value_dec"),
+        F.date_format(
+            F.date_add(
+                F.lit("1970-01-01").cast("date"),
+                (F.col("day_us") / F.lit(86_400_000_000)).cast("int"),
+            ),
+            "yyyy-MM",
+        ).alias("month"),
+    )
+
+
 def merge_rollup_store(
     spark, store_path: str, batch_events: DataFrame,
     batch_id: int | None = None,
@@ -494,24 +523,10 @@ def merge_rollup_store(
         # staged-commit/marker replay protocol below.
         from ..sources.table_format import merge_rollup_delta
 
-        dec = "decimal(30,2)"
-        dbatch = daily_rollup_partials(batch_events).select(
-            "day_us",
-            "event_type",
-            "n_events",
-            F.col("total_value_dec").cast(dec).alias("total_value_dec"),
-            F.date_format(
-                F.date_add(
-                    F.lit("1970-01-01").cast("date"),
-                    (F.col("day_us") / F.lit(86_400_000_000)).cast("int"),
-                ),
-                "yyyy-MM",
-            ).alias("month"),
-        )
         merge_rollup_delta(
             spark,
             store_path,
-            dbatch,
+            _rollup_batch_frame(batch_events),
             keys=["day_us", "event_type"],
             sum_cols=["n_events", "total_value_dec"],
             partition_col="month",
@@ -533,26 +548,7 @@ def merge_rollup_store(
             return
     # TWO consumers (the month list collect + the merge/write) — pin
     # or the batch aggregation runs twice per fold
-    batch = daily_rollup_partials(batch_events).select(
-        "day_us",
-        "event_type",
-        "n_events",
-        F.col("total_value_dec").cast(_dec).alias("total_value_dec"),
-        # month via DATE arithmetic, not a timestamp render: this op
-        # takes caller DataFrames (never load_table, which pins the
-        # session to UTC), so date_format over a timestamp would
-        # shift rows into neighboring month= partitions under a
-        # non-UTC host session — and the next merge would prune the
-        # WRONG months. Epoch-day integer math is timezone-free.
-        F.date_format(
-            F.date_add(
-                F.lit("1970-01-01").cast("date"),
-                (F.col("day_us") / F.lit(86_400_000_000))
-                .cast("int"),
-            ),
-            "yyyy-MM",
-        ).alias("month"),
-    ).localCheckpoint(eager=False)
+    batch = _rollup_batch_frame(batch_events).localCheckpoint(eager=False)
     if not _store_has_months(spark, store_path):
         merged = batch
     else:

@@ -117,11 +117,30 @@ def merge_rollup_delta(
     batch's partitions instead of scanning the table.
     """
     DeltaTable = _require_delta()
+    # txnAppId/txnVersion are SESSION confs for MERGE (Delta's
+    # idempotent-write contract has no merge-level writer option);
+    # scope them to this call with try/finally — left set, every
+    # later Delta write in the session would inherit this batch's
+    # transaction identity and be silently skipped as a replay.
+    _TXN_APP = "spark.databricks.delta.write.txnAppId"
+    _TXN_VER = "spark.databricks.delta.write.txnVersion"
     if batch_id is not None:
-        spark.conf.set("spark.databricks.delta.write.txnAppId", app_id)
-        spark.conf.set(
-            "spark.databricks.delta.write.txnVersion", str(batch_id)
+        spark.conf.set(_TXN_APP, app_id)
+        spark.conf.set(_TXN_VER, str(batch_id))
+    try:
+        _merge_rollup_delta_body(
+            spark, DeltaTable, store_path, batch, keys, sum_cols,
+            partition_col,
         )
+    finally:
+        if batch_id is not None:
+            spark.conf.unset(_TXN_APP)
+            spark.conf.unset(_TXN_VER)
+
+
+def _merge_rollup_delta_body(
+    spark, DeltaTable, store_path, batch, keys, sum_cols, partition_col
+):
     if not DeltaTable.isDeltaTable(spark, store_path):
         w = batch.write.format("delta").mode("overwrite")
         if partition_col:
@@ -162,6 +181,7 @@ def append_partials_delta(
     path: str,
     app_id: str,
     batch_id: int | None = None,
+    mode: str = "append",
 ) -> None:
     """Delta twin of the line-index partial append: an ACID append
     whose ``txnAppId``/``txnVersion`` writer options make re-delivered
@@ -171,7 +191,11 @@ def append_partials_delta(
     from the reader's AQE shuffle on the fold key, or OPTIMIZE ZORDER
     on ``line_hash`` at maintenance time.)"""
     _require_delta()
-    w = batch.write.format("delta").mode("append")
+    if mode not in ("append", "overwrite"):
+        raise ValueError(
+            f"append_partials_delta: unknown mode {mode!r}"
+        )
+    w = batch.write.format("delta").mode(mode)
     if batch_id is not None:
         w = w.option("txnAppId", app_id).option(
             "txnVersion", str(batch_id)

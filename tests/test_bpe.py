@@ -159,3 +159,44 @@ def test_token_count_bpe_mode(spark):
 
     with pytest.raises(ValueError, match="mode"):
         textstats.token_count(docs, mode="chars")
+
+
+def test_oracle_matches_engine_when_merges_exhaust(spark):
+    """Vocabulary exhausts its pairs before round 8: the engine's
+    trainer breaks early; the oracle's LEFT JOIN must pass the
+    vocabulary through empty merge rounds instead of annihilating it
+    (a cross join returned 0 rows for every later round)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(1, 'ab ab ab'), (2, 'ab cd')) t(doc_id, text)"
+    )
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab"), (2, "ab cd")], "doc_id bigint, text string"
+    )
+    from py_etl_pipeline_woocommerce_spark.operators import bpe
+
+    eng = sorted(tuple(r) for r in bpe.bpe_train(docs, n_merges=8).collect())
+    ora = sorted(
+        tuple(r)
+        for r in con.execute(entry._bpe_merge_table_sql(8))
+        .df()
+        .itertuples(index=False)
+    )
+    assert eng == ora
+    assert len(eng) < 8  # the exhaustion actually happened
+    tc_eng = {
+        r["doc_id"]: (r["n_tokens_ws"], r["n_tokens_bpe"])
+        for r in bpe.bpe_token_count(docs, n_merges=8).collect()
+    }
+    tc_ora = {
+        int(r.doc_id): (int(r.n_tokens_ws), int(r.n_tokens_bpe))
+        for r in con.execute(entry._bpe_token_count_sql(8))
+        .df()
+        .itertuples(index=False)
+    }
+    assert tc_eng == tc_ora

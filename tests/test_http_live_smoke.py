@@ -36,6 +36,11 @@ class _WooFacade(BaseHTTPRequestHandler):
     def do_GET(self):
         u = urlparse(self.path)
         q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        if u.path.endswith("/echo-error"):
+            # terminal 400 whose body echoes the full query string —
+            # the shape that leaks credentials if redaction regresses
+            self._reply(400, {"message": f"bad request: {u.query}"})
+            return
         if q.get("consumer_key") != "ck" or q.get("consumer_secret") != "cs":
             self._reply(401, {"message": "unauthorized"})
             return
@@ -114,12 +119,27 @@ def test_retry_after_throttle_over_real_socket(facade):
 
 
 def test_terminal_error_redacts_credentials(facade):
+    t = WooHttpTransport(
+        base_url=facade,
+        consumer_key="ck-topsecret-key-value",
+        consumer_secret="cs-topsecret-secret-value",
+        sleep=lambda s: None,
+    )
+    with pytest.raises(WooHttpError) as e:
+        t("echo-error", {})
+    msg = str(e.value)
+    assert e.value.status == 400
+    # the echoed query string must carry redaction markers and must
+    # NOT carry either raw credential value anywhere in the message
+    assert "consumer_secret=***" in msg
+    assert "consumer_key=***" in msg
+    assert "topsecret" not in msg
+
+
+def test_not_found_is_terminal(facade):
     with pytest.raises(WooHttpError) as e:
         _transport(facade)("nope", {})
     assert e.value.status == 404
-    assert "cs" not in str(e.value) or "consumer_secret=***" in str(
-        e.value
-    )
 
 
 def test_wrong_credentials_fail_loudly(facade):
