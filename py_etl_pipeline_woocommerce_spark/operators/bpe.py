@@ -128,6 +128,12 @@ def bpe_train(
     driver-side model with a deterministic top-V cut (count desc,
     token asc) — a TakeOrdered over the aggregated vocabulary, never
     a global sort of the corpus.
+
+    ``max_vocab_words=None`` collects the FULL vocabulary — exact
+    (and what the driver oracle pins), fine up to a few million
+    distinct tokens; at 100 TB, where junk tokens bloat the distinct
+    space, pass a cap: the tail it drops is count-1 noise that can't
+    win a merge anyway, and the model stays MB-sized.
     """
     v = vocab_counts(documents)
     if max_vocab_words is not None:

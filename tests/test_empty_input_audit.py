@@ -24,6 +24,9 @@ from py_etl_pipeline_woocommerce_spark.catalog import TABLES
 #: document a clear raise instead of a silent empty result
 FIT_REQUIRES_ROWS = {
     "pca_project": ValueError,  # pca_fit: no dimensionality to infer
+    # zorder_cluster: percentile edges can't be fit on zero rows;
+    # raises the documented misconfiguration ValueError
+    "zorder_digest": ValueError,
 }
 
 
