@@ -384,6 +384,7 @@ _R10_FRONT = [
     "bpe_merge_table",
     "bpe_token_count",
     "bpe_segment_vocab",
+    "ann_recall_audit",
     "purge_digest",
     "export_shards_digest",
     "zorder_digest",
@@ -1218,6 +1219,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d)
         ),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        "ann_recall_audit": lambda s, d: similarity.ann_recall_audit(
+            _emb(s, d)
+        ),
         "corpus_pipeline": lambda s, d: corpus.corpus_pipeline(_docs(s, d)),
         "decontaminate": lambda s, d: corpus.decontaminate(_docs(s, d)),
         "dedup_incremental_near": lambda s, d: dedup.dedup_incremental_near(
@@ -5536,6 +5540,25 @@ SELECT o_orderstatus,
        CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
 FROM orders GROUP BY 1
+"""
+    out["ann_recall_audit"] = f"""
+WITH exact AS ({out["ann_topk"]}),
+approx AS ({out["ann_lsh_topk"]}),
+pq AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+hq AS (SELECT e.query_id, COUNT(*) AS n_hits
+       FROM exact e JOIN approx a USING (query_id, neighbor_id)
+       GROUP BY 1),
+per AS (SELECT pq.query_id, n_exact, COALESCE(hq.n_hits, 0) AS n_hits
+        FROM pq LEFT JOIN hq USING (query_id))
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_exact) AS BIGINT) AS n_exact_pairs,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM approx) AS n_lsh_pairs,
+       CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(n_hits) AS DOUBLE) / SUM(n_exact), 6)
+         AS overall_recall,
+       ROUND(MIN(CAST(n_hits AS DOUBLE) / n_exact), 6)
+         AS min_query_recall
+FROM per
 """
     out["bpe_merge_table"] = _bpe_merge_table_sql(8)
     out["bpe_segment_vocab"] = _bpe_rounds_sql(8) + """

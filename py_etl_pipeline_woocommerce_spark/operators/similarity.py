@@ -1280,3 +1280,79 @@ def embedding_outliers(
         F.round(pct, 6).alias("dist_pct_rank"),
         (pct >= F.lit(outlier_pct)).alias("is_outlier"),
     )
+
+
+def ann_recall_audit(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Recall@k audit of the LSH ANN path against the exact top-k —
+    the ANN twin of ``dedup_audit``: measure the approximation before
+    trusting a bucket geometry at a new (n_planes, n_probe), instead
+    of guessing. Both sides are the already-verified operators; the
+    audit adds one pair-keyed join and a 1-row aggregate.
+
+    Output is ONE row: n_queries, n_exact_pairs, n_lsh_pairs,
+    n_hits, overall_recall (Σhits/Σexact — a single division, so the
+    float is engine-exact), min_query_recall (worst query's
+    hits/k — each ratio is one int/int division, min is order-free).
+
+    At 100 TB run it on a sampled query set (``n_queries`` IS the
+    sample — recall is a property of the bucket geometry, not the
+    query count), against the full corpus: the exact side is one
+    broadcast-queries scan, the expensive thing this audit exists to
+    avoid running routinely.
+    """
+    exact = ann_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_lsh_topk(
+        embeddings, n_queries, k, n_planes=n_planes, dim=dim,
+        n_probe=n_probe,
+    ).select("query_id", "neighbor_id")
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    hits_q = (
+        exact.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    per = per_q.join(hits_q, "query_id", "left").select(
+        "query_id",
+        "n_exact",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+    )
+    n_lsh = approx.groupBy().agg(
+        F.count(F.lit(1)).alias("n_lsh_pairs")
+    )
+    return (
+        per.groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+            F.sum("n_exact").cast("bigint").alias("n_exact_pairs"),
+            F.sum("n_hits").cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum("n_hits").cast("double") / F.sum("n_exact"), 6
+            ).alias("overall_recall"),
+            F.round(
+                F.min(
+                    F.col("n_hits").cast("double") / F.col("n_exact")
+                ),
+                6,
+            ).alias("min_query_recall"),
+        )
+        .join(F.broadcast(n_lsh))
+        .select(
+            "n_queries",
+            "n_exact_pairs",
+            F.col("n_lsh_pairs").cast("bigint").alias("n_lsh_pairs"),
+            "n_hits",
+            "overall_recall",
+            "min_query_recall",
+        )
+    )

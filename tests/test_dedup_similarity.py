@@ -631,3 +631,34 @@ def test_cluster_stats_reports_empty_cells(spark):
     assert rows[1].n_vectors == 0 and rows[2].n_vectors == 0
     assert rows[1].inertia == 0.0 and rows[1].mean_dist is None
     assert rows[0].size_share == 1.0
+
+
+def test_ann_recall_audit_matches_operator_outputs(spark, sf_dir):
+    """The 1-row audit must equal a hand-join of the two verified
+    operator outputs — and bound sanity: hits <= both sides,
+    recall in [0, 1]."""
+    from py_etl_pipeline_woocommerce_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk(emb).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_lsh_topk(emb).collect()
+    }
+    row = similarity.ann_recall_audit(emb).collect()[0]
+    hits = exact & approx
+    assert row["n_exact_pairs"] == len(exact)
+    assert row["n_lsh_pairs"] == len(approx)
+    assert row["n_hits"] == len(hits)
+    assert 0.0 <= row["overall_recall"] <= 1.0
+    assert abs(row["overall_recall"] - len(hits) / len(exact)) < 1e-9
+    # the geometry knobs actually move the measurement (the audit's
+    # reason to exist): wider probing on fewer planes must find at
+    # least as many true neighbors as it reports pairs for
+    row2 = similarity.ann_recall_audit(
+        emb, n_planes=4, n_probe=8
+    ).collect()[0]
+    assert row2["n_hits"] <= row2["n_exact_pairs"]

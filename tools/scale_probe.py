@@ -148,6 +148,11 @@ def probes():
     def embs(s, d):
         return load_table(s, d, "embeddings")
 
+    def _bpe_token_count(s, d):
+        from py_etl_pipeline_woocommerce_spark.operators import bpe
+
+        return bpe.bpe_token_count(docs(s, d), n_merges=8)
+
     return {
         # r9b additions: the corpus-curation breadth wave's heavier
         # shapes — both novelty sides grow 10x (explode + one
@@ -190,6 +195,10 @@ def probes():
             docs(s, d)
         ),
         "dedup_audit_exact": lambda s, d: dedup.dedup_audit(docs(s, d)),
+        # r10: BPE apply path — distinct-token segmentation must stay
+        # vocabulary-bounded (the suffixed replica grows the vocab
+        # 10x, the corpus join 10x; both linear)
+        "bpe_token_count": lambda s, d: _bpe_token_count(s, d),
         "dedup_containment": lambda s, d: dedup.containment_pairs(
             docs(s, d)
         ),
