@@ -144,12 +144,10 @@ def bpe_train(
     # the merge recurrence is sequential and cannot be distributed
     rows = [(r["token"], int(r["tok_count"])) for r in v.collect()]
     merges, _ = train_merges_py(rows, n_merges)
-    spark = documents.sparkSession
-    out = spark.createDataFrame(
-        merges or [],
+    return documents.sparkSession.createDataFrame(
+        merges,
         "merge_rank int, left string, right string, n_occurrences bigint",
     )
-    return out
 
 
 def merges_from_df(merges_df: DataFrame) -> list[tuple[str, str]]:
@@ -189,6 +187,16 @@ def _fold_step(left: str, right: str):
     return step
 
 
+def _fold_chain(syms: Column, merges: list[tuple[str, str]]) -> Column:
+    """Apply ``merges`` in rank order to a symbol-array column — the
+    shared core of ``segment_expr`` and ``segment_tokens``."""
+    for left, right in merges:
+        syms = F.aggregate(
+            syms, F.array().cast("array<string>"), _fold_step(left, right)
+        )
+    return syms
+
+
 def segment_expr(
     token: Column | str, merges: list[tuple[str, str]]
 ) -> Column:
@@ -204,12 +212,7 @@ def segment_expr(
     ``right`` is empty, which split() never produces).
     """
     col = F.col(token) if isinstance(token, str) else token
-    syms = _chars(col)
-    for left, right in merges:
-        syms = F.aggregate(
-            syms, F.array().cast("array<string>"), _fold_step(left, right)
-        )
-    return syms
+    return _fold_chain(_chars(col), merges)
 
 
 def segment_tokens(
@@ -227,14 +230,9 @@ def segment_tokens(
     df = tokens.select("token", _chars(F.col("token")).alias("symbols"))
     for i in range(0, len(merges), stage_every):
         chunk = merges[i : i + stage_every]
-        syms: Column = F.col("symbols")
-        for left, right in chunk:
-            syms = F.aggregate(
-                syms,
-                F.array().cast("array<string>"),
-                _fold_step(left, right),
-            )
-        df = df.select("token", syms.alias("symbols"))
+        df = df.select(
+            "token", _fold_chain(F.col("symbols"), chunk).alias("symbols")
+        )
     return df.select(
         "token",
         "symbols",
@@ -247,6 +245,7 @@ def bpe_token_count(
     merges_df: DataFrame | None = None,
     n_merges: int = 8,
     max_vocab_words: int | None = None,
+    persisted_frames: list | None = None,
 ) -> DataFrame:
     """Exact BPE token budget per document under a trained merge
     table (trained here from the same corpus when ``merges_df`` is
@@ -264,15 +263,44 @@ def bpe_token_count(
     ``max_vocab_words``) still segment correctly — the fold replays
     merges on ANY token, not just vocabulary words.
     """
-    if merges_df is None:
-        merges_df = bpe_train(
-            documents, n_merges=n_merges, max_vocab_words=max_vocab_words
-        )
-    merges = merges_from_df(merges_df)
+    from pyspark.storagelevel import StorageLevel
+
     occ = documents.select(
         "doc_id", F.explode(tokens_expr("text")).alias("token")
     ).filter(F.col("token") != "")
-    seg = segment_tokens(occ.select("token").distinct(), merges)
+    if merges_df is None:
+        # self-training path: ONE corpus aggregation serves both the
+        # trainer's model collect and the segmenter's distinct-token
+        # frame (persisted — vocabulary-sized, KB-MB; pass
+        # persisted_frames=[] to unpersist after materializing, the
+        # read_jsonl_quarantine convention). Without the shared frame
+        # the final action re-scanned the corpus for the vocabulary a
+        # second time.
+        vc_all = (
+            occ.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("tok_count"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if persisted_frames is not None:
+            persisted_frames.append(vc_all)
+        v = vc_all
+        if max_vocab_words is not None:
+            v = v.orderBy(
+                F.col("tok_count").desc(), F.col("token")
+            ).limit(int(max_vocab_words))
+        rows = [(r["token"], int(r["tok_count"])) for r in v.collect()]
+        merges = [
+            (left, right)
+            for _, left, right, _ in train_merges_py(rows, n_merges)[0]
+        ]
+        # segment ALL distinct tokens (vc_all, cached), never the
+        # capped model frame — a capped vocabulary must still
+        # segment out-of-vocabulary tokens
+        tokens = vc_all.select("token")
+    else:
+        merges = merges_from_df(merges_df)
+        tokens = occ.select("token").distinct()
+    seg = segment_tokens(tokens, merges)
     per_doc = (
         occ.join(seg.select("token", "n_symbols"), "token")
         .groupBy("doc_id")

@@ -1463,6 +1463,16 @@ def _line_index_staged_dir(spark, prefix: str, batch_id: int) -> str:
     return f"{parent}/_{base}_staged/batch-{batch_id}"
 
 
+def _line_partials_agg(lines: DataFrame) -> DataFrame:
+    """One batch's (line_hash, doc_freq, n_occurrences) partials —
+    the store row shape both the bucketed-parquet and Delta routes
+    append."""
+    return lines.groupBy("line_hash").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+
+
 def write_line_partials(
     lines: DataFrame,
     prefix: str,
@@ -1512,15 +1522,8 @@ def write_line_partials(
         # table name (bucketed parquet).
         from ..sources.table_format import append_partials_delta
 
-        partials = (
-            lines.groupBy("line_hash")
-            .agg(
-                F.countDistinct("doc_id").cast("long").alias("doc_freq"),
-                F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-            )
-        )
         append_partials_delta(
-            partials,
+            _line_partials_agg(lines),
             delta_path,
             app_id=f"line-index-{prefix}",
             batch_id=batch_id,
@@ -1533,10 +1536,7 @@ def write_line_partials(
     spark = lines.sparkSession
     table = f"{prefix}_lines"
     table_exists = spark.catalog.tableExists(table)
-    agg = lines.groupBy("line_hash").agg(
-        F.countDistinct("doc_id").cast("long").alias("doc_freq"),
-        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
-    )
+    agg = _line_partials_agg(lines)
     if batch_id is None or mode != "append":
         # rebuilds and unmarked appends keep the direct one-step write
         write_bucketed(

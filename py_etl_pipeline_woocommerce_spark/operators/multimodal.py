@@ -548,11 +548,17 @@ def sniff_format_expr(payload_col) -> "F.Column":
 
 
 def _mime_format_expr(mime_col) -> "F.Column":
+    """Expected container from the declared mime — the same
+    first-match-wins .when chain idiom as sniff_format_expr."""
     m = F.lower(mime_col)
-    expr = F.lit(None).cast("string")
-    for needle, fmt in reversed(_MIME_FORMATS):
-        expr = F.when(m.contains(needle), fmt).otherwise(expr)
-    return expr
+    expr = None
+    for needle, fmt in _MIME_FORMATS:
+        expr = (
+            F.when(m.contains(needle), fmt)
+            if expr is None
+            else expr.when(m.contains(needle), fmt)
+        )
+    return expr.otherwise(F.lit(None).cast("string"))
 
 
 def media_metadata(media: DataFrame, sniff: bool = False) -> DataFrame:

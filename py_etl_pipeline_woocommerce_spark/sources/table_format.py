@@ -54,6 +54,30 @@ def _sql_str_literal(v) -> str:
     return "'" + str(v).replace("'", "''") + "'"
 
 
+def _touched_partition_predicate(
+    batch: DataFrame, partition_col: str, qualifier: str = ""
+) -> str:
+    """SQL predicate selecting the batch's partitions — the bounded
+    collect both Delta routes share (a batch spans a handful of
+    partitions regardless of table age). NULL partition values get an
+    explicit IS NULL arm (IN () never matches NULL)."""
+    vals = [
+        r[0] for r in batch.select(partition_col).distinct().collect()
+    ]
+    col = qualifier + partition_col
+    non_null = [v for v in vals if v is not None]
+    preds = []
+    if non_null:
+        preds.append(
+            f"{col} IN ("
+            + ", ".join(_sql_str_literal(v) for v in non_null)
+            + ")"
+        )
+    if len(non_null) != len(vals):
+        preds.append(f"{col} IS NULL")
+    return " OR ".join(preds) or "false"
+
+
 def upsert_partitioned_delta(
     batch: DataFrame, path: str, partition_col: str
 ) -> None:
@@ -69,23 +93,13 @@ def upsert_partitioned_delta(
     argument as the parquet route).
     """
     _require_delta()
-    vals = [
-        r[0] for r in batch.select(partition_col).distinct().collect()
-    ]
-    non_null = [v for v in vals if v is not None]
-    preds = []
-    if non_null:
-        preds.append(
-            f"{partition_col} IN ("
-            + ", ".join(_sql_str_literal(v) for v in non_null)
-            + ")"
-        )
-    if len(non_null) != len(vals):
-        preds.append(f"{partition_col} IS NULL")
     (
         batch.write.format("delta")
         .mode("overwrite")
-        .option("replaceWhere", " OR ".join(preds) or "false")
+        .option(
+            "replaceWhere",
+            _touched_partition_predicate(batch, partition_col),
+        )
         .partitionBy(partition_col)
         .save(path)
     )
@@ -150,22 +164,10 @@ def _merge_rollup_delta_body(
     tgt = DeltaTable.forPath(spark, store_path)
     cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
     if partition_col:
-        vals = [
-            r[0]
-            for r in batch.select(partition_col).distinct().collect()
-        ]
-        non_null = [v for v in vals if v is not None]
-        parts = []
-        if non_null:
-            parts.append(
-                f"t.{partition_col} IN ("
-                + ", ".join(_sql_str_literal(v) for v in non_null)
-                + ")"
-            )
-        if len(non_null) != len(vals):
-            parts.append(f"t.{partition_col} IS NULL")
-        if parts:
-            cond += " AND (" + " OR ".join(parts) + ")"
+        pred = _touched_partition_predicate(
+            batch, partition_col, qualifier="t."
+        )
+        cond += f" AND ({pred})"
     upd = {c: F.expr(f"t.{c} + s.{c}") for c in sum_cols}
     (
         tgt.alias("t")
