@@ -41,6 +41,10 @@ CROSS_JOIN_BASELINES = {
 #: so the "nested loop" is a constant-time compare per probe row —
 #: the scalable alternative to an all-data-to-one-partition window.
 SCALAR_BROADCAST = {
+    # the exact-vs-LSH audit joins its per-query recall aggregate to
+    # a 1-row broadcast pair-count — both sides are aggregates
+    # (n_queries rows x 1 row) regardless of corpus scale
+    "ann_recall_audit",
     "important_parts",
     "idle_customers",
     "tfidf_top_terms",
