@@ -165,3 +165,53 @@ def test_merge_intervals_random_vs_python(spark):
         for r in merge_intervals(ev, ttl_us=TTL_US).collect()
     }
     assert got == expected
+
+
+def test_bpe_train_and_segment_random_corpora(spark):
+    """Seeded random-corpus parity for the BPE family: tiny alphabets
+    maximize pair-count ties, overlap runs (aaa...), and early merge
+    exhaustion — the adversarial shapes the hand cases can't
+    enumerate. Spark training must equal the pure-Python trainer
+    merge-for-merge, and the JVM fold-chain segmentation must equal
+    replaying the merges with apply_merge_py on every distinct
+    token."""
+    from py_etl_pipeline_woocommerce_spark.operators import bpe
+
+    rng = random.Random(20260816)
+    for trial in range(5):
+        alphabet = "ab" if trial % 2 == 0 else "abc"
+        n_docs = rng.randint(2, 6)
+        docs = []
+        for d in range(n_docs):
+            words = [
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 6))
+                )
+                for _ in range(rng.randint(0, 8))
+            ]
+            docs.append((d, " ".join(words) if words else None))
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        n_merges = rng.randint(1, 6)
+
+        wc = [
+            (r["token"], int(r["tok_count"]))
+            for r in bpe.vocab_counts(df).collect()
+        ]
+        exp_merges, exp_vocab = bpe.train_merges_py(wc, n_merges)
+        got_merges = sorted(
+            tuple(r) for r in bpe.bpe_train(df, n_merges).collect()
+        )
+        assert got_merges == sorted(exp_merges), (trial, docs)
+
+        pairs = [(l, r) for _, l, r, _ in exp_merges]
+        toks = [t for t, _ in wc]
+        if toks:
+            tdf = spark.createDataFrame(
+                [(t,) for t in toks], "token string"
+            )
+            got_seg = {
+                r["token"]: list(r["symbols"])
+                for r in bpe.segment_tokens(tdf, pairs).collect()
+            }
+            assert got_seg == exp_vocab, (trial, docs, pairs)
