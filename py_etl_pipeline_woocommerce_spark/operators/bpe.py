@@ -226,7 +226,16 @@ def segment_tokens(
     32-deep nested aggregate makes codegen quadratic — staging keeps
     each generated function small while referencing each intermediate
     exactly once.
+
+    Above ``FOLD_CHAIN_MAX_MERGES`` the fold chain would still grow
+    the PLAN with the merge count (a production 32k-merge table can't
+    codegen as 32k nested aggregates), so segmentation switches to
+    the Arrow priority-encode kernel — parity-tested against the
+    chain, constant plan size, vocabulary-bounded Python (see
+    ``_segment_tokens_arrow`` for the one degenerate corner).
     """
+    if len(merges) > FOLD_CHAIN_MAX_MERGES:
+        return _segment_tokens_arrow(tokens, merges)
     df = tokens.select("token", _chars(F.col("token")).alias("symbols"))
     for i in range(0, len(merges), stage_every):
         chunk = merges[i : i + stage_every]
@@ -237,6 +246,70 @@ def segment_tokens(
         "token",
         "symbols",
         F.size("symbols").cast("bigint").alias("n_symbols"),
+    )
+
+
+#: merge-table size above which segment_tokens switches from the JVM
+#: fold chain to the Arrow kernel — each merge is one nested
+#: F.aggregate, and codegen cost grows with chain depth; ~64 is well
+#: inside safe territory while a real 32k-merge tokenizer is not
+FOLD_CHAIN_MAX_MERGES = 64
+
+
+def _segment_tokens_arrow(
+    tokens: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Arrow-batched segmentation for LARGE merge tables (a real
+    tokenizer carries ~32k merges — far past what a per-merge
+    expression chain can codegen). Standard PRIORITY encode per token
+    (the GPT-2 reference encoder): repeatedly merge every occurrence
+    of the lowest-rank adjacent pair present. Replaying all merges in
+    rank order instead would be O(n_merges x len) per token — 32k
+    passes — which is exactly why production encoders use priority
+    encode; the two are equal except in one degenerate corner (two
+    DIFFERENT merges producing the same concatenated symbol string,
+    which lets a later merge resurrect an earlier pair), asserted
+    equal on normal tables by the parity test. The
+    merge→rank dict broadcasts in the closure (n_merges entries, MB
+    at 32k); results memoize per distinct token within a batch, and
+    the caller already dictionary-encodes (distinct tokens only), so
+    the Python cost is vocabulary-bounded — the same scale shape as
+    the fold chain, traded for constant plan size."""
+    import pandas as pd
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    def encode(tok: str) -> list[str]:
+        syms = list(tok)
+        while len(syms) > 1:
+            best_i, best_rank = -1, len(ranks)
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]), None)
+                if r is not None and r < best_rank:
+                    best_i, best_rank = i, r
+            if best_i < 0:
+                break
+            left, right = merges[best_rank]
+            syms = apply_merge_py(syms, left, right)
+        return syms
+
+    def batches(it):
+        cache: dict[str, list[str]] = {}
+        for pdf in it:
+            segs = [
+                cache.setdefault(t, encode(t)) for t in pdf["token"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "token": pdf["token"],
+                    "symbols": segs,
+                    "n_symbols": [len(s) for s in segs],
+                }
+            )
+
+    return tokens.select("token").mapInPandas(
+        batches,
+        schema="token string, symbols array<string>, n_symbols bigint",
     )
 
 

@@ -200,3 +200,40 @@ def test_oracle_matches_engine_when_merges_exhaust(spark):
         .itertuples(index=False)
     }
     assert tc_eng == tc_ora
+
+
+def test_arrow_segmenter_matches_fold_chain(spark):
+    """Above FOLD_CHAIN_MAX_MERGES segmentation switches to the Arrow
+    kernel; both engines must agree symbol-for-symbol — including the
+    rank-priority encode equaling in-order merge replay."""
+    from py_etl_pipeline_woocommerce_spark.operators.bpe import (
+        _segment_tokens_arrow,
+        segment_tokens,
+    )
+
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+              ("a", "a"), ("n", "e")]
+    toks = ["lowest", "slowest", "aaaa", "nest", "zzz", "a", "ne"]
+    tdf = spark.createDataFrame([(t,) for t in toks], "token string")
+    jvm = {
+        r["token"]: (list(r["symbols"]), r["n_symbols"])
+        for r in segment_tokens(tdf, merges).collect()
+    }
+    arrow = {
+        r["token"]: (list(r["symbols"]), r["n_symbols"])
+        for r in _segment_tokens_arrow(tdf, merges).collect()
+    }
+    assert jvm == arrow
+    # and the auto-switch at a large merge table produces a Python
+    # plan, while the small table stays JVM
+    import py_etl_pipeline_woocommerce_spark.operators.bpe as bpe_mod
+
+    big = merges * 20  # 120 > FOLD_CHAIN_MAX_MERGES (dup pairs: the
+    # later duplicates never win the rank race, semantics unchanged)
+    plan = (
+        segment_tokens(tdf, big)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" in plan or "MapInPandas" in plan
