@@ -1611,6 +1611,71 @@ _COS = (
     " * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)))))"
 )
 
+def _lsh_topk_sql(n_planes: int = 4, n_probe: int = 8) -> str:
+    """DuckDB twin of ``similarity.ann_lsh_topk`` at the tuned default
+    geometry, generated from the SAME ``_probe_flip_sets`` multi-probe
+    schedule the Spark operator compiles — one SELECT per probe (base
+    bucket, Hamming-1 marginal flips, Hamming-2 marginal rank pairs),
+    unioned, so geometry changes stay single-sourced."""
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        _probe_flip_sets,
+    )
+
+    _VALID = (
+        "embedding IS NOT NULL AND len(embedding) > 0 "
+        "AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 "
+        "AND len(list_filter(embedding, x -> x <> 0)) > 0"
+    )
+    probe_selects = []
+    for spec in _probe_flip_sets(n_planes, n_probe):
+        if not spec:
+            probe_selects.append(
+                "SELECT query_id, string_agg(bit, '' ORDER BY p) AS bucket"
+                "\n   FROM qb GROUP BY query_id"
+            )
+        else:
+            mranks = ", ".join(str(r + 1) for r in spec)
+            probe_selects.append(
+                "SELECT query_id, string_agg(CASE WHEN mrank IN"
+                f" ({mranks})"
+                "\n     THEN CASE WHEN bit = '1' THEN '0' ELSE '1' END"
+                " ELSE bit END, '' ORDER BY p) AS bucket"
+                "\n   FROM qb GROUP BY query_id"
+            )
+    probes = "\n  UNION ALL\n  ".join(probe_selects)
+    return f"""
+WITH qd AS (  -- per (query, plane): signed dot against the md5 hyperplane
+  SELECT vec_id AS query_id, CAST(p.range AS INT) AS p,
+         list_sum(list_transform(range(1, 65), i ->
+           CAST(embedding[i] AS DOUBLE) *
+           (CAST('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_'
+                                    || CAST(i - 1 AS VARCHAR)), 1, 1)
+                 AS BIGINT) - 7.5))) AS dot
+  FROM embeddings CROSS JOIN range(0, {n_planes}) p
+  WHERE vec_id < 8 AND {_VALID}),
+qb AS (SELECT *, CASE WHEN dot > 0 THEN '1' ELSE '0' END AS bit,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY abs(dot), p) AS mrank
+       FROM qd),
+probes AS (
+  {probes}),
+q AS (SELECT query_id, e.embedding AS qe, bucket
+      FROM probes JOIN embeddings e ON e.vec_id = probes.query_id
+      WHERE {_VALID.replace("embedding", "e.embedding")}),
+c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
+             {_lsh_sig_sql("embedding", n_planes)} AS bucket
+      FROM embeddings WHERE {_VALID}),
+scored AS (SELECT query_id, neighbor_id, {_COS} AS cos
+           FROM c JOIN q USING (bucket)
+           WHERE neighbor_id <> query_id)
+SELECT query_id, neighbor_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id) AS INT)
+         AS knn_rank
+FROM scored QUALIFY knn_rank <= 5
+"""
+
+
 def _lsh_sig_sql(vec: str, n_planes: int = 8) -> str:
     """Random-hyperplane LSH signature of a FLOAT[] column — the exact
     SQL twin of ``similarity._hyperplane``/``signature_col``: weight
@@ -2400,46 +2465,7 @@ SELECT lang, COUNT(*) AS n_docs,
             ELSE 0.0::DOUBLE END AS mean_token_len
 FROM pd GROUP BY lang
 """,
-        "ann_lsh_topk": f"""
-WITH qd AS (  -- per (query, plane): signed dot against the md5 hyperplane
-  SELECT vec_id AS query_id, CAST(p.range AS INT) AS p,
-         list_sum(list_transform(range(1, 65), i ->
-           CAST(embedding[i] AS DOUBLE) *
-           (CAST('0x' || substr(md5(CAST(p.range AS VARCHAR) || '_'
-                                    || CAST(i - 1 AS VARCHAR)), 1, 1)
-                 AS BIGINT) - 7.5))) AS dot
-  FROM embeddings CROSS JOIN range(0, 8) p
-  WHERE vec_id < 8 AND embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
-qb AS (SELECT *, CASE WHEN dot > 0 THEN '1' ELSE '0' END AS bit,
-              ROW_NUMBER() OVER (PARTITION BY query_id
-                                 ORDER BY abs(dot), p) AS mrank
-       FROM qd),
-base AS (SELECT query_id, string_agg(bit, '' ORDER BY p) AS bucket
-         FROM qb GROUP BY query_id),
-flipped AS (  -- Hamming-1 probes on the 3 most marginal planes
-  SELECT qb.query_id,
-         string_agg(CASE WHEN qb.p = f.p
-                         THEN CASE WHEN qb.bit = '1' THEN '0' ELSE '1' END
-                         ELSE qb.bit END, '' ORDER BY qb.p) AS bucket
-  FROM qb JOIN (SELECT query_id, p FROM qb WHERE mrank <= 3) f
-       USING (query_id)
-  GROUP BY qb.query_id, f.p),
-probes AS (SELECT * FROM base UNION ALL SELECT * FROM flipped),
-q AS (SELECT query_id, e.embedding AS qe, bucket
-      FROM probes JOIN embeddings e ON e.vec_id = probes.query_id
-      WHERE e.embedding IS NOT NULL AND len(e.embedding) > 0 AND len(list_filter(e.embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(e.embedding, x -> x <> 0)) > 0),
-c AS (SELECT vec_id AS neighbor_id, embedding AS ce,
-             {_lsh_sig_sql("embedding")} AS bucket
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0 AND len(list_filter(embedding, x -> x <> 0)) > 0),
-scored AS (SELECT query_id, neighbor_id, {_COS} AS cos
-           FROM c JOIN q USING (bucket)
-           WHERE neighbor_id <> query_id)
-SELECT query_id, neighbor_id,
-       CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                               ORDER BY cos DESC, neighbor_id) AS INT)
-         AS knn_rank
-FROM scored QUALIFY knn_rank <= 5
-""",
+        "ann_lsh_topk": _lsh_topk_sql(),
         "ann_quantized_topk": """
 WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0 AND len(list_filter(embedding, x -> x IS NULL OR isnan(x))) = 0),
 d AS (SELECT vec_id, CAST(i.range AS INT) AS dim,

@@ -13,6 +13,8 @@ float→double first (exact) so results are engine-portable.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -291,29 +293,63 @@ def _hyperplane(plane: int, dim: int = 64):
     )
 
 
+def _probe_flip_sets(n_planes: int, n_probe: int) -> list:
+    """The multi-probe schedule (Lv et al., VLDB 2007 shape): which
+    marginality-RANKS to flip for each probe, best-first — the base
+    bucket (flip nothing), then every Hamming-1 flip in marginality
+    order, then Hamming-2 rank pairs ordered by (i + j, i) — the
+    proxy for the pair with the smallest summed boundary distance.
+    Ranks are 0-based into the query's planes-sorted-by-|dot| array.
+    Truncated to ``n_probe``; capped at 1 + P + C(P,2) distinct
+    buckets (all flip sets yield distinct buckets, so a (query,
+    neighbor) pair still matches at most one probe — no dedup)."""
+    specs = [()]
+    specs += [(i,) for i in range(n_planes)]
+    pairs = [
+        (i, j) for i in range(n_planes) for j in range(i + 1, n_planes)
+    ]
+    pairs.sort(key=lambda ij: (ij[0] + ij[1], ij[0]))
+    specs += pairs
+    return specs[: max(1, n_probe)]
+
+
 def ann_lsh_topk(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
     dim: int = 64,
-    n_probe: int = 4,
+    n_probe: int = 8,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH with multi-probe.
 
     Signature = sign bits of dot(v, hyperplane_p) for p < n_planes;
     candidates are corpus vectors sharing any of the query's
-    ``n_probe`` probe buckets: its own, plus Hamming-distance-1
-    variants flipping the (n_probe − 1) most MARGINAL planes — the
-    ones with the smallest |dot|, where the true neighbors most
-    likely fell just across the boundary. Exact cosine ranks the
-    candidates.
+    ``n_probe`` probe buckets: its own, then Hamming-1 flips of the
+    most MARGINAL planes (smallest |dot| — where true neighbors most
+    likely fell just across the boundary), then Hamming-2 flips of
+    the most-marginal rank PAIRS (see ``_probe_flip_sets``). Exact
+    cosine ranks the candidates.
+
+    Defaults (4 planes, 8 probes) were chosen by an
+    ``ann_recall_audit`` sweep on the driver testdata — embeddings
+    there are uniform-random, the ADVERSARIAL case for any pruning
+    index (top-5 cosine ≈ 0.3, so recall ≈ candidate fraction):
+    recall\\@5 = 0.625/0.725 at sf0.01/sf0.1 with 8/16 buckets probed,
+    vs 0.025 at the old (8 planes, 4 probes) whose 4/256 buckets
+    covered ~1.6% of the corpus. On real clustered embeddings the
+    planted-neighbor pytest holds recall ≥ 0.9 at the same defaults.
+    At 100 TB raise ``n_planes`` so corpus/2^planes stays a scanable
+    bucket, and size ``n_probe`` from an ``ann_recall_audit`` run on
+    a query sample — recall is a property of the geometry, not the
+    corpus size.
 
     Scale shape: the corpus is scanned once for its single bucket
     key; only the (tiny) query side explodes ×n_probe, so the
     equi-join stays ~n_probe · corpus/2^n_planes per query. A corpus
-    vector has exactly ONE bucket, so a (query, neighbor) pair can
-    match at most one probe — no dedup stage needed.
+    vector has exactly ONE bucket and all probe buckets are distinct,
+    so a (query, neighbor) pair can match at most one probe — no
+    dedup stage needed.
     """
 
     def dot_col(vec: str, p: int):
@@ -354,13 +390,20 @@ def ann_lsh_topk(
             ]
         )
     )
-    probes = [base]
-    for i in range(min(n_probe, n_planes + 1) - 1):
-        flip_p = F.element_at(marginal, i + 1)["p"]
+    probes = []
+    for spec in _probe_flip_sets(n_planes, n_probe):
+        if not spec:
+            probes.append(base)
+            continue
+        flip_ps = [F.element_at(marginal, r + 1)["p"] for r in spec]
+        flip_match = [
+            reduce(lambda a, b: a | b, [F.lit(p) == fp for fp in flip_ps])
+            for p in range(n_planes)
+        ]
         probes.append(
             F.concat(
                 *[
-                    F.when(F.lit(p) == flip_p, 1 - bit(p))
+                    F.when(flip_match[p], 1 - bit(p))
                     .otherwise(bit(p))
                     .cast("string")
                     for p in range(n_planes)
@@ -1286,9 +1329,9 @@ def ann_recall_audit(
     embeddings: DataFrame,
     n_queries: int = 8,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int = 4,
     dim: int = 64,
-    n_probe: int = 4,
+    n_probe: int = 8,
 ) -> DataFrame:
     """Recall@k audit of the LSH ANN path against the exact top-k —
     the ANN twin of ``dedup_audit``: measure the approximation before

