@@ -116,10 +116,21 @@ def vocab_counts(documents: DataFrame) -> DataFrame:
     )
 
 
+#: default vocabulary-collect cap for the BPE trainer: the merge
+#: recurrence needs the (token, count) model on the driver, and at
+#: 100 TB a junk-token corpus can push the DISTINCT-token space far
+#: past driver memory — the cap makes that collect bounded BY DEFAULT
+#: (top-1M tokens ≈ low hundreds of MB worst case). The dropped tail
+#: is count-1 noise that cannot win a merge against the head; pass
+#: ``max_vocab_words=None`` to opt in to the exact full-vocabulary
+#: collect on corpora known to have a sane vocabulary.
+DEFAULT_MAX_VOCAB_WORDS = 1_000_000
+
+
 def bpe_train(
     documents: DataFrame,
     n_merges: int = 8,
-    max_vocab_words: int | None = None,
+    max_vocab_words: int | None = DEFAULT_MAX_VOCAB_WORDS,
 ) -> DataFrame:
     """Train ``n_merges`` BPE merges over the corpus vocabulary.
 
@@ -127,13 +138,11 @@ def bpe_train(
     1-based in training order. ``max_vocab_words`` bounds the
     driver-side model with a deterministic top-V cut (count desc,
     token asc) — a TakeOrdered over the aggregated vocabulary, never
-    a global sort of the corpus.
-
-    ``max_vocab_words=None`` collects the FULL vocabulary — exact
-    (and what the driver oracle pins), fine up to a few million
-    distinct tokens; at 100 TB, where junk tokens bloat the distinct
-    space, pass a cap: the tail it drops is count-1 noise that can't
-    win a merge anyway, and the model stays MB-sized.
+    a global sort of the corpus. The default cap is
+    ``DEFAULT_MAX_VOCAB_WORDS`` (1M, see there — identical results
+    on any corpus whose vocabulary fits the cap, which the driver
+    oracle's testdata does); ``max_vocab_words=None`` opts in to the
+    exact FULL-vocabulary collect.
     """
     v = vocab_counts(documents)
     if max_vocab_words is not None:
@@ -277,7 +286,11 @@ def _segment_tokens_arrow(
     the fold chain, traded for constant plan size."""
     import pandas as pd
 
-    ranks = {pair: i for i, pair in enumerate(merges)}
+    # first-occurrence-wins: a duplicated (left, right) pair must keep
+    # its EARLIEST rank, matching fold-chain rank-order replay
+    ranks: dict = {}
+    for i, pair in enumerate(merges):
+        ranks.setdefault(pair, i)
 
     def encode(tok: str) -> list[str]:
         syms = list(tok)
@@ -296,9 +309,12 @@ def _segment_tokens_arrow(
     def batches(it):
         cache: dict[str, list[str]] = {}
         for pdf in it:
-            segs = [
-                cache.setdefault(t, encode(t)) for t in pdf["token"]
-            ]
+            segs = []
+            for t in pdf["token"]:
+                s = cache.get(t)
+                if s is None:
+                    s = cache[t] = encode(t)
+                segs.append(s)
             yield pd.DataFrame(
                 {
                     "token": pdf["token"],
@@ -317,7 +333,7 @@ def bpe_token_count(
     documents: DataFrame,
     merges_df: DataFrame | None = None,
     n_merges: int = 8,
-    max_vocab_words: int | None = None,
+    max_vocab_words: int | None = DEFAULT_MAX_VOCAB_WORDS,
     persisted_frames: list | None = None,
 ) -> DataFrame:
     """Exact BPE token budget per document under a trained merge

@@ -51,8 +51,13 @@ def token_count(
     from . import bpe as _bpe
 
     counts = _bpe.bpe_token_count(documents, merges_df=bpe_merges)
+    # left join + coalesce-0: rows with NULL doc_id must keep the 0/0
+    # contract the rest of the family follows (bpe_token_count itself
+    # preserves them the same way), not silently drop in bpe mode
     return base.join(
-        counts.select("doc_id", "n_tokens_bpe"), "doc_id"
+        counts.select("doc_id", "n_tokens_bpe"), "doc_id", "left"
+    ).withColumn(
+        "n_tokens_bpe", F.coalesce("n_tokens_bpe", F.lit(0).cast("bigint"))
     )
 
 

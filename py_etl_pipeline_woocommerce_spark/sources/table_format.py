@@ -48,9 +48,23 @@ def _require_delta():
 
 
 def _sql_str_literal(v) -> str:
-    """Single-quoted SQL literal for a partition value (NULL-safe)."""
+    """SQL literal for a partition value, formatted by type (NULL-safe):
+    ints/floats unquoted, bools TRUE/FALSE, date/datetime as typed
+    DATE/TIMESTAMP literals, everything else a quoted string — so a
+    non-string partition column compares against a canonical literal
+    instead of relying on implicit casts of ``str(v)`` output."""
+    import datetime as _dt
+
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return "TIMESTAMP'" + v.isoformat(sep=" ") + "'"
+    if isinstance(v, _dt.date):
+        return "DATE'" + v.isoformat() + "'"
     return "'" + str(v).replace("'", "''") + "'"
 
 

@@ -124,6 +124,16 @@ def test_bpe_train_vocab_cut_deterministic(spark, sf_dir):
     assert a == b
     # the cut changes counts (fewer words contribute) but stays valid
     assert all(m[3] > 0 for m in a)
+    # the r11 default cap (DEFAULT_MAX_VOCAB_WORDS = 1M) bounds the
+    # driver collect BY DEFAULT; on a sub-cap vocabulary it must be
+    # bit-identical to the exact full-vocabulary opt-in (None)
+    assert bpe.DEFAULT_MAX_VOCAB_WORDS == 1_000_000
+    capped = [tuple(r) for r in bpe.bpe_train(documents, 6).collect()]
+    exact = [
+        tuple(r)
+        for r in bpe.bpe_train(documents, 6, max_vocab_words=None).collect()
+    ]
+    assert capped == exact
 
 
 def test_segment_plan_stays_jvm(spark):
