@@ -839,6 +839,153 @@ def _q_zorder_digest(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _q_cdc_store_digest(spark, sf_dir):
+    """END-TO-END gate for the ON-DISK CDC store (cdc_apply_store —
+    split-invariance was pytest-only until r11): replay the
+    cdc_apply feed (seq-0 I for the current state, then the %7/%13/
+    %11 U/D/I arms) through the persisted store in THREE batches
+    split by pmod(order_id, 3) and folded OUT OF ORDER (2, 0, 1),
+    then digest the raw store — tombstones included. The oracle
+    resolves the same net effect in one pure-SQL window, so the
+    driver hash proves the staged on-disk fold is split- and
+    order-invariant, and that deletes persist as tombstones rather
+    than resurrectable gaps."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    cur = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        F.lit(0).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    upd = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("updated").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        F.lit(2).alias("seq"),
+        F.lit("U").alias("op"),
+    )
+    dele = orders.filter(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.lit("gone").alias("status"),
+        F.lit(0).cast("decimal(18,2)").alias("total"),
+        F.lit(3).alias("seq"),
+        F.lit("D").alias("op"),
+    )
+    ins = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 100_000_000).alias("order_id"),
+        F.lit("new").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("total"),
+        F.lit(1).alias("seq"),
+        F.lit("I").alias("op"),
+    )
+    changes = cur.unionByName(upd).unionByName(dele).unionByName(ins)
+    tmp = tempfile.mkdtemp(prefix="cdc_store_digest_")
+    try:
+        store = os.path.join(tmp, "state")
+        for b in (2, 0, 1):  # deliberately out of order
+            warehouse.cdc_apply_store(
+                spark,
+                store,
+                changes.filter(F.pmod("order_id", F.lit(3)) == b),
+                "order_id",
+            )
+        raw = spark.read.parquet(store)
+        digest = (
+            raw.groupBy("status", F.col("_deleted").alias("deleted"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("order_id").cast("bigint").alias("key_sum"),
+                F.sum("total").cast("decimal(18,2)").cast("double").alias("total_sum"),
+                F.max("_seq").cast("bigint").alias("max_seq"),
+            )
+            .orderBy("status", "deleted")
+        )
+        rows = digest.collect()
+        return spark.createDataFrame(rows, digest.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_first_seen_digest(spark, sf_dir):
+    """Gate for the ON-DISK first-seen store (the batch body of the
+    streaming FirstSeenSink): fold the events history through
+    merge_first_seen_store in THREE user-sharded batches applied out
+    of order (1, 2, 0), then digest the store per first day. MIN is
+    associative, so the oracle is simply per-user MIN(day) over all
+    events — the driver hash proves the store fold equals the
+    one-shot batch recompute regardless of batch boundaries."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="first_seen_digest_")
+    try:
+        store = os.path.join(tmp, "first_seen")
+        ev = ev.filter(F.col("user_id").isNotNull())
+        for b in (1, 2, 0):
+            warehouse.merge_first_seen_store(
+                spark, store, ev.filter(F.pmod("user_id", F.lit(3)) == b)
+            )
+        digest = (
+            spark.read.parquet(store)
+            .groupBy("first_day_us")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_users"),
+                F.sum("user_id").cast("bigint").alias("user_sum"),
+                F.min("user_id").cast("bigint").alias("min_user"),
+                F.max("user_id").cast("bigint").alias("max_user"),
+            )
+            .orderBy("first_day_us")
+        )
+        rows = digest.collect()
+        return spark.createDataFrame(rows, digest.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_line_index_digest(spark, sf_dir):
+    """Gate for the STORED boilerplate line index (write_line_index →
+    strip_against_line_index — the cross-batch CCNet path that was
+    pytest-only until r11): index the even-doc_id half of the
+    rewrapped corpus into the bucketed store, then strip the odd
+    half against it. The oracle recomputes both halves' line
+    frequencies in pure SQL (stored df + batch df ≥ min_df), so the
+    driver hash proves the persisted index carries exactly the
+    corpus-side counts the one-shot operator would have used."""
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        docs_as_lines,
+        strip_against_line_index,
+        write_line_index,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import (
+        drop_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prefix = "r11_line_digest"
+    batch_a = docs_as_lines(docs.filter(F.col("doc_id") % 2 == 0))
+    batch_b = docs_as_lines(docs.filter(F.col("doc_id") % 2 == 1))
+    # overwrite = from-scratch rebuild: the digest must be idempotent
+    # across driver re-runs in the same warehouse
+    write_line_index(batch_a, prefix, n_buckets=8, mode="overwrite")
+    try:
+        out = strip_against_line_index(batch_b, prefix, min_df=2)
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        drop_table(spark, f"{prefix}_lines")
+
+
 def _q_profile_drift(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -955,6 +1102,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purge_digest": _q_purge_digest,
         "export_shards_digest": _q_export_shards_digest,
         "zorder_digest": _q_zorder_digest,
+        # --- round-11 store-digest promotions (VERDICT r10 item 6) ---
+        "cdc_store_digest": _q_cdc_store_digest,
+        "first_seen_digest": _q_first_seen_digest,
+        "line_index_digest": _q_line_index_digest,
         # --- round-4b additions (this rework of the round): never
         # driver-verified, take the budget first ---
         "daily_value_percentiles": (
@@ -5566,6 +5717,80 @@ SELECT o_orderstatus,
        CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
        MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
 FROM orders GROUP BY 1
+"""
+    out["cdc_store_digest"] = """
+WITH chg AS (
+  SELECT o_orderkey AS order_id, o_orderstatus AS status,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS total, 0 AS seq, 'I' AS op
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'updated', CAST(o_totalprice AS DECIMAL(18,2)), 2, 'U'
+  FROM orders WHERE o_orderkey % 7 = 0
+  UNION ALL
+  SELECT o_orderkey, 'gone', CAST(0 AS DECIMAL(18,2)), 3, 'D'
+  FROM orders WHERE o_orderkey % 13 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, 'new',
+         CAST(o_totalprice AS DECIMAL(18,2)), 1, 'I'
+  FROM orders WHERE o_orderkey % 11 = 0),
+net AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY order_id
+                               ORDER BY seq DESC, op DESC) AS rn
+  FROM chg) WHERE rn = 1)
+SELECT status, (op = 'D') AS deleted,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(order_id) AS BIGINT) AS key_sum,
+       CAST(CAST(SUM(total) AS DECIMAL(18,2)) AS DOUBLE) AS total_sum,
+       CAST(MAX(seq) AS BIGINT) AS max_seq
+FROM net GROUP BY 1, 2
+"""
+    out["first_seen_digest"] = """
+WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS day_idx
+           FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+SELECT day_idx * 86400000000 AS first_day_us,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(user_id) AS BIGINT) AS user_sum,
+       CAST(MIN(user_id) AS BIGINT) AS min_user,
+       CAST(MAX(user_id) AS BIGINT) AS max_user
+FROM f GROUP BY 1
+"""
+    out["line_index_digest"] = f"""
+WITH tkA AS (SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
+             FROM documents WHERE doc_id % 2 = 0),
+lnA AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+               array_to_string(toks[(g.i*8+1):(g.i*8+8)], ' ') AS line
+        FROM tkA,
+             UNNEST(generate_series(
+               0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1)) AS g(i)
+        WHERE len(toks) > 0),
+dfA AS (SELECT line, COUNT(DISTINCT doc_id) AS sdf
+        FROM lnA WHERE line <> '' GROUP BY 1),
+tk AS (SELECT doc_id, list_filter({_TOKS}, t -> t <> '') AS toks
+       FROM documents WHERE doc_id % 2 = 1),
+ln AS (SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+              array_to_string(toks[(g.i*8+1):(g.i*8+8)], ' ') AS line
+       FROM tk,
+            UNNEST(generate_series(
+              0, CAST(ceil(len(toks)/8.0) AS BIGINT) - 1)) AS g(i)
+       WHERE len(toks) > 0),
+dfB AS (SELECT line, COUNT(DISTINCT doc_id) AS bdf
+        FROM ln WHERE line <> '' GROUP BY 1),
+common AS (SELECT dfB.line FROM dfB LEFT JOIN dfA USING (line)
+           WHERE COALESCE(sdf, 0) + bdf >= 2),
+kept AS (SELECT ln.doc_id, ln.pos, ln.line FROM ln
+         ANTI JOIN common USING (line)
+         WHERE ln.line <> ''),
+reb AS (SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               CAST(COUNT(*) AS BIGINT) AS n_lines_kept
+        FROM kept GROUP BY doc_id),
+n AS (SELECT doc_id,
+             CAST(ceil(len(toks)/8.0) AS BIGINT) AS _n
+      FROM tk WHERE len(toks) > 0)
+SELECT n.doc_id, COALESCE(clean_text, '') AS clean_text,
+       COALESCE(n_lines_kept, 0) AS n_lines_kept,
+       _n - COALESCE(n_lines_kept, 0) AS n_lines_removed
+FROM n LEFT JOIN reb USING (doc_id)
 """
     out["ann_recall_audit"] = f"""
 WITH exact AS ({out["ann_topk"]}),
