@@ -369,74 +369,33 @@ def _q_dq_rules(spark, sf_dir):
 # on), then the r4-era tail enumerated in the git history of this
 # note. Entries re-verified TWICE in r9 on current data (sf0.01 +
 # sf0.1 full gates) carry the lowest risk.
-# ROUND-10 ROTATION (VERDICT r9 item #1: drain the driver-staleness
-# tail). CORRECTNESS_r01..r09 say 59 entries were last driver-checked
-# in r4/r5; the front below leads with NEW-IN-R10 entries (never
-# driver-verified; selfchecked hash-green at sf0.01+sf0.1 when added),
-# then ALL 30 r4-stale entries, then the 29 r5-stale entries — so the
-# ~50-row budget re-proves the stalest half of the surface and nothing
-# older than r5 remains after this round. Every entry outside the
-# budget was re-verified by the terminal full-surface selfcheck
+# ROUND-11 ROTATION (VERDICT r10 item #2: clear the r5-era staleness
+# tail). Rebuilt from CORRECTNESS_r01..r10 last-checked rounds: the
+# front leads with the 3 never-verified r11 digests and the 6
+# r11-changed entries, then ALL 18 r5-stale entries, then the 43
+# r6-stale entries alphabetically — the ~50-row budget re-proves
+# everything stale since r5 and cuts ~23 rows into the r6 tier; the
+# r6 spill is the designated r12 front. Every entry outside the
+# budget is re-verified by the terminal full-surface selfcheck
 # (sf0.01 AND sf0.1) on this round's final tree. Any operator whose
-# oracle text changes later in r10 gets promoted into the NEW block.
-_R10_FRONT = [
-    # new-in-r10 entries (never driver-verified)
+# oracle text changes later in r11 gets promoted into the NEW block.
+_R11_FRONT = [
+    # new-in-r11 entries (never driver-verified; selfchecked
+    # hash-green at sf0.01+sf0.1 when added)
+    "cdc_store_digest",
+    "first_seen_digest",
+    "line_index_digest",
+    # operator/oracle changed in r11 (LSH re-default to Hamming-2
+    # multi-probe; BPE default vocab cap; token_count bpe-mode join)
+    "ann_lsh_topk",
+    "ann_recall_audit",
     "bpe_merge_table",
     "bpe_token_count",
     "bpe_segment_vocab",
-    "ann_recall_audit",
-    "purge_digest",
-    "export_shards_digest",
-    "zorder_digest",
-    # oracle-text changed in r10 (floor-anchored pre-1970 window mod;
-    # value-identical on post-1970 data)
-    "event_window_agg",
-    "hopping_window_agg",
+    "token_count",
 
-    # r4-stale tail (last driver-checked in round 4)
-    "asof_join_forward",
-    "basket_pairs",
-    "bm25_search",
-    "cdc_apply",
-    "corpus_split",
-    "cusum_changepoint",
-    "daily_value_percentiles",
-    "dau_new_vs_returning",
-    "dayn_retention",
-    "dq_referential",
-    "dsir_weights",
-    "event_value_summary",
-    "fill_missing_days_interp",
-    "fill_missing_days_locf",
-    "fulfillment_latency",
-    "hybrid_search",
-    "interarrival_stats",
-    "merge_intervals",
-    "numeric_corr",
-    "repeat_rate",
-    "rollup_merge",
-    "seasonal_anomaly",
-    "soft_dedup_weights",
-    "source_quota_sample",
-    "split_leakage",
-    "split_leakage_near",
-    "time_gaps",
-    "user_streaks",
-    "value_outliers",
-    "wow_growth",
-
-    # r5-stale tail (last driver-checked in round 5)
-    "asof_join_nearest",
-    "backfill_windows",
-    "bigram_logprob",
-    "cluster_stats",
-    "conversion_latency",
-    "corpus_report",
-    "date_bounds",
-    "dedup_audit",
-    "doc_similarity_topk",
-    "dsir_select_threshold",
-    "dup_cluster_histogram",
+    # r5-stale tail (last driver-checked in round 5 — the ~18 entries
+    # the r10 budget could not reach; VERDICT r10 item #2)
     "hash_embed",
     "incremental_watermark",
     "lang_confusion",
@@ -455,6 +414,53 @@ _R10_FRONT = [
     "token_budget_sample",
     "trend_fit",
     "value_outliers_mad",
+
+    # r6-stale tier (last driver-checked in round 6, alphabetical;
+    # the ~50-entry budget reaches roughly the first 23 — the spill
+    # leads the r12 front)
+    "apply_refunds_items",
+    "category_mix_bounded",
+    "cohort_retention",
+    "customer_order_distribution",
+    "customer_year_cohorts",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "discount_revenue",
+    "disjunctive_revenue",
+    "enrich_categories",
+    "fuzzy_part_names",
+    "geo_rollup_bounded",
+    "hot_keys",
+    "idle_customers",
+    "important_parts",
+    "large_volume_orders",
+    "market_share",
+    "min_cost_supplier",
+    "normalize_items",
+    "order_priority_count",
+    "part_pagerank",
+    "perplexity_bucket_mix",
+    "pricing_summary",
+    "product_profit",
+    "promo_revenue",
+    "returned_item_report",
+    "returnflag_totals",
+    "revenue_pivot",
+    "revenue_timeseries_bounded",
+    "sales_cube",
+    "sales_rollup",
+    "segment_share",
+    "shipping_priority",
+    "small_qty_revenue",
+    "supplier_part_breadth",
+    "supplier_quartiles",
+    "top_orders_per_customer",
+    "top_products_bounded",
+    "top_supplier",
+    "unigram_logprob",
+    "upsert",
+    "volume_shipping",
 ]
 
 
@@ -1585,15 +1591,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bpe_segment_vocab": _q_bpe_segment_vocab,
     }
-    unknown_front = [k for k in _R10_FRONT if k not in base]
+    unknown_front = [k for k in _R11_FRONT if k not in base]
     if unknown_front:
         # the rotation's whole purpose is priority: a typo'd name
         # must fail loudly, not silently fall outside the driver's
         # verification budget
         raise KeyError(
-            f"_R10_FRONT names not in queries(): {unknown_front}"
+            f"_R11_FRONT names not in queries(): {unknown_front}"
         )
-    ordered = {k: base[k] for k in _R10_FRONT}
+    ordered = {k: base[k] for k in _R11_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 
