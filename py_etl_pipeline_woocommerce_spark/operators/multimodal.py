@@ -9,9 +9,11 @@ gray/RGB/RGBA, non-interlaced, all five filters), so
 Arrow path even in a deps-free container. AUDIO decode is real for
 PCM WAV via the stdlib ``wave`` module (``wav_decode`` /
 ``audio_decode`` — duration, rate, per-channel RMS features).
-VIDEO (and compressed audio codecs) still need libs (pyav /
-torchaudio) and remain the one documented ``NotImplementedError``
-seam; ``fake_decode`` stays as the deterministic stand-in for
+VIDEO decodes through pyav when installed
+(``_av_video_decode`` → sampled frames; ``frame_sample_decode`` is
+the mapInPandas operator) — in a pyav-less container it remains a
+LOUD ``NotImplementedError`` dep seam raised at plan build;
+``fake_decode`` stays as the deterministic stand-in for
 oracle-hashed driver queries.
 
 Scale notes: payloads are the widest column by far, so every
@@ -309,6 +311,54 @@ def _av_audio_decode(avmod, payload: bytes):
     return nch, rate, frames
 
 
+def _av_video_decode(avmod, payload: bytes, every_ms: int = 1000):
+    """Sampled video-frame decode through pyav (ffmpeg): decode the
+    first video stream and keep the first frame at-or-after each
+    ``every_ms`` grid point — the decode twin of ``frame_sample_plan``
+     's metadata grid. Returns ``[(frame_ts_ms, width, height,
+    mean_luma), ...]`` in presentation order; mean_luma is the
+    Rec.601 luminance mean in [0, 1] (the same weights as
+    ``image_decode``). Frames without a presentation time are
+    skipped. Bytes pyav cannot open (or with no video stream) raise
+    ValueError — the module's corruption contract — never a leaked
+    ffmpeg error type."""
+    import io
+
+    import numpy as np
+
+    out = []
+    try:
+        with avmod.open(io.BytesIO(payload)) as container:
+            stream = next(
+                (st for st in container.streams if st.type == "video"),
+                None,
+            )
+            if stream is None:
+                raise ValueError("no video stream in payload")
+            next_ts = 0
+            for frame in container.decode(stream):
+                if frame.time is None:
+                    continue
+                ts_ms = int(frame.time * 1000)
+                if ts_ms < next_ts:
+                    continue
+                a = frame.to_ndarray(format="rgb24").astype(np.float64)
+                luma = (
+                    0.299 * a[..., 0]
+                    + 0.587 * a[..., 1]
+                    + 0.114 * a[..., 2]
+                ) / 255.0
+                out.append(
+                    (ts_ms, frame.width, frame.height, float(luma.mean()))
+                )
+                next_ts = (ts_ms // every_ms + 1) * every_ms
+    except avmod.error.FFmpegError as e:
+        raise ValueError(
+            f"decode_media: pyav could not decode video payload ({e})"
+        ) from e
+    return out
+
+
 def decode_media(payload: bytes, mime_type: str):
     """Decode a media payload; the return shape is per-modality:
     images → ``(width, height, rgba_rows)``, audio →
@@ -316,10 +366,13 @@ def decode_media(payload: bytes, mime_type: str):
 
     Selection order: Pillow when importable (any image format PIL
     reads), else the built-in pure-stdlib PNG codec for ``image/png``;
-    PCM WAV via the stdlib ``wave`` module. Video, non-WAV audio, and
-    non-PNG images in a Pillow-less container raise
-    ``NotImplementedError`` — the documented seam for a deps-enabled
-    deployment (pyav / torchaudio)."""
+    PCM WAV via the stdlib ``wave`` module; compressed audio via
+    soundfile then pyav; video → sampled frames via pyav
+    (``_av_video_decode``). Non-WAV audio / video / non-PNG images in
+    a container WITHOUT those optional deps raise
+    ``NotImplementedError`` — the documented dep seam; codecs the
+    installed libs cannot open raise ValueError (corruption
+    contract)."""
     if mime_type is None:
         raise ValueError("decode_media: mime_type is NULL")
     if mime_type.startswith("image/"):
@@ -367,9 +420,17 @@ def decode_media(payload: bytes, mime_type: str):
             "here (soundfile or pyav); only PCM WAV decodes via the "
             "stdlib codec"
         )
+    if mime_type.startswith("video/"):
+        avmod = _try_av()
+        if avmod is not None:
+            return _av_video_decode(avmod, payload)
+        raise NotImplementedError(
+            f"decoding {mime_type} requires pyav (not installed); "
+            "install av to enable the ffmpeg video path, or use "
+            "fake_decode for deterministic tests"
+        )
     raise NotImplementedError(
-        f"decoding {mime_type} requires video libs not "
-        "installed here; use fake_decode for deterministic tests"
+        f"decode_media: no decoder for mime type {mime_type!r}"
     )
 
 
@@ -768,6 +829,73 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return (
         media.filter(F.col("modality") == "video")
         .select("media_id", F.explode(grid).alias("frame_ts_ms"))
+    )
+
+
+def frame_sample_decode(
+    media: DataFrame, every_ms: int = 1000, decoder=None
+) -> DataFrame:
+    """REAL frame sampling: decode each video payload's frames at the
+    ``every_ms`` grid via Arrow-batched ``mapInPandas`` — the decode
+    half of ``frame_sample_plan`` (which stays the metadata-only grid
+    the driver oracle pins). Output one row per sampled frame:
+    (media_id, frame_ts_ms, width, height, mean_luma).
+
+    ``decoder(payload) -> [(ts_ms, w, h, luma), ...]`` defaults to
+    the pyav path and raises the dep-seam ``NotImplementedError`` AT
+    PLAN BUILD when pyav is absent (a loud driver-side failure, not a
+    per-task crash storm on the cluster); inject a deterministic
+    decoder to test the Spark plumbing without ffmpeg. NULL payloads
+    yield no frames (nothing to decode), matching the NULL-duration
+    contract of ``frame_sample_plan``.
+
+    Scale shape: one Python worker per partition, Arrow transfer both
+    ways, decode fan-out parallelized by partitioning on media_id —
+    repartition upstream when a few huge videos skew partitions.
+    """
+    if decoder is None:
+        avmod = _try_av()
+        if avmod is None:
+            raise NotImplementedError(
+                "frame_sample_decode requires pyav (not installed); "
+                "install av or inject decoder= for deterministic tests"
+            )
+
+        def decoder(payload):
+            return _av_video_decode(avmod, payload, every_ms)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, tss, ws, hs, ls = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                for ts_ms, w, h, luma in decoder(payload):
+                    ids.append(mid)
+                    tss.append(ts_ms)
+                    ws.append(w)
+                    hs.append(h)
+                    ls.append(luma)
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_luma": pd.Series(ls, dtype="float64"),
+                }
+            )
+
+    return (
+        media.filter(F.col("modality") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(
+            batches,
+            schema=(
+                "media_id long, frame_ts_ms long, width int, "
+                "height int, mean_luma double"
+            ),
+        )
     )
 
 
