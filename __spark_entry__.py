@@ -2966,9 +2966,9 @@ WITH agg AS (
   FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
   GROUP BY 1, 2)
 SELECT l_returnflag, l_linestatus, sum_qty,
-       CAST(_sum_base AS DOUBLE) AS sum_base_price,
-       CAST(_sum_disc AS DOUBLE) AS sum_disc_price,
-       CAST(_sum_charge AS DOUBLE) AS sum_charge,
+       CAST(ROUND(_sum_base, 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(_sum_disc, 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(_sum_charge, 2) AS DOUBLE) AS sum_charge,
        CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
        CAST(_sum_base AS DOUBLE) / count_order AS avg_price,
        count_order

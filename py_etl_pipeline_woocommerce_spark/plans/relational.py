@@ -40,13 +40,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cnt = F.col("count_order")
+    # money sums leave decimal space ROUNDED TO CENTS first: a scale-6
+    # decimal sum's unscaled value passes 2^53 around 9e9 money units,
+    # where DuckDB's int128/10^6 double conversion and Java's
+    # correctly-rounded BigDecimal.doubleValue diverge by 1 ulp (seen
+    # at the r11 sf1 gate). At scale 2 the unscaled cents stay exactly
+    # representable up to ~9e13 units, so the boundary cast is
+    # bit-identical on both engines at any realistic SF.
     return agg.select(
         "l_returnflag",
         "l_linestatus",
         "sum_qty",
-        F.col("_sum_base").cast("double").alias("sum_base_price"),
-        F.col("_sum_disc").cast("double").alias("sum_disc_price"),
-        F.col("_sum_charge").cast("double").alias("sum_charge"),
+        F.round("_sum_base", 2).cast("double").alias("sum_base_price"),
+        F.round("_sum_disc", 2).cast("double").alias("sum_disc_price"),
+        F.round("_sum_charge", 2).cast("double").alias("sum_charge"),
         (F.col("sum_qty").cast("double") / cnt).alias("avg_qty"),
         (F.col("_sum_base").cast("double") / cnt).alias("avg_price"),
         "count_order",
