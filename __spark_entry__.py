@@ -385,6 +385,7 @@ _R11_FRONT = [
     "cdc_store_digest",
     "first_seen_digest",
     "line_index_digest",
+    "ann_tune_geometry",
     # operator/oracle changed in r11 (LSH re-default to Hamming-2
     # multi-probe; BPE default vocab cap; token_count bpe-mode join)
     "ann_lsh_topk",
@@ -1376,6 +1377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d)
         ),
         "ann_lsh_topk": lambda s, d: similarity.ann_lsh_topk(_emb(s, d)),
+        "ann_tune_geometry": lambda s, d: similarity.ann_tune_geometry(
+            _emb(s, d)
+        ),
         "ann_recall_audit": lambda s, d: similarity.ann_recall_audit(
             _emb(s, d)
         ),
@@ -5816,6 +5820,56 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        ROUND(MIN(CAST(n_hits AS DOUBLE) / n_exact), 6)
          AS min_query_recall
 FROM per
+"""
+    def _tune_candidate_sql(idx, n_planes, n_probe):
+        n_buckets = 1 + n_planes + n_planes * (n_planes - 1) // 2
+        frac = round(min(n_probe, n_buckets) / float(2 ** n_planes), 6)
+        return f"""
+a{idx} AS ({_lsh_topk_sql(n_planes, n_probe)}),
+m{idx} AS (
+  SELECT CAST({n_planes} AS INT) AS n_planes,
+         CAST({n_probe} AS INT) AS n_probe,
+         CAST({frac} AS DOUBLE) AS expected_scan_frac,
+         CAST(SUM(n_exact) AS BIGINT) AS n_exact_pairs,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM a{idx}) AS n_lsh_pairs,
+         CAST(SUM(n_hits) AS BIGINT) AS n_hits,
+         ROUND(CAST(SUM(n_hits) AS DOUBLE) / SUM(n_exact), 6)
+           AS overall_recall,
+         ROUND(MIN(CAST(n_hits AS DOUBLE) / n_exact), 6)
+           AS min_query_recall
+  FROM (SELECT pq.query_id, n_exact, COALESCE(h.n_hits, 0) AS n_hits
+        FROM pq LEFT JOIN
+             (SELECT query_id, COUNT(*) AS n_hits
+              FROM ex JOIN a{idx} USING (query_id, neighbor_id)
+              GROUP BY 1) h USING (query_id)))"""
+
+    from py_etl_pipeline_woocommerce_spark.operators.similarity import (
+        DEFAULT_TUNE_CANDIDATES,
+    )
+
+    _tune_parts = [
+        _tune_candidate_sql(i, p, pr)
+        for i, (p, pr) in enumerate(DEFAULT_TUNE_CANDIDATES)
+    ]
+    _tune_union = "\n  UNION ALL\n  ".join(
+        f"SELECT * FROM m{i}" for i in range(len(DEFAULT_TUNE_CANDIDATES))
+    )
+    out["ann_tune_geometry"] = f"""
+WITH ex AS ({out["ann_topk"]}),
+pq AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+{",".join(_tune_parts)},
+allm AS (
+  {_tune_union})
+SELECT n_planes, n_probe, expected_scan_frac, n_exact_pairs,
+       n_lsh_pairs, n_hits, overall_recall, min_query_recall,
+       (ROW_NUMBER() OVER (ORDER BY
+          (overall_recall >= 0.6) DESC,
+          CASE WHEN overall_recall >= 0.6 THEN expected_scan_frac
+               ELSE -overall_recall END ASC,
+          CASE WHEN overall_recall >= 0.6 THEN -overall_recall
+               ELSE expected_scan_frac END ASC,
+          n_planes, n_probe) = 1) AS chosen
+FROM allm
 """
     out["bpe_merge_table"] = _bpe_merge_table_sql(8)
     out["bpe_segment_vocab"] = _bpe_rounds_sql(8) + """

@@ -1399,3 +1399,137 @@ def ann_recall_audit(
             "min_query_recall",
         )
     )
+
+
+#: fit-time tune candidates: geometries spanning 8..64 buckets with
+#: Hamming-<=2 probe schedules — small enough that the full sweep is
+#: a handful of audit plans, wide enough to bracket the
+#: coverage/recall trade on anything from clustered to uniform data
+DEFAULT_TUNE_CANDIDATES = (
+    (3, 4),
+    (4, 4),
+    (4, 8),
+    (5, 8),
+    (5, 16),
+    (6, 16),
+)
+
+
+def ann_tune_geometry(
+    embeddings: DataFrame,
+    candidates=None,
+    n_queries: int = 8,
+    k: int = 5,
+    dim: int = 64,
+    target_recall: float = 0.6,
+) -> DataFrame:
+    """Fit-time LSH geometry auto-tune (the r10 verdict's suggested
+    shape): run the ``ann_recall_audit`` measurement for every
+    candidate ``(n_planes, n_probe)`` against ONE shared exact top-k
+    side, and mark the geometry to deploy. One row per candidate:
+    the audit metrics plus ``expected_scan_frac`` (n_probe / 2^planes
+    — the uniform-data candidate fraction, i.e. the cost proxy) and
+    ``chosen``. Selection: the CHEAPEST candidate with
+    ``overall_recall >= target_recall`` (ties: higher recall, then
+    fewer planes); if none reaches target, the max-recall candidate
+    (ties: cheaper). Deterministic given the data.
+
+    At 100 TB run it once at fit time on a query SAMPLE
+    (``n_queries``) against the full corpus — the exact side is ONE
+    broadcast-queries scan reused by every candidate (localCheckpoint
+    keeps the sweep from rescanning per geometry), and each
+    candidate's approx side is the usual bucket equi-join.
+    """
+    cands = list(
+        DEFAULT_TUNE_CANDIDATES if candidates is None else candidates
+    )
+    if not cands:
+        raise ValueError("ann_tune_geometry: empty candidate list")
+    exact = (
+        ann_topk(embeddings, n_queries, k)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    per_q = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    rows = None
+    for n_planes, n_probe in cands:
+        approx = ann_lsh_topk(
+            embeddings,
+            n_queries,
+            k,
+            n_planes=n_planes,
+            dim=dim,
+            n_probe=n_probe,
+        ).select("query_id", "neighbor_id")
+        hits_q = (
+            exact.join(approx, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        per = per_q.join(hits_q, "query_id", "left").select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        )
+        n_lsh = approx.groupBy().agg(
+            F.count(F.lit(1)).alias("n_lsh_pairs")
+        )
+        one = (
+            per.groupBy()
+            .agg(
+                F.sum("n_exact").cast("bigint").alias("n_exact_pairs"),
+                F.sum("n_hits").cast("bigint").alias("n_hits"),
+                F.round(
+                    F.sum("n_hits").cast("double") / F.sum("n_exact"), 6
+                ).alias("overall_recall"),
+                F.round(
+                    F.min(
+                        F.col("n_hits").cast("double") / F.col("n_exact")
+                    ),
+                    6,
+                ).alias("min_query_recall"),
+            )
+            .join(F.broadcast(n_lsh))
+            .select(
+                F.lit(n_planes).cast("int").alias("n_planes"),
+                F.lit(n_probe).cast("int").alias("n_probe"),
+                F.lit(
+                    round(
+                        min(
+                            n_probe,
+                            1 + n_planes + n_planes * (n_planes - 1) // 2,
+                        )
+                        / float(2 ** n_planes),
+                        6,
+                    )
+                ).alias("expected_scan_frac"),
+                "n_exact_pairs",
+                F.col("n_lsh_pairs").cast("bigint").alias("n_lsh_pairs"),
+                "n_hits",
+                "overall_recall",
+                "min_query_recall",
+            )
+        )
+        rows = one if rows is None else rows.unionByName(one)
+    meets = F.col("overall_recall") >= F.lit(float(target_recall))
+    # one global ordering covers both branches: meeting candidates
+    # first (cost asc, recall desc), else recall desc then cost asc
+    pick = Window.orderBy(
+        meets.desc(),
+        F.when(meets, F.col("expected_scan_frac"))
+        .otherwise(-F.col("overall_recall"))
+        .asc(),
+        F.when(meets, -F.col("overall_recall"))
+        .otherwise(F.col("expected_scan_frac"))
+        .asc(),
+        F.col("n_planes").asc(),
+        F.col("n_probe").asc(),
+    )
+    return (
+        rows.withColumn("_rk", F.row_number().over(pick))
+        .withColumn("chosen", F.col("_rk") == 1)
+        .drop("_rk")
+        .orderBy("n_planes", "n_probe")
+    )

@@ -688,3 +688,47 @@ def test_probe_flip_sets_schedule():
     assert len(_probe_flip_sets(3, 99)) == 1 + 3 + 3
     # never empty even at n_probe=0
     assert _probe_flip_sets(4, 0) == [()]
+
+
+def test_ann_tune_geometry_selection(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = similarity.ann_tune_geometry(emb).collect()
+    assert len(rows) == len(similarity.DEFAULT_TUNE_CANDIDATES)
+    chosen = [r for r in rows if r["chosen"]]
+    assert len(chosen) == 1
+    c = chosen[0]
+    # selection contract: the chosen geometry either meets the 0.6
+    # target at the lowest expected scan fraction, or (no candidate
+    # meets it) is the max-recall candidate
+    meeting = [r for r in rows if r["overall_recall"] >= 0.6]
+    if meeting:
+        assert c["overall_recall"] >= 0.6
+        assert c["expected_scan_frac"] == min(
+            r["expected_scan_frac"] for r in meeting
+        )
+    else:
+        assert c["overall_recall"] == max(
+            r["overall_recall"] for r in rows
+        )
+    # each row's audit numbers are self-consistent
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_exact_pairs"]
+        assert 0.0 <= r["overall_recall"] <= 1.0
+        assert 0.0 < r["expected_scan_frac"] <= 1.0
+
+
+def test_ann_tune_geometry_explicit_candidates(spark, sf_dir):
+    from py_etl_pipeline_woocommerce_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # a single candidate is trivially chosen; empty list refused
+    rows = similarity.ann_tune_geometry(
+        emb, candidates=[(4, 8)]
+    ).collect()
+    assert len(rows) == 1 and rows[0]["chosen"]
+    import pytest
+
+    with pytest.raises(ValueError, match="empty candidate"):
+        similarity.ann_tune_geometry(emb, candidates=[])
