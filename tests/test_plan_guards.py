@@ -45,6 +45,9 @@ SCALAR_BROADCAST = {
     # a 1-row broadcast pair-count — both sides are aggregates
     # (n_queries rows x 1 row) regardless of corpus scale
     "ann_recall_audit",
+    # the geometry tuner repeats that audit shape per candidate
+    # (1-row metrics x 1-row pair-count, x |candidates| <= ~6)
+    "ann_tune_geometry",
     "important_parts",
     "idle_customers",
     "tfidf_top_terms",
@@ -146,6 +149,9 @@ UNPARTITIONED_WINDOW_BASELINES = {
     "session_paths",
     "vocab_drift",
     "wow_growth",
+    # the tuner's chosen-pick row_number runs over exactly
+    # |candidates| (<= ~6) 1-row audit aggregates, never the corpus
+    "ann_tune_geometry",
 }
 
 
