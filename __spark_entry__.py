@@ -394,6 +394,11 @@ _R11_FRONT = [
     "bpe_token_count",
     "bpe_segment_vocab",
     "token_count",
+    # oracle-text changed in r11 (sf1-replica tie findings: session
+    # cumsum made duplicate-instant-deterministic; late_suppliers
+    # re-grained to suppkey) — value-identical on tie-free data
+    "session_window_agg",
+    "late_suppliers",
 
     # r5-stale tail (last driver-checked in round 5 — the ~18 entries
     # the r10 budget could not reach; VERDICT r10 item #2)
@@ -2545,20 +2550,28 @@ FROM r
 """,
         "session_window_agg": """
 WITH e AS (SELECT user_id, epoch_us(ts) AS t_us, value FROM events),
+-- session boundaries over DISTINCT (user, instant): the ROWS-frame
+-- cumsum is ill-defined when duplicate timestamps straddle a session
+-- start (tie order decides which duplicates land in which session —
+-- exposed by the r11 sf1 replica), while Spark's session_window is
+-- set-based; assigning the seq per distinct instant and joining back
+-- is deterministic and value-identical on tie-free data
+d AS (SELECT DISTINCT user_id, t_us FROM e),
 tagged AS (
   SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
                    OR t_us - lag(t_us) OVER w > 1800000000
                  THEN 1 ELSE 0 END AS new_sess
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
+  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY t_us)),
 sess AS (
   SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY t_us
                                 ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM tagged)
-SELECT user_id, MIN(t_us) AS start_us,
-       MAX(t_us) + 1800000000 AS end_us,
+SELECT e.user_id, MIN(e.t_us) AS start_us,
+       MAX(e.t_us) + 1800000000 AS end_us,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
-FROM sess GROUP BY user_id, session_seq
+       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM e JOIN sess ON e.user_id = sess.user_id AND e.t_us = sess.t_us
+GROUP BY e.user_id, session_seq
 """,
         "semdedup_apply": f"""
 WITH RECURSIVE
@@ -3339,10 +3352,14 @@ blamed AS (
   JOIN per_order p ON l1.l_orderkey = p.l_orderkey
   JOIN orders o ON l1.l_orderkey = o.o_orderkey
   WHERE l1.l_returnflag = 'R' AND p.n_supp > 1 AND p.n_fail = 1
-    AND o.o_orderstatus = 'F')
-SELECT s_name AS supplier_name, COUNT(*) AS numwait
-FROM blamed JOIN supplier ON l_suppkey = s_suppkey
-GROUP BY 1 ORDER BY numwait DESC, supplier_name LIMIT 20
+    AND o.o_orderstatus = 'F'),
+agg AS (SELECT l_suppkey, COUNT(*) AS numwait FROM blamed GROUP BY 1)
+-- group at SUPPKEY grain like the Spark plan, then look the name up:
+-- grouping by s_name silently merges distinct suppliers that share a
+-- name (exposed by the r11 sf1 replica's duplicated dimension names)
+SELECT s_name AS supplier_name, numwait
+FROM agg JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY numwait DESC, supplier_name LIMIT 20
 """,
         "knn_classify": f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
