@@ -385,6 +385,7 @@ _R11_FRONT = [
     "cdc_store_digest",
     "first_seen_digest",
     "line_index_digest",
+    "lsh_index_digest",
     "ann_tune_geometry",
     # operator/oracle changed in r11 (LSH re-default to Hamming-2
     # multi-probe; BPE default vocab cap; token_count bpe-mode join)
@@ -998,6 +999,41 @@ def _q_line_index_digest(spark, sf_dir):
         drop_table(spark, f"{prefix}_lines")
 
 
+def _q_lsh_index_digest(spark, sf_dir):
+    """Gate for the STORED near-dup LSH index (write_lsh_index →
+    dedup_against_index — the daily-drop path that was pytest-only
+    until r11): materialize the %10≠0 docs as the bucketed band +
+    shingle tables, then annotate the %10==0 batch against the STORE.
+    The oracle is dedup_incremental_near's, verbatim — the stored-
+    index path must produce exactly what the direct batch×corpus
+    operator produces on the same split, which is the store's whole
+    contract."""
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.operators.dedup import (
+        dedup_against_index,
+        write_lsh_index,
+    )
+    from py_etl_pipeline_woocommerce_spark.sources.bucketing import (
+        drop_table,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prefix = "r11_lsh_digest"
+    write_lsh_index(
+        docs.filter(F.col("doc_id") % 10 != 0), prefix, n_buckets=8
+    )
+    try:
+        out = dedup_against_index(
+            docs.filter(F.col("doc_id") % 10 == 0), prefix
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        drop_table(spark, f"{prefix}_bands")
+        drop_table(spark, f"{prefix}_shingles")
+
+
 def _q_profile_drift(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1118,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_store_digest": _q_cdc_store_digest,
         "first_seen_digest": _q_first_seen_digest,
         "line_index_digest": _q_line_index_digest,
+        "lsh_index_digest": _q_lsh_index_digest,
         # --- round-4b additions (this rework of the round): never
         # driver-verified, take the budget first ---
         "daily_value_percentiles": (
@@ -5819,6 +5856,9 @@ SELECT n.doc_id, COALESCE(clean_text, '') AS clean_text,
        _n - COALESCE(n_lines_kept, 0) AS n_lines_removed
 FROM n LEFT JOIN reb USING (doc_id)
 """
+    # the stored-index near-dup path must equal the direct operator on
+    # the same split — the oracle is dedup_incremental_near's verbatim
+    out["lsh_index_digest"] = out["dedup_incremental_near"]
     out["ann_recall_audit"] = f"""
 WITH exact AS ({out["ann_topk"]}),
 approx AS ({out["ann_lsh_topk"]}),
