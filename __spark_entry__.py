@@ -1422,6 +1422,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_tune_geometry": lambda s, d: similarity.ann_tune_geometry(
             _emb(s, d)
         ),
+        "ann_serve_tuned": lambda s, d: similarity.ann_serve_tuned(
+            _emb(s, d)
+        ),
         "ann_recall_audit": lambda s, d: similarity.ann_recall_audit(
             _emb(s, d)
         ),
@@ -5927,6 +5930,34 @@ SELECT n_planes, n_probe, expected_scan_frac, n_exact_pairs,
                ELSE expected_scan_frac END ASC,
           n_planes, n_probe) = 1) AS chosen
 FROM allm
+"""
+    # fit-then-serve: every candidate's serve output (a{{i}} IS the
+    # lsh top-k at that geometry) tagged with its geometry, joined to
+    # the tune sweep's chosen row — the SQL twin of collect-the-chosen
+    # then serve. Same candidate list, same selection ordering.
+    _serve_union = "\n  UNION ALL\n  ".join(
+        f"SELECT CAST({p} AS INT) AS n_planes, CAST({pr} AS INT) AS "
+        f"n_probe, query_id, neighbor_id, knn_rank FROM a{i}"
+        for i, (p, pr) in enumerate(DEFAULT_TUNE_CANDIDATES)
+    )
+    out["ann_serve_tuned"] = f"""
+WITH ex AS ({out["ann_topk"]}),
+pq AS (SELECT query_id, COUNT(*) AS n_exact FROM ex GROUP BY 1),
+{",".join(_tune_parts)},
+allm AS (
+  {_tune_union}),
+ch AS (SELECT n_planes, n_probe FROM allm
+       QUALIFY ROW_NUMBER() OVER (ORDER BY
+          (overall_recall >= 0.6) DESC,
+          CASE WHEN overall_recall >= 0.6 THEN expected_scan_frac
+               ELSE -overall_recall END ASC,
+          CASE WHEN overall_recall >= 0.6 THEN -overall_recall
+               ELSE expected_scan_frac END ASC,
+          n_planes, n_probe) = 1),
+serves AS (
+  {_serve_union})
+SELECT query_id, neighbor_id, knn_rank
+FROM serves JOIN ch USING (n_planes, n_probe)
 """
     out["bpe_merge_table"] = _bpe_merge_table_sql(8)
     out["bpe_segment_vocab"] = _bpe_rounds_sql(8) + """

@@ -47,7 +47,45 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.logging import get_logger
 from ..functions.text import tokens_expr
+
+_LOG = get_logger(__name__)
+
+
+def _collect_capped_vocab(
+    v: DataFrame, max_vocab_words: int | None
+) -> list[tuple[str, int]]:
+    """Collect the (token, tok_count) model frame, bounded by
+    ``max_vocab_words`` with a deterministic top-V cut (count desc,
+    token asc). Truncation is LOUD: the cut fetches cap+1 rows, and
+    when the vocabulary actually exceeds the cap a warning names the
+    cap and states that the trained merges are approximate under
+    truncation (pair counts sum over the whole vocabulary, so a
+    dropped tail can collectively shift which merges win)."""
+    if max_vocab_words is not None:
+        cap = int(max_vocab_words)
+        probe = (
+            v.orderBy(F.col("tok_count").desc(), F.col("token"))
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(probe) > cap:
+            _LOG.warning(
+                "bpe vocabulary exceeds max_vocab_words=%d; training "
+                "on the top-%d tokens by count — merge ranks are "
+                "APPROXIMATE under truncation (dropped-tail pair "
+                "counts no longer participate). Pass "
+                "max_vocab_words=None for the exact full-vocabulary "
+                "collect.",
+                cap,
+                cap,
+            )
+            probe = probe[:cap]
+        rows = probe
+    else:
+        rows = v.collect()
+    return [(r["token"], int(r["tok_count"])) for r in rows]
 
 
 def apply_merge_py(syms: list[str], left: str, right: str) -> list[str]:
@@ -120,10 +158,14 @@ def vocab_counts(documents: DataFrame) -> DataFrame:
 #: recurrence needs the (token, count) model on the driver, and at
 #: 100 TB a junk-token corpus can push the DISTINCT-token space far
 #: past driver memory — the cap makes that collect bounded BY DEFAULT
-#: (top-1M tokens ≈ low hundreds of MB worst case). The dropped tail
-#: is count-1 noise that cannot win a merge against the head; pass
-#: ``max_vocab_words=None`` to opt in to the exact full-vocabulary
-#: collect on corpora known to have a sane vocabulary.
+#: (top-1M tokens ≈ low hundreds of MB worst case). Training under
+#: an exceeded cap is APPROXIMATE — merge decisions use pair counts
+#: summed across the WHOLE vocabulary, so a dropped long tail can
+#: collectively shift which merges win even though no single dropped
+#: token could — and the collect logs a loud warning when the cut
+#: actually drops vocabulary. Pass ``max_vocab_words=None`` to opt in
+#: to the exact full-vocabulary collect on corpora known to have a
+#: sane vocabulary.
 DEFAULT_MAX_VOCAB_WORDS = 1_000_000
 
 
@@ -139,19 +181,19 @@ def bpe_train(
     driver-side model with a deterministic top-V cut (count desc,
     token asc) — a TakeOrdered over the aggregated vocabulary, never
     a global sort of the corpus. The default cap is
-    ``DEFAULT_MAX_VOCAB_WORDS`` (1M, see there — identical results
-    on any corpus whose vocabulary fits the cap, which the driver
-    oracle's testdata does); ``max_vocab_words=None`` opts in to the
-    exact FULL-vocabulary collect.
+    ``DEFAULT_MAX_VOCAB_WORDS`` (1M, see there). Results are
+    identical on any corpus whose vocabulary fits the cap (the
+    driver oracle's testdata does); when the vocabulary EXCEEDS the
+    cap the trained merges are APPROXIMATE — pair counts sum over
+    the whole vocabulary, so a dropped tail can collectively shift
+    which merges win — and a loud warning is logged at collect time.
+    ``max_vocab_words=None`` opts in to the exact FULL-vocabulary
+    collect.
     """
     v = vocab_counts(documents)
-    if max_vocab_words is not None:
-        v = v.orderBy(
-            F.col("tok_count").desc(), F.col("token")
-        ).limit(int(max_vocab_words))
     # bounded model collect (vocabulary-sized, like dsir_model):
     # the merge recurrence is sequential and cannot be distributed
-    rows = [(r["token"], int(r["tok_count"])) for r in v.collect()]
+    rows = _collect_capped_vocab(v, max_vocab_words)
     merges, _ = train_merges_py(rows, n_merges)
     return documents.sparkSession.createDataFrame(
         merges,
@@ -372,12 +414,7 @@ def bpe_token_count(
         )
         if persisted_frames is not None:
             persisted_frames.append(vc_all)
-        v = vc_all
-        if max_vocab_words is not None:
-            v = v.orderBy(
-                F.col("tok_count").desc(), F.col("token")
-            ).limit(int(max_vocab_words))
-        rows = [(r["token"], int(r["tok_count"])) for r in v.collect()]
+        rows = _collect_capped_vocab(vc_all, max_vocab_words)
         merges = [
             (left, right)
             for _, left, right, _ in train_merges_py(rows, n_merges)[0]

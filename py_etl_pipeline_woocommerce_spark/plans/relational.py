@@ -24,6 +24,14 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan, map-side partial agg, 4-group shuffle; the shipdate
     filter pushes down to parquet. Averages are exact-sum / count in
     double.
+
+    Money contract: sum_base_price / sum_disc_price / sum_charge are
+    the exact DECIMAL sums ROUNDED TO CENTS before the double cast
+    (up to 0.005 off the exact scale-4/scale-6 sum) — the trade that
+    keeps the boundary cast bit-identical across engines past the
+    2^53 unscaled-value line (see the inline comment below).
+    Downstream consumers of sum_charge get a cents-rounded total,
+    not the raw scale-6 sum.
     """
     lineitem = load_table(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity")

@@ -59,8 +59,18 @@ def _sql_str_literal(v) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
-        return repr(v)
+    if isinstance(v, int):
+        # normalize through int(): numpy integer scalars repr as
+        # 'np.int64(3)' under numpy>=2, which is not SQL
+        return repr(int(v))
+    if isinstance(v, float):
+        f = float(v)  # numpy float scalars likewise repr as np.float64(…)
+        if f != f or f in (float("inf"), float("-inf")):
+            raise ValueError(
+                "non-finite float partition value "
+                f"{f!r} has no SQL literal form"
+            )
+        return repr(f)
     if isinstance(v, _dt.datetime):
         return "TIMESTAMP'" + v.isoformat(sep=" ") + "'"
     if isinstance(v, _dt.date):

@@ -136,6 +136,39 @@ def test_bpe_train_vocab_cut_deterministic(spark, sf_dir):
     assert capped == exact
 
 
+def test_bpe_train_truncation_is_loud(spark, sf_dir):
+    """The r11 ADVICE item: a cap that actually drops vocabulary must
+    WARN (merge ranks are approximate under truncation — dropped-tail
+    pair counts stop participating), and a cap the vocabulary fits
+    under must stay silent. The module logger sets propagate=False,
+    so capture with a handler on it directly."""
+    import logging
+
+    documents = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(100)
+    )
+    records: list[logging.LogRecord] = []
+
+    class _Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    h = _Capture(level=logging.WARNING)
+    bpe._LOG.addHandler(h)
+    try:
+        bpe.bpe_train(documents, 2, max_vocab_words=10).collect()
+        assert any(
+            "APPROXIMATE under truncation" in r.getMessage() for r in records
+        )
+        records.clear()
+        bpe.bpe_train(documents, 2, max_vocab_words=10_000_000).collect()
+        assert not records
+    finally:
+        bpe._LOG.removeHandler(h)
+
+
 def test_segment_plan_stays_jvm(spark):
     # no BatchEvalPython / ArrowEvalPython anywhere in the segmenter
     merges = [("e", "s"), ("es", "t")]

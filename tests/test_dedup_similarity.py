@@ -719,6 +719,44 @@ def test_ann_tune_geometry_selection(spark, sf_dir):
         assert 0.0 < r["expected_scan_frac"] <= 1.0
 
 
+def test_ann_serve_tuned_deploys_chosen_geometry(spark, sf_dir):
+    """Fit-then-serve (the r11 verdict's wiring gap): the served
+    result must be exactly ann_lsh_topk at the sweep's chosen
+    geometry, and its measured recall must be the chosen row's —
+    i.e. >= target when any candidate meets it (the selection
+    contract makes the served recall the audited one, so the floor
+    is target_recall, not hope)."""
+    from py_etl_pipeline_woocommerce_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tune = similarity.ann_tune_geometry(emb).collect()
+    chosen = [r for r in tune if r["chosen"]][0]
+    served = {
+        (r["query_id"], r["neighbor_id"], r["knn_rank"])
+        for r in similarity.ann_serve_tuned(emb).collect()
+    }
+    direct = {
+        (r["query_id"], r["neighbor_id"], r["knn_rank"])
+        for r in similarity.ann_lsh_topk(
+            emb,
+            n_planes=chosen["n_planes"],
+            n_probe=chosen["n_probe"],
+        ).collect()
+    }
+    assert served == direct
+    # recall floor: serving the audited geometry means the deployed
+    # recall IS the sweep's measurement for that geometry
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ann_topk(emb).collect()
+    }
+    hits = exact & {(q, n) for q, n, _ in served}
+    recall = len(hits) / len(exact)
+    assert abs(recall - chosen["overall_recall"]) < 1e-9
+    if any(r["overall_recall"] >= 0.6 for r in tune):
+        assert recall >= 0.6, f"served recall {recall:.3f} < target 0.6"
+
+
 def test_ann_tune_geometry_explicit_candidates(spark, sf_dir):
     from py_etl_pipeline_woocommerce_spark.operators import similarity
 

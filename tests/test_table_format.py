@@ -27,6 +27,27 @@ def _orders_batch(spark):
     )
 
 
+def test_sql_str_literal_numeric_normalization():
+    """The r11 ADVICE item: numpy scalars must render as plain SQL
+    numerics (np.float64 subclasses float, so repr() under numpy>=2
+    would emit 'np.float64(0.1)'), and non-finite floats have no SQL
+    literal form — raise, don't emit 'inf'/'nan'."""
+    import numpy as np
+
+    from py_etl_pipeline_woocommerce_spark.sources.table_format import (
+        _sql_str_literal,
+    )
+
+    assert _sql_str_literal(np.float64(0.1)) == "0.1"
+    assert _sql_str_literal(0.5) == "0.5"
+    assert _sql_str_literal(3) == "3"
+    assert _sql_str_literal(True) == "TRUE"
+    assert _sql_str_literal(None) == "NULL"
+    for bad in (float("nan"), float("inf"), float("-inf")):
+        with pytest.raises(ValueError, match="non-finite"):
+            _sql_str_literal(bad)
+
+
 def test_unknown_format_raises(spark, tmp_path):
     from py_etl_pipeline_woocommerce_spark.operators.upsert import (
         upsert_partitioned_parquet,
