@@ -142,14 +142,21 @@ def kpis(
     dec0 = F.lit(0).cast("decimal(24,4)")
     net = F.coalesce("_net", dec0)
     ref = F.coalesce("_ref", dec0)
+    # round-to-cents before every double boundary (the engine-wide
+    # fixed-cardinality money contract; see pricing_summary): these
+    # scale-4 sums grow with the whole table, and the rounded cents
+    # stay exactly representable/engine-identical far past where the
+    # raw scale-4 unscaled value crosses 2^53. AOV divides the
+    # ROUNDED net so the published ratio is consistent with the
+    # published numerator.
     return agg.join(F.broadcast(o_cnt)).select(
         F.col("orders_cnt"),
-        net.cast("double").alias("net_before_refunds"),
-        ref.cast("double").alias("refunds"),
-        (net - ref).cast("double").alias("net_after_refunds"),
+        F.round(net, 2).cast("double").alias("net_before_refunds"),
+        F.round(ref, 2).cast("double").alias("refunds"),
+        F.round(net - ref, 2).cast("double").alias("net_after_refunds"),
         F.when(
             F.col("orders_cnt") > 0,
-            net.cast("double") / F.col("orders_cnt"),
+            F.round(net, 2).cast("double") / F.col("orders_cnt"),
         )
         .otherwise(F.lit(0.0))
         .alias("aov"),
@@ -171,7 +178,8 @@ def revenue_timeseries(
     return (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("d")
-        .agg(F.sum(_net_line()).cast("double").alias("net"))
+        # round-to-cents before the double boundary (money contract)
+        .agg(F.round(F.sum(_net_line()), 2).cast("double").alias("net"))
     )
 
 

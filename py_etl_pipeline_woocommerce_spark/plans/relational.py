@@ -93,7 +93,9 @@ def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         joined.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
-        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+        # round-to-cents before the double boundary (the engine-wide
+        # fixed-cardinality money contract; see pricing_summary)
+        .agg(F.round(F.sum(disc_price()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -137,7 +139,8 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
     )
     agg = joined.rollup("r_name", "n_name").agg(
-        F.sum(disc_price()).cast("double").alias("net"),
+        # round-to-cents before the double boundary (money contract)
+        F.round(F.sum(disc_price()), 2).cast("double").alias("net"),
         F.grouping("r_name").alias("_gr"),
         F.grouping("n_name").alias("_gn"),
     )
@@ -221,7 +224,8 @@ def discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity") < 24)
     )
     return filtered.agg(
-        F.sum(dec_money("l_extendedprice") * d)
+        # round-to-cents before the double boundary (money contract)
+        F.round(F.sum(dec_money("l_extendedprice") * d), 2)
         .cast("double")
         .alias("revenue")
     )
@@ -541,7 +545,8 @@ def returnflag_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = salted_sum(li, ["l_returnflag"], "net_line", n_salts=32)
     return out.select(
         F.col("l_returnflag").alias("return_flag"),
-        F.col("sum_net_line").cast("double").alias("net"),
+        # round-to-cents before the double boundary (money contract)
+        F.round(F.col("sum_net_line"), 2).cast("double").alias("net"),
     )
 
 
@@ -853,7 +858,11 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     agg = orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(dec_money("o_totalprice")).cast("double").alias("total_price"),
+        # the scale-2 sum is already cents — ROUND is an identity kept
+        # for the engine-wide money-contract shape (round, then cast)
+        F.round(F.sum(dec_money("o_totalprice")), 2)
+        .cast("double")
+        .alias("total_price"),
         F.grouping("o_orderstatus").alias("_gs"),
         F.grouping("o_orderpriority").alias("_gp"),
     )

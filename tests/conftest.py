@@ -30,3 +30,62 @@ def sf_dir():
 @pytest.fixture(scope="session")
 def sf01_dir():
     return SF01_DIR
+
+
+def stream_poll(
+    spark,
+    query,
+    fetch,
+    pred,
+    idle_deadline_s=180,
+    hard_deadline_s=1800,
+):
+    """Poll ``fetch()`` until ``pred(rows)`` holds, with a
+    PROGRESS-BASED deadline (the r11 flake fix): the idle clock resets
+    whenever the streaming query commits another micro-batch, so a
+    loaded box that is merely slow keeps extending the wait, while a
+    genuinely stuck stream (no progress AND predicate unsatisfied)
+    still fails after ``idle_deadline_s``. ``hard_deadline_s`` bounds
+    the total wait against a pathological progress-but-never-done
+    loop. processAllAvailable() cannot replace this: it never returns
+    under ProcessingTimeTimeout state timers (the documented caveat).
+    """
+    import time
+
+    t0 = time.time()
+    last_marker = None
+    last_change = t0
+    rows = []
+    while True:
+        rows = fetch()
+        if pred(rows):
+            return rows
+        now = time.time()
+        lp = query.lastProgress or {}
+        marker = (lp.get("batchId"), lp.get("timestamp"))
+        if marker != last_marker:
+            last_marker = marker
+            last_change = now
+        if now - last_change > idle_deadline_s:
+            raise AssertionError(
+                f"stream made no progress for {idle_deadline_s:.0f}s "
+                f"(total wait {now - t0:.0f}s) and the predicate "
+                f"never held; last rows: {rows[:20]}"
+            )
+        if now - t0 > hard_deadline_s:
+            raise AssertionError(
+                f"predicate never satisfied within {hard_deadline_s:.0f}s "
+                f"(stream still progressing); last rows: {rows[:20]}"
+            )
+        time.sleep(1)
+
+
+def memory_sink_poll(spark, query, table, pred, **kw):
+    """stream_poll over a memory-sink table."""
+    return stream_poll(
+        spark,
+        query,
+        lambda: spark.sql(f"select * from {table}").collect(),
+        pred,
+        **kw,
+    )

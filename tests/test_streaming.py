@@ -174,18 +174,10 @@ def test_stateful_sessionize_stream_across_batches(spark, stream_dirs):
     # NOTE: processAllAvailable() never returns under
     # ProcessingTimeTimeout (the timeout timer keeps the engine busy),
     # so poll the memory sink with a deadline instead.
-    def wait_rows(pred, deadline_s=300):
-        import time
+    def wait_rows(pred):
+        from tests.conftest import memory_sink_poll
 
-        t0 = time.time()
-        while time.time() - t0 < deadline_s:
-            rows = spark.sql("select * from sess_test").collect()
-            if pred(rows):
-                return rows
-            time.sleep(1)
-        raise AssertionError(
-            f"sink never satisfied predicate; last rows: {rows}"
-        )
+        return memory_sink_poll(spark, query, "sess_test", pred)
 
     try:
         wait_rows(lambda rows: len(rows) >= 1)
@@ -559,17 +551,10 @@ def test_stateful_transitions_stream_across_batches(spark, stream_dirs):
         .start()
     )
 
-    def wait_rows(pred, deadline_s=300):
-        import time
+    def wait_rows(pred):
+        from tests.conftest import memory_sink_poll
 
-        t0 = time.time()
-        rows = []
-        while time.time() - t0 < deadline_s:
-            rows = spark.sql("select * from trans_test").collect()
-            if pred(rows):
-                return rows
-            time.sleep(1)
-        raise AssertionError(f"sink never satisfied predicate; last: {rows}")
+        return memory_sink_poll(spark, query, "trans_test", pred)
 
     try:
         wait_rows(lambda rows: len(rows) >= 1)
@@ -625,17 +610,10 @@ def test_liveness_gaps_stream_detects_cross_batch_outage(spark, stream_dirs):
         .start()
     )
 
-    def wait(pred, deadline_s=300):
-        import time
+    def wait(pred):
+        from tests.conftest import memory_sink_poll
 
-        t0 = time.time()
-        rows = []
-        while time.time() - t0 < deadline_s:
-            rows = spark.sql("select * from gaps_test").collect()
-            if pred(rows):
-                return rows
-            time.sleep(1)
-        raise AssertionError(f"sink never satisfied predicate; last: {rows}")
+        return memory_sink_poll(spark, query, "gaps_test", pred)
 
     try:
         query.processAllAvailable()  # batch 1: no gaps expected
@@ -822,18 +800,29 @@ def test_first_seen_store_split_invariant_and_stream_parity(spark, tmp_path):
     assert got == expect
 
 
-def _poll_parquet(spark, path, pred, deadline_s=300):
+def _poll_parquet(spark, path, pred, query=None, deadline_s=300):
     """Poll a parquet output dir (memory sinks cannot recover from a
-    checkpoint, so restart tests write through foreachBatch)."""
+    checkpoint, so restart tests write through foreachBatch). With a
+    ``query`` handle the deadline is PROGRESS-BASED (conftest
+    stream_poll — the r11 flake fix); without one it stays a plain
+    wall-clock deadline."""
+
+    def fetch():
+        try:
+            return spark.read.parquet(path).collect()
+        except Exception:
+            return []
+
+    if query is not None:
+        from tests.conftest import stream_poll
+
+        return stream_poll(spark, query, fetch, pred)
     import time as _time
 
     t0 = _time.time()
     rows = []
     while _time.time() - t0 < deadline_s:
-        try:
-            rows = spark.read.parquet(path).collect()
-        except Exception:
-            rows = []
+        rows = fetch()
         if pred(rows):
             return rows
         _time.sleep(1)
@@ -886,7 +875,9 @@ def test_sessionize_stream_recovers_from_checkpoint_restart(
 
     q1 = start()
     try:
-        _poll_parquet(spark, out, lambda rows: len(rows) >= 1)
+        _poll_parquet(
+            spark, out, lambda rows: len(rows) >= 1, query=q1
+        )
     finally:
         q1.stop()  # simulated crash/redeploy between micro-batches
 
@@ -901,7 +892,10 @@ def test_sessionize_stream_recovers_from_checkpoint_restart(
     q2 = start()
     try:
         rows = _poll_parquet(
-            spark, out, lambda rows: any(r["closed"] for r in rows)
+            spark,
+            out,
+            lambda rows: any(r["closed"] for r in rows),
+            query=q2,
         )
     finally:
         q2.stop()
@@ -961,7 +955,9 @@ def test_transitions_stream_recovers_from_checkpoint_restart(
 
     q1 = start()
     try:
-        _poll_parquet(spark, out, lambda rows: len(rows) >= 1)
+        _poll_parquet(
+            spark, out, lambda rows: len(rows) >= 1, query=q1
+        )
     finally:
         q1.stop()
 
@@ -975,6 +971,7 @@ def test_transitions_stream_recovers_from_checkpoint_restart(
             spark,
             out,
             lambda rows: any(r["to_type"] == "purchase" for r in rows),
+            query=q2,
         )
     finally:
         q2.stop()
@@ -1026,17 +1023,10 @@ def test_sessionize_stream_drops_events_beyond_lateness_horizon(
         .start()
     )
 
-    def wait(pred, deadline_s=300):
-        import time as _t
+    def wait(pred):
+        from tests.conftest import memory_sink_poll
 
-        t0 = _t.time()
-        rows = []
-        while _t.time() - t0 < deadline_s:
-            rows = spark.sql("select * from sess_late_horizon").collect()
-            if pred(rows):
-                return rows
-            _t.sleep(1)
-        raise AssertionError(f"predicate never satisfied; last: {rows}")
+        return memory_sink_poll(spark, query, "sess_late_horizon", pred)
 
     try:
         wait(lambda rows: len(rows) >= 1)
@@ -1098,17 +1088,10 @@ def test_transitions_stream_cross_batch_tie_matches_batch_order(
         .start()
     )
 
-    def wait(pred, deadline_s=300):
-        import time as _t
+    def wait(pred):
+        from tests.conftest import memory_sink_poll
 
-        t0 = _t.time()
-        rows = []
-        while _t.time() - t0 < deadline_s:
-            rows = spark.sql("select * from trans_tie").collect()
-            if pred(rows):
-                return rows
-            _t.sleep(1)
-        raise AssertionError(f"predicate never satisfied; last: {rows}")
+        return memory_sink_poll(spark, query, "trans_tie", pred)
 
     try:
         wait(lambda rows: True)  # let batch 1 commit state
@@ -1162,17 +1145,10 @@ def test_sessionize_stream_event_time_timeout_follows_watermark(
         .start()
     )
 
-    def wait(pred, deadline_s=300):
-        import time as _t
+    def wait(pred):
+        from tests.conftest import memory_sink_poll
 
-        t0 = _t.time()
-        rows = []
-        while _t.time() - t0 < deadline_s:
-            rows = spark.sql("select * from sess_evt_timeout").collect()
-            if pred(rows):
-                return rows
-            _t.sleep(1)
-        raise AssertionError(f"predicate never satisfied; last: {rows}")
+        return memory_sink_poll(spark, query, "sess_evt_timeout", pred)
 
     try:
         wait(lambda rows: len(rows) >= 1)
@@ -1232,17 +1208,10 @@ def test_transitions_stream_event_time_timeout_evicts_via_watermark(
         .start()
     )
 
-    def wait(pred, deadline_s=300):
-        import time as _t
+    def wait(pred):
+        from tests.conftest import memory_sink_poll
 
-        t0 = _t.time()
-        rows = []
-        while _t.time() - t0 < deadline_s:
-            rows = spark.sql("select * from trans_evt_timeout").collect()
-            if pred(rows):
-                return rows
-            _t.sleep(1)
-        raise AssertionError(f"predicate never satisfied; last: {rows}")
+        return memory_sink_poll(spark, query, "trans_evt_timeout", pred)
 
     try:
         query.processAllAvailable()  # b0 ingested, user 7 state armed
@@ -1331,7 +1300,9 @@ def test_liveness_gaps_stream_recovers_from_checkpoint_restart(
     )
     q2 = start()
     try:
-        rows = _poll_parquet(spark, out, lambda rows: len(rows) >= 1)
+        rows = _poll_parquet(
+            spark, out, lambda rows: len(rows) >= 1, query=q2
+        )
     finally:
         q2.stop()
 
@@ -1462,7 +1433,9 @@ def test_transitions_state_rebuild_preserves_open_transitions(
         .start()
     )
     try:
-        _poll_parquet(spark, out1, lambda rows: len(rows) >= 1)
+        _poll_parquet(
+            spark, out1, lambda rows: len(rows) >= 1, query=q1
+        )
     finally:
         q1.stop()
 
@@ -1504,7 +1477,9 @@ def test_transitions_state_rebuild_preserves_open_transitions(
         .start()
     )
     try:
-        rows = _poll_parquet(spark, out2, lambda rows: len(rows) >= 2)
+        rows = _poll_parquet(
+            spark, out2, lambda rows: len(rows) >= 2, query=q2
+        )
     finally:
         q2.stop()
 
@@ -1802,7 +1777,9 @@ def test_sessionize_widened_state_restarts_on_same_checkpoint(
 
     q1 = start()  # v1
     try:
-        _poll_parquet(spark, out, lambda rows: len(rows) >= 1)
+        _poll_parquet(
+            spark, out, lambda rows: len(rows) >= 1, query=q1
+        )
     finally:
         q1.stop()  # redeploy boundary: the widened build takes over
 
@@ -1817,7 +1794,10 @@ def test_sessionize_widened_state_restarts_on_same_checkpoint(
     q2 = start(state_version=2, state_defaults=widened)
     try:
         rows = _poll_parquet(
-            spark, out, lambda rows: any(r["closed"] for r in rows)
+            spark,
+            out,
+            lambda rows: any(r["closed"] for r in rows),
+            query=q2,
         )
     finally:
         q2.stop()
