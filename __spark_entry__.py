@@ -1115,6 +1115,191 @@ def _q_lsh_index_digest(spark, sf_dir):
         drop_table(spark, f"{prefix}_shingles")
 
 
+def _stream_replay_src(spark, sf_dir, tmp):
+    """Deterministic 3-batch event replay source for the streaming
+    digests: the events table (NULL ts/user_id/event_id dropped — the
+    streams' poison-pill rule) split into three TIME-RANGE terciles,
+    landed as three single parquet files whose name and mtime order
+    is the time order. Feeding micro-batches in nondecreasing event
+    time makes the stateful fold equal the batch twin (within a batch
+    the state fn sorts; across batches state carries the last event),
+    so the digest is oracle-checkable by pure batch SQL."""
+    import glob as _glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_id").isNotNull()
+    )
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * ((hi - lo) // 3)
+    src = os.path.join(tmp, "src")
+    os.makedirs(src, exist_ok=True)
+    cuts = [
+        F.col("ts") <= t1,
+        (F.col("ts") > t1) & (F.col("ts") <= t2),
+        F.col("ts") > t2,
+    ]
+    for k, pred in enumerate(cuts):
+        d = os.path.join(tmp, f"_b{k}")
+        ev.filter(pred).repartition(1).write.mode("overwrite").parquet(d)
+        part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src, f"b{k}.parquet"))
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+def _q_sessionize_stream_digest(spark, sf_dir):
+    """END-TO-END gate for the stateful streaming sessionizer
+    (streaming/sessions.py sessionize_stream — batch-parity was
+    pytest-only until r12): replay the events history through the
+    REAL streaming query (applyInPandasWithState, update mode,
+    availableNow over three time-ordered micro-batches), take each
+    (user, session_seq)'s LAST update as its final state, and digest
+    per (session_seq, closed). The oracle recomputes sessions with
+    the batch gap rule in pure SQL and derives ``closed`` as "a later
+    session exists for this user" — exactly what a fully-consumed,
+    time-ordered stream leaves closed — so the driver hash proves the
+    cross-batch state fold equals the one-shot batch sessionization."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sess_stream_digest_")
+    try:
+        stream = _stream_replay_src(spark, sf_dir, tmp)
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        def sink(df, bid):
+            df.withColumn("_bid", F.lit(bid)).write.mode(
+                "append"
+            ).parquet(out)
+
+        # timeout="event": availableNow TERMINATES (a
+        # ProcessingTimeTimeout state timer keeps the engine alive
+        # forever — the documented processAllAvailable caveat); the
+        # huge lateness horizon keeps the watermark behind every
+        # last_event + gap, so no eviction fires mid-replay and the
+        # fold equals the batch twin exactly
+        q = (
+            sessionize_stream(
+                stream,
+                gap_minutes=30,
+                timeout="event",
+                lateness_minutes=60 * 24 * 365 * 50,
+            )
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = spark.read.parquet(out)
+        w = W.partitionBy("user_id", "session_seq").orderBy(
+            F.col("_bid").desc()
+        )
+        final = (
+            rows.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .drop("_rk", "_bid")
+        )
+        digest = (
+            final.groupBy("session_seq", "closed")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                F.sum("n_events").cast("bigint").alias("events_sum"),
+                F.sum("user_id").cast("bigint").alias("user_sum"),
+                F.min("start_us").cast("bigint").alias("min_start_us"),
+                F.max("end_us").cast("bigint").alias("max_end_us"),
+                # per-session total_value is exact cents in double;
+                # sum in decimal so the digest is order-independent
+                F.sum(F.col("total_value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("value_sum"),
+            )
+            .orderBy("session_seq", "closed")
+        )
+        got = digest.collect()
+        return spark.createDataFrame(got, digest.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _q_transitions_stream_digest(spark, sf_dir):
+    """END-TO-END gate for the stateful streaming transition tracker
+    (streaming/transitions.py transitions_stream — batch-parity was
+    pytest-only until r12): replay the events history through the
+    REAL streaming query (append mode, availableNow over three
+    time-ordered micro-batches) and digest the emitted pair multiset
+    per (from_type, to_type). The oracle is the batch LAG over
+    (t_us, event_id) per user — the exact tie-break the stream's
+    state carries across batches — so the driver hash proves no
+    cross-batch pair is dropped, duplicated, or mis-gapped."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from py_etl_pipeline_woocommerce_spark.streaming.transitions import (
+        transitions_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="trans_stream_digest_")
+    try:
+        stream = _stream_replay_src(spark, sf_dir, tmp)
+        out = os.path.join(tmp, "out")
+        ckpt = os.path.join(tmp, "ckpt")
+
+        def sink(df, bid):
+            df.write.mode("append").parquet(out)
+
+        # same event-timeout/huge-lateness shape as the session
+        # digest: terminates under availableNow, no mid-replay
+        # eviction, pure LAG parity
+        q = (
+            transitions_stream(
+                stream,
+                timeout="event",
+                lateness_minutes=60 * 24 * 365 * 50,
+            )
+            .writeStream.outputMode("append")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        digest = (
+            spark.read.parquet(out)
+            .groupBy("from_type", "to_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+                F.sum("gap_us").cast("bigint").alias("gap_us_sum"),
+                F.sum("user_id").cast("bigint").alias("user_sum"),
+            )
+            .orderBy("from_type", "to_type")
+        )
+        got = digest.collect()
+        return spark.createDataFrame(got, digest.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _q_profile_drift(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -1234,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-11 store-digest promotions (VERDICT r10 item 6) ---
         "cdc_store_digest": _q_cdc_store_digest,
         "first_seen_digest": _q_first_seen_digest,
+        "sessionize_stream_digest": _q_sessionize_stream_digest,
+        "transitions_stream_digest": _q_transitions_stream_digest,
         "line_index_digest": _q_line_index_digest,
         "lsh_index_digest": _q_lsh_index_digest,
         # --- round-4b additions (this rework of the round): never
@@ -5950,6 +6137,56 @@ FROM n LEFT JOIN reb USING (doc_id)
     # the stored-index near-dup path must equal the direct operator on
     # the same split — the oracle is dedup_incremental_near's verbatim
     out["lsh_index_digest"] = out["dedup_incremental_near"]
+    # streaming digest twins (r12): the batch gap rule / LAG pairing
+    # over (event-time, event_id) — the exact fold a fully-consumed,
+    # time-ordered stream performs (see the _q_* docstrings)
+    out["sessionize_stream_digest"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             AND event_id IS NOT NULL),
+tagged AS (
+  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+sess AS (
+  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                     ORDER BY ts_us, event_id
+                                     ROWS UNBOUNDED PRECEDING) - 1
+            AS BIGINT) AS session_seq
+  FROM tagged),
+s AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
+             MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+      FROM sess GROUP BY 1, 2),
+f AS (SELECT *, session_seq < MAX(session_seq)
+                  OVER (PARTITION BY user_id) AS closed
+      FROM s)
+SELECT session_seq, closed,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS events_sum,
+       CAST(SUM(user_id) AS BIGINT) AS user_sum,
+       CAST(MIN(start_us) AS BIGINT) AS min_start_us,
+       CAST(MAX(end_us) AS BIGINT) AS max_end_us,
+       CAST(SUM(total_value) AS DOUBLE) AS value_sum
+FROM f GROUP BY 1, 2
+"""
+    out["transitions_stream_digest"] = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t_us, event_type
+           FROM events
+           WHERE ts IS NOT NULL AND user_id IS NOT NULL
+             AND event_id IS NOT NULL),
+p AS (SELECT user_id, lag(event_type) OVER w AS from_type,
+             event_type AS to_type,
+             t_us - lag(t_us) OVER w AS gap_us
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
+SELECT from_type, to_type,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(gap_us) AS BIGINT) AS gap_us_sum,
+       CAST(SUM(user_id) AS BIGINT) AS user_sum
+FROM p WHERE from_type IS NOT NULL GROUP BY 1, 2
+"""
     out["ann_recall_audit"] = f"""
 WITH exact AS ({out["ann_topk"]}),
 approx AS ({out["ann_lsh_topk"]}),
