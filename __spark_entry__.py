@@ -455,71 +455,48 @@ def _q_dq_rules(spark, sf_dir):
 # budget is re-verified by the terminal full-surface selfcheck
 # (sf0.01 AND sf0.1) on this round's final tree. Any operator whose
 # oracle text changes later in r11 gets promoted into the NEW block.
-_R11_FRONT = [
-    # new-in-r11 entries (never driver-verified; selfchecked
-    # hash-green at sf0.01+sf0.1 when added)
-    "cdc_store_digest",
-    "first_seen_digest",
-    "line_index_digest",
-    "lsh_index_digest",
-    "ann_tune_geometry",
-    # operator/oracle changed in r11 (LSH re-default to Hamming-2
-    # multi-probe; BPE default vocab cap; token_count bpe-mode join)
-    "ann_lsh_topk",
-    "ann_recall_audit",
+# ROUND-12 ROTATION (VERDICT r11 item #2: drain the r6 staleness
+# tail). Rebuilt from CORRECTNESS_r01..r11 last-checked rounds: the
+# front leads with (a) the 3 never-driver-verified r12 entries
+# (ann_serve_tuned + the two streaming digests — each selfchecked
+# hash-green at sf0.001+sf0.01 when added), then (b) every entry whose
+# OPERATOR or ORACLE text changed in r12 (the round-to-cents money
+# family + zorder_digest + dashboard_payload, the sample-knob dedup
+# four, the BPE capped-collect pair), then (c) ALL 24 r6-stale
+# entries, then (d) the r7-stale tier alphabetically as far as the
+# ~50-row budget reaches — the r7 spill is the designated r13 front.
+# Every entry outside the budget is re-verified by the terminal
+# full-surface selfcheck (sf0.01 AND sf0.1) on this round's final
+# tree. Any operator whose oracle text changes later in r12 gets
+# promoted into the NEW block.
+_R12_FRONT = [
+    # (a) new in r12 — never driver-verified
+    "ann_serve_tuned",
+    "sessionize_stream_digest",
+    "transitions_stream_digest",
+    # (b) operator/oracle changed in r12 (cents contract engine+oracle
+    # lockstep; raw-double zorder sum fixed; dashboard oracle follows
+    # its bounded frames; dedup sample knob touched entry lambdas +
+    # oracle builders; BPE collect path now cap+1-probed)
+    "regional_revenue",
+    "sales_rollup",
+    "sales_cube",
+    "returnflag_totals",
+    "discount_revenue",
+    "kpis",
+    "kpis_bounded",
+    "revenue_timeseries",
+    "revenue_timeseries_bounded",
+    "zorder_digest",
+    "dashboard_payload",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_containment",
+    "dedup_audit",
     "bpe_merge_table",
     "bpe_token_count",
-    "bpe_segment_vocab",
-    "token_count",
-    # oracle-text changed in r11 (sf1-replica tie findings: session
-    # cumsum made duplicate-instant-deterministic; late_suppliers
-    # re-grained to suppkey) — value-identical on tie-free data
-    "session_window_agg",
-    "late_suppliers",
-
-    # r5-stale tail (last driver-checked in round 5 — the ~18 entries
-    # the r10 budget could not reach; VERDICT r10 item #2)
-    "hash_embed",
-    "incremental_watermark",
-    "lang_confusion",
-    "mmr_topk",
-    "normalize_orders",
-    "pack_bins_bfd",
-    "pmi_terms",
-    "profile_drift_orders",
-    "profile_orders",
-    "quality_percentile_by_source",
-    "revenue_timeseries",
-    "rfm_segments",
-    "sample_exact_k",
-    "seasonal_profile",
-    "source_divergence",
-    "token_budget_sample",
-    "trend_fit",
-    "value_outliers_mad",
-
-    # r6-stale tier (last driver-checked in round 6, alphabetical;
-    # the ~50-entry budget reaches roughly the first 23 — the spill
-    # leads the r12 front)
-    "apply_refunds_items",
-    "category_mix_bounded",
-    "cohort_retention",
-    "customer_order_distribution",
-    "customer_year_cohorts",
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_ngram_jaccard",
-    "discount_revenue",
-    "disjunctive_revenue",
-    "enrich_categories",
-    "fuzzy_part_names",
-    "geo_rollup_bounded",
-    "hot_keys",
-    "idle_customers",
-    "important_parts",
-    "large_volume_orders",
-    "market_share",
-    "min_cost_supplier",
+    # (c) r6-stale tail (last driver-checked round 6; the five money
+    # entries from this tier already sit in block (b))
     "normalize_items",
     "order_priority_count",
     "part_pagerank",
@@ -528,11 +505,7 @@ _R11_FRONT = [
     "product_profit",
     "promo_revenue",
     "returned_item_report",
-    "returnflag_totals",
     "revenue_pivot",
-    "revenue_timeseries_bounded",
-    "sales_cube",
-    "sales_rollup",
     "segment_share",
     "shipping_priority",
     "small_qty_revenue",
@@ -544,6 +517,16 @@ _R11_FRONT = [
     "unigram_logprob",
     "upsert",
     "volume_shipping",
+    # (d) r7-stale tier, alphabetical — the budget reaches ~here; the
+    # rest of the r7 tier (doc_fingerprint onward) leads r13
+    "asof_join",
+    "asof_join_tolerance",
+    "common_lines",
+    "corpus_stats",
+    "customer_ltv",
+    "customer_order_gaps",
+    "daily_active_users",
+    "dq_summary",
 ]
 
 
@@ -1908,15 +1891,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "bpe_segment_vocab": _q_bpe_segment_vocab,
     }
-    unknown_front = [k for k in _R11_FRONT if k not in base]
+    unknown_front = [k for k in _R12_FRONT if k not in base]
     if unknown_front:
         # the rotation's whole purpose is priority: a typo'd name
         # must fail loudly, not silently fall outside the driver's
         # verification budget
         raise KeyError(
-            f"_R11_FRONT names not in queries(): {unknown_front}"
+            f"_R12_FRONT names not in queries(): {unknown_front}"
         )
-    ordered = {k: base[k] for k in _R11_FRONT}
+    ordered = {k: base[k] for k in _R12_FRONT}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
     return ordered
 
