@@ -111,7 +111,28 @@ def _docs_pair_sampled(spark, sf_dir):
     )
 
 
-def _doc_sample_cte(sql: str) -> str:
+def _emb_pair_sampled(spark, sf_dir):
+    """embeddings for the pairwise-verify similarity entries: full
+    table unless SPARK_GRAFT_DOC_SAMPLE < 1 (same knob and md5 rule
+    as the documents sample, keyed on vec_id)."""
+    df = _emb(spark, sf_dir)
+    frac = _doc_sample_frac()
+    if frac >= 1.0:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.filter(
+        F.conv(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % _DOC_SAMPLE_MOD
+        < int(frac * _DOC_SAMPLE_MOD)
+    )
+
+
+def _doc_sample_cte(sql: str, table: str = "documents", key: str = "doc_id") -> str:
     """Rewrite a WITH-leading oracle SQL to read from an
     md5-hash-sampled CTE instead of the ``documents`` view when the
     sample knob is active. DuckDB rejects a CTE that shadows the view
@@ -124,17 +145,29 @@ def _doc_sample_cte(sql: str) -> str:
 
     cut = int(frac * _DOC_SAMPLE_MOD)
     pred = (
-        "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) "
+        f"CAST('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 8) "
         f"AS BIGINT) % {_DOC_SAMPLE_MOD} < {cut}"
     )
     stripped = sql.lstrip()
     assert stripped.startswith("WITH "), "sample CTE needs WITH-leading SQL"
-    body = _re.sub(r"\bdocuments\b", "documents_sampled", stripped)
+    # WITH RECURSIVE: the keyword must stay first; a non-recursive
+    # CTE is legal inside the RECURSIVE list
+    head = (
+        "WITH RECURSIVE "
+        if stripped.upper().startswith("WITH RECURSIVE")
+        else "WITH "
+    )
+    body = _re.sub(rf"\b{table}\b", f"{table}_sampled", stripped)
+    # normalize the consumed head (allow 'WITH RECURSIVE\n...')
+    rest = body[len("WITH "):]
+    if head == "WITH RECURSIVE ":
+        rest = rest.lstrip()[len("RECURSIVE"):].lstrip()
     return (
-        "WITH documents_sampled AS (SELECT * FROM documents WHERE "
+        head
+        + f"{table}_sampled AS (SELECT * FROM {table} WHERE "
         + pred
         + "),\n"
-        + body[len("WITH ") :]
+        + rest
     )
 
 
@@ -1082,7 +1115,7 @@ def _q_lsh_index_digest(spark, sf_dir):
         drop_table,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs_pair_sampled(spark, sf_dir)
     prefix = "r11_lsh_digest"
     write_lsh_index(
         docs.filter(F.col("doc_id") % 10 != 0), prefix, n_buckets=8
@@ -1545,7 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check (size/inertia-contract pytest)
         "cluster_stats": lambda s, d: similarity.cluster_stats(_emb(s, d)),
         "doc_similarity_topk": lambda s, d: corpus.doc_similarity_topk(
-            _docs(s, d)
+            _docs_pair_sampled(s, d)
         ),
         "profile_orders": lambda s, d: warehouse.profile_table(
             load_table(s, d, "orders"), exact=True
@@ -1682,18 +1715,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pipeline": lambda s, d: corpus.corpus_pipeline(_docs(s, d)),
         "decontaminate": lambda s, d: corpus.decontaminate(_docs(s, d)),
         "dedup_incremental_near": lambda s, d: dedup.dedup_incremental_near(
-            _docs(s, d)
+            _docs_pair_sampled(s, d)
         ),
-        "embedding_cosine_dup": lambda s, d: similarity.cosine_dup_pairs(_emb(s, d)),
+        "embedding_cosine_dup": lambda s, d: similarity.cosine_dup_pairs(_emb_pair_sampled(s, d)),
         "dedup_apply": lambda s, d: corpus.dedup_apply(_docs(s, d)),
-        "dedup_clusters_star": lambda s, d: dedup.dedup_clusters_star(_docs(s, d)),
+        "dedup_clusters_star": lambda s, d: dedup.dedup_clusters_star(_docs_pair_sampled(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash_pairs(_docs_pair_sampled(s, d)),
-        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs(s, d)),
+        "dedup_clusters": lambda s, d: dedup.dedup_clusters(_docs_pair_sampled(s, d)),
         # --- new in r3 (oracle-backed, never driver-verified) ---
         "dedup_containment": lambda s, d: dedup.containment_pairs(_docs_pair_sampled(s, d)),
         "unigram_logprob": lambda s, d: corpus.unigram_logprob(_docs(s, d)),
         "tokenizer_stats": lambda s, d: corpus.tokenizer_stats(_docs(s, d)),
-        "semdedup_apply": lambda s, d: similarity.semdedup_apply(_emb(s, d)),
+        "semdedup_apply": lambda s, d: similarity.semdedup_apply(_emb_pair_sampled(s, d)),
         "session_window_agg": lambda s, d: events.session_window_agg(
             _events(s, d)
         ),
@@ -1848,7 +1881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data ops (r1 driver-pass) ---
         "dedup_exact": lambda s, d: dedup.dedup_exact(_docs(s, d)),
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs_pair_sampled(s, d)),
-        "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_minhash": lambda s, d: dedup.minhash_lsh_pairs(_docs_pair_sampled(s, d)),
         # --- round-9b corpus-curation breadth ---
         "readability": lambda s, d: textstats.readability(_docs(s, d)),
         "char_entropy": lambda s, d: textstats.char_entropy(_docs(s, d)),
@@ -3683,10 +3716,10 @@ FROM best b JOIN embeddings t ON b.query_id = t.vec_id
 WHERE rn = 1
 """,
         "dedup_ngram_jaccard": _doc_sample_cte(_JACCARD_SQL),
-        "dedup_minhash": _MINHASH_SQL,
+        "dedup_minhash": _doc_sample_cte(_MINHASH_SQL),
         "dedup_simhash": _doc_sample_cte(_SIMHASH_SQL),
-        "dedup_clusters": _CLUSTERS_SQL,
-        "dedup_clusters_star": _CLUSTERS_SQL,
+        "dedup_clusters": _doc_sample_cte(_CLUSTERS_SQL),
+        "dedup_clusters_star": _doc_sample_cte(_CLUSTERS_SQL),
         "hopping_window_agg": """
 WITH e AS (SELECT event_type, value, epoch_us(ts) AS ts_us FROM events),
 x AS (SELECT event_type, value, ts_us,
@@ -6119,6 +6152,19 @@ FROM n LEFT JOIN reb USING (doc_id)
 """
     # the stored-index near-dup path must equal the direct operator on
     # the same split — the oracle is dedup_incremental_near's verbatim
+    # pairwise-verify oracles not wrapped at their dict literal: the
+    # sample-knob rewrite applies here, before the lsh digest copies
+    # dedup_incremental_near's text
+    out["dedup_incremental_near"] = _doc_sample_cte(
+        out["dedup_incremental_near"]
+    )
+    out["doc_similarity_topk"] = _doc_sample_cte(out["doc_similarity_topk"])
+    out["semdedup_apply"] = _doc_sample_cte(
+        out["semdedup_apply"], table="embeddings", key="vec_id"
+    )
+    out["embedding_cosine_dup"] = _doc_sample_cte(
+        out["embedding_cosine_dup"], table="embeddings", key="vec_id"
+    )
     out["lsh_index_digest"] = out["dedup_incremental_near"]
     # streaming digest twins (r12): the batch gap rule / LAG pairing
     # over (event-time, event_id) — the exact fold a fully-consumed,
