@@ -1151,6 +1151,11 @@ def _stream_replay_src(spark, sf_dir, tmp):
         & F.col("event_id").isNotNull()
     )
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    if lo is None:
+        # empty warehouse: three empty batch files — the streaming
+        # query still runs (and terminates) and the digest is empty,
+        # matching the oracle's empty result
+        lo = hi = 0
     t1 = lo + (hi - lo) // 3
     t2 = lo + 2 * ((hi - lo) // 3)
     src = os.path.join(tmp, "src")
