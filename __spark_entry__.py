@@ -63,16 +63,19 @@ def _docs(spark, sf_dir):
 
 
 def _doc_sample_frac() -> float:
-    """Deterministic document-sample fraction for the PAIRWISE-verify
-    dedup entries (dedup_ngram_jaccard / dedup_simhash /
-    dedup_containment / dedup_audit), read from
-    ``SPARK_GRAFT_DOC_SAMPLE`` in (0, 1]. Default 1.0 = full corpus —
-    the driver contract is unchanged; the knob exists so the sf1+
-    scale gates (tools/selfcheck.py on a 10x-duplicate replica) can
-    run these O(true-pairs) ORACLES on a hash-sampled universe instead
-    of excluding them (VERDICT r11 item 3). Spark entry and DuckDB
-    twin read the SAME variable and apply the SAME md5 predicate, so
-    both engines see the identical sampled universe."""
+    """Deterministic sample fraction for the PAIRWISE-verify entries —
+    the whole family whose ORACLES are O(true-pairs): on documents
+    dedup_ngram_jaccard / dedup_simhash / dedup_containment /
+    dedup_audit / dedup_minhash / dedup_clusters(+_star) /
+    dedup_incremental_near / doc_similarity_topk / lsh_index_digest,
+    and on embeddings embedding_cosine_dup / semdedup_apply. Read
+    from ``SPARK_GRAFT_DOC_SAMPLE`` in (0, 1]. Default 1.0 = full
+    corpus — the driver contract is unchanged; the knob exists so the
+    sf1+ scale gates (tools/selfcheck.py on a 10x-duplicate replica)
+    can run these oracles on a hash-sampled universe instead of
+    excluding them (VERDICT r11 item 3). Spark entry and DuckDB twin
+    read the SAME variable and apply the SAME md5 predicate, so both
+    engines see the identical sampled universe."""
     import os as _os
 
     raw = _os.environ.get("SPARK_GRAFT_DOC_SAMPLE", "")
@@ -91,10 +94,10 @@ def _doc_sample_frac() -> float:
 _DOC_SAMPLE_MOD = 1_000_000
 
 
-def _docs_pair_sampled(spark, sf_dir):
-    """documents for the pairwise-verify dedup entries: the full table
-    unless SPARK_GRAFT_DOC_SAMPLE < 1 (see _doc_sample_frac)."""
-    df = _docs(spark, sf_dir)
+def _pair_sampled(df, key: str):
+    """Apply the shared md5-hash sample predicate to ``df`` on ``key``
+    when the knob is active — the single Spark-side definition of the
+    rule (_doc_sample_cte is its SQL twin; change them in lockstep)."""
     frac = _doc_sample_frac()
     if frac >= 1.0:
         return df
@@ -102,34 +105,26 @@ def _docs_pair_sampled(spark, sf_dir):
 
     return df.filter(
         F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+            F.substring(F.md5(F.col(key).cast("string")), 1, 8),
             16,
             10,
         ).cast("bigint")
         % _DOC_SAMPLE_MOD
         < int(frac * _DOC_SAMPLE_MOD)
     )
+
+
+def _docs_pair_sampled(spark, sf_dir):
+    """documents for the pairwise-verify dedup entries: the full table
+    unless SPARK_GRAFT_DOC_SAMPLE < 1 (see _doc_sample_frac)."""
+    return _pair_sampled(_docs(spark, sf_dir), "doc_id")
 
 
 def _emb_pair_sampled(spark, sf_dir):
     """embeddings for the pairwise-verify similarity entries: full
     table unless SPARK_GRAFT_DOC_SAMPLE < 1 (same knob and md5 rule
     as the documents sample, keyed on vec_id)."""
-    df = _emb(spark, sf_dir)
-    frac = _doc_sample_frac()
-    if frac >= 1.0:
-        return df
-    from pyspark.sql import functions as F
-
-    return df.filter(
-        F.conv(
-            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % _DOC_SAMPLE_MOD
-        < int(frac * _DOC_SAMPLE_MOD)
-    )
+    return _pair_sampled(_emb(spark, sf_dir), "vec_id")
 
 
 def _doc_sample_cte(sql: str, table: str = "documents", key: str = "doc_id") -> str:
@@ -494,10 +489,12 @@ def _q_dq_rules(spark, sf_dir):
 # (ann_serve_tuned + the two streaming digests — each selfchecked
 # hash-green at sf0.001+sf0.01 when added), then (b) every entry whose
 # OPERATOR or ORACLE text changed in r12 (the round-to-cents money
-# family + zorder_digest + dashboard_payload, the sample-knob dedup
-# four, the BPE capped-collect pair), then (c) ALL 24 r6-stale
-# entries, then (d) the r7-stale tier alphabetically as far as the
-# ~50-row budget reaches — the r7 spill is the designated r13 front.
+# family + zorder_digest + dashboard_payload, the FULL sample-knob
+# pairwise-verify family — a frac=1.0 no-op for the driver, but the
+# lambdas/oracle text changed so they re-verify first — and the BPE
+# capped-collect pair), then (c) ALL 24 r6-stale entries; the
+# r7-stale tier (asof_join onward, alphabetical) is the designated
+# r13 front — block (b)'s width consumed its budget share.
 # Every entry outside the budget is re-verified by the terminal
 # full-surface selfcheck (sf0.01 AND sf0.1) on this round's final
 # tree. Any operator whose oracle text changes later in r12 gets
@@ -526,6 +523,14 @@ _R12_FRONT = [
     "dedup_simhash",
     "dedup_containment",
     "dedup_audit",
+    "dedup_minhash",
+    "dedup_clusters",
+    "dedup_clusters_star",
+    "dedup_incremental_near",
+    "doc_similarity_topk",
+    "semdedup_apply",
+    "embedding_cosine_dup",
+    "lsh_index_digest",
     "bpe_merge_table",
     "bpe_token_count",
     # (c) r6-stale tail (last driver-checked round 6; the five money
@@ -550,16 +555,6 @@ _R12_FRONT = [
     "unigram_logprob",
     "upsert",
     "volume_shipping",
-    # (d) r7-stale tier, alphabetical — the budget reaches ~here; the
-    # rest of the r7 tier (doc_fingerprint onward) leads r13
-    "asof_join",
-    "asof_join_tolerance",
-    "common_lines",
-    "corpus_stats",
-    "customer_ltv",
-    "customer_order_gaps",
-    "daily_active_users",
-    "dq_summary",
 ]
 
 

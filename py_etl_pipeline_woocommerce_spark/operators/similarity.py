@@ -1635,4 +1635,7 @@ def ann_serve_tuned(
         n_planes=n_planes,
         dim=dim,
         n_probe=n_probe,
+        # tuned_geometry just logged the audited choice — the generic
+        # "run the tuner" hint would misadvise from inside the tuner
+        _cost_hint=False,
     )

@@ -54,16 +54,22 @@ def _sql_str_literal(v) -> str:
     non-string partition column compares against a canonical literal
     instead of relying on implicit casts of ``str(v)`` output."""
     import datetime as _dt
+    import numbers as _numbers
 
+    # numpy scalars are NOT subclasses of the Python builtins they
+    # mimic (np.int64 is not int, np.bool_ is not bool under any
+    # numpy; only np.float64 subclasses float), so dispatch on the
+    # ABCs — np.bool_ registers as neither bool nor Integral, hence
+    # the explicit type-name check
     if v is None:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
         return "TRUE" if v else "FALSE"
-    if isinstance(v, int):
+    if isinstance(v, _numbers.Integral):
         # normalize through int(): numpy integer scalars repr as
         # 'np.int64(3)' under numpy>=2, which is not SQL
         return repr(int(v))
-    if isinstance(v, float):
+    if isinstance(v, _numbers.Real):
         f = float(v)  # numpy float scalars likewise repr as np.float64(…)
         if f != f or f in (float("inf"), float("-inf")):
             raise ValueError(

@@ -33,22 +33,26 @@ def sf01_dir():
 
 
 def stream_poll(
-    spark,
     query,
     fetch,
     pred,
     idle_deadline_s=180,
-    hard_deadline_s=1800,
+    hard_deadline_s=900,
 ):
     """Poll ``fetch()`` until ``pred(rows)`` holds, with a
     PROGRESS-BASED deadline (the r11 flake fix): the idle clock resets
     whenever the streaming query commits another micro-batch, so a
     loaded box that is merely slow keeps extending the wait, while a
     genuinely stuck stream (no progress AND predicate unsatisfied)
-    still fails after ``idle_deadline_s``. ``hard_deadline_s`` bounds
-    the total wait against a pathological progress-but-never-done
-    loop. processAllAvailable() cannot replace this: it never returns
-    under ProcessingTimeTimeout state timers (the documented caveat).
+    still fails after ``idle_deadline_s``. A query that DIED raises
+    its real streaming exception immediately — not a generic timeout
+    that hides the root cause. Caveat: state-timer streams emit
+    no-data micro-batches that keep resetting the idle clock, so a
+    live-but-logically-wrong stream is bounded only by
+    ``hard_deadline_s`` — that bound is the real failure deadline for
+    never-satisfiable predicates, hence 900 s not 1800.
+    processAllAvailable() cannot replace this: it never returns under
+    ProcessingTimeTimeout state timers (the documented caveat).
     """
     import time
 
@@ -57,6 +61,9 @@ def stream_poll(
     last_change = t0
     rows = []
     while True:
+        exc = query.exception()
+        if exc is not None:
+            raise exc
         rows = fetch()
         if pred(rows):
             return rows
@@ -83,7 +90,6 @@ def stream_poll(
 def memory_sink_poll(spark, query, table, pred, **kw):
     """stream_poll over a memory-sink table."""
     return stream_poll(
-        spark,
         query,
         lambda: spark.sql(f"select * from {table}").collect(),
         pred,

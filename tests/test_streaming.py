@@ -816,7 +816,7 @@ def _poll_parquet(spark, path, pred, query=None, deadline_s=300):
     if query is not None:
         from tests.conftest import stream_poll
 
-        return stream_poll(spark, query, fetch, pred)
+        return stream_poll(query, fetch, pred)
     import time as _time
 
     t0 = _time.time()

@@ -43,7 +43,15 @@ def test_sql_str_literal_numeric_normalization():
     assert _sql_str_literal(3) == "3"
     assert _sql_str_literal(True) == "TRUE"
     assert _sql_str_literal(None) == "NULL"
-    for bad in (float("nan"), float("inf"), float("-inf")):
+    # numpy ints/bools/float32 are NOT subclasses of the builtins
+    # (the r12 review find: the int branch never fired for np.int64,
+    # which fell through to the quoted-string fallback)
+    assert _sql_str_literal(np.int64(3)) == "3"
+    assert _sql_str_literal(np.int32(-7)) == "-7"
+    assert _sql_str_literal(np.bool_(True)) == "TRUE"
+    assert _sql_str_literal(np.bool_(False)) == "FALSE"
+    assert _sql_str_literal(np.float32(0.5)) == "0.5"
+    for bad in (float("nan"), float("inf"), float("-inf"), np.float64("nan")):
         with pytest.raises(ValueError, match="non-finite"):
             _sql_str_literal(bad)
 
