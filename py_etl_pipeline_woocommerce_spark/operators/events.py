@@ -227,6 +227,16 @@ def session_window_agg(
         F.timestamp_micros(F.expr(_TS_US_FLOOR)).alias("event_time"),
         "value",
     )
+    return _session_window_kernel(e, gap)
+
+
+def _session_window_kernel(e: DataFrame, gap: str) -> DataFrame:
+    """The ONE definition of the session aggregate — shared by the
+    batch ``session_window_agg`` and the streaming
+    ``streaming_session_agg`` (which watermarks ``e`` first), so the
+    money cast / µs-floor projection cannot silently diverge between
+    the two execution modes (r12 review find). ``e`` carries
+    (user_id, event_time TIMESTAMP, value)."""
     return (
         e.groupBy("user_id", F.session_window("event_time", gap).alias("w"))
         .agg(

@@ -63,7 +63,9 @@ def _gaps_type(
 ) -> Iterator[pd.DataFrame]:
     (event_type,) = key
     last_us = decode_state(state, STATE_VERSION, STATE_DEFAULTS)["last_us"]
-    events = pd.concat(list(pdfs)).sort_values(["t_us", "event_id"])
+    # no per-frame sort: the walk below re-sorts the extracted points
+    # (t_us alone decides a gap; row order never matters here)
+    events = pd.concat(list(pdfs))
     # Walk the MERGED sorted sequence of (state clock ∪ batch events)
     # and emit every consecutive pair further apart than min_gap. The
     # old walk compared each event only against the monotone clock,
@@ -83,7 +85,9 @@ def _gaps_type(
         if t_us - prev > min_gap_us:
             out.append([event_type, prev, t_us, t_us - prev])
     if points:
-        last_us = points[-1] if last_us is None else max(last_us, points[-1])
+        # points already contains last_us when it was set, so the
+        # sorted tail IS the new clock
+        last_us = points[-1]
     state.update(encode_state(STATE_VERSION, {"last_us": last_us}))
     yield pd.DataFrame(out, columns=GAP_SCHEMA.fieldNames())
 
@@ -111,8 +115,10 @@ def gaps_stream(events: DataFrame, min_gap_us: int = 3_600_000_000) -> DataFrame
     # the state fn) and wedge the stream on checkpoint replay —
     # dropped up front; a heartbeat with no timestamp carries no
     # liveness signal anyway
+    # event_type + t_us are all the gap walk reads — shipping
+    # event_id through the exchange fed only a dead sort (r12 review)
     prepared = events.filter(F.col("ts").isNotNull()).select(
-        "event_type", "event_id", F.expr(TS_US_FLOOR).alias("t_us")
+        "event_type", F.expr(TS_US_FLOOR).alias("t_us")
     )
 
     def fn(key, pdfs, state):

@@ -176,14 +176,15 @@ def run_stream_dedup_against_index(
     sink = ForeachBatchUpserter(["doc_id"])
 
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sink.batches_seen += 1
         frames: list = []
         flagged = dedup_against_index(
             batch_df, index_prefix, threshold, persisted_frames=frames
         )
-        sink._merge(flagged)
-        # _merge collected the result; free the shingle frame now or a
-        # long-running stream pins one persisted frame per micro-batch.
+        # the sink's own __call__ does increment-then-merge — don't
+        # re-implement its bookkeeping here (r12 review find)
+        sink(flagged, batch_id)
+        # the sink collected the result; free the shingle frame now or
+        # a long-running stream pins one persisted frame per batch.
         for f in frames:
             f.unpersist()
 
@@ -243,15 +244,15 @@ def run_stream_line_strip(
     sink = ForeachBatchUpserter(["doc_id"])
 
     def strip_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sink.batches_seen += 1
         frames: list = []
         # strip BEFORE folding: the batch's own cross-doc repeats are
         # already counted by strip_against_line_index's batch_df term,
         # so folding first would double-count them for this batch
-        sink._merge(
+        sink(
             strip_against_line_index(
                 batch_df, index_prefix, min_df, lines_out=frames
-            )
+            ),
+            batch_id,
         )
         if fold_into_index:
             # fold the SAME checkpointed exploded frame the strip just
@@ -288,25 +289,14 @@ def streaming_session_agg(
     modes — the reason the built-in beats hand-rolled lag/cumsum for
     anything that must also run continuously.
     """
-    e = stream.select(
-        "user_id",
-        F.timestamp_micros(F.expr(TS_US_FLOOR)).alias("event_time"),
-        "value",
-    )
-    return (
-        e.withWatermark("event_time", watermark)
-        .groupBy("user_id", F.session_window("event_time", gap).alias("w"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec_money("value")).cast("double").alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros(F.col("w.start")).alias("start_us"),
-            F.unix_micros(F.col("w.end")).alias("end_us"),
-            "n_events",
-            "total_value",
-        )
+    from ..operators.events import _session_window_kernel
+
+    # with_event_time drops NULL-ts rows (the unbounded-state poison
+    # documented there); the kernel is session_window_agg's verbatim
+    # aggregate — one definition, two execution modes, now literally
+    e = with_event_time(stream).select("user_id", "event_time", "value")
+    return _session_window_kernel(
+        e.withWatermark("event_time", watermark), gap
     )
 
 

@@ -239,6 +239,16 @@ def rebuild_state_from_batch(
     KB-per-user tail is replayed, not the log.
     """
     cols = history.columns
+    # same poison-pill filter as transitions_stream's prepared input:
+    # the pre-upgrade stream never held state from a NULL
+    # ts/event_id/user_id row, and a seed row carrying one would be
+    # silently dropped by the restarted stream's own filter — losing
+    # that user's cross-upgrade chain (r12 review find)
+    history = history.filter(
+        F.col("ts").isNotNull()
+        & F.col("event_id").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     order = F.struct(
         F.expr(TS_US_FLOOR).alias("t_us"), F.col("event_id")
     )
