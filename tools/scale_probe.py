@@ -130,6 +130,44 @@ def generate(dst: str = DST, src: str = SRC, copies: int = COPIES) -> None:
         )
 
 
+def _replicate_events(dst: str, src: str, copies: int = COPIES) -> None:
+    """10x events for the streaming-digest probes: event_id offset per
+    copy, ts shifted a full span+day per copy so the copies are
+    DISJOINT TIME ERAS of the same per-user event distribution (more
+    history per user, same arrival shape) — plain duplication would
+    instead create ``copies`` exact-duplicate instants per user and
+    measure tie handling, not throughput. user_id kept: 10x events
+    per user, which is exactly the per-user-state stress the stateful
+    streams claim to bound."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table(os.path.join(src, "events.parquet")).to_pandas()
+    span = (ev["ts"].max() - ev["ts"].min()) + pd.Timedelta(days=1)
+    frames = []
+    for k in range(copies):
+        c = ev.copy()
+        c["event_id"] = c["event_id"] + k * KEY_OFFSET
+        c["ts"] = c["ts"] + k * span
+        frames.append(c)
+    pd.concat(frames, ignore_index=True).to_parquet(
+        os.path.join(dst, "events.parquet"), index=False
+    )
+
+
+def _entry_probe(name: str):
+    """Probe a driver entry by name (for the composed harness entries
+    — e.g. the streaming replay digests — whose logic lives in
+    __spark_entry__, not in an operator module)."""
+
+    def fn(s, d):
+        import __spark_entry__ as entrymod
+
+        return entrymod.queries()[name](s, d)
+
+    return fn
+
+
 def probes():
     from pyspark.sql import functions as F
 
@@ -211,6 +249,20 @@ def probes():
         ),
         "dedup_clusters": lambda s, d: dedup.dedup_clusters(docs(s, d)),
         "corpus_prep_v2": lambda s, d: corpus.corpus_prep_v2(docs(s, d)),
+        # r12 additions: the fit-then-serve ANN composition (sweep =
+        # one corpus scan per candidate geometry + the serve join —
+        # both linear in corpus size) and the stateful streaming
+        # digests (full events history replayed through the REAL
+        # applyInPandasWithState queries in 3 micro-batches; per-user
+        # bounded state, so throughput must scale with events, not
+        # with users' history length)
+        "ann_serve_tuned": lambda s, d: similarity.ann_serve_tuned(
+            embs(s, d)
+        ),
+        "sessionize_stream_digest": _entry_probe("sessionize_stream_digest"),
+        "transitions_stream_digest": _entry_probe(
+            "transitions_stream_digest"
+        ),
         # line dedup over the rewrap bridge: the per-copy token
         # suffixes keep copies' lines disjoint, so common-line density
         # per copy stays sf0.1-like while line space grows 10x — the
@@ -400,6 +452,11 @@ def main() -> None:
     # outlier probe reads — backfill with the same offset scheme
     if not os.path.exists(os.path.join(DST, "embeddings.parquet")):
         _replicate_embeddings(DST, SRC)
+    # a replica generated before r12 lacks the 10x events the
+    # streaming-digest probes replay — backfill with the
+    # disjoint-time-era scheme
+    if not os.path.exists(os.path.join(DST, "events.parquet")):
+        _replicate_events(DST, SRC)
 
     from py_etl_pipeline_woocommerce_spark.session import get_spark
 
