@@ -3104,10 +3104,14 @@ tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total_tokens,
                COUNT(*) AS n_langs
         FROM pl)
 SELECT lang, n_docs, lang_tokens,
-       CAST(lang_tokens AS DOUBLE) / total_tokens AS actual_share,
+       CASE WHEN total_tokens > 0
+            THEN CAST(lang_tokens AS DOUBLE) / total_tokens END
+         AS actual_share,
        1.0::DOUBLE / n_langs AS target_share,
-       (1.0::DOUBLE / n_langs)
-         / (CAST(lang_tokens AS DOUBLE) / total_tokens) AS mix_weight
+       CASE WHEN lang_tokens > 0 AND total_tokens > 0
+            THEN (1.0::DOUBLE / n_langs)
+                 / (CAST(lang_tokens AS DOUBLE) / total_tokens) END
+         AS mix_weight
 FROM pl CROSS JOIN tot
 """,
         "pack_sequences": f"""
@@ -5034,9 +5038,9 @@ t AS (SELECT doc_id, fp,
                   WHEN bucket < 95 THEN 'val'
                   ELSE 'test' END AS split
       FROM b),
-tr AS (SELECT DISTINCT fp FROM t WHERE split = 'train'),
-ev AS (SELECT t.split, t.fp, CASE WHEN tr.fp IS NULL THEN 0 ELSE 1 END AS hit
-       FROM t LEFT JOIN tr ON t.fp = tr.fp
+tr AS (SELECT DISTINCT fp, 1 AS _hit FROM t WHERE split = 'train'),
+ev AS (SELECT t.split, COALESCE(tr._hit, 0) AS hit
+       FROM t LEFT JOIN tr ON t.fp IS NOT DISTINCT FROM tr.fp
        WHERE t.split <> 'train')
 SELECT split, COUNT(*) AS n_docs,
        CAST(SUM(hit) AS BIGINT) AS n_leaked,

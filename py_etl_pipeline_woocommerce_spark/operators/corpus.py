@@ -336,9 +336,9 @@ def decontaminate(
         documents.select("doc_id", tokens_expr("text").alias("_toks"))
         .select(
             "doc_id",
-            F.explode_outer(word_shingles(F.col("_toks"), n)).alias("shingle"),
+            F.explode(word_shingles(F.col("_toks"), n)).alias("shingle"),
         )
-        .filter(F.col("shingle").isNotNull() & (F.col("shingle") != ""))
+        .filter(F.col("shingle") != "")
         .distinct()
     )
     # NO forced broadcast: a real benchmark set is broadcast-sized
@@ -394,7 +394,6 @@ def corpus_pipeline(
     quality threshold compares a value both engines derive from the
     same integer-count ratios, so the cut is engine-exact.
     """
-    from ..functions.text import md5_hex, norm_text
     from .textstats import quality_score
 
     # kept is deliberately NOT pinned: it is a RAW-scale frame
@@ -457,7 +456,15 @@ def mix_weights(
     tgt = uniform
     for lang, share in sorted((target or {}).items()):
         tgt = F.when(F.col("lang") == lang, F.lit(float(share))).otherwise(tgt)
-    actual = F.col("lang_tokens").cast("double") / F.col("total_tokens")
+    # zero guards (r12 review find): a language whose docs are all
+    # zero-token (NULL/empty/punctuation-only text) has actual=0 —
+    # its upsampling weight is undefined, so emit NULL rather than a
+    # divide-by-zero (ANSI error / non-ANSI silent NULL anyway, but
+    # explicit and engine-portable); same for an all-empty corpus
+    actual = F.when(
+        F.col("total_tokens") > 0,
+        F.col("lang_tokens").cast("double") / F.col("total_tokens"),
+    )
     return (
         per_lang.join(F.broadcast(totals))
         .select(
@@ -466,7 +473,13 @@ def mix_weights(
             "lang_tokens",
             actual.alias("actual_share"),
             tgt.alias("target_share"),
-            (tgt / actual).alias("mix_weight"),
+        )
+        .withColumn(
+            "mix_weight",
+            F.when(
+                F.col("actual_share") > 0,
+                F.col("target_share") / F.col("actual_share"),
+            ),
         )
     )
 
@@ -488,11 +501,9 @@ def doc_rarity(documents: DataFrame) -> DataFrame:
     to occurrences, one doc-keyed agg, and a 1-row corpus-size
     broadcast. Linear end to end.
     """
-    from .dedup import _spread
-
     # two consumers (the df aggregate and the per-doc join) — pin the
     # exploded frame or the tokenize+explode re-runs per consumer
-    occ = _spread(documents).select(
+    occ = _spread_docs(documents).select(
         "doc_id", F.explode(tokens_expr("text")).alias("term")
     ).filter(F.col("term") != "").localCheckpoint(eager=False)
     df_ = (
@@ -615,7 +626,6 @@ def corpus_prep(
     """
     from .packing import pack_sequences
     from .textstats import filter_pipeline
-    from ..functions.text import md5_hex, norm_text
 
     gated = filter_pipeline(documents).filter(F.col("keep")).select("doc_id")
     keepers = _exact_keepers(documents)
@@ -647,10 +657,8 @@ def unigram_logprob(documents: DataFrame) -> DataFrame:
     one term join back → doc agg; a 1-row total broadcast. All
     high-cardinality shuffles carry integer partial aggregates.
     """
-    from .dedup import _spread
-
     occ = (
-        _spread(documents)
+        _spread_docs(documents)
         .select("doc_id", F.explode(tokens_expr("text")).alias("term"))
         .filter(F.col("term") != "")
     )
@@ -712,15 +720,13 @@ def bigram_logprob(documents: DataFrame) -> DataFrame:
     float reduction is ≤ distinct-bigrams-per-doc addends, rounded to
     6 dp at the boundary.
     """
-    from .dedup import _spread
-
     # Stage the token array as a REAL column before shingling:
     # word_shingles references its input inside a transform lambda,
     # and HOF children re-evaluate PER ELEMENT (no CSE) — un-staged,
     # the whole normalize+split pipeline re-ran once per bigram
     # position, turning each doc O(T²·regex) (measured 31 s vs 1.5 s
     # at sf0.1).
-    staged = _spread(documents).select(
+    staged = _spread_docs(documents).select(
         "doc_id", tokens_expr("text").alias("_toks")
     )
     occ = (
@@ -1252,9 +1258,17 @@ def dsir_score_with_model(docs: DataFrame, model: DataFrame) -> DataFrame:
     )
     # tokens materialize as a column first: HOF children re-evaluate
     # per reference (no CSE), so size() + aggregate() over the raw
-    # tokenize tree would tokenize every document twice
+    # tokenize tree would tokenize every document twice. NULL text
+    # coalesces to an empty array so the score-online path matches
+    # _dsir_scored's train-offline contract (n_occ=0, log_weight=0.0)
+    # — size(NULL)/aggregate(NULL) would emit -1/NULL instead (r12
+    # review find)
     staged = docs.select(
-        "doc_id", F.filter(tokens_expr("text"), lambda t: t != "").alias("_tk")
+        "doc_id",
+        F.coalesce(
+            F.filter(tokens_expr("text"), lambda t: t != ""),
+            F.array().cast("array<string>"),
+        ).alias("_tk"),
     )
     logw = F.aggregate(
         F.col("_tk"),
@@ -1299,7 +1313,6 @@ def corpus_prep_v2(
     from .dedup import strip_repeated_spans
     from .packing import pack_sequences
     from .textstats import filter_pipeline
-    from ..functions.text import md5_hex, norm_text
 
     keepers = _exact_keepers(documents)
     deduped = documents.join(keepers, "doc_id", "left_semi")
@@ -2107,22 +2120,12 @@ def _split_assign(bucket, train_pct: int, val_pct: int):
 
 def _split_bucket():
     """Salted [0, 100) split bucket from md5('split:' || doc_id) —
-    portable to DuckDB as
+    one recipe with ``_hash_bucket`` (portable to DuckDB as
     ``CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
-    1, 15) AS BIGINT) % 100``."""
-    return (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
+    1, 15) AS BIGINT) % 100``), so a future change to the bucket
+    hash cannot desynchronize split buckets from sample buckets."""
+    return _hash_bucket(
+        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
     )
 
 
@@ -2187,7 +2190,14 @@ def split_leakage(
         .withColumn("_hit", F.lit(1))
     )
     evals = tagged.filter(F.col("split") != "train")
-    joined = evals.join(train_fps, "fp", "left")
+    # NULL-safe on fp: dedup_exact's convention treats all
+    # NULL-content docs as one content group, so a NULL-text eval doc
+    # leaks iff train also holds a NULL-text doc — a plain equi-join
+    # would report it as never-leaked (r12 review find; same device
+    # as dedup_incremental's eqNullSafe)
+    joined = evals.join(
+        train_fps, evals["fp"].eqNullSafe(train_fps["fp"]), "left"
+    ).drop(train_fps["fp"])
     return (
         joined.groupBy("split")
         .agg(
@@ -2295,9 +2305,12 @@ def zipf_fit(documents: DataFrame, top_v: int = 500) -> DataFrame:
     occ = documents.select(
         "source", F.explode(tokens_expr("text")).alias("term")
     ).filter(F.col("term") != "")
+    # TWO consumers (vocab + kept) — pin the aggregated frame or the
+    # corpus tokenize+explode+agg executes twice (the module's
+    # multi-consumer convention; r12 review find)
     counts = occ.groupBy("source", "term").agg(
         F.count(F.lit(1)).alias("c")
-    )
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("term"))
     vocab = counts.groupBy("source").agg(
         F.count(F.lit(1)).alias("vocab_size")
