@@ -2074,7 +2074,10 @@ WHERE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(sa.sh || sb.sh)) >= 
 """
 
 _SIMHASH_SQL = f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+WITH t AS (SELECT doc_id,
+                  list_filter({_TOKS}, tk -> tk <> '') AS toks
+           FROM documents
+           WHERE len(list_filter({_TOKS}, tk -> tk <> '')) > 0),
 bits AS (SELECT doc_id,
   list_transform(range(1, 33), j ->
     CASE WHEN COALESCE(list_sum(list_transform(toks, tk ->

@@ -33,14 +33,23 @@ def _spread(df: DataFrame) -> DataFrame:
     single-threaded. The repartition shuffle moves only raw text —
     negligible vs the hashing it unlocks. At 100 TB inputs already
     have thousands of splits and this is a no-op.
+
+    The probe is SKIPPED when the plan already carries a Repartition
+    (i.e. _spread ran upstream, e.g. _doc_lines over docs_as_lines):
+    under AQE the ``.rdd`` partition-count probe finalizes the plan,
+    which EXECUTES the upstream shuffle stages — a thrown-away corpus
+    scan per nested call (r12 review find). On a shuffle-free scan
+    the probe just counts file splits, no job.
     """
+    if "Repartition" in df._jdf.queryExecution().logical().toString():
+        return df
     want = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < want:
         return df.repartition(want)
     return df
 
 
-def _shingle_sets(documents: DataFrame, nonempty: bool = False) -> DataFrame:
+def _shingle_sets(documents: DataFrame, nonempty: bool = True) -> DataFrame:
     """doc_id + distinct word-3-gram shingle array (+ lang block key).
 
     Tokens are materialized as a column BEFORE shingling: inside a
@@ -135,10 +144,34 @@ def dedup_incremental(
     )
 
 
+def _jaccard_verify_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Shared exact-Jaccard verify tail of the two self-join pair
+    families (prefix-filter and MinHash-band candidates — verbatim
+    copies until r12): join both sides' shingle sets back onto the
+    candidate (doc_a, doc_b) pairs and keep jaccard >= threshold."""
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
     persisted_frames: list | None = None,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-shingle Jaccard ≥ threshold (exact).
 
@@ -160,14 +193,21 @@ def ngram_jaccard_pairs(
     Pass ``persisted_frames=[]`` to receive the internally persisted
     shingle frame and unpersist it after materializing the result
     (repeat callers would otherwise pin one frame per invocation).
+    ``_shingles`` injects an externally persisted ``_shingle_sets``
+    frame (the dedup_audit seam — the audit's exact and LSH sides
+    share ONE corpus tokenize+shingle scan; the injector owns the
+    frame's lifecycle).
     """
-    s = (
-        _shingle_sets(documents, nonempty=True)  # empty sets pair with nothing
-        .withColumn("n_sh", F.size("shingles"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    if persisted_frames is not None:
-        persisted_frames.append(s)
+    if _shingles is not None:
+        s = _shingles.withColumn("n_sh", F.size("shingles"))
+    else:
+        s = (
+            _shingle_sets(documents, nonempty=True)  # empty sets pair with nothing
+            .withColumn("n_sh", F.size("shingles"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if persisted_frames is not None:
+            persisted_frames.append(s)
     by_hash = F.array_sort(F.transform("shingles", F.md5))
     prefix_len = (
         F.col("n_sh")
@@ -196,26 +236,12 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh_a = s.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = s.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        pairs.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verify_pairs(cand, s, threshold)
 
 
 #: Modulus for the universal-hash permutation family (fits all
 #: intermediate products in int64 on any SQL engine — no overflow).
 MINHASH_P = 1_000_000_007
-
-
-def _minhash_signature(documents: DataFrame) -> DataFrame:
-    """doc_id + integer MinHash signature (see _signature_from_shingles)."""
-    return _signature_from_shingles(_shingle_sets(documents, nonempty=True))
 
 
 def _signature_from_shingles(s: DataFrame) -> DataFrame:
@@ -258,6 +284,7 @@ def minhash_lsh_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
     persisted_frames: list | None = None,
+    _shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified by true Jaccard.
 
@@ -279,10 +306,12 @@ def minhash_lsh_pairs(
     # ONE band-key construction for every LSH consumer (_band_frame
     # also feeds the incremental and stored-index paths — a format
     # drift here would silently break index compatibility)
-    sh, bands = _band_frame(documents, "doc_id")
+    sh, bands = _band_frame(documents, "doc_id", _shingles=_shingles)
     bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     if persisted_frames is not None:
-        persisted_frames += [sh, bands]
+        # an injected shingle frame belongs to the injector — only
+        # hand back the frames this call persisted itself
+        persisted_frames += [bands] if _shingles is not None else [sh, bands]
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
     cand = (
@@ -291,16 +320,7 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    pairs = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
-        pairs.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    return _jaccard_verify_pairs(cand, sh, threshold)
 
 
 def _simhash_bits(documents: DataFrame, bits: int = 32) -> DataFrame:
@@ -328,9 +348,18 @@ def _simhash_bits(documents: DataFrame, bits: int = 32) -> DataFrame:
     # aggregate() per bit is interpreted per element — measured ~10×
     # slower on the corpus scan).
     high = ("8", "9", "a", "b", "c", "d", "e", "f")
-    tok_hash = _spread(documents).select(
-        "doc_id", F.explode(tokens_expr("text")).alias("_tok")
-    ).select("doc_id", F.md5("_tok").alias("_h"))
+    # drop empty tokens: an empty/punctuation-only doc normalizes to
+    # [''] and would otherwise get the CONSTANT fingerprint of
+    # md5('') — every such doc pairing with every other in an
+    # all-pairs hamming-0 clique (r12 review find). With the filter,
+    # zero-token docs have no rows here, hence no fingerprint: empty
+    # docs pair with nothing, the jaccard/minhash convention.
+    tok_hash = (
+        _spread(documents)
+        .select("doc_id", F.explode(tokens_expr("text")).alias("_tok"))
+        .filter(F.col("_tok") != "")
+        .select("doc_id", F.md5("_tok").alias("_h"))
+    )
     sums = tok_hash.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -468,6 +497,10 @@ def dedup_clusters(
         .coalesce(par)
         .localCheckpoint(eager=True)
     )
+    # pre-assigned so max_iter <= 0 hits the non-convergence refusal
+    # below instead of an UnboundLocalError (r12 review find); -1
+    # never equals the converged sentinel 0
+    changed = -1
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.v == labels.doc_id)
@@ -678,15 +711,20 @@ def _attach_cluster_sizes(
     )
 
 
-def _band_frame(docs: DataFrame, id_alias: str):
+def _band_frame(docs: DataFrame, id_alias: str, _shingles=None):
     """(shingle sets, banded signatures) for one side of an LSH join.
 
     The shingle frame is persisted — both the band branch and the
     exact-Jaccard verify branch consume it, and without the persist
-    Spark re-tokenizes the corpus once per branch."""
+    Spark re-tokenizes the corpus once per branch. ``_shingles``
+    injects an externally persisted frame instead (the injector owns
+    its lifecycle; the returned sh is then that frame's projection)."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
-    sh = _shingle_sets(docs, nonempty=True).select("doc_id", "shingles")
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if _shingles is not None:
+        sh = _shingles.select("doc_id", "shingles")
+    else:
+        sh = _shingle_sets(docs, nonempty=True).select("doc_id", "shingles")
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = _signature_from_shingles(sh)
     bands = sig.select(
         F.col("doc_id").alias(id_alias),
@@ -704,6 +742,53 @@ def _band_frame(docs: DataFrame, id_alias: str):
         ).alias("band", "band_hash"),
     )
     return sh, bands
+
+
+def _best_match_annotate(
+    new_docs: DataFrame,
+    cand: DataFrame,
+    sh_b: DataFrame,
+    sh_c: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Shared tail of ``dedup_incremental_near`` and
+    ``dedup_against_index`` (one definition — the two were verbatim
+    copies, r12 review find): exact-Jaccard-verify the candidate
+    (doc_id, dup_of) pairs, keep each batch doc's best corpus match
+    (jaccard desc, dup_of asc tie break), LEFT-annotate the full
+    batch. ``sh_b``/``sh_c`` carry (doc_id, shingles) for the
+    batch / corpus sides."""
+    pairs = cand.join(
+        sh_b.select("doc_id", F.col("shingles").alias("sh_b")), "doc_id"
+    ).join(
+        sh_c.select(
+            F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_c")
+        ),
+        "dup_of",
+    )
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    union = F.size(F.array_union("sh_b", "sh_c"))
+    scored = pairs.withColumn("jaccard", inter / union).filter(
+        F.col("jaccard") >= threshold
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("dup_of")
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "dup_of", "jaccard")
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_of",
+            "jaccard",
+            F.col("dup_of").isNotNull().alias("is_near_dup"),
+        )
+    )
 
 
 def dedup_incremental_near(
@@ -755,35 +840,7 @@ def dedup_incremental_near(
         .select("doc_id", "dup_of")
         .distinct()
     )
-    pairs = (
-        cand.join(sh_b.select(F.col("doc_id"), F.col("shingles").alias("sh_b")), "doc_id")
-        .join(
-            sh_c.select(F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_c")),
-            "dup_of",
-        )
-    )
-    inter = F.size(F.array_intersect("sh_b", "sh_c"))
-    union = F.size(F.array_union("sh_b", "sh_c"))
-    scored = (
-        pairs.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= threshold)
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("dup_of"))
-    best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "dup_of", "jaccard")
-    )
-    return (
-        new_docs.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            "dup_of",
-            "jaccard",
-            F.col("dup_of").isNotNull().alias("is_near_dup"),
-        )
-    )
+    return _best_match_annotate(new_docs, cand, sh_b, sh_c, threshold)
 
 
 def write_lsh_index(documents: DataFrame, prefix: str, n_buckets: int = 32) -> None:
@@ -834,33 +891,7 @@ def dedup_against_index(
         .select("doc_id", "dup_of")
         .distinct()
     )
-    pairs = cand.join(
-        sh_b.select("doc_id", F.col("shingles").alias("sh_b")), "doc_id"
-    ).join(
-        sh_c.select(F.col("doc_id").alias("dup_of"), F.col("shingles").alias("sh_c")),
-        "dup_of",
-    )
-    inter = F.size(F.array_intersect("sh_b", "sh_c"))
-    union = F.size(F.array_union("sh_b", "sh_c"))
-    scored = pairs.withColumn("jaccard", inter / union).filter(
-        F.col("jaccard") >= threshold
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("jaccard").desc(), F.col("dup_of"))
-    best = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("doc_id", "dup_of", "jaccard")
-    )
-    return (
-        new_docs.select("doc_id")
-        .join(best, "doc_id", "left")
-        .select(
-            "doc_id",
-            "dup_of",
-            "jaccard",
-            F.col("dup_of").isNotNull().alias("is_near_dup"),
-        )
-    )
+    return _best_match_annotate(new_docs, cand, sh_b, sh_c, threshold)
 
 
 def containment_pairs(
@@ -1070,7 +1101,12 @@ def strip_repeated_spans(
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_kept"),
     )
-    n_tok = F.size(F.filter(F.col("tk"), lambda t: t != ""))
+    # NULL-text docs: tk is NULL, and size(NULL) is NULL under ANSI —
+    # n_removed would come back NULL instead of 0 (the line-strip
+    # family's explicit contract; r12 review find)
+    n_tok = F.when(F.col("tk").isNull(), F.lit(0)).otherwise(
+        F.size(F.filter(F.col("tk"), lambda t: t != ""))
+    )
     return (
         base.select("doc_id", n_tok.alias("_n"))
         .join(rebuilt, "doc_id", "left")
@@ -1128,13 +1164,25 @@ def dedup_audit(
             F.pmod(F.xxhash64("doc_id", F.lit(seed)), F.lit(m))
             < int(sample_frac * m)
         )
+    # ONE corpus tokenize+shingle scan for BOTH sides (r12 review
+    # find: each side previously built and persisted its own
+    # _shingle_sets over the identical universe — the dominant cost
+    # of the audit, paid twice)
+    shared = _shingle_sets(documents, nonempty=True).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if persisted_frames is not None:
+        persisted_frames.append(shared)
     truth = ngram_jaccard_pairs(
-        documents, threshold, persisted_frames=persisted_frames
+        documents, threshold, _shingles=shared
     ).select("doc_a", "doc_b")
     langs = documents.select("doc_id", "lang")
     lsh = (
         minhash_lsh_pairs(
-            documents, threshold, persisted_frames=persisted_frames
+            documents,
+            threshold,
+            persisted_frames=persisted_frames,
+            _shingles=shared,
         )
         .join(
             langs.select(
@@ -1622,18 +1670,26 @@ def _line_index_n_buckets(spark, prefix: str) -> int | None:
 
 
 def compact_line_index(
-    spark, prefix: str, n_buckets: int = 32
+    spark, prefix: str, n_buckets: int | None = None
 ) -> None:
     """Fold the append-only partials of ``{prefix}_lines`` back to
     ONE row per line_hash, bounding the store-side scan every strip
     pays (appends add a row per batch per line; after N drops a
     daily footer costs N rows until compacted).
 
+    ``n_buckets`` defaults to the LIVE table's bucket count (r12
+    review find: a fixed default silently re-bucketed a store built
+    with a different count, and the next marked append then died on
+    the bucket-mismatch guard); pass it explicitly only to
+    deliberately re-bucket.
+
     The merged aggregate is eagerly localCheckpointed BEFORE the
     overwrite — the write must not depend on the very table files it
     replaces. The checkpoint is index-aggregate-sized (one row per
     distinct line), not corpus-sized.
     """
+    if n_buckets is None:
+        n_buckets = _line_index_n_buckets(spark, prefix) or 32
     merged = (
         spark.table(f"{prefix}_lines")
         .groupBy("line_hash")
