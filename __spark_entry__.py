@@ -2897,7 +2897,7 @@ sess AS (
 SELECT e.user_id, MIN(e.t_us) AS start_us,
        MAX(e.t_us) + 1800000000 AS end_us,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CASE WHEN isnan(e.value) THEN NULL ELSE e.value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM e JOIN sess ON e.user_id = sess.user_id AND e.t_us = sess.t_us
 GROUP BY e.user_id, session_seq
 """,
@@ -3082,7 +3082,7 @@ SELECT event_type, bar_start_us,
        MIN(value) AS low_value,
        MAX(CASE WHEN rn_d = 1 THEN value END) AS close_value,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM r GROUP BY 1, 2
 """,
         "value_histogram": """
@@ -3734,7 +3734,7 @@ x AS (SELECT event_type, value, ts_us,
                - k.range * 1800000000 AS window_start_us
       FROM e CROSS JOIN range(0, 2) k)
 SELECT window_start_us, event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM x WHERE ts_us < window_start_us + 3600000000
 GROUP BY 1, 2
 """,
@@ -3920,7 +3920,7 @@ SELECT epoch_us(ts)
          - ((epoch_us(ts) % 3600000000 + 3600000000) % 3600000000)
          AS window_start_us,
        event_type, COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """,
         "sessionize": """
@@ -3936,12 +3936,13 @@ sess AS (
   FROM tagged)
 SELECT user_id, session_seq, COUNT(*) AS n_events,
        MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM sess GROUP BY 1, 2
 """,
         "asof_join": """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
-           FROM events WHERE event_type IN ('purchase', 'click')),
+           FROM events WHERE event_type IN ('purchase', 'click')
+             AND ts IS NOT NULL),
 tagged AS (
   SELECT user_id, t_us,
          CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
@@ -3962,7 +3963,8 @@ FROM carried WHERE kind = 1
 """,
         "asof_join_nearest": """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
-           FROM events WHERE event_type IN ('purchase', 'click')),
+           FROM events WHERE event_type IN ('purchase', 'click')
+             AND ts IS NOT NULL),
 tagged AS (
   SELECT user_id, t_us,
          CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
@@ -3997,7 +3999,8 @@ FROM carried WHERE kind = 1
 """,
         "asof_join_tolerance": """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
-           FROM events WHERE event_type IN ('purchase', 'click')),
+           FROM events WHERE event_type IN ('purchase', 'click')
+             AND ts IS NOT NULL),
 tagged AS (
   SELECT user_id, t_us,
          CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind,
@@ -4046,7 +4049,7 @@ SELECT CASE WHEN GROUPING(hour_us) = 1 THEN 'day' ELSE 'hour' END AS grain,
        event_type, day_us,
        COALESCE(hour_us, day_us) AS bucket_us,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM e
 GROUP BY ROLLUP (event_type, day_us, hour_us)
 HAVING GROUPING(day_us) = 0
@@ -4110,7 +4113,7 @@ FROM (SELECT customer_id FROM y95 EXCEPT SELECT customer_id FROM y96)
 WITH daily AS (
   SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
          COUNT(*) AS n_events,
-         COALESCE(SUM(CAST(value AS DECIMAL(18,2))),
+         COALESCE(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))),
                   CAST(0 AS DECIMAL(18,2))) AS val
   FROM events GROUP BY 1, 2),
 bounds AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
@@ -4141,7 +4144,7 @@ GROUP BY 1
 SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
        COUNT(DISTINCT user_id) AS n_users,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1
 """,
     }
@@ -4170,7 +4173,7 @@ FROM rid GROUP BY doc_id, run_id
 daily AS (
   SELECT epoch_us(ts) // 86400000000 AS day_idx, event_type,
          COUNT(*) AS n_events,
-         COALESCE(SUM(CAST(value AS DECIMAL(18,2))),
+         COALESCE(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))),
                   CAST(0 AS DECIMAL(18,2))) AS val
   FROM events GROUP BY 1, 2),
 bounds AS (SELECT MIN(day_idx) AS lo, MAX(day_idx) AS hi FROM daily),
@@ -4466,7 +4469,8 @@ WHERE value > p99
 """
     out["asof_join_forward"] = """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us
-           FROM events WHERE event_type IN ('purchase', 'click')),
+           FROM events WHERE event_type IN ('purchase', 'click')
+             AND ts IS NOT NULL),
 tagged AS (
   SELECT user_id, t_us,
          CASE WHEN event_type = 'click' THEN 2 ELSE 1 END AS kind,
@@ -5053,7 +5057,7 @@ FROM ev GROUP BY 1
     out["cusum_changepoint"] = """
 WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
 d AS (SELECT event_type, t_us // 86400000000 AS day_idx,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS x
+             CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS x
       FROM e GROUP BY 1, 2),
 tot AS (SELECT event_type, CAST(COUNT(*) AS DECIMAL(10,0)) AS n,
                CAST(SUM(x) AS DECIMAL(28,2)) AS s
@@ -5078,7 +5082,7 @@ FROM r WHERE rn = 1
     out["trend_fit"] = """
 WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events),
 d AS (SELECT event_type, t_us // 86400000000 AS x,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS y
+             CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DECIMAL(19,2)) AS y
       FROM e GROUP BY 1, 2),
 m AS (SELECT event_type, COUNT(*) AS n,
              CAST(SUM(x) AS BIGINT) AS sx,
@@ -5105,7 +5109,7 @@ WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
                   value FROM events
            WHERE user_id IS NOT NULL AND ts IS NOT NULL),
 conv AS (SELECT event_id AS conv_id, user_id, t_us AS conv_us,
-                CAST(value AS DECIMAL(18,2)) AS conv_value
+                CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2)) AS conv_value
          FROM e WHERE event_type = 'purchase'),
 probes AS (SELECT user_id AS p_user, event_type AS channel,
                   t_us AS p_t_us
@@ -5350,7 +5354,8 @@ FROM g WHERE gap_end_us - gap_start_us > 3600000000
 """
     out["merge_intervals"] = """
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS start_us,
-                  epoch_us(ts) + 1800000000 AS end_us FROM events),
+                  epoch_us(ts) + 1800000000 AS end_us FROM events
+           WHERE ts IS NOT NULL),
 t AS (SELECT *,
         CASE WHEN max(end_us) OVER pre IS NULL
                OR start_us > max(end_us) OVER pre
@@ -5531,10 +5536,10 @@ FROM tb JOIN n USING (doc_id)
 """
     out["ewma_daily"] = """
 WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events
-           WHERE value IS NOT NULL),
+           WHERE value IS NOT NULL AND NOT isnan(value)),
 d AS (SELECT event_type,
              (t_us // 86400000000) * 86400000000 AS day_us,
-             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+             CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE)
                AS total_value
       FROM e GROUP BY 1, 2),
 s AS (SELECT *, list(total_value)
@@ -5554,7 +5559,7 @@ g AS (SELECT event_type,
              value
       FROM e),
 a AS (SELECT event_type, weekday, hour, COUNT(*) AS n_events,
-             SUM(CAST(value AS DECIMAL(18,2))) AS tot
+             SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS tot
       FROM g GROUP BY 1, 2, 3)
 SELECT event_type, weekday, hour, n_events,
        CAST(tot AS DOUBLE) AS total_value,
@@ -5700,7 +5705,7 @@ FROM s
 WITH e AS (SELECT event_type, epoch_us(ts) AS t_us, value FROM events)
 SELECT (t_us - (t_us % 86400000000)) AS day_us, event_type,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+       CAST(SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM e GROUP BY 1, 2
 """
     out["hot_keys"] = """
@@ -6194,7 +6199,7 @@ sess AS (
   FROM tagged),
 s AS (SELECT user_id, session_seq, COUNT(*) AS n_events,
              MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-             SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+             SUM(CAST(CASE WHEN isnan(value) THEN NULL ELSE value END AS DECIMAL(18,2))) AS total_value
       FROM sess GROUP BY 1, 2),
 f AS (SELECT *, session_seq < MAX(session_seq)
                   OVER (PARTITION BY user_id) AS closed

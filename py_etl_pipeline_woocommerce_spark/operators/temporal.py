@@ -28,6 +28,18 @@ HOUR_US = 3_600_000_000
 DAY_US = 86_400_000_000
 
 
+def _money_value(col: str = "value"):
+    """events.value → exact money decimal with NaN EXPLICITLY treated
+    as missing: ANSI Spark silently casts NaN→DECIMAL to NULL while
+    DuckDB ERRORS on the same cast, so relying on the implicit cast
+    made the policy invisible and the oracle inexpressible (r12
+    review find). Nulling first is deliberate and has the exact SQL
+    twin ``CASE WHEN isnan(value) THEN NULL ELSE value END``. NULL
+    stays NULL (isnan(NULL) is false)."""
+    c = F.col(col)
+    return dec_money(F.when(~F.isnan(c), c))
+
+
 def _day_idx_col():
     """Canonical epoch-day index: exact INTEGER division of t_us.
     The once-common ``(t_us / DAY_US).cast('bigint')`` double-division
@@ -49,6 +61,24 @@ def _ts_us(events: DataFrame) -> DataFrame:
         "event_type",
         F.expr(TS_US_FLOOR).alias("t_us"),
         "value",
+    )
+
+
+def _mask_tolerance(out, tolerance_us):
+    """Shared tolerance mask of asof_join's three direction branches
+    (two verbatim copies until r12): a match farther than the
+    tolerance is NO match — the left row survives with NULL asof
+    columns, like a row with no candidate at all."""
+    if tolerance_us is None:
+        return out
+    within = F.col("gap_us") <= tolerance_us
+    return out.select(
+        "event_id",
+        "user_id",
+        "t_us",
+        F.when(within, F.col("asof_event_id")).alias("asof_event_id"),
+        F.when(within, F.col("asof_t_us")).alias("asof_t_us"),
+        F.when(within, F.col("gap_us")).alias("gap_us"),
     )
 
 
@@ -95,7 +125,11 @@ def asof_join(
             "asof_join: direction must be 'backward', 'forward', or "
             f"'nearest', got {direction!r}"
         )
-    e = _ts_us(events)
+    # a timeless event neither matches nor is matched: NULL-ts rows
+    # would otherwise sort NULLS-FIRST in Spark's per-user window but
+    # NULLS-LAST in the DuckDB oracle, silently flipping which right
+    # event the carry sees (r12 review find; oracle in lockstep)
+    e = _ts_us(events).filter(F.col("t_us").isNotNull())
     if direction == "nearest":
         right = e.filter(F.col("event_type") == right_type).select(
             "user_id", "t_us", F.lit(0).alias("kind"), "event_id"
@@ -141,19 +175,7 @@ def asof_join(
             .alias("asof_t_us"),
             F.when(use_b, bgap).otherwise(fgap).alias("gap_us"),
         )
-        if tolerance_us is not None:
-            within = F.col("gap_us") <= tolerance_us
-            out = out.select(
-                "event_id",
-                "user_id",
-                "t_us",
-                F.when(within, F.col("asof_event_id")).alias(
-                    "asof_event_id"
-                ),
-                F.when(within, F.col("asof_t_us")).alias("asof_t_us"),
-                F.when(within, F.col("gap_us")).alias("gap_us"),
-            )
-        return out
+        return _mask_tolerance(out, tolerance_us)
     backward = direction == "backward"
     right_kind = 0 if backward else 2
     right = e.filter(F.col("event_type") == right_type).select(
@@ -189,17 +211,7 @@ def asof_join(
         "asof_t_us",
         gap.alias("gap_us"),
     )
-    if tolerance_us is not None:
-        within = F.col("gap_us") <= tolerance_us
-        out = out.select(
-            "event_id",
-            "user_id",
-            "t_us",
-            F.when(within, F.col("asof_event_id")).alias("asof_event_id"),
-            F.when(within, F.col("asof_t_us")).alias("asof_t_us"),
-            F.when(within, F.col("gap_us")).alias("gap_us"),
-        )
-    return out
+    return _mask_tolerance(out, tolerance_us)
 
 
 def range_join_window(
@@ -225,7 +237,7 @@ def range_join_window(
     probes = e.filter(F.col("event_type") == probe_type).select(
         F.col("user_id").alias("p_user"),
         F.col("t_us").alias("p_t_us"),
-        (F.col("t_us") / F.lit(window_us)).cast("bigint").alias("p_bucket"),
+        F.expr(f"t_us div {int(window_us)}").alias("p_bucket"),
         "value",
     )
     cand = anchors.select(
@@ -234,8 +246,8 @@ def range_join_window(
         "t_us",
         F.explode(
             F.array(
-                (F.col("t_us") / F.lit(window_us)).cast("bigint"),
-                (F.col("t_us") / F.lit(window_us)).cast("bigint") - 1,
+                F.expr(f"t_us div {int(window_us)}"),
+                F.expr(f"t_us div {int(window_us)}") - 1,
             )
         ).alias("bucket"),
     )
@@ -252,7 +264,7 @@ def range_join_window(
         .groupBy("event_id")
         .agg(
             F.count(F.lit(1)).alias("n_probe"),
-            F.sum(dec_money("value")).alias("_sum_dec"),
+            F.sum(_money_value()).alias("_sum_dec"),
         )
     )
     return anchors.join(hits, "event_id", "left").select(
@@ -279,12 +291,12 @@ def multires_rollup(events: DataFrame) -> DataFrame:
     bucketed = e.select(
         "event_type",
         (_day_idx_col() * DAY_US).alias("day_us"),
-        ((F.col("t_us") / HOUR_US).cast("bigint") * HOUR_US).alias("hour_us"),
+        (F.expr(f"t_us div {HOUR_US}") * HOUR_US).alias("hour_us"),
         "value",
     )
     agg = bucketed.rollup("event_type", "day_us", "hour_us").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec_money("value")).cast("double").alias("total_value"),
+        F.sum(_money_value()).cast("double").alias("total_value"),
         F.grouping("day_us").alias("_gd"),
         F.grouping("hour_us").alias("_gh"),
     )
@@ -335,7 +347,7 @@ def daily_active_users(events: DataFrame) -> DataFrame:
     return e.groupBy(day).agg(
         F.countDistinct("user_id").alias("n_users"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec_money("value")).cast("double").alias("total_value"),
+        F.sum(_money_value()).cast("double").alias("total_value"),
     )
 
 
@@ -362,7 +374,7 @@ def _day_grid(events: DataFrame):
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.coalesce(
-            F.sum(dec_money("value")), F.lit(0).cast("decimal(18,2)")
+            F.sum(_money_value()), F.lit(0).cast("decimal(18,2)")
         ).alias("_val"),
     ).localCheckpoint(eager=False)
     bounds = daily.agg(
@@ -537,7 +549,7 @@ def ohlc_bars(events: DataFrame, bar_us: int = DAY_US) -> DataFrame:
         F.min("value").alias("low_value"),
         F.max(F.when(F.col("_rn_d") == 1, F.col("value"))).alias("close_value"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec_money(F.col("value"))).cast("double").alias("total_value"),
+        F.sum(_money_value()).cast("double").alias("total_value"),
     )
 
 
@@ -604,7 +616,7 @@ def dau_sketch_rollup(events: DataFrame, days_per_window: int = 7) -> DataFrame:
             F.hll_sketch_estimate("sketch").alias("day_estimate"),
         )
     )
-    win = (F.col("day_idx") / days_per_window).cast("bigint")
+    win = F.expr(f"day_idx div {int(days_per_window)}")
     return (
         daily.groupBy(win.alias("window_idx"))
         .agg(
@@ -765,13 +777,13 @@ def seasonal_profile(events: DataFrame) -> DataFrame:
         e.select(
             "event_type",
             F.expr(f"(t_us % {DAY_US}) div {HOUR_US}").alias("hour"),
-            F.expr(f"((t_us div {DAY_US}) + 3) % 7").alias("weekday"),
+            ((_day_idx_col() + 3) % 7).alias("weekday"),
             "value",
         )
         .groupBy("event_type", "weekday", "hour")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(dec_money("value")).alias("_total"),
+            F.sum(_money_value()).alias("_total"),
         )
     )
     return grouped.select(
@@ -837,14 +849,17 @@ def ewma_daily(events: DataFrame, alpha: float = 0.2) -> DataFrame:
     type's day-prefix (O(days²) per type in memory terms), bounded by
     the calendar, not the data.
     """
-    # NULL-value events carry no observation: a day whose events
-    # were ALL NULL would aggregate total_value NULL, which Spark's
-    # collect_list silently skips while DuckDB's list() keeps —
-    # poisoning the oracle's fold NULL from that day on. Excluding
+    # NULL- and NaN-value events carry no observation: a day whose
+    # events were ALL NULL/NaN would aggregate total_value NULL,
+    # which Spark's collect_list silently skips while DuckDB's list()
+    # keeps — poisoning the oracle's fold NULL from that day on (and
+    # crashing element_at when it is a type's FIRST day). Excluding
     # them up front makes a value-less day simply ABSENT from the
     # daily series (like a day with no events at all), identically
     # on both engines (oracle in lockstep).
-    e = _ts_us(events).filter(F.col("value").isNotNull())
+    e = _ts_us(events).filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
     daily = (
         e.select(
             "event_type",
@@ -854,7 +869,7 @@ def ewma_daily(events: DataFrame, alpha: float = 0.2) -> DataFrame:
             "value",
         )
         .groupBy("event_type", "day_us")
-        .agg(F.sum(dec_money("value")).cast("double").alias("total_value"))
+        .agg(F.sum(_money_value()).cast("double").alias("total_value"))
     )
     w = (
         Window.partitionBy("event_type")
@@ -1048,7 +1063,7 @@ def daily_value_percentiles(
         else F.percentile_approx("value", ps).cast("array<double>")
     )
     agg = e.groupBy(
-        "event_type", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+        "event_type", _day_idx_col().alias("day_idx")
     ).agg(pct.alias("_p"), F.count(F.lit(1)).alias("n_events"))
     return agg.select(
         "event_type",
@@ -1088,13 +1103,16 @@ def equidepth_histogram(
     # shifting every bucket boundary by the NULL count (oracle in
     # lockstep)
     e = _ts_us(events).filter(F.col("value").isNotNull())
-    if exact:
+    if bins < 2:  # degenerate: no edges to cut, one bucket — hoisted
+        # ABOVE the exact branch so both precision modes agree
+        # (exact=True used to reach ntile(bins<=0) and fail at
+        # runtime; "same output schema either way" promised otherwise)
+        binned = e.select("event_type", "value", F.lit(1).alias("bin"))
+    elif exact:
         w = Window.partitionBy("event_type").orderBy("value", "event_id")
         binned = e.select(
             "event_type", "value", F.ntile(bins).over(w).alias("bin")
         )
-    elif bins < 2:  # degenerate: no edges to cut, one bucket
-        binned = e.select("event_type", "value", F.lit(1).alias("bin"))
     else:
         fr = ", ".join(str(i / bins) for i in range(1, bins))
         edges = e.groupBy("event_type").agg(
@@ -1137,7 +1155,7 @@ def seasonal_anomaly(
     """
     e = _ts_us(events)
     daily = e.groupBy(
-        "event_type", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+        "event_type", _day_idx_col().alias("day_idx")
     ).agg(F.count(F.lit(1)).alias("n_events"))
     # two consumers (the weekday baseline + the flag join) — pin the
     # (type, day) aggregate or the raw scan re-runs per consumer
@@ -1236,11 +1254,20 @@ def merge_intervals(
     total presence without double-counting overlaps — the number raw
     ``count(*) × ttl`` overstates.
     """
-    e = _ts_us(events).select(
-        "user_id",
-        "event_id",
-        F.col("t_us").alias("start_us"),
-        (F.col("t_us") + F.lit(ttl_us)).alias("end_us"),
+    # a NULL-ts event has no presence span: dropped explicitly, or
+    # Spark's NULLS-FIRST window order would mint a phantom
+    # NULL-bounds island while DuckDB's NULLS-LAST merges the row
+    # into the user's LAST island (r12 review find; oracle in
+    # lockstep)
+    e = (
+        _ts_us(events)
+        .filter(F.col("t_us").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            F.col("t_us").alias("start_us"),
+            (F.col("t_us") + F.lit(ttl_us)).alias("end_us"),
+        )
     )
     order = Window.partitionBy("user_id").orderBy("start_us", "event_id")
     prev_max_end = F.max("end_us").over(
@@ -1449,7 +1476,7 @@ def dayn_retention(
     # THREE consumers (firsts, max_day, the active probe join) — pin
     # or the distinct scan re-runs per consumer
     days = e.select(
-        "user_id", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+        "user_id", _day_idx_col().alias("day_idx")
     ).distinct().localCheckpoint(eager=False)
     firsts = days.groupBy("user_id").agg(F.min("day_idx").alias("first_day"))
     max_day = days.agg(F.max("day_idx").alias("max_day"))
@@ -1528,11 +1555,11 @@ def cusum_changepoint(events: DataFrame) -> DataFrame:
     daily = (
         e.select(
             "event_type",
-            F.expr(f"t_us div {DAY_US}").alias("day_idx"),
+            _day_idx_col().alias("day_idx"),
             "value",
         )
         .groupBy("event_type", "day_idx")
-        .agg(F.sum(dec_money("value")).cast("decimal(28,2)").alias("x"))
+        .agg(F.sum(_money_value()).cast("decimal(28,2)").alias("x"))
         # two consumers (totals + the cumulative select) — pin the
         # aggregated frame or the raw scan re-runs per consumer
         .localCheckpoint(eager=False)
@@ -1598,11 +1625,11 @@ def trend_fit(events: DataFrame) -> DataFrame:
     daily = (
         e.select(
             "event_type",
-            F.expr(f"t_us div {DAY_US}").alias("x"),
+            _day_idx_col().alias("x"),
             "value",
         )
         .groupBy("event_type", "x")
-        .agg(F.sum(dec_money("value")).cast("decimal(28,2)").alias("y"))
+        .agg(F.sum(_money_value()).cast("decimal(28,2)").alias("y"))
     )
     m = daily.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1647,7 +1674,7 @@ def user_streaks(events: DataFrame) -> DataFrame:
     """
     e = _ts_us(events)
     days = e.select(
-        "user_id", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+        "user_id", _day_idx_col().alias("day_idx")
     ).distinct()
     w = Window.partitionBy("user_id").orderBy("day_idx")
     runs = days.withColumn(
@@ -1676,11 +1703,18 @@ def dau_new_vs_returning(events: DataFrame) -> DataFrame:
     """
     e = _ts_us(events)
     days = e.select(
-        "user_id", F.expr(f"t_us div {DAY_US}").alias("day_idx")
+        "user_id", _day_idx_col().alias("day_idx")
     ).distinct()
     w = Window.partitionBy("user_id")
     tagged = days.withColumn(
-        "is_new", (F.col("day_idx") == F.min("day_idx").over(w)).cast("int")
+        "is_new",
+        # coalesce: the NULL-ts day group compares NULL == min → NULL,
+        # which would ripple NULL n_new/n_returning/new_share while
+        # the oracle's CASE ... ELSE 0 yields 0 (r12 review find)
+        F.coalesce(
+            (F.col("day_idx") == F.min("day_idx").over(w)).cast("int"),
+            F.lit(0),
+        ),
     )
     return (
         tagged.groupBy("day_idx")

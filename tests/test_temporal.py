@@ -796,3 +796,112 @@ def test_interarrival_stats_hand_computed(spark):
     assert a.n_gaps == 3
     assert a.p50_us == 100.0 and a.mean_us == (100 + 0 + 300) // 3
     assert "b" not in out
+
+
+def _ev_nullable(spark, rows):
+    # like _ev but keeps NULL ts (None stays None, no ns multiply)
+    return spark.createDataFrame(
+        [
+            (i, None if t is None else t * 1000, u, ty, v, "{}")
+            for i, t, u, ty, v in rows
+        ],
+        SCHEMA,
+    )
+
+
+def test_ewma_daily_all_nan_first_day_dropped(spark):
+    """r12 review find: a type whose FIRST day carries only NaN
+    values used to crash element_at under ANSI (empty series); now
+    NaN observations are excluded like NULLs, so the day is simply
+    absent and the fold seeds on the first real day."""
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        DAY_US,
+        ewma_daily,
+    )
+
+    D = DAY_US  # rows carry µs; DAY_US is already µs
+    rows = [
+        (1, 0, 1, "a", float("nan")),       # day 0: all NaN -> absent
+        (2, 1 * D, 1, "a", 5.0),            # day 1: seeds the fold
+        (3, 2 * D, 1, "a", float("nan")),   # mid-series NaN only
+        (4, 2 * D + 5, 1, "a", 3.0),        # ...but day 2 has a real obs
+    ]
+    out = sorted(ewma_daily(_ev(spark, rows)).collect(), key=lambda r: r.day_us)
+    assert [r.day_us // DAY_US for r in out] == [1, 2]
+    assert out[0].ewma == 5.0
+    assert abs(out[1].ewma - (0.2 * 3.0 + 0.8 * 5.0)) < 1e-9
+
+
+def test_merge_intervals_null_ts_dropped(spark):
+    """r12 review find: a NULL-ts event formed a phantom NULL-bounds
+    island engine-side (and merged into the LAST island oracle-side);
+    now a timeless event carries no presence span."""
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        merge_intervals,
+    )
+
+    rows = [
+        (1, 1_000_000, 7, "a", 0.0),
+        (2, None, 7, "a", 0.0),
+        (3, 5_000_000_000, 7, "a", 0.0),
+    ]
+    out = merge_intervals(_ev_nullable(spark, rows), ttl_us=1_000_000).collect()
+    assert len(out) == 2
+    assert all(r.start_us is not None and r.end_us is not None for r in out)
+    assert sum(r.n_events for r in out) == 2
+
+
+def test_asof_join_null_ts_rows_excluded(spark):
+    """r12 review find: NULL-ts rows sorted NULLS-FIRST in Spark but
+    NULLS-LAST in the oracle, flipping the carried match; both sides
+    now drop them — a timeless event neither matches nor is matched."""
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import asof_join
+
+    rows = [
+        (1, 100, 7, "click", 0.0),
+        (2, None, 7, "purchase", 1.0),   # timeless left: no output row
+        (3, 200, 7, "purchase", 2.0),
+        (4, None, 7, "click", 0.0),      # timeless right: never matched
+    ]
+    for direction in ("backward", "forward", "nearest"):
+        out = asof_join(
+            _ev_nullable(spark, rows), direction=direction
+        ).collect()
+        assert [r.event_id for r in out] == [3]
+        if direction != "forward":
+            assert out[0].asof_event_id == 1
+
+
+def test_dau_new_vs_returning_null_day_group_zero_split(spark):
+    """r12 review find: the NULL-day group's is_new comparison is
+    NULL, which used to ripple NULL n_new/n_returning/new_share; the
+    oracle's CASE ... ELSE 0 semantics now hold engine-side too."""
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        dau_new_vs_returning,
+    )
+
+    rows = [(1, None, 7, "a", 0.0), (2, None, 8, "a", 0.0)]
+    out = dau_new_vs_returning(_ev_nullable(spark, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.day_us is None
+    assert (r.n_active, r.n_new, r.n_returning) == (2, 0, 2)
+    assert r.new_share == 0.0
+
+
+def test_equidepth_histogram_degenerate_bins_both_modes(spark):
+    """r12 review find: bins<2 fell back to one bucket only on the
+    approx branch; exact=True reached ntile(0) and failed. The two
+    precision modes must agree on the same degenerate input."""
+    from py_etl_pipeline_woocommerce_spark.operators.temporal import (
+        equidepth_histogram,
+    )
+
+    rows = [(1, 100, 7, "a", 1.0), (2, 200, 7, "a", 9.0)]
+    for exact in (False, True):
+        out = equidepth_histogram(
+            _ev(spark, rows), bins=0, exact=exact
+        ).collect()
+        assert len(out) == 1
+        assert (out[0].bin, out[0].n_events) == (1, 2)
+        assert (out[0].lo, out[0].hi) == (1.0, 9.0)
