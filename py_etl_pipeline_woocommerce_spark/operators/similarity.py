@@ -204,6 +204,13 @@ def cosine_dup_pairs(
     B = n_blocks
     if kernel == "pandas":
         return _cosine_dup_pairs_pandas(embeddings, threshold, B)
+    if kernel != "sql":
+        # a typo ('Pandas', 'arrow') used to fall through SILENTLY to
+        # the order-of-magnitude-slower SQL kernel (r12 review find)
+        raise ValueError(
+            f"cosine_dup_pairs: kernel must be 'sql' or 'pandas', "
+            f"got {kernel!r}"
+        )
     left = _prepped(embeddings, "ida", "ea", "na").withColumn(
         "ba", F.pmod(F.col("ida"), F.lit(B))
     )
@@ -442,9 +449,28 @@ def ann_lsh_topk(
     q = q0.withColumn("bucket", F.explode(F.array(*probes))).select(
         "query_id", "q_emb", "q_nrm", "bucket"
     )
+    # loud dim-mismatch guard (score_embeddings' convention, r12
+    # review find): a vector whose length != dim would zip_with
+    # null-pad, NULL every plane dot and bucket signature, and the
+    # bucket equi-join would return ZERO rows with no error — an
+    # empty "approximate" answer indistinguishable from no-neighbors.
+    # One per-row size check on the corpus side catches the whole
+    # family (the query side is the same table).
     c = _prepped(embeddings, "neighbor_id", "c_emb", "c_nrm").withColumn(
-        "bucket", signature_col("c_emb")
-    )
+        "c_emb",
+        F.when(F.size("c_emb") == dim, F.col("c_emb")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"ann_lsh_topk: dim={dim} hyperplanes requested "
+                        "but embedding has "
+                    ),
+                    F.size("c_emb").cast("string"),
+                    F.lit(" dims — pass dim=<table dim>"),
+                )
+            )
+        ),
+    ).withColumn("bucket", signature_col("c_emb"))
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -537,12 +563,18 @@ def ivf_centroids(
     return cents
 
 
-def assign_to_centroids(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_to_centroids(
+    embeddings: DataFrame, centroids: DataFrame, with_dist: bool = False
+) -> DataFrame:
     """Nearest-centroid assignment (squared L2), centroids broadcast.
 
     One scan of the corpus; the k×dim centroid table rides along as a
     broadcast literal-sized side. Ties break to the lower centroid id
-    (min_by over (dist, id))."""
+    (min_by over (dist, id)). ``with_dist=True`` also surfaces the
+    winning squared distance as ``dist_sq`` — the struct-min already
+    computed it, and cluster_stats used to pay a SECOND corpus-wide
+    broadcast join + 64-element fold to recompute it (r12 review
+    find)."""
     l2 = F.aggregate(
         F.zip_with(
             "embedding",
@@ -561,16 +593,19 @@ def assign_to_centroids(embeddings: DataFrame, centroids: DataFrame) -> DataFram
     # shuffle carries ONE row per vector instead of the n·k rows a
     # rank window would move (k× the corpus at the default k=16);
     # lexicographic struct order = the documented (dist, id) tie-break
+    cols = [
+        "vec_id",
+        F.col("_b.embedding").alias("embedding"),
+        F.col("_b.centroid_id").alias("centroid_id"),
+    ]
+    if with_dist:
+        cols.append(F.col("_b._d").alias("dist_sq"))
     return (
         scored.groupBy("vec_id")
         .agg(
             F.min(F.struct("_d", "centroid_id", "embedding")).alias("_b")
         )
-        .select(
-            "vec_id",
-            F.col("_b.embedding").alias("embedding"),
-            F.col("_b.centroid_id").alias("centroid_id"),
-        )
+        .select(*cols)
     )
 
 
@@ -886,7 +921,7 @@ def ann_quantized_topk(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
     ranges = _dim_ranges(e)
-    _mn_, _scale_, _code = _quant_fns(bits)
+    _, _, _code = _quant_fns(bits)  # only the code fn is used here
     # coded feeds BOTH the query slice and the corpus side — pin it or
     # the _dim_ranges aggregate + full-corpus quantization run twice
     coded = e.join(F.broadcast(ranges)).select(
@@ -1206,32 +1241,23 @@ def cluster_stats(
     it (one empty or giant cell ruins both recall and Σ|cell|²).
 
     Reuses the deterministic Lloyd fit (``ivf_centroids``) and the
-    broadcast nearest-centroid assignment; distances are recomputed
-    in the same scan that aggregates (k×dim broadcast, no extra
-    shuffle beyond the k-row aggregate). Rows-only driver check
+    broadcast nearest-centroid assignment; the winning distance is
+    surfaced BY the assignment (with_dist) so the aggregate adds no
+    second distance pass (no extra shuffle beyond the k-row
+    aggregate). Rows-only driver check
     (centroids aren't SQL); pytest asserts sizes sum to the corpus,
     inertia is non-negative and decreases with more iterations.
     """
     cents = ivf_centroids(embeddings, n_centroids, iterations)
-    assigned = assign_to_centroids(embeddings, cents)
-    l2 = F.aggregate(
-        F.zip_with(
-            "embedding",
-            F.col("centroid"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    stats = (
-        assigned.join(F.broadcast(cents), "centroid_id")
-        .withColumn("_d", l2)
-        .groupBy("centroid_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.sum("_d"), 6).alias("inertia"),
-            F.round(F.avg(F.sqrt(F.col("_d"))), 6).alias("mean_dist"),
-        )
+    # with_dist: the assignment's struct-min already computed the
+    # winning distance — re-joining centroids and re-folding 64
+    # elements per row just to recompute it was a second full
+    # corpus-wide distance pass (r12 review find)
+    assigned = assign_to_centroids(embeddings, cents, with_dist=True)
+    stats = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.sum("dist_sq"), 6).alias("inertia"),
+        F.round(F.avg(F.sqrt(F.col("dist_sq"))), 6).alias("mean_dist"),
     )
     # LEFT join from the centroid list: an EMPTY cell — the exact
     # pathology this report exists to surface — must appear as
@@ -1325,16 +1351,25 @@ def embedding_outliers(
     scored = e.join(F.broadcast(cent)).select(
         "vec_id", F.sqrt(dist_sq).alias("_dist")
     )
+    # with_b (the distance scan) feeds the histogram AND the ranked
+    # join; counts feeds the cumsum AND the total — pin both per the
+    # module's multi-consumer convention, and derive the total from
+    # the bucket-sized counts frame instead of a third corpus scan
+    # (r12 review find)
     with_b = scored.withColumn(
         "_b", F.floor(F.col("_dist") * F.lit(1000.0)).cast("bigint")
+    ).localCheckpoint(eager=False)
+    counts = (
+        with_b.groupBy("_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
     )
-    hist = with_b.groupBy("_b").agg(F.count(F.lit(1)).alias("_n"))
     wcum = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
-    hist = hist.select(
+    hist = counts.select(
         "_b",
         F.coalesce(F.sum("_n").over(wcum), F.lit(0)).alias("_below"),
     )
-    total = with_b.groupBy().agg(F.count(F.lit(1)).alias("_N"))
+    total = counts.groupBy().agg(F.sum("_n").cast("bigint").alias("_N"))
     win = Window.partitionBy("_b").orderBy("_dist", "vec_id")
     ranked = (
         with_b.join(F.broadcast(hist), "_b")
@@ -1354,41 +1389,18 @@ def embedding_outliers(
     )
 
 
-def ann_recall_audit(
-    embeddings: DataFrame,
-    n_queries: int = 8,
-    k: int = 5,
-    n_planes: int = 4,
-    dim: int = 64,
-    n_probe: int = 8,
-) -> DataFrame:
-    """Recall@k audit of the LSH ANN path against the exact top-k —
-    the ANN twin of ``dedup_audit``: measure the approximation before
-    trusting a bucket geometry at a new (n_planes, n_probe), instead
-    of guessing. Both sides are the already-verified operators; the
-    audit adds one pair-keyed join and a 1-row aggregate.
-
-    Output is ONE row: n_queries, n_exact_pairs, n_lsh_pairs,
-    n_hits, overall_recall (Σhits/Σexact — a single division, so the
-    float is engine-exact), min_query_recall (worst query's
-    hits/k — each ratio is one int/int division, min is order-free).
-
-    At 100 TB run it on a sampled query set (``n_queries`` IS the
-    sample — recall is a property of the bucket geometry, not the
-    query count), against the full corpus: the exact side is one
-    broadcast-queries scan, the expensive thing this audit exists to
-    avoid running routinely.
-    """
-    exact = ann_topk(embeddings, n_queries, k).select(
-        "query_id", "neighbor_id"
-    )
-    approx = ann_lsh_topk(
-        embeddings, n_queries, k, n_planes=n_planes, dim=dim,
-        n_probe=n_probe, _cost_hint=False,
-    ).select("query_id", "neighbor_id")
-    per_q = exact.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n_exact")
-    )
+def _audit_core(exact, approx, per_q=None):
+    """Shared per-query recall aggregation of ``ann_recall_audit``
+    and ``ann_tune_geometry`` (near-verbatim copies until r12 — a
+    denominator or rounding drift between them would silently make
+    the tuner's selection metric diverge from the audit it claims to
+    run). Returns ONE row: n_queries, n_exact_pairs, n_hits,
+    overall_recall, min_query_recall, n_lsh_pairs. ``per_q`` lets the
+    tuner reuse one exact-side aggregate across candidates."""
+    if per_q is None:
+        per_q = exact.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_exact")
+        )
     hits_q = (
         exact.join(approx, ["query_id", "neighbor_id"])
         .groupBy("query_id")
@@ -1419,14 +1431,50 @@ def ann_recall_audit(
             ).alias("min_query_recall"),
         )
         .join(F.broadcast(n_lsh))
-        .select(
-            "n_queries",
-            "n_exact_pairs",
-            F.col("n_lsh_pairs").cast("bigint").alias("n_lsh_pairs"),
-            "n_hits",
-            "overall_recall",
-            "min_query_recall",
-        )
+    )
+
+
+def ann_recall_audit(
+    embeddings: DataFrame,
+    n_queries: int = 8,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Recall@k audit of the LSH ANN path against the exact top-k —
+    the ANN twin of ``dedup_audit``: measure the approximation before
+    trusting a bucket geometry at a new (n_planes, n_probe), instead
+    of guessing. Both sides are the already-verified operators; the
+    audit adds one pair-keyed join and a 1-row aggregate.
+
+    Output is ONE row: n_queries, n_exact_pairs, n_lsh_pairs,
+    n_hits, overall_recall (Σhits/Σexact — a single division, so the
+    float is engine-exact), min_query_recall (worst query's
+    hits/n_exact, i.e. against the exact neighbors that query HAS —
+    fewer than k on a tiny corpus; each ratio is one int/int
+    division, min is order-free).
+
+    At 100 TB run it on a sampled query set (``n_queries`` IS the
+    sample — recall is a property of the bucket geometry, not the
+    query count), against the full corpus: the exact side is one
+    broadcast-queries scan, the expensive thing this audit exists to
+    avoid running routinely.
+    """
+    exact = ann_topk(embeddings, n_queries, k).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ann_lsh_topk(
+        embeddings, n_queries, k, n_planes=n_planes, dim=dim,
+        n_probe=n_probe, _cost_hint=False,
+    ).select("query_id", "neighbor_id")
+    return _audit_core(exact, approx).select(
+        "n_queries",
+        "n_exact_pairs",
+        F.col("n_lsh_pairs").cast("bigint").alias("n_lsh_pairs"),
+        "n_hits",
+        "overall_recall",
+        "min_query_recall",
     )
 
 
@@ -1493,35 +1541,8 @@ def ann_tune_geometry(
             n_probe=n_probe,
             _cost_hint=False,
         ).select("query_id", "neighbor_id")
-        hits_q = (
-            exact.join(approx, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-        )
-        per = per_q.join(hits_q, "query_id", "left").select(
-            "query_id",
-            "n_exact",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-        )
-        n_lsh = approx.groupBy().agg(
-            F.count(F.lit(1)).alias("n_lsh_pairs")
-        )
         one = (
-            per.groupBy()
-            .agg(
-                F.sum("n_exact").cast("bigint").alias("n_exact_pairs"),
-                F.sum("n_hits").cast("bigint").alias("n_hits"),
-                F.round(
-                    F.sum("n_hits").cast("double") / F.sum("n_exact"), 6
-                ).alias("overall_recall"),
-                F.round(
-                    F.min(
-                        F.col("n_hits").cast("double") / F.col("n_exact")
-                    ),
-                    6,
-                ).alias("min_query_recall"),
-            )
-            .join(F.broadcast(n_lsh))
+            _audit_core(exact, approx, per_q=per_q)
             .select(
                 F.lit(n_planes).cast("int").alias("n_planes"),
                 F.lit(n_probe).cast("int").alias("n_probe"),
@@ -1586,6 +1607,16 @@ def tuned_geometry(
     )
     rows = [r for r in tuned.collect() if r["chosen"]]
     chosen = rows[0]
+    if chosen["overall_recall"] is None:
+        # the exact side measured NOTHING (no valid query vectors) —
+        # every candidate tied at NULL recall and the "chosen" row is
+        # an arbitrary tie-break. Serving it silently would deploy an
+        # un-audited geometry (r12 review find); refuse loudly.
+        raise ValueError(
+            "ann_tune_geometry measured no recall signal (the exact "
+            "side returned zero rows — no valid vectors with vec_id "
+            f"< n_queries={n_queries}); cannot choose a geometry"
+        )
     _LOG.info(
         "ann tuned geometry: n_planes=%d n_probe=%d "
         "(overall_recall=%.4f, expected_scan_frac=%.4f, target=%.2f)",

@@ -712,8 +712,9 @@ def test_dedup_audit_persisted_frames_escape_hatch(spark):
     )
     frames = []
     dedup_audit(docs, persisted_frames=frames).collect()
-    # one shingle frame from the exact join + shingles/bands from LSH
-    assert len(frames) == 3
+    # ONE shared shingle frame (r12: both sides tokenize once) + the
+    # LSH band table
+    assert len(frames) == 2
     for f in frames:
         assert f.storageLevel.useMemory or f.storageLevel.useDisk
         f.unpersist()
