@@ -27,6 +27,10 @@ FIT_REQUIRES_ROWS = {
     # zorder_cluster: percentile edges can't be fit on zero rows;
     # raises the documented misconfiguration ValueError
     "zorder_digest": ValueError,
+    # ann_serve_tuned: the geometry fit (ann_tune_geometry) measures
+    # recall against the exact side — zero valid query vectors leaves
+    # no signal to choose a geometry from; documented loud raise
+    "ann_serve_tuned": ValueError,
 }
 
 
