@@ -605,6 +605,20 @@ def _spread_docs(documents: DataFrame) -> DataFrame:
     return _spread(documents)
 
 
+def _term_freq(documents: DataFrame) -> DataFrame:
+    """ONE (doc_id, term, tf) term-frequency frame — the shared
+    corpus-scan input of ``bm25_search`` and (via ``hash_embed``'s
+    ``_tf`` seam) the semantic stage of ``hybrid_search``. Empty
+    tokens are dropped here so every consumer sees the same term
+    universe."""
+    occ = (
+        _spread_docs(documents)
+        .select("doc_id", F.explode(tokens_expr("text")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    return occ.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def corpus_prep(
     documents: DataFrame,
     sample_pct: int = 80,
@@ -1691,7 +1705,9 @@ def corpus_report(documents: DataFrame) -> DataFrame:
     )
 
 
-def hash_embed(documents: DataFrame, dim: int = 16) -> DataFrame:
+def hash_embed(
+    documents: DataFrame, dim: int = 16, _tf: DataFrame | None = None
+) -> DataFrame:
     """Feature-hashing document vectors (the "hashing trick",
     Weinberger et al. 2009 — public paper): term counts fold into
     ``dim`` buckets by md5, L2-normalized — model-free embeddings
@@ -1709,17 +1725,31 @@ def hash_embed(documents: DataFrame, dim: int = 16) -> DataFrame:
     row, rounded at the boundary. All shuffles carry integer partials
     keyed on high-cardinality doc_id.
     """
-    occ = documents.select(
-        "doc_id", F.explode(tokens_expr("text")).alias("term")
-    ).filter(F.col("term") != "")
     h = F.conv(F.substring(F.md5(F.col("term")), 1, 15), 16, 10)
     # tb feeds the norm aggregate AND the output join — pin it or the
-    # "no second scan" claim is false at execution time
-    tb = occ.select(
-        "doc_id", (h.cast("bigint") % dim).alias("dim_idx")
-    ).groupBy("doc_id", "dim_idx").agg(
-        F.count(F.lit(1)).alias("tf")
-    ).localCheckpoint(eager=False)
+    # "no second scan" claim is false at execution time. ``_tf``
+    # (hybrid_search's seam) folds a pre-aggregated (doc_id, term, tf)
+    # frame into the buckets instead of re-tokenizing the corpus; the
+    # bucket counts are the same integers either way (Σ per-term
+    # counts grouped by bucket ≡ per-occurrence counts by bucket).
+    if _tf is not None:
+        tb = (
+            _tf.select(
+                "doc_id", (h.cast("bigint") % dim).alias("dim_idx"), "tf"
+            )
+            .groupBy("doc_id", "dim_idx")
+            .agg(F.sum("tf").cast("bigint").alias("tf"))
+            .localCheckpoint(eager=False)
+        )
+    else:
+        occ = documents.select(
+            "doc_id", F.explode(tokens_expr("text")).alias("term")
+        ).filter(F.col("term") != "")
+        tb = occ.select(
+            "doc_id", (h.cast("bigint") % dim).alias("dim_idx")
+        ).groupBy("doc_id", "dim_idx").agg(
+            F.count(F.lit(1)).alias("tf")
+        ).localCheckpoint(eager=False)
     norms = tb.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("_nrm")
     )
@@ -1954,6 +1984,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     topk: int = 10,
+    _tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 full-text retrieval over the corpus for a batch of term
     queries — the lexical side of a retrieval stack (the dense side
@@ -1977,20 +2008,20 @@ def bm25_search(
     """
     if queries is None:
         queries = sample_queries(documents)
-    occ = (
-        _spread_docs(documents)
-        .select("doc_id", F.explode(tokens_expr("text")).alias("term"))
-        .filter(F.col("term") != "")
-    )
     # the tf frame has THREE consumers (dl, df_, the score join) and
     # Catalyst inlines the corpus explode+agg subtree into each — a
     # lazy localCheckpoint materializes the tokenize ONCE per
-    # execution (the lang_id_nb construction)
-    tf = (
-        occ.groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=False)
-    )
+    # execution (the lang_id_nb construction). ``_tf`` injects an
+    # externally built/checkpointed (doc_id, term, tf) frame — the
+    # hybrid_search seam, so its lexical and semantic stages share
+    # ONE corpus tokenize instead of scanning twice.
+    if _tf is not None:
+        tf = _tf
+    else:
+        tf = (
+            _term_freq(documents)
+            .localCheckpoint(eager=False)
+        )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # df is only consumed for QUERY terms — pre-filtering on the
     # broadcast term set keeps the df aggregate's shuffle at
@@ -2077,12 +2108,25 @@ def hybrid_search(
     # its own every=97 and fuse disjoint queries) — one shared
     # predicate builder, so the rule cannot diverge between stages
     sem_pred = _query_doc_pred(every, query_ids)
+    # ONE corpus tokenize for BOTH stages: the (doc, term, tf) frame
+    # is built and lazily checkpointed here, then injected into the
+    # lexical stage (bm25's postings) AND the semantic stage (the
+    # hash_embed bucket fold) — previously each stage re-scanned and
+    # re-tokenized the full corpus, the dominant cost of the fused
+    # query (guide §1.2: don't compute things twice; §2.4: share the
+    # exchange). Bucket counts from the tf frame are the same
+    # integers the per-occurrence fold produced, so scores, ranks and
+    # the fused output are unchanged.
+    tf = _term_freq(documents).localCheckpoint(eager=False)
     lex = bm25_search(
         documents,
         queries=sample_queries(documents, every=every, doc_ids=query_ids),
         topk=stage_k,
+        _tf=tf,
     ).select("query_id", "doc_id", "bm25_rank")
-    e = hash_embed(documents, dim=dim).select("doc_id", "dim_idx", "weight")
+    e = hash_embed(documents, dim=dim, _tf=tf).select(
+        "doc_id", "dim_idx", "weight"
+    )
     sem = _sparse_cosine_topk(e, sem_pred, stage_k).select(
         "query_id", "doc_id", "sim_rank"
     )

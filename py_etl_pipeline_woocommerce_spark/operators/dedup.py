@@ -49,8 +49,16 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
-def _shingle_sets(documents: DataFrame, nonempty: bool = True) -> DataFrame:
+def _shingle_sets(
+    documents: DataFrame, nonempty: bool = True, with_hash: bool = False
+) -> DataFrame:
     """doc_id + distinct word-3-gram shingle array (+ lang block key).
+
+    ``with_hash=True`` additionally stages ``by_hash`` — the SORTED
+    md5 image of the shingle set — into the frame. Callers that
+    persist the result and feed BOTH the prefix-filter side and the
+    minhash signature side (dedup_audit) then hash every shingle
+    once instead of once per consumer.
 
     Tokens are materialized as a column BEFORE shingling: inside a
     higher-order function a complex child expression is re-evaluated
@@ -71,11 +79,16 @@ def _shingle_sets(documents: DataFrame, nonempty: bool = True) -> DataFrame:
     toks = base.select(
         "doc_id", "lang", tokens_expr("text").alias("_toks")
     )
-    return toks.select(
+    out = toks.select(
         "doc_id",
         "lang",
         F.array_distinct(word_shingles(F.col("_toks"), SHINGLE_N)).alias("shingles"),
     )
+    if with_hash:
+        out = out.withColumn(
+            "by_hash", F.array_sort(F.transform("shingles", F.md5))
+        )
+    return out
 
 
 def dedup_exact(documents: DataFrame) -> DataFrame:
@@ -208,7 +221,14 @@ def ngram_jaccard_pairs(
         )
         if persisted_frames is not None:
             persisted_frames.append(s)
-    by_hash = F.array_sort(F.transform("shingles", F.md5))
+    # reuse a staged sorted-md5 image when the injected frame carries
+    # one (dedup_audit's with_hash persist) — identical values, one
+    # corpus-wide hashing pass saved
+    by_hash = (
+        F.col("by_hash")
+        if "by_hash" in s.columns
+        else F.array_sort(F.transform("shingles", F.md5))
+    )
     prefix_len = (
         F.col("n_sh")
         - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
@@ -254,8 +274,18 @@ def _signature_from_shingles(s: DataFrame) -> DataFrame:
     than md5-per-permutation, and the min-reduction runs on longs
     instead of 32-char strings.
     """
+    # a staged ``by_hash`` column (the dedup_audit shared frame) is the
+    # same md5 multiset already computed — the signature's per-
+    # permutation min is order-free over the set, so reusing the
+    # SORTED image yields bit-identical signatures while skipping a
+    # second corpus-wide hashing pass
     hashed = s.select(
-        "doc_id", F.transform(F.col("shingles"), F.md5).alias("_h")
+        "doc_id",
+        (
+            F.col("by_hash")
+            if "by_hash" in s.columns
+            else F.transform(F.col("shingles"), F.md5)
+        ).alias("_h"),
     )
     ha = F.transform(
         F.col("_h"),
@@ -721,7 +751,10 @@ def _band_frame(docs: DataFrame, id_alias: str, _shingles=None):
     its lifecycle; the returned sh is then that frame's projection)."""
     rows_per_band = MINHASH_PERMS // MINHASH_BANDS
     if _shingles is not None:
-        sh = _shingles.select("doc_id", "shingles")
+        keep = ["doc_id", "shingles"] + (
+            ["by_hash"] if "by_hash" in _shingles.columns else []
+        )
+        sh = _shingles.select(*keep)
     else:
         sh = _shingle_sets(docs, nonempty=True).select("doc_id", "shingles")
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1167,8 +1200,11 @@ def dedup_audit(
     # ONE corpus tokenize+shingle scan for BOTH sides (r12 review
     # find: each side previously built and persisted its own
     # _shingle_sets over the identical universe — the dominant cost
-    # of the audit, paid twice)
-    shared = _shingle_sets(documents, nonempty=True).persist(
+    # of the audit, paid twice). with_hash stages the sorted md5
+    # image into the SAME persisted frame: the prefix-filter side's
+    # total order and the minhash side's signature family both
+    # consume it, so every shingle is hashed once, not once per side.
+    shared = _shingle_sets(documents, nonempty=True, with_hash=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     if persisted_frames is not None:

@@ -51,7 +51,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 15,
-    ckpt_every: int = 3,
+    ckpt_every: int = 5,
 ) -> DataFrame:
     """PageRank over an undirected edge list (edges are symmetrized;
     weights are ignored — classic uniform-split PageRank): rank_v =
@@ -70,8 +70,10 @@ def pagerank(
     components loop there is no per-round convergence count forcing
     materialization, and a 3-round join+agg plan is still small, so
     batching checkpoints trades bounded plan growth for ~1 fewer job
-    per skipped round (measured ~20% wall-time at sf0.1, where the
-    graph is tiny and scheduling dominates). Float sums make the
+    per skipped round (r12 A/B at sf0.1: every-5 beat every-3 by
+    ~11% median and lazy/no-AQE variants were 1.4-2.5x WORSE — AQE's
+    per-round partition coalescing is load-bearing on the tiny
+    per-round frames, so the loop keeps it on). Float sums make the
     low-order bits partitioning-dependent, so this is verified
     against a dense power-iteration oracle in pytest (1e-9
     tolerance), not a SQL hash — the driver records a rows-only

@@ -83,32 +83,10 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
             f"pca_fit: k={k} exceeds the embedding dimensionality "
             f"{dim} — at most dim components exist"
         )
-    e = _as_double()
-    # a NULL ELEMENT inside an array silently biases the fit (F.sum
-    # skips the null product but the count still counts the row, so
-    # the affected mean/covariance entries drift toward 0) — fuse a
-    # loud per-row check into the staged column, same device as
-    # pca_project's dim guard below
-    checked = embeddings.select(
-        F.when(
-            F.exists("embedding", lambda x: x.isNull()),
-            F.raise_error(
-                F.concat(
-                    F.lit("pca_fit: embedding contains NULL elements "),
-                    F.lit("(vec_id "),
-                    F.col("vec_id").cast("string"),
-                    F.lit(")"),
-                )
-            ),
-        )
-        .otherwise(e)
-        .alias("_e")
-    )
-    ce = F.col("_e")
-    # one pass: positions [0, d) carry Σx_i, positions [d, d+d²) carry
-    # Σ x_i·x_j (flattened outer product); count rides along.
-    # Moment terms are quantized to a 1e-9 grid BEFORE summing (the
-    # label_centroids device): a plain double sum depends on
+    # One pass: positions [0, d) carry Σx_i, positions [d, d+d²) carry
+    # Σ x_i·x_j (flattened outer product, row-major); count rides
+    # along. Moment terms are quantized to a 1e-9 grid BEFORE summing
+    # (the label_centroids device): a plain double sum depends on
     # partition/summation order, so the same data on a different
     # partitioning (or a task retry) would perturb the covariance in
     # the last ulps — and for near-degenerate eigenvalue pairs eigh
@@ -116,22 +94,101 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
     # integer-grid sum is exact and associative (deterministic on any
     # layout) at a ≤1e-9 per-term quantization cost that PCA cannot
     # see above its own estimation noise.
-    grid = F.floor(F.col("v") * F.lit(1e9)).cast("decimal(38,0)")
-    moments = (
-        checked.select(
-            F.posexplode(
-                F.concat(
-                    ce,
-                    F.flatten(
-                        F.transform(
-                            ce, lambda x: F.transform(ce, lambda y: x * y)
-                        )
-                    ),
+    #
+    # The partials are computed in ONE vectorized numpy pass per task
+    # (mapInArrow, guide-§4.2 shape: Spark does distribution/shuffle,
+    # the batch math runs in native code). The previous JVM form —
+    # posexplode of a (d+d²)-element per-row array into a decimal
+    # aggregate — materialized d²·N exploded rows through 128-bit
+    # decimal sums (8.3M rows at sf0.1, dominating the whole query);
+    # each task now emits exactly d+d²≤4160 partial rows (the same
+    # bytes the old map-side partial agg shuffled) and the per-row
+    # work is two BLAS-shaped array ops. floor(x·1e9) on IEEE doubles
+    # is bit-identical in numpy and the JVM, and partials accumulate
+    # in unbounded Python ints (the old decimal(38,0) headroom), so
+    # the fitted model is bit-for-bit what the explode plan produced.
+    staged = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_e")
+    )
+
+    def _gram_partials(batches):
+        import pyarrow as pa
+
+        acc_n = 0
+        acc = [0] * (dim + dim * dim)
+        for batch in batches:
+            arr = batch.column(batch.schema.get_field_index("_e"))
+            fl = arr.flatten()
+            if fl.null_count:
+                # a NULL ELEMENT would silently bias the fit (the sum
+                # skips the null product but n still counts the row) —
+                # raise loudly naming the offending vec_id, the same
+                # contract the old fused raise_error column enforced
+                valid = np.asarray(fl.is_valid())
+                row = int(np.flatnonzero(~valid)[0]) // dim
+                vid = batch.column(
+                    batch.schema.get_field_index("vec_id")
+                )[row].as_py()
+                raise ValueError(
+                    "pca_fit: embedding contains NULL elements "
+                    f"(vec_id {vid})"
                 )
-            ).alias("pos", "v")
-        )
+            X = fl.to_numpy(zero_copy_only=False).reshape(-1, dim)
+            if not np.isfinite(X).all():
+                # the old plan failed loudly here too (ANSI cast of a
+                # NaN/Inf grid term); name the row instead of letting
+                # a NaN poison every covariance entry it touches
+                row = int(np.flatnonzero(~np.isfinite(X).all(axis=1))[0])
+                vid = batch.column(
+                    batch.schema.get_field_index("vec_id")
+                )[row].as_py()
+                raise ValueError(
+                    "pca_fit: embedding contains non-finite values "
+                    f"(vec_id {vid})"
+                )
+            acc_n += X.shape[0]
+            # chunk the outer products so the (rows × d × d) tensor
+            # stays ~tens of MB regardless of Arrow batch sizing
+            step = max(1, 4_194_304 // (dim * dim))
+            for c0 in range(0, X.shape[0], step):
+                P = X[c0 : c0 + step]
+                g1 = np.floor(P * 1e9)
+                g2 = np.floor(
+                    (P[:, :, None] * P[:, None, :]).reshape(len(P), -1)
+                    * 1e9
+                )
+                # int64 chunk sums are exact while |Σ| < 2^63; fall
+                # back to exact object-dtype sums past that headroom
+                # (the decimal(38,0) regime of the old plan)
+                parts = []
+                for g in (g1, g2):
+                    if (
+                        np.abs(g).max(initial=0.0) * (len(P) + 1)
+                        < 2**62
+                    ):
+                        parts.append(g.astype(np.int64).sum(axis=0).tolist())
+                    else:
+                        parts.append(
+                            [int(v) for v in g.astype(object).sum(axis=0)]
+                        )
+                flatg = parts[0] + parts[1]
+                acc = [a + int(b) for a, b in zip(acc, flatg)]
+        if acc_n:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(range(dim + dim * dim), type=pa.int32()),
+                    pa.array(acc, type=pa.decimal128(38, 0)),
+                    pa.array(
+                        [acc_n] * (dim + dim * dim), type=pa.int64()
+                    ),
+                ],
+                names=["pos", "s", "n"],
+            )
+
+    moments = (
+        staged.mapInArrow(_gram_partials, "pos int, s decimal(38,0), n bigint")
         .groupBy("pos")
-        .agg(F.sum(grid).alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
         .collect()
     )
     n = moments[0]["n"]
