@@ -761,11 +761,13 @@ def numeric_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     round. A zero-variance column yields NULL corr (0/0), not a
     crash.
 
-    Scale shape: one scan, one 1-row partial aggregate carrying
-    6·k(k−1)/2 decimal sums (k = len(cols)); the pair matrix is
-    projected off that single row via a literal struct explode —
-    nothing else moves. DECIMAL(18,6) inputs bound values to ~10¹²;
-    widen the cast for larger magnitudes.
+    Scale shape: one scan; each task emits k(k−1)/2 exact-integer
+    partial rows (numpy two-limb accumulation over the unscaled
+    BIGINT image of the decimal staging — see the inline notes), a
+    single tiny aggregate sums them as decimal(38,0), and the pair
+    matrix is projected off that one row via a literal struct
+    explode — nothing else moves. DECIMAL(18,6) inputs bound values
+    to ~10¹²; widen the cast for larger magnitudes.
 
     PAIRWISE-COMPLETE: each pair's ``n`` and moments count only rows
     where BOTH columns are non-NULL (the statistic every stats engine
@@ -793,26 +795,172 @@ def numeric_corr(df: DataFrame, cols: list[str]) -> DataFrame:
     staged = df.select(
         *[F.col(c).cast("decimal(18,6)").alias(f"_d{i}") for i, c in enumerate(cols)]
     )
-    aggs = []
-    for i, x in enumerate(cols):
-        for y in cols[i + 1 :]:
-            j = idx[y]
-            both = F.col(f"_d{i}").isNotNull() & F.col(f"_d{j}").isNotNull()
-            dx = F.when(both, F.col(f"_d{i}"))
-            dy = F.when(both, F.col(f"_d{j}"))
-            aggs.extend(
+    k = len(cols)
+    # Exact unscaled-integer image of the decimal(18,6) staging:
+    # d·10^6 is an integer with |u| ≤ 10^18 (always fits BIGINT for
+    # decimal(18,6)); NULLs propagate. The co-moments then accumulate
+    # as EXACT integers in one vectorized numpy pass per task
+    # (mapInArrow — guide §4.2), replacing 6·k(k−1)/2 conditional
+    # 128-bit decimal aggregates evaluated per row in the JVM: the
+    # dominant cost of this query was precisely those decimal
+    # multiply/sum updates (36 per row at k=4). Each task emits one
+    # partial row per pair; the partials sum in Spark as
+    # decimal(38,0) and are re-scaled back to the EXACT same decimal
+    # values the old plan summed (Σdx = Σux/10^6, Σdx·dy = Σux·uy/10^12
+    # — same rationals, so the double casts below are bit-identical;
+    # BigDecimal→double correctly rounds the exact value on every
+    # JVM path).
+    ints = staged.select(
+        *[
+            (F.col(f"_d{i}") * F.lit(1_000_000).cast("decimal(7,0)"))
+            .cast("bigint")
+            .alias(f"_u{i}")
+            for i in range(k)
+        ]
+    )
+    pairs = [(i, j) for i in range(k) for j in range(i + 1, k)]
+
+    def _comoment_partials(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        P = len(pairs)
+        n_acc = [0] * P
+        a_acc, b_acc = [0] * P, [0] * P
+        xx_acc, yy_acc, xy_acc = [0] * P, [0] * P, [0] * P
+        seen = False
+        # chunk size keeps every int64 partial term sum below 2^62
+        # on the fast path (|u| < 2^52 ⇒ limb products ≤ 2^52, 1024
+        # addends ⇒ ≤ 2^62); larger values take the exact
+        # object-dtype path (the decimal(38,0) regime)
+        CH, SHIFT, MASK = 1024, 26, (1 << 26) - 1
+        for batch in batches:
+            rows = batch.num_rows
+            if rows == 0:
+                continue
+            seen = True
+            vals, valid = [], []
+            for i in range(k):
+                c = batch.column(i)
+                if c.null_count:
+                    valid.append(np.asarray(c.is_valid()))
+                    vals.append(
+                        pc.fill_null(c, 0).to_numpy(zero_copy_only=False)
+                    )
+                else:
+                    valid.append(None)
+                    vals.append(c.to_numpy(zero_copy_only=False))
+            for c0 in range(0, rows, CH):
+                sl = slice(c0, min(c0 + CH, rows))
+                for p, (i, j) in enumerate(pairs):
+                    ui, uj = vals[i][sl], vals[j][sl]
+                    if valid[i] is None and valid[j] is None:
+                        n_acc[p] += ui.shape[0]
+                    else:
+                        mb = np.ones(ui.shape[0], dtype=bool)
+                        if valid[i] is not None:
+                            mb &= valid[i][sl]
+                        if valid[j] is not None:
+                            mb &= valid[j][sl]
+                        n_acc[p] += int(mb.sum())
+                        ui = ui * mb
+                        uj = uj * mb
+                    big = max(
+                        int(np.abs(ui).max(initial=0)),
+                        int(np.abs(uj).max(initial=0)),
+                    ) >= (1 << 52)
+                    if big:
+                        oi, oj = ui.astype(object), uj.astype(object)
+                        a_acc[p] += int(oi.sum())
+                        b_acc[p] += int(oj.sum())
+                        xx_acc[p] += int((oi * oi).sum())
+                        yy_acc[p] += int((oj * oj).sum())
+                        xy_acc[p] += int((oi * oj).sum())
+                        continue
+                    a_acc[p] += int(ui.sum())
+                    b_acc[p] += int(uj.sum())
+                    # two-limb exact products: u = hi·2^26 + lo with
+                    # 0 ≤ lo < 2^26 (arithmetic shift handles sign)
+                    hi_i, lo_i = ui >> SHIFT, ui & MASK
+                    hi_j, lo_j = uj >> SHIFT, uj & MASK
+                    xx_acc[p] += (
+                        (int((hi_i * hi_i).sum()) << 52)
+                        + (int((hi_i * lo_i).sum()) << 27)
+                        + int((lo_i * lo_i).sum())
+                    )
+                    yy_acc[p] += (
+                        (int((hi_j * hi_j).sum()) << 52)
+                        + (int((hi_j * lo_j).sum()) << 27)
+                        + int((lo_j * lo_j).sum())
+                    )
+                    xy_acc[p] += (
+                        (int((hi_i * hi_j).sum()) << 52)
+                        + (
+                            (
+                                int((hi_i * lo_j).sum())
+                                + int((lo_i * hi_j).sum())
+                            )
+                            << 26
+                        )
+                        + int((lo_i * lo_j).sum())
+                    )
+        if seen:
+            for accs in (a_acc, b_acc, xx_acc, yy_acc, xy_acc):
+                for v in accs:
+                    if abs(v) >= 10**38:
+                        # same refusal class as the old decimal-sum
+                        # plan (ANSI overflow), with the actual cause
+                        raise ValueError(
+                            "numeric_corr: co-moment partial exceeds "
+                            "decimal(38,0) — narrow the inputs or "
+                            "pre-scale the columns"
+                        )
+            dec = pa.decimal128(38, 0)
+            yield pa.RecordBatch.from_arrays(
                 [
-                    F.sum(F.when(both, 1).otherwise(0))
-                    .cast("bigint")
-                    .alias(f"n_{i}_{j}"),
-                    F.sum(dx).cast("double").alias(f"a_{i}_{j}"),
-                    F.sum(dy).cast("double").alias(f"b_{i}_{j}"),
-                    F.sum(dx * dx).cast("double").alias(f"xx_{i}_{j}"),
-                    F.sum(dy * dy).cast("double").alias(f"yy_{i}_{j}"),
-                    F.sum(dx * dy).cast("double").alias(f"xy_{i}_{j}"),
-                ]
+                    pa.array(range(len(pairs)), type=pa.int32()),
+                    pa.array(n_acc, type=pa.int64()),
+                    pa.array(a_acc, type=dec),
+                    pa.array(b_acc, type=dec),
+                    pa.array(xx_acc, type=dec),
+                    pa.array(yy_acc, type=dec),
+                    pa.array(xy_acc, type=dec),
+                ],
+                names=["p", "n", "a", "b", "xx", "yy", "xy"],
             )
-    one = staged.agg(*aggs)
+
+    partials = ints.mapInArrow(
+        _comoment_partials,
+        "p int, n bigint, a decimal(38,0), b decimal(38,0), "
+        "xx decimal(38,0), yy decimal(38,0), xy decimal(38,0)",
+    )
+    s6 = F.lit(1_000_000).cast("decimal(7,0)")
+    s12 = F.lit(10**12).cast("decimal(13,0)")
+    aggs = []
+    for p, (i, j) in enumerate(pairs):
+        m = F.col("p") == p
+        aggs.extend(
+            [
+                F.sum(F.when(m, F.col("n"))).cast("bigint").alias(f"n_{i}_{j}"),
+                (F.sum(F.when(m, F.col("a"))) / s6)
+                .cast("double")
+                .alias(f"a_{i}_{j}"),
+                (F.sum(F.when(m, F.col("b"))) / s6)
+                .cast("double")
+                .alias(f"b_{i}_{j}"),
+                (F.sum(F.when(m, F.col("xx"))) / s12)
+                .cast("double")
+                .alias(f"xx_{i}_{j}"),
+                (F.sum(F.when(m, F.col("yy"))) / s12)
+                .cast("double")
+                .alias(f"yy_{i}_{j}"),
+                (F.sum(F.when(m, F.col("xy"))) / s12)
+                .cast("double")
+                .alias(f"xy_{i}_{j}"),
+            ]
+        )
+    one = partials.agg(*aggs)
     pair_structs = []
     for i, x in enumerate(cols):
         for y in cols[i + 1 :]:
