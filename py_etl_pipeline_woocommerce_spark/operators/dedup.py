@@ -985,14 +985,15 @@ def containment_pairs(
     Linear-ish: prefix(A) × postings(B) equi-join on (lang, shingle),
     never all-pairs.
     """
-    # The md5 total order is staged INTO the persisted frame: both the
-    # probe and the index branch consume it, and recomputing
+    # The md5 total order is staged INTO the persisted frame (the
+    # _shingle_sets with_hash option — ONE definition of the staged
+    # order, shared with the prefix-filter and minhash consumers):
+    # both the probe and the index branch consume it, and recomputing
     # array_sort(transform(md5)) per branch doubles the hashing cost
     # of the corpus scan.
     s = (
-        _shingle_sets(documents, nonempty=True)
+        _shingle_sets(documents, nonempty=True, with_hash=True)
         .withColumn("n_sh", F.size("shingles"))
-        .withColumn("by_hash", F.array_sort(F.transform("shingles", F.md5)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Same escape hatch as dedup_incremental_near: repeated callers

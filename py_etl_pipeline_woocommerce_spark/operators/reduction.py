@@ -158,8 +158,13 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
                     * 1e9
                 )
                 # int64 chunk sums are exact while |Σ| < 2^63; fall
-                # back to exact object-dtype sums past that headroom
-                # (the decimal(38,0) regime of the old plan)
+                # back to exact Python-int sums past that headroom
+                # (the decimal(38,0) regime of the old plan). The
+                # floor values are integer-valued float64s (above
+                # 2^53 a double IS an integer), and Python int(float)
+                # converts them exactly — summing the FLOATS (or
+                # object-dtype floats) would round and break the
+                # associative-grid determinism contract.
                 parts = []
                 for g in (g1, g2):
                     if (
@@ -169,7 +174,10 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
                         parts.append(g.astype(np.int64).sum(axis=0).tolist())
                     else:
                         parts.append(
-                            [int(v) for v in g.astype(object).sum(axis=0)]
+                            [
+                                sum(int(x) for x in g[:, c])
+                                for c in range(g.shape[1])
+                            ]
                         )
                 flatg = parts[0] + parts[1]
                 acc = [a + int(b) for a, b in zip(acc, flatg)]

@@ -906,60 +906,58 @@ def numeric_corr(df: DataFrame, cols: list[str]) -> DataFrame:
                         + int((lo_i * lo_j).sum())
                     )
         if seen:
-            for accs in (a_acc, b_acc, xx_acc, yy_acc, xy_acc):
+            from decimal import Decimal
+
+            # Emit the partials AT THE OLD PLAN'S SCALES — linear
+            # sums as decimal(38,6) (Σdx's value), quadratic sums as
+            # decimal(38,12) (Σdx·dy's value) — so Spark's final
+            # decimal SUM and the double cast reproduce the old
+            # aggregate bit-for-bit. (A decimal(38,0)/10^12 division
+            # in the plan does NOT work: Spark's precision-loss rule
+            # caps the quotient at scale 6, silently rounding the
+            # 12-scale moments — caught by review on small-magnitude
+            # columns.) Integer→Decimal scaleb is exact; overflow of
+            # the target scale raises the same loud refusal class as
+            # the old decimal-sum plan.
+            for accs, frac in (
+                (a_acc, 6), (b_acc, 6), (xx_acc, 12), (yy_acc, 12), (xy_acc, 12),
+            ):
                 for v in accs:
-                    if abs(v) >= 10**38:
-                        # same refusal class as the old decimal-sum
-                        # plan (ANSI overflow), with the actual cause
+                    if abs(v) >= 10**38:  # unscaled bound of decimal(38,frac)
                         raise ValueError(
                             "numeric_corr: co-moment partial exceeds "
-                            "decimal(38,0) — narrow the inputs or "
-                            "pre-scale the columns"
+                            f"decimal(38,{frac}) — narrow the inputs "
+                            "or pre-scale the columns"
                         )
-            dec = pa.decimal128(38, 0)
+            d6 = pa.decimal128(38, 6)
+            d12 = pa.decimal128(38, 12)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(range(len(pairs)), type=pa.int32()),
                     pa.array(n_acc, type=pa.int64()),
-                    pa.array(a_acc, type=dec),
-                    pa.array(b_acc, type=dec),
-                    pa.array(xx_acc, type=dec),
-                    pa.array(yy_acc, type=dec),
-                    pa.array(xy_acc, type=dec),
+                    pa.array([Decimal(v).scaleb(-6) for v in a_acc], type=d6),
+                    pa.array([Decimal(v).scaleb(-6) for v in b_acc], type=d6),
+                    pa.array([Decimal(v).scaleb(-12) for v in xx_acc], type=d12),
+                    pa.array([Decimal(v).scaleb(-12) for v in yy_acc], type=d12),
+                    pa.array([Decimal(v).scaleb(-12) for v in xy_acc], type=d12),
                 ],
                 names=["p", "n", "a", "b", "xx", "yy", "xy"],
             )
 
     partials = ints.mapInArrow(
         _comoment_partials,
-        "p int, n bigint, a decimal(38,0), b decimal(38,0), "
-        "xx decimal(38,0), yy decimal(38,0), xy decimal(38,0)",
+        "p int, n bigint, a decimal(38,6), b decimal(38,6), "
+        "xx decimal(38,12), yy decimal(38,12), xy decimal(38,12)",
     )
-    s6 = F.lit(1_000_000).cast("decimal(7,0)")
-    s12 = F.lit(10**12).cast("decimal(13,0)")
     aggs = []
     for p, (i, j) in enumerate(pairs):
         m = F.col("p") == p
-        aggs.extend(
-            [
-                F.sum(F.when(m, F.col("n"))).cast("bigint").alias(f"n_{i}_{j}"),
-                (F.sum(F.when(m, F.col("a"))) / s6)
-                .cast("double")
-                .alias(f"a_{i}_{j}"),
-                (F.sum(F.when(m, F.col("b"))) / s6)
-                .cast("double")
-                .alias(f"b_{i}_{j}"),
-                (F.sum(F.when(m, F.col("xx"))) / s12)
-                .cast("double")
-                .alias(f"xx_{i}_{j}"),
-                (F.sum(F.when(m, F.col("yy"))) / s12)
-                .cast("double")
-                .alias(f"yy_{i}_{j}"),
-                (F.sum(F.when(m, F.col("xy"))) / s12)
-                .cast("double")
-                .alias(f"xy_{i}_{j}"),
-            ]
-        )
+        for stat in ("n", "a", "b", "xx", "yy", "xy"):
+            agg = F.sum(F.when(m, F.col(stat)))
+            agg = (
+                agg.cast("bigint") if stat == "n" else agg.cast("double")
+            )
+            aggs.append(agg.alias(f"{stat}_{i}_{j}"))
     one = partials.agg(*aggs)
     pair_structs = []
     for i, x in enumerate(cols):
