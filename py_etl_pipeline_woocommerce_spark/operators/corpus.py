@@ -1647,14 +1647,19 @@ def corpus_report(documents: DataFrame) -> DataFrame:
     mismatch rate, mean quality.
 
     Composes the individually-verified doc-grain operators
-    (fingerprints, quality_score, gopher_rules, lang_id) with
-    doc_id-keyed joins — all four sides are doc-grain projections of
-    the same scan, so Catalyst plans co-partitioned hash joins — and
-    ONE source-grain aggregate. The only non-integer reduction is the
-    quality sum, rounded to 6 dp at the boundary (association noise
-    ~1e-13, far below the grain). dup_ratio counts distinct
-    fingerprints WITHIN the source, so cross-source template reuse
-    doesn't leak between rows.
+    (fingerprints, quality_score, gopher_rules, lang_id) — all four
+    are map-only per-doc projections, so they CHAIN over ONE corpus
+    scan via their ``_carry`` pass-through seams (r13; previously each
+    was its own scan of the documents table and the four doc-grain
+    frames met in three doc_id-keyed shuffle joins — 4 scans + 4
+    exchanges for what is one projection) — and ONE source-grain
+    aggregate. Chain order puts ``lang_id`` before ``gopher_rules``
+    so the raw ``text`` column never has to survive gopher's
+    CRLF-normalized restaging of that name. The only non-integer
+    reduction is the quality sum, rounded to 6 dp at the boundary
+    (association noise ~1e-13, far below the grain). dup_ratio counts
+    distinct fingerprints WITHIN the source, so cross-source template
+    reuse doesn't leak between rows.
     """
     from .textstats import (
         doc_fingerprint,
@@ -1663,21 +1668,43 @@ def corpus_report(documents: DataFrame) -> DataFrame:
         quality_score,
     )
 
-    base = documents.select("doc_id", "source")
-    fp = doc_fingerprint(documents).select("doc_id", "fingerprint")
-    q = quality_score(documents).select("doc_id", "n_tokens", "quality")
-    g = gopher_rules(documents).select("doc_id", "gopher_pass")
-    li = lang_id(documents).select(
+    # _spread: the fused chain concentrates ALL four operators'
+    # per-doc regex/tokenize CPU into one map stage; on a small
+    # single-split corpus that stage would run one-task (the old
+    # four-scan shape got one task PER operator, concurrently), so
+    # spread first. No-op at real scale (thousands of splits).
+    d = doc_fingerprint(
+        _spread_docs(documents).select("doc_id", "source", "lang", "text"),
+        _carry=("source", "lang", "text"),
+    )
+    d = quality_score(d, _carry=("source", "lang", "text", "fingerprint"))
+    d = lang_id(
+        d, _carry=("source", "text", "fingerprint", "n_tokens", "quality")
+    )
+    d = gopher_rules(
+        d,
+        _carry=(
+            "source",
+            "fingerprint",
+            "n_tokens",
+            "quality",
+            "lang_declared",
+            "lang_pred",
+        ),
+    )
+    j = d.select(
         "doc_id",
+        "source",
+        "fingerprint",
+        "n_tokens",
+        "quality",
+        "gopher_pass",
         # null-safe: a NULL declared lang with a real prediction IS a
         # metadata mismatch — plain != would NULL out and sum() would
         # skip exactly the broken rows the health report must flag
         (~F.col("lang_declared").eqNullSafe(F.col("lang_pred"))).alias(
             "_mismatch"
         ),
-    )
-    j = base.join(fp, "doc_id").join(q, "doc_id").join(g, "doc_id").join(
-        li, "doc_id"
     )
     agg = j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -2130,14 +2157,31 @@ def hybrid_search(
     sem = _sparse_cosine_topk(e, sem_pred, stage_k).select(
         "query_id", "doc_id", "sim_rank"
     )
-    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        F.round(
-            F.coalesce(F.lit(1.0) / (rrf_k + F.col("bm25_rank")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (rrf_k + F.col("sim_rank")), F.lit(0.0)),
-            6,
-        ).alias("rrf_score"),
+    # Fusion as a UNION + one aggregate instead of a full-outer join:
+    # each side contributes its per-(query, doc) RRF addend and the
+    # groupBy sums them (guide §2.4 — an aggregate with map-side
+    # partials replaces a sort-merge full-outer and its two sorts).
+    # Equivalence is exact: each side has at most one row per (query,
+    # doc), IEEE addition of two doubles is commutative, and a
+    # one-sided pair sums to the same value the old coalesce(…, 0.0)
+    # + addend produced (x + 0.0 == x for the strictly positive
+    # addends here) — so the rounded scores, and therefore the fused
+    # ranking, are bit-identical.
+    fused = (
+        lex.select(
+            "query_id",
+            "doc_id",
+            (F.lit(1.0) / (rrf_k + F.col("bm25_rank"))).alias("_rrf"),
+        )
+        .unionByName(
+            sem.select(
+                "query_id",
+                "doc_id",
+                (F.lit(1.0) / (rrf_k + F.col("sim_rank"))).alias("_rrf"),
+            )
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_rrf"), 6).alias("rrf_score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf_score").desc(), F.col("doc_id")

@@ -158,12 +158,15 @@ def dedup_incremental(
 
 
 def _jaccard_verify_pairs(
-    cand: DataFrame, sh: DataFrame, threshold: float
+    cand: DataFrame, sh: DataFrame, threshold: float, keep: tuple = ()
 ) -> DataFrame:
     """Shared exact-Jaccard verify tail of the two self-join pair
     families (prefix-filter and MinHash-band candidates — verbatim
     copies until r12): join both sides' shingle sets back onto the
-    candidate (doc_a, doc_b) pairs and keep jaccard >= threshold."""
+    candidate (doc_a, doc_b) pairs and keep jaccard >= threshold.
+
+    ``keep`` carries extra candidate columns (e.g. dedup_audit's
+    provenance flags) through the verify unchanged."""
     sh_a = sh.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -176,7 +179,7 @@ def _jaccard_verify_pairs(
     return (
         pairs.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", *keep, "jaccard")
     )
 
 
@@ -221,6 +224,17 @@ def ngram_jaccard_pairs(
         )
         if persisted_frames is not None:
             persisted_frames.append(s)
+    cand = _prefix_filter_candidates(s, threshold)
+    return _jaccard_verify_pairs(cand, s, threshold)
+
+
+def _prefix_filter_candidates(s: DataFrame, threshold: float) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs of the exact prefix-filter
+    Jaccard join — the generation stage of ``ngram_jaccard_pairs``,
+    split out so ``dedup_audit`` can union these with the band
+    candidates and verify ONCE. ``s`` is a (persisted) shingle frame
+    with ``n_sh`` staged (and optionally ``by_hash``). Lossless: the
+    output is a superset of all pairs with Jaccard ≥ threshold."""
     # reuse a staged sorted-md5 image when the injected frame carries
     # one (dedup_audit's with_hash persist) — identical values, one
     # corpus-wide hashing pass saved
@@ -276,21 +290,25 @@ def ngram_jaccard_pairs(
     # reach it are dropped BEFORE the O(|A|+|B|) verify — which was
     # the audit's dominant cost (110 722 candidates → 79 true pairs
     # at sf0.1; the bound kills the hot-shingle one-match pairs).
-    # The 1e-9 slack makes float rounding err on the KEEP side only.
+    # The slack makes float rounding err on the KEEP side only; it is
+    # RELATIVE (scaled by n_a+n_b, the compared magnitude) so the
+    # prune stays provably lossless at any document size — an
+    # absolute 1e-9 would be smaller than one ulp of the right-hand
+    # side once shingle counts pass ~1e8 (r12 advice).
     ub = F.lit(1) + F.least(
         F.col("n_a") - 1 - F.col("pa"), F.col("n_b") - 1 - F.col("pb")
     )
-    cand = (
+    return (
         matches.groupBy("doc_a", "doc_b")
         .agg(F.min(F.struct("ph", "pa", "pb", "n_a", "n_b")).alias("m"))
         .select("doc_a", "doc_b", "m.pa", "m.pb", "m.n_a", "m.n_b")
         .filter(
             ub * F.lit(1.0 + threshold)
-            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b")) - F.lit(1e-9)
+            >= F.lit(threshold) * (F.col("n_a") + F.col("n_b"))
+            - F.lit(1e-9) * (F.col("n_a") + F.col("n_b"))
         )
         .select("doc_a", "doc_b")
     )
-    return _jaccard_verify_pairs(cand, s, threshold)
 
 
 #: Modulus for the universal-hash permutation family (fits all
@@ -376,15 +394,23 @@ def minhash_lsh_pairs(
         # an injected shingle frame belongs to the injector — only
         # hand back the frames this call persisted itself
         persisted_frames += [bands] if _shingles is not None else [sh, bands]
+    cand = _band_candidates(bands)
+    return _jaccard_verify_pairs(cand, sh, threshold)
+
+
+def _band_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct candidate (doc_a, doc_b) pairs from a banded-signature
+    self-join — the generation stage of ``minhash_lsh_pairs``, split
+    out so ``dedup_audit`` can union these with the prefix-filter
+    candidates and verify ONCE."""
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_hash")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_hash")
-    cand = (
+    return (
         a.join(b, ["band", "band_hash"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _jaccard_verify_pairs(cand, sh, threshold)
 
 
 def _simhash_bits(documents: DataFrame, bits: int = 32) -> DataFrame:
@@ -1028,21 +1054,26 @@ def containment_pairs(
     # unsliced), every other common element sits strictly after it
     # in both sorted arrays, so |A∩B| ≤ 1 + min(n_a−1−pa, n_b−1−pb);
     # containment ≥ t needs |A∩B| ≥ t·n_a. Both prunes only drop
-    # pairs the exact verify would reject — output unchanged.
+    # pairs the exact verify would reject — output unchanged. The
+    # keep-side slack is RELATIVE (scaled by n_a, the compared
+    # magnitude) so the prune stays provably lossless at any document
+    # size — an absolute 1e-9 would be smaller than one ulp of t·n_a
+    # once shingle counts pass ~1e8 (r12 advice).
     ub = F.lit(1) + F.least(
         F.col("n_a") - 1 - F.col("pa"), F.col("n_b") - 1 - F.col("pb")
     )
+    slack = F.lit(1e-9) * F.col("n_a")
     cand = (
         probe.join(index, ["lang", "ph"])
         .filter(
             (F.col("doc_a") != F.col("doc_b"))
-            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - F.lit(1e-9))
+            & (F.col("n_b") >= F.lit(threshold) * F.col("n_a") - slack)
         )
         .groupBy("doc_a", "doc_b")
         .agg(F.min(F.struct("ph", "pa", "pb", "n_a", "n_b")).alias("m"))
         .select("doc_a", "doc_b", "m.pa", "m.pb", "m.n_a", "m.n_b")
         .filter(
-            ub >= F.lit(threshold) * F.col("n_a") - F.lit(1e-9)
+            ub >= F.lit(threshold) * F.col("n_a") - slack
         )
         .select("doc_a", "doc_b")
     )
@@ -1234,9 +1265,12 @@ def dedup_audit(
     collide in any band. Output is ONE row: exact pairs, LSH pairs,
     hits, misses, recall.
 
-    Scale shape: the two pair joins are the (already linear-ish)
-    verified operators; the audit adds one doc-pair-keyed join and
-    three 1-row aggregates. At 100 TB pass ``sample_frac`` — recall
+    Scale shape: candidate generation is the two (already linear-ish)
+    verified generators, but their candidate sets are UNIONED with
+    provenance flags and verified ONCE — one exact-Jaccard join over
+    the shared shingle frame instead of one per side — and every
+    audit count derives from the flags in a single 1-row aggregate.
+    At 100 TB pass ``sample_frac`` — recall
     is a property of the band geometry, not the corpus size, so a
     deterministic hash sample of the documents (both sides audit the
     IDENTICAL sampled universe; xxhash64 on doc_id, never ``rand()``,
@@ -1268,17 +1302,36 @@ def dedup_audit(
     )
     if persisted_frames is not None:
         persisted_frames.append(shared)
-    truth = ngram_jaccard_pairs(
-        documents, threshold, _shingles=shared
-    ).select("doc_a", "doc_b")
-    langs = documents.select("doc_id", "lang")
-    lsh = (
-        minhash_lsh_pairs(
-            documents,
-            threshold,
-            persisted_frames=persisted_frames,
-            _shingles=shared,
-        )
+    # ONE O(|A|+|B|) exact-Jaccard verify for BOTH sides (r13): the
+    # exact and LSH candidate sets overlap heavily (banding candidates
+    # are near-dups the prefix filter also finds), and each side
+    # previously ran its own verify join over the persisted shingle
+    # frame. Instead, union the two candidate universes with
+    # provenance flags, verify the union once, and derive every audit
+    # count from the flags:
+    #   n_exact  = verified ∧ in_exact  (≡ verify(prefix candidates):
+    #              the prefix filter is lossless, so every pair with
+    #              J ≥ t is in it),
+    #   n_lsh    = verified ∧ in_lsh    (the same-lang band candidates
+    #              — the lang restriction commutes with the verify
+    #              because lang is a property of the pair, not of the
+    #              jaccard),
+    #   n_hits   = verified ∧ both      (old hits = lsh ⋈ truth = the
+    #              pairs that verify from both universes).
+    # This also collapses the three 1-row aggregates + two broadcast
+    # joins + the pair-keyed hit join into ONE aggregate.
+    s = shared.withColumn("n_sh", F.size("shingles"))
+    exact_cand = _prefix_filter_candidates(s, threshold)
+    _sh, bands = _band_frame(documents, "doc_id", _shingles=shared)
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_frames is not None:
+        persisted_frames.append(bands)
+    # lang attach from the SHARED frame (every candidate doc has
+    # shingle rows by construction, so the lookup is total and the
+    # values identical to the documents table's)
+    langs = shared.select("doc_id", "lang")
+    band_cand = (
+        _band_candidates(bands)
         .join(
             langs.select(
                 F.col("doc_id").alias("doc_a"), F.col("lang").alias("_la")
@@ -1294,15 +1347,38 @@ def dedup_audit(
         .filter(F.col("_la") == F.col("_lb"))
         .select("doc_a", "doc_b")
     )
-    n_true = truth.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
-    n_hit = (
-        lsh.join(truth, ["doc_a", "doc_b"])
-        .agg(F.count(F.lit(1)).alias("n_hits"))
+    cand = (
+        exact_cand.select(
+            "doc_a",
+            "doc_b",
+            F.lit(True).alias("in_exact"),
+            F.lit(False).alias("in_lsh"),
+        )
+        .unionByName(
+            band_cand.select(
+                "doc_a",
+                "doc_b",
+                F.lit(False).alias("in_exact"),
+                F.lit(True).alias("in_lsh"),
+            )
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("in_exact").alias("in_exact"),
+            F.max("in_lsh").alias("in_lsh"),
+        )
+    )
+    verified = _jaccard_verify_pairs(
+        cand, shared, threshold, keep=("in_exact", "in_lsh")
     )
     return (
-        n_true.join(F.broadcast(n_lsh))
-        .join(F.broadcast(n_hit))
+        verified.agg(
+            F.count(F.when(F.col("in_exact"), 1)).alias("n_exact_pairs"),
+            F.count(F.when(F.col("in_lsh"), 1)).alias("n_lsh_pairs"),
+            F.count(F.when(F.col("in_exact") & F.col("in_lsh"), 1)).alias(
+                "n_hits"
+            ),
+        )
         .select(
             "n_exact_pairs",
             "n_lsh_pairs",

@@ -123,7 +123,19 @@ def pca_fit(embeddings: DataFrame, k: int = 8) -> dict:
                 # a NULL ELEMENT would silently bias the fit (the sum
                 # skips the null product but n still counts the row) —
                 # raise loudly naming the offending vec_id, the same
-                # contract the old fused raise_error column enforced
+                # contract the old fused raise_error column enforced.
+                # The flat-index // dim row attribution is only valid
+                # for a dense rows×dim layout; the driver-side dims
+                # probe guarantees it (no NULL/ragged arrays), but
+                # assert the layout here so a relaxed upstream guard
+                # degrades to an honest error instead of naming the
+                # wrong vec_id (r12 advice)
+                if arr.null_count or len(fl) != len(arr) * dim:
+                    raise ValueError(
+                        "pca_fit: embedding batch is not a dense "
+                        f"rows×{dim} layout (NULL or ragged arrays "
+                        "slipped past the dims probe) — fix upstream"
+                    )
                 valid = np.asarray(fl.is_valid())
                 row = int(np.flatnonzero(~valid)[0]) // dim
                 vid = batch.column(

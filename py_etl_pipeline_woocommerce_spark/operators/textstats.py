@@ -61,13 +61,19 @@ def token_count(
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
+def quality_score(documents: DataFrame, _carry: tuple = ()) -> DataFrame:
     """Per-doc quality features + composite score in [0, ~1].
 
     Features mirror standard LLM-corpus quality filters: length,
     mean token length, stopword ratio, distinct-token (repetition)
     ratio, alpha-character ratio. The composite is a fixed-weight
     blend — integer-count ratios in double, fully deterministic.
+
+    ``_carry`` names input columns passed through unchanged — the
+    ``corpus_report`` one-scan fusion seam: the four doc-grain
+    map-only operators chain over ONE projection instead of being
+    joined as four separate corpus scans. Default () keeps the
+    standalone plan byte-identical.
     """
     # Stage the normalization/tokenization ONCE as real columns: the
     # ratio expressions below each reference tokens/n_tok several
@@ -77,6 +83,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     # pipeline + split up to ~6x per row.
     staged = documents.select(
         "doc_id",
+        *_carry,
         F.length("text").cast("bigint").alias("_n_chars"),
         F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", "")).alias(
             "_alpha_chars"
@@ -84,6 +91,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
         norm_text("text").alias("_norm"),
     ).select(
         "doc_id",
+        *_carry,
         "_n_chars",
         "_alpha_chars",
         "_norm",
@@ -92,6 +100,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     markers = [w for ws in LANG_MARKERS.values() for w in ws]
     counted = staged.select(
         "doc_id",
+        *_carry,
         "_n_chars",
         "_alpha_chars",
         "_norm",
@@ -122,6 +131,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
     return counted.select(
         "doc_id",
+        *_carry,
         n_tok.alias("n_tokens"),
         F.when(nonempty, distinct_ratio).otherwise(0.0).alias("distinct_ratio"),
         F.when(nonempty, stop_ratio).otherwise(0.0).alias("stop_ratio"),
@@ -131,7 +141,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
     )
 
 
-def lang_id(documents: DataFrame) -> DataFrame:
+def lang_id(documents: DataFrame, _carry: tuple = ()) -> DataFrame:
     """Heuristic language ID: argmax of marker-word hit counts with a
     deterministic tie-break (language order en > fr > de > es, then
     'unknown' when no marker hits at all).
@@ -140,16 +150,21 @@ def lang_id(documents: DataFrame) -> DataFrame:
     the argmax when-chain references every count ~3x, and un-staged
     that re-tokenized the document per reference (no CSE across
     duplicated non-cheap subtrees).
+
+    ``_carry`` passes input columns through unchanged (the
+    ``corpus_report`` one-scan fusion seam; must not contain ``lang``,
+    which this operator consumes and renames).
     """
     def _is_marker(words: tuple[str, ...]):
         wl = list(words)
         return lambda t: t.isin(wl)
 
     staged = documents.select(
-        "doc_id", "lang", tokens_expr("text").alias("_toks")
+        "doc_id", "lang", *_carry, tokens_expr("text").alias("_toks")
     ).select(
         "doc_id",
         "lang",
+        *_carry,
         *[
             F.size(F.filter("_toks", _is_marker(words))).alias(f"_h_{lang}")
             for lang, words in LANG_MARKERS.items()
@@ -163,15 +178,21 @@ def lang_id(documents: DataFrame) -> DataFrame:
         pred = F.when(hits[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best == 0, F.lit("unknown")).otherwise(pred)
     return staged.select(
-        "doc_id", F.col("lang").alias("lang_declared"), pred.alias("lang_pred")
+        "doc_id",
+        *_carry,
+        F.col("lang").alias("lang_declared"),
+        pred.alias("lang_pred"),
     )
 
 
-def doc_fingerprint(documents: DataFrame) -> DataFrame:
+def doc_fingerprint(documents: DataFrame, _carry: tuple = ()) -> DataFrame:
     """Content fingerprint: md5 of the normal form + length bucket —
-    the join key for exact dedup and incremental dedup at scale."""
+    the join key for exact dedup and incremental dedup at scale.
+    ``_carry`` passes input columns through unchanged (the
+    ``corpus_report`` one-scan fusion seam)."""
     return documents.select(
         "doc_id",
+        *_carry,
         md5_hex(norm_text("text")).alias("fingerprint"),
         (F.floor(F.length("text") / 100)).cast("bigint").alias("len_bucket"),
     )
@@ -302,6 +323,7 @@ def gopher_rules(
     max_ellipsis_ratio: float = 0.3,
     min_alpha_word_ratio: float = 0.8,
     min_stop_hits: int = 2,
+    _carry: tuple = (),
 ) -> DataFrame:
     """Gopher document-level quality rules (Rae et al. 2021
     arXiv:2112.11446 §A1.1 — public paper) over the RAW text: the
@@ -320,7 +342,17 @@ def gopher_rules(
     shuffles, zero Python: every signal is integer counting over
     split/filter/transform arrays, each ratio ONE int/int division —
     engine-exact against the DuckDB twin at any partitioning.
+
+    ``_carry`` passes input columns through unchanged (the
+    ``corpus_report`` one-scan fusion seam; must not contain
+    ``text`` — this operator stages a CRLF-normalized text column
+    under that name).
     """
+    if "text" in _carry:
+        raise ValueError(
+            "gopher_rules: _carry cannot pass 'text' through — the "
+            "operator stages a CRLF-normalized column under that name"
+        )
     stops = list(GOPHER_STOPWORDS)
     # CRLF-normalize FIRST: Java's $ matches before a trailing \r
     # while the RE2 oracle's does not (live-verified), and a bare \r
@@ -330,9 +362,11 @@ def gopher_rules(
     # (the extract_links rule).
     arrays = documents.select(
         "doc_id",
+        *_carry,
         F.regexp_replace(F.col("text"), r"\r\n?", "\n").alias("text"),
     ).select(
         "doc_id",
+        *_carry,
         "text",
         F.filter(
             F.split(F.col("text"), "[ \t\n\f\r]+"), lambda w: w != ""
@@ -345,6 +379,7 @@ def gopher_rules(
     words, lines = F.col("_words"), F.col("_lines")
     staged = arrays.select(
         "doc_id",
+        *_carry,
         F.size(words).cast("bigint").alias("n_words"),
         F.aggregate(
             F.transform(words, F.length), F.lit(0), lambda a, x: a + x
@@ -390,6 +425,7 @@ def gopher_rules(
     ).otherwise(0.0)
     staged = staged.select(
         "doc_id",
+        *_carry,
         "n_words",
         mean_word_len.alias("mean_word_len"),
         symbol_ratio.alias("symbol_ratio"),
@@ -440,7 +476,12 @@ def filter_pipeline(
     ``repetition_stats`` is the one-scan tagged-gram aggregate; the
     composition adds a single doc_id-keyed join of two doc-grain
     frames — nothing new materializes, and Catalyst plans the whole
-    gate as one job.
+    gate as one job. (Examined and REJECTED r13: fusing q onto the
+    gram join via a repetition_stats ``_base`` seam — one fewer
+    doc_id scan + join — measured consistently ~0.3 s SLOWER in
+    interleaved A/B at sf0.1 (1.74 vs 2.10 s median), and the saved
+    scan is a pruned doc_id-only column read that stays cheap at any
+    scale; the joined shape stays.)
     """
     q = quality_score(documents).select(
         "doc_id", "n_tokens", "stop_ratio", "quality"

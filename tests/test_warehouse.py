@@ -302,6 +302,34 @@ def test_numeric_corr_zero_variance_yields_null(spark):
     assert r.corr is None
 
 
+def test_numeric_corr_overflow_refusal_and_small_magnitudes(spark):
+    """Pins the mapInArrow kernel's documented boundary contract (r12
+    advice): co-moment partials past the decimal(38,scale) unscaled
+    bound refuse LOUDLY inside the task (the overflow class the old
+    decimal-sum plan surfaced as ANSI errors), and sub-1e-6-magnitude
+    columns — the regime a plan-side /10^12 division silently
+    scale-capped in the kernel's first draft — stay exact."""
+    import pytest as _pt
+    from py_etl_pipeline_woocommerce_spark.operators.warehouse import numeric_corr
+
+    # tiny magnitudes: moments ~1e-12 live at decimal scale 12; the
+    # exact linear relation must come back exactly 1.0, not NULL
+    tiny = spark.createDataFrame(
+        [(1e-6, 2e-6), (2e-6, 4e-6), (3e-6, 6e-6)], "x double, y double"
+    )
+    r = numeric_corr(tiny, ["x", "y"]).collect()[0]
+    assert r.corr == 1.0 and r.n == 3
+
+    # overflow: 120 max-magnitude decimal(18,6) rows push one task's
+    # Σx² partial past 10^38 (the decimal(38,12) unscaled bound)
+    big = spark.createDataFrame(
+        [(999_999_999_999.0, 999_999_999_999.0)] * 120,
+        "x double, y double",
+    ).coalesce(1)
+    with _pt.raises(Exception, match="co-moment partial exceeds"):
+        numeric_corr(big, ["x", "y"]).collect()
+
+
 def test_warehouse_malformed_input_guards(spark):
     """The review-wave guards fail LOUDLY instead of corrupting:
     duplicate SCD2 batch keys, NULL CDC ops, hostile DQ rule names,

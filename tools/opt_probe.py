@@ -70,9 +70,11 @@ def main() -> None:
         spark.catalog.clearCache()
         samples = []
         for _ in range(args.passes):
-            t0 = time.time()
+            # monotonic: an NTP step mid-pass would corrupt a
+            # time.time() sample (r12 advice)
+            t0 = time.monotonic()
             qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
-            samples.append(time.time() - t0)
+            samples.append(time.monotonic() - t0)
             spark.catalog.clearCache()
         samples.sort()
         out[name] = round(samples[len(samples) // 2], 3)
