@@ -27,15 +27,31 @@ def copurchase_edges(lineitem: DataFrame, min_orders: int = 2) -> DataFrame:
     with weight = number of orders containing both, kept when that
     count reaches ``min_orders`` (noise floor).
 
-    Same scale shape as ``basket_pairs``: one distinct (order, part)
-    shuffle, then a per-ORDER pair join whose fan-out is
-    C(basket, 2) — a basket-sized constant, never part×part.
+    Same scale shape as ``basket_pairs``: ONE (order-keyed) shuffle of
+    the lineitem projection, then a per-ORDER pair join whose fan-out
+    is C(basket, 2) — a basket-sized constant, never part×part.
     """
     # li feeds both join sides UNPINNED on purpose: a checkpoint
     # pin measured 1.12x SLOWER here (5.86 vs 5.25 s median at sf0.1,
     # r9) — the distinct's exchange is reused by Spark across the two
-    # consumers, so the pin only added a materialization barrier
-    li = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # consumers, so the pin only added a materialization barrier.
+    #
+    # ONE exchange instead of three (r13, guide §2.4): repartition by
+    # l_orderkey FIRST, then dedupe — HashPartitioning(o) satisfies
+    # the dedupe's ClusteredDistribution((o, p)) (a subset of the
+    # grouping keys), so the distinct runs exchange-free, and BOTH
+    # sides of the per-order self-join are already co-partitioned on
+    # o, so the join adds no exchange either. The old shape (distinct
+    # first) exchanged on (o, p) and then re-exchanged both join
+    # sides on o — two extra edge-sized shuffles. Identical edges
+    # (deduping under a different partitioning); interleaved A/B on
+    # the 10x sf1 replica: 10.87 s -> 3.54 s median for the edges
+    # build (3.1x).
+    li = (
+        lineitem.select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     a = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("src"))
     b = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("dst"))
     return (

@@ -1179,19 +1179,29 @@ def basket_pairs(
     co-occurring in ≥ ``min_pair_orders`` orders, support,
     directional confidence, and lift, top-``topk`` by lift.
 
-    Shape: one lineitem scan → distinct (order, part) — the only
-    corpus-sized shuffle; the pair join is per-ORDER, so fan-out is
-    C(items-per-order, 2), a basket-sized constant at any scale
-    (never part×part). Per-part order counts join back into the
-    pair frame. The support cut is an integer compare BEFORE any
-    float; lift is one rounded division, ranked with part-id
-    tie-breaks — engine-exact. (The a-priori candidate-pruning
-    literature exists for baskets of hundreds; order baskets are
-    single digits, so the exact pair join IS the scalable plan.)
+    Shape: one lineitem scan → ONE order-keyed shuffle; the pair join
+    is per-ORDER, so fan-out is C(items-per-order, 2), a basket-sized
+    constant at any scale (never part×part). Per-part order counts
+    join back into the pair frame. The support cut is an integer
+    compare BEFORE any float; lift is one rounded division, ranked
+    with part-id tie-breaks — engine-exact. (The a-priori
+    candidate-pruning literature exists for baskets of hundreds;
+    order baskets are single digits, so the exact pair join IS the
+    scalable plan.)
+
+    The order-keyed repartition comes BEFORE the dedupe (the
+    copurchase_edges r13 device): HashPartitioning(l_orderkey)
+    satisfies the dedupe's clustering on (order, part) AND the
+    per-order self-join AND the n_orders distinct, so all three run
+    exchange-free off one shuffle — distinct-first re-exchanged both
+    join sides on the order key (two extra corpus-sized shuffles).
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .repartition("l_orderkey")
+        .dropDuplicates(["l_orderkey", "l_partkey"])
+    )
     n_orders = li.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_orders")
     )
