@@ -20,7 +20,7 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -2206,15 +2206,19 @@ def _split_assign(bucket, train_pct: int, val_pct: int):
     )
 
 
-def _split_bucket():
+def _split_bucket(doc_id: Column | None = None):
     """Salted [0, 100) split bucket from md5('split:' || doc_id) —
     one recipe with ``_hash_bucket`` (portable to DuckDB as
     ``CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
     1, 15) AS BIGINT) % 100``), so a future change to the bucket
-    hash cannot desynchronize split buckets from sample buckets."""
-    return _hash_bucket(
-        F.concat(F.lit("split:"), F.col("doc_id").cast("string"))
-    )
+    hash cannot desynchronize split buckets from sample buckets.
+
+    ``doc_id`` applies the SAME recipe to a differently-named id
+    column (split_leakage_near computes each candidate pair side's
+    split from doc_a/doc_b directly — membership is a pure function
+    of the id, no join to the documents table needed)."""
+    col = F.col("doc_id") if doc_id is None else doc_id
+    return _hash_bucket(F.concat(F.lit("split:"), col.cast("string")))
 
 
 def corpus_split(
@@ -2316,35 +2320,50 @@ def split_leakage_near(
     docs near-leaked, the leaking pair count, and the rounded rate —
     eval splits with zero leaks still report (left join from the
     split totals). All counters integer; one division per row.
+
+    Cross-split pruning happens BEFORE the exact-Jaccard verify
+    (r13, guide §3 pre-filter the join): split membership is a pure
+    md5 function of the doc_id, so each band candidate's sides are
+    labeled MAP-SIDE (no join to the documents table) and the
+    within-split pairs — the overwhelming majority under a 90/5/5
+    split, ~81% train↔train alone — are dropped without ever paying
+    the O(|A|+|B|) shingle verify. The filter commutes with the
+    verify (split depends only on the ids), so the surviving pairs,
+    and therefore every count, are identical to verifying first.
     """
-    from .dedup import minhash_lsh_pairs
+    from pyspark.storagelevel import StorageLevel
+
+    from .dedup import _band_candidates, _band_frame, _jaccard_verify_pairs
 
     h = _split_bucket()
     split = (
         _split_assign(h, train_pct, val_pct)
     )
     splits = documents.select("doc_id", split.alias("split"))
-    pairs = minhash_lsh_pairs(documents, threshold=threshold)
-    sa = splits.select(
-        F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
-    )
-    sb = splits.select(
-        F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
-    )
-    cross = (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            (F.col("split_a") == "train") != (F.col("split_b") == "train")
-        )
+
+    def _split_of(idcol):
+        return _split_assign(_split_bucket(idcol), train_pct, val_pct)
+
+    sh, bands = _band_frame(documents, "doc_id")
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    cand = (
+        _band_candidates(bands)
         .select(
-            F.when(F.col("split_a") == "train", F.col("doc_b"))
-            .otherwise(F.col("doc_a"))
-            .alias("eval_doc"),
-            F.when(F.col("split_a") == "train", F.col("split_b"))
-            .otherwise(F.col("split_a"))
-            .alias("split"),
+            "doc_a",
+            "doc_b",
+            _split_of(F.col("doc_a")).alias("_sa"),
+            _split_of(F.col("doc_b")).alias("_sb"),
         )
+        .filter((F.col("_sa") == "train") != (F.col("_sb") == "train"))
+    )
+    pairs = _jaccard_verify_pairs(cand, sh, threshold, keep=("_sa", "_sb"))
+    cross = pairs.select(
+        F.when(F.col("_sa") == "train", F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("eval_doc"),
+        F.when(F.col("_sa") == "train", F.col("_sb"))
+        .otherwise(F.col("_sa"))
+        .alias("split"),
     )
     leaks = cross.groupBy("split").agg(
         F.count_distinct("eval_doc").alias("n_leaked_docs"),
